@@ -1,0 +1,32 @@
+"""Differential oracle over the whole registry: every query in
+__spark_entry__.queries() with an oracle must match DuckDB exactly
+(row count + column names + order-insensitive values), mirroring the
+driver's t2 check. Queries without oracles get a rows-run check."""
+
+from __future__ import annotations
+
+import pytest
+
+from funding_monitoring_spark import registry
+from tests.conftest import assert_matches_oracle
+
+ALL = registry.queries()
+ORACLES = registry.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_query_vs_oracle(name, spark, sf_dir, duck):
+    df = ALL[name](spark, sf_dir)
+    if name in ORACLES:
+        assert_matches_oracle(df, duck, ORACLES[name])
+    else:
+        # non-SQL-expressible: must at least execute and keep a stable schema
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
