@@ -1,0 +1,477 @@
+"""Batch operator surface (SURVEY.md §2.2-§2.8), one oracle-checked
+query per operator family. Fixture stand-ins per FIXTURES.md §A.
+
+Naming: every computed column is aliased identically in the Spark plan
+and the oracle SQL (the driver hashes values after sorting columns by
+name)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.functions.scalars import (
+    ceil_to_interval,
+    snake_case_columns,
+    time_of_day,
+    trunc_seconds,
+)
+from funding_monitoring_spark.operators.rolling import latest_per_group
+from funding_monitoring_spark.operators.topk import top_k_per_group
+from funding_monitoring_spark.operators.upsert import dedupe_batch, upsert
+from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- projections
+
+
+@query(
+    "keep_list_projection",
+    "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part",
+)
+def q_keep_list(spark, sf_dir):
+    """P1-P3: keep-list projection (active_futures_etl.py:33-54)."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+
+
+@query(
+    "snake_case_rename",
+    "SELECT p_partkey AS part_key, p_name AS part_name, "
+    "p_retailprice AS retail_price FROM part",
+)
+def q_snake_case(spark, sf_dir):
+    """P6/P7/C4: camelCase→snake_case schema normalization
+    (active_futures_etl.py:59-61)."""
+    camel = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partKey"),
+        F.col("p_name").alias("partName"),
+        F.col("p_retailprice").alias("retailPrice"),
+    )
+    return snake_case_columns(camel)
+
+
+@query(
+    "drop_column",
+    "SELECT r_regionkey FROM region",
+)
+def q_drop_column(spark, sf_dir):
+    """P5: drop column (funding_stats_etl.py:34)."""
+    return load_table(spark, sf_dir, "region").drop("r_name")
+
+
+# ------------------------------------------------------------------- filters
+
+
+@query(
+    "filter_suffix",
+    "SELECT o_orderkey, o_orderpriority FROM orders "
+    "WHERE o_orderpriority LIKE '%URGENT'",
+)
+def q_filter_suffix(spark, sf_dir):
+    """F1/C1: suffix predicate (endswith 'TM' at active_futures_etl.py:30)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").endswith("URGENT"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@query(
+    "filter_equality",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer "
+    "WHERE c_mktsegment = 'BUILDING'",
+)
+def q_filter_equality(spark, sf_dir):
+    """F2: equality predicate (quote_currency == 'USDT',
+    active_spot_pairs_etl.py:57)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "filter_time_range",
+    """
+    SELECT event_id, ts, user_id, value FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+    """,
+)
+def q_filter_time_range(spark, sf_dir):
+    """F4/C11: lookback-window predicate (funding_time >= now-120d,
+    funding_stats_etl.py:25-27), anchored at max(ts) for determinism."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("anchor"))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("anchor") - F.expr("INTERVAL 7 DAYS"))
+        .select("event_id", "ts", "user_id", "value")
+    )
+
+
+# -------------------------------------------------------------- aggregations
+
+
+@query(
+    "group_min",
+    "SELECT o_orderpriority, MIN(o_totalprice) AS min_price FROM orders "
+    "GROUP BY o_orderpriority",
+)
+def q_group_min(spark, sf_dir):
+    """A1: group-by min (lowest lending rate per term,
+    lending_data_etl.py:42-45)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.min("o_totalprice").alias("min_price"))
+    )
+
+
+@query("distinct_values", "SELECT DISTINCT event_type FROM events")
+def q_distinct(spark, sf_dir):
+    """S6/A2: single-column DISTINCT (symbol universe,
+    funding_rates_etl.py:18-23)."""
+    return load_table(spark, sf_dir, "events").select("event_type").distinct()
+
+
+@query("existence_probe", "SELECT 1 AS present FROM events LIMIT 1")
+def q_existence(spark, sf_dir):
+    """S7/O3: emptiness probe (.first() is None,
+    funding_rates_etl.py:26-29)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(F.lit(1).alias("present"))
+        .limit(1)
+    )
+
+
+@query(
+    "group_count_guard",
+    """
+    SELECT event_type,
+           CASE WHEN COUNT(*) >= 50
+                THEN ROUND(AVG(value), 6) END AS avg_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_count_guard(spark, sf_dir):
+    """F5/A5: aggregate guarded by group size (emit NULL when history
+    < N, funding_stats_etl.py:86-97)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.when(
+                F.count(F.lit(1)) >= 50, F.round(F.avg("value"), 6)
+            ).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "latest_per_group",
+    """
+    WITH ranked AS (
+        SELECT user_id, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, ts AS latest_ts, value AS latest_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_latest_per_group(spark, sf_dir):
+    """A4: newest row per group via max_by — a regular (map-side
+    combinable) aggregation, not a window sort
+    (funding_stats_etl.py:77-80)."""
+    events = load_table(spark, sf_dir, "events")
+    out = latest_per_group(
+        events.select(
+            "user_id",
+            F.col("ts").alias("latest_ts"),
+            F.col("value").alias("latest_value"),
+            "event_id",
+        ),
+        group_cols=["user_id"],
+        time_col="latest_ts",
+        value_cols=["latest_ts", "latest_value"],
+        tiebreak_cols=["event_id"],
+    )
+    return out.select("user_id", "latest_ts", "latest_value")
+
+
+# -------------------------------------------------------------------- joins
+
+
+@query(
+    "broadcast_join_dim",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 6) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_broadcast_join(spark, sf_dir):
+    """J1: inner equi-join fact⋈dim with explicit broadcast of the small
+    side (funding_stats_etl.py:101)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "inner",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "semi_join_universe",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 15)
+    """,
+)
+def q_semi_join(spark, sf_dir):
+    """J2: restrict a fact stream to a key universe via left-semi join
+    (funding ingestion iterates only active symbols,
+    funding_rates_etl.py:18-23,116-124)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    universe = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 15)
+        .select("p_partkey")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(universe),
+            lineitem.l_partkey == universe.p_partkey,
+            "left_semi",
+        ).select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+# ------------------------------------------------------- sort / limit / topk
+
+
+@query(
+    "sort_limit",
+    """
+    SELECT event_id, user_id, ts, value FROM events
+    ORDER BY user_id ASC, ts DESC, event_id DESC LIMIT 100
+    """,
+)
+def q_sort_limit(spark, sf_dir):
+    """O1+O2: multi-key sort + limit. Spark plans TakeOrderedAndProject
+    (per-partition heap, no full sort) — the scale-path for top-k."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .orderBy(F.asc("user_id"), F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    WITH ranked AS (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id DESC) AS rank
+        FROM events
+    )
+    SELECT event_type, event_id, value, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    """General top-k per group (generalizes O2's top-1,
+    funding_rates_etl.py:68)."""
+    return top_k_per_group(
+        load_table(spark, sf_dir, "events").select(
+            "event_type", "event_id", "value"
+        ),
+        group_cols=["event_type"],
+        order_by=[F.desc("value"), F.desc("event_id")],
+        k=3,
+    )
+
+
+# ----------------------------------------------------- set ops / dedup / union
+
+
+@query(
+    "union_append",
+    """
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'error'
+    """,
+)
+def q_union(spark, sf_dir):
+    """U1: append-accumulate → unionByName (funding_rates_etl.py:115-126)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click")
+    errors = events.filter(F.col("event_type") == "error")
+    return clicks.unionByName(errors)
+
+
+@query(
+    "dedup_keys",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type, ts, value FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup(spark, sf_dir):
+    """U2: key dedup with a deterministic winner. The reference's
+    drop_duplicates keep-first relies on API order
+    (funding_rates_etl.py:93-95); dedupe_batch makes the winner explicit
+    (newest by (ts, event_id))."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )
+    out = dedupe_batch(
+        events, key_cols=["user_id", "event_type"], order_cols=["ts", "event_id"]
+    )
+    return out.select("user_id", "event_type", "ts", "value")
+
+
+@query(
+    "upsert_merge",
+    """
+    WITH existing AS (
+        SELECT event_id, user_id, value FROM events WHERE event_id < 800
+    ),
+    new AS (
+        SELECT event_id, user_id, value * 2 AS value FROM events
+        WHERE event_id >= 600
+    )
+    SELECT * FROM existing WHERE event_id NOT IN (SELECT event_id FROM new)
+    UNION ALL
+    SELECT * FROM new
+    """,
+)
+def q_upsert(spark, sf_dir):
+    """K1/K2: last-write-wins merge (INSERT..ON CONFLICT DO UPDATE,
+    funding_rates_etl.py:100-111) as a join-based upsert: overlapping
+    keys [600,800) take the NEW value."""
+    events = load_table(spark, sf_dir, "events")
+    existing = events.filter(F.col("event_id") < 800).select(
+        "event_id", "user_id", "value"
+    )
+    new = events.filter(F.col("event_id") >= 600).select(
+        "event_id", "user_id", (F.col("value") * 2).alias("value")
+    )
+    return upsert(existing, new, key_cols=["event_id"])
+
+
+# ----------------------------------------------------------- scalar functions
+
+
+@query(
+    "scalar_datetime_suite",
+    """
+    SELECT event_id,
+           strftime(ts, '%H:%M:%S') AS tod,
+           date_trunc('second', ts) AS ts_sec,
+           make_timestamp((CAST(FLOOR(epoch(ts) / 300) AS BIGINT) + 1)
+                          * 300 * 1000000) AS ts_ceil5m,
+           epoch_ms(date_trunc('millisecond', ts)) AS ts_ms
+    FROM events
+    """,
+)
+def q_scalar_datetime(spark, sf_dir):
+    """C6-C11: time-of-day string, sub-second truncation, unconditional
+    ceil-to-5-min bucketing, epoch-ms extraction."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        time_of_day("ts").alias("tod"),
+        trunc_seconds("ts").alias("ts_sec"),
+        ceil_to_interval("ts", 300).alias("ts_ceil5m"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
+@query(
+    "scalar_string_suite",
+    """
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) || '-' || event_type AS symbol,
+           split_part(CAST(user_id AS VARCHAR) || '-' || event_type,
+                      '-', 1) AS base,
+           split_part(CAST(user_id AS VARCHAR) || '-' || event_type,
+                      '-', 2) AS quote,
+           replace(event_type, 'click', 'tap') AS renamed
+    FROM events
+    """,
+)
+def q_scalar_string(spark, sf_dir):
+    """C2/C3/C5: concat (f-string URL building), split-and-index
+    (symbol.split('-')[i], active_spot_pairs_etl.py:48-54), literal
+    replace (XBT→BTC, active_futures_etl.py:63-65)."""
+    symbol = F.concat_ws("-", F.col("user_id"), F.col("event_type"))
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        symbol.alias("symbol"),
+        F.split(symbol, "-")[0].alias("base"),
+        F.split(symbol, "-")[1].alias("quote"),
+        F.regexp_replace("event_type", "click", "tap").alias("renamed"),
+    )
+
+
+@query(
+    "scalar_cast_annualize",
+    """
+    SELECT event_id,
+           CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_roundtrip,
+           ROUND(value * 3 * 365, 6) AS apr_funding,
+           ROUND(value * 365, 6) AS apr_daily
+    FROM events
+    """,
+)
+def q_scalar_cast(spark, sf_dir):
+    """C12-C14: str→double cast (API numbers arrive as strings,
+    lending_data_etl.py:49) + both annualizations."""
+    v = F.col("value")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        v.cast("string").cast("double").alias("value_roundtrip"),
+        F.round(v * 3 * 365, 6).alias("apr_funding"),
+        F.round(v * 365, 6).alias("apr_daily"),
+    )
+
+
+@query(
+    "json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """C17: JSON path extraction from a raw payload column
+    (payload['data']..., active_futures_etl.py:18-19)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
