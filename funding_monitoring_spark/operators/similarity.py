@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths:
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  O(|Q|·|C|); fine for bounded query sets, the oracle target.
+- ``cosine_topk_lsh``: random-hyperplane LSH — the scale path. Each
+  vector hashes to a bucket by the sign pattern of its dot products
+  with fixed hyperplanes; candidates are restricted to the query's
+  bucket, so the join is an equi-join on bucket id instead of a cross
+  join. At 100 TB the corpus is hash-partitioned by bucket, queries
+  shuffle only to their bucket's partitions, and per-bucket top-k is a
+  bounded heap. Recall is tunable via number of planes / multi-probe.
+
+Determinism: dot products are computed as a SEQUENTIAL left fold
+(zip → multiply → foldl add) so Spark and the DuckDB oracle produce
+bit-identical doubles — sign decisions (LSH buckets) and rounded
+scores then agree exactly.
+
+No UDFs: higher-order array functions keep everything JVM-side. A
+pandas_udf path would batch via Arrow but adds a Python hop; the
+built-in expressions profile faster at 64-dim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_PLANES = 4  # planes (bits) per hash table
+N_TABLES = 3  # independent hash tables (multi-probe recall dial)
+DIM = 64
+SCORE_ROUND = 6
+
+#: fixed hyperplanes — N_TABLES independent tables of N_PLANES planes —
+#: reproducible from the seed; inlined as literals into both the Spark
+#: plan and the oracle SQL. One 4-bit table catches a cos≈0.4 neighbor
+#: with p≈0.16; three tables lift that to ≈0.4, and genuinely close
+#: neighbors (cos≥0.8) to >0.9 — the standard recall/candidate-count
+#: tradeoff, tuned by (N_TABLES, N_PLANES).
+PLANES: list[list[list[float]]] = (
+    np.random.RandomState(7)
+    .standard_normal((N_TABLES, N_PLANES, DIM))
+    .tolist()
+)
+
+
+def to_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def seq_dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product: foldl(+, 0.0, zip_with(*, a, b))."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def seq_norm(a: Column) -> Column:
+    return F.sqrt(seq_dot(a, a))
+
+
+def plane_literal(t: int, j: int) -> Column:
+    return F.array(*[F.lit(v) for v in PLANES[t][j]])
+
+
+def hyperplane_bucket(emb_double: Column, table: int) -> Column:
+    """Sign-pattern bucket id for one hash table, in [0, 2^N_PLANES)."""
+    bucket = F.lit(0)
+    for j in range(N_PLANES):
+        bit = F.when(
+            seq_dot(emb_double, plane_literal(table, j)) >= 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def bucket_keys(emb_double: Column) -> Column:
+    """All N_TABLES bucket keys ('table:bucket') for a vector — explode
+    to index it into every table."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":", F.lit(str(t)), hyperplane_bucket(emb_double, t)
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+
+
+def _prep(df: DataFrame, id_col: str, emb_col: str, prefix: str) -> DataFrame:
+    emb = to_double_array(emb_col)
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        emb.alias(f"{prefix}_emb"),
+        seq_norm(emb).alias(f"{prefix}_norm"),
+    )
+
+
+def _score_and_rank(pairs: DataFrame, k: int) -> DataFrame:
+    scored = pairs.withColumn(
+        "score",
+        F.round(
+            seq_dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            SCORE_ROUND,
+        ),
+    ).filter(F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc("c_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "score",
+            "rank",
+        )
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query set
+    against the corpus. Ties broken by neighbor id ascending."""
+    q = F.broadcast(_prep(queries, id_col, emb_col, "q"))
+    c = _prep(corpus, id_col, emb_col, "c")
+    return _score_and_rank(c.crossJoin(q), k)
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to vectors sharing at
+    least one of the query's N_TABLES hyperplane buckets (equi-join on
+    exploded bucket keys + pair dedup — never a cross join). Queries
+    may return fewer than k rows — that's the approximation."""
+    q = _prep(queries, id_col, emb_col, "q").withColumn(
+        "bucket", F.explode(bucket_keys(F.col("q_emb")))
+    )
+    c = _prep(corpus, id_col, emb_col, "c").withColumn(
+        "bucket", F.explode(bucket_keys(F.col("c_emb")))
+    )
+    pairs = c.join(F.broadcast(q), on="bucket", how="inner").dropDuplicates(
+        ["q_id", "c_id"]
+    )
+    return _score_and_rank(pairs, k)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold (id_a < id_b).
+    Brute-force form; at scale swap the cross join for the LSH
+    bucket equi-join above (same scoring expression)."""
+    a = _prep(df, id_col, emb_col, "q")
+    b = _prep(df, id_col, emb_col, "c")
+    pairs = a.crossJoin(b).filter(F.col("q_id") < F.col("c_id"))
+    scored = pairs.withColumn(
+        "score",
+        F.round(
+            seq_dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            SCORE_ROUND,
+        ),
+    )
+    return scored.filter(F.col("score") >= threshold).select(
+        F.col("q_id").alias("id_a"), F.col("c_id").alias("id_b"), "score"
+    )

@@ -1,0 +1,124 @@
+"""Text analysis operators for training-data pipelines (north-star
+extensions, BASELINE.json): token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All pure built-in column expressions — whole-stage-codegen-friendly,
+no Python in the hot path. Each has an exact DuckDB-SQL twin (the
+polynomial hash and tokenizers were cross-checked primitive-by-
+primitive), so even the "fuzzy" text ops are oracle-verifiable.
+
+Scale notes (100 TB): every operator here is a narrow projection —
+no shuffle at all. They pipeline with the parquet scan and with each
+other; the natural layout is documents bucketed/partitioned by source
+shard, processed embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POLY_MOD = 1_000_000_007
+POLY_INIT = 7
+POLY_MULT = 31
+
+#: tiny per-language marker-word sets for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "es", "una", "y"),
+}
+
+PUNCT_CLASS = r"[.,;:!?'\"()\-]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization as an array column (no empty tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(r"(\S+)"), 1)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def poly_fingerprint(col: Column | str) -> Column:
+    """Rolling polynomial hash over codepoints:
+    acc = (acc*31 + codepoint) mod 1e9+7, acc0 = 7.
+
+    A classic Rabin-Karp-style document fingerprint; implemented with
+    higher-order functions (split → transform → aggregate) so it stays
+    JVM-side, and reproducible in ANSI SQL (list_reduce) for the oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(POLY_INIT).cast("long"),
+        lambda acc, x: (acc * POLY_MULT + x) % POLY_MOD,
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    return F.when(
+        n > 0, F.regexp_count(c, F.lit(PUNCT_CLASS)) / n
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(col)
+    stops = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stops, F.lower(t)))
+    )
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic quality heuristic in [0,1]: length component +
+    low-punctuation component + English-stopword component. The exact
+    formula is arbitrary by design (the reference has no text surface);
+    what matters is it is reproducible and cheap."""
+    length_part = F.least(F.lit(1.0), token_count(col) / F.lit(100.0))
+    punct_part = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * 5)
+    stop_part = F.least(
+        F.lit(1.0), stopword_ratio(col, LANG_MARKERS["en"]) * 5
+    )
+    return length_part * 0.5 + punct_part * 0.3 + stop_part * 0.2
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-word hit count per language, plus a CJK codepoint count
+    for zh (word lists don't apply to unsegmented scripts)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def contains_any(words: tuple[str, ...]):
+        # single-arg lambda: F.filter dispatches on the lambda's arity
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda t: F.array_contains(arr, F.lower(t))
+
+    scores = {
+        lang: F.size(F.filter(tokens(c), contains_any(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+    scores["zh"] = F.regexp_count(c, F.lit(r"[一-鿿]"))
+    return scores
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language with a fixed priority tie-order (en, de, fr, es,
+    zh) and 'und' when no marker hits at all."""
+    s = lang_scores(col)
+    best = F.greatest(*s.values())
+    expr = F.lit("und")
+    # build the WHEN chain in reverse priority so earlier langs win ties
+    for lang in ("zh", "es", "fr", "de", "en"):
+        expr = F.when((best > 0) & (s[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr

@@ -3,6 +3,10 @@ pair with funding_monitoring_spark.registry."""
 
 from funding_monitoring_spark.suites import (  # noqa: F401
     batch_ops,
+    dedup_suite,
+    multimodal_suite,
     pipeline_parity,
     reference_core,
+    similarity_suite,
+    text_suite,
 )

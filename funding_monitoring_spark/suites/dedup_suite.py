@@ -1,0 +1,207 @@
+"""Dedup-family queries over the documents fixture. Every stage of the
+probabilistic pipelines (shingle → fingerprint → minhash/simhash →
+bands → verify) is reproduced exactly in the DuckDB oracle SQL, so the
+LSH pipelines are hash-verified, not just rows-counted."""
+
+from __future__ import annotations
+
+from funding_monitoring_spark.operators import dedup as D
+from funding_monitoring_spark.operators.textstats import (
+    POLY_INIT,
+    POLY_MOD,
+    POLY_MULT,
+)
+from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.sources.tables import load_table
+
+NGRAM_LIMIT = 150  # brute-force pair bound
+THRESHOLD = 0.5
+# Hamming ≤ 3 of 32 bits: selective enough to mean "near-dup" on
+# shared-vocabulary corpora (≤ 6 passed nearly half of all pairs)
+MAX_HAMMING = 3
+
+# ---- SQL fragments mirroring operators/dedup.py exactly ----------------
+
+_TOKS = r"regexp_extract_all(text, '\S+')"
+
+
+def _sql_poly(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST({POLY_INIT} AS BIGINT), "
+        f"list_transform(string_split({s}, ''), "
+        f"ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(acc, x) -> (acc * {POLY_MULT} + x) % {POLY_MOD})"
+    )
+
+
+_SHINGLES = f"""
+    CASE WHEN len({_TOKS}) >= {D.SHINGLE_N}
+         THEN list_distinct([array_to_string(({_TOKS})[i:i+{D.SHINGLE_N - 1}], ' ')
+                             for i in generate_series(1, len({_TOKS}) - {D.SHINGLE_N - 1})])
+         ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+_FPS = f"list_distinct(list_transform({_SHINGLES}, s -> {_sql_poly('s')}))"
+
+
+def _sql_minhash_sigs() -> list[str]:
+    return [
+        f"list_min(list_transform(fps, f -> (f * {a} + {b}) % {POLY_MOD}))"
+        for a, b in D.MINHASH_PARAMS
+    ]
+
+
+def _sql_band_keys() -> str:
+    keys = []
+    for b in range(D.MINHASH_BANDS):
+        parts = [f"'{b}'"] + [
+            f"CAST(s{b * D.MINHASH_ROWS + r} AS VARCHAR)"
+            for r in range(D.MINHASH_ROWS)
+        ]
+        keys.append(" || ':' || ".join(parts))
+    return "[" + ", ".join(keys) + "]"
+
+
+_JACCARD = (
+    "ROUND(CAST(len(list_intersect(fps_a, fps_b)) AS DOUBLE) "
+    "/ len(list_distinct(fps_a || fps_b)), 6)"
+)
+
+
+@query(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text), canonical = min doc_id."""
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "minhash_lsh_dedup",
+    f"""
+    WITH sigs AS (
+        SELECT doc_id AS id, {_FPS} AS fps FROM documents
+    ),
+    mh AS (
+        SELECT id, fps,
+               {", ".join(f"{expr} AS s{j}" for j, expr in enumerate(_sql_minhash_sigs()))}
+        FROM sigs
+    ),
+    banded AS (
+        SELECT id, fps, unnest({_sql_band_keys()}) AS band_key FROM mh
+    ),
+    candidates AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b USING (band_key)
+        WHERE a.id < b.id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b, sa.fps AS fps_a, sb.fps AS fps_b
+        FROM candidates c
+        JOIN sigs sa ON sa.id = c.id_a
+        JOIN sigs sb ON sb.id = c.id_b
+    )
+    SELECT id_a, id_b, {_JACCARD} AS jaccard
+    FROM verified WHERE {_JACCARD} >= {THRESHOLD}
+    """,
+)
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=THRESHOLD
+    )
+
+
+@query(
+    "ngram_jaccard_dedup",
+    f"""
+    WITH sigs AS (
+        SELECT doc_id AS id, {_FPS} AS fps FROM documents
+        WHERE doc_id < {NGRAM_LIMIT}
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.fps AS fps_a, b.fps AS fps_b
+        FROM sigs a CROSS JOIN sigs b WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, {_JACCARD} AS jaccard
+    FROM pairs WHERE {_JACCARD} >= {THRESHOLD}
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Brute-force n-gram Jaccard pairs (exact counterpart of LSH)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        f"doc_id < {NGRAM_LIMIT}"
+    )
+    return D.ngram_jaccard_pairs(docs, threshold=THRESHOLD)
+
+
+def _sql_simhash() -> str:
+    votes = []
+    for b in range(D.SIMHASH_BITS):
+        vote = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(fps, f -> ((f >> {b}) & 1) * 2 - 1)), "
+            f"(acc, x) -> acc + x)"
+        )
+        votes.append(
+            f"(CASE WHEN {vote} >= 0 THEN CAST(1 AS BIGINT) << {b} "
+            f"ELSE 0 END)"
+        )
+    return " + ".join(votes)
+
+
+@query(
+    "simhash_signatures",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform({_TOKS}, tok -> {_sql_poly('tok')}) AS fps
+        FROM documents
+    )
+    SELECT doc_id, {_sql_simhash()} AS simhash FROM t
+    """,
+)
+def q_simhash_signatures(spark, sf_dir):
+    """32-bit SimHash signature per document (per-row folds, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash_expr("text").alias("simhash"))
+
+
+@query(
+    "simhash_near_dup",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform({_TOKS}, tok -> {_sql_poly('tok')}) AS fps
+        FROM documents
+    ),
+    sigs AS (SELECT doc_id AS id, {_sql_simhash()} AS sig FROM t),
+    banded AS (
+        SELECT id, sig,
+               unnest([CAST(b AS VARCHAR) || ':' ||
+                       CAST((sig >> (b * {D.SIMHASH_BAND_BITS})) &
+                            {(1 << D.SIMHASH_BAND_BITS) - 1} AS VARCHAR)
+                       for b in generate_series(0, {D.SIMHASH_BANDS - 1})])
+                   AS band_key
+        FROM sigs
+    ),
+    candidates AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a JOIN banded b USING (band_key)
+        WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM candidates WHERE bit_count(xor(sig_a, sig_b)) <= {MAX_HAMMING}
+    """,
+)
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs: byte-band candidates + Hamming verify."""
+    return D.simhash_near_dup(
+        load_table(spark, sf_dir, "documents"), max_hamming=MAX_HAMMING
+    )

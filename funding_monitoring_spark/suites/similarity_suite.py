@@ -1,0 +1,142 @@
+"""Similarity-search queries over the embeddings fixture with exact
+DuckDB oracles. The oracle SQL uses the same SEQUENTIAL left-fold dot
+product as the Spark plan, so doubles are bit-identical before
+rounding and LSH sign decisions agree exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.operators import similarity as S
+from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.sources.tables import load_table
+
+K = 5
+N_QUERIES = 20
+NEAR_DUP_LIMIT = 300
+NEAR_DUP_THRESHOLD = 0.4
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Sequential fold matching operators.similarity.seq_dot."""
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), "
+        f"(acc, y) -> acc + y)"
+    )
+
+
+def _sql_plane(t: int, j: int) -> str:
+    vals = ", ".join(repr(v) for v in S.PLANES[t][j])
+    return f"[{vals}]::DOUBLE[]"
+
+
+def _sql_bucket(emb: str, t: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_sql_dot(emb, _sql_plane(t, j))} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(S.N_PLANES)
+    )
+    return f"({bits})"
+
+
+def _sql_bucket_keys(emb: str) -> str:
+    keys = ", ".join(
+        f"'{t}' || ':' || CAST({_sql_bucket(emb, t)} AS VARCHAR)"
+        for t in range(S.N_TABLES)
+    )
+    return f"[{keys}]"
+
+
+_SQL_COSINE = (
+    f"ROUND({_sql_dot('q_emb', 'c_emb')} / "
+    f"(SQRT({_sql_dot('q_emb', 'q_emb')}) * "
+    f"SQRT({_sql_dot('c_emb', 'c_emb')})), {S.SCORE_ROUND})"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+          FROM embeddings),
+    scored AS (
+        SELECT q_id, c_id, {_SQL_COSINE} AS score
+        FROM q CROSS JOIN c WHERE q_id != c_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, c_id ASC) AS rank
+        FROM scored
+    )
+    SELECT q_id AS query_id, c_id AS neighbor_id, score, rank
+    FROM ranked WHERE rank <= {K}
+    """,
+)
+def q_ann_brute(spark, sf_dir):
+    """Exact brute-force cosine top-k (the correctness baseline for ANN)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.cosine_topk(queries, emb, k=K)
+
+
+@query(
+    "ann_cosine_topk_lsh",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+          FROM embeddings),
+    qb AS (SELECT q_id, unnest({_sql_bucket_keys('q_emb')}) AS bucket
+           FROM q),
+    cb AS (SELECT c_id, unnest({_sql_bucket_keys('c_emb')}) AS bucket
+           FROM c),
+    cand AS (
+        SELECT DISTINCT q_id, c_id
+        FROM qb JOIN cb USING (bucket) WHERE q_id != c_id
+    ),
+    scored AS (
+        SELECT cand.q_id, cand.c_id, {_SQL_COSINE} AS score
+        FROM cand JOIN q ON q.q_id = cand.q_id
+                  JOIN c ON c.c_id = cand.c_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, c_id ASC) AS rank
+        FROM scored
+    )
+    SELECT q_id AS query_id, c_id AS neighbor_id, score, rank
+    FROM ranked WHERE rank <= {K}
+    """,
+)
+def q_ann_lsh(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH buckets — candidates
+    share the query's sign-pattern bucket (equi-join, not cross join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.cosine_topk_lsh(queries, emb, k=K)
+
+
+@query(
+    "embedding_near_dup",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id < {NEAR_DUP_LIMIT}),
+    pairs AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               a.emb AS q_emb, b.emb AS c_emb
+        FROM v a CROSS JOIN v b WHERE a.vec_id < b.vec_id
+    )
+    SELECT q_id AS id_a, c_id AS id_b, {_SQL_COSINE} AS score
+    FROM pairs
+    WHERE {_SQL_COSINE} >= {NEAR_DUP_THRESHOLD}
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup family member)."""
+    v = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEAR_DUP_LIMIT
+    )
+    return S.embedding_near_dup(v, threshold=NEAR_DUP_THRESHOLD)

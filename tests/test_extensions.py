@@ -1,0 +1,76 @@
+"""Unit pins for extension operators: multimodal plumbing, dedup
+building blocks, similarity edge semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.operators import dedup as D
+from funding_monitoring_spark.operators import multimodal as M
+from funding_monitoring_spark.operators import similarity as S
+
+
+def test_multimodal_feature_vector_matches_pure_python(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id long, text string"
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    )
+    out = {
+        r["media_id"]: r
+        for r in M.extract_features(M.documents_as_media(df)).collect()
+    }
+    assert out[1]["n_bytes"] == len(b"hello world")
+    assert out[1]["header_hex"] == b"hell".hex()
+    assert out[1]["feature"] == M._fake_feature(b"hello world")
+    # empty payload: no crash, zero-vector feature
+    assert out[2]["n_bytes"] == 0
+    assert out[2]["feature"] == [0.0] * 8
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
+
+
+def test_shingles_short_doc_fallback(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    row = df.select(D.token_shingles("text").alias("s")).collect()[0]
+    assert row["s"] == ["a b"]  # < n tokens → whole text is one shingle
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "the quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_lsh_pairs(df, threshold=0.99).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),
+         (3, "completely different words entirely unrelated content here now")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_near_dup(df, max_hamming=0).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.cosine_topk(df.filter("vec_id = 1"), df, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert all(r["query_id"] == 1 for r in out)
