@@ -1,0 +1,96 @@
+"""Benchmark harness: times the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced with ``df.count()`` (full execution, no
+driver-side result transfer). Usage:
+
+    python bench.py               # headline set
+    python bench.py --all         # every registered query
+    python bench.py q1 q2 ...     # named subset
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The headline set: every reference-surface pipeline plus the
+# scale-relevant training-data extensions. Chosen to exercise scan,
+# filter, window agg, broadcast join, shuffle agg, dedup (exact +
+# approximate), similarity search, and text analysis.
+HEADLINE = [
+    "funding_stats",
+    "futures_snapshot",
+    "spot_pairs_snapshot",
+    "lending_pipeline",
+    "upsert_merge",
+    "topk_per_group",
+    "broadcast_join_dim",
+    "semi_join_universe",
+    "group_min",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "simhash_near_dup",
+    "ann_cosine_topk",
+    "text_quality",
+    "token_count",
+]
+
+
+def main() -> None:
+    from funding_monitoring_spark import registry
+    from funding_monitoring_spark.session import get_spark
+
+    args = sys.argv[1:]
+    all_queries = registry.queries()
+    if "--all" in args:
+        names = sorted(all_queries)
+    elif args:
+        names = args
+    else:
+        names = [n for n in HEADLINE if n in all_queries]
+
+    spark = get_spark(app_name="fm_spark_bench")
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the query, not session startup.
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    t_suite = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        all_queries[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    wall = round(time.perf_counter() - t_suite, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": wall,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
