@@ -5,8 +5,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "suite_wall_sec", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
 
-Each query is forced with ``df.count()`` (full execution, no
-driver-side result transfer). Usage:
+Each query is forced with the ``noop`` write sink — full evaluation
+of every output column (``count()`` would let Catalyst prune
+projection-only work), no driver-side result transfer. Usage:
 
     python bench.py               # headline set
     python bench.py --all         # every registered query
@@ -69,7 +70,8 @@ def main() -> None:
     t_suite = time.perf_counter()
     for name in names:
         t0 = time.perf_counter()
-        all_queries[name](spark, SF_DIR).count()
+        df = all_queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     wall = round(time.perf_counter() - t_suite, 3)
 

@@ -21,6 +21,22 @@ DAYS_PER_YEAR = 365
 _CAMEL_BOUNDARY = re.compile(r"(?<!^)(?=[A-Z])")
 
 
+def let(bound: Column, body) -> Column:
+    """Single-evaluation let-binding for column expressions.
+
+    Catalyst duplicates a sub-expression everywhere it is referenced
+    (projection collapsing inlines aliases), so an expensive expression
+    used N times is *evaluated* N times per row. Wrapping it as the
+    sole element of an array and applying ``transform`` binds the
+    evaluated value to a lambda variable — the body can then reference
+    it any number of times at zero extra cost. JVM-side, no UDF.
+
+    ``let(expensive, lambda v: f(v, v, v))`` evaluates ``expensive``
+    exactly once per row.
+    """
+    return F.get(F.transform(F.array(bound), body), 0)
+
+
 def camel_to_snake(name: str) -> str:
     """camelCase → snake_case (same regex as active_futures_etl.py:60)."""
     return _CAMEL_BOUNDARY.sub("_", name).lower()

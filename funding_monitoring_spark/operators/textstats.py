@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from funding_monitoring_spark.functions.scalars import let
+
 POLY_MOD = 1_000_000_007
 POLY_INIT = 7
 POLY_MULT = 31
@@ -83,13 +85,25 @@ def quality_score(col: Column | str) -> Column:
     """Deterministic quality heuristic in [0,1]: length component +
     low-punctuation component + English-stopword component. The exact
     formula is arbitrary by design (the reference has no text surface);
-    what matters is it is reproducible and cheap."""
-    length_part = F.least(F.lit(1.0), token_count(col) / F.lit(100.0))
-    punct_part = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * 5)
-    stop_part = F.least(
-        F.lit(1.0), stopword_ratio(col, LANG_MARKERS["en"]) * 5
-    )
-    return length_part * 0.5 + punct_part * 0.3 + stop_part * 0.2
+    what matters is it is reproducible and cheap.
+
+    The token array is let-bound so tokenization runs once per row
+    (the three components would otherwise each re-tokenize)."""
+    c = F.col(col) if isinstance(col, str) else col
+    punct_part = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(c) * 5)
+    stops = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+
+    def body(toks: Column) -> Column:
+        n_tok = F.size(toks)
+        n_stop = F.size(
+            F.filter(toks, lambda t: F.array_contains(stops, F.lower(t)))
+        )
+        stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+        length_part = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        stop_part = F.least(F.lit(1.0), stop_ratio * 5)
+        return length_part * 0.5 + punct_part * 0.3 + stop_part * 0.2
+
+    return let(tokens(c), body)
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
@@ -110,15 +124,40 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     return scores
 
 
+#: argmax priority: earlier languages win score ties
+_LANG_ORDER = ("en", "de", "fr", "es", "zh")
+
+
 def lang_id(col: Column | str) -> Column:
     """Argmax language with a fixed priority tie-order (en, de, fr, es,
-    zh) and 'und' when no marker hits at all."""
-    s = lang_scores(col)
-    best = F.greatest(*s.values())
-    expr = F.lit("und")
-    # build the WHEN chain in reverse priority so earlier langs win ties
-    for lang in ("zh", "es", "fr", "de", "en"):
-        expr = F.when((best > 0) & (s[lang] == best), F.lit(lang)).otherwise(
-            expr
-        )
-    return expr
+    zh) and 'und' when no marker hits at all.
+
+    Tokenization and the per-language scores are each evaluated once
+    per row: the token array and the score array are let-bound (a
+    naive WHEN-chain over `lang_scores` would re-tokenize ~20×)."""
+    c = F.col(col) if isinstance(col, str) else col
+    zh_score = F.regexp_count(c, F.lit(r"[一-鿿]"))
+
+    def score_array(toks: Column) -> Column:
+        def contains_any(words: tuple[str, ...]):
+            arr = F.array(*[F.lit(w) for w in words])
+            return lambda t: F.array_contains(arr, F.lower(t))
+
+        word_scores = [
+            F.size(F.filter(toks, contains_any(LANG_MARKERS[lang])))
+            for lang in _LANG_ORDER
+            if lang != "zh"
+        ]
+        return F.array(*word_scores, zh_score)
+
+    def pick(scores: Column) -> Column:
+        best = F.array_max(scores)
+        expr = F.lit("und")
+        # build the WHEN chain in reverse priority so earlier langs win
+        for i, lang in reversed(list(enumerate(_LANG_ORDER))):
+            expr = F.when(
+                (best > 0) & (F.get(scores, i) == best), F.lit(lang)
+            ).otherwise(expr)
+        return expr
+
+    return let(let(tokens(c), score_array), pick)

@@ -34,14 +34,24 @@ def _sql_poly(s: str) -> str:
     )
 
 
-_SHINGLES = f"""
-    CASE WHEN len({_TOKS}) >= {D.SHINGLE_N}
-         THEN list_distinct([array_to_string(({_TOKS})[i:i+{D.SHINGLE_N - 1}], ' ')
-                             for i in generate_series(1, len({_TOKS}) - {D.SHINGLE_N - 1})])
-         ELSE [array_to_string({_TOKS}, ' ')] END
-"""
+def _sql_fold(hs: str) -> str:
+    """Polynomial fold over a BIGINT list (twin of dedup._poly_fold)."""
+    return (
+        f"list_reduce(list_prepend(CAST({POLY_INIT} AS BIGINT), {hs}), "
+        f"(acc, x) -> (acc * {POLY_MULT} + x) % {POLY_MOD})"
+    )
 
-_FPS = f"list_distinct(list_transform({_SHINGLES}, s -> {_sql_poly('s')}))"
+
+#: per-token char hashes (each token hashed once, as in Spark side)
+_TH = f"list_transform({_TOKS}, tok -> {_sql_poly('tok')})"
+
+#: shingle fingerprints = fold over n consecutive token hashes
+_FPS = f"""
+    CASE WHEN len({_TH}) >= {D.SHINGLE_N}
+         THEN list_distinct([{_sql_fold(f"({_TH})[i:i+{D.SHINGLE_N - 1}]")}
+                             for i in generate_series(1, len({_TH}) - {D.SHINGLE_N - 1})])
+         ELSE [{_sql_fold(_TH)}] END
+"""
 
 
 def _sql_minhash_sigs() -> list[str]:
@@ -167,9 +177,9 @@ def _sql_simhash() -> str:
     """,
 )
 def q_simhash_signatures(spark, sf_dir):
-    """32-bit SimHash signature per document (per-row folds, no shuffle)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash_expr("text").alias("simhash"))
+    """32-bit SimHash signature per document (codegen'd bit-vote sums
+    with map-side combine; see D.simhash_signatures_df)."""
+    return D.simhash_signatures_df(load_table(spark, sf_dir, "documents"))
 
 
 @query(
