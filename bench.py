@@ -45,6 +45,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     "token_count",
+    "stream_funding_pipeline",
 ]
 
 

@@ -74,7 +74,18 @@ def funding_stats_query(
     """Full flagship plan. Column order mirrors funding_stats_etl.py:105-118
     (runtime schema: dollar_volume_24h, not the ORM's volume)."""
     events = load_table(spark, sf_dir, "events")
-    rates = with_anchor(rates_from_events(events))
+    return funding_stats_from_rates(rates_from_events(events), lookback_days)
+
+
+def funding_stats_from_rates(
+    rates: DataFrame, lookback_days: int = 21
+) -> DataFrame:
+    """The stats computation over an already-shaped rates frame
+    (symbol, funding_time, funding_rate, event_id) — shared by the
+    batch query above and the per-tick streaming recompute
+    (streaming/pipelines.py), mirroring the reference's
+    recompute-over-stored-table pattern (SURVEY.md §2.9)."""
+    rates = with_anchor(rates)
 
     lookback = F.expr(f"INTERVAL {lookback_days} DAYS")
     window_rates = rates.filter(
@@ -139,8 +150,21 @@ def funding_stats_query(
     )
 
 
-def funding_stats_oracle_sql(lookback_days: int = 21) -> str:
-    """DuckDB twin of funding_stats_query for the differential oracle."""
+#: default rates CTE body — the fixture mapping over raw events
+RATES_CTE = """
+    SELECT CAST(user_id AS VARCHAR) || '-' || event_type AS symbol,
+           ts AS funding_time, value AS funding_rate, event_id,
+           (SELECT MAX(ts) FROM events) AS anchor
+    FROM events
+"""
+
+
+def funding_stats_oracle_sql(
+    lookback_days: int = 21, rates_cte: str = RATES_CTE
+) -> str:
+    """DuckDB twin of funding_stats_query for the differential oracle.
+    rates_cte can be overridden (e.g. deduplicated rates for the
+    streaming pipeline's store)."""
     n24, n3d, n7d, n14d, n30d, n90d = (
         FUNDING_WINDOWS["funding_24h"],
         FUNDING_WINDOWS["funding_3d"],
@@ -159,10 +183,7 @@ def funding_stats_oracle_sql(lookback_days: int = 21) -> str:
 
     return f"""
 WITH rates AS (
-    SELECT CAST(user_id AS VARCHAR) || '-' || event_type AS symbol,
-           ts AS funding_time, value AS funding_rate, event_id,
-           (SELECT MAX(ts) FROM events) AS anchor
-    FROM events
+{rates_cte}
 ),
 windowed AS (
     SELECT *, ROW_NUMBER() OVER (

@@ -1,0 +1,204 @@
+"""The streaming pipelines: the reference's 5-minute-tick DAG semantics
+as Structured Streaming jobs (SURVEY.md §2.9).
+
+| reference behavior | here |
+|---|---|
+| 5-min schedule (kucoin_main_dag.py:28) | `trigger(processingTime='5 minutes')` (tests: `availableNow`) |
+| dedup on (symbol, funding_time) (funding_rates_etl.py:93-95) | per-batch dedupe + `dropDuplicatesWithinWatermark` for exact re-sends |
+| PK upsert, re-arrival updates value (funding_rates_etl.py:105-108) | last-write-wins foreachBatch merge (sinks.upsert_writer) |
+| 5-min bucketing of created_at (lending_data_etl.py:54-60) | tumbling `F.window(ts, interval)` + watermark |
+| stats recomputed per tick over stored table (funding_stats_etl.py) | stream-static recompute inside foreachBatch |
+| retries + idempotent load (kucoin_main_dag.py:12-13) | checkpoint + idempotent sinks = effectively-once |
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.pipeline.funding_stats import (
+    ROUND,
+    funding_stats_from_rates,
+    rates_from_events,
+)
+from funding_monitoring_spark.streaming.replay import (
+    stream_from_chunks,
+    write_time_ordered_chunks,
+)
+from funding_monitoring_spark.streaming.sinks import (
+    atomic_overwrite,
+    upsert_writer,
+)
+
+#: duplicate horizon: duplicates only arise between adjacent ticks
+#: (SURVEY.md §7 "What's hard" #5) → 2× the 5-min trigger interval
+WATERMARK_DELAY = "10 minutes"
+TRIGGER_INTERVAL = "5 minutes"  # the reference cadence
+
+RATE_KEYS = ["symbol", "funding_time"]
+RATE_ORDER = ["event_id"]
+
+
+def _run(writer_query, available_now: bool, checkpoint: str):
+    w = writer_query.option("checkpointLocation", checkpoint)
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+    else:
+        q = w.trigger(processingTime=TRIGGER_INTERVAL).start()
+    return q
+
+
+def streaming_upsert_rates(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    watermark: str = WATERMARK_DELAY,
+) -> None:
+    """Funding-rate ingestion (reference funding_rates_etl main loop):
+    events stream → rates shape → exact-resend suppression within the
+    watermark → per-batch dedupe + last-write-wins upsert into the
+    parquet store. Effectively-once under restart (checkpoint +
+    idempotent merge)."""
+    src = stream_from_chunks(spark, chunks_dir, schema)
+    rates = (
+        rates_from_events(src)
+        .withWatermark("funding_time", watermark)
+        .dropDuplicatesWithinWatermark()
+    )
+    writer = rates.writeStream.foreachBatch(
+        upsert_writer(store_path, RATE_KEYS, RATE_ORDER)
+    )
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
+def streaming_tumbling_rollup(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    interval: str = TRIGGER_INTERVAL,
+    available_now: bool = True,
+    watermark: str = WATERMARK_DELAY,
+) -> None:
+    """Tumbling-window rollup (the C10 5-minute bucketing as a true
+    streaming window agg): per (window, event_type) count + sum, update
+    mode; each batch's updated windows are last-write-wins-upserted by
+    window key, so the store converges to the complete per-window
+    values. Late rows beyond the watermark are dropped once the
+    watermark has propagated (one micro-batch after the advancing
+    data — standard Spark behavior); documented stream-vs-batch
+    divergence: the reference's Postgres upsert would accept them."""
+    src = stream_from_chunks(spark, chunks_dir, schema)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", interval).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ROUND).alias("sum_value"),
+        )
+    )
+
+    def flatten(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+
+    writer = agg.writeStream.outputMode("update").foreachBatch(
+        upsert_writer(
+            store_path,
+            key_cols=["window_start", "event_type"],
+            # update mode re-emits the complete aggregate each time a
+            # window changes; the latest emission per key wins
+            order_cols=["n_events"],
+            transform=flatten,
+        )
+    )
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
+def streaming_funding_pipeline(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_dir: str,
+    checkpoint: str,
+    lookback_days: int = 21,
+    available_now: bool = True,
+    watermark: str = WATERMARK_DELAY,
+) -> dict[str, str]:
+    """The whole reference main DAG per tick (SURVEY.md §3.1-3.2):
+    ingest+upsert funding rates, then recompute the funding-stats
+    snapshot over the full stored history (stream-static recompute —
+    matches the reference's per-tick overwrite, funding_stats_etl.py:128).
+
+    Returns {'rates': ..., 'stats': ...} store paths."""
+    rates_path = os.path.join(store_dir, "funding_rates")
+    stats_path = os.path.join(store_dir, "funding_stats")
+
+    def recompute_stats(store: DataFrame) -> None:
+        atomic_overwrite(
+            funding_stats_from_rates(store, lookback_days), stats_path
+        )
+
+    src = stream_from_chunks(spark, chunks_dir, schema)
+    rates = (
+        rates_from_events(src)
+        .withWatermark("funding_time", watermark)
+        .dropDuplicatesWithinWatermark()
+    )
+    writer = rates.writeStream.foreachBatch(
+        upsert_writer(
+            rates_path,
+            RATE_KEYS,
+            RATE_ORDER,
+            on_batch_complete=recompute_stats,
+        )
+    )
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+    return {"rates": rates_path, "stats": stats_path}
+
+
+def replay_events_pipeline(
+    spark: SparkSession,
+    events: DataFrame,
+    workdir: str,
+    pipeline: str,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Harness: chunk `events`, run the named pipeline to completion
+    (availableNow), return the resulting store as a DataFrame."""
+    chunks_dir = os.path.join(workdir, "chunks")
+    checkpoint = os.path.join(workdir, "checkpoint")
+    schema = write_time_ordered_chunks(events, chunks_dir, n_chunks)
+    if pipeline == "upsert_rates":
+        store = os.path.join(workdir, "funding_rates")
+        streaming_upsert_rates(spark, chunks_dir, schema, store, checkpoint)
+        return spark.read.parquet(store)
+    if pipeline == "tumbling_rollup":
+        store = os.path.join(workdir, "rollup")
+        streaming_tumbling_rollup(
+            spark, chunks_dir, schema, store, checkpoint
+        )
+        return spark.read.parquet(store)
+    if pipeline == "funding_pipeline":
+        stores = streaming_funding_pipeline(
+            spark, chunks_dir, schema, os.path.join(workdir, "store"), checkpoint
+        )
+        return spark.read.parquet(stores["stats"])
+    raise ValueError(f"unknown pipeline {pipeline!r}")

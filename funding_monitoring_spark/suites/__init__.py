@@ -8,5 +8,6 @@ from funding_monitoring_spark.suites import (  # noqa: F401
     pipeline_parity,
     reference_core,
     similarity_suite,
+    streaming_suite,
     text_suite,
 )

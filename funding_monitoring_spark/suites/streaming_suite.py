@@ -1,0 +1,97 @@
+"""Streaming queries with batch oracles — the strongest statement
+Structured Streaming makes is stream/batch equivalence, so each
+pipeline is driven to completion over a chunked replay of `events`
+(4 micro-batches in event-time order) and its final store is compared
+against the equivalent batch SQL in DuckDB.
+
+Determinism: chunks are assigned in (ts, event_id) order, so a key's
+last arrival is its max event_id and every window fills monotonically
+— the streamed result is exactly the batch result. (Out-of-order /
+late-data behavior is covered by crafted unit tests in
+tests/test_streaming.py, where stream and batch legitimately diverge.)
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from funding_monitoring_spark.pipeline.funding_stats import (
+    ROUND,
+    funding_stats_oracle_sql,
+)
+from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.sources.tables import load_table
+from funding_monitoring_spark.streaming.pipelines import replay_events_pipeline
+
+N_CHUNKS = 4
+
+#: batch twin of the upserted rates store: winner per (symbol,
+#: funding_time) is the last arrival = max event_id under the
+#: time-ordered chunking
+_DEDUPED_RATES = """
+    SELECT CAST(user_id AS VARCHAR) || '-' || event_type AS symbol,
+           ts AS funding_time,
+           max_by(value, event_id) AS funding_rate,
+           MAX(event_id) AS event_id
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def _workdir() -> str:
+    return tempfile.mkdtemp(prefix="fm_stream_")
+
+
+@query(
+    "stream_upsert_rates",
+    f"SELECT * FROM ({_DEDUPED_RATES})",
+)
+def q_stream_upsert_rates(spark, sf_dir):
+    """Watermarked dedup + last-write-wins upsert ingestion, replayed
+    over 4 micro-batches; final store == batch dedup of the source."""
+    events = load_table(spark, sf_dir, "events")
+    return replay_events_pipeline(
+        spark, events, _workdir(), "upsert_rates", N_CHUNKS
+    )
+
+
+@query(
+    "stream_tumbling_rollup",
+    f"""
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+           time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE
+               AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), {ROUND}) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling_rollup(spark, sf_dir):
+    """5-minute tumbling-window streaming aggregation (update mode,
+    upsert-by-window sink); converged store == batch window agg."""
+    events = load_table(spark, sf_dir, "events")
+    return replay_events_pipeline(
+        spark, events, _workdir(), "tumbling_rollup", N_CHUNKS
+    )
+
+
+@query(
+    "stream_funding_pipeline",
+    funding_stats_oracle_sql(
+        rates_cte=f"""
+    SELECT *, (SELECT MAX(funding_time) FROM
+               ({_DEDUPED_RATES})) AS anchor
+    FROM ({_DEDUPED_RATES})
+"""
+    ),
+)
+def q_stream_funding_pipeline(spark, sf_dir):
+    """The full reference DAG as a stream: ingest+upsert rates, then
+    per-tick snapshot recompute of funding stats; the final snapshot ==
+    the batch flagship query over the deduplicated store."""
+    events = load_table(spark, sf_dir, "events")
+    return replay_events_pipeline(
+        spark, events, _workdir(), "funding_pipeline", N_CHUNKS
+    )

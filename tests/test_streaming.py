@@ -1,0 +1,190 @@
+"""Streaming-layer unit tests: the edge semantics the oracle queries
+can't show (they use in-order replays where stream == batch):
+
+- last-write-wins across micro-batches (the K1 upsert contract)
+- exact re-sends suppressed within the watermark
+- late rows beyond the watermark dropped by the windowed aggregation
+- checkpointed restart: only new files processed, store still correct
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.streaming.pipelines import (
+    streaming_tumbling_rollup,
+    streaming_upsert_rates,
+)
+from funding_monitoring_spark.streaming.replay import stream_from_chunks
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _write_chunk(df, chunks_dir: str, idx: int) -> None:
+    """One parquet file per micro-batch, mtime-ordered."""
+    os.makedirs(chunks_dir, exist_ok=True)
+    stage = f"{chunks_dir}.stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    [part] = glob.glob(os.path.join(stage, "part-*.parquet"))
+    dest = os.path.join(chunks_dir, f"chunk-{idx:04d}.parquet")
+    shutil.move(part, dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.utime(dest, (1_000_000_000 + idx * 60,) * 2)
+
+
+def _events(spark, rows):
+    """rows: (event_id, ts, user_id, event_type, value)."""
+    return spark.createDataFrame(
+        [(*r, "{}") for r in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _run_upsert(spark, tmp, batches, watermark="10 minutes"):
+    chunks = os.path.join(tmp, "chunks")
+    schema = None
+    for i, rows in enumerate(batches):
+        df = _events(spark, rows)
+        schema = df.schema
+        _write_chunk(df, chunks, i)
+    store = os.path.join(tmp, "store")
+    streaming_upsert_rates(
+        spark,
+        chunks,
+        schema,
+        store,
+        os.path.join(tmp, "ckpt"),
+        watermark=watermark,
+    )
+    return {
+        (r.symbol, r.funding_time): (r.funding_rate, r.event_id)
+        for r in spark.read.parquet(store).collect()
+    }
+
+
+def test_revision_in_later_batch_wins(spark, tmp_path):
+    """A re-arriving key UPDATES the stored value (reference
+    funding_rates_etl.py:105-108 ON CONFLICT DO UPDATE)."""
+    state = _run_upsert(
+        spark,
+        str(tmp_path),
+        [
+            [(1, _ts(0), 7, "funding", 0.01), (2, _ts(5), 7, "funding", 0.02)],
+            [(3, _ts(0), 7, "funding", 0.99)],  # revision of key (7-funding, t0)
+        ],
+    )
+    assert state[("7-funding", _ts(0))] == (0.99, 3)
+    assert state[("7-funding", _ts(5))] == (0.02, 2)
+
+
+def test_revision_within_batch_max_order_wins(spark, tmp_path):
+    """Within one micro-batch the max-order row wins (deterministic
+    replacement for pandas keep-first on API order)."""
+    state = _run_upsert(
+        spark,
+        str(tmp_path),
+        [
+            [
+                (10, _ts(0), 7, "funding", 0.50),
+                (11, _ts(0), 7, "funding", 0.60),
+            ]
+        ],
+    )
+    assert state[("7-funding", _ts(0))] == (0.60, 11)
+
+
+def test_exact_resend_suppressed_and_idempotent(spark, tmp_path):
+    """The same full row re-arriving in the next tick must not change
+    the store (dropDuplicatesWithinWatermark + idempotent merge)."""
+    row = (1, _ts(0), 7, "funding", 0.01)
+    state = _run_upsert(spark, str(tmp_path), [[row], [row]])
+    assert state == {("7-funding", _ts(0)): (0.01, 1)}
+
+
+def test_rollup_drops_late_beyond_watermark(spark, tmp_path):
+    """A row arriving after the watermark passed its window is dropped
+    by the streaming agg — the documented stream-vs-batch divergence.
+
+    The watermark advances at the END of the batch that carries the
+    advancing event time, so the drop takes effect one micro-batch
+    later (standard Spark propagation): batch0 advances event time to
+    t+60 → batch1 runs with watermark t+50 and evicts window [0,5) →
+    batch2's late row for that window is dropped."""
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    b0 = _events(
+        spark,
+        [
+            (1, _ts(0), 1, "a", 1.0),
+            (2, _ts(60), 1, "a", 1.0),  # advances watermark to t+50
+        ],
+    )
+    b1 = _events(spark, [(3, _ts(61), 1, "a", 1.0)])
+    b2 = _events(spark, [(4, _ts(1), 1, "a", 100.0)])  # late: [0,5) evicted
+    _write_chunk(b0, chunks, 0)
+    _write_chunk(b1, chunks, 1)
+    _write_chunk(b2, chunks, 2)
+    store = os.path.join(tmp, "store")
+    streaming_tumbling_rollup(
+        spark,
+        chunks,
+        b0.schema,
+        store,
+        os.path.join(tmp, "ckpt"),
+        watermark="10 minutes",
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(store).collect()
+    }
+    # the late event_id=4 (value 100.0) must NOT appear in window [0,5)
+    assert got[(_ts(0), "a")] == (1, 1.0)
+    assert got[(_ts(60), "a")] == (2, 2.0)
+
+
+def test_checkpoint_restart_processes_only_new_chunks(spark, tmp_path):
+    """Restarting with the same checkpoint ingests only unseen files;
+    the store ends correct (effectively-once)."""
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    ckpt = os.path.join(tmp, "ckpt")
+    store = os.path.join(tmp, "store")
+    b1 = _events(spark, [(1, _ts(0), 7, "funding", 0.01)])
+    _write_chunk(b1, chunks, 0)
+    streaming_upsert_rates(spark, chunks, b1.schema, store, ckpt)
+    first = spark.read.parquet(store).collect()
+    assert len(first) == 1
+
+    b2 = _events(spark, [(2, _ts(5), 7, "funding", 0.02)])
+    _write_chunk(b2, chunks, 1)
+    streaming_upsert_rates(spark, chunks, b1.schema, store, ckpt)
+    state = {
+        (r.symbol, r.funding_time): r.funding_rate
+        for r in spark.read.parquet(store).collect()
+    }
+    assert state == {
+        ("7-funding", _ts(0)): 0.01,
+        ("7-funding", _ts(5)): 0.02,
+    }
+
+
+def test_stream_source_is_unbounded_plan(spark, tmp_path):
+    """stream_from_chunks yields a genuine streaming DataFrame (file
+    source, not a batch read)."""
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    df = _events(spark, [(1, _ts(0), 7, "funding", 0.01)])
+    _write_chunk(df, chunks, 0)
+    src = stream_from_chunks(spark, chunks, df.schema)
+    assert src.isStreaming
