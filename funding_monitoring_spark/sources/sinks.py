@@ -1,0 +1,45 @@
+"""Batch sinks (SURVEY.md §2.1 K3-K6).
+
+The reference's write paths: TRUNCATE + tab-separated CSV bulk load
+(K3/K5, active_futures_etl.py:90-104, kucoin_lending_dag.py:47),
+drop-and-recreate replace (K4, funding_stats_etl.py:128), idempotent
+DDL (K6, models.py:82). Spark equivalents: mode("overwrite") writes
+(atomic per path), tab-sep headerless CSV, and temp-view registration
+(sources.tables.register_temp_views).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def overwrite_parquet(df: DataFrame, path: str) -> None:
+    """K3/K4: snapshot-replace — the TRUNCATE-reload / to_sql-replace
+    analogue. Parquet overwrite is atomic per directory commit."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_tsv(df: DataFrame, path: str) -> None:
+    """K5: tab-separated, headerless CSV — the reference's bulk-load
+    intermediate format (active_futures_etl.py:103)."""
+    (
+        df.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", "false")
+        .option("emptyValue", "")
+        .csv(path)
+    )
+
+
+def read_tsv(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Read back a K5 tab-separated extract with an explicit schema
+    (the bulk-load consumer side)."""
+    return (
+        spark.read.schema(schema)
+        .option("sep", "\t")
+        .option("header", "false")
+        .csv(path)
+    )

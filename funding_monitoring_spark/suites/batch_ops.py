@@ -475,3 +475,36 @@ def q_json_extract(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+@query(
+    "nested_json_explode",
+    "SELECT user_id, event_id, value FROM events",
+)
+def q_nested_json_explode(spark, sf_dir):
+    """S2: nested-payload source — a REST-style JSON document per key
+    with the rows under data.dataList (the reference's
+    request_data['data']['ticker'] / ['data']['dataList'] shape,
+    active_spot_pairs_etl.py:19, funding_rates_etl.py:36): parse with
+    from_json + explode the nested array. The payload is synthesized
+    from `events` (sort_array for determinism), so the oracle is simply
+    the flat rows the round-trip must reproduce."""
+    events = load_table(spark, sf_dir, "events")
+    payloads = events.groupBy("user_id").agg(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.sort_array(
+                        F.collect_list(F.struct("event_id", "value"))
+                    ).alias("dataList")
+                ).alias("data")
+            )
+        ).alias("payload")
+    )
+    schema = "struct<data:struct<dataList:array<struct<event_id:bigint,value:double>>>>"
+    parsed = payloads.select(
+        "user_id", F.from_json("payload", schema).alias("j")
+    )
+    return parsed.select(
+        "user_id", F.explode(F.col("j.data.dataList")).alias("row")
+    ).select("user_id", F.col("row.event_id"), F.col("row.value"))

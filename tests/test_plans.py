@@ -1,0 +1,90 @@
+"""Physical-plan quality gates — the 100 TB story is in the plan, not
+the row counts. These assert the properties that make the suite
+scale: filters reach the parquet scan, projections prune the read
+schema, small dimensions broadcast instead of shuffling, and the
+flagship aggregation needs exactly one exchange.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark import registry
+from funding_monitoring_spark.sources.tables import load_table
+
+ALL = registry.queries()
+
+
+def plan_str(df, mode: str = "simple") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """S5: the time-range predicate must appear as a pushed filter on
+    the scan, not only as a post-scan Filter."""
+    df = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") > 1000
+    )
+    plan = plan_str(df)
+    assert re.search(r"PushedFilters: \[.*o_orderkey.*\]", plan), plan
+
+
+def test_column_pruning_in_read_schema(spark, sf_dir):
+    """Projection must prune the parquet ReadSchema to the selected
+    columns (a scan reading all columns for a 2-column projection is
+    wrong at 100 TB)."""
+    df = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    plan = plan_str(df)
+    m = re.search(r"ReadSchema: (struct<[^>]*>)", plan)
+    assert m, plan
+    assert set(re.findall(r"(\w+):", m.group(1))) == {"p_partkey", "p_name"}
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    """J1: the small dimension side must broadcast — no shuffle of the
+    fact table for a 25-row dimension."""
+    plan = plan_str(ALL["broadcast_join_dim"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semi_join_universe_no_sort_merge(spark, sf_dir):
+    """J2: the symbol-universe restriction is a broadcast left-semi."""
+    plan = plan_str(ALL["semi_join_universe"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_funding_stats_single_shuffle(spark, sf_dir):
+    """The flagship query: one hash exchange for the symbol grouping
+    (window + groupBy reuse the same partitioning) plus the broadcast
+    of the scalar anchor — no other exchanges."""
+    plan = plan_str(ALL["funding_stats"](spark, sf_dir))
+    hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_exchanges == 1, f"{hash_exchanges} hash exchanges:\n{plan}"
+
+
+def test_whole_stage_codegen_in_scalar_suite(spark, sf_dir):
+    """Scalar pipelines must stay inside WholeStageCodegen (no Python
+    in the hot path)."""
+    plan = plan_str(ALL["scalar_cast_annualize"](spark, sf_dir))
+    # '*(n)' marks whole-stage-codegen stages in simple explain output
+    assert "*(1)" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_exact_dedup_single_shuffle_no_text(spark, sf_dir):
+    """Exact dedup shuffles the md5 digest, never the document text:
+    one exchange, and the pre-shuffle partial aggregate projects only
+    the hash."""
+    plan = plan_str(ALL["exact_dedup"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    # the md5 is computed below the exchange (partial agg groups on it)
+    assert re.search(r"partial_min.*\n.*md5", plan), plan
+    # the exchange carries the digest key, not the document text
+    m = re.search(r"Exchange hashpartitioning\((\w+)", plan)
+    assert m and "text" not in m.group(1), plan
