@@ -164,6 +164,80 @@ def cosine_topk_lsh(
     return _score_and_rank(pairs, k)
 
 
+def cosine_topk_scale(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k, the 100 TB path: vectorized `mapInPandas`
+    over corpus partitions with the (bounded) query matrix shipped in
+    the task closure. Each Arrow batch computes all scores as NumPy
+    matrix ops, keeps only its local top-k per query (a bounded
+    candidate set — the shuffle carries ≤ k rows per query per batch,
+    never the corpus), and a final window rank merges the candidates.
+
+    Numerics: dot products accumulate dimension-by-dimension
+    (``acc += C[:,d] * Q[:,d]``), i.e. the same left-fold order as
+    `seq_dot` and the DuckDB oracle — multiply-then-add per step, no
+    FMA — so raw doubles are bit-identical to the HOF path and the
+    global rank (raw score desc, id asc) is deterministic across all
+    three engines. Rounding is applied by Spark after ranking.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, emb_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    dim = Q.shape[1] if len(Q) else 0
+    qn = np.zeros(len(Q))
+    for d in range(dim):
+        qn += Q[:, d] * Q[:, d]
+    qn = np.sqrt(qn)
+
+    def score_partition(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(Q) == 0:
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array(list(pdf[emb_col]), dtype=np.float64)
+            S = np.zeros((len(C), len(Q)))
+            cn = np.zeros(len(C))
+            for d in range(dim):
+                S += C[:, d : d + 1] * Q[None, :, d]
+                cn += C[:, d] * C[:, d]
+            cn = np.sqrt(cn)
+            S = S / (qn[None, :] * cn[:, None])
+            S[cids[:, None] == qids[None, :]] = -np.inf  # self-exclusion
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(Q)):
+                order = np.lexsort((cids, -S[:, j]))[:k]
+                keep = order[np.isfinite(S[order, j])]
+                out_q.extend([qids[j]] * len(keep))
+                out_c.extend(cids[keep])
+                out_s.extend(S[keep, j])
+            yield pd.DataFrame(
+                {"q_id": out_q, "c_id": out_c, "raw": out_s}
+            )
+
+    cand = corpus.select(id_col, emb_col).mapInPandas(
+        score_partition, "q_id long, c_id long, raw double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("raw"), F.asc("c_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round("raw", SCORE_ROUND).alias("score"),
+            "rank",
+        )
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float,

@@ -119,6 +119,43 @@ def q_ann_lsh(spark, sf_dir):
     return S.cosine_topk_lsh(queries, emb, k=K)
 
 
+_SQL_RAW_COSINE = (
+    f"{_sql_dot('q_emb', 'c_emb')} / "
+    f"(SQRT({_sql_dot('q_emb', 'q_emb')}) * "
+    f"SQRT({_sql_dot('c_emb', 'c_emb')}))"
+)
+
+
+@query(
+    "ann_cosine_topk_scale",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+          FROM embeddings),
+    scored AS (
+        SELECT q_id, c_id, {_SQL_RAW_COSINE} AS raw
+        FROM q CROSS JOIN c WHERE q_id != c_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY raw DESC, c_id ASC) AS rank
+        FROM scored
+    )
+    SELECT q_id AS query_id, c_id AS neighbor_id,
+           ROUND(raw, {S.SCORE_ROUND}) AS score, rank
+    FROM ranked WHERE rank <= {K}
+    """,
+)
+def q_ann_scale(spark, sf_dir):
+    """Exact top-k via vectorized mapInPandas + per-partition candidate
+    pruning (the distributed-scale path; raw doubles bit-identical to
+    the fold, ranked pre-rounding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.cosine_topk_scale(queries, emb, k=K)
+
+
 @query(
     "embedding_near_dup",
     f"""
