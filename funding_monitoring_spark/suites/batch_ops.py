@@ -129,6 +129,45 @@ def q_group_min(spark, sf_dir):
     )
 
 
+@query(
+    "salted_group_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(l_extendedprice), 6) AS min_price,
+           ROUND(MAX(l_extendedprice), 6) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_group_agg(spark, sf_dir):
+    """Skew mitigation (SURVEY.md §7 scale notes): two-phase salted
+    aggregation over a low-cardinality (= maximally skewed) key; the
+    result is exactly the plain groupBy — the oracle asserts the
+    equivalence. operators/skew.py."""
+    from funding_monitoring_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "n_rows": ("count", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        num_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 6).alias("sum_qty"),
+        "n_rows",
+        F.round("min_price", 6).alias("min_price"),
+        F.round("max_price", 6).alias("max_price"),
+    )
+
+
 @query("distinct_values", "SELECT DISTINCT event_type FROM events")
 def q_distinct(spark, sf_dir):
     """S6/A2: single-column DISTINCT (symbol universe,
