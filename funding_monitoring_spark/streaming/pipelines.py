@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from funding_monitoring_spark.functions.scalars import ceil_to_interval
 from funding_monitoring_spark.pipeline.funding_stats import (
     ROUND,
     funding_stats_from_rates,
@@ -174,6 +175,57 @@ def streaming_funding_pipeline(
     return {"rates": rates_path, "stats": stats_path}
 
 
+def streaming_lending_append(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> None:
+    """The standalone lending DAG as a stream (SURVEY.md §3.3): per
+    tick, cast + group-min rate per term (A1/C14), stamp every row
+    with the tick's ceil-to-next-5-min bucket (C10, anchored at the
+    batch's max event time for determinism), and APPEND — this table
+    accumulates (kucoin_lending_dag.py bulk_load, not truncate).
+
+    Idempotent append: each micro-batch overwrites its own
+    ``batch_id=N`` partition directory, so a retried batch rewrites
+    the same rows instead of duplicating them (the append analogue of
+    the last-write-wins merge)."""
+    src = stream_from_chunks(spark, chunks_dir, schema)
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        anchor = batch.agg(F.max("ts").alias("anchor"))
+        grouped = (
+            batch.groupBy(
+                (F.col("user_id") % 4).cast("int").alias("loan_duration_days")
+            )
+            .agg(
+                F.min(
+                    F.col("value").cast("string").cast("double")
+                ).alias("daily_interest_rate")
+            )
+            .crossJoin(F.broadcast(anchor))
+        )
+        out = grouped.select(
+            ceil_to_interval(F.col("anchor")).alias("created_at"),
+            "daily_interest_rate",
+            "loan_duration_days",
+            F.round(F.col("daily_interest_rate") * 365, ROUND).alias(
+                "annualized_interest_rate"
+            ),
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+
+    writer = src.writeStream.foreachBatch(on_batch)
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
 def replay_events_pipeline(
     spark: SparkSession,
     events: DataFrame,
@@ -201,4 +253,10 @@ def replay_events_pipeline(
             spark, chunks_dir, schema, os.path.join(workdir, "store"), checkpoint
         )
         return spark.read.parquet(stores["stats"])
+    if pipeline == "lending_append":
+        store = os.path.join(workdir, "lending")
+        streaming_lending_append(
+            spark, chunks_dir, schema, store, checkpoint
+        )
+        return spark.read.parquet(store).drop("batch_id")
     raise ValueError(f"unknown pipeline {pipeline!r}")

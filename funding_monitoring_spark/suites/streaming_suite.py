@@ -78,6 +78,43 @@ def q_stream_tumbling_rollup(spark, sf_dir):
 
 
 @query(
+    "stream_lending_append",
+    f"""
+    WITH ordered AS (
+        -- exact batch twin of the chunker: rows split into {N_CHUNKS}
+        -- equal tiles in (ts, event_id) order; NTILE matches
+        -- write_time_ordered_chunks whenever row count is divisible
+        -- by {N_CHUNKS} (true for every fixture sf)
+        SELECT *, NTILE({N_CHUNKS}) OVER (ORDER BY ts, event_id) AS tile
+        FROM events
+    ),
+    tiles AS (SELECT tile, MAX(ts) AS anchor FROM ordered GROUP BY tile),
+    mins AS (
+        SELECT tile, CAST(user_id % 4 AS INT) AS loan_duration_days,
+               MIN(CAST(CAST(value AS VARCHAR) AS DOUBLE))
+                   AS daily_interest_rate
+        FROM ordered GROUP BY tile, user_id % 4
+    )
+    SELECT make_timestamp((CAST(FLOOR(epoch(t.anchor) / 300) AS BIGINT) + 1)
+                          * 300 * 1000000) AS created_at,
+           m.daily_interest_rate,
+           m.loan_duration_days,
+           ROUND(m.daily_interest_rate * 365, {ROUND})
+               AS annualized_interest_rate
+    FROM mins m JOIN tiles t USING (tile)
+    """,
+)
+def q_stream_lending_append(spark, sf_dir):
+    """The lending DAG as a stream: per-tick group-min + ceil-5-min
+    bucket, idempotently APPENDED (accumulating table); the store ==
+    the batch per-tile computation."""
+    events = load_table(spark, sf_dir, "events")
+    return replay_events_pipeline(
+        spark, events, _workdir(), "lending_append", N_CHUNKS
+    )
+
+
+@query(
     "stream_funding_pipeline",
     funding_stats_oracle_sql(
         rates_cte=f"""

@@ -91,20 +91,31 @@ def q_text_quality(spark, sf_dir):
     )
 
 
-def _lang_id_sql() -> str:
+def _lang_case_expr() -> str:
+    """CASE expression computing the argmax language over `text`."""
     scores = {lang: _sql_lang_score(lang) for lang in ("en", "de", "fr", "es", "zh")}
     best = "GREATEST(" + ", ".join(scores.values()) + ")"
     whens = "\n".join(
         f"WHEN {best} > 0 AND {scores[lang]} = {best} THEN '{lang}'"
         for lang in ("en", "de", "fr", "es", "zh")
     )
-    return (
-        "SELECT doc_id, lang AS labeled_lang, "
-        f"CASE {whens} ELSE 'und' END AS detected_lang FROM documents"
-    )
+    return f"CASE {whens} ELSE 'und' END"
 
 
-@query("lang_id", _lang_id_sql())
+_QUALITY_EXPR = f"""ROUND(
+             LEAST(1.0, len({_SQL_TOKENS}) / 100.0) * 0.5
+           + (1.0 - LEAST(1.0,
+                CASE WHEN length(text) > 0
+                     THEN {_SQL_PUNCT} / length(text) ELSE 0.0 END * 5)) * 0.3
+           + LEAST(1.0, ({_sql_stop_ratio()}) * 5) * 0.2,
+           6)"""
+
+
+@query(
+    "lang_id",
+    "SELECT doc_id, lang AS labeled_lang, "
+    f"{_lang_case_expr()} AS detected_lang FROM documents",
+)
 def q_lang_id(spark, sf_dir):
     """Marker-word language-ID heuristic with fixed tie priority."""
     return load_table(spark, sf_dir, "documents").select(
@@ -112,3 +123,59 @@ def q_lang_id(spark, sf_dir):
         F.col("lang").alias("labeled_lang"),
         X.lang_id("text").alias("detected_lang"),
     )
+
+
+# -- composite: the end-to-end curation pipeline -------------------------
+
+MIN_TOKENS = 30
+MIN_QUALITY = 0.5
+
+
+@query(
+    "curation_pipeline",
+    f"""
+    WITH enriched AS (
+        SELECT doc_id, text,
+               len({_SQL_TOKENS}) AS n_tokens,
+               {_QUALITY_EXPR} AS quality,
+               {_lang_case_expr()} AS detected_lang
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM enriched
+        WHERE n_tokens >= {MIN_TOKENS}
+          AND quality >= {MIN_QUALITY}
+          AND detected_lang = 'en'
+    ),
+    canon AS (
+        SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY md5(text)
+    )
+    SELECT f.doc_id, f.n_tokens, f.quality, f.detected_lang
+    FROM filtered f JOIN canon USING (doc_id)
+    """,
+)
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation: enrich (token count, quality
+    score, language ID — one narrow projection, no shuffle) → filter →
+    exact dedup keeping the canonical (min-id) copy. The only shuffle
+    is the dedup groupBy on the md5 digest; the filters run BEFORE it,
+    so at 100 TB the shuffle carries only the curated survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        X.token_count("text").alias("n_tokens"),
+        F.round(X.quality_score("text"), 6).alias("quality"),
+        X.lang_id("text").alias("detected_lang"),
+    )
+    filtered = enriched.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("quality") >= MIN_QUALITY)
+        & (F.col("detected_lang") == "en")
+    )
+    canon = filtered.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return filtered.join(
+        canon.select("doc_id"), on="doc_id", how="left_semi"
+    ).select("doc_id", "n_tokens", "quality", "detected_lang")

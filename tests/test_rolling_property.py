@@ -1,0 +1,89 @@
+"""Property-based check (SURVEY.md §5 item 5): the guarded last-N
+rolling mean equals a direct reference computation for random group
+sizes, values, and window widths — exercising the F5 guard boundary
+(group == N, group < N, group > N) far beyond the fixture data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from funding_monitoring_spark.operators.rolling import guarded_recent_means
+
+T0 = dt.datetime(2024, 1, 1)
+
+#: groups: 1-4 groups × 0-7 rows each, values in a small float range
+_groups = st.dictionaries(
+    st.sampled_from(["g1", "g2", "g3", "g4"]),
+    st.lists(
+        st.floats(
+            min_value=-10, max_value=10, allow_nan=False, width=32
+        ),
+        min_size=1,
+        max_size=7,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _reference(rows, windows, scale):
+    """Plain-Python oracle: newest-first by (time, id) desc."""
+    by_group: dict[str, list[tuple]] = {}
+    for g, t, v, i in rows:
+        by_group.setdefault(g, []).append((t, i, v))
+    out = {}
+    for g, items in by_group.items():
+        items.sort(key=lambda x: (x[0], x[1]), reverse=True)
+        vals = [v for _, _, v in items]
+        res = {}
+        for name, n in windows.items():
+            if len(vals) >= n:
+                res[name] = round(sum(vals[:n]) / n * scale, 6)
+            else:
+                res[name] = None
+        out[g] = res
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(groups=_groups, n_window=st.integers(min_value=1, max_value=6))
+def test_guarded_means_match_reference(spark, groups, n_window):
+    windows = {"m": n_window}
+    rows = []
+    i = 0
+    for g, vals in groups.items():
+        for v in vals:
+            rows.append((g, T0 + dt.timedelta(minutes=i), float(v), i))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "symbol string, funding_time timestamp, rate double, event_id long"
+    )
+    got = {
+        r["symbol"]: r["m"]
+        for r in guarded_recent_means(
+            df,
+            group_cols=["symbol"],
+            time_col="funding_time",
+            value_col="rate",
+            windows=windows,
+            tiebreak_cols=["event_id"],
+            scale=3.0,
+            round_digits=6,
+        ).collect()
+    }
+    want = _reference(rows, windows, 3.0)
+    assert set(got) == set(want)
+    for g in want:
+        a, b = got[g], want[g]["m"]
+        if b is None:
+            assert a is None, (g, a, b)
+        else:
+            assert a is not None and abs(a - b) <= 1e-9, (g, a, b)
