@@ -132,3 +132,99 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→encode: stride-sample
+    the payload down to width*height bytes (pad by cycling). In
+    production this is PIL resize; same signature, same plumbing."""
+    target = max(width * height, 1)
+    if len(payload) == 0:
+        return bytes(target)
+    if len(payload) >= target:
+        stride = len(payload) // target
+        return bytes(payload[i * stride] for i in range(target))
+    reps = -(-target // len(payload))
+    return (payload * reps)[:target]
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every payload to width×height (stubbed codec), updating
+    the metadata struct — a narrow 1:1 mapInPandas, no shuffle; output
+    keeps MEDIA_SCHEMA so resize composes with any downstream media op.
+    """
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pd.DataFrame(
+                {
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "width": width,
+                    "height": height,
+                    "duration_ms": [m["duration_ms"] for m in pdf["meta"]],
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(
+                        lambda p: _fake_resize(bytes(p), width, height)
+                    ),
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 1024, every_n: int = 4
+) -> DataFrame:
+    """One-to-many frame sampling (the video path): each payload is
+    split into fixed-size 'frames' (stub for an ffmpeg keyframe
+    iterator) and every n-th is emitted. mapInPandas yields more rows
+    than it receives — the Spark-side shape (explode-like fan-out with
+    binary payloads, batch-bounded memory) is exactly the production
+    pattern."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = -(-len(raw) // frame_bytes) if raw else 0
+                for k in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(raw[k * frame_bytes : (k + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -150,9 +150,12 @@ def funding_stats_from_rates(
     )
 
 
-#: default rates CTE body — the fixture mapping over raw events
+#: default rates CTE body — the fixture mapping over raw events.
+#: Dialect-neutral on purpose (STRING, ||, INTERVAL, window functions
+#: are identical in Spark SQL and DuckDB): the sql_funding_stats query
+#: runs this very text through BOTH engines.
 RATES_CTE = """
-    SELECT CAST(user_id AS VARCHAR) || '-' || event_type AS symbol,
+    SELECT CAST(user_id AS STRING) || '-' || event_type AS symbol,
            ts AS funding_time, value AS funding_rate, event_id,
            (SELECT MAX(ts) FROM events) AS anchor
     FROM events

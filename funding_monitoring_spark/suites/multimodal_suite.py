@@ -8,6 +8,8 @@ from __future__ import annotations
 from funding_monitoring_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
+    resize_media,
+    sample_frames,
 )
 from funding_monitoring_spark.registry import query
 from funding_monitoring_spark.sources.tables import load_table
@@ -27,3 +29,41 @@ def q_multimodal_features(spark, sf_dir):
     (decode step is a deterministic fake; plumbing is real)."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media).select("media_id", "n_bytes", "header_hex")
+
+
+RESIZE_W, RESIZE_H = 16, 16
+FRAME_BYTES, EVERY_N = 256, 2
+
+
+@query(
+    "multimodal_resize_pipeline",
+    f"""
+    -- oracle mirrors the stub byte-math, not a codec: a resized
+    -- payload is exactly {RESIZE_W}x{RESIZE_H} bytes (measured, not
+    -- assumed, on the Spark side); frames of {FRAME_BYTES} bytes are
+    -- sampled from the ORIGINAL payload every {EVERY_N}th
+    SELECT doc_id AS media_id,
+           {RESIZE_W * RESIZE_H} AS n_bytes_resized,
+           CAST(CEIL(CEIL(octet_length(encode(text)) / {FRAME_BYTES}.0)
+                     / {EVERY_N}.0) AS BIGINT) AS n_frames_sampled
+    FROM documents
+    """,
+)
+def q_multimodal_resize_pipeline(spark, sf_dir):
+    """Composed media pipeline: resize (1:1 mapInPandas, measured
+    output size proves the codec contract) joined with frame-sampling
+    of the original payloads (1:N mapInPandas fan-out) — the full
+    multimodal plumbing chain: batch shapes, schema evolution,
+    one-to-many emission."""
+    from pyspark.sql import functions as F
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    resized_len = resize_media(media, RESIZE_W, RESIZE_H).select(
+        "media_id", F.length("payload").alias("n_bytes_resized")
+    )
+    frame_counts = (
+        sample_frames(media, FRAME_BYTES, EVERY_N)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames_sampled"))
+    )
+    return resized_len.join(frame_counts, on="media_id", how="inner")
