@@ -168,6 +168,71 @@ def q_salted_group_agg(spark, sf_dir):
     )
 
 
+@query(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (F.percentile ==
+    DuckDB quantile_cont). At 100 TB swap for percentile_approx — the
+    sketch variant is registered as approx_distinct-style rows-only
+    (approximation has no exact oracle by construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@query("approx_distinct_users", None)
+def q_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct-user sketch per event type — the
+    constant-memory scale path for COUNT(DISTINCT) (rows-only driver
+    check; the ±5% relative-error bound vs the exact count is asserted
+    in tests/test_extensions.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users")
+    )
+
+
+@query(
+    "rollup_totals",
+    """
+    SELECT event_type,
+           CAST(user_id % 4 AS INT) AS cohort,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(user_id % 4 AS INT))
+    """,
+)
+def q_rollup_totals(spark, sf_dir):
+    """Hierarchical ROLLUP aggregation (subtotals + grand total) — the
+    grouping-sets surface a reporting engine needs; partial aggregation
+    applies per grouping set, one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 4).cast("int").alias("cohort"),
+            "value",
+        )
+        .rollup("event_type", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+    )
+
+
 @query("distinct_values", "SELECT DISTINCT event_type FROM events")
 def q_distinct(spark, sf_dir):
     """S6/A2: single-column DISTINCT (symbol universe,

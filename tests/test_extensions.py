@@ -74,3 +74,28 @@ def test_cosine_topk_self_excluded_and_ranked(spark):
     out = S.cosine_topk(df.filter("vec_id = 1"), df, k=2).collect()
     assert [r["neighbor_id"] for r in out] == [2, 3]
     assert all(r["query_id"] == 1 for r in out)
+
+
+def test_approx_distinct_within_rsd_bound(spark, sf_dir):
+    """HLL++ sketch: within ±5 relative-error margins of the exact
+    count per group (3x rsd for a hard test bound)."""
+    from funding_monitoring_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    approx = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.05).alias("n"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(1, 0.15 * exact[k]), (
+            k, approx[k], exact[k],
+        )
