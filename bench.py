@@ -45,6 +45,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     "token_count",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     "stream_funding_pipeline",
 ]
 

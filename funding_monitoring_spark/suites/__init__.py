@@ -10,4 +10,5 @@ from funding_monitoring_spark.suites import (  # noqa: F401
     similarity_suite,
     streaming_suite,
     text_suite,
+    tpch_suite,
 )

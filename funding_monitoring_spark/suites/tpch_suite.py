@@ -1,0 +1,155 @@
+"""TPC-H-shaped analytical queries over the star-schema fixtures —
+general OLAP capability beyond the reference's surface (scan-heavy
+aggregation, selective multi-way joins with broadcast dims, grouped
+top-k). All revenue/price aggregates are rounded to 6 digits on both
+sides BEFORE any ranking, so summation-order differences between
+Spark and DuckDB can neither flip hashes nor reorder top-k.
+
+Scale shape: q1 is a pure scan+partial-agg (one shuffle on a 6-value
+key); q3 filters before joining and broadcasts the filtered customer
+side; q5 is a star join where every dimension broadcasts and only the
+fact tables shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.sources.tables import load_table
+
+Q1_CUTOFF = "1999-01-01"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+Q5_REGION = "ASIA"
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+               AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    """Q1 shape: predicate pushed to the scan, one shuffle on a
+    6-value grouping key, everything else map-side partial agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(f"{Q1_CUTOFF} 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias(
+            "sum_charge"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    f"""
+    WITH rev AS (
+        SELECT l.l_orderkey, o.o_orderdate,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+                   AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+          AND o.o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+    )
+    SELECT l_orderkey, o_orderdate, revenue
+    FROM rev
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    """Q3 shape: filter each side BEFORE the join; the filtered
+    customer keys broadcast; global top-10 is TakeOrderedAndProject
+    (per-partition heap + driver merge, no full sort)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(f"{Q3_DATE} 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(f"{Q3_DATE} 00:00:00").cast("timestamp")
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = '{Q5_REGION}'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    """Q5 shape: star join — region/nation/customer/supplier broadcast
+    (each far under the threshold), only orders⋈lineitem shuffles;
+    local-supplier condition joins on two keys."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == F.col("c_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("revenue")
+    )
