@@ -12,16 +12,10 @@ import re
 from pyspark.sql import functions as F
 
 from funding_monitoring_spark import registry
+from funding_monitoring_spark.plans import plan_string as plan_str
 from funding_monitoring_spark.sources.tables import load_table
 
 ALL = registry.queries()
-
-
-def plan_str(df, mode: str = "simple") -> str:
-    jvm = df.sparkSession._jvm
-    return jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
@@ -88,3 +82,20 @@ def test_exact_dedup_single_shuffle_no_text(spark, sf_dir):
     # the exchange carries the digest key, not the document text
     m = re.search(r"Exchange hashpartitioning\((\w+)", plan)
     assert m and "text" not in m.group(1), plan
+
+
+def test_plan_inspection_helpers(spark, sf_dir):
+    """plans.inspect API: the programmatic shuffle/pushdown audit."""
+    from funding_monitoring_spark.plans import (
+        count_exchanges,
+        has_broadcast_join,
+        pushed_filters,
+        read_schema_columns,
+    )
+
+    df = ALL["broadcast_join_dim"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    q1 = ALL["tpch_q1_pricing_summary"](spark, sf_dir)
+    assert count_exchanges(q1) == 1
+    assert any("l_shipdate" in f for f in pushed_filters(q1))
+    assert {"l_returnflag", "l_linestatus"} <= read_schema_columns(q1)[0]
