@@ -238,6 +238,104 @@ def cosine_topk_scale(
     )
 
 
+IVF_CENTROID_MOD = 101  # corpus vectors with vec_id % MOD == 0 are centroids
+IVF_NPROBE = 3
+
+
+def _cell_assignments(
+    vecs: DataFrame, centroids: DataFrame, keep: int
+) -> DataFrame:
+    """Nearest-`keep` centroid cells per vector (1 = hard assignment
+    for the corpus; nprobe > 1 for queries). Deterministic: raw cosine
+    desc, centroid id asc."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "cscore",
+        seq_dot(F.col("v_emb"), F.col("cent_emb"))
+        / (F.col("v_norm") * F.col("cent_norm")),
+    )
+    w = Window.partitionBy("v_id").orderBy(
+        F.desc("cscore"), F.asc("cent_id")
+    )
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= keep)
+        .select("v_id", "cent_id")
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: the corpus
+    is hard-assigned to its nearest centroid cell; a query probes its
+    `nprobe` nearest cells and scores only those members — the
+    candidate join is an equi-join on cell id, never a cross join.
+
+    Centroids are a deterministic corpus sample (vec_id % MOD == 0) —
+    at scale you would k-means-refine them, which changes recall, not
+    the pipeline shape: at 100 TB the corpus is hash-partitioned by
+    cell (each cell's members co-located), queries shuffle only to
+    their probed cells, and per-cell top-k is bounded work.
+    """
+    cents = _prep(
+        corpus.filter((F.col(id_col) % IVF_CENTROID_MOD) == 0),
+        id_col,
+        emb_col,
+        "cent",
+    )
+
+    c = _prep(corpus, id_col, emb_col, "c")
+    q = _prep(queries, id_col, emb_col, "q")
+    c_cells = _cell_assignments(
+        c.select(
+            F.col("c_id").alias("v_id"),
+            F.col("c_emb").alias("v_emb"),
+            F.col("c_norm").alias("v_norm"),
+        ),
+        cents,
+        keep=1,
+    ).select(F.col("v_id").alias("c_id"), "cent_id")
+    q_cells = _cell_assignments(
+        q.select(
+            F.col("q_id").alias("v_id"),
+            F.col("q_emb").alias("v_emb"),
+            F.col("q_norm").alias("v_norm"),
+        ),
+        cents,
+        keep=nprobe,
+    ).select(F.col("v_id").alias("q_id"), "cent_id")
+
+    pairs = (
+        q_cells.join(c_cells, on="cent_id")
+        .select("q_id", "c_id")
+        .distinct()
+        .join(q, on="q_id")
+        .join(c, on="c_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    scored = pairs.withColumn(
+        "raw",
+        seq_dot(F.col("q_emb"), F.col("c_emb"))
+        / (F.col("q_norm") * F.col("c_norm")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("raw"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round("raw", SCORE_ROUND).alias("score"),
+            "rank",
+        )
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float,

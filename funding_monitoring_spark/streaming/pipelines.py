@@ -226,6 +226,66 @@ def streaming_lending_append(
         q.awaitTermination()
 
 
+#: EWMA smoothing factor — 0.25 is exactly representable in binary, so
+#: the recursive fold is bit-identical across Python, Spark, and DuckDB
+EWMA_ALPHA = 0.25
+
+
+def streaming_ewma_stateful(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    alpha: float = EWMA_ALPHA,
+    available_now: bool = True,
+) -> None:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-symbol exponentially-weighted moving average maintained
+    ACROSS micro-batches (state = (ewma, n) per key), the sanctioned
+    Spark pattern for aggregations that aren't built-in-expressible
+    (recursive, order-dependent).
+
+    Within a batch rows fold in (funding_time, event_id) order; chunks
+    replay in the same order, so the streamed state equals one batch
+    fold over the full history — the oracle (DuckDB list_reduce over
+    the ordered value list) checks that exactly, bit-for-bit (alpha
+    and 1-alpha are binary-exact)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import parity
+
+    src = stream_from_chunks(spark, chunks_dir, schema)
+    rates = rates_from_events(src)
+
+    def update(key, pdfs, state):
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["funding_time", "event_id"])
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = 0.0, 0
+        for v in rows["funding_rate"]:
+            ewma = float(v) if n == 0 else ewma * (1 - alpha) + float(v) * alpha
+            n += 1
+        state.update((ewma, n))
+        yield pd.DataFrame({"symbol": [key[0]], "ewma": [ewma], "n": [n]})
+
+    out = rates.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType="symbol string, ewma double, n long",
+        stateStructType="ewma double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = out.writeStream.outputMode("update").foreachBatch(
+        upsert_writer(store_path, key_cols=["symbol"], order_cols=["n"])
+    )
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
 def replay_events_pipeline(
     spark: SparkSession,
     events: DataFrame,
@@ -259,4 +319,10 @@ def replay_events_pipeline(
             spark, chunks_dir, schema, store, checkpoint
         )
         return spark.read.parquet(store).drop("batch_id")
+    if pipeline == "ewma_stateful":
+        store = os.path.join(workdir, "ewma")
+        streaming_ewma_stateful(
+            spark, chunks_dir, schema, store, checkpoint
+        )
+        return spark.read.parquet(store)
     raise ValueError(f"unknown pipeline {pipeline!r}")

@@ -157,6 +157,70 @@ def q_ann_scale(spark, sf_dir):
 
 
 @query(
+    "ann_cosine_topk_ivf",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+          FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_emb,
+               SQRT({_sql_dot("CAST(embedding AS DOUBLE[])",
+                              "CAST(embedding AS DOUBLE[])")}) AS cent_norm
+        FROM embeddings WHERE vec_id % {S.IVF_CENTROID_MOD} = 0
+    ),
+    c_assign AS (
+        SELECT c_id, cent_id FROM (
+            SELECT c.c_id, cents.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.c_id
+                       ORDER BY {_sql_dot('c_emb', 'cent_emb')} /
+                                (SQRT({_sql_dot('c_emb', 'c_emb')}) * cent_norm)
+                                DESC, cent_id ASC) AS crank
+            FROM c CROSS JOIN cents
+        ) WHERE crank <= 1
+    ),
+    q_probe AS (
+        SELECT q_id, cent_id FROM (
+            SELECT q.q_id, cents.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {_sql_dot('q_emb', 'cent_emb')} /
+                                (SQRT({_sql_dot('q_emb', 'q_emb')}) * cent_norm)
+                                DESC, cent_id ASC) AS crank
+            FROM q CROSS JOIN cents
+        ) WHERE crank <= {S.IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT q_id, c_id
+        FROM q_probe JOIN c_assign USING (cent_id)
+        WHERE q_id != c_id
+    ),
+    scored AS (
+        SELECT cand.q_id, cand.c_id, {_SQL_RAW_COSINE} AS raw
+        FROM cand JOIN q ON q.q_id = cand.q_id
+                  JOIN c ON c.c_id = cand.c_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY raw DESC, c_id ASC) AS rank
+        FROM scored
+    )
+    SELECT q_id AS query_id, c_id AS neighbor_id,
+           ROUND(raw, {S.SCORE_ROUND}) AS score, rank
+    FROM ranked WHERE rank <= {K}
+    """,
+)
+def q_ann_ivf(spark, sf_dir):
+    """Approximate top-k via an IVF index (corpus hard-assigned to
+    sampled centroid cells; queries probe nprobe cells) — candidate
+    equi-join on cell id, the partition-by-cell scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.cosine_topk_ivf(queries, emb, k=K)
+
+
+@query(
     "embedding_near_dup",
     f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

@@ -115,6 +115,27 @@ def q_stream_lending_append(spark, sf_dir):
 
 
 @query(
+    "stream_ewma_stateful",
+    """
+    SELECT CAST(user_id AS STRING) || '-' || event_type AS symbol,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> acc * 0.75 + x * 0.25) AS ewma,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_ewma_stateful(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-symbol
+    EWMA carried across micro-batches; the converged state equals the
+    batch fold over the ordered history, bit-for-bit (alpha=0.25 is
+    binary-exact — no rounding needed)."""
+    events = load_table(spark, sf_dir, "events")
+    return replay_events_pipeline(
+        spark, events, _workdir(), "ewma_stateful", N_CHUNKS
+    )
+
+
+@query(
     "stream_funding_pipeline",
     funding_stats_oracle_sql(
         rates_cte=f"""
