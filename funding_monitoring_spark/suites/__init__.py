@@ -9,6 +9,7 @@ from funding_monitoring_spark.suites import (  # noqa: F401
     reference_core,
     similarity_suite,
     streaming_suite,
+    temporal_suite,
     text_suite,
     tpch_suite,
 )
