@@ -39,15 +39,21 @@ HEADLINE = [
     "broadcast_join_dim",
     "semi_join_universe",
     "group_min",
+    "asof_join_backward",
+    "sessionize_events",
+    "interval_join_attribution",
     "exact_dedup",
     "minhash_lsh_dedup",
     "simhash_near_dup",
     "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
     "text_quality",
     "token_count",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
     "stream_funding_pipeline",
 ]
 

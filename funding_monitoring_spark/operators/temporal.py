@@ -31,19 +31,6 @@ from pyspark.sql import functions as F
 US = 1_000_000  # microseconds per second; all time math is integer µs
 
 
-def _dedupe_latest(
-    df: DataFrame, keys: list[str], order_col: str
-) -> DataFrame:
-    """One row per key group: the max-`order_col` row (deterministic
-    winner among same-timestamp reference rows)."""
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-
-
 def asof_join_backward(
     probe: DataFrame,
     ref: DataFrame,
@@ -62,20 +49,20 @@ def asof_join_backward(
     last-write-wins upsert semantics (reference
     scripts/funding_rates_etl.py:105-108).
 
-    Plan shape: union both sides with a side marker, shuffle once on
-    ``keys``, sort by (ts, side) so a same-instant ref row sorts
-    before the probe (inclusive bound), then forward-fill payload
-    columns with ``last(ignorenulls=True)`` over rows
-    unboundedPreceding..currentRow and keep probe rows.
+    Plan shape: union both sides with a side marker, shuffle ONCE on
+    ``keys``, sort by (ts, side, tiebreak) so a same-instant ref row
+    sorts before the probe (inclusive bound) and the max-tiebreak ref
+    row sorts last among same-(keys, ts) ties — ``last(ignorenulls)``
+    over rows unboundedPreceding..currentRow therefore resolves ties
+    without a separate dedup shuffle — then keep probe rows.
     """
-    ref1 = _dedupe_latest(ref, [*keys, ts_col], ref_tiebreak)
-
     fill_cols = {alias: F.col(src) for src, alias in payload.items()}
     fill_cols["asof_ts"] = F.col(ts_col)
-    ref_side = ref1.select(
+    ref_side = ref.select(
         *keys,
         F.col(ts_col).alias("_t"),
         F.lit(0).alias("_side"),
+        F.col(ref_tiebreak).alias("_tb"),
         *[c.alias(f"_f_{a}") for a, c in fill_cols.items()],
     )
     probe_cols = [c for c in probe.columns]
@@ -90,7 +77,7 @@ def asof_join_backward(
     merged = ref_side.unionByName(probe_side, allowMissingColumns=True)
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side", F.asc_nulls_first("_tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(

@@ -153,3 +153,94 @@ def q_tpch_q5(spark, sf_dir):
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
         ).alias("revenue")
     )
+
+
+Q6_YEAR = "1997-01-01"
+Q6_YEAR_END = "1998-01-01"
+Q10_DATE = "1997-01-01"
+Q10_DATE_END = "1997-04-01"
+Q10_TOPK = 20
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR} 00:00:00'
+      AND l_shipdate < TIMESTAMP '{Q6_YEAR_END} 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf_dir):
+    """Q6 shape: scan-only global aggregate — every predicate (range,
+    between, less-than) pushes to the parquet scan; no shuffle at all
+    beyond the final single-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{Q6_YEAR} 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{Q6_YEAR_END} 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           ROUND(c_acctbal, 6) AS acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '{Q10_DATE} 00:00:00'
+      AND o_orderdate < TIMESTAMP '{Q10_DATE_END} 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT {Q10_TOPK}
+    """,
+)
+def q_tpch_q10(spark, sf_dir):
+    """Q10 shape: selective fact filters BEFORE the join, broadcast
+    customer⋈nation dim, one shuffle on the grouping key, then a
+    global top-k (TakeOrderedAndProject — per-partition heaps, no full
+    sort). Revenue is rounded before ranking and c_custkey breaks
+    ties, so the cross-engine top-20 is deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{Q10_DATE} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{Q10_DATE_END} 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", F.round("c_acctbal", 6).alias("acctbal"),
+        "n_name",
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(dims), o.o_custkey == dims.c_custkey
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(Q10_TOPK)
+    )

@@ -128,7 +128,8 @@ def test_asof_is_single_shuffle(spark):
         payload={"value": "asof_value"}, ref_tiebreak="event_id",
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # one exchange for the ref-side dedup window, one for the merged
-    # key window; no broadcast-nested-loop or cartesian anywhere
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the union-marker formulation needs exactly one hash shuffle (on
+    # the key) — tie-resolution rides the same sort, not a second one
+    assert plan.count("Exchange hashpartitioning") == 1
