@@ -54,6 +54,13 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q4_order_priority",
+    "tpch_q12_priority_classes",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_dormant_customers",
+    "window_functions_suite",
     "stream_funding_pipeline",
 ]
 

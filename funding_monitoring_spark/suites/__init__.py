@@ -12,4 +12,5 @@ from funding_monitoring_spark.suites import (  # noqa: F401
     temporal_suite,
     text_suite,
     tpch_suite,
+    window_suite,
 )

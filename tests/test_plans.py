@@ -99,3 +99,42 @@ def test_plan_inspection_helpers(spark, sf_dir):
     assert count_exchanges(q1) == 1
     assert any("l_shipdate" in f for f in pushed_filters(q1))
     assert {"l_returnflag", "l_linestatus"} <= read_schema_columns(q1)[0]
+
+
+def test_q19_or_predicate_residues_push_below_join(spark, sf_dir):
+    """Q19: Catalyst must derive single-side residues from the
+    OR-of-ANDs — the part scan keeps only the three brands, and the
+    lineitem quantity bound reaches the scan as a pushed filter — so
+    neither side carries rows that can never satisfy the disjunction
+    through the join."""
+    from funding_monitoring_spark.plans import pushed_filters
+
+    df = ALL["tpch_q19_discounted_revenue"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = " ".join(pushed_filters(df))
+    assert "p_brand" in pushed, pushed
+    assert "l_quantity" in pushed, pushed
+
+
+def test_q4_exists_becomes_semi_join(spark, sf_dir):
+    """Q4: the EXISTS subquery must plan as a LeftSemi join (with the
+    correlated inequality as a join residual), never as a per-row
+    subquery probe."""
+    plan = plan_str(ALL["tpch_q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q22_not_exists_becomes_anti_join(spark, sf_dir):
+    """Q22: NOT EXISTS must plan as a LeftAnti join, and the scalar
+    threshold must arrive via broadcast, not a shuffle."""
+    plan = plan_str(ALL["tpch_q22_dormant_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+
+
+def test_window_suite_single_partition_exchange(spark, sf_dir):
+    """All ten window expressions share the user_id partitioning —
+    exactly one hash exchange on user_id feeds every Window node."""
+    plan = plan_str(ALL["window_functions_suite"](spark, sf_dir))
+    exchanges = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert exchanges == {"user_id"}, f"{exchanges}\n{plan}"
