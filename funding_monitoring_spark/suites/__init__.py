@@ -7,6 +7,7 @@ from funding_monitoring_spark.suites import (  # noqa: F401
     multimodal_suite,
     pipeline_parity,
     reference_core,
+    sampling_suite,
     similarity_suite,
     streaming_suite,
     temporal_suite,

@@ -1,0 +1,104 @@
+"""Oracle-checked queries for the deterministic sampling operators
+(`operators/sampling.py`). The oracle runs the SAME integer hash in
+DuckDB, so the differential check compares the actual sampled row
+sets, not just their sizes — a wrong hash or an off-by-one threshold
+flips the value hash immediately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.operators.sampling import (
+    hash_sample,
+    hash_threshold,
+    oracle_hash_expr,
+    stratified_sample,
+    train_test_split,
+)
+from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.sources.tables import load_table
+
+SAMPLE_FRACTION = 0.2
+SAMPLE_SEED = 7
+STRATA_FRACTIONS = {"en": 0.1, "de": 0.5, "zh": 1.0}
+STRATA_DEFAULT = 0.25
+SPLIT_TRAIN_FRACTION = 0.8
+
+_H = oracle_hash_expr("doc_id", SAMPLE_SEED)
+
+
+@query(
+    "hash_sample_documents",
+    f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_H} < {hash_threshold(SAMPLE_FRACTION)}
+    """,
+)
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 20% sample of documents — the predicate is a pure
+    scalar on doc_id, evaluated in the scan stage (zero shuffle, zero
+    state; identical membership on every run and engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", SAMPLE_FRACTION, SAMPLE_SEED).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "stratified_sample_by_lang",
+    f"""
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(MIN({_H}) AS BIGINT) AS min_hash
+    FROM documents
+    WHERE {_H} < CASE lang
+                   WHEN 'zh' THEN {hash_threshold(STRATA_FRACTIONS["zh"])}
+                   WHEN 'en' THEN {hash_threshold(STRATA_FRACTIONS["en"])}
+                   WHEN 'de' THEN {hash_threshold(STRATA_FRACTIONS["de"])}
+                   ELSE {hash_threshold(STRATA_DEFAULT)}
+                 END
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Language rebalancing: keep 10% of the dominant language, all of
+    the rare one — per-stratum thresholds via a CASE over the strata
+    column, still a scan-stage predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", "doc_id", STRATA_FRACTIONS, STRATA_DEFAULT, SAMPLE_SEED
+    )
+    from funding_monitoring_spark.operators.sampling import key_hash
+
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min(key_hash(F.col("doc_id"), SAMPLE_SEED)).alias("min_hash"),
+    )
+
+
+@query(
+    "train_test_split_stats",
+    f"""
+    SELECT CASE WHEN {_H} < {hash_threshold(SPLIT_TRAIN_FRACTION)}
+                THEN 'train' ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY split, lang
+    """,
+)
+def q_train_test_split(spark, sf_dir):
+    """Exact keyspace partition into train/test with per-language
+    volume stats — every doc in exactly one side, stable across runs;
+    disjointness is asserted in tests/test_sampling.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", SPLIT_TRAIN_FRACTION, SAMPLE_SEED)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
