@@ -44,6 +44,7 @@ HEADLINE = [
     "interval_join_attribution",
     "exact_dedup",
     "minhash_lsh_dedup",
+    "dedup_clusters",
     "simhash_near_dup",
     "ann_cosine_topk",
     "ann_cosine_topk_ivf",

@@ -1,0 +1,113 @@
+"""Connected components over near-duplicate pair graphs → dedup
+clusters with a canonical document per cluster.
+
+Pairwise near-dup detection (MinHash-LSH / SimHash / embedding cosine,
+operators/dedup.py, operators/similarity.py) yields EDGES; an actual
+curation pipeline must then keep ONE document per transitive duplicate
+*cluster* (A~B, B~C ⇒ drop two of {A,B,C} even if A~C was never
+emitted). That transitive closure is connected components.
+
+Algorithm: iterative hash-min label propagation — every node starts
+labeled with its own id; each round, every node takes the min label
+among itself and its neighbors; converged when no label changes. This
+is the standard MapReduce-style CC (cf. Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — hash-min variant):
+each round is ONE equi-join (edges ⋈ labels on the src key) plus ONE
+min-aggregate on the node key, both plain shuffles on node ids.
+Rounds needed = graph diameter; near-dup clusters are shallow (dozens
+of docs, diameter ≤ a handful), so 3-5 rounds close real corpora.
+
+Scale properties:
+- only (node_id, label) pairs ever shuffle — never text, never
+  signatures;
+- lineage is truncated every round with localCheckpoint (an iterative
+  algorithm otherwise builds an exponentially deep plan);
+- convergence is detected with a count of changed labels (one cheap
+  action per round over the label frame);
+- the hot loop is DataFrame-only: at 1000 executors each round is an
+  AQE-planned shuffle join, no driver-side data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_ITER = 20
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``pairs``, where
+    cluster_id is the minimum node id in the node's connected
+    component. Raises if max_iter rounds don't converge (a dup graph
+    with diameter > max_iter means the banding is catastrophically
+    under-selective — fail loudly, don't emit wrong clusters)."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_labels = edges.join(
+            labels.withColumnRenamed("id", "u"), "u"
+        ).select(F.col("v").alias("id"), "label")
+        new_labels = (
+            labels.union(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds"
+        )
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_cluster_assignment(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> DataFrame:
+    """Every document mapped to its dup-cluster canonical: documents in
+    no pair are their own singleton cluster; ``is_canonical`` marks the
+    one row per cluster a curation pipeline keeps (min doc_id — the
+    deterministic survivor rule). The join back to ``df`` is on the
+    slim (id, cluster_id) frame — broadcastable whenever the dup-pair
+    population is small relative to the corpus, which is the common
+    case."""
+    comp = connected_components(pairs, src, dst, max_iter)
+    out = df.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return out.withColumn(
+        "is_canonical", (F.col(id_col) == F.col("cluster_id"))
+    )

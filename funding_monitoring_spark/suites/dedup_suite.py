@@ -215,3 +215,64 @@ def q_simhash_near_dup(spark, sf_dir):
     return D.simhash_near_dup(
         load_table(spark, sf_dir, "documents"), max_hamming=MAX_HAMMING
     )
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE sigs AS (
+        SELECT doc_id AS id, {_FPS} AS fps FROM documents
+    ),
+    mh AS (
+        SELECT id, fps,
+               {", ".join(f"{expr} AS s{j}" for j, expr in enumerate(_sql_minhash_sigs()))}
+        FROM sigs
+    ),
+    banded AS (
+        SELECT id, fps, unnest({_sql_band_keys()}) AS band_key FROM mh
+    ),
+    candidates AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b USING (band_key)
+        WHERE a.id < b.id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b, sa.fps AS fps_a, sb.fps AS fps_b
+        FROM candidates c
+        JOIN sigs sa ON sa.id = c.id_a
+        JOIN sigs sb ON sb.id = c.id_b
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM verified WHERE {_JACCARD} >= {THRESHOLD}
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive dup clusters: MinHash-LSH pairs → connected
+    components (hash-min label propagation) → per-document canonical
+    assignment. The oracle computes the same closure with a recursive
+    CTE, so cluster ids are value-checked document by document."""
+    from funding_monitoring_spark.operators.components import (
+        dedup_cluster_assignment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=THRESHOLD)
+    return dedup_cluster_assignment(docs, pairs).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
