@@ -63,6 +63,7 @@ HEADLINE = [
     "tpch_q22_dormant_customers",
     "window_functions_suite",
     "stream_funding_pipeline",
+    "stream_stream_join_attribution",
 ]
 
 

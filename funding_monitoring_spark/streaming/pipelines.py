@@ -226,6 +226,82 @@ def streaming_lending_append(
         q.awaitTermination()
 
 
+#: click→purchase attribution horizon for the stream-stream join
+ATTRIBUTION_HORIZON = "60 minutes"
+
+
+def streaming_click_attribution(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    watermark: str = WATERMARK_DELAY,
+) -> None:
+    """Stream-stream event-time range join (beyond the reference
+    surface — its DAG only ever joins a stream to a static snapshot):
+    a clicks stream inner-joined to a purchases stream on user_id with
+    purchase_ts in [click_ts, click_ts + horizon].
+
+    Both sides carry watermarks; Spark derives each side's state
+    retention from the range condition (clicks must be held for
+    horizon + watermark, purchases only for the watermark), so join
+    state is bounded no matter how long the streams run — the property
+    that makes this viable on an unbounded 100 TB feed.
+
+    Matches append idempotently (per-batch partition overwrite, same
+    contract as the lending append sink); empty batches write nothing,
+    so a retried empty batch is a no-op."""
+    clicks = (
+        stream_from_chunks(spark, chunks_dir, schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream_from_chunks(spark, chunks_dir, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""user_id = p_user_id
+                AND purchase_ts >= click_ts
+                AND purchase_ts <= click_ts + INTERVAL {ATTRIBUTION_HORIZON}"""
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.isEmpty():
+            batch.write.mode("overwrite").parquet(
+                os.path.join(store_path, f"batch_id={batch_id}")
+            )
+
+    writer = joined.writeStream.foreachBatch(on_batch)
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
 #: EWMA smoothing factor — 0.25 is exactly representable in binary, so
 #: the recursive fold is bit-identical across Python, Spark, and DuckDB
 EWMA_ALPHA = 0.25
@@ -347,6 +423,12 @@ def _dispatch_pipeline(
     if pipeline == "lending_append":
         store = os.path.join(workdir, "lending")
         streaming_lending_append(
+            spark, chunks_dir, schema, store, checkpoint
+        )
+        return spark.read.parquet(store).drop("batch_id")
+    if pipeline == "click_attribution":
+        store = os.path.join(workdir, "attribution")
+        streaming_click_attribution(
             spark, chunks_dir, schema, store, checkpoint
         )
         return spark.read.parquet(store).drop("batch_id")

@@ -153,3 +153,27 @@ def q_stream_funding_pipeline(spark, sf_dir):
     return replay_events_pipeline(
         spark, events, _workdir(), "funding_pipeline", N_CHUNKS
     )
+
+
+@query(
+    "stream_stream_join_attribution",
+    """
+    SELECT a.user_id,
+           a.event_id AS click_id,
+           a.ts AS click_ts,
+           b.event_id AS purchase_id,
+           b.ts AS purchase_ts,
+           b.value AS purchase_value
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream range join: clicks ⋈ purchases within a 60-minute
+    attribution horizon, both sides watermarked (bounded join state);
+    the appended match set == the batch range join."""
+    events = load_table(spark, sf_dir, "events")
+    return replay_events_pipeline(
+        spark, events, _workdir(), "click_attribution", N_CHUNKS
+    )
