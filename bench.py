@@ -62,6 +62,10 @@ HEADLINE = [
     "tpch_q19_discounted_revenue",
     "tpch_q22_dormant_customers",
     "window_functions_suite",
+    "tpch_q7_nation_volume",
+    "pivot_status_by_priority",
+    "cube_revenue",
+    "embedding_centroids",
     "stream_funding_pipeline",
     "stream_stream_join_attribution",
 ]

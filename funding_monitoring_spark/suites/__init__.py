@@ -5,6 +5,7 @@ from funding_monitoring_spark.suites import (  # noqa: F401
     batch_ops,
     dedup_suite,
     multimodal_suite,
+    olap_suite,
     pipeline_parity,
     reference_core,
     sampling_suite,

@@ -1,0 +1,181 @@
+"""General OLAP surface beyond the reference: pivot/unpivot, CUBE with
+grouping ids, set operations, approximate quantiles, and vector-column
+aggregation. Everything except the (by-construction approximate)
+quantile sketch is oracle-checked value-by-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.operators.vectorops import centroids_long
+from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.sources.tables import load_table
+
+ORDER_STATUSES = ["F", "O", "P"]
+
+
+@query(
+    "pivot_status_by_priority",
+    f"""
+    SELECT o_orderpriority,
+           {", ".join(
+               f"ROUND(SUM(CASE WHEN o_orderstatus = '{s}' "
+               f"THEN o_totalprice END), 6) AS status_{s.lower()}"
+               for s in ORDER_STATUSES
+           )}
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot: order status → columns. The value list is explicit, so
+    Spark skips the extra distinct-values job and plans ONE shuffle
+    (pivot_first partial aggregation map-side, same as any agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(F.round(F.sum("o_totalprice"), 6))
+    )
+    renames = {s: f"status_{s.lower()}" for s in ORDER_STATUSES}
+    return pivoted.withColumnsRenamed(renames)
+
+
+@query(
+    "unpivot_part_attrs",
+    """
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val
+    FROM part
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt: wide numeric attributes → (key, attr, val) long
+    form — a pure per-row expansion (Expand node), no shuffle at all."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.col("p_size").cast("double"), "p_retailprice"
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf_dir):
+    """CUBE over two dimensions + grouping_id: all 2^2 aggregation
+    granularities in one pass (Expand multiplies rows pre-shuffle by
+    the granularity count; partial agg still collapses map-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "revenue", "n_items"
+        )
+    )
+
+
+@query(
+    "set_intersect_nations",
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    """INTERSECT (distinct): nations with customers in both segments."""
+    c = load_table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return building.intersect(auto)
+
+
+@query(
+    "set_except_nations",
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_nationkey FROM customer
+    WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000.0
+    """,
+)
+def q_set_except(spark, sf_dir):
+    """EXCEPT (set difference, distinct semantics — `subtract`, not
+    `exceptAll`): nations with BUILDING customers but no high-balance
+    AUTOMOBILE customer (the balance predicate keeps the difference
+    non-empty at every fixture SF)."""
+    c = load_table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    auto = c.filter(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 9000.0)
+    ).select("c_nationkey")
+    return building.subtract(auto)
+
+
+@query("approx_quantiles_events", None)
+def q_approx_quantiles(spark, sf_dir):
+    """Approximate per-type quantiles via the Greenwald-Khanna sketch
+    (percentile_approx) — mergeable partial sketches, so one shuffle of
+    sketch state instead of a global sort. Approximate by construction
+    → rows-only driver check; the accuracy bound against exact
+    percentiles is asserted in tests/test_extensions.py."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = F.percentile_approx(
+        "value", [0.25, 0.5, 0.75, 0.9], 10_000
+    ).alias("qs")
+    return (
+        ev.groupBy("event_type")
+        .agg(qs)
+        .select(
+            "event_type",
+            F.round(F.col("qs")[0], 6).alias("q25"),
+            F.round(F.col("qs")[1], 6).alias("q50"),
+            F.round(F.col("qs")[2], 6).alias("q75"),
+            F.round(F.col("qs")[3], 6).alias("q90"),
+        )
+    )
+
+
+@query(
+    "embedding_centroids",
+    """
+    WITH dims AS (
+        SELECT unnest(range(1,
+            (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i
+    )
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           ROUND(AVG(list_extract(embedding, CAST(i AS INT))), 6) AS centroid
+    FROM embeddings CROSS JOIN dims
+    GROUP BY label, i
+    """,
+)
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroid, long form — the UDF-free vector
+    aggregation pattern (posexplode → codegen'd shuffle agg with
+    map-side combine; the exchange carries |labels|·dims rows however
+    large the corpus is). Array reassembly lives in
+    operators/vectorops.group_centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroids_long(emb, "label", "embedding")

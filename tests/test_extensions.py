@@ -99,3 +99,44 @@ def test_approx_distinct_within_rsd_bound(spark, sf_dir):
         assert abs(approx[k] - exact[k]) <= max(1, 0.15 * exact[k]), (
             k, approx[k], exact[k],
         )
+
+
+def test_approx_quantiles_within_sketch_bound(spark, sf_dir):
+    """percentile_approx(accuracy=10000) must land within 1/accuracy
+    rank error of the exact percentile; checked on the ungrouped value
+    distribution (the registered query's rows-only check covers
+    execution, this covers accuracy)."""
+    from funding_monitoring_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    approx, exact = ev.agg(
+        F.percentile_approx("value", 0.5, 10_000),
+        F.expr("percentile(value, 0.5)"),
+    ).first()
+    values = sorted(r[0] for r in ev.select("value").collect())
+    n = len(values)
+    # rank of the approx answer must be within n/accuracy of the median rank
+    import bisect
+
+    rank = bisect.bisect_left(values, approx)
+    assert abs(rank - n / 2) <= max(1, n / 10_000) + 1
+
+
+def test_group_centroids_reassembles_long_form(spark, sf_dir):
+    """group_centroids (array form) must equal centroids_long pivoted
+    by dim — deterministic dim order independent of shuffle arrival."""
+    from funding_monitoring_spark.operators.vectorops import (
+        centroids_long,
+        group_centroids,
+    )
+    from funding_monitoring_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wide = {
+        r["label"]: r["centroid"] for r in group_centroids(emb).collect()
+    }
+    long = centroids_long(emb).collect()
+    for r in long:
+        assert wide[r["label"]][r["dim"]] == r["centroid"]
+    assert all(len(v) == 64 for v in wide.values())
