@@ -226,6 +226,69 @@ def streaming_lending_append(
         q.awaitTermination()
 
 
+#: session gap for the streaming sessionization pipeline — matches the
+#: batch session_window query (suites/temporal_suite.py GAP_SECONDS)
+SESSION_GAP_SECONDS = 8 * 3600
+
+
+def streaming_session_windows(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    available_now: bool = True,
+    watermark: str = WATERMARK_DELAY,
+) -> None:
+    """Stateful merging session windows over the stream: Spark's
+    session_window aggregation in update mode, upserted by
+    (user_id, session_start).
+
+    Streaming session windows support APPEND mode only (Spark emits a
+    session exactly once, when the watermark passes its end — merging
+    windows cannot re-emit safely). A bounded replay therefore needs a
+    flush: callers append a far-future sentinel event whose arrival
+    advances the watermark past every real session's end (the standard
+    close-of-stream technique; the suite query filters the sentinel's
+    own session back out). The foreachBatch upsert keeps the sink
+    idempotent under batch retry even though each session arrives only
+    once."""
+    src = stream_from_chunks(spark, chunks_dir, schema)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_seconds} seconds").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ROUND).alias("sum_value"),
+        )
+    )
+
+    def flatten(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+
+    writer = agg.writeStream.outputMode("append").foreachBatch(
+        upsert_writer(
+            store_path,
+            key_cols=["user_id", "session_start"],
+            order_cols=["n_events"],
+            transform=flatten,
+        )
+    )
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
 #: click→purchase attribution horizon for the stream-stream join
 ATTRIBUTION_HORIZON = "60 minutes"
 
@@ -426,6 +489,12 @@ def _dispatch_pipeline(
             spark, chunks_dir, schema, store, checkpoint
         )
         return spark.read.parquet(store).drop("batch_id")
+    if pipeline == "session_windows":
+        store = os.path.join(workdir, "sessions")
+        streaming_session_windows(
+            spark, chunks_dir, schema, store, checkpoint
+        )
+        return spark.read.parquet(store)
     if pipeline == "click_attribution":
         store = os.path.join(workdir, "attribution")
         streaming_click_attribution(

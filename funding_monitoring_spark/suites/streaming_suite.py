@@ -177,3 +177,59 @@ def q_stream_stream_join(spark, sf_dir):
     return replay_events_pipeline(
         spark, events, _workdir(), "click_attribution", N_CHUNKS
     )
+
+
+GAP_SECONDS = 8 * 3600  # == temporal_suite.GAP_SECONDS (batch twin)
+
+
+@query(
+    "stream_session_windows",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP))
+                            - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                            >= {GAP_SECONDS * 1_000_000} THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {GAP_SECONDS} SECOND AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_windows(spark, sf_dir):
+    """Merging session windows maintained as streaming state across
+    micro-batches (append mode — Spark emits each session once its end
+    passes the watermark). A far-future sentinel event flushes the
+    final sessions at end-of-replay (close-of-stream technique); its
+    own one-event session is filtered back out. Store == the batch
+    lag-based sessionization."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.max("ts").alias("m")).first()
+    flush_ts = bounds["m"] + __import__("datetime").timedelta(
+        seconds=GAP_SECONDS + 2 * 600 + 60
+    )
+    sentinel = events.sparkSession.createDataFrame(
+        [(-1, flush_ts, -1, "sentinel", 0.0, None)], events.schema
+    )
+    out = replay_events_pipeline(
+        spark,
+        events.unionByName(sentinel),
+        _workdir(),
+        "session_windows",
+        N_CHUNKS,
+    )
+    return out.filter(F.col("user_id") >= 0)
