@@ -179,3 +179,122 @@ def q_curation_pipeline(spark, sf_dir):
     return filtered.join(
         canon.select("doc_id"), on="doc_id", how="left_semi"
     ).select("doc_id", "n_tokens", "quality", "detected_lang")
+
+
+# -- capstone: curation with transitive near-dup clustering + split ------
+
+SPLIT_TRAIN_FRACTION = 0.9
+SPLIT_SEED = 13
+
+
+def _full_curation_oracle() -> str:
+    """Composite oracle assembled from the SAME SQL fragments the
+    individual stage oracles use (enrich/filter from this module,
+    MinHash-LSH + recursive closure from dedup_suite, hash split from
+    operators/sampling) — the composite check is exactly the
+    composition of the verified pieces."""
+    from funding_monitoring_spark.operators.sampling import (
+        hash_threshold,
+        oracle_hash_expr,
+    )
+    from funding_monitoring_spark.suites import dedup_suite as DS
+
+    sig_cols = ", ".join(
+        f"{expr} AS s{j}" for j, expr in enumerate(DS._sql_minhash_sigs())
+    )
+    split_hash = oracle_hash_expr("doc_id", SPLIT_SEED)
+    return f"""
+    WITH RECURSIVE enriched AS (
+        SELECT doc_id, text,
+               len({_SQL_TOKENS}) AS n_tokens,
+               {_QUALITY_EXPR} AS quality,
+               {_lang_case_expr()} AS detected_lang
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM enriched
+        WHERE n_tokens >= {MIN_TOKENS}
+          AND quality >= {MIN_QUALITY}
+          AND detected_lang = 'en'
+    ),
+    sigs AS (
+        SELECT doc_id AS id, {DS._FPS} AS fps FROM filtered
+    ),
+    mh AS (SELECT id, fps, {sig_cols} FROM sigs),
+    banded AS (
+        SELECT id, fps, unnest({DS._sql_band_keys()}) AS band_key FROM mh
+    ),
+    candidates AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b USING (band_key)
+        WHERE a.id < b.id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b, sa.fps AS fps_a, sb.fps AS fps_b
+        FROM candidates c
+        JOIN sigs sa ON sa.id = c.id_a
+        JOIN sigs sb ON sb.id = c.id_b
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM verified
+        WHERE {DS._JACCARD} >= {DS.THRESHOLD}
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT f.doc_id, f.n_tokens, f.quality,
+           CASE WHEN {split_hash}
+                     < {hash_threshold(SPLIT_TRAIN_FRACTION)}
+                THEN 'train' ELSE 'test' END AS split
+    FROM filtered f LEFT JOIN comp c ON c.id = f.doc_id
+    WHERE COALESCE(c.cluster_id, f.doc_id) = f.doc_id
+    """
+
+
+@query("curation_pipeline_full", _full_curation_oracle())
+def q_curation_pipeline_full(spark, sf_dir):
+    """The end-to-end training-data curation capstone: enrich → filter
+    (quality/length/language, all scan-stage) → MinHash-LSH near-dup
+    pairs over the SURVIVORS only → transitive cluster resolution
+    (connected components) keeping one canonical doc per cluster →
+    deterministic train/test split. Stage order is the scale order:
+    cheap row-local filters first, the quadratic-risk pair stage only
+    over the filtered corpus, the iterative closure only over actual
+    dup pairs, and the split is a free scan predicate."""
+    from funding_monitoring_spark.operators import dedup as D
+    from funding_monitoring_spark.operators.components import (
+        dedup_cluster_assignment,
+    )
+    from funding_monitoring_spark.operators.sampling import train_test_split
+    from funding_monitoring_spark.suites.dedup_suite import THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        X.token_count("text").alias("n_tokens"),
+        F.round(X.quality_score("text"), 6).alias("quality"),
+        X.lang_id("text").alias("detected_lang"),
+    )
+    filtered = enriched.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("quality") >= MIN_QUALITY)
+        & (F.col("detected_lang") == "en")
+    ).persist()  # the survivor set feeds the pair stage, the cluster
+    # assignment join, and the final projection — compute the (heavy,
+    # interpreted) quality/lang enrichment once, not once per consumer
+    pairs = D.minhash_lsh_pairs(filtered, threshold=THRESHOLD)
+    canonical = dedup_cluster_assignment(filtered, pairs).filter(
+        F.col("is_canonical")
+    )
+    return train_test_split(
+        canonical, "doc_id", SPLIT_TRAIN_FRACTION, SPLIT_SEED
+    ).select("doc_id", "n_tokens", "quality", "split")
