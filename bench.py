@@ -63,6 +63,9 @@ HEADLINE = [
     "tpch_q22_dormant_customers",
     "window_functions_suite",
     "tpch_q7_nation_volume",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
     "pivot_status_by_priority",
     "cube_revenue",
     "embedding_centroids",

@@ -612,3 +612,42 @@ def q_nested_json_explode(spark, sf_dir):
     return parsed.select(
         "user_id", F.explode(F.col("j.data.dataList")).alias("row")
     ).select("user_id", F.col("row.event_id"), F.col("row.value"))
+
+
+@query(
+    "full_outer_reconciliation",
+    """
+    SELECT COALESCE(b.c_nationkey, a.c_nationkey) AS nationkey,
+           a.n_auto, b.n_building
+    FROM (SELECT c_nationkey, COUNT(*) AS n_auto FROM customer
+          WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000.0
+          GROUP BY c_nationkey) a
+    FULL OUTER JOIN
+         (SELECT c_nationkey, COUNT(*) AS n_building FROM customer
+          WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0
+          GROUP BY c_nationkey) b
+      ON a.c_nationkey = b.c_nationkey
+    """,
+)
+def q_full_outer(spark, sf_dir):
+    """FULL OUTER join reconciliation of two aggregate snapshots —
+    unmatched sides surface as NULL counts instead of vanishing (the
+    audit shape: which nations appear in one segment census but not
+    the other)."""
+    c = load_table(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") > 9000.0)
+    a = (
+        hi.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .groupBy(F.col("c_nationkey").alias("a_key"))
+        .agg(F.count(F.lit(1)).alias("n_auto"))
+    )
+    b = (
+        hi.filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("b_key"))
+        .agg(F.count(F.lit(1)).alias("n_building"))
+    )
+    return a.join(b, a.a_key == b.b_key, "full_outer").select(
+        F.coalesce(F.col("b_key"), F.col("a_key")).alias("nationkey"),
+        "n_auto",
+        "n_building",
+    )
