@@ -700,19 +700,25 @@ def q_tpch_q15(spark, sf_dir):
 def q_tpch_q17(spark, sf_dir):
     """Q17 shape: correlated per-part average → de-correlated into a
     grouped aggregate joined back on partkey (never a per-row
-    subquery); the brand filter prunes the part side before both
-    joins, and the per-part thresholds broadcast."""
+    subquery). The brand filter is applied to lineitem BEFORE the
+    threshold aggregate: per-part averages are unchanged (the filter
+    is a part attribute), but the threshold table shrinks from every
+    part to the one brand's parts — at 100 TB the difference between
+    a broadcastable threshold side and an impossible one. The brand
+    fact subset persists: it feeds both the aggregate and the probe."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#12"
     ).select("p_partkey")
-    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
-    )
+    li_brand = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi"
+    ).persist()
+    thresholds = li_brand.groupBy(
+        F.col("l_partkey").alias("t_partkey")
+    ).agg((F.avg("l_quantity") * 0.2).alias("qty_threshold"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(
-            F.broadcast(thresholds), li.l_partkey == F.col("t_partkey")
+        li_brand.join(
+            F.broadcast(thresholds), li_brand.l_partkey == F.col("t_partkey")
         )
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
