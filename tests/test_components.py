@@ -48,3 +48,38 @@ def test_assignment_covers_singletons(spark):
     assert rows[2] == (2, True) and rows[3] == (3, True) and rows[5] == (5, True)
     # exactly one canonical per cluster
     assert sum(1 for c, canon in rows.values() if canon) == 4
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property check: hash-min propagation equals a driver-side
+    union-find on random graphs (seeded) — exercises merges of
+    provisional clusters, multi-component graphs, and self-loops."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(5):
+        n = rng.randint(5, 40)
+        edges = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(1, 60))
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        nodes_in_edges = {x for e in edges for x in e}
+        expected = {
+            x: min(y for y in nodes_in_edges if find(y) == find(x))
+            for x in nodes_in_edges
+        }
+        comp = connected_components(
+            _pairs(spark, [(u, v) for u, v in edges])
+        )
+        got = {r["id"]: r["cluster_id"] for r in comp.collect()}
+        assert got == expected, (edges, got, expected)
