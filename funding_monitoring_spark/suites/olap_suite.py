@@ -20,8 +20,9 @@ ORDER_STATUSES = ["F", "O", "P"]
     f"""
     SELECT o_orderpriority,
            {", ".join(
-               f"ROUND(SUM(CASE WHEN o_orderstatus = '{s}' "
-               f"THEN o_totalprice END), 6) AS status_{s.lower()}"
+               f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN "
+               f"CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) "
+               f"AS status_{s.lower()}"
                for s in ORDER_STATUSES
            )}
     FROM orders GROUP BY o_orderpriority
@@ -35,7 +36,8 @@ def q_pivot(spark, sf_dir):
     pivoted = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ORDER_STATUSES)
-        .agg(F.round(F.sum("o_totalprice"), 6))
+        # exact decimal sum -> double: order-independent at any SF
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"))
     )
     renames = {s: f"status_{s.lower()}" for s in ORDER_STATUSES}
     return pivoted.withColumnsRenamed(renames)
@@ -70,7 +72,8 @@ def q_unpivot(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -85,9 +88,14 @@ def q_cube(spark, sf_dir):
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue"),
+            # exact decimal sum -> double: the global CUBE cell sums the
+            # whole fact table, where 6-decimal double rounding is
+            # past the significand at large SF
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .select(

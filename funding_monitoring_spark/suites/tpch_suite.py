@@ -29,10 +29,12 @@ Q5_REGION = "ASIA"
     f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 6) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
-               AS sum_charge,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            ROUND(AVG(l_discount), 6) AS avg_disc,
            COUNT(*) AS count_order
@@ -43,18 +45,27 @@ Q5_REGION = "ASIA"
 )
 def q_tpch_q1(spark, sf_dir):
     """Q1 shape: predicate pushed to the scan, one shuffle on a
-    6-value grouping key, everything else map-side partial agg."""
+    6-value grouping key, everything else map-side partial agg.
+
+    The money sums aggregate in DECIMAL(18,6): at large SF these sums
+    reach 10^10 where a 6-decimal double rounding sits past double's
+    significand, so summation order flips the last digit — decimal
+    addition is exact and order-independent at any scale; the final
+    cast to double is then derived from the same exact value in both
+    engines (bit-identical)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit(f"{Q1_CUTOFF} 00:00:00").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def dec_sum(c):
+        return F.sum(c.cast("decimal(18,6)")).cast("double")
+
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias(
-            "sum_charge"
-        ),
+        dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dec_sum(disc_price).alias("sum_disc_price"),
+        dec_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
