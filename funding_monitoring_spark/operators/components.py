@@ -53,37 +53,42 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        neighbor_labels = edges.join(
-            labels.withColumnRenamed("id", "u"), "u"
-        ).select(F.col("v").alias("id"), "label")
-        new_labels = (
-            labels.union(neighbor_labels)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
+    try:
+        labels = (
+            edges.select(F.col("u").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components: no convergence in {max_iter} rounds"
-        )
-    edges.unpersist()
+        for _ in range(max_iter):
+            neighbor_labels = edges.join(
+                labels.withColumnRenamed("id", "u"), "u"
+            ).select(F.col("v").alias("id"), "label")
+            new_labels = (
+                labels.union(neighbor_labels)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} rounds"
+            )
+    finally:
+        # release the cached edge frame on success AND on the
+        # non-convergence raise — a leaked persist would pin the edge
+        # set in storage memory for the session's lifetime
+        edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -308,10 +308,12 @@ def simhash_signatures_df(
     natural-language vocabularies grow ~O(corpus^0.5) (Heaps' law)
     while the token stream grows linearly, so at any scale the
     expensive interpreted fold touches a vanishing fraction of rows
-    (measured 4.0s → 1.6s for the near-dup pipeline at sf0.1). A
-    broadcast-defeating vocabulary (>~100M distinct tokens) degrades
-    to a shuffle join on `tok` — still strictly less work than
-    re-hashing every occurrence.
+    (measured 4.0s → 1.6s for the near-dup pipeline at sf0.1). The
+    broadcast is an explicit hint, sized for real vocabularies (even
+    web-scale corpora stay in the tens of millions of tokens); a
+    corpus whose vocabulary would defeat the broadcast needs the hint
+    swapped for a plain (shuffle) join on `tok` — still strictly less
+    work than re-hashing every occurrence.
     """
     occurrences = df.select(
         F.col(id_col).alias("id"),

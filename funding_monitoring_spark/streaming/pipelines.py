@@ -35,6 +35,7 @@ from funding_monitoring_spark.streaming.sinks import (
 
 #: duplicate horizon: duplicates only arise between adjacent ticks
 #: (SURVEY.md §7 "What's hard" #5) → 2× the 5-min trigger interval
+WATERMARK_DELAY_SECONDS = 600
 WATERMARK_DELAY = "10 minutes"
 TRIGGER_INTERVAL = "5 minutes"  # the reference cadence
 
@@ -226,8 +227,8 @@ def streaming_lending_append(
         q.awaitTermination()
 
 
-#: session gap for the streaming sessionization pipeline — matches the
-#: batch session_window query (suites/temporal_suite.py GAP_SECONDS)
+#: session gap for the streaming sessionization pipeline — the single
+#: canonical value; both session suites import it
 SESSION_GAP_SECONDS = 8 * 3600
 
 
@@ -242,8 +243,8 @@ def streaming_session_windows(
     watermark: str = WATERMARK_DELAY,
 ) -> None:
     """Stateful merging session windows over the stream: Spark's
-    session_window aggregation in update mode, upserted by
-    (user_id, session_start).
+    session_window aggregation (append mode), written through the
+    idempotent upsert sink keyed on (user_id, session_start).
 
     Streaming session windows support APPEND mode only (Spark emits a
     session exactly once, when the watermark passes its end — merging
@@ -363,6 +364,13 @@ def streaming_click_attribution(
     q = _run(writer, available_now, checkpoint)
     if available_now:
         q.awaitTermination()
+        if not os.path.exists(store_path):
+            # zero matches in every batch: materialize an empty store
+            # with the join schema so readers get an empty frame, not
+            # a path-not-found error
+            spark.createDataFrame([], joined.schema).write.mode(
+                "overwrite"
+            ).parquet(store_path)
 
 
 #: EWMA smoothing factor — 0.25 is exactly representable in binary, so
@@ -405,23 +413,14 @@ def streaming_ewma_stateful(
             ewma, n = state.get
         else:
             ewma, n = 0.0, 0
-        if len(vals) >= 512:
-            # pandas ewm(adjust=False) evaluates the identical
-            # recurrence y = y·(1-α) + x·α in C — bit-identical to the
-            # sequential fold — and wins once groups are big enough to
-            # amortize its per-call machinery; below that the plain
-            # loop is faster (fixture batches carry ~33 rows/key).
-            # Carried state seeds the recurrence as element 0.
-            seeded = (
-                pd.concat([pd.Series([ewma]), vals], ignore_index=True)
-                if n > 0
-                else vals
-            )
-            ewma = float(
-                seeded.ewm(alpha=alpha, adjust=False).mean().iloc[-1]
-            )
-            n += len(vals)
-        elif len(vals):
+        if len(vals):
+            # plain sequential fold — semantically exact (NaN inputs
+            # poison the state, same as the list_reduce oracle) and
+            # faster than pandas ewm machinery at realistic per-key
+            # batch sizes (ewm's per-call overhead only amortizes past
+            # ~512 rows/key, and its NaN handling diverges from the
+            # fold — gap-adjusted skip vs propagation — so it is not a
+            # drop-in fast path)
             it = iter(vals)
             if n == 0:
                 ewma = float(next(it))

@@ -20,6 +20,9 @@ from funding_monitoring_spark.pipeline.funding_stats import (
     funding_stats_oracle_sql,
 )
 from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.suites.temporal_suite import (
+    session_window_oracle_sql,
+)
 from funding_monitoring_spark.sources.tables import load_table
 from funding_monitoring_spark.streaming.pipelines import replay_events_pipeline
 
@@ -186,35 +189,9 @@ def q_stream_stream_join(spark, sf_dir):
     )
 
 
-GAP_SECONDS = 8 * 3600  # == temporal_suite.GAP_SECONDS (batch twin)
-
-
-@query(
-    "stream_session_windows",
-    f"""
-    WITH flagged AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_us(CAST(ts AS TIMESTAMP))
-                            - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
-                            >= {GAP_SECONDS * 1_000_000} THEN 1
-                    ELSE 0 END AS is_new
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sess AS (
-        SELECT user_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS sid
-        FROM flagged
-    )
-    SELECT user_id,
-           MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL {GAP_SECONDS} SECOND AS session_end,
-           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
-    FROM sess GROUP BY user_id, sid
-    """,
-)
+# the SAME oracle text as the batch session_window_agg query — gap and
+# boundary rule can never drift between the twins
+@query("stream_session_windows", session_window_oracle_sql())
 def q_stream_session_windows(spark, sf_dir):
     """Merging session windows maintained as streaming state across
     micro-batches (append mode — Spark emits each session once its end
@@ -224,10 +201,20 @@ def q_stream_session_windows(spark, sf_dir):
     lag-based sessionization."""
     from pyspark.sql import functions as F
 
+    from datetime import timedelta
+
+    from funding_monitoring_spark.streaming.pipelines import (
+        SESSION_GAP_SECONDS,
+        WATERMARK_DELAY_SECONDS,
+    )
+
     events = load_table(spark, sf_dir, "events")
     bounds = events.agg(F.max("ts").alias("m")).first()
-    flush_ts = bounds["m"] + __import__("datetime").timedelta(
-        seconds=GAP_SECONDS + 2 * 600 + 60
+    # the sentinel must push the watermark (= max event time - delay)
+    # past every real session's end (= last event + gap): derive the
+    # margin from the same constants the pipeline runs with
+    flush_ts = bounds["m"] + timedelta(
+        seconds=SESSION_GAP_SECONDS + 2 * WATERMARK_DELAY_SECONDS + 60
     )
     sentinel = events.sparkSession.createDataFrame(
         [(-1, flush_ts, -1, "sentinel", 0.0, None)], events.schema

@@ -17,8 +17,39 @@ from pyspark.sql import functions as F
 from funding_monitoring_spark.operators import temporal as T
 from funding_monitoring_spark.registry import query
 from funding_monitoring_spark.sources.tables import load_table
+from funding_monitoring_spark.streaming.pipelines import (
+    SESSION_GAP_SECONDS as GAP_SECONDS,
+)
 
-GAP_SECONDS = 8 * 3600
+
+def session_window_oracle_sql(gap_seconds: int = GAP_SECONDS) -> str:
+    """Lag-based SQL formulation of merging gap sessions — shared by
+    the batch session_window query and its streaming twin so the two
+    can never drift apart on gap or boundary rule (new session iff
+    gap >= threshold; end = last event + gap)."""
+    return f"""
+    WITH flagged AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP))
+                            - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                            >= {gap_seconds * 1_000_000} THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {gap_seconds} SECOND AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """
 ATTRIBUTION_SECONDS = 24 * 3600
 
 
@@ -113,32 +144,7 @@ def q_sessionize(spark, sf_dir):
     )
 
 
-@query(
-    "session_window_agg",
-    f"""
-    WITH flagged AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_us(CAST(ts AS TIMESTAMP))
-                            - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
-                            >= {GAP_SECONDS * 1_000_000} THEN 1
-                    ELSE 0 END AS is_new
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sess AS (
-        SELECT user_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS sid
-        FROM flagged
-    )
-    SELECT user_id,
-           MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL {GAP_SECONDS} SECOND AS session_end,
-           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
-    FROM sess GROUP BY user_id, sid
-    """,
-)
+@query("session_window_agg", session_window_oracle_sql())
 def q_session_window(spark, sf_dir):
     """Spark's native session_window aggregation (merging gap
     windows; window end = last event + gap) checked against the
