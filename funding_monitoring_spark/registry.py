@@ -30,14 +30,81 @@ def query(name: str, sql: str | None):
     return deco
 
 
+#: Driver-verification priority. The per-round differential driver
+#: checks only the FIRST 50 entries of queries(), so ordering decides
+#: which queries get an external correctness row this round. Round 1
+#: verified the 50 batch/dedup/parity/sampling queries; this round the
+#: previously-unchecked families (TPC-H, temporal, streaming,
+#: similarity, text, window) plus every query new in round 2 go first,
+#: so cumulative driver coverage reaches the whole registry. Rotate in
+#: future rounds so no query's driver row goes stale.
+_PRIORITY: list[str] = [
+    # TPC-H family (15)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_classes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_dormant_customers",
+    # temporal (4)
+    "asof_join_backward",
+    "sessionize_events",
+    "session_window_agg",
+    "interval_join_attribution",
+    # streaming (7)
+    "stream_upsert_rates",
+    "stream_tumbling_rollup",
+    "stream_lending_append",
+    "stream_ewma_stateful",
+    "stream_funding_pipeline",
+    "stream_stream_join_attribution",
+    "stream_session_windows",
+    # similarity / ANN (5)
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "ann_cosine_topk_scale",
+    "ann_cosine_topk_ivf",
+    "embedding_near_dup",
+    # text (5)
+    "token_count",
+    "doc_fingerprint",
+    "text_quality",
+    "lang_id",
+    "curation_pipeline",
+    "curation_pipeline_full",
+    # window family + remaining round-1 stragglers (2)
+    "window_functions_suite",
+    "train_test_split_stats",
+    # --- new in round 2 (each needs a first driver row) ---
+    "embedding_near_dup_exact",
+    "paged_backfill",
+    "ann_cosine_topk_ivf_kmeans",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = {k: d[k] for k in _PRIORITY if k in d}
+    tail = {k: v for k, v in d.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 _LOADED = False
