@@ -342,9 +342,73 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ threshold (id_a < id_b).
-    Brute-force form; at scale swap the cross join for the LSH
-    bucket equi-join above (same scoring expression)."""
+    """Near-duplicate pairs by cosine ≥ threshold (id_a < id_b), the
+    scale path: band-then-verify, mirroring `minhash_lsh_pairs`.
+
+    Candidate pairs must share ≥1 of the N_TABLES hyperplane buckets —
+    a self-equi-join on the exploded bucket key, never a cross join —
+    then every candidate is verified with the exact cosine before the
+    threshold filter. Recall is the LSH collision probability (tuned
+    by N_TABLES × N_PLANES); precision is exact thanks to the verify
+    step. At 100 TB the bucketed signature frame is the persisted
+    index: the self-join shuffles only (id, bucket) pairs, the verify
+    join fetches embeddings for surviving candidates only, and hot
+    buckets split via AQE skew handling.
+    """
+    # (id, emb, norm, buckets) computed once and persisted — the
+    # 12-fold hyperplane projection is the expensive part and the
+    # frame is scanned three times (band self-join ×2, verify join ×2
+    # via the un-exploded view).
+    vecs = _prep(df, id_col, emb_col, "q").withColumn(
+        "buckets", bucket_keys(F.col("q_emb"))
+    ).persist()
+
+    bands = vecs.select("q_id", F.explode("buckets").alias("bucket"))
+    candidates = (
+        bands.select(F.col("q_id").alias("id_a"), "bucket")
+        .join(bands.select(F.col("q_id").alias("id_b"), "bucket"), "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = candidates.join(
+        vecs.select(
+            F.col("q_id").alias("id_a"),
+            F.col("q_emb").alias("a_emb"),
+            F.col("q_norm").alias("a_norm"),
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col("q_id").alias("id_b"),
+            F.col("q_emb").alias("b_emb"),
+            F.col("q_norm").alias("b_norm"),
+        ),
+        "id_b",
+    )
+    scored = verified.withColumn(
+        "score",
+        F.round(
+            seq_dot(F.col("a_emb"), F.col("b_emb"))
+            / (F.col("a_norm") * F.col("b_norm")),
+            SCORE_ROUND,
+        ),
+    )
+    return scored.filter(F.col("score") >= threshold).select(
+        "id_a", "id_b", "score"
+    )
+
+
+def embedding_near_dup_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs (id_a < id_b): the brute-force
+    all-pairs twin of `embedding_near_dup`, kept as the bounded-input
+    oracle baseline for recall measurement — O(N²), never the scale
+    path."""
     a = _prep(df, id_col, emb_col, "q")
     b = _prep(df, id_col, emb_col, "c")
     pairs = a.crossJoin(b).filter(F.col("q_id") < F.col("c_id"))

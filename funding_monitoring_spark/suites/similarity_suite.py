@@ -225,6 +225,37 @@ def q_ann_ivf(spark, sf_dir):
     f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings WHERE vec_id < {NEAR_DUP_LIMIT}),
+    vb AS (SELECT vec_id, unnest({_sql_bucket_keys('emb')}) AS bucket
+           FROM v),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM vb a JOIN vb b USING (bucket) WHERE a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b, va.emb AS q_emb, vc.emb AS c_emb
+        FROM cand JOIN v va ON va.vec_id = cand.id_a
+                  JOIN v vc ON vc.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, {_SQL_COSINE} AS score
+    FROM pairs
+    WHERE {_SQL_COSINE} >= {NEAR_DUP_THRESHOLD}
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, LSH band-then-verify —
+    the scale path (bucket equi-join, no cross join; the oracle
+    mirrors the banding so candidate sets agree exactly)."""
+    v = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEAR_DUP_LIMIT
+    )
+    return S.embedding_near_dup(v, threshold=NEAR_DUP_THRESHOLD)
+
+
+@query(
+    "embedding_near_dup_exact",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id < {NEAR_DUP_LIMIT}),
     pairs AS (
         SELECT a.vec_id AS q_id, b.vec_id AS c_id,
                a.emb AS q_emb, b.emb AS c_emb
@@ -235,9 +266,10 @@ def q_ann_ivf(spark, sf_dir):
     WHERE {_SQL_COSINE} >= {NEAR_DUP_THRESHOLD}
     """,
 )
-def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (dedup family member)."""
+def q_embedding_near_dup_exact(spark, sf_dir):
+    """Exact all-pairs near-dup twin (bounded fixture): the recall
+    baseline the LSH path is measured against."""
     v = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < NEAR_DUP_LIMIT
     )
-    return S.embedding_near_dup(v, threshold=NEAR_DUP_THRESHOLD)
+    return S.embedding_near_dup_exact(v, threshold=NEAR_DUP_THRESHOLD)

@@ -138,3 +138,12 @@ def test_window_suite_single_partition_exchange(spark, sf_dir):
     plan = plan_str(ALL["window_functions_suite"](spark, sf_dir))
     exchanges = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert exchanges == {"user_id"}, f"{exchanges}\n{plan}"
+
+
+def test_embedding_near_dup_no_cartesian(spark, sf_dir):
+    """Embedding near-dup must plan as the LSH bucket equi-join —
+    no all-pairs node anywhere (the scale-killer the exact twin
+    keeps for bounded recall measurement only)."""
+    plan = plan_str(ALL["embedding_near_dup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
