@@ -80,8 +80,14 @@ def guarded_recent_means(
             finish(F.max(F.when(F.col("__rn") == 1, v))).alias(latest_col)
         )
     for out_name, n in windows.items():
-        mean_n = F.avg(F.when(F.col("__rn") <= n, v))
-        guarded = F.when(F.count(F.lit(1)) >= n, mean_n)
+        # Guard on the NON-NULL count within the N-row window, not the
+        # group's total row count: pandas rolling(n).mean() (the
+        # reference, min_periods=n) yields NaN when any of the N newest
+        # values is NaN, and a group with >= n rows but a NULL inside
+        # the window must therefore emit NULL, not a mean over fewer
+        # than n values.
+        in_window = F.when(F.col("__rn") <= n, v)
+        guarded = F.when(F.count(in_window) >= n, F.avg(in_window))
         aggs.append(finish(guarded).alias(out_name))
     return ranked.groupBy(*group_cols).agg(*aggs, *extra_aggs)
 

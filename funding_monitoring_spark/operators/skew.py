@@ -74,7 +74,7 @@ def salted_agg(
 
 def with_salted_key(
     df: DataFrame, key_col: str, num_salts: int, out_col: str = "__salted_key"
-) -> Column:
+) -> DataFrame:
     """Explicit salted join key for replicate-broadcast skew joins:
     the skewed fact side gets key||salt; the dim side is exploded
     num_salts× so every salted key finds its match. Returns the fact

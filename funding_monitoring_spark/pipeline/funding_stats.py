@@ -178,8 +178,12 @@ def funding_stats_oracle_sql(
     )
 
     def guarded(n: int, alias: str) -> str:
+        # non-null count within the window, matching
+        # operators.rolling.guarded_recent_means (pandas rolling(n)
+        # min_periods semantics: a NULL among the n newest → NULL)
         return (
-            f"ROUND(CASE WHEN COUNT(*) >= {n} THEN "
+            f"ROUND(CASE WHEN "
+            f"COUNT(CASE WHEN rn <= {n} THEN funding_rate END) >= {n} THEN "
             f"AVG(CASE WHEN rn <= {n} THEN funding_rate END) * {ANNUALIZE} "
             f"END, {ROUND}) AS {alias}"
         )

@@ -28,22 +28,50 @@ from funding_monitoring_spark.operators.upsert import dedupe_batch, upsert
 
 
 def atomic_overwrite(df: DataFrame, path: str) -> None:
-    """Materialize df into `path`, atomically: write a sibling temp dir,
-    then swap. The input may itself read from `path` (the merge case) —
-    it is fully written out before the old dir is touched.
+    """Materialize df into `path`, atomically: write a sibling
+    versioned data dir, then swap a symlink over `path` with a single
+    ``os.replace`` — readers racing the swap resolve either the old or
+    the new version, never a missing path, and a crash at any point
+    leaves `path` valid (rename(2) atomically replaces the link).
+    The input may itself read from `path` (the merge case) — it is
+    fully written out before the swap.
 
-    Local-filesystem rename semantics; on an object store the swap is a
-    manifest/metadata commit (Delta/Iceberg), same idempotence contract.
+    Crash recovery: an interrupted write strands only unreferenced
+    ``.__v_*`` / ``.__ln_*`` siblings; the next successful overwrite
+    garbage-collects every version the current link doesn't point to.
+    On an object store the swap is a manifest/metadata commit
+    (Delta/Iceberg), same idempotence contract.
     """
-    parent = os.path.dirname(os.path.abspath(path))
+    path = os.path.abspath(path)
+    parent = os.path.dirname(path)
     os.makedirs(parent, exist_ok=True)
-    tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    token = uuid.uuid4().hex[:8]
+    data = f"{path}.__v_{token}"
+    df.write.mode("overwrite").parquet(data)
+
+    if os.path.exists(path) and not os.path.islink(path):
+        # legacy real-directory store (pre-symlink layout): one
+        # non-atomic migration rename, after which swaps are atomic
+        os.rename(path, f"{path}.__v_legacy_{token}")
+    link_tmp = f"{path}.__ln_{token}"
+    os.symlink(os.path.basename(data), link_tmp)
+    os.replace(link_tmp, path)  # the atomic commit point
+
+    current = os.readlink(path)
+    base = os.path.basename(path)
+    for entry in os.listdir(parent):
+        stale_version = (
+            entry.startswith(f"{base}.__v_") and entry != current
+        )
+        stale_link = entry.startswith(f"{base}.__ln_")
+        stale_old = entry.startswith(f"{base}.__old_")  # pre-rewrite era
+        if stale_version or stale_old:
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        elif stale_link:
+            try:
+                os.unlink(os.path.join(parent, entry))
+            except OSError:
+                pass
 
 
 def upsert_writer(

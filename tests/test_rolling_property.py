@@ -87,3 +87,36 @@ def test_guarded_means_match_reference(spark, groups, n_window):
             assert a is None, (g, a, b)
         else:
             assert a is not None and abs(a - b) <= 1e-9, (g, a, b)
+
+
+def test_null_inside_window_poisons_mean(spark):
+    """A NULL among the N newest values must yield NULL (pandas
+    rolling(n).mean() min_periods semantics), even when the group has
+    >= N total rows — the guard counts non-null values INSIDE the
+    window, not group size (ADVICE r1)."""
+    rows = [
+        # g1: 3 rows, newest (t=3) is NULL → window of 2 newest has 1
+        # non-null → NULL; window of 3 also NULL
+        ("g1", T0 + dt.timedelta(hours=1), 1.0, 1),
+        ("g1", T0 + dt.timedelta(hours=2), 2.0, 2),
+        ("g1", T0 + dt.timedelta(hours=3), None, 3),
+        # g2: NULL is OLDER than the window → mean of 2 newest is fine
+        ("g2", T0 + dt.timedelta(hours=1), None, 4),
+        ("g2", T0 + dt.timedelta(hours=2), 4.0, 5),
+        ("g2", T0 + dt.timedelta(hours=3), 6.0, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, t timestamp, v double, i long"
+    )
+    out = guarded_recent_means(
+        df,
+        group_cols=["g"],
+        time_col="t",
+        value_col="v",
+        windows={"m2": 2, "m3": 3},
+        tiebreak_cols=["i"],
+        round_digits=6,
+    )
+    got = {r["g"]: (r["m2"], r["m3"]) for r in out.collect()}
+    assert got["g1"] == (None, None)
+    assert got["g2"] == (5.0, None)
