@@ -44,15 +44,39 @@ def upsert(
     new: DataFrame,
     key_cols: Sequence[str],
     broadcast_new_keys: bool = True,
+    order_cols: Sequence[str] | None = None,
 ) -> DataFrame:
-    """Last-write-wins merge of ``new`` into ``existing`` on key_cols.
+    """Merge of ``new`` into ``existing`` on key_cols.
 
-    Equivalent SQL:
+    With order_cols=None the incoming batch always wins on conflict
+    (classic last-write-wins, the reference's ON CONFLICT DO UPDATE).
+    With order_cols given, the HIGHER order key wins across batches —
+    so an out-of-order re-emission (e.g. after streaming state
+    eviction) cannot regress a stored aggregate to an older value;
+    ties go to the incoming row, which keeps batch replay idempotent.
+
+    Equivalent SQL (order_cols=None):
         SELECT * FROM existing WHERE key NOT IN (SELECT key FROM new)
         UNION ALL SELECT * FROM new
+
+    Scale shape: both variants touch the (huge) store only through
+    broadcast joins against the (tiny) batch — no shuffle of the
+    store. The ordered variant reads the store twice (anti-join for
+    untouched keys, semi-join for contested ones) and re-resolves only
+    the contested rows, a frame bounded by 2x the batch size.
     """
+    new = new.select(*existing.columns)
     new_keys = new.select(*key_cols).dropDuplicates(list(key_cols))
     if broadcast_new_keys:
         new_keys = F.broadcast(new_keys)
     survivors = existing.join(new_keys, on=list(key_cols), how="left_anti")
-    return survivors.unionByName(new.select(*existing.columns))
+    if order_cols is None:
+        return survivors.unionByName(new)
+    contested = existing.join(new_keys, on=list(key_cols), how="left_semi")
+    tagged = contested.withColumn("__src", F.lit(0)).unionByName(
+        new.withColumn("__src", F.lit(1))
+    )
+    resolved = dedupe_batch(
+        tagged, key_cols, [*order_cols, "__src"]
+    ).drop("__src")
+    return survivors.unionByName(resolved)

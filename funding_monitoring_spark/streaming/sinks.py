@@ -82,7 +82,10 @@ def upsert_writer(
     on_batch_complete: Callable[[DataFrame], None] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer: dedupe the batch on key_cols (max order_cols
-    wins), then last-write-wins merge into the parquet store.
+    wins), then order-aware merge into the parquet store — order_cols
+    decide cross-batch conflicts too (max wins, tie to the incoming
+    row), so a late re-emission of an older state (e.g. after streaming
+    state eviction) cannot regress a stored row.
 
     transform: optional shaping applied to the raw micro-batch first.
     on_batch_complete: hook called with the post-merge store DataFrame
@@ -95,7 +98,7 @@ def upsert_writer(
         batch = dedupe_batch(batch, key_cols, order_cols)
         if os.path.exists(store_path):
             existing = spark.read.parquet(store_path)
-            merged = upsert(existing, batch, key_cols)
+            merged = upsert(existing, batch, key_cols, order_cols=order_cols)
         else:
             merged = batch
         atomic_overwrite(merged, store_path)

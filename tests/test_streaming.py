@@ -104,6 +104,22 @@ def test_revision_within_batch_max_order_wins(spark, tmp_path):
     assert state[("7-funding", _ts(0))] == (0.60, 11)
 
 
+def test_stale_reemission_cannot_regress_store(spark, tmp_path):
+    """A later batch carrying an OLDER order key (e.g. a replayed /
+    state-evicted re-emission) must NOT overwrite the newer stored row:
+    the cross-batch merge compares order_cols, it is not blind
+    batch-wins (ADVICE r1)."""
+    state = _run_upsert(
+        spark,
+        str(tmp_path),
+        [
+            [(9, _ts(0), 7, "funding", 0.42)],
+            [(3, _ts(0), 7, "funding", 0.01)],  # stale: event_id 3 < 9
+        ],
+    )
+    assert state[("7-funding", _ts(0))] == (0.42, 9)
+
+
 def test_exact_resend_suppressed_and_idempotent(spark, tmp_path):
     """The same full row re-arriving in the next tick must not change
     the store (dropDuplicatesWithinWatermark + idempotent merge)."""
