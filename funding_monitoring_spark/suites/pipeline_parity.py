@@ -157,3 +157,34 @@ def q_lending_pipeline(spark, sf_dir):
             "annualized_interest_rate"
         ),
     )
+
+
+@query(
+    "paged_backfill",
+    """
+    SELECT event_id, ts, event_type, value FROM events
+    """,
+)
+def q_paged_backfill(spark, sf_dir):
+    """Historical backfill via the reference's paging protocol
+    (funding_rates_etl.py:43-66): newest-first pages keyed by an
+    inclusive oldest-row-timestamp cursor, accumulated until hasMore
+    is false, boundary duplicates collapsed. A correct implementation
+    reproduces the plain full scan exactly — no row lost at a page
+    edge, none double-counted — which is precisely what the oracle
+    checks. ~8 pages over the 30-day fixture span at a 4-day window.
+    """
+    import datetime as dt
+
+    from funding_monitoring_spark.sources.paged import (
+        read_paged,
+        time_window_page_fetcher,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    fetch = time_window_page_fetcher(
+        events, ts_col="ts", window=dt.timedelta(days=4)
+    )
+    return read_paged(fetch, key_cols=["event_id"], order_cols=["ts"])
