@@ -164,12 +164,19 @@ def cosine_topk_lsh(
     return _score_and_rank(pairs, k)
 
 
+#: cosine_topk_scale ships the query matrix in every task closure;
+#: beyond this many query rows that stops being "a bounded broadcast"
+#: and the LSH/IVF paths are the right tool — fail loudly, don't OOM.
+MAX_SCALE_QUERY_ROWS = 10_000
+
+
 def cosine_topk_scale(
     queries: DataFrame,
     corpus: DataFrame,
     k: int,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_query_rows: int = MAX_SCALE_QUERY_ROWS,
 ) -> DataFrame:
     """Exact cosine top-k, the 100 TB path: vectorized `mapInPandas`
     over corpus partitions with the (bounded) query matrix shipped in
@@ -188,7 +195,14 @@ def cosine_topk_scale(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, emb_col).collect()
+    q_rows = queries.select(id_col, emb_col).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_scale: query set exceeds max_query_rows="
+            f"{max_query_rows}; this path broadcasts the query matrix "
+            f"to every task — use cosine_topk_lsh/cosine_topk_ivf for "
+            f"large query frames"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     dim = Q.shape[1] if len(Q) else 0

@@ -43,12 +43,17 @@ RATE_KEYS = ["symbol", "funding_time"]
 RATE_ORDER = ["event_id"]
 
 
-def _run(writer_query, available_now: bool, checkpoint: str):
+def _run(
+    writer_query,
+    available_now: bool,
+    checkpoint: str,
+    trigger_interval: str = TRIGGER_INTERVAL,
+):
     w = writer_query.option("checkpointLocation", checkpoint)
     if available_now:
         q = w.trigger(availableNow=True).start()
     else:
-        q = w.trigger(processingTime=TRIGGER_INTERVAL).start()
+        q = w.trigger(processingTime=trigger_interval).start()
     return q
 
 
@@ -60,12 +65,19 @@ def streaming_upsert_rates(
     checkpoint: str,
     available_now: bool = True,
     watermark: str = WATERMARK_DELAY,
-) -> None:
+    trigger_interval: str = TRIGGER_INTERVAL,
+):
     """Funding-rate ingestion (reference funding_rates_etl main loop):
     events stream → rates shape → exact-resend suppression within the
     watermark → per-batch dedupe + last-write-wins upsert into the
     parquet store. Effectively-once under restart (checkpoint +
-    idempotent merge)."""
+    idempotent merge).
+
+    available_now=True replays everything present and terminates (the
+    test/backfill mode). available_now=False is the reference's live
+    cadence — a processingTime trigger that keeps polling the source
+    dir; the returned StreamingQuery handle lets the caller stop it.
+    """
     src = stream_from_chunks(spark, chunks_dir, schema)
     rates = (
         rates_from_events(src)
@@ -75,9 +87,10 @@ def streaming_upsert_rates(
     writer = rates.writeStream.foreachBatch(
         upsert_writer(store_path, RATE_KEYS, RATE_ORDER)
     )
-    q = _run(writer, available_now, checkpoint)
+    q = _run(writer, available_now, checkpoint, trigger_interval)
     if available_now:
         q.awaitTermination()
+    return q
 
 
 def streaming_tumbling_rollup(

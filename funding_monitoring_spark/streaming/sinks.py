@@ -38,9 +38,13 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
 
     Crash recovery: an interrupted write strands only unreferenced
     ``.__v_*`` / ``.__ln_*`` siblings; the next successful overwrite
-    garbage-collects every version the current link doesn't point to.
-    On an object store the swap is a manifest/metadata commit
-    (Delta/Iceberg), same idempotence contract.
+    garbage-collects every version except the current one and its
+    immediate predecessor — the predecessor survives one more tick so
+    a reader that resolved the link just before the swap can finish
+    its scan (snapshot-isolation grace, the local-FS analogue of
+    retained table versions). On an object store the swap is a
+    manifest/metadata commit (Delta/Iceberg), same idempotence
+    contract.
     """
     path = os.path.abspath(path)
     parent = os.path.dirname(path)
@@ -49,10 +53,12 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     data = f"{path}.__v_{token}"
     df.write.mode("overwrite").parquet(data)
 
+    prev = os.readlink(path) if os.path.islink(path) else None
     if os.path.exists(path) and not os.path.islink(path):
         # legacy real-directory store (pre-symlink layout): one
         # non-atomic migration rename, after which swaps are atomic
-        os.rename(path, f"{path}.__v_legacy_{token}")
+        prev = f"{os.path.basename(path)}.__v_legacy_{token}"
+        os.rename(path, os.path.join(parent, prev))
     link_tmp = f"{path}.__ln_{token}"
     os.symlink(os.path.basename(data), link_tmp)
     os.replace(link_tmp, path)  # the atomic commit point
@@ -61,7 +67,8 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     base = os.path.basename(path)
     for entry in os.listdir(parent):
         stale_version = (
-            entry.startswith(f"{base}.__v_") and entry != current
+            entry.startswith(f"{base}.__v_")
+            and entry not in (current, prev)
         )
         stale_link = entry.startswith(f"{base}.__ln_")
         stale_old = entry.startswith(f"{base}.__old_")  # pre-rewrite era

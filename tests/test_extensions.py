@@ -76,6 +76,18 @@ def test_cosine_topk_self_excluded_and_ranked(spark):
     assert all(r["query_id"] == 1 for r in out)
 
 
+def test_cosine_topk_scale_rejects_oversized_query_set(spark):
+    """The mapInPandas path ships the query matrix in every task
+    closure; an unbounded query frame must fail loudly (ADVICE r1),
+    not OOM the executors."""
+    rows = [(i, [float(i), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        S.cosine_topk_scale(df, df, k=2, max_query_rows=5)
+    ok = S.cosine_topk_scale(df.limit(2), df, k=1, max_query_rows=5)
+    assert ok.count() == 2
+
+
 def test_approx_distinct_within_rsd_bound(spark, sf_dir):
     """HLL++ sketch: within ±5 relative-error margins of the exact
     count per group (3x rsd for a hard test bound)."""

@@ -128,6 +128,69 @@ def test_exact_resend_suppressed_and_idempotent(spark, tmp_path):
     assert state == {("7-funding", _ts(0)): (0.01, 1)}
 
 
+def test_processing_time_trigger_live_appends(spark, tmp_path):
+    """The continuous mode (trigger(processingTime=...), the
+    reference's 5-minute cadence): a live query picks up chunks
+    appended AFTER start, and the store converges to the same state an
+    availableNow replay would produce. Runs at a 1-second trigger so
+    the test exercises the real code path without the real cadence."""
+    import time
+
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_upsert_rates as run_live,
+    )
+
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    b0 = _events(spark, [(1, _ts(0), 7, "funding", 0.01)])
+    _write_chunk(b0, chunks, 0)
+    store = os.path.join(tmp, "store")
+    q = run_live(
+        spark,
+        chunks,
+        b0.schema,
+        store,
+        os.path.join(tmp, "ckpt"),
+        available_now=False,
+        trigger_interval="1 second",
+    )
+    try:
+
+        def store_state():
+            if not os.path.exists(store):
+                return {}
+            try:
+                return {
+                    (r.symbol, r.funding_time): (r.funding_rate, r.event_id)
+                    for r in spark.read.parquet(store).collect()
+                }
+            except Exception:
+                # polling observer racing the atomic store swap: the
+                # version we resolved was GC'd mid-read — poll again
+                return {}
+
+        def wait_for(pred, timeout=120):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if pred():
+                    return True
+                if q.exception() is not None:
+                    raise AssertionError(f"query died: {q.exception()}")
+                time.sleep(0.5)
+            return False
+
+        assert wait_for(lambda: ("7-funding", _ts(0)) in store_state())
+        # live append while the query runs: the next trigger must ingest it
+        b1 = _events(spark, [(2, _ts(5), 8, "funding", 0.02)])
+        _write_chunk(b1, chunks, 1)
+        assert wait_for(lambda: ("8-funding", _ts(5)) in store_state())
+        state = store_state()
+        assert state[("7-funding", _ts(0))] == (0.01, 1)
+        assert state[("8-funding", _ts(5))] == (0.02, 2)
+    finally:
+        q.stop()
+
+
 def test_rollup_drops_late_beyond_watermark(spark, tmp_path):
     """A row arriving after the watermark passed its window is dropped
     by the streaming agg — the documented stream-vs-batch divergence.
