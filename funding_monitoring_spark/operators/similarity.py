@@ -302,9 +302,17 @@ def cosine_topk_ivf(
         emb_col,
         "cent",
     )
-
     c = _prep(corpus, id_col, emb_col, "c")
     q = _prep(queries, id_col, emb_col, "q")
+    return _ivf_search(q, c, cents, k, nprobe)
+
+
+def _ivf_search(
+    q: DataFrame, c: DataFrame, cents: DataFrame, k: int, nprobe: int
+) -> DataFrame:
+    """Probe-and-score over a centroid table: corpus hard-assigned to
+    its nearest cell, queries probe nprobe cells, candidates are the
+    cell equi-join — never a cross join against the corpus."""
     c_cells = _cell_assignments(
         c.select(
             F.col("c_id").alias("v_id"),
@@ -348,6 +356,93 @@ def cosine_topk_ivf(
             "rank",
         )
     )
+
+
+IVF_KMEANS_ITERS = 2
+CENTROID_ROUND = 6
+
+
+def kmeans_refined_centroids(
+    c: DataFrame,
+    init_cents: DataFrame,
+    n_iters: int = IVF_KMEANS_ITERS,
+    round_digits: int = CENTROID_ROUND,
+) -> DataFrame:
+    """Lloyd-iterate the centroid table over the full corpus, all
+    declarative: per iteration, (1) hard-assign every vector to its
+    nearest centroid by cosine (broadcast cross join against the small
+    centroid table), (2) recompute each cell's per-dimension mean via
+    the posexplode -> codegen'd avg -> ordered-reassembly pattern
+    (operators/vectorops.py) — one tiny (cell, dim) shuffle per
+    iteration regardless of corpus size, no Python UDFs, no driver
+    collect of vectors.
+
+    Determinism: per-dimension means are rounded to round_digits so the
+    refined centroids (and every downstream sign/rank decision) are
+    reproducible across engines despite order-dependent double
+    summation. Cells that attract no members drop out (standard Lloyd
+    with cluster death; the cell count can only shrink).
+    """
+    from funding_monitoring_spark.operators.vectorops import group_centroids
+
+    cents = init_cents
+    for _ in range(n_iters):
+        assign = _cell_assignments(
+            c.select(
+                F.col("c_id").alias("v_id"),
+                F.col("c_emb").alias("v_emb"),
+                F.col("c_norm").alias("v_norm"),
+            ),
+            cents,
+            keep=1,
+        )
+        members = assign.join(
+            c.select(
+                F.col("c_id").alias("v_id"), F.col("c_emb").alias("v_emb")
+            ),
+            "v_id",
+        )
+        refined = group_centroids(
+            members, group_col="cent_id", vec_col="v_emb",
+            round_digits=round_digits,
+        )
+        cents = refined.select(
+            "cent_id",
+            F.col("centroid").alias("cent_emb"),
+            seq_norm(F.col("centroid")).alias("cent_norm"),
+        )
+    return cents
+
+
+def cosine_topk_ivf_kmeans(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    nprobe: int = IVF_NPROBE,
+    n_iters: int = IVF_KMEANS_ITERS,
+) -> DataFrame:
+    """IVF top-k with k-means-refined centroids: same probe/score
+    pipeline as `cosine_topk_ivf`, but the deterministic corpus-sample
+    centroids are Lloyd-refined first — cells track the data's actual
+    density, which lifts recall at the same nprobe without changing
+    the pipeline shape (the refinement is a bounded per-iteration
+    broadcast join + (cell, dim) aggregate; search is still the cell
+    equi-join)."""
+    init = _prep(
+        corpus.filter((F.col(id_col) % IVF_CENTROID_MOD) == 0),
+        id_col,
+        emb_col,
+        "cent",
+    )
+    c = _prep(corpus, id_col, emb_col, "c")
+    q = _prep(queries, id_col, emb_col, "q")
+    # the refined centroid table is the (tiny) index; persist it so the
+    # Lloyd chain — which scans the corpus once per iteration — is not
+    # re-evaluated by each of the two search branches that consume it
+    cents = kmeans_refined_centroids(c, init, n_iters).persist()
+    return _ivf_search(q, c, cents, k, nprobe)
 
 
 def embedding_near_dup(

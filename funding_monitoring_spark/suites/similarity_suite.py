@@ -273,3 +273,113 @@ def q_embedding_near_dup_exact(spark, sf_dir):
         F.col("vec_id") < NEAR_DUP_LIMIT
     )
     return S.embedding_near_dup_exact(v, threshold=NEAR_DUP_THRESHOLD)
+
+
+def _sql_kmeans_cents(n_iters: int) -> tuple[str, str]:
+    """Unrolled Lloyd iterations as chained CTEs, mirroring
+    operators.similarity.kmeans_refined_centroids: assignment by the
+    same seq-fold cosine, per-dimension means rounded to the same
+    digits, norms recomputed over the rounded centroid."""
+    ctes = [
+        f"""dims AS (SELECT unnest(range(1, {S.DIM + 1})) AS dim),
+    kc AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb,
+                  SQRT({_sql_dot("CAST(embedding AS DOUBLE[])",
+                                 "CAST(embedding AS DOUBLE[])")}) AS c_norm
+           FROM embeddings),
+    cents0 AS (
+        SELECT c_id AS cent_id, c_emb AS cent_emb, c_norm AS cent_norm
+        FROM kc WHERE c_id % {S.IVF_CENTROID_MOD} = 0
+    )"""
+    ]
+    for i in range(1, n_iters + 1):
+        prev = f"cents{i - 1}"
+        ctes.append(
+            f"""a{i} AS (
+        SELECT c_id, cent_id FROM (
+            SELECT kc.c_id, ct.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY kc.c_id
+                       ORDER BY {_sql_dot("c_emb", "cent_emb")} /
+                                (c_norm * cent_norm) DESC,
+                                cent_id ASC) AS crank
+            FROM kc CROSS JOIN {prev} ct
+        ) WHERE crank = 1
+    ),
+    m{i} AS (
+        SELECT cent_id, d.dim AS dim,
+               ROUND(AVG(list_extract(c_emb, CAST(d.dim AS INT))),
+                     {S.CENTROID_ROUND}) AS val
+        FROM a{i} JOIN kc USING (c_id) CROSS JOIN dims d
+        GROUP BY cent_id, d.dim
+    ),
+    cents{i} AS (
+        SELECT cent_id, cent_emb,
+               SQRT({_sql_dot("cent_emb", "cent_emb")}) AS cent_norm
+        FROM (
+            SELECT cent_id, list(val ORDER BY dim) AS cent_emb
+            FROM m{i} GROUP BY cent_id
+        )
+    )"""
+        )
+    return ",\n    ".join(ctes), f"cents{n_iters}"
+
+
+_KMEANS_CTES, _KMEANS_FINAL = _sql_kmeans_cents(S.IVF_KMEANS_ITERS)
+
+
+@query(
+    "ann_cosine_topk_ivf_kmeans",
+    f"""
+    WITH {_KMEANS_CTES},
+    q AS (SELECT c_id AS q_id, c_emb AS q_emb, c_norm AS q_norm
+          FROM kc WHERE c_id < {N_QUERIES}),
+    c_assign AS (
+        SELECT c_id, cent_id FROM (
+            SELECT kc.c_id, ct.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY kc.c_id
+                       ORDER BY {_sql_dot("c_emb", "cent_emb")} /
+                                (c_norm * cent_norm) DESC,
+                                cent_id ASC) AS crank
+            FROM kc CROSS JOIN {_KMEANS_FINAL} ct
+        ) WHERE crank <= 1
+    ),
+    q_probe AS (
+        SELECT q_id, cent_id FROM (
+            SELECT q.q_id, ct.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {_sql_dot("q_emb", "cent_emb")} /
+                                (q_norm * cent_norm) DESC,
+                                cent_id ASC) AS crank
+            FROM q CROSS JOIN {_KMEANS_FINAL} ct
+        ) WHERE crank <= {S.IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT q_id, c_id
+        FROM q_probe JOIN c_assign USING (cent_id)
+        WHERE q_id != c_id
+    ),
+    scored AS (
+        SELECT cand.q_id, cand.c_id,
+               {_sql_dot("q_emb", "c_emb")} / (q_norm * c_norm) AS raw
+        FROM cand JOIN q ON q.q_id = cand.q_id
+                  JOIN kc ON kc.c_id = cand.c_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY raw DESC, c_id ASC) AS rank
+        FROM scored
+    )
+    SELECT q_id AS query_id, c_id AS neighbor_id,
+           ROUND(raw, {S.SCORE_ROUND}) AS score, rank
+    FROM ranked WHERE rank <= {K}
+    """,
+)
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF top-k with Lloyd-refined centroids (2 iterations): the
+    sampled cells move to the data's density before search; same cell
+    equi-join probe as ann_cosine_topk_ivf."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.cosine_topk_ivf_kmeans(queries, emb, k=K)

@@ -88,6 +88,28 @@ def test_cosine_topk_scale_rejects_oversized_query_set(spark):
     assert ok.count() == 2
 
 
+def test_ivf_kmeans_refinement_converges_and_recalls(spark, sf_dir):
+    """Lloyd-refined IVF: refined centroids are valid (finite, right
+    dim), and top-k recall vs the exact baseline stays useful on the
+    fixture (approximate by design, but refinement must not collapse
+    the index)."""
+    from funding_monitoring_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_ivf_kmeans(queries, emb, k=5).collect()
+    }
+    assert len(approx) <= 50  # never more than k per query
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall  # nprobe=3 of ~10 cells on the fixture
+
+
 def test_approx_distinct_within_rsd_bound(spark, sf_dir):
     """HLL++ sketch: within ±5 relative-error margins of the exact
     count per group (3x rsd for a hard test bound)."""
