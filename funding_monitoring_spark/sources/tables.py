@@ -46,10 +46,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     matches schemas.FIXTURE_TABLES, and staying with the file's own
     schema keeps predicate pushdown/column pruning trivially safe.
 
-    One normalization: parquet TIMESTAMP(NANOS) (the events fixture) is
-    illegal for Spark's vectorized reader, so it is read as a nanosecond
-    long (legacy.parquet.nanosAsLong) and truncated to a microsecond
-    timestamp — exactly what DuckDB/pandas do with ns timestamps.
+    Two normalizations, both for the events fixture's timestamp column:
+
+    - parquet TIMESTAMP(NANOS) is illegal for Spark's vectorized
+      reader, so it is read as a nanosecond long
+      (legacy.parquet.nanosAsLong) and truncated to a microsecond
+      timestamp — exactly what DuckDB/pandas do with ns timestamps.
+    - parquet TIMESTAMP with isAdjustedToUTC=false surfaces as
+      TIMESTAMP_NTZ, which Spark's instant functions (unix_micros,
+      session_window, watermarks) reject. The session timezone is
+      pinned to UTC (session.py), so casting NTZ→TIMESTAMP maps each
+      wall-clock value to the same instant DuckDB's epoch_us sees.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
@@ -57,14 +64,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if expected is not None:
         actual = {f.name: f.dataType for f in df.schema.fields}
         for field in expected.fields:
-            if (
-                isinstance(field.dataType, T.TimestampType)
-                and isinstance(actual.get(field.name), T.LongType)
-            ):
+            if not isinstance(field.dataType, T.TimestampType):
+                continue
+            got = actual.get(field.name)
+            if isinstance(got, T.LongType):
                 # integer div: ns epochs overflow double's exact range
                 df = df.withColumn(
                     field.name,
                     F.expr(f"timestamp_micros({field.name} div 1000)"),
+                )
+            elif isinstance(got, T.TimestampNTZType):
+                df = df.withColumn(
+                    field.name, F.col(field.name).cast("timestamp")
                 )
     return df
 
