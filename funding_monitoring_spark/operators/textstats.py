@@ -45,6 +45,51 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def word_bigrams(col: Column | str) -> Column:
+    """All consecutive token bigrams (NOT distinct — repetition metrics
+    need the multiset). A document with <2 tokens yields an empty array.
+    """
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return F.when(n >= 2, pairs).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(tokens(col), body)
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """Vocabulary diversity: |distinct tokens| / |tokens|; 1.0 for an
+    empty document (vacuously diverse — nothing repeats)."""
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(
+            n > 0, F.size(F.array_distinct(toks)) / n
+        ).otherwise(F.lit(1.0))
+
+    return let(tokens(col), body)
+
+
+#: PII patterns — deliberately simple and identical in Java regex and
+#: DuckDB's RE2 dialect so the redaction is oracle-verifiable.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email addresses then phone numbers with typed tags.
+    Spark's regexp_replace is replace-all by default (DuckDB needs the
+    'g' flag — see the oracle twin in suites/curation_suite.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+
+
 def poly_fingerprint(col: Column | str) -> Column:
     """Rolling polynomial hash over codepoints:
     acc = (acc*31 + codepoint) mod 1e9+7, acc0 = 7.

@@ -80,3 +80,29 @@ def upsert(
         tagged, key_cols, [*order_cols, "__src"]
     ).drop("__src")
     return survivors.unionByName(resolved)
+
+
+def cdc_materialize(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    delete_pred,
+) -> DataFrame:
+    """Materialize the current state of a change feed: per key, the row
+    winning under order_cols decides — if it satisfies delete_pred the
+    key is gone, otherwise its values are the current state. A
+    change-count column rides along for audit.
+
+    Expressed as a single max_by aggregation (NOT window+filter): the
+    per-key winner is computed with map-side partial aggregation, so
+    one shuffle carries only one candidate row per key per map
+    partition — the classic scale shape for compacting a 100 TB CDC
+    log where keys repeat heavily within partitions.
+    """
+    order_key = F.struct(*[F.col(c) for c in order_cols])
+    value_cols = [c for c in changes.columns if c not in key_cols]
+    latest = changes.groupBy(*key_cols).agg(
+        *[F.max_by(F.col(c), order_key).alias(c) for c in value_cols],
+        F.count("*").alias("n_changes"),
+    )
+    return latest.filter(~delete_pred)

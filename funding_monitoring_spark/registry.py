@@ -88,6 +88,14 @@ _PRIORITY: list[str] = [
     "embedding_near_dup_exact",
     "paged_backfill",
     "ann_cosine_topk_ivf_kmeans",
+    "repetition_filter",
+    "tfidf_top_terms",
+    "test_set_contamination",
+    "pii_redaction",
+    "corpus_balance_report",
+    "cdc_materialize",
+    "event_transition_matrix",
+    "winsorized_stats",
 ]
 
 

@@ -3,6 +3,8 @@ pair with funding_monitoring_spark.registry."""
 
 from funding_monitoring_spark.suites import (  # noqa: F401
     batch_ops,
+    behavior_suite,
+    curation_suite,
     dedup_suite,
     multimodal_suite,
     olap_suite,

@@ -1,0 +1,228 @@
+"""Corpus-curation queries (round-2 LLM-pipeline extensions):
+Gopher-style repetition filtering, TF-IDF salient terms, train/eval
+n-gram contamination, PII redaction, and a corpus-balance report.
+Every oracle reproduces the Spark computation fragment-by-fragment in
+DuckDB SQL (hash-verified, not rows-counted)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.operators import corpus as C
+from funding_monitoring_spark.operators import textstats as X
+from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.sources.tables import load_table
+from funding_monitoring_spark.suites.dedup_suite import _FPS
+
+_TOKS = r"regexp_extract_all(text, '\S+')"
+
+#: bigram list over a token list named `toks` (DuckDB range() is
+#: end-exclusive, so i runs 1..len-1 and pairs (i, i+1))
+_SQL_BIGRAMS = (
+    "list_transform(range(1, len(toks)), "
+    "i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1))"
+)
+
+
+@query(
+    "repetition_filter",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bigram FROM base
+    ),
+    cnt AS (
+        SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT doc_id, MAX(c) AS top_n, SUM(c) AS total_bigrams
+        FROM cnt GROUP BY 1
+    )
+    SELECT b.doc_id,
+           len(toks) AS n_tokens,
+           ROUND(CASE WHEN len(toks) > 0
+                      THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                      ELSE 1.0 END, 6) AS distinct_ratio,
+           ROUND(COALESCE(top_n / CAST(total_bigrams AS DOUBLE), 0.0), 6)
+               AS top_bigram_fraction,
+           CAST(
+             ROUND(CASE WHEN len(toks) > 0
+                        THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                        ELSE 1.0 END, 6) < {C.MIN_DISTINCT_TOKEN_RATIO}
+             OR (COALESCE(total_bigrams, 0) >= {C.MIN_BIGRAMS_FOR_TOP_RULE}
+                 AND ROUND(COALESCE(top_n / CAST(total_bigrams AS DOUBLE),
+                                    0.0), 6)
+                     > {C.MAX_TOP_BIGRAM_FRACTION})
+             AS INT) AS is_repetitive
+    FROM base b LEFT JOIN top USING (doc_id)
+    """,
+)
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition profile per document (Rae et al. 2021's
+    repetitive-document rules re-expressed over the documents table):
+    distinct-token ratio + top-bigram occupancy + composite verdict."""
+    return C.repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH t AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term,
+               ROUND(tf * ln(n_docs / CAST(df AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document; rank on the rounded score so
+    float ulps in ln() cannot flip cross-engine ordering."""
+    return C.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+#: eval-set membership: a deterministic id sieve (≈1/37 of the corpus)
+EVAL_MOD = 37
+
+
+@query(
+    "test_set_contamination",
+    f"""
+    WITH g AS (
+        SELECT doc_id, unnest({_FPS}) AS gram FROM documents
+    ),
+    e AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    t AS (
+        SELECT doc_id, gram FROM g WHERE doc_id % {EVAL_MOD} <> 0
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_grams FROM t GROUP BY 1
+    ),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_shared_grams
+        FROM t JOIN e USING (gram) GROUP BY 1
+    )
+    SELECT doc_id, n_shared_grams, n_grams,
+           ROUND(n_shared_grams / CAST(n_grams AS DOUBLE), 6)
+               AS contamination_rate
+    FROM hits JOIN per_doc USING (doc_id)
+    """,
+)
+def q_test_set_contamination(spark, sf_dir):
+    """Which training documents share token shingles with the held-out
+    eval slice (doc_id % 37 == 0), and what fraction of their grams is
+    contaminated. Eval gram dictionary broadcasts; train side never
+    shuffles text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.ngram_contamination(
+        docs, eval_pred=F.col("doc_id") % EVAL_MOD == 0
+    )
+
+
+@query(
+    "pii_redaction",
+    f"""
+    WITH derived AS (
+        SELECT doc_id,
+               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@' || source || '.example.com tel +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS contact_text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(contact_text, '{X.EMAIL_RE}'))
+               AS n_emails,
+           len(regexp_extract_all(contact_text, '{X.PHONE_RE}'))
+               AS n_phones,
+           regexp_replace(
+               regexp_replace(contact_text, '{X.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{X.PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM derived
+    """,
+)
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over a derived contact column (the synthetic corpus
+    contains no organic PII, so the query plants a deterministic email
+    + phone per doc, then counts and redacts them — the operator under
+    test is textstats.redact_pii). Pure scan-stage regexes: at 100 TB
+    this pipelines with the read, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(contact, F.lit(X.EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(contact, F.lit(X.PHONE_RE)).alias("n_phones"),
+        X.redact_pii(contact).alias("redacted"),
+    )
+
+
+@query(
+    "corpus_balance_report",
+    """
+    WITH per AS (
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT SUM(n_docs) AS all_docs, SUM(total_chars) AS all_chars
+        FROM per
+    )
+    SELECT lang, source, n_docs, total_chars,
+           ROUND(n_docs / CAST(all_docs AS DOUBLE), 6) AS doc_share,
+           ROUND(total_chars / CAST(all_chars AS DOUBLE), 6) AS char_share
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_corpus_balance_report(spark, sf_dir):
+    """Corpus composition audit: per (lang, source) document/char counts
+    and global shares. Global totals join back as a 1-row broadcast —
+    no global window over row-level data."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("all_docs"),
+        F.sum("total_chars").alias("all_chars"),
+    )
+    return per.join(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("n_docs") / F.col("all_docs"), 6).alias("doc_share"),
+        F.round(F.col("total_chars") / F.col("all_chars"), 6).alias(
+            "char_share"
+        ),
+    )

@@ -1,0 +1,148 @@
+"""Unit tests for the round-2 curation/behavior operators: CDC
+compaction semantics, contamination edge cases, repetition metrics,
+and PII redaction — the hand-built fixtures exercise the branches the
+registry oracles (which run on the synthetic corpus) may never hit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.operators import corpus as C
+from funding_monitoring_spark.operators import textstats as X
+from funding_monitoring_spark.operators.upsert import cdc_materialize
+
+
+@pytest.fixture(scope="module")
+def change_feed(spark):
+    # (key, value, seq, op): key 1 updated twice, key 2 deleted last,
+    # key 3 deleted then re-inserted, key 4 single insert
+    rows = [
+        (1, 10.0, 1, "upsert"),
+        (1, 11.0, 2, "upsert"),
+        (2, 20.0, 1, "upsert"),
+        (2, 0.0, 2, "delete"),
+        (3, 30.0, 1, "upsert"),
+        (3, 0.0, 2, "delete"),
+        (3, 33.0, 3, "upsert"),
+        (4, 40.0, 1, "upsert"),
+    ]
+    return spark.createDataFrame(rows, "key int, value double, seq int, op string")
+
+
+def test_cdc_last_write_wins(change_feed):
+    out = cdc_materialize(
+        change_feed,
+        key_cols=["key"],
+        order_cols=["seq"],
+        delete_pred=F.col("op") == "delete",
+    )
+    state = {r["key"]: (r["value"], r["n_changes"]) for r in out.collect()}
+    assert state == {1: (11.0, 2), 3: (33.0, 3), 4: (40.0, 1)}
+
+
+def test_cdc_delete_wins_ties_do_not_resurrect(spark):
+    # a delete that is the max order key removes the key even when an
+    # equal-order upsert exists earlier in the frame order
+    rows = [(1, 1.0, 1, "upsert"), (1, 0.0, 2, "delete")]
+    df = spark.createDataFrame(rows, "key int, value double, seq int, op string")
+    out = cdc_materialize(
+        df, ["key"], ["seq"], F.col("op") == "delete"
+    )
+    assert out.count() == 0
+
+
+def test_cdc_plan_has_no_window_or_global_sort(change_feed):
+    from funding_monitoring_spark.plans import plan_string as plan_str
+
+    out = cdc_materialize(
+        change_feed, ["key"], ["seq"], F.col("op") == "delete"
+    )
+    plan = plan_str(out)
+    assert "Window" not in plan, plan  # max_by agg, not row_number
+    assert "partial" in plan.lower(), plan  # map-side combine present
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),  # eval (0 % 2 == 0... use pred id<2)
+        (1, "alpha beta gamma delta other words here"),  # overlaps eval
+        (2, "totally disjoint vocabulary set right now"),  # clean
+        (3, "ab"),  # shorter than SHINGLE_N → whole-text fallback shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_flags_overlap_only(tiny_docs):
+    out = C.ngram_contamination(tiny_docs, eval_pred=F.col("doc_id") == 0)
+    got = {r["doc_id"]: r["n_shared_grams"] for r in out.collect()}
+    # doc 1 shares the 'alpha beta gamma' and 'beta gamma delta' shingles
+    assert set(got) == {1}
+    assert got[1] == 2
+    rates = {r["doc_id"]: r["contamination_rate"] for r in out.collect()}
+    assert 0 < rates[1] < 1
+
+
+def test_contamination_short_doc_fallback(tiny_docs):
+    # a short eval doc contaminates only an identical short train doc
+    docs = tiny_docs.union(
+        tiny_docs.sparkSession.createDataFrame(
+            [(4, "ab")], "doc_id long, text string"
+        )
+    )
+    out = C.ngram_contamination(docs, eval_pred=F.col("doc_id") == 3)
+    got = {r["doc_id"]: r["n_shared_grams"] for r in out.collect()}
+    assert set(got) == {4}
+
+
+def test_contamination_broadcasts_eval_side(tiny_docs):
+    from funding_monitoring_spark.plans import plan_string as plan_str
+
+    out = C.ngram_contamination(tiny_docs, eval_pred=F.col("doc_id") == 0)
+    plan = plan_str(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_repetition_metrics_edges(spark):
+    rows = [
+        (0, "spam spam spam spam"),  # one bigram repeated, low diversity
+        (1, "one"),  # no bigrams
+        (2, "all fresh words in this doc"),  # fully diverse
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in C.repetition_metrics(docs).collect()}
+    assert out[0]["top_bigram_fraction"] == 1.0
+    assert out[0]["distinct_ratio"] == 0.25
+    assert out[0]["is_repetitive"] == 1
+    assert out[1]["top_bigram_fraction"] == 0.0
+    assert out[1]["distinct_ratio"] == 1.0
+    assert out[1]["is_repetitive"] == 0
+    assert out[2]["is_repetitive"] == 0
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    rows = [
+        (0, "common rare0 common"),
+        (1, "common rare1"),
+        (2, "common rare2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'common' has df=3 → idf 0; each doc's rare term wins
+    assert top == {0: "rare0", 1: "rare1", 2: "rare2"}
+
+
+def test_pii_redaction_scrubs_all_occurrences(spark):
+    df = spark.createDataFrame(
+        [("mail a@b.com and c.d+x@e.org call +1-555-0199",)], "s string"
+    )
+    row = df.select(
+        X.redact_pii("s").alias("red"),
+        F.regexp_count("s", F.lit(X.EMAIL_RE)).alias("ne"),
+        F.regexp_count("s", F.lit(X.PHONE_RE)).alias("np"),
+    ).first()
+    assert row["ne"] == 2 and row["np"] == 1
+    assert row["red"] == "mail <EMAIL> and <EMAIL> call <PHONE>"
