@@ -71,6 +71,12 @@ HEADLINE = [
     "embedding_centroids",
     "stream_funding_pipeline",
     "stream_stream_join_attribution",
+    "repetition_filter",
+    "tfidf_top_terms",
+    "test_set_contamination",
+    "cdc_materialize",
+    "event_transition_matrix",
+    "winsorized_stats",
 ]
 
 

@@ -30,6 +30,7 @@ from funding_monitoring_spark.streaming.replay import (
 )
 from funding_monitoring_spark.streaming.sinks import (
     atomic_overwrite,
+    cdc_writer,
     upsert_writer,
 )
 
@@ -540,4 +541,48 @@ def _dispatch_pipeline(
             spark, chunks_dir, schema, store, checkpoint
         )
         return spark.read.parquet(store)
+    if pipeline == "cdc_materialize":
+        store = os.path.join(workdir, "cdc_state")
+        streaming_cdc_materialize(
+            spark, chunks_dir, schema, store, checkpoint
+        )
+        # tombstoned keys stay in the store for history accumulation;
+        # the materialized view filters them out
+        return (
+            spark.read.parquet(store)
+            .filter(F.col("event_type") != "error")
+            .select(
+                "user_id",
+                F.col("value").alias("current_value"),
+                F.col("ts").alias("updated_at"),
+                "n_changes",
+            )
+        )
     raise ValueError(f"unknown pipeline {pipeline!r}")
+
+
+def streaming_cdc_materialize(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    trigger_interval: str = TRIGGER_INTERVAL,
+):
+    """The event feed as a CDC log, compacted incrementally: each
+    micro-batch folds its per-key winners into the current-state store
+    (operators/upsert.cdc_materialize semantics, change counts
+    accumulated across batches, tombstones retained). The converged
+    store equals the batch compaction of the whole feed — the
+    stream/batch equivalence the registry oracle checks."""
+    src = stream_from_chunks(spark, chunks_dir, schema).select(
+        "user_id", "value", "ts", "event_type", "event_id"
+    )
+    writer = src.writeStream.foreachBatch(
+        cdc_writer(store_path, ["user_id"], ["ts", "event_id"])
+    )
+    q = _run(writer, available_now, checkpoint, trigger_interval)
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -23,6 +23,7 @@ import uuid
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from funding_monitoring_spark.operators.upsert import dedupe_batch, upsert
 
@@ -125,5 +126,89 @@ def snapshot_writer(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         batch = transform(batch_df) if transform is not None else batch_df
         atomic_overwrite(batch, store_path)
+
+    return write
+
+
+def cdc_writer(
+    store_path: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch CDC compactor: per batch, the max-order change per
+    key wins (one map-side-combinable max_by aggregation, like
+    operators/upsert.cdc_materialize); the store then merges it with
+    per-key change-count accumulation. Tombstones are KEPT in the
+    store — a delete is a row like any other, so a later re-insert of
+    the key still accumulates its full change history; readers filter
+    tombstones out (streaming/pipelines.py cdc dispatch).
+
+    Cross-batch conflicts are order-aware: a stored row with a HIGHER
+    order key keeps its values against a stale re-emission (the
+    incoming row still bumps n_changes — it IS a change arrival).
+
+    Effectively-once: unlike the last-write-wins merges, count
+    accumulation is NOT naturally idempotent, so the writer records
+    the last applied batch_id in a sidecar marker and skips a replayed
+    batch (the crash window between store swap and checkpoint commit).
+
+    Scale shape: every join broadcasts the (tiny) batch against the
+    (huge) store — anti-join for untouched keys, semi-join to fetch
+    the contested keys' prior state — so the store never shuffles.
+    """
+    marker = store_path + ".__applied_batch"
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip()) >= batch_id:
+                    return  # replay of an already-applied batch
+        spark = batch_df.sparkSession
+        order_key = F.struct(*[F.col(c) for c in order_cols])
+        value_cols = [c for c in batch_df.columns if c not in key_cols]
+        latest = batch_df.groupBy(*key_cols).agg(
+            *[F.max_by(F.col(c), order_key).alias(c) for c in value_cols],
+            F.count("*").alias("__batch_changes"),
+        )
+        if os.path.exists(store_path):
+            store = spark.read.parquet(store_path)
+            batch_keys = F.broadcast(
+                latest.select(*key_cols).dropDuplicates(list(key_cols))
+            )
+            survivors = store.join(
+                batch_keys, on=list(key_cols), how="left_anti"
+            )
+            prev = store.join(
+                batch_keys, on=list(key_cols), how="left_semi"
+            ).select(
+                *key_cols,
+                *[F.col(c).alias(f"__prev_{c}") for c in value_cols],
+                F.col("n_changes").alias("__prev_changes"),
+            )
+            new_wins = F.col("__prev_changes").isNull() | (
+                order_key
+                >= F.struct(*[F.col(f"__prev_{c}") for c in order_cols])
+            )
+            merged = latest.join(
+                F.broadcast(prev), on=list(key_cols), how="left"
+            ).select(
+                *key_cols,
+                *[
+                    F.when(new_wins, F.col(c))
+                    .otherwise(F.col(f"__prev_{c}"))
+                    .alias(c)
+                    for c in value_cols
+                ],
+                (
+                    F.coalesce(F.col("__prev_changes"), F.lit(0))
+                    + F.col("__batch_changes")
+                ).alias("n_changes"),
+            )
+            out = survivors.unionByName(merged)
+        else:
+            out = latest.withColumnRenamed("__batch_changes", "n_changes")
+        atomic_overwrite(out, store_path)
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
 
     return write

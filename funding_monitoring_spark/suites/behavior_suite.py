@@ -14,9 +14,10 @@ from funding_monitoring_spark.registry import query
 from funding_monitoring_spark.sources.tables import load_table
 
 
-@query(
-    "cdc_materialize",
-    """
+#: shared by the batch query and its streaming twin
+#: (suites/streaming_suite.py stream_cdc_materialize) — the streaming
+#: store must converge to exactly this batch compaction
+CDC_ORACLE_SQL = """
     WITH ranked AS (
         SELECT user_id, value, ts, event_type,
                ROW_NUMBER() OVER (
@@ -27,8 +28,10 @@ from funding_monitoring_spark.sources.tables import load_table
     )
     SELECT user_id, value AS current_value, ts AS updated_at, n_changes
     FROM ranked WHERE rn = 1 AND event_type <> 'error'
-    """,
-)
+    """
+
+
+@query("cdc_materialize", CDC_ORACLE_SQL)
 def q_cdc_materialize(spark, sf_dir):
     """Compact the event change feed to current state: last change per
     user_id wins (ordered by ts, event_id); a trailing 'error' event is

@@ -227,3 +227,18 @@ def q_stream_session_windows(spark, sf_dir):
         N_CHUNKS,
     )
     return out.filter(F.col("user_id") >= 0)
+
+
+from funding_monitoring_spark.suites.behavior_suite import CDC_ORACLE_SQL
+
+
+@query("stream_cdc_materialize", CDC_ORACLE_SQL)
+def q_stream_cdc_materialize(spark, sf_dir):
+    """CDC log compaction as a stream: per-batch max_by winners folded
+    into the state store with accumulated change counts and retained
+    tombstones (sinks.cdc_writer); the converged store must equal the
+    batch compaction — the SAME oracle SQL as `cdc_materialize`."""
+    events = load_table(spark, sf_dir, "events")
+    return replay_events_pipeline(
+        spark, events, _workdir(), "cdc_materialize", N_CHUNKS
+    )

@@ -146,3 +146,53 @@ def test_pii_redaction_scrubs_all_occurrences(spark):
     ).first()
     assert row["ne"] == 2 and row["np"] == 1
     assert row["red"] == "mail <EMAIL> and <EMAIL> call <PHONE>"
+
+
+# -- cdc_writer (streaming sink) crafted paths ---------------------------
+
+
+def _apply(writer, spark, rows, batch_id):
+    batch = spark.createDataFrame(
+        rows, "key int, value double, seq int, op string"
+    )
+    writer(batch, batch_id)
+
+
+def test_cdc_writer_accumulates_across_batches(spark, tmp_path):
+    from funding_monitoring_spark.streaming.sinks import cdc_writer
+
+    store = str(tmp_path / "state")
+    w = cdc_writer(store, ["key"], ["seq"])
+    _apply(w, spark, [(1, 10.0, 1, "upsert"), (1, 11.0, 2, "upsert")], 0)
+    _apply(w, spark, [(1, 0.0, 3, "delete")], 1)
+    _apply(w, spark, [(1, 12.0, 4, "upsert")], 2)
+    rows = {r["key"]: r for r in spark.read.parquet(store).collect()}
+    # re-insert after tombstone keeps the full change history
+    assert rows[1]["value"] == 12.0
+    assert rows[1]["n_changes"] == 4
+    assert rows[1]["op"] == "upsert"
+
+
+def test_cdc_writer_replayed_batch_is_skipped(spark, tmp_path):
+    from funding_monitoring_spark.streaming.sinks import cdc_writer
+
+    store = str(tmp_path / "state")
+    w = cdc_writer(store, ["key"], ["seq"])
+    _apply(w, spark, [(1, 10.0, 1, "upsert")], 0)
+    _apply(w, spark, [(1, 10.0, 1, "upsert")], 0)  # crash-replay twin
+    row = spark.read.parquet(store).first()
+    assert row["n_changes"] == 1  # not double-counted
+
+
+def test_cdc_writer_stale_reemission_keeps_newer_values(spark, tmp_path):
+    from funding_monitoring_spark.streaming.sinks import cdc_writer
+
+    store = str(tmp_path / "state")
+    w = cdc_writer(store, ["key"], ["seq"])
+    _apply(w, spark, [(1, 20.0, 5, "upsert")], 0)
+    # a stale re-emission (lower seq) arrives in a later batch: values
+    # must not regress, but the arrival still counts as a change
+    _apply(w, spark, [(1, 19.0, 4, "upsert")], 1)
+    row = spark.read.parquet(store).first()
+    assert row["value"] == 20.0 and row["seq"] == 5
+    assert row["n_changes"] == 2
