@@ -116,3 +116,64 @@ def dedup_cluster_assignment(
     return out.withColumn(
         "is_canonical", (F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (node, rank)
+    — the second iterative-algorithm surface next to
+    connected_components, with exactly reproducible semantics: a FIXED
+    number of power iterations from the uniform vector, so an unrolled
+    SQL oracle can verify every value (see suites/graph_suite.py).
+
+    The caller must pass a graph with no dangling nodes (every node
+    reachable as dst also appears as src — e.g. a symmetrized
+    undirected graph); dangling-mass redistribution is intentionally
+    out of scope so the oracle stays a pure 2-join unroll.
+
+    Scale shape per iteration: ranks⋈degrees on the node key (both
+    pre-partitioned by node after the first round), one edges⋈ranks
+    equi-join on src, one sum-aggregate on dst — only (node, double)
+    pairs shuffle, never the edge payload; lineage is truncated each
+    round (localCheckpoint) like the CC loop. The node count is a
+    scalar one-job aggregate, not a data collect.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            e.join(
+                ranks.join(deg, ranks["node"] == deg["src"]).select(
+                    deg["src"], (F.col("rank") / F.col("deg")).alias("share")
+                ),
+                on="src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

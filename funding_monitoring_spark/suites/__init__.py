@@ -6,6 +6,7 @@ from funding_monitoring_spark.suites import (  # noqa: F401
     behavior_suite,
     curation_suite,
     dedup_suite,
+    graph_suite,
     multimodal_suite,
     olap_suite,
     pipeline_parity,

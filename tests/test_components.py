@@ -83,3 +83,28 @@ def test_random_graphs_match_union_find(spark):
         )
         got = {r["id"]: r["cluster_id"] for r in comp.collect()}
         assert got == expected, (edges, got, expected)
+
+
+def test_pagerank_symmetric_pair_is_uniform(spark):
+    from funding_monitoring_spark.operators.components import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank_fixed(edges).collect()}
+    assert abs(ranks["a"] - 0.5) < 1e-12
+    assert abs(ranks["b"] - 0.5) < 1e-12
+
+
+def test_pagerank_mass_conserved_and_hub_wins(spark):
+    from funding_monitoring_spark.operators.components import pagerank_fixed
+
+    # undirected star: hub h touches 3 leaves (symmetrized edges)
+    pairs = [("h", "l1"), ("h", "l2"), ("h", "l3")]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src string, dst string"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank_fixed(edges).collect()}
+    # no dangling nodes → total mass stays 1 every iteration
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert all(ranks["h"] > ranks[f"l{i}"] for i in (1, 2, 3))
