@@ -73,3 +73,59 @@ def q_window_functions(spark, sf_dir):
         F.round(F.sum("value").over(w_run), 6).alias("running_sum"),
         F.round(F.avg("value").over(w_ma3), 6).alias("ma3"),
     )
+
+
+@query(
+    "hopping_window_rollup",
+    """
+    WITH hops AS (
+        SELECT event_type, value,
+               -- integer µs arithmetic: epoch()::BIGINT would ROUND
+               -- fractional seconds and misplace boundary events
+               unnest([
+                   make_timestamp(
+                       (epoch_us(ts) // 300000000) * 300000000),
+                   make_timestamp(
+                       (epoch_us(ts) // 300000000) * 300000000
+                       - 300000000)
+               ]) AS window_start
+        FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 10 MINUTE AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM hops
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_hopping_window_rollup(spark, sf_dir):
+    """Hopping (sliding) window aggregation in BATCH: 10-minute
+    windows advancing every 5 minutes, so each event lands in exactly
+    two windows — `F.window(ts, "10 minutes", "5 minutes")` is Spark's
+    native overlapping-window explode-then-aggregate; the oracle
+    materializes the same two covering window starts per event.
+
+    Scale: the explode doubles rows BEFORE one hash aggregation on
+    (window, type) — map-side partial aggregation collapses the blowup
+    per task, so the exchange carries one row per (window, type) per
+    partition, same as a tumbling rollup."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -147,3 +147,42 @@ def test_embedding_near_dup_no_cartesian(spark, sf_dir):
     plan = plan_str(ALL["embedding_near_dup"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime-filter injection: a selectively-filtered dim side of a
+    shuffle join plants a bloom filter (`might_contain`) on the fact
+    scan, so non-matching fact rows die before the exchange. At
+    production defaults this fires only when the application side is
+    ≥10 GB — exactly the 100 TB case; the test lowers the thresholds
+    to make the plan observable at fixture scale, and restores them."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        part = load_table(spark, sf_dir, "part").filter(
+            F.col("p_brand") == "Brand#12"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+            "l_orderkey", "p_brand"
+        )
+        plan = plan_str(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
