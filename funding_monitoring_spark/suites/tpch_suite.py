@@ -736,3 +736,115 @@ def q_tpch_q17(spark, sf_dir):
             F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly")
         )
     )
+
+
+Q8_TYPE = "ECONOMY"
+Q8_REGION = "AMERICA"
+Q8_NATION = "NATION_1"
+Q8_LO, Q8_HI = "1995-01-01", "1996-12-31"
+
+
+@query(
+    "tpch_q8_market_share",
+    f"""
+    WITH volumes AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = cn.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        WHERE p_type = '{Q8_TYPE}'
+          AND r_name = '{Q8_REGION}'
+          AND o_orderdate BETWEEN TIMESTAMP '{Q8_LO} 00:00:00'
+                              AND TIMESTAMP '{Q8_HI} 00:00:00'
+    )
+    SELECT o_year,
+           ROUND(
+             CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                           THEN CAST(volume AS DECIMAL(18,6))
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE),
+           6) AS mkt_share
+    FROM volumes
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark, sf_dir):
+    """Q8 (national market share): the share of one supplier nation in
+    a region's market for one part type, per order year.
+
+    Scale shape: the part-type filter lands first and BROADCASTS (the
+    restricted part list is tiny), pruning lineitem at the scan join;
+    customer/nation/region/supplier are broadcast dims; the only big
+    shuffle is lineitem⋈orders on orderkey. Both volume sums aggregate
+    in DECIMAL(18,6) (exact, order-independent) and only the final
+    ratio becomes a rounded double — summation order cannot flip the
+    hash at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == Q8_TYPE
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            f"{Q8_LO} 00:00:00", f"{Q8_HI} 00:00:00"
+        )
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_REGION
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    cust_in_region = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            customer["c_nationkey"] == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volumes = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust_in_region),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(supp_nation),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.cast("decimal(18,6)").alias("volume"),
+            "supp_nation",
+        )
+    )
+    return volumes.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == Q8_NATION, F.col("volume")
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )

@@ -129,3 +129,39 @@ def q_hopping_window_rollup(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "trailing_time_features",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_30m,
+           ROUND(AVG(value) OVER w, 6) AS avg_value_30m
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_trailing_time_features(spark, sf_dir):
+    """Time-based (RANGE) window frame: per-user trailing-30-minute
+    event count and mean value — the feature-engineering shape rows-
+    based frames can't express (a user's events are irregularly
+    spaced). Ordering is integer epoch-µs on BOTH engines so frame
+    membership is exact, not float-fuzzy.
+
+    Scale: one hash shuffle on user_id + per-partition sort, identical
+    to the rows-based window family; frame width bounds state, not
+    partition size."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1800 * 1_000_000, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_30m"),
+        F.round(F.avg("value").over(w), 6).alias("avg_value_30m"),
+    )
