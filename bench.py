@@ -77,6 +77,10 @@ HEADLINE = [
     "cdc_materialize",
     "event_transition_matrix",
     "winsorized_stats",
+    "pagerank_trading_graph",
+    "hopping_window_rollup",
+    "trailing_time_features",
+    "tpch_q8_market_share",
 ]
 
 

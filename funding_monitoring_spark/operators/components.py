@@ -124,6 +124,7 @@ def pagerank_fixed(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (node, rank)
     — the second iterative-algorithm surface next to
@@ -143,7 +144,14 @@ def pagerank_fixed(
     round (localCheckpoint) like the CC loop. The node count is a
     scalar one-job aggregate, not a data collect.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # edges and nodes are reused every iteration: truncate their
+    # (possibly deep) upstream lineage ONCE. Mid-loop rank
+    # checkpoints, by contrast, each cost a full materialization job,
+    # so they happen only every `checkpoint_every` rounds — a short
+    # fixed-iteration run is a single Catalyst plan / single job.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -151,29 +159,35 @@ def pagerank_fixed(
         .localCheckpoint()
     )
     n = nodes.count()
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # deg's key is renamed: with e checkpointed, every derivation of e
+    # shares attribute ids, and joining e back against a same-id "src"
+    # would be ambiguous
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("deg_node"), "deg"
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    for it in range(iterations):
+        share = ranks.join(
+            deg, ranks["node"] == deg["deg_node"]
+        ).select(
+            F.col("deg_node").alias("share_node"),
+            (F.col("rank") / F.col("deg")).alias("share"),
+        )
         contribs = (
-            e.join(
-                ranks.join(deg, ranks["node"] == deg["src"]).select(
-                    deg["src"], (F.col("rank") / F.col("deg")).alias("share")
-                ),
-                on="src",
-            )
+            e.join(share, F.col("src") == F.col("share_node"))
             .groupBy("dst")
             .agg(F.sum("share").alias("mass"))
         )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+            ).alias("rank"),
         )
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks
