@@ -3,10 +3,12 @@
 Design: media are opaque ``binary`` columns plus a typed metadata
 struct (modality, mime, width/height/duration, …). All Spark-side
 plumbing — schema, Arrow-batched Pandas UDFs over ``mapInPandas``,
-partition sizing — is real and tested; the actual codec calls
-(image decode, audio resample, video frame-sample) are stubbed
-behind ``NotImplementedError`` or a deterministic fake, because the
-media libraries are not in this environment. Swapping the stub for
+partition sizing — is real and tested. Codecs: uncompressed 24-bit
+BMP decodes FOR REAL (pure numpy/struct, oracle-verified round trip
+in `multimodal_bmp_roundtrip`); compressed formats (PNG/JPEG) and
+audio/video resample/frame-sample are stubbed behind
+``NotImplementedError`` or a deterministic fake, because those codec
+libraries are not in this environment — swapping the stub for
 PIL/ffmpeg changes ONE function, not the pipeline.
 
 Scale notes (100 TB): media rows are large, so the operators use
@@ -19,6 +21,7 @@ extracted-feature table, never on the binary payload.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -56,16 +59,74 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> object:
-    """Real codec hook — intentionally not implemented here.
-
-    In production: ``PIL.Image.open(io.BytesIO(payload))``. The Spark
-    pipeline never calls this directly; extract_features uses the
-    deterministic fake so the distributed plumbing is testable.
+    """Image decode dispatch. Uncompressed 24-bit BMP decodes HERE,
+    for real (pure numpy/struct — no imaging library needed); every
+    compressed format (PNG/JPEG/...) needs a real codec library and
+    raises until one is present (in production:
+    ``PIL.Image.open(io.BytesIO(payload))``).
     """
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image codec not available in this environment; "
+        "compressed-image codecs not available in this environment; "
         "swap in PIL/torchvision here"
     )
+
+
+#: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes)
+_BMP_OFFSET = 54
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (top-down row order) as an
+    uncompressed 24-bit BMP: BGR channel order, bottom-up rows, rows
+    padded to 4-byte boundaries — the real wire format."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    pad = (4 - (w * 3) % 4) % 4
+    img_size = (w * 3 + pad) * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_OFFSET + img_size, 0, 0, _BMP_OFFSET
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    body = bytearray()
+    padding = b"\x00" * pad
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += px[y, :, ::-1].tobytes() + padding  # RGB → BGR
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes):
+    """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB
+    array (top-down). Handles row padding, BGR order, and both
+    bottom-up (h > 0) and top-down (h < 0) row directions; anything
+    fancier (compression, other bit depths) is rejected loudly."""
+    import numpy as np
+
+    magic, _, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    top_down = h < 0
+    hh = abs(h)
+    pad = (4 - (w * 3) % 4) % 4
+    row_size = w * 3 + pad
+    out = np.empty((hh, w, 3), dtype=np.uint8)
+    for i in range(hh):
+        row = np.frombuffer(
+            payload, dtype=np.uint8, count=w * 3, offset=offset + i * row_size
+        ).reshape(w, 3)[:, ::-1]  # BGR → RGB
+        out[i if top_down else hh - 1 - i] = row
+    return out
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -228,3 +289,112 @@ def sample_frames(
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+BMP_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("corner_r", T.IntegerType()),
+        T.StructField("corner_g", T.IntegerType()),
+        T.StructField("corner_b", T.IntegerType()),
+    ]
+)
+
+
+def _bmp_dims(media_id: int) -> tuple[int, int]:
+    return 2 + media_id % 6, 2 + media_id % 4
+
+
+def _bmp_pixels(media_id: int, w: int, h: int):
+    """Closed-form pixel field: channel j (row-major RGB flat index)
+    has value ((media_id*7 + j) * 31) % 256 — reproducible in the SQL
+    oracle without any binary parsing."""
+    import numpy as np
+
+    j = np.arange(w * h * 3, dtype=np.int64)
+    return ((media_id * 7 + j) * 31 % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+def synthesize_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build real uncompressed-BMP payloads (one per input id) with
+    the closed-form pixel field — the writer half of the codec round
+    trip. 1:1 mapInPandas, no shuffle."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                w, h = _bmp_dims(int(mid))
+                payloads.append(encode_bmp(_bmp_pixels(int(mid), w, h)))
+                metas.append(
+                    {
+                        "modality": "image",
+                        "mime": "image/bmp",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media_ids = ids.select(F.col(id_col).alias("media_id"))
+    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """The reader half: parse each BMP payload with the REAL decoder
+    (struct headers, padded rows, BGR→RGB, bottom-up flip) and emit
+    per-channel means plus the top-left pixel — the corner pixel is
+    the orientation proof (a row-flip or channel-swap bug moves it,
+    a mean would not notice)."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                h, w, _ = px.shape
+                means = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "mean_r": round(float(means[0]), 6),
+                        "mean_g": round(float(means[1]), 6),
+                        "mean_b": round(float(means[2]), 6),
+                        "corner_r": int(px[0, 0, 0]),
+                        "corner_g": int(px[0, 0, 1]),
+                        "corner_b": int(px[0, 0, 2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=BMP_FEATURE_SCHEMA)

@@ -67,3 +67,50 @@ def q_multimodal_resize_pipeline(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_frames_sampled"))
     )
     return resized_len.join(frame_counts, on="media_id", how="inner")
+
+
+def _bmp_mean_sql(c: int) -> str:
+    return (
+        f"ROUND(list_sum(list_transform(range(0, width*height), "
+        f"p -> ((media_id*7 + p*3 + {c})*31) % 256)) "
+        f"/ CAST(width*height AS DOUBLE), 6)"
+    )
+
+
+@query(
+    "multimodal_bmp_roundtrip",
+    f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(2 + doc_id % 6 AS INT) AS width,
+               CAST(2 + doc_id % 4 AS INT) AS height
+        FROM documents
+    )
+    SELECT media_id, width, height,
+           {_bmp_mean_sql(0)} AS mean_r,
+           {_bmp_mean_sql(1)} AS mean_g,
+           {_bmp_mean_sql(2)} AS mean_b,
+           CAST(((media_id*7 + 0)*31) % 256 AS INT) AS corner_r,
+           CAST(((media_id*7 + 1)*31) % 256 AS INT) AS corner_g,
+           CAST(((media_id*7 + 2)*31) % 256 AS INT) AS corner_b
+    FROM dims
+    """,
+)
+def q_multimodal_bmp_roundtrip(spark, sf_dir):
+    """REAL image codec round trip: synthesize an uncompressed 24-bit
+    BMP per document (closed-form pixel field), then parse it back
+    with the actual decoder — struct headers, 4-byte row padding,
+    BGR→RGB, bottom-up row flip — in an Arrow-batched mapInPandas.
+    The oracle computes the expected means and the top-left pixel
+    straight from the pixel formula, so a decoder bug (orientation,
+    channel order, padding arithmetic) breaks the hash match. Only
+    BMP decodes natively; compressed formats still raise until a
+    codec library is present (operators/multimodal.py decode_image).
+    """
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_bmp_features,
+        synthesize_bmp_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_bmp_features(synthesize_bmp_media(docs))

@@ -174,3 +174,56 @@ def test_group_centroids_reassembles_long_form(spark, sf_dir):
     for r in long:
         assert wide[r["label"]][r["dim"]] == r["centroid"]
     assert all(len(v) == 64 for v in wide.values())
+
+
+def test_bmp_roundtrip_all_padding_widths():
+    """Row padding differs by width (w*3 mod 4): cover every residue."""
+    import numpy as np
+
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for w in (1, 2, 3, 4, 5, 8):
+        for h in (1, 2, 3):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_bmp_decode_top_down_negative_height():
+    """Real BMPs may store rows top-down (negative height) — the
+    encoder never emits it, so craft the header by hand."""
+    import struct
+
+    import numpy as np
+
+    from funding_monitoring_spark.operators.multimodal import decode_bmp
+
+    w, h = 2, 2
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    pad = (4 - (w * 3) % 4) % 4
+    body = b"".join(
+        px[y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h)
+    )  # top-down order, BGR
+    payload = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+    assert np.array_equal(decode_bmp(payload), px)
+
+
+def test_bmp_decode_rejects_unsupported():
+    import pytest as _pytest
+
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 60)
