@@ -97,6 +97,12 @@ _PRIORITY: list[str] = [
     "event_transition_matrix",
     "winsorized_stats",
 ]
+# ^ exactly 50 entries — the window is full. Registered later in
+# round 2 and therefore owed their FIRST driver row at the head of
+# round 3's rotation: stream_cdc_materialize, pagerank_trading_graph,
+# hopping_window_rollup, trailing_time_features, tpch_q8_market_share,
+# multimodal_bmp_roundtrip, term_posting_lists, ngram_novelty,
+# embedding_quantize_int8, sequence_packing_plan.
 
 
 def _ordered(d: dict) -> dict:

@@ -226,3 +226,155 @@ def q_corpus_balance_report(spark, sf_dir):
             "char_share"
         ),
     )
+
+
+@query(
+    "term_posting_lists",
+    """
+    WITH terms AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(text, '\\S+')) AS term
+        FROM documents
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+    FROM terms GROUP BY term
+    """,
+)
+def q_term_posting_lists(spark, sf_dir):
+    """Inverted-index build: term → document frequency + ascending
+    posting list (serialized as a comma string so the driver's value
+    hash covers the ordering, not just membership). One shuffle on the
+    term key; collect_list order is made deterministic with
+    sort_array. At 100 TB postings shard by (term, doc_id range) —
+    the groupBy key extends with a bucket column, same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all("text", F.lit(r"(\S+)"), 1)
+            )
+        ).alias("term"),
+    )
+    return terms.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            # sort NUMERICALLY before stringifying ("10" < "2" would
+            # diverge from the oracle's ORDER BY doc_id)
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+@query(
+    "ngram_novelty",
+    f"""
+    WITH g AS (
+        SELECT doc_id, unnest({_FPS}) AS gram FROM documents
+    ),
+    firsts AS (
+        SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) AS n_novel,
+           ROUND(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM g JOIN firsts f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Corpus-order novelty score: the fraction of a document's token
+    shingles that no lower-id document contains — the streaming-
+    ingestion view of "how much does this doc add?". Shuffles only
+    int64 gram fingerprints keyed by gram, then one per-doc count;
+    text never leaves the scan stage."""
+    from funding_monitoring_spark.operators.dedup import (
+        shingle_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(shingle_fingerprints("text")).alias("gram")
+    )
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        (F.col("first_doc") == F.col("doc_id")).cast("long")
+    ).alias("n_novel")
+    return (
+        g.join(firsts, on="gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel,
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+PACK_CAPACITY = 512  # tokens per packed training sequence
+
+
+@query(
+    "sequence_packing_plan",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS BIGINT) AS start_offset
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, start_offset,
+           start_offset // {PACK_CAPACITY} AS pack_id,
+           start_offset % {PACK_CAPACITY} AS offset_in_pack
+    FROM pos
+    """,
+)
+def q_sequence_packing_plan(spark, sf_dir):
+    """Deterministic sequence-packing plan: concatenate each language
+    stream in doc_id order and split at {capacity}-token boundaries —
+    every doc gets its pack id and intra-pack offset (docs straddling
+    a boundary continue into the next pack, the standard LLM-pretrain
+    packing). A pure window cumsum: one shuffle on the stream key.
+    At 100 TB the stream key extends to (lang, shard) so no single
+    partition holds a whole language."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", "lang", X.token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = toks.withColumn(
+        "start_offset",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+    )
+    return pos.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / PACK_CAPACITY).alias("pack_id"),
+        (F.col("start_offset") % PACK_CAPACITY).alias("offset_in_pack"),
+    )

@@ -383,3 +383,54 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return S.cosine_topk_ivf_kmeans(queries, emb, k=K)
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, vv,
+               list_max(list_transform(vv, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, vv, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(vv, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(
+                        vv, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+               END AS qq
+        FROM s
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(qq, x -> abs(x))),
+               (a, b) -> a + b) AS q_l1,
+           ROUND(
+               list_reduce(
+                   list_prepend(0.0,
+                       list_transform(range(1, len(vv) + 1),
+                           i -> abs(list_extract(vv, i)
+                                    - list_extract(qq, i) * scale))),
+                   (a, b) -> a + b)
+               / greatest(len(vv), 1), 6) AS mean_abs_err
+    FROM q
+    """,
+)
+def q_embedding_quantize_int8(spark, sf_dir):
+    """Absmax int8 quantization audit over the embedding table: scale,
+    quantized L1 mass (exact integer — any quantization divergence
+    breaks it), and mean dequantization error. Scan-stage higher-order
+    functions, no shuffle, no UDF (operators/vectorops.py)."""
+    from funding_monitoring_spark.operators.vectorops import (
+        quantize_int8_stats,
+    )
+
+    return quantize_int8_stats(load_table(spark, sf_dir, "embeddings"))
