@@ -149,3 +149,109 @@ def q_winsorized_stats(spark, sf_dir):
         F.round(F.any_value("hi"), 6).alias("p95"),
         F.round(F.avg(clamped), 6).alias("winsorized_mean"),
     )
+
+
+@query(
+    "expectation_audit",
+    """
+    WITH o AS (
+        SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dup,
+               COUNT(*) FILTER (WHERE o_custkey IS NULL) AS null_cust,
+               COUNT(*) FILTER (WHERE o_totalprice <= 0) AS nonpos_price
+        FROM orders
+    ),
+    l AS (
+        SELECT COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                   AS qty_range,
+               COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                   AS line_pk_dup
+        FROM lineitem
+    ),
+    fk AS (
+        SELECT COUNT(*) AS orphan_orders
+        FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+        WHERE c_custkey IS NULL
+    )
+    SELECT chk AS check_name, CAST(v AS BIGINT) AS n_violations,
+           CAST(v = 0 AS INT) AS passed
+    FROM (
+        SELECT 'orders_pk_unique' AS chk, pk_dup AS v FROM o
+        UNION ALL SELECT 'orders_custkey_not_null', null_cust FROM o
+        UNION ALL SELECT 'orders_totalprice_positive', nonpos_price FROM o
+        UNION ALL SELECT 'lineitem_quantity_in_range', qty_range FROM l
+        UNION ALL SELECT 'lineitem_pk_unique', line_pk_dup FROM l
+        UNION ALL SELECT 'orders_custkey_fk', orphan_orders FROM fk
+    )
+    """,
+)
+def q_expectation_audit(spark, sf_dir):
+    """Deequ-style data-quality audit: PK uniqueness, null checks,
+    range constraints, and referential integrity in ONE report frame.
+    Each base table is scanned once (conditional aggregates share the
+    pass); the FK check is a broadcast anti join on the dimension.
+    At 100 TB this is the pre-ingest gate run per partition-batch —
+    every check is a map-side-combinable aggregate, no row-level
+    output, so the report costs one scan per table regardless of
+    violation count."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    o = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("pk_dup"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias(
+            "nonpos_price"
+        ),
+    )
+    li = lineitem.agg(
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                "long"
+            )
+        ).alias("qty_range"),
+        (
+            F.count("*")
+            - F.countDistinct("l_orderkey", "l_linenumber")
+        ).alias("line_pk_dup"),
+    )
+    fk = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count("*").alias("orphan_orders"))
+    )
+
+    def report(frame, pairs):
+        exprs = ", ".join(
+            f"'{name}', CAST({col} AS BIGINT)" for name, col in pairs
+        )
+        n = len(pairs)
+        return frame.selectExpr(
+            f"stack({n}, {exprs}) AS (check_name, n_violations)"
+        )
+
+    out = (
+        report(
+            o,
+            [
+                ("orders_pk_unique", "pk_dup"),
+                ("orders_custkey_not_null", "null_cust"),
+                ("orders_totalprice_positive", "nonpos_price"),
+            ],
+        )
+        .unionByName(
+            report(
+                li,
+                [
+                    ("lineitem_quantity_in_range", "qty_range"),
+                    ("lineitem_pk_unique", "line_pk_dup"),
+                ],
+            )
+        )
+        .unionByName(report(fk, [("orders_custkey_fk", "orphan_orders")]))
+    )
+    return out.withColumn(
+        "passed", (F.col("n_violations") == 0).cast("int")
+    )

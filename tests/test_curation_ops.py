@@ -66,7 +66,7 @@ def test_cdc_plan_has_no_window_or_global_sort(change_feed):
 @pytest.fixture(scope="module")
 def tiny_docs(spark):
     rows = [
-        (0, "alpha beta gamma delta epsilon zeta"),  # eval (0 % 2 == 0... use pred id<2)
+        (0, "alpha beta gamma delta epsilon zeta"),  # the eval doc
         (1, "alpha beta gamma delta other words here"),  # overlaps eval
         (2, "totally disjoint vocabulary set right now"),  # clean
         (3, "ab"),  # shorter than SHINGLE_N → whole-text fallback shingle
