@@ -102,7 +102,8 @@ _PRIORITY: list[str] = [
 # round 3's rotation: stream_cdc_materialize, pagerank_trading_graph,
 # hopping_window_rollup, trailing_time_features, tpch_q8_market_share,
 # multimodal_bmp_roundtrip, term_posting_lists, ngram_novelty,
-# embedding_quantize_int8, sequence_packing_plan, expectation_audit.
+# embedding_quantize_int8, sequence_packing_plan, expectation_audit,
+# stream_hopping_rollup.
 
 
 def _ordered(d: dict) -> dict:

@@ -146,6 +146,57 @@ def streaming_tumbling_rollup(
         q.awaitTermination()
 
 
+def streaming_hopping_rollup(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    window: str = "10 minutes",
+    slide: str = TRIGGER_INTERVAL,
+    available_now: bool = True,
+    watermark: str = WATERMARK_DELAY,
+) -> None:
+    """Hopping-window rollup: the overlapping-window twin of
+    streaming_tumbling_rollup — each event contributes to
+    window/slide windows, Spark maintains state per open window, and
+    update-mode emissions upsert by (window_start, event_type). The
+    converged store equals the batch hopping aggregation
+    (suites/window_suite.py hopping_window_rollup shares the oracle).
+    State cost scales with open windows × keys, bounded by the
+    watermark — the overlap factor multiplies state, not shuffle."""
+    src = stream_from_chunks(spark, chunks_dir, schema)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ROUND).alias("sum_value"),
+        )
+    )
+
+    def flatten(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+
+    writer = agg.writeStream.outputMode("update").foreachBatch(
+        upsert_writer(
+            store_path,
+            key_cols=["window_start", "event_type"],
+            order_cols=["n_events"],
+            transform=flatten,
+        )
+    )
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
 def streaming_funding_pipeline(
     spark: SparkSession,
     chunks_dir: str,
@@ -538,6 +589,12 @@ def _dispatch_pipeline(
     if pipeline == "ewma_stateful":
         store = os.path.join(workdir, "ewma")
         streaming_ewma_stateful(
+            spark, chunks_dir, schema, store, checkpoint
+        )
+        return spark.read.parquet(store)
+    if pipeline == "hopping_rollup":
+        store = os.path.join(workdir, "hopping")
+        streaming_hopping_rollup(
             spark, chunks_dir, schema, store, checkpoint
         )
         return spark.read.parquet(store)

@@ -242,3 +242,18 @@ def q_stream_cdc_materialize(spark, sf_dir):
     return replay_events_pipeline(
         spark, events, _workdir(), "cdc_materialize", N_CHUNKS
     )
+
+
+from funding_monitoring_spark.suites.window_suite import HOPPING_ORACLE_SQL
+
+
+@query("stream_hopping_rollup", HOPPING_ORACLE_SQL)
+def q_stream_hopping_rollup(spark, sf_dir):
+    """Hopping (overlapping) windows as a STREAM: 10-minute windows
+    sliding every 5, update-mode state per open window, upserted by
+    (window_start, event_type); converged store == the batch hopping
+    aggregation — same oracle as `hopping_window_rollup`."""
+    events = load_table(spark, sf_dir, "events")
+    return replay_events_pipeline(
+        spark, events, _workdir(), "hopping_rollup", N_CHUNKS
+    )

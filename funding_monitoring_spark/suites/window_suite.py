@@ -75,9 +75,9 @@ def q_window_functions(spark, sf_dir):
     )
 
 
-@query(
-    "hopping_window_rollup",
-    """
+#: shared with the streaming twin (stream_hopping_rollup): the
+#: converged streaming store must equal this batch aggregation
+HOPPING_ORACLE_SQL = """
     WITH hops AS (
         SELECT event_type, value,
                -- integer µs arithmetic: epoch()::BIGINT would ROUND
@@ -98,8 +98,10 @@ def q_window_functions(spark, sf_dir):
            ROUND(SUM(value), 6) AS sum_value
     FROM hops
     GROUP BY 1, 2, 3
-    """,
-)
+    """
+
+
+@query("hopping_window_rollup", HOPPING_ORACLE_SQL)
 def q_hopping_window_rollup(spark, sf_dir):
     """Hopping (sliding) window aggregation in BATCH: 10-minute
     windows advancing every 5 minutes, so each event lands in exactly

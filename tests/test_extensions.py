@@ -227,3 +227,47 @@ def test_bmp_decode_rejects_unsupported():
         decode_bmp(b"XX" + b"\x00" * 60)
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 60)
+
+
+def test_quantize_int8_error_bounded_by_half_step(spark):
+    """Absmax int8 quantization error is ≤ scale/2 per dimension, so
+    the mean error must be too; zero vectors quantize cleanly."""
+    import numpy as np
+
+    from funding_monitoring_spark.operators.vectorops import (
+        quantize_int8_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(20)]
+    rows.append((99, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_int8_stats(df).collect()}
+    for vid, r in out.items():
+        if vid == 99:
+            assert r["scale"] == 0.0 and r["q_l1"] == 0
+            assert r["mean_abs_err"] == 0.0
+        else:
+            assert r["mean_abs_err"] <= r["scale"] / 2 + 1e-9
+            assert r["q_l1"] > 0
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Offsets tile each language stream exactly: consecutive docs are
+    contiguous (offset = prev offset + prev tokens) and pack ids are
+    the floor-division of offsets — no gaps, no overlaps."""
+    from funding_monitoring_spark import registry
+
+    rows = (
+        registry.queries()["sequence_packing_plan"](spark, sf_dir)
+        .orderBy("lang", "doc_id")
+        .collect()
+    )
+    by_lang = {}
+    for r in rows:
+        prev = by_lang.get(r["lang"])
+        if prev is not None:
+            assert r["start_offset"] == prev["start_offset"] + prev["n_tokens"]
+        assert r["pack_id"] == r["start_offset"] // 512
+        assert r["offset_in_pack"] == r["start_offset"] % 512
+        by_lang[r["lang"]] = r
