@@ -81,6 +81,13 @@ HEADLINE = [
     "hopping_window_rollup",
     "trailing_time_features",
     "tpch_q8_market_share",
+    "term_posting_lists",
+    "ngram_novelty",
+    "embedding_quantize_int8",
+    "sequence_packing_plan",
+    "expectation_audit",
+    "jsonl_quarantine",
+    "multimodal_bmp_roundtrip",
 ]
 
 

@@ -103,7 +103,7 @@ _PRIORITY: list[str] = [
 # hopping_window_rollup, trailing_time_features, tpch_q8_market_share,
 # multimodal_bmp_roundtrip, term_posting_lists, ngram_novelty,
 # embedding_quantize_int8, sequence_packing_plan, expectation_audit,
-# stream_hopping_rollup.
+# stream_hopping_rollup, jsonl_quarantine.
 
 
 def _ordered(d: dict) -> dict:

@@ -651,3 +651,46 @@ def q_full_outer(spark, sf_dir):
         "n_auto",
         "n_building",
     )
+
+
+CORRUPT_MOD = 97  # deterministic corruption sieve for the quarantine demo
+
+
+@query(
+    "jsonl_quarantine",
+    f"""
+    WITH derived AS (
+        SELECT event_id,
+               CASE WHEN event_id % {CORRUPT_MOD} = 0
+                    THEN substring(props, 1, length(props) - 2)
+                    ELSE props END AS raw
+        FROM events
+    )
+    SELECT event_id,
+           CAST(NOT json_valid(raw) AS INT) AS is_corrupt,
+           CASE WHEN json_valid(raw)
+                THEN CAST(json_extract(raw, '$.k') AS INT) END AS k
+    FROM derived
+    """,
+)
+def q_jsonl_quarantine(spark, sf_dir):
+    """Semi-structured ingestion with corrupt-record quarantine: a
+    deterministic sieve truncates ~1/{mod} of the JSON payloads, and
+    the parse splits rows into parsed-vs-quarantined — the PERMISSIVE
+    ingestion gate every raw-JSON feed needs. Scan-stage only: from_
+    json is a codegen'd expression, no shuffle; at 100 TB the corrupt
+    slice writes to a quarantine table for replay instead of failing
+    the job. Spark's from_json yields an all-null struct on malformed
+    input, and `k` is non-null in every valid payload, so null-k IS
+    the corruption signal (same rule as the oracle's json_valid)."""
+    events = load_table(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % CORRUPT_MOD == 0,
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(raw, "k INT")
+    return events.select(
+        "event_id",
+        parsed["k"].isNull().cast("int").alias("is_corrupt"),
+        parsed["k"].alias("k"),
+    )
