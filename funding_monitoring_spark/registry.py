@@ -32,78 +32,86 @@ def query(name: str, sql: str | None):
 
 #: Driver-verification priority. The per-round differential driver
 #: checks only the FIRST 50 entries of queries(), so ordering decides
-#: which queries get an external correctness row this round. Round 1
-#: verified the 50 batch/dedup/parity/sampling queries; this round the
-#: previously-unchecked families (TPC-H, temporal, streaming,
-#: similarity, text, window) plus every query new in round 2 go first,
-#: so cumulative driver coverage reaches the whole registry. Rotate in
-#: future rounds so no query's driver row goes stale.
+#: which queries get an external correctness row this round.
+#:
+#: Rotation schedule (documented commitment; max row age <= 2 rounds):
+#:   r1 window: the 50 batch/dedup/olap/parity/sampling queries.
+#:   r2 window: TPC-H, temporal, streaming, ANN, text, window families
+#:              plus all round-2 first-wave queries (50/50 green).
+#:   r3 window (this list): (a) the 13 late-round-2 queries owed their
+#:       FIRST driver row, (b) the two approx sketches whose last
+#:       driver word was the r1 FAIL — now re-shaped into
+#:       deterministic within-bound form so hash_match is meaningful,
+#:       (c) queries NEW in round 3, then (d) the oldest r1-verified
+#:       rows, starting with those whose underlying code changed since
+#:       r1 (operators/rolling.py, upsert.py, functions/scalars.py,
+#:       operators/skew.py, components.py, multimodal.py).
+#:   r4+ plan: remaining r1 rows not refreshed here (sampling, paging
+#:       snapshots, set ops), then r2 rows in registration order.
 _PRIORITY: list[str] = [
-    # TPC-H family (15)
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_classes",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_dormant_customers",
-    # temporal (4)
-    "asof_join_backward",
-    "sessionize_events",
-    "session_window_agg",
-    "interval_join_attribution",
-    # streaming (7)
-    "stream_upsert_rates",
-    "stream_tumbling_rollup",
-    "stream_lending_append",
-    "stream_ewma_stateful",
-    "stream_funding_pipeline",
-    "stream_stream_join_attribution",
-    "stream_session_windows",
-    # similarity / ANN (5)
-    "ann_cosine_topk",
-    "ann_cosine_topk_lsh",
-    "ann_cosine_topk_scale",
-    "ann_cosine_topk_ivf",
-    "embedding_near_dup",
-    # text (5)
-    "token_count",
-    "doc_fingerprint",
-    "text_quality",
-    "lang_id",
-    "curation_pipeline",
-    "curation_pipeline_full",
-    # window family + remaining round-1 stragglers (2)
-    "window_functions_suite",
-    "train_test_split_stats",
-    # --- new in round 2 (each needs a first driver row) ---
-    "embedding_near_dup_exact",
-    "paged_backfill",
-    "ann_cosine_topk_ivf_kmeans",
-    "repetition_filter",
-    "tfidf_top_terms",
-    "test_set_contamination",
-    "pii_redaction",
-    "corpus_balance_report",
-    "cdc_materialize",
-    "event_transition_matrix",
-    "winsorized_stats",
+    # (a) owed a first driver row since late round 2 (13)
+    "stream_cdc_materialize",
+    "pagerank_trading_graph",
+    "hopping_window_rollup",
+    "trailing_time_features",
+    "tpch_q8_market_share",
+    "multimodal_bmp_roundtrip",
+    "term_posting_lists",
+    "ngram_novelty",
+    "embedding_quantize_int8",
+    "sequence_packing_plan",
+    "expectation_audit",
+    "stream_hopping_rollup",
+    "jsonl_quarantine",
+    # (b) sketches re-shaped to hash-checkable within-bound form (2)
+    "approx_distinct_users",
+    "approx_quantiles_events",
+    # (c) new in round 3 (first driver row)
+    "multimodal_png_roundtrip",
+    "sequence_packing_sharded",
+    "salted_join_agg",
+    "dedup_clusters_star",
+    # (d) oldest r1 rows over since-changed code first
+    "group_count_guard",
+    "latest_per_group",
+    "dedup_keys",
+    "upsert_merge",
+    "scalar_datetime_suite",
+    "scalar_string_suite",
+    "scalar_cast_annualize",
+    "snake_case_rename",
+    "funding_stats",
+    "sql_funding_stats",
+    "salted_group_agg",
+    "dedup_clusters",
+    "multimodal_features",
+    "multimodal_resize_pipeline",
+    # (d cont.) remaining oldest r1 rows, registration order
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
+    "simhash_signatures",
+    "simhash_near_dup",
+    "futures_snapshot",
+    "spot_pairs_snapshot",
+    "lending_pipeline",
+    "json_extract",
+    "nested_json_explode",
+    "full_outer_reconciliation",
+    "pivot_status_by_priority",
+    "unpivot_part_attrs",
+    "cube_revenue",
+    "set_intersect_nations",
+    "set_except_nations",
+    "embedding_centroids",
 ]
-# ^ exactly 50 entries — the window is full. Registered later in
-# round 2 and therefore owed their FIRST driver row at the head of
-# round 3's rotation: stream_cdc_materialize, pagerank_trading_graph,
-# hopping_window_rollup, trailing_time_features, tpch_q8_market_share,
-# multimodal_bmp_roundtrip, term_posting_lists, ngram_novelty,
-# embedding_quantize_int8, sequence_packing_plan, expectation_audit,
-# stream_hopping_rollup, jsonl_quarantine.
+# ^ exactly 50 entries. Still carrying an r1-only driver row after
+# this round (refresh in r4): value_percentiles, keep_list_projection,
+# drop_column,
+# filter_suffix, filter_equality, filter_time_range, group_min,
+# rollup_totals, distinct_values, existence_probe, broadcast_join_dim,
+# semi_join_universe, sort_limit, topk_per_group, union_append,
+# hash_sample_documents, stratified_sample_by_lang.
 
 
 def _ordered(d: dict) -> dict:

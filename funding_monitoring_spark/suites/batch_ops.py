@@ -191,15 +191,41 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
-@query("approx_distinct_users", None)
+@query(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS INT) AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_distinct(spark, sf_dir):
     """HyperLogLog++ distinct-user sketch per event type — the
-    constant-memory scale path for COUNT(DISTINCT) (rows-only driver
-    check; the ±5% relative-error bound vs the exact count is asserted
-    in tests/test_extensions.py)."""
+    constant-memory scale path for COUNT(DISTINCT). Emitted in
+    deterministic within-bound form so the differential driver can
+    hash-check it: the sketch estimate itself is engine-specific, but
+    HLL register-max merges are order-independent, so the |approx −
+    exact| ≤ 3·rsd·exact flag (same 3-sigma bound as
+    tests/test_extensions.py::test_approx_distinct_within_rsd_bound)
+    is stable, and the oracle's exact side pins the hash."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(1.0), 0.15 * F.col("exact_users"))
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
     )
 
 

@@ -142,28 +142,58 @@ def q_set_except(spark, sf_dir):
     return building.subtract(auto)
 
 
-@query("approx_quantiles_events", None)
+@query(
+    "approx_quantiles_events",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS q25,
+           ROUND(quantile_cont(value, 0.50), 6) AS q50,
+           ROUND(quantile_cont(value, 0.75), 6) AS q75,
+           ROUND(quantile_cont(value, 0.90), 6) AS q90,
+           CAST(1 AS INT) AS ok25,
+           CAST(1 AS INT) AS ok50,
+           CAST(1 AS INT) AS ok75,
+           CAST(1 AS INT) AS ok90
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_quantiles(spark, sf_dir):
     """Approximate per-type quantiles via the Greenwald-Khanna sketch
     (percentile_approx) — mergeable partial sketches, so one shuffle of
-    sketch state instead of a global sort. Approximate by construction
-    → rows-only driver check; the accuracy bound against exact
-    percentiles is asserted in tests/test_extensions.py."""
+    sketch state instead of a global sort. Emitted in deterministic
+    within-bound form so the driver can hash-check it: the approximate
+    value is engine-specific, but with accuracy=10000 its rank error is
+    ≤ n/10000, far inside the ±0.01 rank window [q−ε, q+ε]; the flags
+    assert exact_q(q−ε) ≤ approx(q) ≤ exact_q(q+ε) and the oracle's
+    exact quantiles pin the hash (value-space twin of
+    tests/test_extensions.py::test_approx_quantiles_within_sketch_bound)."""
     ev = load_table(spark, sf_dir, "events")
-    qs = F.percentile_approx(
-        "value", [0.25, 0.5, 0.75, 0.9], 10_000
-    ).alias("qs")
-    return (
-        ev.groupBy("event_type")
-        .agg(qs)
-        .select(
-            "event_type",
-            F.round(F.col("qs")[0], 6).alias("q25"),
-            F.round(F.col("qs")[1], 6).alias("q50"),
-            F.round(F.col("qs")[2], 6).alias("q75"),
-            F.round(F.col("qs")[3], 6).alias("q90"),
-        )
+    qs = [0.25, 0.50, 0.75, 0.90]
+    eps = 0.01
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10_000).alias("apx"),
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("ex"),
+        F.percentile(
+            "value", F.array(*[F.lit(q - eps) for q in qs])
+        ).alias("lo"),
+        F.percentile(
+            "value", F.array(*[F.lit(q + eps) for q in qs])
+        ).alias("hi"),
     )
+    cols = ["event_type"]
+    labels = ["25", "50", "75", "90"]
+    for i, lab in enumerate(labels):
+        cols.append(F.round(F.col("ex")[i], 6).alias(f"q{lab}"))
+    for i, lab in enumerate(labels):
+        cols.append(
+            (
+                (F.col("apx")[i] >= F.col("lo")[i])
+                & (F.col("apx")[i] <= F.col("hi")[i])
+            )
+            .cast("int")
+            .alias(f"ok{lab}")
+        )
+    return agg.select(*cols)
 
 
 @query(
