@@ -140,9 +140,12 @@ def pagerank_fixed(
     Scale shape per iteration: ranks⋈degrees on the node key (both
     pre-partitioned by node after the first round), one edges⋈ranks
     equi-join on src, one sum-aggregate on dst — only (node, double)
-    pairs shuffle, never the edge payload; lineage is truncated each
-    round (localCheckpoint) like the CC loop. The node count is a
-    scalar one-job aggregate, not a data collect.
+    pairs shuffle, never the edge payload. Edges and nodes are
+    localCheckpoint'ed once up front; rank lineage is truncated every
+    `checkpoint_every` rounds (each mid-loop checkpoint costs a full
+    materialization job, so a short fixed-iteration run stays a single
+    Catalyst plan). The node count is a scalar one-job aggregate, not
+    a data collect.
     """
     # edges and nodes are reused every iteration: truncate their
     # (possibly deep) upstream lineage ONCE. Mid-loop rank

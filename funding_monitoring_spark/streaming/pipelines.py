@@ -637,7 +637,9 @@ def streaming_cdc_materialize(
         "user_id", "value", "ts", "event_type", "event_id"
     )
     writer = src.writeStream.foreachBatch(
-        cdc_writer(store_path, ["user_id"], ["ts", "event_id"])
+        cdc_writer(
+            store_path, ["user_id"], ["ts", "event_id"], run_id=checkpoint
+        )
     )
     q = _run(writer, available_now, checkpoint, trigger_interval)
     if available_now:

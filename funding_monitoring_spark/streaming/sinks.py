@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 from funding_monitoring_spark.operators.upsert import dedupe_batch, upsert
 
 
-def atomic_overwrite(df: DataFrame, path: str) -> None:
+def atomic_overwrite(
+    df: DataFrame, path: str, extra_files: dict[str, str] | None = None
+) -> None:
     """Materialize df into `path`, atomically: write a sibling
     versioned data dir, then swap a symlink over `path` with a single
     ``os.replace`` — readers racing the swap resolve either the old or
@@ -36,6 +38,12 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     leaves `path` valid (rename(2) atomically replaces the link).
     The input may itself read from `path` (the merge case) — it is
     fully written out before the swap.
+
+    extra_files: optional {name: content} sidecar metadata committed
+    atomically WITH the data — written into the versioned dir before
+    the swap, so readers never observe data without its metadata (or
+    vice versa). Names must start with ``_`` so Spark's file index
+    ignores them (same convention as ``_SUCCESS``).
 
     Crash recovery: an interrupted write strands only unreferenced
     ``.__v_*`` / ``.__ln_*`` siblings; the next successful overwrite
@@ -53,6 +61,10 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     token = uuid.uuid4().hex[:8]
     data = f"{path}.__v_{token}"
     df.write.mode("overwrite").parquet(data)
+    for name, content in (extra_files or {}).items():
+        assert name.startswith("_"), name  # must be Spark-invisible
+        with open(os.path.join(data, name), "w") as fh:
+            fh.write(content)
 
     prev = os.readlink(path) if os.path.islink(path) else None
     if os.path.exists(path) and not os.path.islink(path):
@@ -134,6 +146,7 @@ def cdc_writer(
     store_path: str,
     key_cols: Sequence[str],
     order_cols: Sequence[str],
+    run_id: str = "default",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch CDC compactor: per batch, the max-order change per
     key wins (one map-side-combinable max_by aggregation, like
@@ -149,20 +162,34 @@ def cdc_writer(
 
     Effectively-once: unlike the last-write-wins merges, count
     accumulation is NOT naturally idempotent, so the writer records
-    the last applied batch_id in a sidecar marker and skips a replayed
-    batch (the crash window between store swap and checkpoint commit).
+    the last applied batch_id in a ``_applied_batch`` marker committed
+    atomically WITH the store (written inside the versioned dir before
+    the symlink swap — atomic_overwrite's extra_files) and skips a
+    replayed batch. A crash before the swap leaves the old store with
+    its old marker (replay re-applies onto the old state — correct); a
+    crash after the swap leaves the new store with its new marker
+    (replay is skipped — correct). There is no window where data and
+    marker disagree.
+
+    run_id namespaces the marker by streaming-query identity (callers
+    pass the checkpoint location): a FRESH checkpoint restarts batch
+    ids at 0, and without the namespace a store that outlived its
+    checkpoint would silently skip every batch of the new query. A
+    marker whose run_id differs never suppresses a batch.
 
     Scale shape: every join broadcasts the (tiny) batch against the
     (huge) store — anti-join for untouched keys, semi-join to fetch
     the contested keys' prior state — so the store never shuffles.
     """
-    marker = store_path + ".__applied_batch"
+    marker = os.path.join(store_path, "_applied_batch")
+    legacy_marker = store_path + ".__applied_batch"  # pre-atomic layout
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(marker):
             with open(marker) as fh:
-                if int(fh.read().strip()) >= batch_id:
-                    return  # replay of an already-applied batch
+                applied_run, applied_id = fh.read().splitlines()
+            if applied_run == run_id and int(applied_id) >= batch_id:
+                return  # replay of an already-applied batch
         spark = batch_df.sparkSession
         order_key = F.struct(*[F.col(c) for c in order_cols])
         value_cols = [c for c in batch_df.columns if c not in key_cols]
@@ -207,8 +234,12 @@ def cdc_writer(
             out = survivors.unionByName(merged)
         else:
             out = latest.withColumnRenamed("__batch_changes", "n_changes")
-        atomic_overwrite(out, store_path)
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
+        atomic_overwrite(
+            out,
+            store_path,
+            extra_files={"_applied_batch": f"{run_id}\n{batch_id}"},
+        )
+        if os.path.exists(legacy_marker):
+            os.unlink(legacy_marker)
 
     return write

@@ -706,17 +706,26 @@ def q_jsonl_quarantine(spark, sf_dir):
     ingestion gate every raw-JSON feed needs. Scan-stage only: from_
     json is a codegen'd expression, no shuffle; at 100 TB the corrupt
     slice writes to a quarantine table for replay instead of failing
-    the job. Spark's from_json yields an all-null struct on malformed
-    input, and `k` is non-null in every valid payload, so null-k IS
-    the corruption signal (same rule as the oracle's json_valid)."""
+    the job. The corruption signal is STRUCTURAL on both engines —
+    Spark's columnNameOfCorruptRecord captures exactly the records
+    from_json could not parse, mirroring the oracle's json_valid — so
+    a hypothetical valid payload with a missing/null `k` would read as
+    parsed (k NULL) on both sides rather than diverging; the remaining
+    fixture invariants (props valid JSON, integer non-null k,
+    length ≥ 2 so the oracle's substring stays non-negative) are
+    pinned by tests/test_curation_ops.py::test_jsonl_fixture_invariants."""
     events = load_table(spark, sf_dir, "events")
     raw = F.when(
         F.col("event_id") % CORRUPT_MOD == 0,
         F.expr("substring(props, 1, length(props) - 2)"),
     ).otherwise(F.col("props"))
-    parsed = F.from_json(raw, "k INT")
+    parsed = F.from_json(
+        raw,
+        "k INT, _corrupt STRING",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
     return events.select(
         "event_id",
-        parsed["k"].isNull().cast("int").alias("is_corrupt"),
+        parsed["_corrupt"].isNotNull().cast("int").alias("is_corrupt"),
         parsed["k"].alias("k"),
     )

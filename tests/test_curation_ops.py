@@ -184,6 +184,45 @@ def test_cdc_writer_replayed_batch_is_skipped(spark, tmp_path):
     assert row["n_changes"] == 1  # not double-counted
 
 
+def test_cdc_writer_fresh_run_not_starved_by_stale_marker(spark, tmp_path):
+    """A store that outlives its checkpoint (fresh query restarts batch
+    ids at 0) must keep applying batches — the marker is namespaced by
+    run_id, so a marker from another run never suppresses a batch."""
+    from funding_monitoring_spark.streaming.sinks import cdc_writer
+
+    store = str(tmp_path / "state")
+    w1 = cdc_writer(store, ["key"], ["seq"], run_id="ckpt-a")
+    _apply(w1, spark, [(1, 10.0, 1, "upsert")], 0)
+    _apply(w1, spark, [(1, 11.0, 2, "upsert")], 1)
+    # new query, fresh checkpoint: batch ids restart at 0
+    w2 = cdc_writer(store, ["key"], ["seq"], run_id="ckpt-b")
+    _apply(w2, spark, [(1, 12.0, 3, "upsert")], 0)
+    row = spark.read.parquet(store).first()
+    assert row["value"] == 12.0 and row["n_changes"] == 3
+    # and the new run's own replays are still suppressed
+    _apply(w2, spark, [(1, 12.0, 3, "upsert")], 0)
+    assert spark.read.parquet(store).first()["n_changes"] == 3
+
+
+def test_cdc_writer_marker_commits_atomically_with_store(spark, tmp_path):
+    """The applied-batch marker lives INSIDE the versioned store dir
+    (committed by the same symlink swap as the data), so no crash
+    point can leave data and marker disagreeing."""
+    import os
+
+    from funding_monitoring_spark.streaming.sinks import cdc_writer
+
+    store = str(tmp_path / "state")
+    w = cdc_writer(store, ["key"], ["seq"], run_id="ckpt")
+    _apply(w, spark, [(1, 10.0, 1, "upsert")], 0)
+    marker = os.path.join(store, "_applied_batch")
+    assert os.path.isfile(marker)
+    assert open(marker).read() == "ckpt\n0"
+    assert not os.path.exists(store + ".__applied_batch")
+    # the marker travels with the version the symlink points at
+    assert os.path.islink(store)
+
+
 def test_cdc_writer_stale_reemission_keeps_newer_values(spark, tmp_path):
     from funding_monitoring_spark.streaming.sinks import cdc_writer
 
@@ -196,3 +235,37 @@ def test_cdc_writer_stale_reemission_keeps_newer_values(spark, tmp_path):
     row = spark.read.parquet(store).first()
     assert row["value"] == 20.0 and row["seq"] == 5
     assert row["n_changes"] == 2
+
+
+def test_jsonl_fixture_invariants(spark, sf_dir):
+    """Pins the fixture invariants the jsonl_quarantine oracle relies
+    on (ADVICE r2): every props payload is valid JSON with an integer
+    non-null k and length >= 2 (so the oracle's substring(1, len-2)
+    never goes negative), and the deterministic 2-char truncation
+    actually breaks the JSON (so both engines' structural corruption
+    signals coincide on exactly the sieved rows)."""
+    from funding_monitoring_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(
+        F.col("props"),
+        "k INT, _corrupt STRING",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    truncated = F.from_json(
+        F.expr("substring(props, 1, length(props) - 2)"),
+        "k INT, _corrupt STRING",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    bad = ev.select(
+        F.sum(parsed["_corrupt"].isNotNull().cast("int")).alias("invalid"),
+        F.sum(parsed["k"].isNull().cast("int")).alias("null_k"),
+        F.sum((F.length("props") < 2).cast("int")).alias("short"),
+        F.sum(truncated["_corrupt"].isNull().cast("int")).alias(
+            "survives_truncation"
+        ),
+    ).first()
+    assert bad["invalid"] == 0
+    assert bad["null_k"] == 0
+    assert bad["short"] == 0
+    assert bad["survives_truncation"] == 0
