@@ -4,12 +4,14 @@ Design: media are opaque ``binary`` columns plus a typed metadata
 struct (modality, mime, width/height/duration, …). All Spark-side
 plumbing — schema, Arrow-batched Pandas UDFs over ``mapInPandas``,
 partition sizing — is real and tested. Codecs: uncompressed 24-bit
-BMP decodes FOR REAL (pure numpy/struct, oracle-verified round trip
-in `multimodal_bmp_roundtrip`); compressed formats (PNG/JPEG) and
-audio/video resample/frame-sample are stubbed behind
-``NotImplementedError`` or a deterministic fake, because those codec
-libraries are not in this environment — swapping the stub for
-PIL/ffmpeg changes ONE function, not the pipeline.
+BMP and 8-bit truecolor PNG decode FOR REAL (pure numpy/struct +
+stdlib zlib — chunk CRCs, IDAT inflate, all five scanline unfilters;
+oracle-verified round trips in `multimodal_bmp_roundtrip` /
+`multimodal_png_roundtrip`); JPEG and audio/video resample/
+frame-sample are stubbed behind ``NotImplementedError`` or a
+deterministic fake, because those codec libraries are not in this
+environment — swapping the stub for PIL/ffmpeg changes ONE function,
+not the pipeline.
 
 Scale notes (100 TB): media rows are large, so the operators use
 ``mapInPandas`` (streaming Arrow batches, no row materialization of
@@ -59,17 +61,19 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> object:
-    """Image decode dispatch. Uncompressed 24-bit BMP decodes HERE,
-    for real (pure numpy/struct — no imaging library needed); every
-    compressed format (PNG/JPEG/...) needs a real codec library and
-    raises until one is present (in production:
+    """Image decode dispatch by magic bytes. Uncompressed 24-bit BMP
+    and 8-bit truecolor PNG decode HERE, for real (pure numpy/struct +
+    stdlib zlib — no imaging library needed); JPEG/WebP/... need a
+    real codec library and raise until one is present (in production:
     ``PIL.Image.open(io.BytesIO(payload))``).
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed-image codecs not available in this environment; "
-        "swap in PIL/torchvision here"
+        "JPEG/other compressed-image codecs not available in this "
+        "environment; swap in PIL/torchvision here"
     )
 
 
@@ -126,6 +130,151 @@ def decode_bmp(payload: bytes):
             payload, dtype=np.uint8, count=w * 3, offset=offset + i * row_size
         ).reshape(w, 3)[:, ::-1]  # BGR → RGB
         out[i if top_down else hh - 1 - i] = row
+    return out
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_BPP = 3  # bytes per pixel, 8-bit truecolor
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_predict(a, b, c):
+    """PNG Paeth predictor, vectorized over same-shape int arrays
+    (a=left, b=up, c=upper-left)."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (color type 2) with stdlib zlib only: signature, IHDR/IDAT/IEND
+    chunks with CRCs, and zlib-deflated filtered scanlines. Scanline
+    filters CYCLE through all five types (None/Sub/Up/Average/Paeth,
+    row y uses y % 5) so a round trip exercises every unfilter path in
+    the decoder — a real encoder picks per-row minimal-entropy
+    filters; the wire format is identical."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    zeros = np.zeros(_BPP, dtype=np.int16)
+    prev = np.zeros(w * _BPP, dtype=np.int16)
+    raw = bytearray()
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int16)
+        left = np.concatenate([zeros, line[:-_BPP]])
+        upleft = np.concatenate([zeros, prev[:-_BPP]])
+        ftype = y % 5
+        pred = [
+            0,
+            left,
+            prev,
+            (left + prev) // 2,
+            _paeth_predict(left, prev, upleft),
+        ][ftype]
+        raw.append(ftype)
+        raw += ((line - pred) % 256).astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit truecolor PNG into an (h, w, 3) uint8 RGB array
+    (top-down): walk the chunk stream (verifying each CRC), inflate
+    the concatenated IDAT data, and reverse the per-scanline filter —
+    all five types. Sub/Average/Paeth reconstruction is sequential in
+    x by definition (each pixel depends on the reconstructed left
+    neighbor), so those rows loop per pixel; palettes, interlacing,
+    alpha, and other bit depths are rejected loudly."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, dims = 8, bytearray(), None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG supported "
+                    f"(depth={depth}, color_type={ctype}, "
+                    f"interlace={interlace})"
+                )
+            dims = (w, h)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if dims is None:
+        raise ValueError("missing IHDR chunk")
+    w, h = dims
+    raw = zlib.decompress(bytes(idat))
+    stride = w * _BPP
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    out = np.empty((h, w, _BPP), dtype=np.uint8)
+    prev = np.zeros((w, _BPP), dtype=np.int16)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int16)
+        rec = line.reshape(w, _BPP)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: mod-256 additions commute with cumsum
+            rec = rec.astype(np.int64).cumsum(axis=0) % 256
+        elif ftype == 2:  # Up
+            rec = (rec + prev) % 256
+        elif ftype == 3:  # Average (sequential in x)
+            rec = rec.copy()
+            rec[0] = (rec[0] + prev[0] // 2) % 256
+            for x in range(1, w):
+                rec[x] = (rec[x] + (rec[x - 1] + prev[x]) // 2) % 256
+        elif ftype == 4:  # Paeth (sequential in x)
+            rec = rec.copy()
+            rec[0] = (rec[0] + prev[0]) % 256  # paeth(0, up, 0) = up
+            for x in range(1, w):
+                rec[x] = (
+                    rec[x]
+                    + _paeth_predict(rec[x - 1], prev[x], prev[x - 1])
+                ) % 256
+        else:
+            raise ValueError(f"unknown scanline filter {ftype}")
+        prev = rec.astype(np.int16)
+        out[y] = rec.astype(np.uint8)
     return out
 
 
@@ -320,10 +469,12 @@ def _bmp_pixels(media_id: int, w: int, h: int):
     return ((media_id * 7 + j) * 31 % 256).astype(np.uint8).reshape(h, w, 3)
 
 
-def synthesize_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Build real uncompressed-BMP payloads (one per input id) with
-    the closed-form pixel field — the writer half of the codec round
-    trip. 1:1 mapInPandas, no shuffle."""
+def _synthesize_media(
+    ids: DataFrame, id_col: str, encoder, mime: str
+) -> DataFrame:
+    """Shared writer half of the codec round trips: real encoded
+    payloads (one per input id) from the closed-form pixel field.
+    1:1 mapInPandas, no shuffle."""
     try:
         import sys as _sys
 
@@ -338,11 +489,11 @@ def synthesize_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads, metas = [], []
             for mid in pdf["media_id"]:
                 w, h = _bmp_dims(int(mid))
-                payloads.append(encode_bmp(_bmp_pixels(int(mid), w, h)))
+                payloads.append(encoder(_bmp_pixels(int(mid), w, h)))
                 metas.append(
                     {
                         "modality": "image",
-                        "mime": "image/bmp",
+                        "mime": mime,
                         "width": w,
                         "height": h,
                         "duration_ms": None,
@@ -360,12 +511,25 @@ def synthesize_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
-def decode_bmp_features(media: DataFrame) -> DataFrame:
-    """The reader half: parse each BMP payload with the REAL decoder
-    (struct headers, padded rows, BGR→RGB, bottom-up flip) and emit
-    per-channel means plus the top-left pixel — the corner pixel is
-    the orientation proof (a row-flip or channel-swap bug moves it,
-    a mean would not notice)."""
+def synthesize_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real uncompressed-BMP payloads from the closed-form pixel
+    field (see _synthesize_media)."""
+    return _synthesize_media(ids, id_col, encode_bmp, "image/bmp")
+
+
+def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real zlib-deflated PNG payloads from the same closed-form pixel
+    field — the rows cycle through all five scanline filters, so the
+    decode half re-derives the pixels through every unfilter path."""
+    return _synthesize_media(ids, id_col, encode_png, "image/png")
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """The reader half: parse each payload with the REAL decoder
+    (decode_image dispatches BMP struct-parse or PNG inflate+unfilter
+    by magic bytes) and emit per-channel means plus the top-left
+    pixel — the corner pixel is the orientation proof (a row-flip or
+    channel-swap bug moves it, a mean would not notice)."""
     try:
         import sys as _sys
 
@@ -398,3 +562,7 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=BMP_FEATURE_SCHEMA)
+
+
+#: back-compat name from when only the BMP decoder existed
+decode_bmp_features = decode_image_features

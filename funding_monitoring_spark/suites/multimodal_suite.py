@@ -108,9 +108,48 @@ def q_multimodal_bmp_roundtrip(spark, sf_dir):
     codec library is present (operators/multimodal.py decode_image).
     """
     from funding_monitoring_spark.operators.multimodal import (
-        decode_bmp_features,
+        decode_image_features,
         synthesize_bmp_media,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return decode_bmp_features(synthesize_bmp_media(docs))
+    return decode_image_features(synthesize_bmp_media(docs))
+
+
+@query(
+    "multimodal_png_roundtrip",
+    f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(2 + doc_id % 6 AS INT) AS width,
+               CAST(2 + doc_id % 4 AS INT) AS height
+        FROM documents
+    )
+    SELECT media_id, width, height,
+           {_bmp_mean_sql(0)} AS mean_r,
+           {_bmp_mean_sql(1)} AS mean_g,
+           {_bmp_mean_sql(2)} AS mean_b,
+           CAST(((media_id*7 + 0)*31) % 256 AS INT) AS corner_r,
+           CAST(((media_id*7 + 1)*31) % 256 AS INT) AS corner_g,
+           CAST(((media_id*7 + 2)*31) % 256 AS INT) AS corner_b
+    FROM dims
+    """,
+)
+def q_multimodal_png_roundtrip(spark, sf_dir):
+    """REAL compressed-image codec round trip: synthesize an 8-bit
+    truecolor PNG per document (stdlib zlib deflate, chunk CRCs,
+    scanline filters cycling through None/Sub/Up/Average/Paeth), then
+    parse it back with the actual decoder — CRC verification, IDAT
+    inflate, all five unfilter paths — in an Arrow-batched
+    mapInPandas. Same closed-form pixel field and oracle as the BMP
+    twin, so the hash only matches if inflate+unfilter reproduces
+    every pixel exactly; this retires the round-2 'compressed formats
+    are stubbed' caveat for PNG (operators/multimodal.py encode_png/
+    decode_png; JPEG still raises pending a codec library)."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_image_features,
+        synthesize_png_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features(synthesize_png_media(docs))

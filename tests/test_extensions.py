@@ -226,7 +226,59 @@ def test_bmp_decode_rejects_unsupported():
     with _pytest.raises(ValueError):
         decode_bmp(b"XX" + b"\x00" * 60)
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 60)
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 60)  # JPEG magic
+
+
+def test_png_roundtrip_exercises_all_filters():
+    """Encoder cycles scanline filters (row y uses y % 5): any h >= 5
+    round trip covers every unfilter path; widths cover the w=1 edge
+    (no left neighbor anywhere)."""
+    import numpy as np
+
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for w in (1, 2, 3, 7):
+        for h in (1, 5, 6, 9):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_png(px)
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+            assert np.array_equal(decode_png(payload), px)
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = np.zeros((3, 3, 3), dtype=np.uint8)
+    good = bytearray(encode_png(px))
+    good[25] ^= 0xFF  # flip a bit inside IHDR → CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"nope")
+    # grayscale (color type 0) header must be rejected loudly
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(NotImplementedError, match="truecolor"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
 
 
 def test_quantize_int8_error_bounded_by_half_step(spark):
