@@ -353,8 +353,8 @@ def q_sequence_packing_plan(spark, sf_dir):
     every doc gets its pack id and intra-pack offset (docs straddling
     a boundary continue into the next pack, the standard LLM-pretrain
     packing). A pure window cumsum: one shuffle on the stream key.
-    At 100 TB the stream key extends to (lang, shard) so no single
-    partition holds a whole language."""
+    At 100 TB use sequence_packing_sharded — its (lang, shard) stream
+    key keeps any single window partition bounded."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -376,5 +376,73 @@ def q_sequence_packing_plan(spark, sf_dir):
         "n_tokens",
         "start_offset",
         F.floor(F.col("start_offset") / PACK_CAPACITY).alias("pack_id"),
+        (F.col("start_offset") % PACK_CAPACITY).alias("offset_in_pack"),
+    )
+
+
+PACK_SHARDS = 8  # parallel packing streams per language
+
+
+@query(
+    "sequence_packing_sharded",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+               len({_TOKS}) AS n_tokens
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, lang, shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS BIGINT) AS start_offset
+        FROM toks
+    )
+    SELECT doc_id, lang, shard, n_tokens, start_offset,
+           start_offset // {PACK_CAPACITY} AS pack_seq,
+           start_offset % {PACK_CAPACITY} AS offset_in_pack
+    FROM pos
+    """,
+)
+def q_sequence_packing_sharded(spark, sf_dir):
+    """The 100 TB shape of sequence packing: the stream key is
+    (lang, shard) with shard = doc_id % {PACK_SHARDS}, so each language
+    is {PACK_SHARDS} independent packing streams and no single window
+    partition ever holds a whole language — the one known skew cliff of
+    sequence_packing_plan (where the largest language = the largest
+    partition). Pack identity is the (lang, shard, pack_seq) triple;
+    determinism is unchanged (modulo sharding + doc_id order commute
+    with retries). Scale knob: PACK_SHARDS grows with corpus size so
+    that max per-partition tokens ≈ corpus_tokens / (|langs|·shards)
+    stays inside executor memory;
+    tests/test_curation_ops.py::test_sharded_packing_bounds_partitions
+    pins the bound at fixture scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+        X.token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = toks.withColumn(
+        "start_offset",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+    )
+    return pos.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / PACK_CAPACITY).alias("pack_seq"),
         (F.col("start_offset") % PACK_CAPACITY).alias("offset_in_pack"),
     )

@@ -269,3 +269,65 @@ def test_jsonl_fixture_invariants(spark, sf_dir):
     assert bad["null_k"] == 0
     assert bad["short"] == 0
     assert bad["survives_truncation"] == 0
+
+
+def test_sharded_packing_bounds_partitions(spark, sf_dir):
+    """The (lang, shard) stream key must actually bound the window
+    partitions: every language with enough docs splits across all
+    PACK_SHARDS shards, and no (lang, shard) partition holds more than
+    ~1/PACK_SHARDS of its language (2x slack for modulo imbalance)."""
+    from funding_monitoring_spark.registry import queries
+
+    out = queries()["sequence_packing_sharded"](spark, sf_dir)
+    per_shard = (
+        out.groupBy("lang", "shard")
+        .count()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_shards"),
+            F.max("count").alias("max_rows"),
+            F.sum("count").alias("lang_rows"),
+        )
+        .collect()
+    )
+    from funding_monitoring_spark.suites.curation_suite import PACK_SHARDS
+
+    for r in per_shard:
+        if r["lang_rows"] >= 4 * PACK_SHARDS:
+            assert r["n_shards"] == PACK_SHARDS, r
+        assert r["max_rows"] <= 2 * (r["lang_rows"] / PACK_SHARDS + 1), r
+
+
+def test_sharded_packing_matches_unsharded_per_stream(spark, sf_dir):
+    """Within one (lang, shard) stream the packing math is identical
+    to the unsharded plan run on just that stream's docs — sharding
+    only re-keys the cumsum, it does not change offsets."""
+    from funding_monitoring_spark.registry import queries
+    from funding_monitoring_spark.suites.curation_suite import PACK_SHARDS
+
+    sharded = (
+        queries()["sequence_packing_sharded"](spark, sf_dir)
+        .filter((F.col("lang") == "en") & (F.col("shard") == 3))
+        .select("doc_id", "n_tokens", "start_offset")
+    )
+    from funding_monitoring_spark.sources.tables import load_table
+    from funding_monitoring_spark.operators import textstats as X
+    from pyspark.sql import Window
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("lang") == "en") & (F.col("doc_id") % PACK_SHARDS == 3)
+        )
+        .select("doc_id", X.token_count("text").alias("n_tokens"))
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    manual = docs.withColumn(
+        "start_offset",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+    )
+    assert sharded.exceptAll(manual).count() == 0
+    assert manual.exceptAll(sharded).count() == 0
