@@ -158,6 +158,7 @@ def q_salted_group_agg(spark, sf_dir):
             "max_price": ("max", "l_extendedprice"),
         },
         num_salts=16,
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
     )
     return out.select(
         "l_returnflag",
@@ -165,6 +166,50 @@ def q_salted_group_agg(spark, sf_dir):
         "n_rows",
         F.round("min_price", 6).alias("min_price"),
         F.round("max_price", 6).alias("max_price"),
+    )
+
+
+@query(
+    "salted_join_agg",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_salted_join_agg(spark, sf_dir):
+    """Skew mitigation, join flavor: the fact side's join key is
+    salted with a DETERMINISTIC per-row hash (pmod(xxhash64(pk), n) —
+    stable under speculative retry, unlike rand()) and the dim side is
+    replicated once per salt, so a hot part key spreads over num_salts
+    shuffle partitions instead of one executor. The oracle is the
+    plain join — salting must be invisible in the result
+    (operators/skew.salted_join)."""
+    from funding_monitoring_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li,
+        part,
+        key_col="l_partkey",
+        num_salts=8,
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+        dim_key_col="p_partkey",
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("revenue"),
     )
 
 

@@ -323,3 +323,43 @@ def test_sequence_packing_invariants(spark, sf_dir):
         assert r["pack_id"] == r["start_offset"] // 512
         assert r["offset_in_pack"] == r["start_offset"] % 512
         by_lang[r["lang"]] = r
+
+
+def test_salt_deterministic_under_repartition(spark):
+    """The salt must be a pure function of the tiebreak columns —
+    identical across evaluations and partitionings (rand()-based
+    salting broke this: VERDICT r2)."""
+    from funding_monitoring_spark.operators.skew import with_salted_key
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).cast("string").alias("key"), F.col("id").alias("pk")
+    )
+    a = with_salted_key(df.repartition(3), "key", 8, ["pk"])
+    b = with_salted_key(df.repartition(17), "key", 8, ["pk"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # and stable across two evaluations of the same frame
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, a.collect()))
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is invisible: salted_join == plain inner join on a
+    skewed fixture (one hot key holding 90% of the fact rows)."""
+    from funding_monitoring_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, F.lit(1))
+        .otherwise(F.col("id") % 50)
+        .cast("int")
+        .alias("k"),
+        F.col("id").alias("pk"),
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("d"), F.col("id")).alias("attr"),
+    )
+    salted = salted_join(fact, dim, "k", 4, ["pk"]).select("k", "pk", "attr")
+    plain = fact.join(dim, on="k", how="inner").select("k", "pk", "attr")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    # every fact row met exactly one dim replica
+    assert salted.count() == plain.count()
