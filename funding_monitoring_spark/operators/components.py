@@ -92,6 +92,101 @@ def connected_components(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., Algorithm 2): every node
+    connects its strictly-larger neighbors to the minimum of its
+    closed neighborhood."""
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    m = sym.groupBy("u").agg(F.min("v").alias("__mn")).select(
+        "u", F.least("__mn", "u").alias("__m")
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round (Kiveris et al., Algorithm 3): edges are
+    oriented large→small, then every node connects its (smaller)
+    neighbors and itself to the neighborhood minimum."""
+    o = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = o.groupBy("u").agg(F.min("v").alias("__m"))
+    return (
+        o.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        .union(m.select("u", F.col("__m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    the two-phase variant the hash-min docstring cites): same (id,
+    cluster_id = component-min) contract as `connected_components`,
+    but convergence is O(log² n) ROUNDS INDEPENDENT OF DIAMETER — the
+    fallback for adversarial chain-shaped graphs, where hash-min needs
+    diameter rounds and is capped at max_iter=20 by design.
+
+    Per round: two groupBy-min aggregates and two equi-joins, all on
+    (node, node) pairs — the same only-ids-shuffle property as
+    hash-min, with a constant-factor-larger round cost (edge set
+    rewrites, not just labels). Prefer hash-min for shallow dup
+    graphs; use this when hash-min fails loudly. At the fixpoint the
+    edge set IS the star forest (every non-minimum points at its
+    component minimum), so labels fall out of the final edges without
+    a closing traversal."""
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        changed = (
+            e2.subtract(e).limit(1).count()
+            + e.subtract(e2).limit(1).count()
+        )
+        e = e2
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no convergence in {max_iter} "
+            "rounds"
+        )
+    stars = e.groupBy("u").agg(F.min("v").alias("label")).select(
+        F.col("u").alias("id"), "label"
+    )
+    return nodes.join(stars, "id", "left").select(
+        "id", F.coalesce("label", "id").alias("cluster_id")
+    )
+
+
 def dedup_cluster_assignment(
     df: DataFrame,
     pairs: DataFrame,
@@ -99,6 +194,7 @@ def dedup_cluster_assignment(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = DEFAULT_MAX_ITER,
+    method: str = "hash_min",
 ) -> DataFrame:
     """Every document mapped to its dup-cluster canonical: documents in
     no pair are their own singleton cluster; ``is_canonical`` marks the
@@ -106,8 +202,13 @@ def dedup_cluster_assignment(
     deterministic survivor rule). The join back to ``df`` is on the
     slim (id, cluster_id) frame — broadcastable whenever the dup-pair
     population is small relative to the corpus, which is the common
-    case."""
-    comp = connected_components(pairs, src, dst, max_iter)
+    case. method: "hash_min" (default, rounds = diameter) or "star"
+    (alternating large/small-star, diameter-independent)."""
+    cc = {
+        "hash_min": connected_components,
+        "star": connected_components_star,
+    }[method]
+    comp = cc(pairs, src, dst, max_iter)
     out = df.join(
         comp.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumn(

@@ -217,9 +217,7 @@ def q_simhash_near_dup(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_clusters",
-    f"""
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE sigs AS (
         SELECT doc_id AS id, {_FPS} AS fps FROM documents
     ),
@@ -260,8 +258,10 @@ def q_simhash_near_dup(spark, sf_dir):
            COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
            d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
     FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-    """,
-)
+    """
+
+
+@query("dedup_clusters", _CLUSTERS_ORACLE)
 def q_dedup_clusters(spark, sf_dir):
     """Transitive dup clusters: MinHash-LSH pairs → connected
     components (hash-min label propagation) → per-document canonical
@@ -274,5 +274,25 @@ def q_dedup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, threshold=THRESHOLD)
     return dedup_cluster_assignment(docs, pairs).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
+@query("dedup_clusters_star", _CLUSTERS_ORACLE)
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same clustering contract as dedup_clusters (identical oracle),
+    computed with the alternating large-star/small-star CC variant —
+    diameter-independent convergence for adversarial chain-shaped dup
+    graphs where hash-min's rounds-=-diameter bound fails loudly
+    (operators/components.connected_components_star; the path-graph
+    property test in tests/test_components.py pins exactly that
+    divergence)."""
+    from funding_monitoring_spark.operators.components import (
+        dedup_cluster_assignment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=THRESHOLD)
+    return dedup_cluster_assignment(docs, pairs, method="star").select(
         "doc_id", "cluster_id", "is_canonical"
     )
