@@ -156,7 +156,8 @@ def streaming_hopping_rollup(
     slide: str = TRIGGER_INTERVAL,
     available_now: bool = True,
     watermark: str = WATERMARK_DELAY,
-) -> None:
+    trigger_interval: str = TRIGGER_INTERVAL,
+):
     """Hopping-window rollup: the overlapping-window twin of
     streaming_tumbling_rollup — each event contributes to
     window/slide windows, Spark maintains state per open window, and
@@ -192,9 +193,10 @@ def streaming_hopping_rollup(
             transform=flatten,
         )
     )
-    q = _run(writer, available_now, checkpoint)
+    q = _run(writer, available_now, checkpoint, trigger_interval)
     if available_now:
         q.awaitTermination()
+    return q
 
 
 def streaming_funding_pipeline(

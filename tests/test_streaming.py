@@ -183,10 +183,12 @@ def test_processing_time_trigger_live_appends(spark, tmp_path):
         # live append while the query runs: the next trigger must ingest it
         b1 = _events(spark, [(2, _ts(5), 8, "funding", 0.02)])
         _write_chunk(b1, chunks, 1)
-        assert wait_for(lambda: ("8-funding", _ts(5)) in store_state())
-        state = store_state()
-        assert state[("7-funding", _ts(0))] == (0.01, 1)
-        assert state[("8-funding", _ts(5))] == (0.02, 2)
+        # assert through the poll predicate — a direct read after
+        # wait_for can race the atomic store swap and see {}
+        assert wait_for(
+            lambda: store_state().get(("7-funding", _ts(0))) == (0.01, 1)
+            and store_state().get(("8-funding", _ts(5))) == (0.02, 2)
+        )
     finally:
         q.stop()
 
@@ -267,3 +269,119 @@ def test_stream_source_is_unbounded_plan(spark, tmp_path):
     _write_chunk(df, chunks, 0)
     src = stream_from_chunks(spark, chunks, df.schema)
     assert src.isStreaming
+
+
+def _poll_store(spark, store, row_fn):
+    if not os.path.exists(store):
+        return {}
+    try:
+        return {k: v for k, v in (row_fn(r) for r in spark.read.parquet(store).collect())}
+    except Exception:
+        # polling observer racing the atomic store swap — poll again
+        return {}
+
+
+def _wait_for(q, pred, timeout=120):
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return True
+        if q.exception() is not None:
+            raise AssertionError(f"query died: {q.exception()}")
+        time.sleep(0.5)
+    return False
+
+
+def test_processing_time_trigger_live_cdc(spark, tmp_path):
+    """Live-trigger twin of the availableNow CDC oracle (VERDICT r2
+    item 7): a processingTime query compacts chunks appended after
+    start, accumulates n_changes across live batches, and its
+    run_id-namespaced marker keeps replays suppressed."""
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_cdc_materialize,
+    )
+
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    b0 = _events(spark, [(1, _ts(0), 7, "funding", 1.0)])
+    _write_chunk(b0, chunks, 0)
+    store = os.path.join(tmp, "store")
+    q = streaming_cdc_materialize(
+        spark,
+        chunks,
+        b0.schema,
+        store,
+        os.path.join(tmp, "ckpt"),
+        available_now=False,
+        trigger_interval="1 second",
+    )
+    try:
+        rows = lambda: _poll_store(  # noqa: E731
+            spark, store, lambda r: (r.user_id, (r.value, r.n_changes))
+        )
+        assert _wait_for(q, lambda: 7 in rows())
+        # two live appends for the same key: value converges to the
+        # max-order write, n_changes counts BOTH arrivals
+        _write_chunk(
+            _events(spark, [(2, _ts(5), 7, "funding", 2.0)]), chunks, 1
+        )
+        _write_chunk(
+            _events(spark, [(3, _ts(10), 7, "funding", 3.0)]), chunks, 2
+        )
+        assert _wait_for(q, lambda: rows().get(7, (0, 0))[1] == 3)
+        assert rows()[7][0] == 3.0
+    finally:
+        q.stop()
+
+
+def test_processing_time_trigger_live_hopping(spark, tmp_path):
+    """Live-trigger twin of the availableNow hopping-window oracle:
+    update-mode emissions upsert the (window_start, event_type) store
+    while the query runs; an event appended later lands in ALL the
+    overlapping windows it belongs to."""
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_hopping_rollup,
+    )
+
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    b0 = _events(spark, [(1, _ts(6), 7, "funding", 1.0)])
+    _write_chunk(b0, chunks, 0)
+    store = os.path.join(tmp, "store")
+    q = streaming_hopping_rollup(
+        spark,
+        chunks,
+        b0.schema,
+        store,
+        os.path.join(tmp, "ckpt"),
+        window="10 minutes",
+        slide="5 minutes",
+        available_now=False,
+        trigger_interval="1 second",
+    )
+    try:
+        rows = lambda: _poll_store(  # noqa: E731
+            spark,
+            store,
+            lambda r: (
+                (r.window_start, r.event_type),
+                (r.n_events, r.sum_value),
+            ),
+        )
+        # ts=6min belongs to the [0,10) and [5,15) windows
+        assert _wait_for(
+            q, lambda: rows().get((_ts(0), "funding")) == (1, 1.0)
+        )
+        assert rows()[(_ts(5), "funding")] == (1, 1.0)
+        # live append at ts=7min: both open windows must update
+        _write_chunk(
+            _events(spark, [(2, _ts(7), 8, "funding", 2.0)]), chunks, 1
+        )
+        assert _wait_for(
+            q, lambda: rows().get((_ts(0), "funding")) == (2, 3.0)
+        )
+        assert rows()[(_ts(5), "funding")] == (2, 3.0)
+    finally:
+        q.stop()
