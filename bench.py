@@ -100,6 +100,12 @@ HEADLINE = [
     "sequence_packing_sharded",
     "salted_join_agg",
     "dedup_clusters_star",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q11_important_parts",
+    "tpch_q16_supplier_variety",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

@@ -105,9 +105,13 @@ _PRIORITY: list[str] = [
     "set_except_nations",
     "embedding_centroids",
 ]
-# ^ exactly 50 entries. Still carrying an r1-only driver row after
-# this round (refresh in r4): value_percentiles, keep_list_projection,
-# drop_column,
+# ^ exactly 50 entries. Owed a FIRST driver row at the head of round
+# 4's rotation (registered late in round 3, after the window filled):
+# tpch_q2_min_cost_supplier, tpch_q9_profit_by_nation_year,
+# tpch_q11_important_parts, tpch_q16_supplier_variety,
+# tpch_q20_excess_suppliers, tpch_q21_waiting_suppliers.
+# Then still carrying an r1-only driver row (refresh in r4):
+# value_percentiles, keep_list_projection, drop_column,
 # filter_suffix, filter_equality, filter_time_range, group_min,
 # rollup_totals, distinct_values, existence_probe, broadcast_join_dim,
 # semi_join_universe, sort_limit, topk_per_group, union_append,

@@ -1,9 +1,13 @@
 """TPC-H-shaped analytical queries over the star-schema fixtures —
 general OLAP capability beyond the reference's surface (scan-heavy
 aggregation, selective multi-way joins with broadcast dims, grouped
-top-k). All revenue/price aggregates are rounded to 6 digits on both
-sides BEFORE any ranking, so summation-order differences between
-Spark and DuckDB can neither flip hashes nor reorder top-k.
+top-k). ALL 22 query shapes of the family are covered: 16 literal,
+6 adapted to the fixture schema (q2/q9/q11/q16/q20 re-anchor on
+lineitem since there is no partsupp; q21 uses l_returnflag as the
+failure signal — see the block comment at their definitions). All
+revenue/price aggregates are rounded to 6 digits on both sides BEFORE
+any ranking, so summation-order differences between Spark and DuckDB
+can neither flip hashes nor reorder top-k.
 
 Scale shape: q1 is a pure scan+partial-agg (one shuffle on a 6-value
 key); q3 filters before joining and broadcasts the filtered customer
@@ -847,4 +851,328 @@ def q_tpch_q8(spark, sf_dir):
             / F.sum("volume").cast("double"),
             6,
         ).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The remaining 6 of the 22-query family. The fixture star schema has
+# no partsupp table and lineitem carries no commit/receipt dates, so
+# q2/q9/q11/q16/q20 re-anchor their part-supplier relation on lineitem
+# and q21 uses l_returnflag='R' as the "failed the order" signal — each
+# adaptation keeps the query's PLAN SHAPE (the thing being tested):
+# argmin-per-group join (q2), multi-dim profit rollup (q9),
+# global-aggregate threshold subquery (q11), distinct-agg after join
+# (q16), scalar-subquery semi-join chain (q20), double-correlated
+# exists/not-exists (q21).
+# ---------------------------------------------------------------------------
+
+Q2_SIZE_MOD = 10
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               l_extendedprice / l_quantity AS unit_price
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    mins AS (
+        SELECT l_partkey, MIN(unit_price) AS min_unit
+        FROM unit GROUP BY l_partkey
+    ),
+    best AS (
+        SELECT DISTINCT u.l_partkey, u.l_suppkey, m.min_unit
+        FROM unit u JOIN mins m
+          ON u.l_partkey = m.l_partkey AND u.unit_price = m.min_unit
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal,
+           ROUND(b.min_unit, 6) AS min_unit_price
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE p.p_size % {Q2_SIZE_MOD} = 0
+    """,
+)
+def q_tpch_q2(spark, sf_dir):
+    """Q2 shape (min-cost supplier): argmin-per-group via
+    agg-then-equijoin back on (key, min) — the correlated-subquery
+    pattern, kept tie-preserving like the real q2 (every supplier at
+    the min survives). Adaptation: the part-supplier cost relation is
+    lineitem unit price (fixture has no partsupp). The min-frame is
+    |parts| rows → broadcastable; float equality on the join is safe
+    because both sides carry the identical division result."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    mins = unit.groupBy("l_partkey").agg(F.min("unit_price").alias("min_unit"))
+    best = (
+        unit.join(mins, "l_partkey")
+        .filter(F.col("unit_price") == F.col("min_unit"))
+        .select("l_partkey", "l_suppkey", "min_unit")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") % Q2_SIZE_MOD == 0
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        best.join(p, best["l_partkey"] == p["p_partkey"])
+        .join(s, best["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "s_acctbal",
+            F.round("min_unit", 6).alias("min_unit_price"),
+        )
+    )
+
+
+@query(
+    "tpch_q9_profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.5 * p.p_retailprice * l.l_quantity
+                         AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark, sf_dir):
+    """Q9 shape (product-type profit): the widest join in the family —
+    fact ⋈ three broadcast dims ⋈ orders — with a derived-expression
+    rollup by (nation, year). Adaptation: cost basis is
+    0.5·p_retailprice·quantity (no ps_supplycost in the fixture); the
+    name filter keeps q9's selective dim predicate. Profit sums in
+    DECIMAL(18,6) for order-independent exactness (the q1 rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit.cast("decimal(18,6)"))
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+Q11_FRACTION = 0.0005
+
+
+@query(
+    "tpch_q11_important_parts",
+    f"""
+    WITH val AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,6))) AS part_value
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(part_value) AS total_value FROM val)
+    SELECT v.l_partkey AS p_partkey,
+           CAST(v.part_value AS DOUBLE) AS part_value
+    FROM val v CROSS JOIN tot t
+    WHERE CAST(v.part_value AS DOUBLE)
+          > {Q11_FRACTION} * CAST(t.total_value AS DOUBLE)
+    """,
+)
+def q_tpch_q11(spark, sf_dir):
+    """Q11 shape (important stock): per-key value filtered against a
+    GLOBAL aggregate — the scalar-subquery threshold pattern, realized
+    as a 1-row broadcast cross join (no second scan of the fact).
+    Adaptation: value is lineitem discounted revenue per part (no
+    partsupp). Values sum in decimal; the threshold comparison runs in
+    double on identical inputs in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    value = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    val = li.groupBy("l_partkey").agg(F.sum(value).alias("part_value"))
+    tot = val.agg(F.sum("part_value").alias("total_value"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("part_value").cast("double")
+            > Q11_FRACTION * F.col("total_value").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q16(spark, sf_dir):
+    """Q16 shape (part/supplier variety): distinct-count aggregation
+    after a dim join with NOT-predicates — Spark expands the distinct
+    into a two-phase aggregate (partial on (group, suppkey), then
+    count), so the fact never shuffles twice. Adaptation: the
+    part-supplier relation is lineitem; the excluded-supplier
+    subquery is dropped (no s_comment to filter on)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q20_YEAR_START = "1997-01-01"
+Q20_YEAR_END = "1998-01-01"
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    f"""
+    WITH qty AS (
+        SELECT l_suppkey, ROUND(SUM(l_quantity), 6) AS total_qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '{Q20_YEAR_START} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{Q20_YEAR_END} 00:00:00'
+        GROUP BY l_suppkey
+    ),
+    thresh AS (SELECT 1.2 * AVG(total_qty) AS min_qty FROM qty)
+    SELECT s.s_suppkey, s.s_name, q.total_qty
+    FROM qty q
+    JOIN supplier s ON s.s_suppkey = q.l_suppkey
+    CROSS JOIN thresh t
+    WHERE q.total_qty > t.min_qty
+    """,
+)
+def q_tpch_q20(spark, sf_dir):
+    """Q20 shape (suppliers with excess stock): a filtered fact
+    aggregate gated by a scalar subquery OVER THAT AGGREGATE (1.2× the
+    mean), then joined to the supplier dim — the nested-IN chain of the
+    real q20 flattened into agg → broadcast-threshold → dim join.
+    Adaptation: 'availability' is shipped quantity of small-prefixed
+    parts in 1997 (no partsupp availqty)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (
+            F.col("l_shipdate")
+            >= F.lit(f"{Q20_YEAR_START} 00:00:00").cast("timestamp")
+        )
+        & (
+            F.col("l_shipdate")
+            < F.lit(f"{Q20_YEAR_END} 00:00:00").cast("timestamp")
+        )
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    )
+    qty = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+    )
+    thresh = qty.agg((1.2 * F.avg("total_qty")).alias("min_qty"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        qty.crossJoin(F.broadcast(thresh))
+        .filter(F.col("total_qty") > F.col("min_qty"))
+        .join(s, qty["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_qty")
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH rl AS (
+        SELECT DISTINCT l_orderkey, l_suppkey
+        FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    al AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM rl
+    JOIN supplier s ON s.s_suppkey = rl.l_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM al
+            WHERE al.l_orderkey = rl.l_orderkey
+              AND al.l_suppkey <> rl.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM rl r2
+            WHERE r2.l_orderkey = rl.l_orderkey
+              AND r2.l_suppkey <> rl.l_suppkey)
+    GROUP BY s.s_name
+    """,
+)
+def q_tpch_q21(spark, sf_dir):
+    """Q21 shape (suppliers who kept orders waiting): the
+    double-correlated EXISTS / NOT EXISTS — per supplier, orders where
+    it is the SOLE 'failed' participant among multiple suppliers —
+    realized as a left-semi (another supplier exists in the order) then
+    left-anti (no OTHER supplier failed) on distinct (order, supplier)
+    pairs, so only slim key pairs shuffle. Adaptation: 'failed' is
+    l_returnflag = 'R' (fixture lineitem has no commit/receipt
+    dates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rl = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    al = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = rl.alias("a"), al.alias("b")
+    multi = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    c = rl.alias("c")
+    sole = multi.alias("m").join(
+        c,
+        (F.col("m.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("m.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), sole["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
