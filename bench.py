@@ -106,6 +106,7 @@ HEADLINE = [
     "tpch_q16_supplier_variety",
     "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers",
+    "embedding_covariance",
 ]
 
 

@@ -110,3 +110,86 @@ def quantize_int8_stats(
             abs_err_sum / F.greatest(F.size("__v"), F.lit(1)), 6
         ).alias("mean_abs_err"),
     )
+
+
+COV_SCHEMA = "i int, j int, sum_xy double, n long"
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_digits: int = ROUND,
+) -> DataFrame:
+    """Population covariance matrix of the embedding column in long
+    upper-triangular form: (i, j, cov) for i ≤ j — the preprocessing
+    aggregate for PCA / whitening / drift detection over an embedding
+    corpus.
+
+    Scale shape — the matrix-accumulator version of map-side combine:
+    a naive formulation self-joins the posexploded vector on the row
+    id, shuffling dims·N rows twice; instead each Arrow batch computes
+    ONE d×d partial outer-product (numpy einsum, vectorized over the
+    whole batch) inside mapInPandas and emits d(d+1)/2 partial-sum
+    rows, so the only shuffle carries partials·batches rows —
+    independent of corpus size, exactly like a partial aggregate.
+    Means come from the standard posexplode aggregate; the final
+    combine is cov = E[xy] − E[x]E[y] over the tiny (i, j) frame.
+    """
+    import numpy as np
+    import pandas as pd
+
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def partial_outer(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            s = x.T @ x  # d×d sum of outer products over the batch
+            iu, ju = np.triu_indices(s.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "sum_xy": s[iu, ju],
+                    "n": np.int64(len(pdf)),
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(partial_outer, COV_SCHEMA)
+    exy = partials.groupBy("i", "j").agg(
+        (F.sum("sum_xy") / F.sum("n")).alias("e_xy")
+    )
+    means = (
+        df.select(F.posexplode(vec_col).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.avg("x").alias("mu"))
+    )
+    mi = means.select(F.col("d").alias("i"), F.col("mu").alias("mu_i"))
+    mj = means.select(F.col("d").alias("j"), F.col("mu").alias("mu_j"))
+    return (
+        exy.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            # + 0.0 canonicalizes IEEE negative zero: round(-1e-9, 6)
+            # is -0.0, which stringifies differently across engines
+            (
+                F.round(
+                    F.col("e_xy") - F.col("mu_i") * F.col("mu_j"),
+                    round_digits,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )

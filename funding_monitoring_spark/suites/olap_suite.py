@@ -217,3 +217,46 @@ def q_embedding_centroids(spark, sf_dir):
     operators/vectorops.group_centroids."""
     emb = load_table(spark, sf_dir, "embeddings")
     return centroids_long(emb, "label", "embedding")
+
+
+@query(
+    "embedding_covariance",
+    """
+    WITH dims AS (
+        SELECT unnest(range(1,
+            (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS di
+    ),
+    pairs AS (
+        SELECT a.di AS i1, b.di AS j1 FROM dims a JOIN dims b
+        ON a.di <= b.di
+    ),
+    prods AS (
+        SELECT CAST(p.i1 - 1 AS INT) AS i, CAST(p.j1 - 1 AS INT) AS j,
+               AVG(CAST(list_extract(e.embedding, CAST(p.i1 AS INT))
+                        AS DOUBLE)
+                   * CAST(list_extract(e.embedding, CAST(p.j1 AS INT))
+                          AS DOUBLE)) AS e_xy,
+               AVG(CAST(list_extract(e.embedding, CAST(p.i1 AS INT))
+                        AS DOUBLE)) AS mu_i,
+               AVG(CAST(list_extract(e.embedding, CAST(p.j1 AS INT))
+                        AS DOUBLE)) AS mu_j
+        FROM embeddings e CROSS JOIN pairs p
+        GROUP BY 1, 2
+    )
+    SELECT i, j, ROUND(e_xy - mu_i * mu_j, 6) + 0.0 AS cov FROM prods
+    """,
+)
+def q_embedding_covariance(spark, sf_dir):
+    """Corpus covariance matrix of the embedding column (upper
+    triangle, long form) — the PCA/whitening/drift-detection
+    preprocessing aggregate. The Spark side never materializes the
+    d²·N cross terms the oracle computes: each Arrow batch folds into
+    one d×d numpy outer-product partial inside mapInPandas and only
+    d(d+1)/2 partial rows per batch shuffle
+    (operators/vectorops.embedding_covariance)."""
+    from funding_monitoring_spark.operators.vectorops import (
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb)

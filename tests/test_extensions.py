@@ -363,3 +363,32 @@ def test_salted_join_equals_plain_join(spark):
     assert plain.exceptAll(salted).count() == 0
     # every fact row met exactly one dim replica
     assert salted.count() == plain.count()
+
+
+def test_embedding_covariance_matches_numpy(spark, sf_dir):
+    """The batched outer-product partials must reassemble to the exact
+    population covariance — pinned against numpy on the raw vectors
+    (upper triangle, 6-dp rounding, repartitioned so multiple Arrow
+    batches genuinely combine)."""
+    import numpy as np
+
+    from funding_monitoring_spark.operators.vectorops import (
+        embedding_covariance,
+    )
+    from funding_monitoring_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(7)
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(emb).collect()
+    }
+    x = np.array(
+        [np.asarray(r[0], dtype=np.float64)
+         for r in emb.select("embedding").collect()]
+    )
+    c = np.cov(x, rowvar=False, bias=True)
+    d = x.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            assert abs(got[(i, j)] - round(c[i, j], 6)) <= 1e-6, (i, j)
