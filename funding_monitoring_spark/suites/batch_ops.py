@@ -174,7 +174,8 @@ def q_salted_group_agg(spark, sf_dir):
     """
     SELECT p_brand,
            COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -205,11 +206,18 @@ def q_salted_join_agg(spark, sf_dir):
         tiebreak_cols=["l_orderkey", "l_linenumber"],
         dim_key_col="p_partkey",
     )
+    # decimal sum (the q1 rule): at sf0.1 the brand revenues reach 1e9
+    # where a 6-dp double rounding sits past the significand and
+    # summation order flips the last digit
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-        ).alias("revenue"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
     )
 
 
