@@ -107,6 +107,8 @@ HEADLINE = [
     "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers",
     "embedding_covariance",
+    "window_distribution_suite",
+    "cap_per_source",
 ]
 
 

@@ -446,3 +446,49 @@ def q_sequence_packing_sharded(spark, sf_dir):
         F.floor(F.col("start_offset") / PACK_CAPACITY).alias("pack_seq"),
         (F.col("start_offset") % PACK_CAPACITY).alias("offset_in_pack"),
     )
+
+
+SOURCE_CAP = 25
+#: Knuth multiplicative hash for a cross-engine deterministic shuffle
+#: order (xxhash64 exists only in Spark, DuckDB's hash() differs)
+_KNUTH = 2654435761
+
+
+@query(
+    "cap_per_source",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY (doc_id * {_KNUTH}) % 4294967296, doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    SELECT doc_id, lang, source, sample_rank
+    FROM ranked WHERE sample_rank <= {SOURCE_CAP}
+    """,
+)
+def q_cap_per_source(spark, sf_dir):
+    """Per-(lang, source) document cap — the corpus-rebalancing step
+    after corpus_balance_report flags over-represented slices: keep at
+    most {cap} docs per slice, chosen by a DETERMINISTIC pseudo-random
+    order (Knuth multiplicative hash of doc_id — reproducible across
+    engines, retries, and runs, unlike rand()). One window shuffle on
+    the slice key; at 100 TB this is the same shape as
+    sequence_packing_sharded's cumsum and shards the same way if a
+    slice is hot."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    order = (F.col("doc_id") * _KNUTH) % F.lit(4294967296)
+    w = Window.partitionBy("lang", "source").orderBy(order, "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= SOURCE_CAP)
+    )

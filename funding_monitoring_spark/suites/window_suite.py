@@ -167,3 +167,44 @@ def q_trailing_time_features(spark, sf_dir):
         F.count("*").over(w).alias("n_last_30m"),
         F.round(F.avg("value").over(w), 6).alias("avg_value_30m"),
     )
+
+
+@query(
+    "window_distribution_suite",
+    """
+    SELECT event_id, user_id,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           ROUND(FIRST_VALUE(value) OVER wf, 6) AS first_val,
+           ROUND(LAST_VALUE(value) OVER wf, 6) AS last_val,
+           ROUND(NTH_VALUE(value, 2) OVER wf, 6) AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ROUND(value, 6), event_id),
+           wf AS (PARTITION BY user_id
+                  ORDER BY ROUND(value, 6), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_distribution(spark, sf_dir):
+    """The distribution half of the window family: percent_rank /
+    cume_dist (rank ratios — exact rationals, identical across
+    engines) and first/last/nth over the full frame. Ordering is on
+    the ROUNDED value with event_id tiebreak, so cross-engine float
+    ulps cannot reorder the frame (the r1 rule); one shuffle on
+    user_id, every expression shares the same sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.round("value", 6), "event_id"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first("value").over(wf), 6).alias("first_val"),
+        F.round(F.last("value").over(wf), 6).alias("last_val"),
+        F.round(F.nth_value("value", 2).over(wf), 6).alias("second_val"),
+    )
