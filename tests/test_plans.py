@@ -186,3 +186,65 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q9_all_dims_broadcast(spark, sf_dir):
+    """Q9 (the widest join in the family): part/supplier/nation must
+    all broadcast — the fact table shuffles only for the orders join
+    and the final rollup."""
+    plan = plan_str(ALL["tpch_q9_profit_by_nation_year"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q21_correlated_exists_as_semi_anti_joins(spark, sf_dir):
+    """Q21: the double correlation must plan as hash semi/anti joins on
+    the order key with the supplier inequality as a residual — never a
+    nested-loop over the pair frames."""
+    plan = plan_str(ALL["tpch_q21_waiting_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_scalar_threshold_joins_are_single_row_broadcasts(spark, sf_dir):
+    """Q11/Q20: the global-aggregate threshold must arrive as a 1-row
+    BROADCAST nested loop (O(n) with a single-row build side), never a
+    shuffled cartesian."""
+    for name in ("tpch_q11_important_parts", "tpch_q20_excess_suppliers"):
+        plan = plan_str(ALL[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" in plan, (name, plan)
+
+
+def test_salted_join_no_cartesian_and_codegen(spark, sf_dir):
+    """The salted join must stay an equi-join on the salted key (no
+    nested loop from the inequality-free concat key) with the salt
+    computed in codegen, not Python."""
+    plan = plan_str(ALL["salted_join_agg"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "xxhash64" in plan.lower(), plan
+
+
+def test_embedding_covariance_shuffles_partials_only(spark, sf_dir):
+    """The covariance aggregate must shuffle (i, j) partials, never the
+    vectors: every hash exchange keys on the dim indices (i, j) or the
+    exploded dim d — none on vec_id or the embedding column."""
+    plan = plan_str(ALL["embedding_covariance"](spark, sf_dir))
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    assert keys, plan
+    for k in keys:
+        assert "embedding" not in k and "vec_id" not in k, (k, plan)
+
+
+def test_sharded_packing_partitions_on_lang_and_shard(spark, sf_dir):
+    """The sharded packing window must partition on (lang, shard) —
+    the whole point is that no exchange keys on lang alone."""
+    plan = plan_str(ALL["sequence_packing_sharded"](spark, sf_dir))
+    m = re.findall(r"Exchange hashpartitioning\((\w+)[^)]*?(\w+)?#", plan)
+    assert "shard" in plan and "lang" in plan
+    # the window exchange carries both keys
+    assert re.search(
+        r"Exchange hashpartitioning\(lang#\d+, shard#\d+", plan
+    ), plan
