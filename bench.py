@@ -109,6 +109,8 @@ HEADLINE = [
     "embedding_covariance",
     "window_distribution_suite",
     "cap_per_source",
+    "asof_join_forward",
+    "grouping_sets_revenue",
 ]
 
 

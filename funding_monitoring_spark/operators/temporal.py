@@ -97,6 +97,61 @@ def _types(ref_side: DataFrame, fill_cols: dict) -> list:
     return [by_name[f"_f_{a}"] for a in fill_cols]
 
 
+def asof_join_forward(
+    probe: DataFrame,
+    ref: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    payload: dict[str, str],
+    ref_tiebreak: str,
+) -> DataFrame:
+    """Forward-inclusive as-of: for every probe row, the EARLIEST ref
+    row with ``ref.ts >= probe.ts`` on the same keys (NULLs when none
+    follows) — the "next quote / next tick" lookup, mirror of
+    `asof_join_backward` with the same single-shuffle union-marker
+    plan, just the reversed frame: probes sort BEFORE same-instant
+    refs (inclusive bound), ref ties on one (keys, ts) resolve to the
+    max tiebreak (the last revision is the one in force, matching the
+    backward join's LWW rule), and ``first(ignorenulls)`` looks over
+    currentRow..unboundedFollowing."""
+    fill_cols = {alias: F.col(src) for src, alias in payload.items()}
+    fill_cols["asof_ts"] = F.col(ts_col)
+    ref_side = ref.select(
+        *keys,
+        F.col(ts_col).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.col(ref_tiebreak).alias("_tb"),
+        *[c.alias(f"_f_{a}") for a, c in fill_cols.items()],
+    )
+    probe_cols = [c for c in probe.columns]
+    probe_side = probe.select(
+        *probe_cols,
+        F.col(ts_col).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(t).alias(f"_f_{a}")
+          for a, t in zip(fill_cols, _types(ref_side, fill_cols))],
+    )
+
+    merged = ref_side.unionByName(probe_side, allowMissingColumns=True)
+    # same-(keys, ts) ref ties: max tiebreak must win, and with a
+    # FORWARD frame the winner is whichever sorts FIRST — hence desc
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_t", "_side", F.desc_nulls_last("_tb"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.first(f"_f_{a}", ignorenulls=True).over(w).alias(a)
+            for a in fill_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 0).select(
+        *probe_cols, *fill_cols.keys()
+    )
+
+
 def sessionize(
     df: DataFrame,
     keys: list[str],

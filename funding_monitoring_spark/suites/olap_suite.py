@@ -260,3 +260,29 @@ def q_embedding_covariance(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_covariance(emb)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+"""
+
+
+@query("grouping_sets_revenue", _GROUPING_SETS_SQL)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP desugar
+    to): three chosen granularities in one pass, same dialect-neutral
+    SQL text through Spark SQL and DuckDB — completing the
+    grouping-sets surface next to rollup_totals and cube_revenue.
+    Same Expand + partial-agg plan shape as CUBE."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_GROUPING_SETS_SQL)

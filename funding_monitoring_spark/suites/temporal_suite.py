@@ -214,3 +214,51 @@ def q_interval_join(spark, sf_dir):
             F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
         ).alias("delay_us"),
     )
+
+
+@query(
+    "asof_join_forward",
+    """
+    WITH trades AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+        SELECT user_id, ts, value FROM (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view'
+        ) WHERE rn = 1
+    )
+    SELECT t.event_id, t.user_id, t.ts,
+           (SELECT q.value FROM quotes q
+            WHERE q.user_id = t.user_id AND q.ts >= t.ts
+            ORDER BY q.ts ASC LIMIT 1) AS next_value,
+           (SELECT q.ts FROM quotes q
+            WHERE q.user_id = t.user_id AND q.ts >= t.ts
+            ORDER BY q.ts ASC LIMIT 1) AS asof_ts
+    FROM trades t
+    """,
+)
+def q_asof_join_forward(spark, sf_dir):
+    """Forward-inclusive as-of join: each purchase gets the value of
+    the EARLIEST same-user view at-or-after it (the next-tick lookup —
+    completes the as-of pair with asof_join_backward; same
+    single-shuffle union-marker plan, reversed frame). Oracle is the
+    correlated first-after subquery — different algorithm, same rows."""
+    ev = load_table(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    quotes = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return T.asof_join_forward(
+        trades,
+        quotes,
+        keys=["user_id"],
+        ts_col="ts",
+        payload={"value": "next_value"},
+        ref_tiebreak="event_id",
+    )
