@@ -75,3 +75,109 @@ def test_stuck_cursor_trips_max_pages(spark):
 
     with pytest.raises(RuntimeError, match="max_pages"):
         read_paged(stuck, max_pages=5)
+
+
+# -- REST transport adapter (sources/rest.py) ------------------------------
+
+
+def _rest_fixture_pages():
+    """Three recorded pages, newest-first, with the protocol's
+    inclusive-cursor boundary duplicate: each page's oldest row is
+    re-served at the top of the next page."""
+    rows = [
+        {"symbol": "XBTUSDTM", "timePoint": t, "value": 0.01 * t}
+        for t in range(100, 90, -1)  # 100..91, newest first
+    ]
+    return [rows[0:4], rows[3:7], rows[6:10]]  # overlap at 97 and 94
+
+
+def _fake_transport(calls):
+    pages = _rest_fixture_pages()
+
+    def transport(url, params):
+        import json as _json
+
+        calls.append(dict(params))
+        if "endTime" not in params:
+            idx = 0
+        else:
+            # the cursor is the previous page's oldest timePoint
+            idx = {97: 1, 94: 2}[params["endTime"]]
+        return _json.dumps(
+            {
+                "code": "200000",
+                "data": {
+                    "hasMore": idx < 2,
+                    "dataList": pages[idx],
+                },
+            }
+        ).encode()
+
+    return transport
+
+
+def _rest_cfg():
+    from pyspark.sql import types as T
+
+    from funding_monitoring_spark.sources.rest import RestPageConfig
+
+    return RestPageConfig(
+        url="https://api.example.test/funding-history",
+        schema=T.StructType(
+            [
+                T.StructField("symbol", T.StringType()),
+                T.StructField("timePoint", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        base_params={"symbol": "XBTUSDTM"},
+    )
+
+
+def test_rest_pager_full_protocol_exactly_once(spark):
+    """The full live-protocol walk with an injected transport: three
+    pages, boundary duplicates collapsed, every distinct row exactly
+    once, cursor and base params threaded into each request."""
+    from funding_monitoring_spark.sources.paged import read_paged
+    from funding_monitoring_spark.sources.rest import rest_page_fetcher
+
+    calls = []
+    fetcher = rest_page_fetcher(spark, _rest_cfg(), _fake_transport(calls))
+    out = read_paged(
+        fetcher, key_cols=["symbol", "timePoint"], order_cols=["timePoint"]
+    )
+    got = sorted(r["timePoint"] for r in out.collect())
+    assert got == list(range(91, 101))  # exactly once each
+    assert len(calls) == 3
+    assert all(c["symbol"] == "XBTUSDTM" for c in calls)
+    assert "endTime" not in calls[0]
+    assert calls[1]["endTime"] == 97 and calls[2]["endTime"] == 94
+
+
+def test_rest_pager_malformed_payload_fails_loudly(spark):
+    from funding_monitoring_spark.sources.rest import rest_page_fetcher
+
+    def bad_transport(url, params):
+        return b'{"code": "200000", "data": {}}'
+
+    fetcher = rest_page_fetcher(spark, _rest_cfg(), bad_transport)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no rows"):
+        fetcher(None)
+
+
+def test_rest_pager_empty_last_page_terminates(spark):
+    """An empty page with hasMore=true must still terminate (the flag
+    is ANDed with row presence) instead of looping on a None cursor."""
+    from funding_monitoring_spark.sources.rest import rest_page_fetcher
+
+    def empty_transport(url, params):
+        return (
+            b'{"code": "200000", '
+            b'"data": {"hasMore": true, "dataList": []}}'
+        )
+
+    page = rest_page_fetcher(spark, _rest_cfg(), empty_transport)(None)
+    assert page.has_more is False and page.next_cursor is None
+    assert page.df.count() == 0
