@@ -52,3 +52,77 @@ def test_register_temp_views_and_sql(spark, sf_dir):
         """
     ).collect()
     assert sum(r.n for r in got) == 25
+
+
+# -- DB-API upsert sink (sources/dbsink.py) --------------------------------
+
+
+def _sqlite_factory(path):
+    import functools
+    import sqlite3
+
+    return functools.partial(sqlite3.connect, path, timeout=30)
+
+
+def test_dbapi_upsert_end_to_end_lww(spark, tmp_path):
+    """The relational K1/K2 transport against a REAL database (stdlib
+    sqlite3 speaks the reference's exact ON CONFLICT DO UPDATE
+    dialect): insert, then re-upsert changed values — last write wins
+    on the PK, untouched keys survive, written from executor-side
+    partitions."""
+    import sqlite3
+
+    from funding_monitoring_spark.operators.upsert import dedupe_batch
+    from funding_monitoring_spark.sources.dbsink import upsert_via_dbapi
+
+    db = str(tmp_path / "sink.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE rates (symbol TEXT, ts INTEGER, rate REAL, "
+            "PRIMARY KEY (symbol, ts))"
+        )
+    factory = _sqlite_factory(db)
+
+    b1 = spark.createDataFrame(
+        [("BTC", 1, 0.01), ("BTC", 2, 0.02), ("ETH", 1, 0.03)],
+        "symbol string, ts long, rate double",
+    ).coalesce(2)
+    upsert_via_dbapi(b1, "rates", ["symbol", "ts"], factory)
+    # revision batch with an in-batch duplicate: dedupe first (the
+    # order-aware contract), then upsert — (BTC, 2) revised, new key
+    b2 = spark.createDataFrame(
+        [("BTC", 2, 0.05), ("BTC", 2, 0.04), ("SOL", 1, 0.09)],
+        "symbol string, ts long, rate double",
+    )
+    b2 = dedupe_batch(b2, ["symbol", "ts"], ["rate"])
+    upsert_via_dbapi(b2.coalesce(1), "rates", ["symbol", "ts"], factory)
+
+    with sqlite3.connect(db) as conn:
+        got = dict(
+            ((s, t), r)
+            for s, t, r in conn.execute(
+                "SELECT symbol, ts, rate FROM rates"
+            )
+        )
+    assert got == {
+        ("BTC", 1): 0.01,
+        ("BTC", 2): 0.05,
+        ("ETH", 1): 0.03,
+        ("SOL", 1): 0.09,
+    }
+
+
+def test_dbapi_upsert_statement_shape_and_guards():
+    import pytest as _pytest
+
+    from funding_monitoring_spark.sources.dbsink import upsert_statement
+
+    sql = upsert_statement("rates", ["symbol", "ts", "rate"], ["symbol", "ts"])
+    assert sql == (
+        "INSERT INTO rates (symbol, ts, rate) VALUES (?, ?, ?) "
+        "ON CONFLICT (symbol, ts) DO UPDATE SET rate = excluded.rate"
+    )
+    with _pytest.raises(ValueError, match="unsafe"):
+        upsert_statement("rates; DROP TABLE x", ["a"], ["a"])
+    with _pytest.raises(ValueError, match="non-key"):
+        upsert_statement("rates", ["a"], ["a"])
