@@ -111,6 +111,7 @@ HEADLINE = [
     "cap_per_source",
     "asof_join_forward",
     "grouping_sets_revenue",
+    "multimodal_wav_roundtrip",
 ]
 
 

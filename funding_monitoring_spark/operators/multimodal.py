@@ -4,11 +4,12 @@ Design: media are opaque ``binary`` columns plus a typed metadata
 struct (modality, mime, width/height/duration, …). All Spark-side
 plumbing — schema, Arrow-batched Pandas UDFs over ``mapInPandas``,
 partition sizing — is real and tested. Codecs: uncompressed 24-bit
-BMP and 8-bit truecolor PNG decode FOR REAL (pure numpy/struct +
-stdlib zlib — chunk CRCs, IDAT inflate, all five scanline unfilters;
-oracle-verified round trips in `multimodal_bmp_roundtrip` /
-`multimodal_png_roundtrip`); JPEG and audio/video resample/
-frame-sample are stubbed behind ``NotImplementedError`` or a
+BMP, 8-bit truecolor PNG, and 16-bit PCM WAV decode FOR REAL (pure
+numpy/struct + stdlib zlib — chunk CRCs, IDAT inflate, all five
+scanline unfilters, RIFF chunk walk; oracle-verified round trips in
+`multimodal_bmp_roundtrip` / `multimodal_png_roundtrip` /
+`multimodal_wav_roundtrip`); JPEG, compressed audio, and video
+resample/frame-sample are stubbed behind ``NotImplementedError`` or a
 deterministic fake, because those codec libraries are not in this
 environment — swapping the stub for PIL/ffmpeg changes ONE function,
 not the pipeline.
@@ -566,3 +567,170 @@ def decode_image_features(media: DataFrame) -> DataFrame:
 
 #: back-compat name from when only the BMP decoder existed
 decode_bmp_features = decode_image_features
+
+
+# -- real audio codec: uncompressed PCM WAV (RIFF) -------------------------
+
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("sum_amplitude", T.LongType()),
+        T.StructField("min_amplitude", T.IntegerType()),
+        T.StructField("max_amplitude", T.IntegerType()),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Encode an (n_samples, channels) int16 array as an uncompressed
+    PCM WAV: RIFF header, fmt chunk (format tag 1 = PCM, 16-bit),
+    little-endian interleaved samples — the real wire format, pure
+    struct/numpy like the BMP codec."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2")
+    n, ch = pcm.shape
+    data = pcm.tobytes()  # row-major == channel-interleaved frames
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """Decode an uncompressed 16-bit PCM WAV into ((n_samples,
+    channels) int16 array, sample_rate). Walks the RIFF chunk stream
+    (fmt before data, unknown chunks skipped, word-aligned sizes);
+    compressed/float/other-depth formats are rejected loudly."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        chunk = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif tag == b"data":
+            data = chunk
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    tag_code, ch, rate, _, _, bits = fmt
+    if tag_code != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV supported (format={tag_code}, "
+            f"bits={bits})"
+        )
+    pcm = np.frombuffer(data, dtype="<i2")
+    return pcm.reshape(-1, ch), rate
+
+
+def _wav_shape(media_id: int) -> tuple[int, int]:
+    return 50 + media_id % 64, 1 + media_id % 2  # (n_samples, channels)
+
+
+WAV_RATE = 8000
+
+
+def _wav_samples(media_id: int, n: int, ch: int):
+    """Closed-form sample field: flat index j (frame-major,
+    channel-interleaved) has amplitude ((media_id*13 + j)*97) % 65536
+    − 32768 — integer-exact in the SQL oracle, no float anywhere."""
+    import numpy as np
+
+    j = np.arange(n * ch, dtype=np.int64)
+    return (
+        ((media_id * 13 + j) * 97 % 65536 - 32768)
+        .astype(np.int16)
+        .reshape(n, ch)
+    )
+
+
+def synthesize_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real PCM-WAV payloads from the closed-form sample field — the
+    audio writer half. 1:1 mapInPandas, no shuffle."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                n, ch = _wav_shape(int(mid))
+                payloads.append(
+                    encode_wav(_wav_samples(int(mid), n, ch), WAV_RATE)
+                )
+                metas.append(
+                    {
+                        "modality": "audio",
+                        "mime": "audio/wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": int(n * 1000 / WAV_RATE),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media_ids = ids.select(F.col(id_col).alias("media_id"))
+    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """The audio reader half: parse each WAV with the REAL decoder
+    (RIFF chunk walk, fmt validation, PCM16 deinterleave) and emit
+    integer-exact amplitude statistics the SQL oracle can recompute
+    from the sample formula."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm, rate = decode_wav(bytes(payload))
+                n, ch = pcm.shape
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_samples": n,
+                        "channels": ch,
+                        "sample_rate": rate,
+                        "sum_amplitude": int(pcm.sum(dtype="int64")),
+                        "min_amplitude": int(pcm.min()),
+                        "max_amplitude": int(pcm.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)

@@ -153,3 +153,48 @@ def q_multimodal_png_roundtrip(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_image_features(synthesize_png_media(docs))
+
+
+@query(
+    "multimodal_wav_roundtrip",
+    """
+    WITH shape AS (
+        SELECT doc_id AS media_id,
+               CAST(50 + doc_id % 64 AS INT) AS n_samples,
+               CAST(1 + doc_id % 2 AS INT) AS channels
+        FROM documents
+    ),
+    amps AS (
+        SELECT media_id, n_samples, channels,
+               list_transform(
+                   range(0, n_samples * channels),
+                   j -> (media_id * 13 + j) * 97 % 65536 - 32768
+               ) AS a
+        FROM shape
+    )
+    SELECT media_id, n_samples, channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(list_sum(a) AS BIGINT) AS sum_amplitude,
+           CAST(list_min(a) AS INT) AS min_amplitude,
+           CAST(list_max(a) AS INT) AS max_amplitude
+    FROM amps
+    """,
+)
+def q_multimodal_wav_roundtrip(spark, sf_dir):
+    """REAL audio codec round trip: synthesize an uncompressed 16-bit
+    PCM WAV per document (RIFF header, fmt chunk, interleaved
+    little-endian frames) from a closed-form sample field, then parse
+    it back with the actual decoder — chunk walk, format validation,
+    deinterleave — in Arrow-batched mapInPandas. The oracle recomputes
+    the integer-exact amplitude statistics straight from the formula,
+    so any header/interleave/endianness bug breaks the hash. This
+    retires the 'audio is a deterministic fake' caveat; compressed
+    audio (MP3/AAC) still raises pending codec libraries
+    (operators/multimodal.py encode_wav/decode_wav)."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_wav_features,
+        synthesize_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_wav_features(synthesize_wav_media(docs))

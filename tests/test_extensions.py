@@ -392,3 +392,43 @@ def test_embedding_covariance_matches_numpy(spark, sf_dir):
     for i in range(d):
         for j in range(i, d):
             assert abs(got[(i, j)] - round(c[i, j], 6)) <= 1e-6, (i, j)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """WAV codec: roundtrip across shapes, unknown odd-sized chunks
+    skipped with word alignment, and loud rejection of non-PCM."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    for n, ch in [(1, 1), (7, 2), (50, 1), (64, 2)]:
+        s = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+        pcm, rate = decode_wav(encode_wav(s, 44100))
+        assert rate == 44100 and np.array_equal(pcm, s)
+    # inject an unknown ODD-length chunk before data: the walker must
+    # skip it word-aligned and still find the data chunk
+    s = rng.integers(-32768, 32768, (5, 1)).astype(np.int16)
+    raw = encode_wav(s)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    patched = raw[:12] + junk + raw[12:]
+    patched = (
+        patched[:4]
+        + struct.pack("<I", len(patched) - 8)
+        + patched[8:]
+    )
+    pcm, _ = decode_wav(patched)
+    assert np.array_equal(pcm, s)
+    # float WAV (format tag 3) rejected
+    bad = bytearray(raw)
+    bad[20] = 3
+    with _pytest.raises(NotImplementedError, match="PCM"):
+        decode_wav(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
