@@ -112,6 +112,7 @@ HEADLINE = [
     "asof_join_forward",
     "grouping_sets_revenue",
     "multimodal_wav_roundtrip",
+    "multimodal_avi_framesample",
 ]
 
 

@@ -198,3 +198,49 @@ def q_multimodal_wav_roundtrip(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_wav_features(synthesize_wav_media(docs))
+
+
+@query(
+    "multimodal_avi_framesample",
+    """
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(2 + doc_id % 6 AS INT) AS width,
+               CAST(2 + doc_id % 4 AS INT) AS height,
+               CAST(2 + doc_id % 4 AS INT) AS n_frames
+        FROM documents
+    ),
+    frames AS (
+        SELECT media_id, width, height,
+               unnest(range(0, n_frames)) AS f
+        FROM dims
+    )
+    SELECT media_id, CAST(f AS INT) AS frame_idx, CAST(10 AS INT) AS fps,
+           ROUND(list_sum(list_transform(range(0, width*height),
+                 p -> ((media_id*7 + f*11 + p*3)*31) % 256))
+                 / CAST(width*height AS DOUBLE), 6) AS mean_r,
+           CAST(((media_id*7 + f*11)*31) % 256 AS INT) AS corner_r,
+           CAST(((media_id*7 + f*11 + 1)*31) % 256 AS INT) AS corner_g,
+           CAST(((media_id*7 + f*11 + 2)*31) % 256 AS INT) AS corner_b
+    FROM frames
+    """,
+)
+def q_multimodal_avi_framesample(spark, sf_dir):
+    """REAL video container round trip: synthesize a raw-DIB AVI per
+    document (RIFF envelope, avih/strh/strf headers, movi frame
+    chunks, idx1 index; 2-5 frames from a closed-form per-frame pixel
+    field), then decode it with the actual container parser and emit
+    one row per frame — the keyframe-iterator fan-out, 1:N
+    mapInPandas. The oracle recomputes each frame's red-channel mean
+    and corner pixel from the formula, so frame-order, row-flip,
+    channel-order, or chunk-offset bugs break the hash. This retires
+    the 'video frame-sample is a byte-slicing fake' caveat; compressed
+    video still raises pending codec libraries
+    (operators/multimodal.py encode_avi/decode_avi)."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_avi_frames,
+        synthesize_avi_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_avi_frames(synthesize_avi_media(docs))

