@@ -113,6 +113,8 @@ HEADLINE = [
     "grouping_sets_revenue",
     "multimodal_wav_roundtrip",
     "multimodal_avi_framesample",
+    "jsonl_file_source",
+    "tsv_file_source",
 ]
 
 

@@ -112,7 +112,7 @@ _PRIORITY: list[str] = [
 # tpch_q20_excess_suppliers, tpch_q21_waiting_suppliers,
 # embedding_covariance, window_distribution_suite, cap_per_source,
 # asof_join_forward, grouping_sets_revenue, multimodal_wav_roundtrip,
-# multimodal_avi_framesample.
+# multimodal_avi_framesample, jsonl_file_source, tsv_file_source.
 # Then still carrying an r1-only driver row (refresh in r4):
 # value_percentiles, keep_list_projection, drop_column,
 # filter_suffix, filter_equality, filter_time_range, group_min,

@@ -782,3 +782,84 @@ def q_jsonl_quarantine(spark, sf_dir):
         parsed["_corrupt"].isNotNull().cast("int").alias("is_corrupt"),
         parsed["k"].alias("k"),
     )
+
+
+_FILE_SOURCE_ORACLE = """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+"""
+
+
+@query("jsonl_file_source", _FILE_SOURCE_ORACLE)
+def q_jsonl_file_source(spark, sf_dir):
+    """File-based JSON-lines SOURCE (not the from_json column path):
+    the events table round-trips through an actual .json directory —
+    distributed write, schema-first distributed read (PERMISSIVE, the
+    production ingestion mode), then an aggregate the parquet oracle
+    must reproduce. Exercises spark.read.json's scan path: splittable
+    line files, explicit schema (no sampling-based inference job), and
+    column pruning into the parsed projection."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    path = tempfile.mkdtemp(prefix="fm_jsonl_src_") + "/events"
+    events.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_users"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@query("tsv_file_source", _FILE_SOURCE_ORACLE)
+def q_tsv_file_source(spark, sf_dir):
+    """K5 as a driver-visible round trip: the headerless
+    tab-separated bulk-load format (the reference's COPY intermediate,
+    active_futures_etl.py:103) written and read back distributed with
+    an explicit schema, then aggregated against the parquet oracle —
+    proving the text serialization (tabs, empty values, float
+    formatting) loses nothing the pipeline needs."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from funding_monitoring_spark.sources.sinks import read_tsv, write_tsv
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    path = tempfile.mkdtemp(prefix="fm_tsv_src_") + "/events"
+    write_tsv(events, path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = read_tsv(spark, path, schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_users"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
