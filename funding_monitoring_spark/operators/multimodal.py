@@ -246,38 +246,63 @@ def decode_png(payload: bytes):
     stride = w * _BPP
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
-    out = np.empty((h, w, _BPP), dtype=np.uint8)
-    prev = np.zeros((w, _BPP), dtype=np.int16)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
     for y in range(h):
         ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, y * (stride + 1) + 1
-        ).astype(np.int16)
-        rec = line.reshape(w, _BPP)
+        start = y * (stride + 1) + 1
         if ftype == 0:
-            pass
+            rec = np.frombuffer(raw, np.uint8, stride, start).astype(
+                np.int16
+            )
         elif ftype == 1:  # Sub: mod-256 additions commute with cumsum
-            rec = rec.astype(np.int64).cumsum(axis=0) % 256
-        elif ftype == 2:  # Up
-            rec = (rec + prev) % 256
-        elif ftype == 3:  # Average (sequential in x)
-            rec = rec.copy()
-            rec[0] = (rec[0] + prev[0] // 2) % 256
-            for x in range(1, w):
-                rec[x] = (rec[x] + (rec[x - 1] + prev[x]) // 2) % 256
-        elif ftype == 4:  # Paeth (sequential in x)
-            rec = rec.copy()
-            rec[0] = (rec[0] + prev[0]) % 256  # paeth(0, up, 0) = up
-            for x in range(1, w):
-                rec[x] = (
-                    rec[x]
-                    + _paeth_predict(rec[x - 1], prev[x], prev[x - 1])
-                ) % 256
+            rec = (
+                np.frombuffer(raw, np.uint8, stride, start)
+                .reshape(w, _BPP)
+                .astype(np.int64)
+                .cumsum(axis=0)
+                .reshape(stride)
+                % 256
+            ).astype(np.int16)
+        elif ftype == 2:  # Up: pure slice add
+            rec = (
+                np.frombuffer(raw, np.uint8, stride, start) + prev
+            ) % 256
+        elif ftype in (3, 4):
+            # Average/Paeth reconstruct sequentially in x by definition
+            # (each byte depends on the reconstructed byte one pixel
+            # left), so they can't be sliced; a plain-int byte loop is
+            # ~10× cheaper than per-pixel numpy indexing.
+            cur = list(raw[start : start + stride])
+            pv = prev.tolist()
+            if ftype == 3:  # Average
+                for x in range(_BPP):
+                    cur[x] = (cur[x] + pv[x] // 2) & 0xFF
+                for x in range(_BPP, stride):
+                    cur[x] = (
+                        cur[x] + (cur[x - _BPP] + pv[x]) // 2
+                    ) & 0xFF
+            else:  # Paeth
+                for x in range(_BPP):
+                    cur[x] = (cur[x] + pv[x]) & 0xFF  # paeth(0,up,0)=up
+                for x in range(_BPP, stride):
+                    a, b, c = cur[x - _BPP], pv[x], pv[x - _BPP]
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    cur[x] = (
+                        cur[x]
+                        + (
+                            a
+                            if pa <= pb and pa <= pc
+                            else b if pb <= pc else c
+                        )
+                    ) & 0xFF
+            rec = np.asarray(cur, dtype=np.int16)
         else:
             raise ValueError(f"unknown scanline filter {ftype}")
         prev = rec.astype(np.int16)
         out[y] = rec.astype(np.uint8)
-    return out
+    return out.reshape(h, w, _BPP)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -864,6 +889,8 @@ def decode_avi(payload: bytes):
                 if comp != 0:
                     raise NotImplementedError("compressed AVI frames")
             elif tag in (b"00db", b"00dc"):
+                if dims is None:
+                    raise ValueError("frame chunk before avih header")
                 w, h = dims
                 frames.append(
                     _dib_decode(payload[body_lo : body_lo + ln], w, h)

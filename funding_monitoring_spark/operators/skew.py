@@ -80,6 +80,14 @@ def salted_agg(
             raise ValueError(f"{name}: non-decomposable aggregate {fn!r}")
     if tiebreak_cols is None:
         tiebreak_cols = [c for c in df.columns if c not in group_cols]
+        if not tiebreak_cols:
+            # every column is a group column (e.g. count of a group
+            # col); hash the group columns rather than emit a zero-arg
+            # xxhash64 (opaque WRONG_NUM_ARGS). Salting can't spread a
+            # hot key here, but the result stays correct.
+            tiebreak_cols = list(group_cols)
+    if not tiebreak_cols:
+        raise ValueError("tiebreak_cols must not be empty")
     phase1 = (
         df.withColumn("__salt", _salt_col(tiebreak_cols, num_salts))
         .groupBy(*group_cols, "__salt")

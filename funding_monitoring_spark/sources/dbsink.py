@@ -43,9 +43,15 @@ def upsert_statement(
     CONFLICT(keys) DO UPDATE SET non-keys = excluded.non-keys.
     Identifiers are validated (no quoting games) because they come
     from DataFrame schemas, not user input."""
-    for ident in (table, *cols):
+    for ident in (table, *cols, *key_cols):
         if not ident.replace("_", "").isalnum():
             raise ValueError(f"unsafe SQL identifier: {ident!r}")
+    missing = [k for k in key_cols if k not in cols]
+    if missing:
+        raise ValueError(
+            f"key_cols {missing} not present in cols — the ON CONFLICT "
+            "target must be a subset of the inserted columns"
+        )
     updates = ", ".join(
         f"{c} = excluded.{c}" for c in cols if c not in key_cols
     )

@@ -62,7 +62,11 @@ def atomic_overwrite(
     data = f"{path}.__v_{token}"
     df.write.mode("overwrite").parquet(data)
     for name, content in (extra_files or {}).items():
-        assert name.startswith("_"), name  # must be Spark-invisible
+        if not name.startswith("_"):  # must be Spark-invisible
+            raise ValueError(
+                f"extra_files name {name!r} must start with '_' so "
+                "Spark's file index ignores it (like _SUCCESS)"
+            )
         with open(os.path.join(data, name), "w") as fh:
             fh.write(content)
 
@@ -190,6 +194,14 @@ def cdc_writer(
                 applied_run, applied_id = fh.read().splitlines()
             if applied_run == run_id and int(applied_id) >= batch_id:
                 return  # replay of an already-applied batch
+        elif os.path.exists(legacy_marker):
+            # Pre-atomic layout left only the sidecar marker. It is
+            # run_id-less (one query per store back then), so honor it
+            # under a same-run assumption: a batch replayed across the
+            # layout upgrade must not re-apply and double-count.
+            with open(legacy_marker) as fh:
+                if int(fh.read().strip() or -1) >= batch_id:
+                    return  # replay across the layout upgrade
         spark = batch_df.sparkSession
         order_key = F.struct(*[F.col(c) for c in order_cols])
         value_cols = [c for c in batch_df.columns if c not in key_cols]

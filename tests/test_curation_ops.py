@@ -223,6 +223,46 @@ def test_cdc_writer_marker_commits_atomically_with_store(spark, tmp_path):
     assert os.path.islink(store)
 
 
+def test_cdc_writer_honors_legacy_marker_across_layout_upgrade(
+    spark, tmp_path
+):
+    """A store written under the pre-atomic layout carries only the
+    sidecar '.__applied_batch' marker. A batch replayed across the
+    layout upgrade must be treated as already applied (not
+    double-counted), and the legacy marker retired afterwards."""
+    import os
+
+    from funding_monitoring_spark.streaming.sinks import cdc_writer
+
+    store = str(tmp_path / "state")
+    w = cdc_writer(store, ["key"], ["seq"], run_id="ckpt")
+    _apply(w, spark, [(1, 10.0, 1, "upsert")], 0)
+    # simulate the old layout: only the sidecar marker exists
+    os.unlink(os.path.join(store, "_applied_batch"))
+    with open(store + ".__applied_batch", "w") as fh:
+        fh.write("0")
+    _apply(w, spark, [(1, 10.0, 1, "upsert")], 0)  # replay across upgrade
+    assert spark.read.parquet(store).first()["n_changes"] == 1
+    # a genuinely new batch still applies (and retires the sidecar)
+    _apply(w, spark, [(1, 11.0, 2, "upsert")], 1)
+    assert spark.read.parquet(store).first()["n_changes"] == 2
+    assert not os.path.exists(store + ".__applied_batch")
+
+
+def test_atomic_overwrite_rejects_visible_sidecar(spark, tmp_path):
+    """extra_files names must be underscore-prefixed (Spark-invisible);
+    the guard is a real ValueError, not an -O-strippable assert."""
+    import pytest as _pytest
+
+    from funding_monitoring_spark.streaming.sinks import atomic_overwrite
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError, match="must start with '_'"):
+        atomic_overwrite(
+            df, str(tmp_path / "snap"), extra_files={"meta.txt": "x"}
+        )
+
+
 def test_cdc_writer_stale_reemission_keeps_newer_values(spark, tmp_path):
     from funding_monitoring_spark.streaming.sinks import cdc_writer
 

@@ -466,3 +466,28 @@ def test_avi_roundtrip_and_rejection():
         decode_avi(bytes(raw))
     with _pytest.raises(ValueError, match="RIFF/AVI"):
         decode_avi(b"RIFFxxxxWAVE")
+    # a frame chunk arriving before the avih header must fail loudly
+    # (not TypeError from unpacking unset dims)
+    frame = b"00db" + struct.pack("<I", 12) + b"\x00" * 12
+    body = b"AVI " + frame
+    malformed = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pytest.raises(ValueError, match="before avih"):
+        decode_avi(malformed)
+
+
+def test_salted_agg_all_group_columns(spark):
+    """When every column is a group column (count of a group col) the
+    derived tiebreak falls back to hashing the group columns instead
+    of raising an opaque zero-arg xxhash64 error."""
+    from funding_monitoring_spark.operators.skew import salted_agg
+
+    df = spark.range(0, 100).select(
+        (F.col("id") % 5).cast("int").alias("k")
+    )
+    got = {
+        r["k"]: r["n"]
+        for r in salted_agg(
+            df, ["k"], {"n": ("count", "k")}, num_salts=4
+        ).collect()
+    }
+    assert got == {k: 20 for k in range(5)}

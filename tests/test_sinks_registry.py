@@ -126,3 +126,9 @@ def test_dbapi_upsert_statement_shape_and_guards():
         upsert_statement("rates; DROP TABLE x", ["a"], ["a"])
     with _pytest.raises(ValueError, match="non-key"):
         upsert_statement("rates", ["a"], ["a"])
+    # key_cols are interpolated into ON CONFLICT too: validated the
+    # same way, and must be a subset of the inserted columns
+    with _pytest.raises(ValueError, match="unsafe"):
+        upsert_statement("rates", ["a", "b"], ["a) DO NOTHING; --"])
+    with _pytest.raises(ValueError, match="subset"):
+        upsert_statement("rates", ["a", "b"], ["missing"])
