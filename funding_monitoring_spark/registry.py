@@ -38,87 +38,84 @@ def query(name: str, sql: str | None):
 #:   r1 window: the 50 batch/dedup/olap/parity/sampling queries.
 #:   r2 window: TPC-H, temporal, streaming, ANN, text, window families
 #:              plus all round-2 first-wave queries (50/50 green).
-#:   r3 window (this list): (a) the 13 late-round-2 queries owed their
-#:       FIRST driver row, (b) the two approx sketches whose last
-#:       driver word was the r1 FAIL — now re-shaped into
-#:       deterministic within-bound form so hash_match is meaningful,
-#:       (c) queries NEW in round 3, then (d) the oldest r1-verified
-#:       rows, starting with those whose underlying code changed since
-#:       r1 (operators/rolling.py, upsert.py, functions/scalars.py,
-#:       operators/skew.py, components.py, multimodal.py).
-#:   r4+ plan: remaining r1 rows not refreshed here (sampling, paging
-#:       snapshots, set ops), then r2 rows in registration order.
+#:   r3 window: the 13 late-r2 queries owed a first row, the 2
+#:              re-shaped sketches, the 4 r3-new queries, then the
+#:              oldest r1 rows over since-changed code (50/50 green).
+#:   r4 window (this list): (a) the 15 queries registered late in
+#:       round 3 that have never had an external driver row, exactly
+#:       as pre-staged in r3's plan; (b) main_dag_parity — round 4's
+#:       ONLY new registration, placed inside the window at
+#:       registration time (registration is FROZEN once the window
+#:       fills: any later addition must ship with a driver-format row
+#:       in CORRECTNESS_LOCAL_r4.json, emitted by
+#:       tools/local_correctness.py); (c) the 17 queries still
+#:       carrying an r1-only row; (d) the oldest r2 rows, streaming
+#:       and temporal families first (their sink/state code changed
+#:       this round: streaming/sinks.py legacy-marker fix).
+#:   r5 plan: the 33 remaining r2-row queries (ANN/text/TPC-H
+#:       r2 families), then the r3 rows in registration order.
 _PRIORITY: list[str] = [
-    # (a) owed a first driver row since late round 2 (13)
-    "stream_cdc_materialize",
-    "pagerank_trading_graph",
-    "hopping_window_rollup",
-    "trailing_time_features",
-    "tpch_q8_market_share",
-    "multimodal_bmp_roundtrip",
-    "term_posting_lists",
-    "ngram_novelty",
-    "embedding_quantize_int8",
-    "sequence_packing_plan",
-    "expectation_audit",
-    "stream_hopping_rollup",
-    "jsonl_quarantine",
-    # (b) sketches re-shaped to hash-checkable within-bound form (2)
-    "approx_distinct_users",
-    "approx_quantiles_events",
-    # (c) new in round 3 (first driver row)
-    "multimodal_png_roundtrip",
-    "sequence_packing_sharded",
-    "salted_join_agg",
-    "dedup_clusters_star",
-    # (d) oldest r1 rows over since-changed code first
-    "group_count_guard",
-    "latest_per_group",
-    "dedup_keys",
-    "upsert_merge",
-    "scalar_datetime_suite",
-    "scalar_string_suite",
-    "scalar_cast_annualize",
-    "snake_case_rename",
-    "funding_stats",
-    "sql_funding_stats",
-    "salted_group_agg",
-    "dedup_clusters",
-    "multimodal_features",
-    "multimodal_resize_pipeline",
-    # (d cont.) remaining oldest r1 rows, registration order
-    "exact_dedup",
-    "minhash_lsh_dedup",
-    "ngram_jaccard_dedup",
-    "simhash_signatures",
-    "simhash_near_dup",
-    "futures_snapshot",
-    "spot_pairs_snapshot",
-    "lending_pipeline",
-    "json_extract",
-    "nested_json_explode",
-    "full_outer_reconciliation",
-    "pivot_status_by_priority",
-    "unpivot_part_attrs",
-    "cube_revenue",
-    "set_intersect_nations",
-    "set_except_nations",
-    "embedding_centroids",
+    # (a) never driver-checked, registered late in round 3 (15)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q11_important_parts",
+    "tpch_q16_supplier_variety",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "embedding_covariance",
+    "window_distribution_suite",
+    "cap_per_source",
+    "asof_join_forward",
+    "grouping_sets_revenue",
+    "multimodal_wav_roundtrip",
+    "multimodal_avi_framesample",
+    "jsonl_file_source",
+    "tsv_file_source",
+    # (b) new in round 4 (first driver row; sole r4 registration)
+    "main_dag_parity",
+    # (c) r1-only rows, 2 rounds stale (17)
+    "value_percentiles",
+    "keep_list_projection",
+    "drop_column",
+    "filter_suffix",
+    "filter_equality",
+    "filter_time_range",
+    "group_min",
+    "rollup_totals",
+    "distinct_values",
+    "existence_probe",
+    "broadcast_join_dim",
+    "semi_join_universe",
+    "sort_limit",
+    "topk_per_group",
+    "union_append",
+    "hash_sample_documents",
+    "stratified_sample_by_lang",
+    # (d) oldest r2 rows — streaming/stateful first (sink code changed
+    # this round), then paging/temporal companions (17)
+    "stream_funding_pipeline",
+    "stream_upsert_rates",
+    "stream_lending_append",
+    "stream_tumbling_rollup",
+    "stream_session_windows",
+    "stream_ewma_stateful",
+    "stream_stream_join_attribution",
+    "cdc_materialize",
+    "paged_backfill",
+    "asof_join_backward",
+    "interval_join_attribution",
+    "sessionize_events",
+    "session_window_agg",
+    "event_transition_matrix",
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "ann_cosine_topk_scale",
 ]
-# ^ exactly 50 entries. Owed a FIRST driver row at the head of round
-# 4's rotation (registered late in round 3, after the window filled):
-# tpch_q2_min_cost_supplier, tpch_q9_profit_by_nation_year,
-# tpch_q11_important_parts, tpch_q16_supplier_variety,
-# tpch_q20_excess_suppliers, tpch_q21_waiting_suppliers,
-# embedding_covariance, window_distribution_suite, cap_per_source,
-# asof_join_forward, grouping_sets_revenue, multimodal_wav_roundtrip,
-# multimodal_avi_framesample, jsonl_file_source, tsv_file_source.
-# Then still carrying an r1-only driver row (refresh in r4):
-# value_percentiles, keep_list_projection, drop_column,
-# filter_suffix, filter_equality, filter_time_range, group_min,
-# rollup_totals, distinct_values, existence_probe, broadcast_join_dim,
-# semi_join_universe, sort_limit, topk_per_group, union_append,
-# hash_sample_documents, stratified_sample_by_lang.
+# ^ exactly 50 entries. After this round every registered query's
+# newest external row is <= 2 rounds old; the queries NOT in this
+# window additionally get a same-format local row in
+# CORRECTNESS_LOCAL_r4.json each round (tools/local_correctness.py),
+# so nothing ships on pytest evidence alone.
 
 
 def _ordered(d: dict) -> dict:

@@ -7,6 +7,7 @@ from funding_monitoring_spark.suites import (  # noqa: F401
     curation_suite,
     dedup_suite,
     graph_suite,
+    main_dag_suite,
     multimodal_suite,
     olap_suite,
     pipeline_parity,

@@ -22,9 +22,9 @@ from funding_monitoring_spark.registry import query
 from funding_monitoring_spark.sources.tables import load_table
 
 
-@query(
-    "futures_snapshot",
-    """
+#: oracle SQL for the three fan-out chains, shared with the composed
+#: main-DAG parity oracle (suites/main_dag_suite.py)
+FUTURES_SNAPSHOT_SQL = """
     WITH raw AS (  -- camelCase + string numerics, like the REST payload
         SELECT CAST(user_id AS VARCHAR) || '-' || event_type || '-TM'
                    AS symbol,
@@ -41,8 +41,10 @@ from funding_monitoring_spark.sources.tables import load_table
            strftime("openDate", '%H:%M:%S') AS time_to_next_funding_rate
     FROM raw
     WHERE symbol LIKE '%TM' AND event_id % 2 = 0
-    """,
-)
+    """
+
+
+@query("futures_snapshot", FUTURES_SNAPSHOT_SQL)
 def q_futures_snapshot(spark, sf_dir):
     """Active-futures snapshot chain (active_futures_etl.py:15-104):
     keep-list projection (P1) → suffix filter F1 (endswith 'TM') →
@@ -75,9 +77,7 @@ def q_futures_snapshot(spark, sf_dir):
     )
 
 
-@query(
-    "spot_pairs_snapshot",
-    """
+SPOT_PAIRS_SNAPSHOT_SQL = """
     WITH raw AS (
         SELECT CAST(user_id AS VARCHAR) || '-' || event_type AS symbol,
                CAST(value AS VARCHAR) AS vol
@@ -89,8 +89,10 @@ def q_futures_snapshot(spark, sf_dir):
            split_part(symbol, '-', 2) AS quote_currency
     FROM raw
     WHERE split_part(symbol, '-', 2) = 'purchase'
-    """,
-)
+    """
+
+
+@query("spot_pairs_snapshot", SPOT_PAIRS_SNAPSHOT_SQL)
 def q_spot_pairs_snapshot(spark, sf_dir):
     """Spot-pairs snapshot chain (active_spot_pairs_etl.py:15-75):
     derive base/quote via split-and-index C2, str→double cast C14,
@@ -109,9 +111,7 @@ def q_spot_pairs_snapshot(spark, sf_dir):
     return out.filter(F.col("quote_currency") == "purchase")
 
 
-@query(
-    "lending_pipeline",
-    """
+LENDING_PIPELINE_SQL = """
     WITH anchored AS (
         SELECT *, (SELECT MAX(ts) FROM events) AS anchor FROM events
     ),
@@ -128,8 +128,10 @@ def q_spot_pairs_snapshot(spark, sf_dir):
            loan_duration_days,
            ROUND(daily_interest_rate * 365, 6) AS annualized_interest_rate
     FROM grouped
-    """,
-)
+    """
+
+
+@query("lending_pipeline", LENDING_PIPELINE_SQL)
 def q_lending_pipeline(spark, sf_dir):
     """Lending chain (lending_data_etl.py:20-91): str→double cast C14 →
     group-min per term A1 → annualize ×365 C13 → ceil-to-next-5-min
