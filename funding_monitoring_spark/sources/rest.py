@@ -10,12 +10,13 @@ schema, and hand ``read_paged`` a standard ``PageFetcher``. Reference
 protocol: scripts/funding_rates_etl.py:32-70 (``requests.get`` +
 ``hasMore``/``endTime``), scripts/active_futures_etl.py:15-20.
 
-The default transport is stdlib urllib and is NOT exercised in this
-sandbox (no network); everything else — pagination, cursor advance,
-parameter threading, boundary-duplicate dedup, empty/short pages —
-is tested end-to-end with an injected fake transport serving recorded
-payloads (tests/test_paged.py). Swapping in requests/aiohttp changes
-one callable.
+The default transport is stdlib urllib, exercised end-to-end against
+a real loopback HTTP server in tests (the sandbox has no external
+network); pagination, cursor advance, parameter threading,
+boundary-duplicate dedup, and empty/short pages are additionally
+tested with injected fake transports serving recorded payloads
+(tests/test_paged.py). Swapping in requests/aiohttp changes one
+callable.
 
 Scale note: HTTP payloads necessarily land on the driver (that is the
 reference's reality too); each page is bounded by the API's page size,
@@ -41,10 +42,10 @@ from funding_monitoring_spark.sources.paged import Page, PageFetcher
 Transport = Callable[[str, Mapping[str, Any]], bytes]
 
 
-def default_transport(
-    url: str, params: Mapping[str, Any]
-) -> bytes:  # pragma: no cover — requires a network
-    """stdlib GET: url?urlencode(params) → response bytes."""
+def default_transport(url: str, params: Mapping[str, Any]) -> bytes:
+    """stdlib GET: url?urlencode(params) → response bytes. Exercised
+    over a real loopback socket in tests/test_paged.py (stdlib
+    http.server serving recorded pages)."""
     from urllib.parse import urlencode
     from urllib.request import urlopen
 

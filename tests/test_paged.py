@@ -154,6 +154,74 @@ def test_rest_pager_full_protocol_exactly_once(spark):
     assert calls[1]["endTime"] == 97 and calls[2]["endTime"] == 94
 
 
+def test_rest_pager_default_transport_over_real_socket(spark):
+    """The SAME protocol walk through default_transport against a real
+    HTTP server (stdlib http.server on loopback serving the recorded
+    pages): urlencoded params arrive on the wire, the cursor advances,
+    boundary duplicates collapse — no fake transport anywhere."""
+    import http.server
+    import threading
+    from urllib.parse import parse_qs, urlparse
+
+    from funding_monitoring_spark.sources.paged import read_paged
+    from funding_monitoring_spark.sources.rest import (
+        default_transport,
+        rest_page_fetcher,
+    )
+
+    pages = _rest_fixture_pages()
+    seen = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            import json as _json
+
+            q = {
+                k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()
+            }
+            seen.append(q)
+            idx = (
+                0
+                if "endTime" not in q
+                else {"97": 1, "94": 2}[q["endTime"]]
+            )
+            body = _json.dumps(
+                {
+                    "code": "200000",
+                    "data": {"hasMore": idx < 2, "dataList": pages[idx]},
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        cfg = _rest_cfg()
+        cfg.url = f"http://127.0.0.1:{server.server_address[1]}/funding"
+        fetcher = rest_page_fetcher(spark, cfg, default_transport)
+        out = read_paged(
+            fetcher,
+            key_cols=["symbol", "timePoint"],
+            order_cols=["timePoint"],
+        )
+        got = sorted(r["timePoint"] for r in out.collect())
+    finally:
+        server.shutdown()
+        server.server_close()
+    assert got == list(range(91, 101))
+    assert len(seen) == 3
+    assert all(c["symbol"] == "XBTUSDTM" for c in seen)
+    assert "endTime" not in seen[0]
+    assert seen[1]["endTime"] == "97" and seen[2]["endTime"] == "94"
+
+
 def test_rest_pager_malformed_payload_fails_loudly(spark):
     from funding_monitoring_spark.sources.rest import rest_page_fetcher
 
