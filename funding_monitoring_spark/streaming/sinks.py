@@ -117,6 +117,11 @@ def upsert_writer(
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        from funding_monitoring_spark.streaming import metrics
+
+        t0 = time.perf_counter()
         spark = batch_df.sparkSession
         batch = transform(batch_df) if transform is not None else batch_df
         batch = dedupe_batch(batch, key_cols, order_cols)
@@ -126,8 +131,15 @@ def upsert_writer(
         else:
             merged = batch
         atomic_overwrite(merged, store_path)
+        t1 = time.perf_counter()
         if on_batch_complete is not None:
             on_batch_complete(spark.read.parquet(store_path))
+        metrics.record(
+            store=store_path,
+            batch_id=batch_id,
+            merge_sec=round(t1 - t0, 3),
+            hook_sec=round(time.perf_counter() - t1, 3),
+        )
 
     return write
 
