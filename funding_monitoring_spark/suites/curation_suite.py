@@ -492,3 +492,85 @@ def q_cap_per_source(spark, sf_dir):
         )
         .filter(F.col("sample_rank") <= SOURCE_CAP)
     )
+
+
+# -- overlapping token-window chunking (pretraining preprocessing) ---------
+
+CHUNK_TOKENS = 64  # window size W
+CHUNK_STRIDE = 48  # stride S (overlap = W - S = 16 tokens)
+
+
+@query(
+    "doc_chunking",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, toks, n,
+               GREATEST(1, CAST(CEIL((n - {CHUNK_TOKENS}) /
+                                     {CHUNK_STRIDE}.0) AS BIGINT) + 1)
+                   AS n_chunks
+        FROM base
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_id,
+               list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                          LEAST(i * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n))
+                   AS ct
+        FROM sized, UNNEST(range(n_chunks)) AS u(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+           CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(ct, ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def q_doc_chunking(spark, sf_dir):
+    """Fixed-window token chunking with overlap — the standard
+    pretraining preprocessing step that turns variable-length
+    documents into model-context-sized pieces (window W=64 whitespace
+    tokens, stride S=48, 16-token overlap so no boundary context is
+    lost; short docs yield exactly one chunk).
+
+    Scale shape: a narrow per-row transform (split → sequence →
+    explode → slice), no shuffle, all whole-stage-codegen built-ins —
+    the explode fan-out is bounded at ceil(n_tokens/S) chunks per doc
+    and each output row is capped at W tokens, so output size is a
+    fixed multiple (~W/S) of the input regardless of document-length
+    skew. Pairs with sequence_packing_plan, which packs these chunks
+    back into full training sequences.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '\\S+', 0)")
+    base = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(
+            (F.col("n") - F.lit(CHUNK_TOKENS)) / F.lit(float(CHUNK_STRIDE))
+        ).cast("long")
+        + 1,
+    )
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    ct = F.slice(
+        F.col("toks"),
+        (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"),
+        CHUNK_TOKENS,
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * CHUNK_STRIDE).cast("long").alias("chunk_start"),
+        F.size(ct).cast("long").alias("n_chunk_tokens"),
+        F.array_join(ct, " ").alias("chunk_text"),
+    )

@@ -77,6 +77,27 @@ def q_futures_snapshot(spark, sf_dir):
     )
 
 
+@query("truncate_bulk_load", FUTURES_SNAPSHOT_SQL)
+def q_truncate_bulk_load(spark, sf_dir):
+    """K3 — TRUNCATE-and-bulk-INSERT sink parity (reference
+    active_futures_etl.py:90-104: TRUNCATE + tab-sep COPY each tick).
+    Tick 1 loads a stale subset into the store; tick 2 truncate-reloads
+    the full snapshot. The returned store contents equal the snapshot
+    oracle ONLY if the first tick's rows were fully truncated — a
+    leaked stale row breaks the row-count/hash compare."""
+    import tempfile
+
+    from funding_monitoring_spark.sources.sinks import overwrite_parquet
+
+    snap = q_futures_snapshot(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="fm_k3_store_") + "/active_futures"
+    # tick 1: a stale partial snapshot (simulates yesterday's universe)
+    overwrite_parquet(snap.filter(F.col("tick_size") > 100.0), path)
+    # tick 2: truncate + full bulk reload
+    overwrite_parquet(snap, path)
+    return spark.read.parquet(path)
+
+
 SPOT_PAIRS_SNAPSHOT_SQL = """
     WITH raw AS (
         SELECT CAST(user_id AS VARCHAR) || '-' || event_type AS symbol,

@@ -84,6 +84,24 @@ def test_exact_dedup_single_shuffle_no_text(spark, sf_dir):
     assert m and "text" not in m.group(1), plan
 
 
+def test_upsert_store_side_never_shuffles(spark, sf_dir):
+    """K1/K2 at scale (and the main-DAG funding task): the huge store
+    is touched only through broadcast joins against the tiny batch's
+    keys — anti-join for untouched keys, semi-join for contested ones.
+    A SortMergeJoin here would shuffle the full store every tick."""
+    from funding_monitoring_spark.operators.upsert import upsert
+
+    existing = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    batch = existing.limit(50)
+    plan = plan_str(
+        upsert(existing, batch, ["event_id"], order_cols=["ts"])
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_plan_inspection_helpers(spark, sf_dir):
     """plans.inspect API: the programmatic shuffle/pushdown audit."""
     from funding_monitoring_spark.plans import (
