@@ -102,6 +102,40 @@ def train_test_split(
     )
 
 
+def fixed_size_group_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    k: int,
+    seed: int = 0,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly-k-per-group uniform sample without replacement — the
+    deterministic equivalent of per-group reservoir sampling.
+
+    Ordering each group by ``key_hash(key, seed)`` and keeping the
+    first k rows selects a uniform k-subset (any fixed hash order of
+    i.i.d.-unrelated keys is a random permutation with respect to the
+    payload), but unlike a reservoir it is a pure function of the
+    keys: re-runs, retries, and other engines select the SAME rows.
+
+    Plan shape: one shuffle on ``group_col`` + a bounded row_number —
+    the same single-window pass as top-k. The hash, not the data,
+    decides membership, so adding rows to a group only ever displaces
+    the largest-hash members (nested-sample property per group).
+    Groups smaller than k keep every row.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        key_hash(F.col(key), seed).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def oracle_hash_expr(key_sql: str, seed: int = 0) -> str:
     """The DuckDB-side twin of key_hash — identical integer algebra,
     used by the differential oracles."""

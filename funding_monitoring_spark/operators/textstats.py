@@ -107,6 +107,34 @@ def poly_fingerprint(col: Column | str) -> Column:
     )
 
 
+def char_pairs(col: Column | str, max_chars: int = 200) -> Column:
+    """All adjacent character pairs of the (bounded, lowercased) text —
+    the counting primitive inside one BPE tokenizer-training step.
+
+    BPE training is a driver-side loop of identical distributed jobs:
+    count adjacent symbol pairs across the corpus, merge the most
+    frequent pair, repeat. This column expression is that inner job's
+    per-row fan-out, expressed with built-in higher-order functions
+    (sequence → transform → substring) so it stays inside whole-stage
+    codegen: no Python UDF, no shuffle until the global count.
+    ``max_chars`` bounds per-row fan-out (a 1 GB document must not
+    produce a 1-billion-element array in one task); production BPE
+    samples the corpus anyway.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+
+    def body(t: Column) -> Column:
+        n = F.length(t)
+        pairs = F.transform(
+            F.sequence(F.lit(1), n - 1), lambda i: t.substr(i, F.lit(2))
+        )
+        return F.when(n >= 2, pairs).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(F.lower(F.substring(c, 1, max_chars)), body)
+
+
 def punct_ratio(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)

@@ -38,3 +38,32 @@ def top_k_per_group(
         F.col(rank_col) <= k
     )
     return out if keep_rank else out.drop(rank_col)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_cols: Sequence[str],
+    k: int,
+    count_col: str = "n",
+) -> DataFrame:
+    """Exact per-group heavy hitters: the k most frequent item values
+    within each group, ties broken by item value ascending.
+
+    Two-stage exact plan — the 100 TB shape:
+      1. ``groupBy(group ∪ item).count()`` — Spark's hash aggregate
+         runs a map-side partial combine, so the shuffle carries one
+         row per DISTINCT (group, item) pair per task, not one per
+         input row. For frequency counting this is the whole game:
+         a skewed hot item costs one partial counter per task, never
+         a hot shuffle partition of raw rows.
+      2. rank within group over the (far smaller) count table.
+    The sketch alternatives (count-min / Misra-Gries) only win when
+    the distinct-pair cardinality itself is too big to shuffle; counts
+    here are exact and engine-portable.
+    """
+    counts = df.groupBy(*group_cols, *item_cols).agg(
+        F.count(F.lit(1)).alias(count_col)
+    )
+    order = [F.col(count_col).desc()] + [F.col(c).asc() for c in item_cols]
+    return top_k_per_group(counts, group_cols, order, k)

@@ -53,7 +53,16 @@ def query(name: str, sql: str | None):
 #:       and temporal families first (their sink/state code changed
 #:       this round: streaming/sinks.py legacy-marker fix).
 #:   r5 plan: the 33 remaining r2-row queries (ANN/text/TPC-H
-#:       r2 families), then the r3 rows in registration order.
+#:       r2 families), then the r3 rows in registration order, then
+#:       the r4 post-freeze registrations (the 11 below).
+#:
+#: Round-4 post-freeze registrations (window already full → each
+#: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
+#: queues for the r5 window): truncate_bulk_load, doc_chunking,
+#: funding_rate_anomaly, snapshot_diff_ticks, heavy_hitter_users,
+#: event_type_correlation, reservoir_sample_by_source,
+#: dataset_mixture_plan, bpe_pair_counts, csv_file_source,
+#: orc_file_source.
 _PRIORITY: list[str] = [
     # (a) never driver-checked, registered late in round 3 (15)
     "tpch_q2_min_cost_supplier",

@@ -2,6 +2,7 @@
 pair with funding_monitoring_spark.registry."""
 
 from funding_monitoring_spark.suites import (  # noqa: F401
+    analytics_suite,
     batch_ops,
     behavior_suite,
     curation_suite,

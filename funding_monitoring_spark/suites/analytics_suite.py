@@ -1,0 +1,313 @@
+"""Round-4 analytics extensions: rate-anomaly scoring, tick-over-tick
+snapshot diffing, exact heavy hitters, cross-series correlation, and
+two training-corpus planners (fixed-size group sampling, mixture
+planning) plus the BPE pair-count primitive.
+
+These extend the reference's monitoring surface in the direction its
+users actually go next: the reference stops at trailing means
+(reference funding_rates_etl.py:60-75) and full-replace snapshots
+(active_futures_etl.py:95-118); alerting on deviations, diffing
+consecutive ticks, and ranking hot keys are the follow-on questions
+every monitoring deployment asks. The corpus planners belong to the
+north-star training-data surface (BASELINE.json) alongside
+sampling/dedup/packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.operators.anomaly import (
+    flag_anomalies,
+    rolling_zscore,
+)
+from funding_monitoring_spark.operators.diffs import snapshot_diff
+from funding_monitoring_spark.operators.sampling import (
+    fixed_size_group_sample,
+    oracle_hash_expr,
+)
+from funding_monitoring_spark.operators.textstats import char_pairs
+from funding_monitoring_spark.operators.topk import heavy_hitters
+from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.sources.tables import load_table
+
+ANOMALY_ORACLE = """
+    WITH scored AS (
+        SELECT event_id, event_type,
+               COUNT(value) OVER w AS baseline_n,
+               ROUND(AVG(value) OVER w, 6) AS baseline_avg,
+               CASE WHEN COUNT(value) OVER w >= 10
+                         AND STDDEV_SAMP(value) OVER w > 0
+                    THEN ROUND((value - AVG(value) OVER w)
+                               / STDDEV_SAMP(value) OVER w, 4)
+               END AS zscore
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, baseline_n, baseline_avg, zscore,
+           COALESCE(CAST(ABS(zscore) > 2.0 AS INT), 0) AS is_anomaly
+    FROM scored
+"""
+
+
+@query("funding_rate_anomaly", ANOMALY_ORACLE)
+def q_funding_rate_anomaly(spark, sf_dir):
+    """Rolling z-score alerting over the rate stream (events.value as
+    the rate, event_type as the symbol): each observation scored
+    against its own trailing-20 baseline, alert when |z| > 2. One
+    shuffle on the symbol key, all four window aggregates in a single
+    Window operator (plan-gated, tests/test_plans.py). The alert flag
+    is derived from the ROUNDED score on both engines, so the decision
+    boundary is engine-stable."""
+    events = load_table(spark, sf_dir, "events")
+    scored = rolling_zscore(
+        events,
+        ["event_type"],
+        [F.col("ts"), F.col("event_id")],
+        "value",
+        n=20,
+        min_obs=10,
+    )
+    return flag_anomalies(scored).select(
+        "event_id",
+        "event_type",
+        "baseline_n",
+        "baseline_avg",
+        "zscore",
+        "is_anomaly",
+    )
+
+
+SNAPSHOT_DIFF_ORACLE = """
+    WITH old_t AS (
+        SELECT event_id, value FROM events WHERE event_id % 11 <> 3
+    ),
+    new_t AS (
+        SELECT event_id,
+               CASE WHEN event_id % 5 = 0 THEN value + 1.5
+                    ELSE value END AS value
+        FROM events WHERE event_id % 11 <> 7
+    )
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           o.value AS old_value,
+           n.value AS new_value,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                WHEN o.value IS NOT DISTINCT FROM n.value
+                     THEN 'unchanged'
+                ELSE 'changed' END AS diff_status
+    FROM old_t o FULL OUTER JOIN new_t n ON o.event_id = n.event_id
+"""
+
+
+@query("snapshot_diff_ticks", SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff_ticks(spark, sf_dir):
+    """What changed between two ticks of a full-replace snapshot
+    (operators/diffs.py): the old tick is missing keys ≡3 (mod 11)
+    (added later), the new tick is missing keys ≡7 (removed), and
+    keys ≡0 (mod 5) moved by exactly +1.5 (changed — an FP-exact
+    delta, so the diff itself needs no rounding). Single full-outer
+    hash join on the key, row-local CASE classification."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    old = ev.filter(F.col("event_id") % 11 != 3)
+    new = ev.filter(F.col("event_id") % 11 != 7).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 5 == 0, F.col("value") + 1.5
+        ).otherwise(F.col("value")),
+    )
+    return snapshot_diff(old, new, ["event_id"], ["value"])
+
+
+HEAVY_HITTERS_ORACLE = """
+    WITH counts AS (
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+        SELECT event_type, user_id, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, user_id ASC) AS rnk
+        FROM counts
+    )
+    SELECT event_type, user_id, n, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+@query("heavy_hitter_users", HEAVY_HITTERS_ORACLE)
+def q_heavy_hitter_users(spark, sf_dir):
+    """Exact top-10 most active users per event type
+    (operators/topk.py heavy_hitters): map-side partial counting means
+    the shuffle carries one row per distinct (type, user) pair per
+    task — the scale-safe frequency plan (plan-gated for partial
+    aggregation, tests/test_plans.py)."""
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters(
+        events, ["event_type"], ["user_id"], k=10, count_col="n"
+    ).withColumnRenamed("rank", "rnk")
+
+
+CORRELATION_ORACLE = """
+    WITH per AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               ROUND(SUM(value), 6) AS s
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           ROUND(CORR(a.s, b.s), 6) AS corr_r,
+           COUNT(*) AS n_buckets
+    FROM per a JOIN per b ON a.h = b.h
+    WHERE a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+"""
+
+
+@query("event_type_correlation", CORRELATION_ORACLE)
+def q_event_type_correlation(spark, sf_dir):
+    """Pairwise Pearson correlation between the hourly value-sums of
+    every pair of event types — the cross-series co-movement matrix a
+    rates monitor runs across symbols. Shape: one groupBy shuffle to
+    the (hour, type) grain, a self-equi-join on the hour bucket
+    (both sides share the grain — at scale the hourly table is tiny
+    relative to raw events; the heavy lifting happened in the first
+    map-side-combined aggregate), then corr() per pair. Bucket sums
+    are rounded before corr on BOTH engines so the correlation inputs
+    are bit-identical."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.round(F.sum("value"), 6).alias("s"))
+    a = per.alias("a")
+    b = per.alias("b")
+    return (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.round(F.corr(F.col("a.s"), F.col("b.s")), 6).alias("corr_r"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
+
+
+_RESERVOIR_SEED = 7
+RESERVOIR_ORACLE = f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ({oracle_hash_expr("doc_id", _RESERVOIR_SEED)})
+                            ASC, doc_id ASC) AS sample_rank
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, sample_rank
+    FROM ranked WHERE sample_rank <= 10
+"""
+
+
+@query("reservoir_sample_by_source", RESERVOIR_ORACLE)
+def q_reservoir_sample_by_source(spark, sf_dir):
+    """Exactly-10-per-source uniform document sample
+    (operators/sampling.py fixed_size_group_sample): hash-order
+    row_number gives reservoir-sampling semantics as a pure function
+    of the keys — re-runs and other engines select the SAME rows (the
+    oracle re-derives membership from the identical integer hash).
+    One shuffle on source, no randomness, no state."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fixed_size_group_sample(
+        docs, "source", "doc_id", k=10, seed=_RESERVOIR_SEED
+    ).select("doc_id", "source", "n_chars", "sample_rank")
+
+
+#: per-source mixture weights for the plan below; sources not named
+#: take the default. Arbitrary by design — the OPERATOR is the point.
+MIXTURE_WEIGHTS = {"src0": 0.2, "src1": 0.15, "src2": 0.1}
+MIXTURE_DEFAULT_W = 0.03
+MIXTURE_CHAR_BUDGET = 50_000
+
+_w_sql = " ".join(
+    f"WHEN source = '{s}' THEN {w}" for s, w in sorted(MIXTURE_WEIGHTS.items())
+)
+#: weights cast to DOUBLE in the oracle — DuckDB types bare 0.2 as
+#: DECIMAL, whose string repr ("0.200000") would diverge from Spark's
+#: double even when values agree.
+MIXTURE_ORACLE = f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(CASE {_w_sql} ELSE {MIXTURE_DEFAULT_W} END AS DOUBLE)
+               AS weight,
+           ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                 {MIXTURE_CHAR_BUDGET} *
+                 CAST(CASE {_w_sql} ELSE {MIXTURE_DEFAULT_W} END AS DOUBLE)
+                 / CAST(SUM(n_chars) AS BIGINT)), 6) AS keep_fraction
+    FROM documents GROUP BY source
+"""
+
+
+@query("dataset_mixture_plan", MIXTURE_ORACLE)
+def q_dataset_mixture_plan(spark, sf_dir):
+    """Training-mix planning: given target per-source weights and a
+    global character budget, derive each source's keep-fraction
+    (min(1, budget·w / chars)) from one aggregate over the corpus.
+    The output drives stratified_sample (operators/sampling.py) as the
+    execution step; planning is a single map-side-combined groupBy —
+    no second pass over the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.lit(MIXTURE_DEFAULT_W)
+    for s, wt in sorted(MIXTURE_WEIGHTS.items()):
+        w = F.when(F.col("source") == s, F.lit(wt)).otherwise(w)
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        w.alias("weight"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(MIXTURE_CHAR_BUDGET) * w / F.col("total_chars"),
+            ),
+            6,
+        ).alias("keep_fraction"),
+    )
+
+
+BPE_ORACLE = """
+    WITH t AS (
+        SELECT lower(substr(text, 1, 200)) AS t FROM documents
+    ),
+    p AS (
+        SELECT unnest(list_transform(range(1, length(t)),
+                                     i -> substr(t, i, 2))) AS pair
+        FROM t WHERE length(t) >= 2
+    )
+    SELECT pair, COUNT(*) AS n FROM p
+    GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30
+"""
+
+
+@query("bpe_pair_counts", BPE_ORACLE)
+def q_bpe_pair_counts(spark, sf_dir):
+    """The inner job of BPE tokenizer training: count adjacent
+    character pairs across the corpus, global top-30. Training is a
+    driver-side loop of exactly this job (count pairs → merge the max
+    → repeat); the per-row fan-out is built-in higher-order functions
+    (operators/textstats.py char_pairs — sequence→transform→substr,
+    whole-stage codegen, no Python), bounded at 200 chars/doc, and
+    the count is a map-side-combined aggregate. Global top-k uses
+    TakeOrderedAndProject (per-partition heap + driver merge, no full
+    sort) under a total order, so LIMIT is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(char_pairs("text", max_chars=200)).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("pair")).limit(30)

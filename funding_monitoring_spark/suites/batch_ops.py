@@ -828,6 +828,66 @@ def q_jsonl_file_source(spark, sf_dir):
     )
 
 
+@query("csv_file_source", _FILE_SOURCE_ORACLE)
+def q_csv_file_source(spark, sf_dir):
+    """Headered, quoted CSV round trip — the interchange format the
+    reference's operators export to spreadsheets. Distributed write
+    with header + minimal quoting, schema-first distributed read
+    (header consumed, not inferred — inference would cost an extra
+    scan job at 100 TB). Doubles survive because Spark writes
+    round-trip-exact shortest reprs."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    path = tempfile.mkdtemp(prefix="fm_csv_src_") + "/events"
+    events.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_users"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@query("orc_file_source", _FILE_SOURCE_ORACLE)
+def q_orc_file_source(spark, sf_dir):
+    """ORC round trip — the second columnar container Spark ships a
+    vectorized reader for. Same scan properties as parquet (column
+    pruning, predicate pushdown, splittable stripes), so a lakehouse
+    standardizing on ORC loses nothing from this engine; the oracle
+    over the parquet twin proves the two containers carry identical
+    values."""
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    path = tempfile.mkdtemp(prefix="fm_orc_src_") + "/events"
+    events.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_users"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 @query("tsv_file_source", _FILE_SOURCE_ORACLE)
 def q_tsv_file_source(spark, sf_dir):
     """K5 as a driver-visible round trip: the headerless

@@ -1,0 +1,110 @@
+"""Unit tests for the round-4 analytics operators: rolling z-score
+guards, snapshot-diff classification, heavy-hitter ties, and the
+fixed-size group sample's reservoir properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.operators.anomaly import (
+    flag_anomalies,
+    rolling_zscore,
+)
+from funding_monitoring_spark.operators.diffs import snapshot_diff
+from funding_monitoring_spark.operators.sampling import (
+    fixed_size_group_sample,
+)
+from funding_monitoring_spark.operators.topk import heavy_hitters
+
+
+def test_rolling_zscore_guards_and_spike(spark):
+    """min_obs prior rows gate the score; a flat baseline (zero
+    variance) yields NULL; a genuine spike after a live baseline is
+    flagged."""
+    # key 'flat': 12 identical values then a spike — baseline variance 0
+    # key 'live': 12 alternating values then a spike — scored + flagged
+    rows = [("flat", i, 5.0) for i in range(12)] + [("flat", 12, 50.0)]
+    rows += [("live", i, 5.0 + (i % 2)) for i in range(12)] + [
+        ("live", 12, 50.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, value double")
+    out = flag_anomalies(
+        rolling_zscore(df, ["k"], [F.col("t")], "value", n=20, min_obs=10)
+    )
+    got = {(r["k"], r["t"]): r for r in out.collect()}
+    # first rows: no baseline → NULL score, not an anomaly
+    assert got[("live", 0)]["zscore"] is None
+    assert got[("live", 0)]["is_anomaly"] == 0
+    # 9 prior rows < min_obs → still unscored; 10 prior rows → scored
+    assert got[("live", 9)]["zscore"] is None
+    assert got[("live", 10)]["zscore"] is not None
+    # flat baseline: stddev 0 → NULL even with enough observations
+    assert got[("flat", 12)]["zscore"] is None
+    assert got[("flat", 12)]["is_anomaly"] == 0
+    # live spike: scored far out and flagged
+    assert got[("live", 12)]["zscore"] > 2
+    assert got[("live", 12)]["is_anomaly"] == 1
+
+
+def test_snapshot_diff_classifies_all_transitions(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)],
+        "k int, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 21.0), (3, 30.0), (5, 50.0)],
+        "k int, v double",
+    )
+    out = {
+        r["k"]: r["diff_status"]
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",  # NULL → value must be changed (eqNullSafe)
+        4: "removed",
+        5: "added",
+    }
+
+
+def test_heavy_hitters_ties_break_by_item(spark):
+    rows = [("g", "b")] * 3 + [("g", "a")] * 3 + [("g", "c")] * 2
+    df = spark.createDataFrame(rows, "grp string, item string")
+    out = heavy_hitters(df, ["grp"], ["item"], k=2).collect()
+    ranked = sorted((r["rank"], r["item"], r["n"]) for r in out)
+    # a and b tie at 3; item-ascending tiebreak puts a first; c cut
+    assert ranked == [(1, "a", 3), (2, "b", 3)]
+
+
+def test_fixed_size_group_sample_properties(spark, sf_dir):
+    from funding_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    group_sizes = {
+        r["source"]: r["cnt"]
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    k = 5
+    s1 = fixed_size_group_sample(docs, "source", "doc_id", k=k, seed=3)
+    got = {
+        r["source"]: r["n"]
+        for r in s1.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # exactly k per group (or the whole group when smaller than k)
+    assert got == {s: min(k, n) for s, n in group_sizes.items()}
+    # deterministic: a re-run selects the identical doc_ids
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    s2 = fixed_size_group_sample(docs, "source", "doc_id", k=k, seed=3)
+    assert {r["doc_id"] for r in s2.select("doc_id").collect()} == ids1
+    # nested: the k-sample is a subset of the (k+3)-sample per group
+    s3 = fixed_size_group_sample(docs, "source", "doc_id", k=k + 3, seed=3)
+    ids3 = {r["doc_id"] for r in s3.select("doc_id").collect()}
+    assert ids1 <= ids3
+    # a different seed selects a different subset (overwhelmingly)
+    s4 = fixed_size_group_sample(docs, "source", "doc_id", k=k, seed=4)
+    assert {r["doc_id"] for r in s4.select("doc_id").collect()} != ids1

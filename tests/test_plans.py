@@ -266,3 +266,51 @@ def test_sharded_packing_partitions_on_lang_and_shard(spark, sf_dir):
     assert re.search(
         r"Exchange hashpartitioning\(lang#\d+, shard#\d+", plan
     ), plan
+
+
+def test_anomaly_single_window_pass(spark, sf_dir):
+    """funding_rate_anomaly: all four trailing-frame aggregates
+    (count/avg/stddev and the z-score they feed) must evaluate in ONE
+    Window operator over ONE hash exchange on the symbol key — scoring
+    is shuffle-once regardless of volume, and no Python touches it."""
+    import re
+
+    plan = plan_str(ALL["funding_rate_anomaly"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_heavy_hitters_partial_aggregation(spark, sf_dir):
+    """heavy_hitter_users: the count must partially aggregate below the
+    exchange (shuffle carries distinct (type,user) pairs per task, not
+    raw rows): two HashAggregates around one exchange on the pair."""
+    import re
+
+    plan = plan_str(ALL["heavy_hitter_users"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    # the counting exchange keys on BOTH group and item columns
+    assert any(
+        "event_type" in e and "user_id" in e for e in exchanges
+    ), plan
+
+
+def test_bpe_pair_counts_codegen_fanout(spark, sf_dir):
+    """bpe_pair_counts: the per-row pair fan-out must be built-in HOFs
+    inside codegen (no Python UDF), and the only wide operation is the
+    map-side-combined count (partial HashAggregate below the
+    exchange)."""
+    plan = plan_str(ALL["bpe_pair_counts"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan, plan
+    assert "transform" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_snapshot_diff_single_join_no_extra_pass(spark, sf_dir):
+    """snapshot_diff_ticks: classification is row-local CASE on top of
+    ONE full-outer join — no window, no second join, no Python."""
+    plan = plan_str(ALL["snapshot_diff_ticks"](spark, sf_dir))
+    assert plan.count("FullOuter") == 1, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
