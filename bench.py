@@ -117,6 +117,14 @@ HEADLINE = [
     "tsv_file_source",
     # new in round 4
     "main_dag_parity",
+    "truncate_bulk_load",
+    "doc_chunking",
+    "funding_rate_anomaly",
+    "snapshot_diff_ticks",
+    "heavy_hitter_users",
+    "event_type_correlation",
+    "reservoir_sample_by_source",
+    "bpe_pair_counts",
 ]
 
 

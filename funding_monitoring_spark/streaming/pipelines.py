@@ -512,6 +512,121 @@ def streaming_ewma_stateful(
         q.awaitTermination()
 
 
+#: trailing-baseline parameters for the streaming anomaly scorer —
+#: shared with the batch twin's oracle (suites/streaming_suite.py)
+ANOMALY_BASELINE_N = 20
+ANOMALY_MIN_OBS = 10
+ANOMALY_THRESHOLD = 2.0
+
+
+def streaming_anomaly_alerts(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> None:
+    """Streaming twin of operators/anomaly.rolling_zscore: per-symbol
+    rolling z-score alerting with the trailing-20 baseline carried
+    ACROSS micro-batches (state = the last n observed values per key,
+    via applyInPandasWithState).
+
+    Each observation is scored against strictly-prior history, so a
+    score is immutable the moment it is emitted — append output mode,
+    and the converged store equals the batch window computation over
+    the whole feed (the oracle). Within a batch rows fold in
+    (ts, event_id) order; chunks replay time-ordered, so cross-batch
+    order matches the batch frame exactly. Rounding matches the batch
+    twin (avg 6, z 4; the alert decision reads the ROUNDED score) so
+    stream, batch, and oracle agree bit-for-bit after rounding.
+
+    Scale: state is a bounded 20-double ring per key — O(keys) total,
+    no growth with history; per-batch cost is one Arrow round trip per
+    key group (state partitions sized to key count, see
+    REPLAY_STATE_PARTITIONS discussion)."""
+    import math
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import parity
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n, min_obs, thr = ANOMALY_BASELINE_N, ANOMALY_MIN_OBS, ANOMALY_THRESHOLD
+
+    src = stream_from_chunks(spark, chunks_dir, schema)
+    obs = src.select(
+        F.concat_ws("-", F.col("user_id"), F.col("event_type")).alias(
+            "symbol"
+        ),
+        "ts",
+        "event_id",
+        "value",
+    )
+
+    def update(key, pdfs, state):
+        # drop empty Arrow slices before concat (their all-NA dtypes
+        # would poison the concat result dtype under pandas >= 2.1)
+        frames = [p for p in pdfs if len(p)]
+        buf = list(state.get[0]) if state.exists else []
+        if not frames:
+            state.update((buf,))
+            return
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        out = {
+            "symbol": [],
+            "event_id": [],
+            "baseline_n": [],
+            "baseline_avg": [],
+            "zscore": [],
+            "is_anomaly": [],
+        }
+        for eid, v in zip(rows["event_id"], rows["value"]):
+            m = len(buf)
+            avg_raw = sum(buf) / m if m else None
+            z = None
+            if m >= min_obs:
+                var = sum((x - avg_raw) ** 2 for x in buf) / (m - 1)
+                if var > 0:
+                    z = round((float(v) - avg_raw) / math.sqrt(var), 4)
+            out["symbol"].append(key[0])
+            out["event_id"].append(int(eid))
+            out["baseline_n"].append(m)
+            out["baseline_avg"].append(
+                round(avg_raw, 6) if m else None
+            )
+            out["zscore"].append(z)
+            out["is_anomaly"].append(
+                1 if z is not None and abs(z) > thr else 0
+            )
+            buf.append(float(v))
+            if len(buf) > n:
+                buf.pop(0)
+        state.update((buf,))
+        yield pd.DataFrame(out)
+
+    scored = obs.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "symbol string, event_id long, baseline_n long, "
+            "baseline_avg double, zscore double, is_anomaly int"
+        ),
+        stateStructType="values array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        # idempotent append: a retried batch rewrites its own partition
+        batch.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+
+    writer = scored.writeStream.outputMode("append").foreachBatch(on_batch)
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
 #: state/shuffle partition count for replay-scale streams. Stateful
 #: operators pin their state-store partitioning at the FIRST batch
 #: (it cannot be AQE-coalesced later), and every micro-batch commits
@@ -594,6 +709,12 @@ def _dispatch_pipeline(
             spark, chunks_dir, schema, store, checkpoint
         )
         return spark.read.parquet(store)
+    if pipeline == "anomaly_alerts":
+        store = os.path.join(workdir, "anomaly")
+        streaming_anomaly_alerts(
+            spark, chunks_dir, schema, store, checkpoint
+        )
+        return spark.read.parquet(store).drop("batch_id")
     if pipeline == "hopping_rollup":
         store = os.path.join(workdir, "hopping")
         streaming_hopping_rollup(

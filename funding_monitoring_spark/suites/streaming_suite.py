@@ -152,6 +152,48 @@ def q_stream_ewma_stateful(spark, sf_dir):
 
 
 @query(
+    "stream_anomaly_alerts",
+    """
+    WITH obs AS (
+        SELECT CAST(user_id AS VARCHAR) || '-' || event_type AS symbol,
+               ts, event_id, value
+        FROM events
+    ),
+    scored AS (
+        SELECT symbol, event_id,
+               COUNT(value) OVER w AS baseline_n,
+               ROUND(AVG(value) OVER w, 6) AS baseline_avg,
+               CASE WHEN COUNT(value) OVER w >= 10
+                         AND STDDEV_SAMP(value) OVER w > 0
+                    THEN ROUND((value - AVG(value) OVER w)
+                               / STDDEV_SAMP(value) OVER w, 4)
+               END AS zscore
+        FROM obs
+        WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT symbol, event_id, baseline_n, baseline_avg, zscore,
+           COALESCE(CAST(ABS(zscore) > 2.0 AS INT), 0) AS is_anomaly
+    FROM scored
+    """,
+)
+def q_stream_anomaly_alerts(spark, sf_dir):
+    """funding_rate_anomaly as a stream: per-symbol trailing-20
+    z-score baseline carried across micro-batches in bounded state
+    (applyInPandasWithState, 20 doubles per key), scores emitted
+    append-only as observations arrive. The converged store equals
+    the batch window computation — scores are functions of strictly
+    prior history, so nothing is ever revised."""
+    events = load_table(spark, sf_dir, "events")
+    # same sizing rationale as ewma_stateful: per-key-group Arrow
+    # round trips dominate, so spread the 750 symbols across cores
+    return replay_events_pipeline(
+        spark, events, _workdir(), "anomaly_alerts", N_CHUNKS,
+        state_partitions=32,
+    )
+
+
+@query(
     "stream_funding_pipeline",
     funding_stats_oracle_sql(
         rates_cte=f"""
