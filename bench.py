@@ -125,6 +125,8 @@ HEADLINE = [
     "event_type_correlation",
     "reservoir_sample_by_source",
     "bpe_pair_counts",
+    "bpe_train_merges",
+    "stream_anomaly_alerts",
 ]
 
 

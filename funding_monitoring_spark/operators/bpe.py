@@ -1,0 +1,177 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merges).
+
+The full training loop behind `textstats.char_pairs`'s counting
+primitive: start from per-word character symbols, repeatedly (1) count
+adjacent symbol pairs across the whole corpus, (2) pick the most
+frequent pair, (3) merge its adjacent occurrences left-to-right in
+every word — the merge list IS the tokenizer (Sennrich et al. 2016,
+the standard public algorithm).
+
+Spark-first shape — and unlike most BPE implementations, NO driver
+round trip at all: each step's winning pair is a 1-row DataFrame
+cross-joined (broadcast) into the corpus state, so the whole K-merge
+loop unrolls into one declarative plan. Per step: one
+map-side-combined pair count (shuffles distinct pairs, not
+occurrences) and one narrow per-row merge projection. State between
+steps is the per-word symbol array; nothing is collected.
+
+The merge itself rides on plain `replace` (left-to-right,
+non-overlapping in every engine — exactly BPE's greedy order) over a
+DOUBLE-SPACE-joined symbol string: separators are two spaces, the
+search pattern ' a  b ' claims ONE space on each side and the
+replacement ' ab ' restores it, so consecutive occurrences
+(' a  b  a  b ') both merge in a single pass, while symbol-internal
+false matches are impossible (a symbol never contains a space, so the
+pattern's boundary spaces can't match inside one). The same algebra
+runs verbatim in the DuckDB oracle (suites/analytics_suite.py builds
+the unrolled CTE chain).
+
+Scale: the corpus state is (doc_id, word_id, symbols) — embarrassingly
+parallel rows; the only shuffle per step carries one row per DISTINCT
+pair per task. K is small (a production tokenizer is ~30k merges of
+exactly this job; the plan depth grows linearly in K, so a real run
+checkpoints the state every few hundred steps the way
+operators/components.py does for PageRank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: pair-string separator for counting/ordering (never appears in a
+#: symbol: symbols come from \S+ words)
+PAIR_SEP = " "
+
+
+def word_state(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 200,
+) -> DataFrame:
+    """Initial BPE state: one row per word with its character-symbol
+    array. Text is bounded and lowercased (training normalization);
+    words are maximal \\S+ runs."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.substring(F.col(text_col), 1, max_chars)),
+                F.lit(r"(\S+)"),
+                1,
+            )
+        ).alias("word_id", "word"),
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    return words.select("doc_id", "word_id", chars.alias("symbols"))
+
+
+def adjacent_pairs(symbols: Column) -> Column:
+    """Adjacent symbol pairs as '<a> <b>' strings (the multiset —
+    every occurrence counts)."""
+    n = F.size(symbols)
+    pairs = F.zip_with(
+        F.slice(symbols, 1, n - 1),
+        F.slice(symbols, 2, n - 1),
+        lambda a, b: F.concat_ws(PAIR_SEP, a, b),
+    )
+    return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
+
+
+def best_pair(state: DataFrame) -> DataFrame:
+    """The step's winning pair: 1 row (pair_a, pair_b, n), most
+    frequent first, ties broken by (pair_a, pair_b) ascending — a
+    total order, so the argmax is deterministic across engines."""
+    counts = (
+        state.select(F.explode(adjacent_pairs(F.col("symbols"))).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    split = F.split(F.col("p"), PAIR_SEP)
+    return (
+        counts.select(
+            split[0].alias("pair_a"), split[1].alias("pair_b"), "n"
+        )
+        .orderBy(F.desc("n"), F.asc("pair_a"), F.asc("pair_b"))
+        .limit(1)
+    )
+
+
+def merge_pair(symbols: Column, a: Column, b: Column) -> Column:
+    """Merge adjacent (a, b) occurrences left-to-right in one symbol
+    array — the double-space `replace` trick (module docstring)."""
+    joined = F.concat(
+        F.lit("  "), F.array_join(symbols, "  "), F.lit("  ")
+    )
+    merged = F.replace(
+        joined,
+        F.concat(F.lit(" "), a, F.lit("  "), b, F.lit(" ")),
+        F.concat(F.lit(" "), a, b, F.lit(" ")),
+    )
+    arr = F.split(merged, "  ")
+    # strip the empty padding cells ('' from the leading/trailing
+    # double spaces)
+    return F.filter(arr, lambda s: s != F.lit(""))
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+    max_chars: int = 200,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the
+    merge table (step, pair_a, pair_b, merged, n) — the tokenizer
+    artifact, in training order.
+
+    Fully declarative: the per-step argmax joins back as a broadcast
+    1-row table, so no data ever reaches the driver.
+    ``checkpoint_every`` truncates lineage for large K (localCheckpoint
+    the state, PageRank-style); None keeps the plan pure for small K.
+    """
+    state = word_state(docs, text_col=text_col, max_chars=max_chars)
+    merges: list[DataFrame] = []
+    for step in range(1, n_merges + 1):
+        best = best_pair(state)
+        if checkpoint_every:
+            # pin the 1-row argmax too: without it, evaluating the
+            # returned merge table re-derives every step's argmax from
+            # the original lineage (deterministic but O(K²) work)
+            best = best.localCheckpoint(eager=True)
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "pair_a",
+                "pair_b",
+                F.concat("pair_a", "pair_b").alias("merged"),
+                "n",
+            )
+        )
+        state = state.crossJoin(F.broadcast(best)).select(
+            "doc_id",
+            "word_id",
+            merge_pair(
+                F.col("symbols"), F.col("pair_a"), F.col("pair_b")
+            ).alias("symbols"),
+        )
+        if checkpoint_every and step % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=True)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def bpe_encode_vocab(state: DataFrame) -> DataFrame:
+    """Corpus vocabulary after training: distinct symbols with corpus
+    frequencies (the tokenizer's unigram table)."""
+    return (
+        state.select(F.explode("symbols").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

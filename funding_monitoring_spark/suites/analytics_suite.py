@@ -280,6 +280,77 @@ def q_dataset_mixture_plan(spark, sf_dir):
     )
 
 
+def _bpe_train_oracle(k: int) -> str:
+    """Unrolled DuckDB CTE chain replicating bpe_train's K merge
+    steps (operators/bpe.py): the same double-space `replace` algebra,
+    step by step — state_i is the corpus after i merges, best_i the
+    step's argmax pair. Engine-exact: every intermediate is integer
+    counts and byte-identical strings."""
+    ctes = [
+        """state0 AS (
+        SELECT '  ' || array_to_string(
+                   list_transform(range(1, length(word) + 1),
+                                  i -> substr(word, i, 1)), '  ')
+               || '  ' AS s
+        FROM (SELECT unnest(regexp_extract_all(
+                  lower(substr(text, 1, 200)), '\\S+')) AS word
+              FROM documents)
+    )"""
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        ctes.append(f"""pairs{i} AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      j -> toks[j] || ' ' || toks[j + 1])) AS p
+        FROM (SELECT list_filter(string_split(s, '  '),
+                                 x -> x <> '') AS toks
+              FROM state{p})
+    )""")
+        ctes.append(f"""best{i} AS (
+        SELECT split_part(p, ' ', 1) AS a,
+               split_part(p, ' ', 2) AS b,
+               COUNT(*) AS n
+        FROM pairs{i} GROUP BY p
+        ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    )""")
+        ctes.append(f"""state{i} AS (
+        SELECT replace(s,
+            ' ' || (SELECT a FROM best{i}) || '  '
+                || (SELECT b FROM best{i}) || ' ',
+            ' ' || (SELECT a FROM best{i})
+                || (SELECT b FROM best{i}) || ' ') AS s
+        FROM state{p}
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, a AS pair_a, b AS pair_b, "
+        f"a || b AS merged, n FROM best{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+_BPE_MERGES = 5
+
+
+@query("bpe_train_merges", _bpe_train_oracle(_BPE_MERGES))
+def q_bpe_train_merges(spark, sf_dir):
+    """Full BPE tokenizer training, 5 merges over the corpus
+    (operators/bpe.py bpe_train): per step, one map-side-combined
+    pair count + a broadcast 1-row argmax joined back into the
+    per-word symbol state — the whole loop is ONE declarative plan,
+    nothing collected to the driver. The oracle unrolls the identical
+    algebra as a DuckDB CTE chain; also property-tested against a
+    pure-Python BPE reference (tests/test_analytics_ops.py)."""
+    from funding_monitoring_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    # checkpoint every step: at K=5 the pure unrolled plan already
+    # pays ~4× in Catalyst recompute (measured 11.3s → 2.9s at
+    # sf0.01); a production 30k-merge run would checkpoint in the
+    # hundreds-of-steps cadence instead
+    return bpe_train(docs, n_merges=_BPE_MERGES, checkpoint_every=1)
+
+
 BPE_ORACLE = """
     WITH t AS (
         SELECT lower(substr(text, 1, 200)) AS t FROM documents

@@ -108,3 +108,47 @@ def test_fixed_size_group_sample_properties(spark, sf_dir):
     # a different seed selects a different subset (overwhelmingly)
     s4 = fixed_size_group_sample(docs, "source", "doc_id", k=k, seed=4)
     assert {r["doc_id"] for r in s4.select("doc_id").collect()} != ids1
+
+
+def test_bpe_train_matches_pure_python(spark, sf_dir):
+    """The distributed merge loop (double-space replace algebra) must
+    equal the textbook left-to-right BPE algorithm run in plain
+    Python over the same corpus."""
+    import re
+
+    from funding_monitoring_spark.operators.bpe import bpe_train
+    from funding_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    state = [
+        list(w)
+        for t in texts
+        for w in re.findall(r"\S+", t[:200].lower())
+    ]
+    k = 5
+    want = []
+    for step in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms in state:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, a, b, a + b, n))
+        new_state = []
+        for syms in state:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state.append(out)
+        state = new_state
+    got = sorted(
+        (r["step"], r["pair_a"], r["pair_b"], r["merged"], r["n"])
+        for r in bpe_train(docs, n_merges=k, checkpoint_every=2).collect()
+    )
+    assert got == sorted(want)
