@@ -127,6 +127,10 @@ HEADLINE = [
     "bpe_pair_counts",
     "bpe_train_merges",
     "stream_anomaly_alerts",
+    "ohlc_bars",
+    "cohort_retention",
+    "event_funnel",
+    "triangle_count",
 ]
 
 

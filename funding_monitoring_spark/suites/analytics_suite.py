@@ -15,6 +15,7 @@ sampling/dedup/packing.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from funding_monitoring_spark.operators.anomaly import (
@@ -382,3 +383,244 @@ def q_bpe_pair_counts(spark, sf_dir):
     )
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("pair")).limit(30)
+
+
+OHLC_ORACLE = """
+    WITH r AS (
+        SELECT event_type AS symbol, date_trunc('hour', ts) AS bar_ts,
+               value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn_open,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM events
+    )
+    SELECT symbol, bar_ts,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS n_ticks
+    FROM r GROUP BY symbol, bar_ts
+"""
+
+
+@query("ohlc_bars", OHLC_ORACLE)
+def q_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC candlestick bars per symbol — THE time-series
+    downsampling every rates/market monitor ships. One shuffle on
+    (symbol, bar): open/close are min_by/max_by over the total
+    (ts, event_id) order, high/low/count plain aggregates — all five
+    in a single hash aggregate, no window, no self-join. Values pass
+    through untouched (no arithmetic), so the compare is exact."""
+    events = load_table(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return events.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(
+        F.min_by("value", ordk).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordk).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+COHORT_ORACLE = """
+    WITH activity AS (
+        SELECT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               CAST(MIN(date_trunc('week', ts)) OVER (
+                   PARTITION BY user_id) AS TIMESTAMP) AS cohort_week
+        FROM events
+    )
+    SELECT cohort_week, week,
+           CAST(date_diff('day', cohort_week, week) / 7 AS INT)
+               AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM activity GROUP BY cohort_week, week
+"""
+
+
+@query("cohort_retention", COHORT_ORACLE)
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix: users grouped by first-active
+    week, counted distinct in every later week. Two shuffles total —
+    one window pass keyed on user_id for the cohort assignment, one
+    grouped distinct-count on (cohort, week); the cohort column rides
+    along instead of joining a first-seen table back (half the
+    shuffles of the textbook two-table formulation)."""
+    events = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    w = Window.partitionBy("user_id")
+    activity = events.select(
+        "user_id",
+        week.alias("week"),
+        F.min(week).over(w).alias("cohort_week"),
+    )
+    return activity.groupBy("cohort_week", "week").agg(
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+        F.countDistinct("user_id").alias("n_active"),
+    )
+
+
+FUNNEL_ORACLE = """
+    WITH t1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS event_type,
+           CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
+"""
+
+
+@query("event_funnel", FUNNEL_ORACLE)
+def q_event_funnel(spark, sf_dir):
+    """Strict-order funnel (view → later click → later purchase):
+    stage k's entry time is the first qualifying event AFTER the
+    user's stage-(k-1) time. Each stage is one grouped min + one
+    equi-join on user_id — the joins chain on the same key, so a
+    user-bucketed layout runs the whole funnel exchange-free. Output
+    is the 3-row stage count table."""
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(prev, etype):
+        e = events.filter(F.col("event_type") == etype).select(
+            "user_id", "ts"
+        )
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(
+                F.col("ts") > F.col("t")
+            ).select("user_id", "ts")
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    t1 = stage(None, "view")
+    t2 = stage(t1, "click")
+    t3 = stage(t2, "purchase")
+    rows = []
+    for i, (name, t) in enumerate(
+        [("view", t1), ("click", t2), ("purchase", t3)], start=1
+    ):
+        rows.append(
+            t.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("stage"),
+                F.lit(name).alias("event_type"),
+                "n_users",
+            )
+        )
+    return rows[0].unionAll(rows[1]).unionAll(rows[2])
+
+
+#: per-bucket user cap for the co-occurrence projection — bounds the
+#: quadratic pair fan-out (cap C → ≤ C(C-1)/2 pairs per bucket)
+_TRI_CAP = 10
+_TRI_SEED = 11
+
+TRIANGLE_ORACLE = f"""
+    WITH bucket_users AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h, event_type,
+               user_id
+        FROM events
+    ),
+    capped AS (
+        SELECT h, event_type, user_id FROM (
+            SELECT h, event_type, user_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY h, event_type
+                       ORDER BY ({oracle_hash_expr("user_id", _TRI_SEED)})
+                                ASC, user_id ASC) AS rn
+            FROM bucket_users
+        ) WHERE rn <= {_TRI_CAP}
+    ),
+    edges AS (
+        SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+        FROM capped a
+        JOIN capped b ON a.h = b.h AND a.event_type = b.event_type
+                      AND a.user_id < b.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM (
+               SELECT 1
+               FROM edges ab
+               JOIN edges bc ON ab.dst = bc.src
+               JOIN edges ac ON ac.src = ab.src AND ac.dst = bc.dst
+           )) AS BIGINT) AS n_triangles
+"""
+
+
+@query("triangle_count", TRIANGLE_ORACLE)
+def q_triangle_count(spark, sf_dir):
+    """Triangle counting on the user co-occurrence graph (users active
+    in the same hour+type bucket). The two scale decisions: (1) the
+    quadratic co-occurrence projection is CAPPED at 10 deterministic
+    hash-ranked users per bucket, so per-bucket fan-out is bounded at
+    45 pairs no matter how hot the bucket; (2) edges are oriented
+    src < dst, so each triangle is counted exactly once by the
+    two-join path+closure plan (the standard distributed formulation;
+    production swaps id-order for degree-order to shrink the skewed
+    high-degree join side)."""
+    from funding_monitoring_spark.operators.sampling import key_hash
+
+    events = load_table(spark, sf_dir, "events")
+    bucket_users = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "event_type",
+        "user_id",
+    ).distinct()
+    w = Window.partitionBy("h", "event_type").orderBy(
+        key_hash(F.col("user_id"), _TRI_SEED).asc(), F.col("user_id").asc()
+    )
+    capped = (
+        bucket_users.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TRI_CAP)
+        .drop("rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("src"),
+            F.col("b.user_id").alias("dst"),
+        )
+        .distinct()
+    )
+    ab = edges.alias("ab")
+    bc = edges.alias("bc")
+    ac = edges.alias("ac")
+    triangles = ab.join(
+        bc, F.col("ab.dst") == F.col("bc.src")
+    ).join(
+        ac,
+        (F.col("ac.src") == F.col("ab.src"))
+        & (F.col("ac.dst") == F.col("bc.dst")),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_edges.crossJoin(F.broadcast(n_tri))
