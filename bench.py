@@ -131,6 +131,9 @@ HEADLINE = [
     "cohort_retention",
     "event_funnel",
     "triangle_count",
+    "scd2_history",
+    "gap_fill_hourly",
+    "zorder_cluster_keys",
 ]
 
 

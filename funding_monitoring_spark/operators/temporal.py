@@ -209,3 +209,91 @@ def interval_join(
         .filter((r_us >= l_us) & (r_us < l_us + w_us))
         .drop("_bucket")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    order_by: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change feed:
+    collapse consecutive duplicate attribute values per key, then
+    stamp each surviving version with its validity interval
+    [valid_from, valid_to) — valid_to NULL marks the current row.
+
+    Both passes ride the SAME (key, order) window partitioning —
+    Catalyst plans one hash exchange + one sort for the lag-based
+    change detection AND the lead-based interval stamping, so the
+    whole dimension build is shuffle-once. NULL-safe comparison: a
+    NULL→value attribute transition is a real version change."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    changed = df.withColumn(
+        "_prev", F.lag(attr_col).over(w)
+    ).withColumn(
+        "_first", F.row_number().over(w) == 1
+    ).filter(
+        F.col("_first") | ~F.col(attr_col).eqNullSafe(F.col("_prev"))
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        changed.withColumn("version", F.row_number().over(w2))
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+        .drop("_prev", "_first")
+    )
+
+
+def gap_fill_forward(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval_seconds: int,
+) -> DataFrame:
+    """Regularize a sparse series to a fixed grid with forward fill:
+    per key, generate the full bucket spine between the key's first
+    and last observation, left-join the observed buckets, and carry
+    the last observed value forward into the gaps.
+
+    Plan: one groupBy for the per-key [min, max] span, a
+    sequence+explode spine (bounded fan-out: span/interval rows per
+    key — no cross join against a global calendar), one equi-join
+    back on (key, bucket), one window pass for the fill. The spine
+    explode is the scale decision: a global calendar × keys cross
+    join materializes (all keys × all buckets) regardless of span;
+    the per-key sequence only generates each key's own range."""
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_micros(F.col(ts_col)) / (interval_seconds * US))
+        * interval_seconds
+    )
+    observed = (
+        df.select(F.col(key_col), bucket.alias("bucket"), F.col(value_col))
+        .groupBy(key_col, "bucket")
+        .agg(F.round(F.avg(value_col), 6).alias("_obs"))
+    )
+    spans = df.groupBy(key_col).agg(
+        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+    )
+    step = F.expr(f"INTERVAL {interval_seconds} SECONDS")
+    spine = spans.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), step)
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(observed, on=[key_col, "bucket"], how="left")
+        .withColumn(
+            "value_filled", F.last("_obs", ignorenulls=True).over(w)
+        )
+        .withColumn("is_gap", F.col("_obs").isNull().cast("int"))
+        .drop("_obs")
+    )

@@ -63,7 +63,8 @@ def query(name: str, sql: str | None):
 #: event_type_correlation, reservoir_sample_by_source,
 #: dataset_mixture_plan, bpe_pair_counts, csv_file_source,
 #: orc_file_source, stream_anomaly_alerts, bpe_train_merges,
-#: ohlc_bars, cohort_retention, event_funnel, triangle_count.
+#: ohlc_bars, cohort_retention, event_funnel, triangle_count,
+#: scd2_history, gap_fill_hourly, zorder_cluster_keys.
 _PRIORITY: list[str] = [
     # (a) never driver-checked, registered late in round 3 (15)
     "tpch_q2_min_cost_supplier",

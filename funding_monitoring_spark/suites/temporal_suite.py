@@ -262,3 +262,101 @@ def q_asof_join_forward(spark, sf_dir):
         payload={"value": "next_value"},
         ref_tiebreak="event_id",
     )
+
+
+SCD2_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changed AS (
+        SELECT * FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER w2 AS version,
+           ts AS valid_from,
+           LEAD(ts) OVER w2 AS valid_to,
+           CAST(LEAD(ts) OVER w2 IS NULL AS INT) AS is_current
+    FROM changed
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("scd2_history", SCD2_ORACLE)
+def q_scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build from the event feed
+    (operators/temporal.py scd2_history): per user, consecutive
+    duplicate states collapse and each surviving version carries its
+    [valid_from, valid_to) interval, valid_to NULL = current. Both
+    passes (lag change-detection, lead interval-stamping) share one
+    (user, time) window partitioning — the whole dimension build is
+    one shuffle."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    out = T.scd2_history(
+        events,
+        key_cols=["user_id"],
+        attr_col="event_type",
+        order_by=[F.col("ts"), F.col("event_id")],
+        ts_col="ts",
+    )
+    return out.select(
+        "user_id", "event_type", "version", "valid_from", "valid_to",
+        "is_current",
+    )
+
+
+_GAP_INTERVAL = 3600
+
+GAP_FILL_ORACLE = f"""
+    WITH obs AS (
+        SELECT event_type,
+               make_timestamp((epoch_us(ts) // {_GAP_INTERVAL * 1_000_000})
+                              * {_GAP_INTERVAL * 1_000_000}) AS bucket,
+               ROUND(AVG(value), 6) AS _obs
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM obs GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi,
+                                      INTERVAL {_GAP_INTERVAL} SECOND))
+                   AS bucket
+        FROM spans
+    )
+    SELECT s.event_type, s.bucket,
+           last_value(o._obs IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_filled,
+           CAST(o._obs IS NULL AS INT) AS is_gap
+    FROM spine s
+    LEFT JOIN obs o ON o.event_type = s.event_type
+                    AND o.bucket = s.bucket
+"""
+
+
+@query("gap_fill_hourly", GAP_FILL_ORACLE)
+def q_gap_fill_hourly(spark, sf_dir):
+    """Regularize each symbol's sparse series to the hourly grid with
+    forward fill (operators/temporal.py gap_fill_forward): the spine
+    is a PER-KEY sequence+explode between that key's first and last
+    observation — bounded fan-out, no global-calendar cross join —
+    then one left join back and one window pass carries the last
+    observation into the gaps."""
+    events = load_table(spark, sf_dir, "events")
+    return T.gap_fill_forward(
+        events,
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        interval_seconds=_GAP_INTERVAL,
+    )

@@ -97,3 +97,70 @@ def test_partitioned_layout_loadable_via_table_path(spark, sf_dir, tmp_path):
     write_date_partitioned(events, str(alt_sf / "events"), "ts")
     back = load_table(spark, str(alt_sf), "events")
     assert back.count() == events.count()
+
+
+def test_zorder_bounds_both_dimensions(spark, tmp_path):
+    """The z-order claim, measured on real parquet footers: on a
+    128×128 grid written as 16 files, the x-sorted layout leaves the
+    y min/max stats useless (every file spans all of y → zero file
+    skipping for y predicates), while the z-ordered layout bounds the
+    span on BOTH dimensions — point predicates on either column prune
+    most files."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.operators.zorder import write_zordered
+
+    grid = spark.range(128 * 128).select(
+        (F.col("id") % 128).cast("int").alias("x"),
+        (F.col("id") / 128).cast("int").alias("y"),
+    )
+
+    def file_ranges(path, col):
+        ranges = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = meta.schema.names.index(col)
+            lo = min(
+                meta.row_group(g).column(idx).statistics.min
+                for g in range(meta.num_row_groups)
+            )
+            hi = max(
+                meta.row_group(g).column(idx).statistics.max
+                for g in range(meta.num_row_groups)
+            )
+            ranges.append((lo, hi))
+        assert len(ranges) >= 8, ranges
+        return ranges
+
+    def avg_candidate_files(path, col):
+        """Mean number of files a point predicate on `col` cannot
+        skip, over 16 probe points (what min/max pruning actually
+        buys; robust to the odd file straddling a Morton boundary —
+        range-sampled splits aren't bit-aligned)."""
+        ranges = file_ranges(path, col)
+        probes = range(4, 128, 8)
+        return sum(
+            sum(1 for lo, hi in ranges if lo <= p <= hi) for p in probes
+        ) / len(list(probes))
+
+    xsorted = str(tmp_path / "xsorted")
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xsorted)
+    )
+    zordered = str(tmp_path / "zordered")
+    write_zordered(grid, zordered, F.col("x"), F.col("y"), n_files=16)
+
+    # x-sorted: y statistics are useless — no file is ever skipped
+    assert avg_candidate_files(xsorted, "y") >= 15.5
+    # z-ordered: a point predicate on EITHER column prunes most of
+    # the 16 files (ideal Morton quadrants → 4 candidates; allow
+    # straddlers from the sampled range boundaries)
+    assert avg_candidate_files(zordered, "x") <= 7
+    assert avg_candidate_files(zordered, "y") <= 7
