@@ -134,6 +134,10 @@ HEADLINE = [
     "scd2_history",
     "gap_fill_hourly",
     "zorder_cluster_keys",
+    "frequent_tokens_sketch",
+    "rolling_beta",
+    "source_divergence_kl",
+    "rollup_cascade",
 ]
 
 

@@ -77,7 +77,9 @@ def rolling_zscore(
         # irrational (sqrt in the denominator) so its boundary risk is
         # random and vanishing at any precision.
         avg = F.round(avg, round_to + 2)
-        z = F.round(z, round_to)
+        # + 0.0 canonicalizes IEEE -0.0 (a tiny negative score rounds
+        # to -0.0, whose string repr differs between engines)
+        z = F.round(z, round_to) + F.lit(0.0)
     return (
         df.withColumn("baseline_n", cnt)
         .withColumn("baseline_avg", avg)

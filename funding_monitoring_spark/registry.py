@@ -64,7 +64,9 @@ def query(name: str, sql: str | None):
 #: dataset_mixture_plan, bpe_pair_counts, csv_file_source,
 #: orc_file_source, stream_anomaly_alerts, bpe_train_merges,
 #: ohlc_bars, cohort_retention, event_funnel, triangle_count,
-#: scd2_history, gap_fill_hourly, zorder_cluster_keys.
+#: scd2_history, gap_fill_hourly, zorder_cluster_keys,
+#: frequent_tokens_sketch, rolling_beta, source_divergence_kl,
+#: rollup_cascade.
 _PRIORITY: list[str] = [
     # (a) never driver-checked, registered late in round 3 (15)
     "tpch_q2_min_cost_supplier",

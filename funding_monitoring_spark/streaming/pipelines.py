@@ -587,7 +587,10 @@ def streaming_anomaly_alerts(
             if m >= min_obs:
                 var = sum((x - avg_raw) ** 2 for x in buf) / (m - 1)
                 if var > 0:
-                    z = round((float(v) - avg_raw) / math.sqrt(var), 4)
+                    # + 0.0 canonicalizes -0.0, matching the batch twin
+                    z = round(
+                        (float(v) - avg_raw) / math.sqrt(var), 4
+                    ) + 0.0
             out["symbol"].append(key[0])
             out["event_id"].append(int(eid))
             out["baseline_n"].append(m)

@@ -40,7 +40,7 @@ ANOMALY_ORACLE = """
                CASE WHEN COUNT(value) OVER w >= 10
                          AND STDDEV_SAMP(value) OVER w > 0
                     THEN ROUND((value - AVG(value) OVER w)
-                               / STDDEV_SAMP(value) OVER w, 4)
+                               / STDDEV_SAMP(value) OVER w, 4) + 0.0
                END AS zscore
         FROM events
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
@@ -156,7 +156,7 @@ CORRELATION_ORACLE = """
         FROM events GROUP BY 1, 2
     )
     SELECT a.event_type AS type_a, b.event_type AS type_b,
-           ROUND(CORR(a.s, b.s), 6) AS corr_r,
+           ROUND(CORR(a.s, b.s), 6) + 0.0 AS corr_r,
            COUNT(*) AS n_buckets
     FROM per a JOIN per b ON a.h = b.h
     WHERE a.event_type < b.event_type
@@ -189,7 +189,8 @@ def q_event_type_correlation(spark, sf_dir):
             F.col("b.event_type").alias("type_b"),
         )
         .agg(
-            F.round(F.corr(F.col("a.s"), F.col("b.s")), 6).alias("corr_r"),
+            (F.round(F.corr(F.col("a.s"), F.col("b.s")), 6) + F.lit(0.0))
+            .alias("corr_r"),
             F.count(F.lit(1)).alias("n_buckets"),
         )
     )
@@ -654,4 +655,220 @@ def q_zorder_cluster_keys(spark, sf_dir):
             F.pmod(F.col("user_id"), F.lit(65536)),
             F.pmod(F.col("event_id"), F.lit(65536)),
         ).alias("zval"),
+    )
+
+
+FREQ_SKETCH_ORACLE = """
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS item
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS tn FROM toks)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY item
+    HAVING COUNT(*) * 100 > (SELECT tn FROM tot)
+"""
+
+
+@query("frequent_tokens_sketch", FREQ_SKETCH_ORACLE)
+def q_frequent_tokens_sketch(spark, sf_dir):
+    """Corpus-frequent tokens (freq > N/100) via Misra-Gries candidate
+    generation + exact verify (operators/sketches.py): pass 1 keeps a
+    bounded 100-counter summary per partition (the pigeonhole
+    guarantee makes the union a superset of every true frequent item),
+    pass 2 recounts ONLY the broadcast candidate set. The full
+    distinct-token space never shuffles — at 100 TB that's the whole
+    ballgame — and the answer is EXACT, which is why the oracle is the
+    plain single-pass HAVING query."""
+    from funding_monitoring_spark.operators.sketches import (
+        frequent_items_exact_2pass,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"(\S+)"), 1
+            )
+        ).alias("item")
+    )
+    return frequent_items_exact_2pass(toks, F.col("item"), capacity=100)
+
+
+ROLLING_BETA_ORACLE = """
+    WITH per AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               ROUND(SUM(value), 6) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, a.h,
+               a.s AS sa, b.s AS sb
+        FROM per a JOIN per b ON a.h = b.h
+        WHERE a.event_type < b.event_type
+    )
+    SELECT ta AS type_a, tb AS type_b, h,
+           CASE WHEN COUNT(sb) OVER w >= 12
+                     AND VAR_SAMP(sb) OVER w > 0
+                THEN ROUND(COVAR_SAMP(sa, sb) OVER w
+                           / VAR_SAMP(sb) OVER w, 4) + 0.0
+           END AS beta,
+           COUNT(sb) OVER w AS n_obs
+    FROM pairs
+    WINDOW w AS (PARTITION BY ta, tb ORDER BY h
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("rolling_beta", ROLLING_BETA_ORACLE)
+def q_rolling_beta(spark, sf_dir):
+    """Rolling 24-bucket hedge ratio (regression slope
+    cov(a,b)/var(b)) for every symbol pair's hourly sums — the
+    cross-series risk statistic next to the correlation matrix. The
+    window partitions on the PAIR key, so all 10 series windows
+    compute in one exchange; inputs are the round-6 bucket sums on
+    both engines, the guard (≥12 obs, positive variance) gates the
+    division, and the slope is rounded at 4."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.round(F.sum("value"), 6).alias("s"))
+    a = per.alias("a")
+    b = per.alias("b")
+    pairs = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.h").alias("h"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+    )
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("h")
+        .rowsBetween(-23, 0)
+    )
+    cnt = F.count("sb").over(w)
+    var = F.var_samp("sb").over(w)
+    # + 0.0 canonicalizes IEEE -0.0 (ROUND of a tiny negative slope
+    # yields -0.0 whose string repr differs between engines)
+    beta = F.when(
+        (cnt >= 12) & (var > 0),
+        F.round(F.covar_samp("sa", "sb").over(w) / var, 4) + F.lit(0.0),
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "h",
+        beta.alias("beta"),
+        cnt.alias("n_obs"),
+    )
+
+
+KL_ORACLE = """
+    WITH toks AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+        FROM documents
+    ),
+    sc AS (SELECT source, t, COUNT(*) AS ns FROM toks GROUP BY 1, 2),
+    stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sn
+             FROM toks GROUP BY source),
+    cc AS (SELECT t, COUNT(*) AS nc FROM toks GROUP BY t),
+    ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS cn FROM toks)
+    SELECT sc.source,
+           ROUND(SUM(
+               (CAST(ns AS DOUBLE) / sn)
+               * ln((CAST(ns AS DOUBLE) / sn)
+                    / (CAST(nc AS DOUBLE) / cn))), 6) AS kl_divergence,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM sc
+    JOIN stot ON stot.source = sc.source
+    JOIN cc ON cc.t = sc.t
+    CROSS JOIN ctot
+    GROUP BY sc.source
+"""
+
+
+@query("source_divergence_kl", KL_ORACLE)
+def q_source_divergence_kl(spark, sf_dir):
+    """Per-source corpus drift: KL(source token distribution ‖ corpus
+    distribution). Tokens absent from a source contribute zero, so the
+    sum runs over the source's own vocabulary only — no smoothing
+    needed (the corpus marginal can't be zero where the source isn't).
+    Every probability is a single integer division (bit-identical on
+    both engines); only the final sum is rounded. Shape: two
+    map-side-combined counts joined on token — the corpus-count side
+    is the reused aggregate, not a second scan of raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"(\S+)"), 1
+            )
+        ).alias("t"),
+    )
+    sc = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("ns"))
+    stot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("sn"))
+    cc = toks.groupBy("t").agg(F.count(F.lit(1)).alias("nc"))
+    ctot = toks.agg(F.count(F.lit(1)).alias("cn"))
+    ps = F.col("ns").cast("double") / F.col("sn")
+    pc = F.col("nc").cast("double") / F.col("cn")
+    return (
+        sc.join(stot, "source")
+        .join(cc, "t")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(ps * F.log(ps / pc)), 6).alias("kl_divergence"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+
+
+ROLLUP_CASCADE_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               ROUND(SUM(value), 6) AS s, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT event_type, date_trunc('day', h) AS d,
+               ROUND(SUM(s), 6) AS s, SUM(n) AS n
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT event_type, date_trunc('month', d) AS month,
+           ROUND(SUM(s), 6) AS sum_value,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM daily GROUP BY 1, 2
+"""
+
+
+@query("rollup_cascade", ROLLUP_CASCADE_ORACLE)
+def q_rollup_cascade(spark, sf_dir):
+    """Incremental rollup hierarchy hour → day → month: each grain
+    re-aggregates the one below it instead of rescanning raw events —
+    the materialized-rollup maintenance pattern (a day's update
+    touches 24 hourly rows, not the raw feed). Each level rounds its
+    sums identically on both engines, so the cascade is bit-stable;
+    the oracle runs the SAME cascade, making the check exact."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.round(F.sum("value"), 6).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", F.col("h")).alias("d")
+    ).agg(F.round(F.sum("s"), 6).alias("s"), F.sum("n").alias("n"))
+    return daily.groupBy(
+        "event_type", F.date_trunc("month", F.col("d")).alias("month")
+    ).agg(
+        F.round(F.sum("s"), 6).alias("sum_value"),
+        F.sum("n").alias("n_events"),
     )

@@ -166,7 +166,7 @@ def q_stream_ewma_stateful(spark, sf_dir):
                CASE WHEN COUNT(value) OVER w >= 10
                          AND STDDEV_SAMP(value) OVER w > 0
                     THEN ROUND((value - AVG(value) OVER w)
-                               / STDDEV_SAMP(value) OVER w, 4)
+                               / STDDEV_SAMP(value) OVER w, 4) + 0.0
                END AS zscore
         FROM obs
         WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
