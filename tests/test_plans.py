@@ -314,3 +314,25 @@ def test_snapshot_diff_single_join_no_extra_pass(spark, sf_dir):
     assert plan.count("FullOuter") == 1, plan
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """scd2_history: the lag change-detection and lead
+    interval-stamping windows share one (user, time) partitioning —
+    the whole dimension build must plan exactly one hash exchange."""
+    import re
+
+    plan = plan_str(ALL["scd2_history"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_frequent_sketch_broadcasts_candidates(spark, sf_dir):
+    """frequent_tokens_sketch: the exact verify pass must reach the
+    token scan as a BROADCAST left-semi of the bounded candidate set
+    (the full distinct-token space must never shuffle), with the MG
+    pass as the only Python stage."""
+    plan = plan_str(ALL["frequent_tokens_sketch"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -385,3 +385,41 @@ def test_processing_time_trigger_live_hopping(spark, tmp_path):
         assert rows()[(_ts(5), "funding")] == (2, 3.0)
     finally:
         q.stop()
+
+
+def test_anomaly_alerts_restart_keeps_state_and_appends_once(
+    spark, tmp_path
+):
+    """The streaming anomaly scorer across a restart: the trailing
+    baseline carried in state must survive the checkpoint (rows in the
+    second run are scored against history from the first), and the
+    idempotent batch-partition sink must not duplicate scores."""
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_anomaly_alerts,
+    )
+
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    ckpt = os.path.join(tmp, "ckpt")
+    store = os.path.join(tmp, "store")
+    # run 1: 11 observations for one symbol → rows 0..10 land;
+    # row 10 is the first scored one (10 prior obs)
+    rows1 = [(i, _ts(i), 7, "funding", float(5 + (i % 2))) for i in range(11)]
+    b1 = _events(spark, rows1)
+    _write_chunk(b1, chunks, 0)
+    streaming_anomaly_alerts(spark, chunks, b1.schema, store, ckpt)
+    out1 = {r.event_id: r for r in spark.read.parquet(store).collect()}
+    assert len(out1) == 11
+    assert out1[9].zscore is None  # only 9 prior observations
+    assert out1[10].zscore is not None and out1[10].baseline_n == 10
+
+    # run 2 (same checkpoint): a spike — scored against the carried
+    # baseline, so it must flag, and run 1's rows must not duplicate
+    b2 = _events(spark, [(11, _ts(11), 7, "funding", 50.0)])
+    _write_chunk(b2, chunks, 1)
+    streaming_anomaly_alerts(spark, chunks, b1.schema, store, ckpt)
+    out2 = [r for r in spark.read.parquet(store).collect()]
+    assert len(out2) == 12  # no duplicates from the replayed run
+    spike = {r.event_id: r for r in out2}[11]
+    assert spike.baseline_n == 11  # state survived the restart
+    assert spike.is_anomaly == 1 and spike.zscore > 2
