@@ -39,8 +39,10 @@ def _mg_partition(capacity: int):
         import pandas as pd
 
         counters: dict = {}
+        n = 0
         for pdf in batches:
             for item in pdf["item"]:
+                n += 1
                 if item in counters:
                     counters[item] += 1
                 elif len(counters) < capacity:
@@ -54,7 +56,14 @@ def _mg_partition(capacity: int):
                             dead.append(k)
                     for k in dead:
                         del counters[k]
-        yield pd.DataFrame({"item": list(counters.keys())})
+        # one NULL-item row carries the partition's total count, so
+        # the global N comes out of THIS pass — no second scan for it
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "part_n": [0] * len(counters) + [n],
+            }
+        )
 
     return run
 
@@ -68,14 +77,24 @@ def frequent_items_exact_2pass(
     (N = total item count), found with the MG candidate pass + exact
     verify. Returns (item, n) — exact counts, deterministic.
 
-    Shuffle profile: pass 1 moves ≤ capacity rows per partition;
-    pass 2 aggregates only rows whose item is in the (broadcast)
+    Scan profile — exactly two passes over the data, the design
+    minimum: pass 1 (one scan) emits ≤ capacity+1 rows per partition,
+    carrying both the candidates and the partition row counts (so the
+    global N needs no separate counting scan); pass 2 (the other scan)
+    aggregates only rows whose item is in the (broadcast, checkpointed)
     candidate set. The full distinct-item space never shuffles."""
     items = df.select(item.alias("item"))
-    candidates = items.mapInPandas(
-        _mg_partition(capacity), schema="item string"
-    ).distinct()
-    total = items.agg(F.count(F.lit(1)).alias("_n"))
+    # checkpoint the tiny summary: it feeds BOTH the candidate set and
+    # the total, and without it each consumer would re-run the MG scan
+    summary = items.mapInPandas(
+        _mg_partition(capacity), schema="item string, part_n long"
+    ).localCheckpoint(eager=True)
+    candidates = (
+        summary.filter(F.col("item").isNotNull())
+        .select("item")
+        .distinct()
+    )
+    total = summary.agg(F.sum("part_n").alias("_n"))
     return (
         items.join(F.broadcast(candidates), "item", "left_semi")
         .groupBy("item")

@@ -269,13 +269,30 @@ def gap_fill_forward(
         F.floor(F.unix_micros(F.col(ts_col)) / (interval_seconds * US))
         * interval_seconds
     )
+    # bucket mean over 6-decimal-quantized inputs, computed EXACTLY:
+    # decimal sum (associative, order-independent) cast to double,
+    # then one IEEE division — bit-identical in any engine, no
+    # rounding step to sit on a half-boundary (a plain ROUND(AVG)
+    # flipped its last digit between engines at sf0.1)
     observed = (
         df.select(F.col(key_col), bucket.alias("bucket"), F.col(value_col))
         .groupBy(key_col, "bucket")
-        .agg(F.round(F.avg(value_col), 6).alias("_obs"))
+        .agg(
+            (
+                F.sum(F.col(value_col).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(value_col)
+            ).alias("_obs")
+        )
+        # observed feeds both the span computation and the final join;
+        # checkpointing it makes the whole fill a SINGLE scan of the
+        # raw series (measured: 2 FileScans → 1). Its size is the
+        # output grid, already the operator's working set.
+        .localCheckpoint(eager=True)
     )
-    spans = df.groupBy(key_col).agg(
-        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+    # spans derive from the bucketed aggregate, not a second raw scan
+    spans = observed.groupBy(key_col).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
     )
     step = F.expr(f"INTERVAL {interval_seconds} SECONDS")
     spine = spans.select(

@@ -176,9 +176,16 @@ def q_event_type_correlation(spark, sf_dir):
     are rounded before corr on BOTH engines so the correlation inputs
     are bit-identical."""
     events = load_table(spark, sf_dir, "events")
-    per = events.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
-    ).agg(F.round(F.sum("value"), 6).alias("s"))
+    # checkpoint the hourly grain: it feeds BOTH sides of the
+    # self-join, and Catalyst does not reuse the aliased subplans —
+    # without this the raw table scans twice (measured)
+    per = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        )
+        .agg(F.round(F.sum("value"), 6).alias("s"))
+        .localCheckpoint(eager=True)
+    )
     a = per.alias("a")
     b = per.alias("b")
     return (
@@ -592,10 +599,14 @@ def q_triangle_count(spark, sf_dir):
     w = Window.partitionBy("h", "event_type").orderBy(
         key_hash(F.col("user_id"), _TRI_SEED).asc(), F.col("user_id").asc()
     )
+    # the capped projection feeds both sides of the pair join, and the
+    # edge table feeds all three triangle-join roles plus the edge
+    # count — checkpoint each once or the raw table scans 8× (measured)
     capped = (
         bucket_users.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TRI_CAP)
         .drop("rn")
+        .localCheckpoint(eager=True)
     )
     a = capped.alias("a")
     b = capped.alias("b")
@@ -611,6 +622,7 @@ def q_triangle_count(spark, sf_dir):
             F.col("b.user_id").alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     ab = edges.alias("ab")
     bc = edges.alias("bc")
@@ -730,9 +742,14 @@ def q_rolling_beta(spark, sf_dir):
     both engines, the guard (≥12 obs, positive variance) gates the
     division, and the slope is rounded at 4."""
     events = load_table(spark, sf_dir, "events")
-    per = events.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
-    ).agg(F.round(F.sum("value"), 6).alias("s"))
+    # checkpointed for the same single-scan reason as the correlation
+    per = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        )
+        .agg(F.round(F.sum("value"), 6).alias("s"))
+        .localCheckpoint(eager=True)
+    )
     a = per.alias("a")
     b = per.alias("b")
     pairs = (

@@ -318,7 +318,8 @@ GAP_FILL_ORACLE = f"""
         SELECT event_type,
                make_timestamp((epoch_us(ts) // {_GAP_INTERVAL * 1_000_000})
                               * {_GAP_INTERVAL * 1_000_000}) AS bucket,
-               ROUND(AVG(value), 6) AS _obs
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(value) AS _obs
         FROM events GROUP BY 1, 2
     ),
     spans AS (

@@ -330,9 +330,10 @@ def test_scd2_single_exchange(spark, sf_dir):
 def test_frequent_sketch_broadcasts_candidates(spark, sf_dir):
     """frequent_tokens_sketch: the exact verify pass must reach the
     token scan as a BROADCAST left-semi of the bounded candidate set
-    (the full distinct-token space must never shuffle), with the MG
-    pass as the only Python stage."""
+    (the full distinct-token space must never shuffle), and the final
+    plan must contain exactly ONE raw scan — the Misra-Gries pass runs
+    once inside the checkpointed summary, not once per consumer."""
     plan = plan_str(ALL["frequent_tokens_sketch"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
-    assert "MapInPandas" in plan, plan
+    assert plan.count("FileScan") == 1, plan
     assert "SortMergeJoin" not in plan, plan
