@@ -138,6 +138,8 @@ HEADLINE = [
     "rolling_beta",
     "source_divergence_kl",
     "rollup_cascade",
+    "stream_ohlc_bars",
+    "token_id_encoding",
 ]
 
 

@@ -146,6 +146,64 @@ def streaming_tumbling_rollup(
         q.awaitTermination()
 
 
+def streaming_ohlc_bars(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    interval: str = "1 hour",
+    available_now: bool = True,
+    watermark: str = WATERMARK_DELAY,
+) -> None:
+    """Hourly OHLC candlesticks as a streaming window aggregate: the
+    batch bars query's five aggregates (min_by/max_by open/close over
+    the total (ts, event_id) order, high/low/count) run incrementally
+    in tumbling-window state — Spark's agg state composes min_by
+    across micro-batches, so a bar whose ticks span batches converges
+    to exactly the batch value. Update mode; each re-emission of a
+    changed bar is last-write-wins-upserted by (symbol, bar_ts)."""
+    src = stream_from_chunks(spark, chunks_dir, schema)
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", interval).alias("w"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+    def flatten(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            "symbol",
+            F.col("w.start").alias("bar_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+
+    writer = agg.writeStream.outputMode("update").foreachBatch(
+        upsert_writer(
+            store_path,
+            key_cols=["symbol", "bar_ts"],
+            order_cols=["n_ticks"],
+            transform=flatten,
+        )
+    )
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
 def streaming_hopping_rollup(
     spark: SparkSession,
     chunks_dir: str,
@@ -711,6 +769,10 @@ def _dispatch_pipeline(
         streaming_ewma_stateful(
             spark, chunks_dir, schema, store, checkpoint
         )
+        return spark.read.parquet(store)
+    if pipeline == "ohlc_bars":
+        store = os.path.join(workdir, "ohlc")
+        streaming_ohlc_bars(spark, chunks_dir, schema, store, checkpoint)
         return spark.read.parquet(store)
     if pipeline == "anomaly_alerts":
         store = os.path.join(workdir, "anomaly")

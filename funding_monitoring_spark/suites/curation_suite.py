@@ -574,3 +574,84 @@ def q_doc_chunking(spark, sf_dir):
         F.size(ct).cast("long").alias("n_chunk_tokens"),
         F.array_join(ct, " ").alias("chunk_text"),
     )
+
+
+_VOCAB_SIZE = 500
+
+TOKEN_ID_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(range(1, len(l) + 1)) AS pos,
+               unnest(l) AS t
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '\\S+') AS l
+              FROM documents)
+    ),
+    vocab AS (
+        SELECT t,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t ASC) AS id
+        FROM toks GROUP BY t
+    )
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           list(CASE WHEN vocab.id <= {_VOCAB_SIZE}
+                     THEN CAST(vocab.id AS INT) ELSE 0 END
+                ORDER BY toks.pos) AS token_ids
+    FROM toks JOIN vocab ON vocab.t = toks.t
+    GROUP BY toks.doc_id
+"""
+
+
+@query("token_id_encoding", TOKEN_ID_ORACLE)
+def q_token_id_encoding(spark, sf_dir):
+    """Tokenizer APPLICATION — text → integer id sequences, the step
+    between vocabulary building and sequence packing: rank the corpus
+    vocabulary by frequency (the vocab is a post-aggregation dim
+    table, so its global ranking is dim-side work), map every token
+    through the BROADCAST vocab with ids beyond the 500-cap folded to
+    0 (<unk>), and reassemble each document's id array in position
+    order (sort_array over (pos, id) structs — deterministic without
+    relying on collect order). One shuffle for the vocab count, one
+    for the per-doc reassembly; the token stream itself never sorts
+    globally."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"(\S+)"), 1
+            )
+        ).alias("pos", "t"),
+    )
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "id",
+            F.row_number().over(
+                W.orderBy(F.desc("cnt"), F.asc("t"))
+            ),
+        )
+        .select(
+            "t",
+            F.when(F.col("id") <= _VOCAB_SIZE, F.col("id"))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("id"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "id"))
+                ),
+                lambda s: s["id"],
+            ).alias("token_ids"),
+        )
+    )

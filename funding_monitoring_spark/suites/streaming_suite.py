@@ -305,3 +305,40 @@ def q_stream_hopping_rollup(spark, sf_dir):
     return replay_events_pipeline(
         spark, events, _workdir(), "hopping_rollup", N_CHUNKS
     )
+
+
+#: streaming OHLC shares the batch bars oracle exactly — window start
+#: == date_trunc('hour') for hour-aligned tumbling windows
+STREAM_OHLC_ORACLE = """
+    WITH r AS (
+        SELECT event_type AS symbol, date_trunc('hour', ts) AS bar_ts,
+               value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn_open,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM events
+    )
+    SELECT symbol, bar_ts,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS n_ticks
+    FROM r GROUP BY symbol, bar_ts
+"""
+
+
+@query("stream_ohlc_bars", STREAM_OHLC_ORACLE)
+def q_stream_ohlc_bars(spark, sf_dir):
+    """ohlc_bars as a stream: the five candlestick aggregates run
+    incrementally in tumbling-window state (min_by/max_by compose
+    across micro-batches), each changed bar re-emitted in update mode
+    and last-write-wins-upserted by (symbol, bar) — the store
+    converges to exactly the batch bars, which is the shared oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return replay_events_pipeline(
+        spark, events, _workdir(), "ohlc_bars", N_CHUNKS
+    )
