@@ -140,6 +140,7 @@ HEADLINE = [
     "rollup_cascade",
     "stream_ohlc_bars",
     "token_id_encoding",
+    "packed_training_batches",
 ]
 
 

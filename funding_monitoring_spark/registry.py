@@ -66,7 +66,8 @@ def query(name: str, sql: str | None):
 #: ohlc_bars, cohort_retention, event_funnel, triangle_count,
 #: scd2_history, gap_fill_hourly, zorder_cluster_keys,
 #: frequent_tokens_sketch, rolling_beta, source_divergence_kl,
-#: rollup_cascade, stream_ohlc_bars, token_id_encoding.
+#: rollup_cascade, stream_ohlc_bars, token_id_encoding,
+#: packed_training_batches.
 _PRIORITY: list[str] = [
     # (a) never driver-checked, registered late in round 3 (15)
     "tpch_q2_min_cost_supplier",

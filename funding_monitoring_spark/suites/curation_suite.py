@@ -602,21 +602,12 @@ TOKEN_ID_ORACLE = f"""
 """
 
 
-@query("token_id_encoding", TOKEN_ID_ORACLE)
-def q_token_id_encoding(spark, sf_dir):
-    """Tokenizer APPLICATION — text → integer id sequences, the step
-    between vocabulary building and sequence packing: rank the corpus
-    vocabulary by frequency (the vocab is a post-aggregation dim
-    table, so its global ranking is dim-side work), map every token
-    through the BROADCAST vocab with ids beyond the 500-cap folded to
-    0 (<unk>), and reassemble each document's id array in position
-    order (sort_array over (pos, id) structs — deterministic without
-    relying on collect order). One shuffle for the vocab count, one
-    for the per-doc reassembly; the token stream itself never sorts
-    globally."""
+def _encode_token_ids(docs):
+    """(doc_id, n_tokens, token_ids) for every non-empty document —
+    the shared tokenizer-application body of `token_id_encoding` and
+    `packed_training_batches`."""
     from pyspark.sql.window import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.posexplode(
@@ -630,9 +621,7 @@ def q_token_id_encoding(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn(
             "id",
-            F.row_number().over(
-                W.orderBy(F.desc("cnt"), F.asc("t"))
-            ),
+            F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("t"))),
         )
         .select(
             "t",
@@ -648,9 +637,122 @@ def q_token_id_encoding(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("pos", "id"))
-                ),
+                F.sort_array(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s["id"],
+            ).alias("token_ids"),
+        )
+    )
+
+
+@query("token_id_encoding", TOKEN_ID_ORACLE)
+def q_token_id_encoding(spark, sf_dir):
+    """Tokenizer APPLICATION — text → integer id sequences, the step
+    between vocabulary building and sequence packing: rank the corpus
+    vocabulary by frequency (the vocab is a post-aggregation dim
+    table, so its global ranking is dim-side work), map every token
+    through the BROADCAST vocab with ids beyond the 500-cap folded to
+    0 (<unk>), and reassemble each document's id array in position
+    order (sort_array over (pos, id) structs — deterministic without
+    relying on collect order). One shuffle for the vocab count, one
+    for the per-doc reassembly; the token stream itself never sorts
+    globally."""
+    return _encode_token_ids(load_table(spark, sf_dir, "documents"))
+
+
+PACKED_BATCHES_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(range(1, len(l) + 1)) AS pos,
+               unnest(l) AS t
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '\\S+') AS l
+              FROM documents)
+    ),
+    vocab AS (
+        SELECT t,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t ASC) AS id
+        FROM toks GROUP BY t
+    ),
+    ids AS (
+        SELECT toks.doc_id, toks.pos,
+               CASE WHEN vocab.id <= {_VOCAB_SIZE}
+                    THEN CAST(vocab.id AS INT) ELSE 0 END AS id
+        FROM toks JOIN vocab ON vocab.t = toks.t
+    ),
+    doc_meta AS (
+        SELECT d.doc_id, d.lang, COUNT(*) AS n_tokens
+        FROM documents d JOIN ids ON ids.doc_id = d.doc_id
+        GROUP BY d.doc_id, d.lang
+    ),
+    offsets AS (
+        SELECT doc_id, lang,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS BIGINT) AS start_offset
+        FROM doc_meta
+    )
+    SELECT o.lang,
+           (o.start_offset + ids.pos - 1) // {PACK_CAPACITY} AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           list(ids.id ORDER BY o.start_offset + ids.pos - 1)
+               AS token_ids
+    FROM ids JOIN offsets o ON o.doc_id = ids.doc_id
+    GROUP BY o.lang, (o.start_offset + ids.pos - 1) // {PACK_CAPACITY}
+"""
+
+
+@query("packed_training_batches", PACKED_BATCHES_ORACLE)
+def q_packed_training_batches(spark, sf_dir):
+    """The training-data pipeline's final artifact: fixed-capacity
+    packed id sequences. Composes the tokenizer application
+    (_encode_token_ids) with the contiguous packing plan
+    (sequence_packing_plan's per-language cumsum): each token's
+    GLOBAL stream position = its document's start offset + its
+    position, pack = position // {capacity}, and every pack
+    reassembles its ≤ {capacity} ids in stream order. Docs straddle
+    pack boundaries — standard LLM-pretrain packing, zero padding
+    waste. Per-pack collect is bounded by the capacity, and the pack
+    grouping shuffles (pack_id, id) pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = _encode_token_ids(docs).localCheckpoint(eager=True)
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = (
+        ids.join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        .withColumn(
+            "start_offset",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast(
+                "long"
+            ),
+        )
+        .select("doc_id", "lang", "start_offset", "token_ids")
+    )
+    exploded = offsets.select(
+        "lang",
+        "start_offset",
+        F.posexplode("token_ids").alias("pos", "id"),
+    ).select(
+        "lang",
+        (F.col("start_offset") + F.col("pos")).alias("gpos"),
+        "id",
+    )
+    return (
+        exploded.withColumn(
+            "pack_id", F.floor(F.col("gpos") / PACK_CAPACITY)
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("gpos", "id"))),
                 lambda s: s["id"],
             ).alias("token_ids"),
         )
