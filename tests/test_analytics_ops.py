@@ -152,3 +152,70 @@ def test_bpe_train_matches_pure_python(spark, sf_dir):
         for r in bpe_train(docs, n_merges=k, checkpoint_every=2).collect()
     )
     assert got == sorted(want)
+
+
+def test_scd2_collapses_and_stamps_intervals(spark):
+    from funding_monitoring_spark.operators.temporal import scd2_history
+
+    rows = [
+        (1, "a", 10, 100),
+        (1, "a", 20, 101),  # duplicate state — collapses
+        (1, "b", 30, 102),
+        (1, "a", 40, 103),  # back to a — NEW version, not merged
+        (2, None, 10, 104),
+        (2, "x", 20, 105),  # NULL → value must open a new version
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, state string, t int, eid int"
+    )
+    out = scd2_history(
+        df,
+        key_cols=["k"],
+        attr_col="state",
+        order_by=["t", "eid"],
+        ts_col="t",
+    ).select("k", "state", "version", "valid_from", "valid_to",
+             "is_current")
+    def key(t):
+        return tuple((x is None, x) for x in t)
+
+    got = sorted((tuple(r) for r in out.collect()), key=key)
+    assert got == sorted(
+        [
+            (1, "a", 1, 10, 30, 0),
+            (1, "b", 2, 30, 40, 0),
+            (1, "a", 3, 40, None, 1),
+            (2, None, 1, 10, 20, 0),
+            (2, "x", 2, 20, None, 1),
+        ],
+        key=key,
+    )
+
+
+def test_gap_fill_forward_fills_and_flags(spark):
+    import datetime as dt
+
+    from funding_monitoring_spark.operators.temporal import (
+        gap_fill_forward,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [("s", at(0), 10.0), ("s", at(0), 20.0), ("s", at(3), 7.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        r["bucket"].hour: (r["value_filled"], r["is_gap"])
+        for r in gap_fill_forward(
+            df, "k", "ts", "v", interval_seconds=3600
+        ).collect()
+    }
+    # hours 1 and 2 are gaps carrying hour 0's mean; hour 3 observed
+    assert out == {
+        0: (15.0, 0),
+        1: (15.0, 1),
+        2: (15.0, 1),
+        3: (7.0, 0),
+    }
