@@ -10,6 +10,8 @@ DDL (K6, models.py:82). Spark equivalents: mode("overwrite") writes
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -43,3 +45,33 @@ def read_tsv(
         .option("header", "false")
         .csv(path)
     )
+
+
+def compact_parquet_store(
+    spark, path: str, target_files: int
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet store as
+    ``target_files`` files, atomically (readers racing the rewrite
+    see old or new, never partial — streaming/sinks.atomic_overwrite).
+    Returns (files_before, files_after).
+
+    The small-files problem is the steady-state failure mode of every
+    micro-batch/upsert sink at scale: a 5-minute trigger writing 8
+    shuffle partitions is ~2300 files/day/table, and scan-planning
+    cost grows with file count, not data size. Compaction is the
+    maintenance half of the sink contract; production runs it on a
+    schedule against size thresholds (this API takes an explicit
+    target so tests are deterministic).
+    """
+    from funding_monitoring_spark.streaming.sinks import atomic_overwrite
+
+    def n_files(p: str) -> int:
+        real = os.path.realpath(p)
+        return sum(
+            1 for f in os.listdir(real) if f.endswith(".parquet")
+        )
+
+    before = n_files(path)
+    df = spark.read.parquet(path)
+    atomic_overwrite(df.repartition(target_files), path)
+    return before, n_files(path)

@@ -132,3 +132,41 @@ def test_dbapi_upsert_statement_shape_and_guards():
         upsert_statement("rates", ["a", "b"], ["a) DO NOTHING; --"])
     with _pytest.raises(ValueError, match="subset"):
         upsert_statement("rates", ["a", "b"], ["missing"])
+
+
+def test_compaction_reduces_files_atomically(spark, tmp_path):
+    """The micro-batch small-files problem and its maintenance fix:
+    a fragmented store compacts to the target file count, survives
+    re-reads with identical contents, and the store path stays valid
+    throughout (atomic swap, not delete-then-write)."""
+    from funding_monitoring_spark.sources.sinks import (
+        compact_parquet_store,
+    )
+
+    store = str(tmp_path / "frag")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    df.repartition(24).write.parquet(store)
+    before, after = compact_parquet_store(spark, store, target_files=2)
+    assert before >= 24 and after == 2
+    back = spark.read.parquet(store)
+    assert back.count() == 1000
+    assert back.selectExpr("sum(v)").first()[0] == 999 * 1000
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    """Additive schema evolution across write generations: an old
+    batch lacking a column reads as NULL under mergeSchema, values
+    keep their types, and the union row count is exact — the contract
+    a long-lived store depends on when a producer adds a field."""
+    store = str(tmp_path / "evolving")
+    spark.range(3).selectExpr("id", "'a' AS source").write.parquet(
+        store + "/gen=1"
+    )
+    spark.range(2).selectExpr(
+        "id", "'b' AS source", "id * 1.5 AS score"
+    ).write.parquet(store + "/gen=2")
+    merged = spark.read.option("mergeSchema", True).parquet(store)
+    assert merged.count() == 5
+    assert set(merged.columns) >= {"id", "source", "score"}
+    nulls = merged.filter("score IS NULL").count()
+    assert nulls == 3  # gen=1 rows surface the new column as NULL
