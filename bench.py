@@ -141,6 +141,9 @@ HEADLINE = [
     "stream_ohlc_bars",
     "token_id_encoding",
     "packed_training_batches",
+    "quality_filter_ablation",
+    "unigram_logprob_score",
+    "funnel_latency_quantiles",
 ]
 
 

@@ -67,7 +67,8 @@ def query(name: str, sql: str | None):
 #: scd2_history, gap_fill_hourly, zorder_cluster_keys,
 #: frequent_tokens_sketch, rolling_beta, source_divergence_kl,
 #: rollup_cascade, stream_ohlc_bars, token_id_encoding,
-#: packed_training_batches.
+#: packed_training_batches, quality_filter_ablation,
+#: unigram_logprob_score, funnel_latency_quantiles.
 _PRIORITY: list[str] = [
     # (a) never driver-checked, registered late in round 3 (15)
     "tpch_q2_min_cost_supplier",

@@ -889,3 +889,198 @@ def q_rollup_cascade(spark, sf_dir):
         F.round(F.sum("s"), 6).alias("sum_value"),
         F.sum("n").alias("n_events"),
     )
+
+
+#: ablation thresholds over the quality score — one pass, not K
+_ABLATION_STEPS = (0.2, 0.4, 0.6, 0.8)
+
+ABLATION_ORACLE = f"""
+    WITH scored AS (
+        SELECT n_chars,
+               0.25 * LEAST(1.0, length(text) / 500.0)
+               + 0.75 * (1.0 - LEAST(1.0,
+                     5.0 * length(regexp_replace(text,
+                         '[^.,;:!?''"()\\-]', '', 'g'))
+                     / GREATEST(length(text), 1))) AS q
+        FROM documents
+    )
+    SELECT t.thr,
+           CAST(SUM(CASE WHEN q >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs,
+           CAST(SUM(CASE WHEN q >= t.thr THEN n_chars ELSE 0 END)
+               AS BIGINT) AS n_chars
+    FROM scored
+    CROSS JOIN (VALUES {", ".join(f"({t})" for t in _ABLATION_STEPS)})
+        AS t(thr)
+    GROUP BY t.thr
+"""
+
+
+@query("quality_filter_ablation", ABLATION_ORACLE)
+def q_quality_filter_ablation(spark, sf_dir):
+    """Curation ablation table: surviving docs/chars at each quality
+    threshold, computed in ONE scan — the thresholds broadcast as a
+    4-row literal frame cross-joined into conditional sums, instead of
+    K filtered re-scans. The score here is a deterministic
+    length+punctuation blend (exact integer/ratio algebra shared with
+    the oracle); production swaps in any scorer with the same shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    punct = F.regexp_count(F.col("text"), F.lit(r"[.,;:!?'\"()\-]"))
+    q = 0.25 * F.least(
+        F.lit(1.0), F.length("text") / F.lit(500.0)
+    ) + 0.75 * (
+        F.lit(1.0)
+        - F.least(
+            F.lit(1.0),
+            F.lit(5.0) * punct / F.greatest(F.length("text"), F.lit(1)),
+        )
+    )
+    scored = docs.select("n_chars", q.alias("q"))
+    thr = spark.createDataFrame(
+        [(t,) for t in _ABLATION_STEPS], "thr double"
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when(F.col("q") >= F.col("thr"), 1).otherwise(0)
+            ).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("q") >= F.col("thr"), F.col("n_chars")
+                ).otherwise(0)
+            ).alias("n_chars"),
+        )
+    )
+
+
+LOGPROB_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+        FROM documents
+    ),
+    cc AS (SELECT t, COUNT(*) AS nc FROM toks GROUP BY t),
+    ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS cn FROM toks)
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(ln(CAST(nc AS DOUBLE) / cn)) / COUNT(*), 6)
+               AS avg_neg_logprob
+    FROM toks JOIN cc ON cc.t = toks.t CROSS JOIN ctot
+    GROUP BY toks.doc_id
+"""
+
+
+@query("unigram_logprob_score", LOGPROB_ORACLE)
+def q_unigram_logprob_score(spark, sf_dir):
+    """Perplexity-proxy curation signal: each document's mean negative
+    log-probability under the corpus unigram LM (its own corpus — a
+    self-scoring pass, the cheap stand-in for an external LM filter).
+    High scores = improbable token mixes = noise candidates. Shape:
+    one token count (map-side combined), broadcast-joined back to the
+    token stream, summed per doc — the corpus never re-scans and the
+    per-token probability is one exact integer division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"(\S+)"), 1
+            )
+        ).alias("t"),
+    )
+    cc = toks.groupBy("t").agg(F.count(F.lit(1)).alias("nc"))
+    ctot = toks.agg(F.count(F.lit(1)).alias("cn"))
+    p = F.col("nc").cast("double") / F.col("cn")
+    return (
+        toks.join(F.broadcast(cc), "t")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.sum(F.log(p)) / F.count(F.lit(1)), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+FUNNEL_LATENCY_ORACLE = """
+    WITH t1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT 'view_to_click' AS hop,
+               (epoch_us(t2.t) - epoch_us(t1.t)) / 1000000.0 AS sec
+        FROM t2 JOIN t1 ON t1.user_id = t2.user_id
+        UNION ALL
+        SELECT 'click_to_purchase',
+               (epoch_us(t3.t) - epoch_us(t2.t)) / 1000000.0
+        FROM t3 JOIN t2 ON t2.user_id = t3.user_id
+    )
+    SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(quantile_cont(sec, 0.5), 6) AS p50_sec,
+           ROUND(quantile_cont(sec, 0.9), 6) AS p90_sec
+    FROM lat GROUP BY hop
+"""
+
+
+@query("funnel_latency_quantiles", FUNNEL_LATENCY_ORACLE)
+def q_funnel_latency_quantiles(spark, sf_dir):
+    """Time-to-convert distribution per funnel hop: exact interpolated
+    p50/p90 of the first-view→first-qualifying-click and
+    click→purchase latencies. Latencies are integer-µs differences
+    scaled once (bit-identical on both engines); both engines use the
+    same linear-interpolation percentile definition (Spark
+    `percentile` ≡ DuckDB `quantile_cont`). Same chained same-key
+    joins as the funnel count query."""
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(prev, etype):
+        e = events.filter(F.col("event_type") == etype).select(
+            "user_id", "ts"
+        )
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(
+                F.col("ts") > F.col("t")
+            ).select("user_id", "ts")
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    t1 = stage(None, "view")
+    t2 = stage(t1, "click")
+    t3 = stage(t2, "purchase")
+
+    def hop(a, b, name):
+        return (
+            b.withColumnRenamed("t", "tb")
+            .join(a.withColumnRenamed("t", "ta"), "user_id")
+            .select(
+                F.lit(name).alias("hop"),
+                (
+                    (F.unix_micros("tb") - F.unix_micros("ta"))
+                    / F.lit(1_000_000.0)
+                ).alias("sec"),
+            )
+        )
+    lat = hop(t1, t2, "view_to_click").unionAll(
+        hop(t2, t3, "click_to_purchase")
+    )
+    return lat.groupBy("hop").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.percentile("sec", F.lit(0.5)), 6).alias("p50_sec"),
+        F.round(F.percentile("sec", F.lit(0.9)), 6).alias("p90_sec"),
+    )
