@@ -144,6 +144,8 @@ HEADLINE = [
     "quality_filter_ablation",
     "unigram_logprob_score",
     "funnel_latency_quantiles",
+    "vocab_coverage_curve",
+    "missing_ticks_report",
 ]
 
 

@@ -68,7 +68,8 @@ def query(name: str, sql: str | None):
 #: frequent_tokens_sketch, rolling_beta, source_divergence_kl,
 #: rollup_cascade, stream_ohlc_bars, token_id_encoding,
 #: packed_training_batches, quality_filter_ablation,
-#: unigram_logprob_score, funnel_latency_quantiles.
+#: unigram_logprob_score, funnel_latency_quantiles,
+#: vocab_coverage_curve, missing_ticks_report.
 _PRIORITY: list[str] = [
     # (a) never driver-checked, registered late in round 3 (15)
     "tpch_q2_min_cost_supplier",

@@ -1084,3 +1084,208 @@ def q_funnel_latency_quantiles(spark, sf_dir):
         F.round(F.percentile("sec", F.lit(0.5)), 6).alias("p50_sec"),
         F.round(F.percentile("sec", F.lit(0.9)), 6).alias("p90_sec"),
     )
+
+
+_COVERAGE_RANKS = (10, 50, 100, 500, 1000)
+
+VOCAB_COVERAGE_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+        FROM documents
+    ),
+    ranked AS (
+        SELECT COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t ASC) AS r
+        FROM toks GROUP BY t
+    ),
+    cum AS (
+        SELECT r,
+               SUM(n) OVER (ORDER BY r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c,
+               (SELECT CAST(SUM(n) AS BIGINT) FROM ranked) AS total
+        FROM ranked
+    )
+    SELECT s.rank_cap,
+           ROUND(MAX(CASE WHEN r <= s.rank_cap THEN c ELSE 0 END)
+                 / CAST(MAX(total) AS DOUBLE), 6) AS coverage
+    FROM cum
+    CROSS JOIN (VALUES {", ".join(f"({r})" for r in _COVERAGE_RANKS)})
+        AS s(rank_cap)
+    GROUP BY s.rank_cap
+"""
+
+
+@query("vocab_coverage_curve", VOCAB_COVERAGE_ORACLE)
+def q_vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary-size economics: what fraction of corpus tokens the
+    top-N vocabulary covers, at five N steps — the curve that picks a
+    tokenizer's vocab size (and the <unk> rate its cap implies). One
+    token count, a dim-side rank+cumsum over the (small,
+    post-aggregation) vocab, and the N steps evaluated with
+    conditional MAX over the cumulative counts — no per-step re-scan
+    of anything."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"(\S+)"), 1
+            )
+        ).alias("t")
+    )
+    ranked = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.row_number()
+            .over(W.orderBy(F.desc("n"), F.asc("t")))
+            .alias("r"),
+        )
+    )
+    cum = ranked.select(
+        "r",
+        F.sum("n")
+        .over(
+            W.orderBy("r").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("c"),
+    ).crossJoin(
+        F.broadcast(ranked.agg(F.sum("n").alias("total")))
+    )
+    steps = spark.createDataFrame(
+        [(r,) for r in _COVERAGE_RANKS], "rank_cap int"
+    )
+    return (
+        cum.crossJoin(F.broadcast(steps))
+        .groupBy("rank_cap")
+        .agg(
+            F.round(
+                F.max(
+                    F.when(F.col("r") <= F.col("rank_cap"), F.col("c"))
+                    .otherwise(0)
+                )
+                / F.max("total").cast("double"),
+                6,
+            ).alias("coverage")
+        )
+    )
+
+
+#: expected tick cadence for the heartbeat report (hourly grid)
+_TICK_SECONDS = 3600
+
+MISSING_TICKS_ORACLE = f"""
+    WITH obs AS (
+        SELECT DISTINCT event_type,
+               make_timestamp((epoch_us(ts) // {_TICK_SECONDS * 1_000_000})
+                              * {_TICK_SECONDS * 1_000_000}) AS bucket
+        FROM events
+    ),
+    spans AS (
+        SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM obs GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi,
+                                      INTERVAL {_TICK_SECONDS} SECOND))
+                   AS bucket
+        FROM spans
+    ),
+    flagged AS (
+        SELECT s.event_type, s.bucket,
+               CAST(o.bucket IS NULL AS INT) AS is_gap,
+               ROW_NUMBER() OVER (PARTITION BY s.event_type
+                                  ORDER BY s.bucket)
+               - ROW_NUMBER() OVER (PARTITION BY s.event_type,
+                                    CAST(o.bucket IS NULL AS INT)
+                                    ORDER BY s.bucket) AS island
+        FROM spine s
+        LEFT JOIN obs o ON o.event_type = s.event_type
+                        AND o.bucket = s.bucket
+    ),
+    runs AS (
+        SELECT event_type, island, COUNT(*) AS run_len
+        FROM flagged WHERE is_gap = 1
+        GROUP BY event_type, island
+    )
+    SELECT f.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_expected,
+           CAST(SUM(is_gap) AS BIGINT) AS n_missing,
+           CAST(COALESCE((SELECT MAX(run_len) FROM runs r
+                          WHERE r.event_type = f.event_type), 0)
+                AS BIGINT) AS longest_outage
+    FROM flagged f GROUP BY f.event_type
+"""
+
+
+@query("missing_ticks_report", MISSING_TICKS_ORACLE)
+def q_missing_ticks_report(spark, sf_dir):
+    """Heartbeat monitoring: per symbol, how many expected ticks never
+    arrived and the longest consecutive outage — THE liveness question
+    for a feed the reference polls on a fixed cadence. Expected grid =
+    the per-key spine (bounded sequence+explode, as in gap fill);
+    outage runs found with the gaps-and-islands double-row_number
+    trick, all on the same symbol partitioning — one spine join and
+    two same-key window passes, no self-join."""
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    us = _TICK_SECONDS * 1_000_000
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_micros(F.col("ts")) / us) * _TICK_SECONDS
+    )
+    obs = (
+        events.select(
+            "event_type", bucket.alias("bucket")
+        ).distinct()
+    ).localCheckpoint(eager=True)
+    spans = obs.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.col("lo"),
+                F.col("hi"),
+                F.expr(f"INTERVAL {_TICK_SECONDS} SECONDS"),
+            )
+        ).alias("bucket"),
+    )
+    flagged = (
+        spine.join(
+            obs.withColumn("seen", F.lit(1)),
+            ["event_type", "bucket"],
+            "left",
+        )
+        .withColumn("is_gap", F.col("seen").isNull().cast("int"))
+        .drop("seen")
+    )
+    w_all = W.partitionBy("event_type").orderBy("bucket")
+    w_grp = W.partitionBy("event_type", "is_gap").orderBy("bucket")
+    flagged = flagged.withColumn(
+        "island", F.row_number().over(w_all) - F.row_number().over(w_grp)
+    )
+    runs = (
+        flagged.filter(F.col("is_gap") == 1)
+        .groupBy("event_type", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("event_type")
+        .agg(F.max("run_len").alias("longest_outage"))
+    )
+    totals = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_expected"),
+        F.sum("is_gap").alias("n_missing"),
+    )
+    return totals.join(runs, "event_type", "left").select(
+        "event_type",
+        "n_expected",
+        "n_missing",
+        F.coalesce(F.col("longest_outage"), F.lit(0))
+        .cast("long")
+        .alias("longest_outage"),
+    )
