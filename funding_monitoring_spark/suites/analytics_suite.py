@@ -503,15 +503,13 @@ FUNNEL_ORACLE = """
 """
 
 
-@query("event_funnel", FUNNEL_ORACLE)
-def q_event_funnel(spark, sf_dir):
-    """Strict-order funnel (view → later click → later purchase):
-    stage k's entry time is the first qualifying event AFTER the
-    user's stage-(k-1) time. Each stage is one grouped min + one
-    equi-join on user_id — the joins chain on the same key, so a
-    user-bucketed layout runs the whole funnel exchange-free. Output
-    is the 3-row stage count table."""
-    events = load_table(spark, sf_dir, "events")
+def _funnel_stage_times(events):
+    """(t1, t2, t3): each user's strict-order stage-entry times,
+    shared by the funnel count and latency queries. Every stage is
+    checkpointed: stage k feeds BOTH stage k+1 and the final output,
+    and stage k+1's lineage would otherwise re-derive the whole chain
+    (the raw table scanned 6-8× instead of once per stage —
+    measured)."""
 
     def stage(prev, etype):
         e = events.filter(F.col("event_type") == etype).select(
@@ -521,11 +519,30 @@ def q_event_funnel(spark, sf_dir):
             e = e.join(prev, "user_id").filter(
                 F.col("ts") > F.col("t")
             ).select("user_id", "ts")
-        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        return (
+            e.groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+            .localCheckpoint(eager=True)
+        )
 
     t1 = stage(None, "view")
     t2 = stage(t1, "click")
     t3 = stage(t2, "purchase")
+    return t1, t2, t3
+
+
+@query("event_funnel", FUNNEL_ORACLE)
+def q_event_funnel(spark, sf_dir):
+    """Strict-order funnel (view → later click → later purchase):
+    stage k's entry time is the first qualifying event AFTER the
+    user's stage-(k-1) time. Each stage is one grouped min + one
+    equi-join on user_id — the joins chain on the same key, so a
+    user-bucketed layout runs the whole funnel exchange-free; stages
+    checkpoint so the chain scans the feed once per stage, not
+    once per DOWNSTREAM consumer. Output is the 3-row stage count
+    table."""
+    events = load_table(spark, sf_dir, "events")
+    t1, t2, t3 = _funnel_stage_times(events)
     rows = []
     for i, (name, t) in enumerate(
         [("view", t1), ("click", t2), ("purchase", t3)], start=1
@@ -990,8 +1007,15 @@ def q_unigram_logprob_score(spark, sf_dir):
             )
         ).alias("t"),
     )
-    cc = toks.groupBy("t").agg(F.count(F.lit(1)).alias("nc"))
-    ctot = toks.agg(F.count(F.lit(1)).alias("cn"))
+    # the count table feeds both the total and the scoring join —
+    # checkpoint it, and derive the total FROM it (sum of counts),
+    # so the query is exactly two scans: count pass + scoring pass
+    cc = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .localCheckpoint(eager=True)
+    )
+    ctot = cc.agg(F.sum("nc").alias("cn"))
     p = F.col("nc").cast("double") / F.col("cn")
     return (
         toks.join(F.broadcast(cc), "t")
@@ -1046,23 +1070,10 @@ def q_funnel_latency_quantiles(spark, sf_dir):
     click→purchase latencies. Latencies are integer-µs differences
     scaled once (bit-identical on both engines); both engines use the
     same linear-interpolation percentile definition (Spark
-    `percentile` ≡ DuckDB `quantile_cont`). Same chained same-key
-    joins as the funnel count query."""
+    `percentile` ≡ DuckDB `quantile_cont`). Shares the checkpointed
+    stage chain with the funnel count query."""
     events = load_table(spark, sf_dir, "events")
-
-    def stage(prev, etype):
-        e = events.filter(F.col("event_type") == etype).select(
-            "user_id", "ts"
-        )
-        if prev is not None:
-            e = e.join(prev, "user_id").filter(
-                F.col("ts") > F.col("t")
-            ).select("user_id", "ts")
-        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
-
-    t1 = stage(None, "view")
-    t2 = stage(t1, "click")
-    t3 = stage(t2, "purchase")
+    t1, t2, t3 = _funnel_stage_times(events)
 
     def hop(a, b, name):
         return (
@@ -1135,6 +1146,8 @@ def q_vocab_coverage_curve(spark, sf_dir):
             )
         ).alias("t")
     )
+    # checkpointed: the ranked vocab feeds both the cumsum and the
+    # corpus total — one raw scan, not one per consumer
     ranked = (
         toks.groupBy("t")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1144,6 +1157,7 @@ def q_vocab_coverage_curve(spark, sf_dir):
             .over(W.orderBy(F.desc("n"), F.asc("t")))
             .alias("r"),
         )
+        .localCheckpoint(eager=True)
     )
     cum = ranked.select(
         "r",
