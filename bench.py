@@ -146,6 +146,7 @@ HEADLINE = [
     "funnel_latency_quantiles",
     "vocab_coverage_curve",
     "missing_ticks_report",
+    "stream_heavy_hitters",
 ]
 
 

@@ -204,6 +204,39 @@ def streaming_ohlc_bars(
         q.awaitTermination()
 
 
+def streaming_heavy_hitters(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> None:
+    """Per-(type, user) activity counts maintained incrementally:
+    update-mode streaming aggregation (Spark's agg state composes
+    counts across micro-batches), each changed count last-write-wins
+    upserted by its key. Ranking happens at READ time over the
+    converged store — the stream maintains the (small) count table,
+    not the top-k, so a rank change never needs a retraction. No
+    watermark: running totals over the whole feed are the point
+    (state is bounded by the distinct key space, same as the batch
+    shuffle)."""
+    src = stream_from_chunks(spark, chunks_dir, schema)
+    counts = src.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    writer = counts.writeStream.outputMode("update").foreachBatch(
+        upsert_writer(
+            store_path,
+            key_cols=["event_type", "user_id"],
+            order_cols=["n"],
+        )
+    )
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
 def streaming_hopping_rollup(
     spark: SparkSession,
     chunks_dir: str,
@@ -767,6 +800,12 @@ def _dispatch_pipeline(
     if pipeline == "ewma_stateful":
         store = os.path.join(workdir, "ewma")
         streaming_ewma_stateful(
+            spark, chunks_dir, schema, store, checkpoint
+        )
+        return spark.read.parquet(store)
+    if pipeline == "heavy_hitters":
+        store = os.path.join(workdir, "hitters")
+        streaming_heavy_hitters(
             spark, chunks_dir, schema, store, checkpoint
         )
         return spark.read.parquet(store)

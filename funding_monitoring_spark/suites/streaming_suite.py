@@ -342,3 +342,42 @@ def q_stream_ohlc_bars(spark, sf_dir):
     return replay_events_pipeline(
         spark, events, _workdir(), "ohlc_bars", N_CHUNKS
     )
+
+
+@query(
+    "stream_heavy_hitters",
+    """
+    WITH counts AS (
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+        SELECT event_type, user_id, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, user_id ASC) AS rnk
+        FROM counts
+    )
+    SELECT event_type, user_id, n, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_stream_heavy_hitters(spark, sf_dir):
+    """heavy_hitter_users as a stream: the per-(type, user) counts
+    accumulate incrementally in update-mode aggregation state and
+    upsert into the store; the top-10 ranking runs at read time over
+    the converged count table, so a rank change never needs a
+    retraction. Shares the batch heavy-hitters oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    store = replay_events_pipeline(
+        spark, events, _workdir(), "heavy_hitters", N_CHUNKS
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("user_id")
+    )
+    return (
+        store.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("event_type", "user_id", "n", "rnk")
+    )
