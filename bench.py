@@ -147,6 +147,7 @@ HEADLINE = [
     "vocab_coverage_curve",
     "missing_ticks_report",
     "stream_heavy_hitters",
+    "incremental_dedup",
 ]
 
 

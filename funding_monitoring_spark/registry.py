@@ -69,7 +69,8 @@ def query(name: str, sql: str | None):
 #: rollup_cascade, stream_ohlc_bars, token_id_encoding,
 #: packed_training_batches, quality_filter_ablation,
 #: unigram_logprob_score, funnel_latency_quantiles,
-#: vocab_coverage_curve, missing_ticks_report, stream_heavy_hitters.
+#: vocab_coverage_curve, missing_ticks_report, stream_heavy_hitters,
+#: incremental_dedup.
 _PRIORITY: list[str] = [
     # (a) never driver-checked, registered late in round 3 (15)
     "tpch_q2_min_cost_supplier",

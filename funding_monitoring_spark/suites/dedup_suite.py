@@ -5,11 +5,14 @@ LSH pipelines are hash-verified, not just rows-counted."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from funding_monitoring_spark.operators import dedup as D
 from funding_monitoring_spark.operators.textstats import (
     POLY_INIT,
     POLY_MOD,
     POLY_MULT,
+    poly_fingerprint,
 )
 from funding_monitoring_spark.registry import query
 from funding_monitoring_spark.sources.tables import load_table
@@ -295,4 +298,54 @@ def q_dedup_clusters_star(spark, sf_dir):
     pairs = D.minhash_lsh_pairs(docs, threshold=THRESHOLD)
     return dedup_cluster_assignment(docs, pairs, method="star").select(
         "doc_id", "cluster_id", "is_canonical"
+    )
+
+
+_INCR_FP = """
+    list_reduce(
+        list_prepend(CAST({init} AS BIGINT),
+            list_transform(string_split(text, ''),
+                           ch -> CAST(ascii(ch) AS BIGINT))),
+        (acc, x) -> (acc * {mult} + x) % {mod}
+    )
+""".format(init=POLY_INIT, mult=POLY_MULT, mod=POLY_MOD)
+
+INCREMENTAL_DEDUP_ORACLE = f"""
+    WITH store AS (
+        SELECT DISTINCT {_INCR_FP} AS fingerprint
+        FROM documents WHERE doc_id % 3 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, {_INCR_FP} AS fingerprint
+        FROM documents
+    )
+    SELECT b.doc_id, b.fingerprint
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM store s
+                      WHERE s.fingerprint = b.fingerprint)
+"""
+
+
+@query("incremental_dedup", INCREMENTAL_DEDUP_ORACLE)
+def q_incremental_dedup(spark, sf_dir):
+    """Continuous-ingestion dedup: admit only the documents of a new
+    batch whose fingerprint is NOT in the historical fingerprint
+    store — the steady-state shape of corpus dedup (each arriving
+    batch checks against everything already accepted, never
+    re-clustering the full corpus). One LEFT ANTI join on the 64-bit
+    fingerprint: the store side carries fingerprints only (never
+    text), and at 100 TB both sides are bucketed by fingerprint so
+    the probe is exchange-free. Fixture: the store is the docs with
+    doc_id % 3 != 0; the fixture's exact-duplicate pairs make the
+    admitted set a strict subset of the %3==0 docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = poly_fingerprint("text").alias("fingerprint")
+    store = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(fp)
+        .distinct()
+    )
+    batch = docs.select("doc_id", fp)
+    return batch.join(store, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
     )
