@@ -423,3 +423,42 @@ def test_anomaly_alerts_restart_keeps_state_and_appends_once(
     spike = {r.event_id: r for r in out2}[11]
     assert spike.baseline_n == 11  # state survived the restart
     assert spike.is_anomaly == 1 and spike.zscore > 2
+
+
+def test_ohlc_late_within_watermark_updates_bar(spark, tmp_path):
+    """A late tick still inside the watermark must REVISE its bar
+    (min_by recomputes the open in aggregation state), and the
+    update-mode re-emission must overwrite the previously-upserted
+    bar rather than duplicate it."""
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_ohlc_bars,
+    )
+
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    # bar [0,60min): first batch has ticks at t=5 and t=10
+    b0 = _events(
+        spark,
+        [(1, _ts(5), 1, "a", 10.0), (2, _ts(10), 1, "a", 30.0)],
+    )
+    # late tick at t=1 — EARLIER than the current open, within the
+    # 10-minute watermark → must become the new open
+    b1 = _events(spark, [(3, _ts(1), 1, "a", 20.0)])
+    _write_chunk(b0, chunks, 0)
+    _write_chunk(b1, chunks, 1)
+    store = os.path.join(tmp, "store")
+    streaming_ohlc_bars(
+        spark,
+        chunks,
+        b0.schema,
+        store,
+        os.path.join(tmp, "ckpt"),
+        interval="1 hour",
+    )
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) == 1  # one bar, not a duplicate per emission
+    bar = rows[0]
+    assert bar.open == 20.0  # revised by the late tick
+    assert bar.close == 30.0
+    assert bar.high == 30.0 and bar.low == 10.0
+    assert bar.n_ticks == 3
