@@ -219,3 +219,72 @@ def test_gap_fill_forward_fills_and_flags(spark):
         2: (15.0, 1),
         3: (7.0, 0),
     }
+
+
+def test_bpe_property_random_corpora(spark):
+    """Property check: the distributed BPE merge loop equals the
+    textbook algorithm on randomized corpora — exercising merge ties,
+    repeated characters ('aaa' overlap handling), single-char words,
+    and merged-symbol re-merging far beyond the fixture."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from funding_monitoring_spark.operators.bpe import bpe_train
+
+    words = st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(words)
+    def check(ws):
+        docs = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(ws)], "doc_id long, text string"
+        )
+        k = 3
+        got = sorted(
+            (r["step"], r["pair_a"], r["pair_b"], r["n"])
+            for r in bpe_train(docs, n_merges=k).collect()
+        )
+        # pure-python reference
+        state = [list(w) for w in ws]
+        want = []
+        for step in range(1, k + 1):
+            counts = {}
+            for syms in state:
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+            if not counts:
+                # corpus fully merged: every remaining word is one
+                # symbol. The distributed argmax has no row either —
+                # bpe_train emits nothing for this step.
+                break
+            (a, b), n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            want.append((step, a, b, n))
+            new_state = []
+            for syms in state:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_state.append(out)
+            state = new_state
+        assert got == sorted(want)
+
+    check()
