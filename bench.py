@@ -148,6 +148,7 @@ HEADLINE = [
     "missing_ticks_report",
     "stream_heavy_hitters",
     "incremental_dedup",
+    "robust_anomaly_mad",
 ]
 
 

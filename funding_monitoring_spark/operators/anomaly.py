@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from funding_monitoring_spark.functions.scalars import let
+
 
 def rolling_zscore(
     df: DataFrame,
@@ -84,6 +86,103 @@ def rolling_zscore(
         df.withColumn("baseline_n", cnt)
         .withColumn("baseline_avg", avg)
         .withColumn(score_col, z)
+    )
+
+
+def _array_median(arr: Column) -> Column:
+    """Interpolated median of a double array (NULL for empty) — pure
+    HOF algebra (array_sort + element_at), bit-identical in any
+    engine. The sorted array is let-bound so it is EVALUATED once per
+    call — Catalyst inlines every column reference, and an unbound
+    sort referenced three times would otherwise sort three times (and
+    explode the expression tree when the caller maps this function
+    over array elements). Indices clamp to ≥1 because Spark evaluates
+    both CASE branches' index expressions even for the empty-array
+    rows the guard excludes (index 0 is a hard error)."""
+
+    def body(srt: Column) -> Column:
+        n = F.size(srt)
+        one = F.lit(1)
+        odd = F.try_element_at(
+            srt, F.greatest(((n + 1) / 2).cast("int"), one)
+        )
+        even = (
+            F.try_element_at(srt, F.greatest((n / 2).cast("int"), one))
+            + F.try_element_at(
+                srt, F.greatest((n / 2 + 1).cast("int"), one)
+            )
+        ) / 2
+        return (
+            F.when(n == 0, F.lit(None).cast("double"))
+            .when(n % 2 == 1, odd)
+            .otherwise(even)
+        )
+
+    return let(F.array_sort(arr), body)
+
+
+def rolling_mad_score(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    n: int = 20,
+    min_obs: int = 10,
+    score_col: str = "mad_score",
+) -> DataFrame:
+    """Robust twin of rolling_zscore: score against the trailing
+    frame's MEDIAN and MAD (median absolute deviation) instead of
+    mean/stddev — a prior spike in the baseline inflates a stddev and
+    masks the next one, but barely moves a median.
+
+        score = 0.6745 · (x − median) / MAD
+
+    (0.6745 ≈ Φ⁻¹(3/4) makes the score comparable to a z-score under
+    normality — the standard consistency constant.)
+
+    Plan shape: the trailing frame materializes ONCE per row as a
+    bounded (≤ n) array via collect_list over the window frame, and
+    median/MAD are pure array HOFs on it — still one hash exchange +
+    one sort, no Python, no self-join; the per-row cost is O(n log n)
+    on a 20-element array. Guards mirror rolling_zscore: short
+    baseline → NULL, zero MAD (≥ half the frame identical) → NULL.
+
+    The score is emitted UNROUNDED: every input (frame values, their
+    sorted order, the median/MAD halves) is bit-identical across
+    engines, so the one multiply and divide produce the same double
+    everywhere — while ROUNDing it would sit on half-boundaries
+    whenever the data grid makes the score a terminating rational
+    (observed at sf0.1)."""
+    frame = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_by)
+        .rowsBetween(-n, -1)
+    )
+    arr = F.collect_list(value_col).over(frame)
+
+    def body(a: Column) -> Column:
+        # nested let: the median is BOUND before the deviation
+        # transform references it — an unbound median would inline
+        # (and re-sort) once per array ELEMENT, a ~20× expression
+        # blowup that knocks the projection out of codegen
+        def with_med(m: Column) -> Column:
+            devs = F.transform(a, lambda x: F.abs(x - m))
+            return F.struct(
+                m.alias("med"), _array_median(devs).alias("mad")
+            )
+
+        return let(_array_median(a), with_med)
+
+    stats = let(arr, body)
+    cnt = F.size(arr)
+    score = F.when(
+        (cnt >= min_obs) & (stats["mad"] > 0),
+        F.lit(0.6745) * (F.col(value_col) - stats["med"]) / stats["mad"],
+    )
+    return (
+        df.withColumn("baseline_n", cnt.cast("long"))
+        .withColumn("baseline_median", stats["med"])
+        .withColumn(score_col, score)
     )
 
 

@@ -1303,3 +1303,80 @@ def q_missing_ticks_report(spark, sf_dir):
         .cast("long")
         .alias("longest_outage"),
     )
+
+
+MAD_ORACLE = """
+    WITH framed AS (
+        SELECT event_id, event_type, value,
+               COALESCE(list(value) OVER w, CAST([] AS DOUBLE[])) AS arr
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    m1 AS (
+        SELECT *, len(arr) AS n, list_sort(arr) AS srt FROM framed
+    ),
+    m2 AS (
+        SELECT *,
+               CASE WHEN n = 0 THEN NULL
+                    WHEN n % 2 = 1 THEN srt[CAST((n + 1) / 2 AS INT)]
+                    ELSE (srt[CAST(n / 2 AS INT)]
+                          + srt[CAST(n / 2 + 1 AS INT)]) / 2
+               END AS med
+        FROM m1
+    ),
+    m3 AS (
+        SELECT *,
+               list_sort(list_transform(arr, x -> abs(x - med)))
+                   AS dsrt
+        FROM m2
+    ),
+    m4 AS (
+        SELECT *,
+               CASE WHEN n = 0 THEN NULL
+                    WHEN n % 2 = 1 THEN dsrt[CAST((n + 1) / 2 AS INT)]
+                    ELSE (dsrt[CAST(n / 2 AS INT)]
+                          + dsrt[CAST(n / 2 + 1 AS INT)]) / 2
+               END AS mad
+        FROM m3
+    )
+    SELECT event_id, event_type,
+           CAST(n AS BIGINT) AS baseline_n,
+           med AS baseline_median,
+           CASE WHEN n >= 10 AND mad > 0
+                THEN 0.6745 * (value - med) / mad
+           END AS mad_score
+    FROM m4
+"""
+
+
+@query("robust_anomaly_mad", MAD_ORACLE)
+def q_robust_anomaly_mad(spark, sf_dir):
+    """Robust twin of funding_rate_anomaly (operators/anomaly.py
+    rolling_mad_score): score each observation against the trailing
+    frame's MEDIAN and MAD rather than mean/stddev — a prior spike in
+    the baseline inflates a stddev and masks the next one, but barely
+    moves a median. The frame materializes once per row as a bounded
+    20-element array (collect_list over the window frame) and
+    median/MAD are pure array HOFs on it — still one exchange, one
+    sort, no Python; every intermediate double is bit-identical to the
+    oracle's list algebra, so only the final score is rounded."""
+    from funding_monitoring_spark.operators.anomaly import (
+        rolling_mad_score,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return rolling_mad_score(
+        events,
+        ["event_type"],
+        [F.col("ts"), F.col("event_id")],
+        "value",
+        n=20,
+        min_obs=10,
+    ).select(
+        "event_id",
+        "event_type",
+        "baseline_n",
+        "baseline_median",
+        "mad_score",
+    )
