@@ -149,6 +149,7 @@ HEADLINE = [
     "stream_heavy_hitters",
     "incremental_dedup",
     "robust_anomaly_mad",
+    "embedding_top_component",
 ]
 
 

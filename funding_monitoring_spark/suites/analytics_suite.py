@@ -1380,3 +1380,34 @@ def q_robust_anomaly_mad(spark, sf_dir):
         "baseline_median",
         "mad_score",
     )
+
+
+from funding_monitoring_spark.operators.pca import (  # noqa: E402
+    oracle_top_component_sql,
+    top_component,
+)
+from funding_monitoring_spark.suites.olap_suite import (  # noqa: E402
+    EMBEDDING_COV_SQL,
+)
+
+
+@query(
+    "embedding_top_component",
+    oracle_top_component_sql(EMBEDDING_COV_SQL, n_iter=4),
+)
+def q_embedding_top_component(spark, sf_dir):
+    """Distributed power-iteration PCA (operators/pca.py): the
+    corpus's top principal direction from the covariance table —
+    matrix·vector as equi-join + groupBy per iteration, norm as a
+    1-row broadcast, the matrix never collected. The data-scale half
+    (covariance) is the Arrow outer-product partial aggregate; the
+    eigensolve stays declarative so the SAME plan serves matrices too
+    large to collect. Oracle unrolls the identical four iterations
+    over the identical round-6 covariance."""
+    from funding_monitoring_spark.operators.vectorops import (
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = embedding_covariance(emb)
+    return top_component(spark, cov, n_iter=4)

@@ -219,9 +219,9 @@ def q_embedding_centroids(spark, sf_dir):
     return centroids_long(emb, "label", "embedding")
 
 
-@query(
-    "embedding_covariance",
-    """
+#: shared with the PCA power-iteration oracle
+#: (suites/analytics_suite.py embedding_top_component)
+EMBEDDING_COV_SQL = """
     WITH dims AS (
         SELECT unnest(range(1,
             (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS di
@@ -244,8 +244,10 @@ def q_embedding_centroids(spark, sf_dir):
         GROUP BY 1, 2
     )
     SELECT i, j, ROUND(e_xy - mu_i * mu_j, 6) + 0.0 AS cov FROM prods
-    """,
-)
+    """
+
+
+@query("embedding_covariance", EMBEDDING_COV_SQL)
 def q_embedding_covariance(spark, sf_dir):
     """Corpus covariance matrix of the embedding column (upper
     triangle, long form) — the PCA/whitening/drift-detection
