@@ -150,6 +150,8 @@ HEADLINE = [
     "incremental_dedup",
     "robust_anomaly_mad",
     "embedding_top_component",
+    "trend_regression",
+    "skew_diagnostics",
 ]
 
 

@@ -1411,3 +1411,87 @@ def q_embedding_top_component(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cov = embedding_covariance(emb)
     return top_component(spark, cov, n_iter=4)
+
+
+TREND_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, epoch_us(ts) / 3600000000.0), 6)
+               + 0.0 AS slope_per_hour,
+           ROUND(regr_intercept(value, epoch_us(ts) / 3600000000.0), 6)
+               + 0.0 AS intercept,
+           ROUND(regr_r2(value, epoch_us(ts) / 3600000000.0), 6)
+               AS r2
+    FROM events GROUP BY event_type
+"""
+
+
+@query("trend_regression", TREND_ORACLE)
+def q_trend_regression(spark, sf_dir):
+    """Per-symbol linear trend: OLS slope/intercept/R² of the rate
+    against time (hours), via the built-in regression aggregates —
+    single-pass sufficient statistics with map-side partials, the
+    degenerate-but-ubiquitous 1-feature case of distributed OLS (the
+    d-feature generalization is the normal-equation aggregate, whose
+    matrix half is operators/vectorops.embedding_covariance). Time is
+    integer-µs scaled once so both engines regress identical
+    doubles."""
+    events = load_table(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts")) / F.lit(3_600_000_000.0)
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.regr_slope(F.col("value"), x), 6) + F.lit(0.0))
+        .alias("slope_per_hour"),
+        (F.round(F.regr_intercept(F.col("value"), x), 6) + F.lit(0.0))
+        .alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )
+
+
+SKEW_DIAG_ORACLE = """
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM per_key)
+    SELECT (SELECT n_keys FROM tot) AS n_keys,
+           (SELECT total FROM tot) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           ROUND(MAX(n) / CAST((SELECT total FROM tot) AS DOUBLE), 6)
+               AS top_key_share,
+           ROUND(quantile_cont(n, 0.5), 6) AS p50_key_rows,
+           ROUND(quantile_cont(n, 0.99), 6) AS p99_key_rows,
+           ROUND(MAX(n) / quantile_cont(n, 0.5), 6) AS skew_ratio
+    FROM per_key
+"""
+
+
+@query("skew_diagnostics", SKEW_DIAG_ORACLE)
+def q_skew_diagnostics(spark, sf_dir):
+    """Shuffle-risk profile of a prospective join/group key: distinct
+    keys, hottest key's row count and share, p50/p99 group sizes, and
+    the max/median skew ratio — the numbers that decide BETWEEN the
+    plain, salted (operators/skew.py), and broadcast strategies before
+    a 100 TB shuffle is committed. One map-side-combined count plus a
+    single-row summary; the profile costs one scan of the key column
+    only."""
+    events = load_table(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.round(
+            F.max("n") / F.sum("n").cast("double"), 6
+        ).alias("top_key_share"),
+        F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50_key_rows"),
+        F.round(F.percentile("n", F.lit(0.99)), 6).alias(
+            "p99_key_rows"
+        ),
+        F.round(
+            F.max("n") / F.percentile("n", F.lit(0.5)), 6
+        ).alias("skew_ratio"),
+    )
