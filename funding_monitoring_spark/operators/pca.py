@@ -50,7 +50,11 @@ def top_component(
 ) -> DataFrame:
     """``n_iter`` power iterations on the (upper-triangular) covariance
     table; returns (dim, loading, eigenvalue) — the principal
-    direction and its Rayleigh-quotient-free norm estimate.
+    direction estimate and its ‖Cv‖ eigenvalue estimate. Convergence
+    rate is (λ₂/λ₁)ᵏ: structured data converges in a handful of
+    iterations, a flat spectrum needs more — the differential oracle
+    checks the ALGEBRA exactly at any k (tests assert the monotone
+    Rayleigh climb separately).
 
     Fully declarative: the vector is a d-row DataFrame, each iteration
     one join + one aggregate + one broadcast norm; intermediates are
