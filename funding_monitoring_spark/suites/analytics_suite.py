@@ -1,16 +1,26 @@
-"""Round-4 analytics extensions: rate-anomaly scoring, tick-over-tick
-snapshot diffing, exact heavy hitters, cross-series correlation, and
-two training-corpus planners (fixed-size group sampling, mixture
-planning) plus the BPE pair-count primitive.
+"""Round-4 analytics extensions, two families:
 
-These extend the reference's monitoring surface in the direction its
-users actually go next: the reference stops at trailing means
-(reference funding_rates_etl.py:60-75) and full-replace snapshots
-(active_futures_etl.py:95-118); alerting on deviations, diffing
-consecutive ticks, and ranking hot keys are the follow-on questions
-every monitoring deployment asks. The corpus planners belong to the
-north-star training-data surface (BASELINE.json) alongside
-sampling/dedup/packing.
+Monitoring — the questions a rates monitor asks after trailing means
+(the reference stops at funding_rates_etl.py:60-75 and full-replace
+snapshots, active_futures_etl.py:95-118): rolling z-score and robust
+median/MAD anomaly scoring, tick-over-tick snapshot diffing, exact
+heavy hitters, the cross-series correlation matrix and rolling hedge
+ratios, OLS trends, strict-order funnels with latency quantiles,
+triangle counting on the capped co-occurrence graph, the
+hour→day→month rollup cascade, the missing-ticks heartbeat report,
+and a shuffle-risk skew profiler.
+
+Training-data (north-star surface, BASELINE.json): fixed-size group
+sampling, mixture planning, the BPE pair-count primitive and full
+tokenizer training, Misra-Gries two-pass frequent items, per-source
+KL drift, quality-threshold ablation, unigram log-prob scoring,
+vocabulary coverage curves, Morton z-values, and distributed
+power-iteration PCA over the embedding covariance.
+
+Every query has a DuckDB oracle; cross-engine float discipline
+follows the verify-skill gotchas (grid-aware rounding, exact decimal
+means, -0.0 canonicalization, bit-identical division instead of
+rounding where inputs are already engine-exact).
 """
 
 from __future__ import annotations
