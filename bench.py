@@ -152,6 +152,7 @@ HEADLINE = [
     "embedding_top_component",
     "trend_regression",
     "skew_diagnostics",
+    "stream_window_distinct_users",
 ]
 
 

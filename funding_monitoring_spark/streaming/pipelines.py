@@ -204,6 +204,57 @@ def streaming_ohlc_bars(
         q.awaitTermination()
 
 
+def streaming_window_distinct_users(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    interval: str = "1 hour",
+    available_now: bool = True,
+    watermark: str = WATERMARK_DELAY,
+) -> None:
+    """Exact DISTINCT-count over streaming windows — the aggregation
+    Spark forbids directly (no countDistinct in streaming) — via the
+    chained-stateful decomposition: a stateful dropDuplicates on
+    (window bucket, user) feeds a windowed count in APPEND mode
+    (Spark ≥3.4 allows stacked stateful operators under one watermark
+    in append). Each window emits exactly once when the watermark
+    passes its end, so bounded replays need the same far-future
+    sentinel flush as session windows. Dedup state here is the full
+    (window, user) key set; a production deployment bounds it with
+    dropDuplicatesWithinWatermark exactly as the ingestion pipeline
+    does."""
+    src = stream_from_chunks(spark, chunks_dir, schema)
+    bucketed = (
+        src.withWatermark("ts", watermark)
+        .withColumn("wstart", F.date_trunc("hour", F.col("ts")))
+    )
+    dedup = bucketed.dropDuplicates(["wstart", "user_id"])
+    agg = dedup.groupBy(F.window("ts", interval).alias("w")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+    def flatten(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_users",
+        )
+
+    writer = agg.writeStream.outputMode("append").foreachBatch(
+        upsert_writer(
+            store_path,
+            key_cols=["window_start"],
+            order_cols=["n_users"],
+            transform=flatten,
+        )
+    )
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
 def streaming_heavy_hitters(
     spark: SparkSession,
     chunks_dir: str,
@@ -800,6 +851,12 @@ def _dispatch_pipeline(
     if pipeline == "ewma_stateful":
         store = os.path.join(workdir, "ewma")
         streaming_ewma_stateful(
+            spark, chunks_dir, schema, store, checkpoint
+        )
+        return spark.read.parquet(store)
+    if pipeline == "window_distinct_users":
+        store = os.path.join(workdir, "wdu")
+        streaming_window_distinct_users(
             spark, chunks_dir, schema, store, checkpoint
         )
         return spark.read.parquet(store)

@@ -381,3 +381,46 @@ def q_stream_heavy_hitters(spark, sf_dir):
         .filter(F.col("rnk") <= 10)
         .select("event_type", "user_id", "n", "rnk")
     )
+
+
+@query(
+    "stream_window_distinct_users",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+               AS window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_window_distinct_users(spark, sf_dir):
+    """Exact hourly DISTINCT users as a stream — the aggregation
+    streaming Spark forbids directly, decomposed into chained stateful
+    operators (dropDuplicates on (window, user) → windowed count,
+    append mode). Windows emit once when the watermark passes their
+    end, so the replay appends the far-future sentinel flush and
+    filters its own window back out."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.streaming.pipelines import (
+        WATERMARK_DELAY_SECONDS,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.max("ts").alias("m")).first()
+    flush_ts = bounds["m"] + timedelta(
+        seconds=3600 + 2 * WATERMARK_DELAY_SECONDS + 60
+    )
+    sentinel = events.sparkSession.createDataFrame(
+        [(-1, flush_ts, -1, "sentinel", 0.0, None)], events.schema
+    )
+    out = replay_events_pipeline(
+        spark,
+        events.unionByName(sentinel),
+        _workdir(),
+        "window_distinct_users",
+        N_CHUNKS,
+    )
+    return out.filter(F.col("window_start") < F.lit(flush_ts))

@@ -462,3 +462,42 @@ def test_ohlc_late_within_watermark_updates_bar(spark, tmp_path):
     assert bar.close == 30.0
     assert bar.high == 30.0 and bar.low == 10.0
     assert bar.n_ticks == 3
+
+
+def test_heavy_hitters_restart_accumulates_counts_once(spark, tmp_path):
+    """Count state must survive a checkpoint restart (run 2's rows
+    increment run 1's totals) and a replayed run must not double-count
+    (idempotent upsert by key)."""
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_heavy_hitters,
+    )
+
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    ckpt = os.path.join(tmp, "ckpt")
+    store = os.path.join(tmp, "store")
+    b0 = _events(
+        spark,
+        [(i, _ts(i), 7, "a", 1.0) for i in range(3)]
+        + [(10, _ts(10), 8, "a", 1.0)],
+    )
+    _write_chunk(b0, chunks, 0)
+    streaming_heavy_hitters(spark, chunks, b0.schema, store, ckpt)
+    got = {
+        (r.event_type, r.user_id): r.n
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == {("a", 7): 3, ("a", 8): 1}
+
+    # restart with two more events for user 7
+    b1 = _events(
+        spark, [(20, _ts(20), 7, "a", 1.0), (21, _ts(21), 7, "a", 1.0)]
+    )
+    _write_chunk(b1, chunks, 1)
+    streaming_heavy_hitters(spark, chunks, b0.schema, store, ckpt)
+    got = {
+        (r.event_type, r.user_id): r.n
+        for r in spark.read.parquet(store).collect()
+    }
+    # 3 + 2, not 3 + 2 + (re-applied 3) — state carried, not replayed
+    assert got == {("a", 7): 5, ("a", 8): 1}
