@@ -153,6 +153,9 @@ HEADLINE = [
     "trend_regression",
     "skew_diagnostics",
     "stream_window_distinct_users",
+    "table_profile",
+    "ks_two_sample",
+    "weekly_churn",
 ]
 
 

@@ -1505,3 +1505,184 @@ def q_skew_diagnostics(spark, sf_dir):
             F.max("n") / F.percentile("n", F.lit(0.5)), 6
         ).alias("skew_ratio"),
     )
+
+
+PROFILE_ORACLE = """
+    SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(event_id) AS VARCHAR) AS min_repr,
+           CAST(MAX(event_id) AS VARCHAR) AS max_repr
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+           COUNT(DISTINCT user_id),
+           CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+           COUNT(DISTINCT event_type),
+           MIN(event_type), MAX(event_type)
+    FROM events
+"""
+
+
+@query("table_profile", PROFILE_ORACLE)
+def q_table_profile(spark, sf_dir):
+    """Data-profiling report (the Deequ-profile analogue to the
+    expectation_audit CHECKS): per column — row count, nulls, distinct
+    count, min/max as canonical strings. All columns profile in ONE
+    pass per projection via the multi-aggregate; the long-form output
+    unions the per-column rows. At 100 TB the exact distinct counts
+    swap for approx_count_distinct; the report shape is unchanged."""
+    events = load_table(spark, sf_dir, "events")
+
+    def profile(col):
+        # min/max in the column's OWN order, stringified AFTER (a
+        # pre-cast would make numeric min/max lexicographic)
+        return events.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_repr"),
+            F.max(col).cast("string").alias("max_repr"),
+        )
+
+    return (
+        profile("event_id")
+        .unionAll(profile("user_id"))
+        .unionAll(profile("event_type"))
+    )
+
+
+KS_ORACLE = """
+    WITH vals AS (
+        SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                   AS s1,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s2
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    tot AS (SELECT CAST(SUM(s1) AS BIGINT) AS n1,
+                   CAST(SUM(s2) AS BIGINT) AS n2 FROM vals),
+    cum AS (
+        SELECT SUM(s1) OVER w AS c1, SUM(s2) OVER w AS c2
+        FROM vals
+        WINDOW w AS (ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT (SELECT n1 FROM tot) AS n1,
+           (SELECT n2 FROM tot) AS n2,
+           MAX(ABS(CAST(c1 AS DOUBLE) / (SELECT n1 FROM tot)
+                   - CAST(c2 AS DOUBLE) / (SELECT n2 FROM tot)))
+               AS ks_d
+    FROM cum
+"""
+
+
+@query("ks_two_sample", KS_ORACLE)
+def q_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    view value distributions — distribution-drift detection with zero
+    binning decisions. D = max |F̂₁ − F̂₂| over the pooled sorted
+    sample: one global-order window over indicator cumsums (ties
+    resolved identically by evaluating at cumulative counts AFTER each
+    value). Every candidate is an exact integer ratio, so D needs no
+    rounding — identical doubles on both engines. The global sort is
+    the honest cost; at scale the same statistic computes over a
+    range-partitioned sort."""
+    events = load_table(spark, sf_dir, "events")
+    vals = events.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "value",
+        (F.col("event_type") == "click").cast("int").alias("s1"),
+        (F.col("event_type") == "view").cast("int").alias("s2"),
+    )
+    tot = vals.agg(
+        F.sum("s1").alias("n1"), F.sum("s2").alias("n2")
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vals.select(
+        F.sum("s1").over(w).alias("c1"),
+        F.sum("s2").over(w).alias("c2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("c1").cast("double") / F.col("n1")
+                    - F.col("c2").cast("double") / F.col("n2")
+                )
+            ).alias("ks_d"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+        .select("n1", "n2", "ks_d")
+    )
+
+
+CHURN_ORACLE = """
+    WITH weekly AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        FROM events
+    ),
+    max_w AS (SELECT MAX(week) AS mw FROM weekly)
+    SELECT a.week,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned,
+           ROUND(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS churn_rate
+    FROM weekly a
+    LEFT JOIN weekly b ON b.user_id = a.user_id
+                       AND b.week = a.week + INTERVAL 7 DAY
+    WHERE a.week < (SELECT mw FROM max_w)
+    GROUP BY a.week
+"""
+
+
+@query("weekly_churn", CHURN_ORACLE)
+def q_weekly_churn(spark, sf_dir):
+    """Week-over-week churn: users active in week w with no activity
+    in w+1 (the final observed week is excluded — its churn is not
+    yet knowable). One distinct projection to the (user, week) grain,
+    one self LEFT join shifted by 7 days (same user key — bucketed
+    layout runs it exchange-free), integer ratios rounded at 6."""
+    events = load_table(spark, sf_dir, "events")
+    weekly = (
+        events.select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    max_w = weekly.agg(F.max("week").alias("mw"))
+    a = weekly.alias("a")
+    b = weekly.alias("b")
+    joined = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (
+            F.col("b.week")
+            == F.col("a.week") + F.expr("INTERVAL 7 DAYS")
+        ),
+        "left",
+    )
+    churned = F.col("b.user_id").isNull().cast("int")
+    return (
+        joined.crossJoin(F.broadcast(max_w))
+        .filter(F.col("a.week") < F.col("mw"))
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(churned).alias("n_churned"),
+            F.round(
+                F.sum(churned) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("churn_rate"),
+        )
+    )
