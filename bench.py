@@ -156,6 +156,7 @@ HEADLINE = [
     "table_profile",
     "ks_two_sample",
     "weekly_churn",
+    "multi_touch_attribution",
 ]
 
 

@@ -72,7 +72,8 @@ def query(name: str, sql: str | None):
 #: vocab_coverage_curve, missing_ticks_report, stream_heavy_hitters,
 #: incremental_dedup, robust_anomaly_mad, embedding_top_component,
 #: trend_regression, skew_diagnostics, stream_window_distinct_users,
-#: table_profile, ks_two_sample, weekly_churn.
+#: table_profile, ks_two_sample, weekly_churn,
+#: multi_touch_attribution.
 _PRIORITY: list[str] = [
     # (a) never driver-checked, registered late in round 3 (15)
     "tpch_q2_min_cost_supplier",

@@ -1686,3 +1686,85 @@ def q_weekly_churn(spark, sf_dir):
             ).alias("churn_rate"),
         )
     )
+
+
+_ATTR_WINDOW = 3600  # credit clicks within the hour before a purchase
+
+ATTRIBUTION_ORACLE = f"""
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts FROM events
+        WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT p.purchase_id, p.value, c.click_ts,
+               COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+        FROM purchases p
+        -- bounds mirror interval_join exactly: strict lower (click >
+        -- purchase - W, from purchase < click + W), strict upper from
+        -- the explicit click < purchase filter
+        JOIN clicks c ON c.user_id = p.user_id
+                      AND c.click_ts > p.purchase_ts
+                                       - INTERVAL {_ATTR_WINDOW} SECOND
+                      AND c.click_ts < p.purchase_ts
+    )
+    SELECT make_timestamp((epoch_us(click_ts) // 3600000000)
+                          * 3600000000) AS touch_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(value / n_touches), 6) AS credited_value
+    FROM touches
+    GROUP BY 1
+"""
+
+
+@query("multi_touch_attribution", ATTRIBUTION_ORACLE)
+def q_multi_touch_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value splits
+    evenly across the user's clicks in the prior hour, credit rolled
+    up by touch hour. Composes the bucketed interval join
+    (operators/temporal.py — candidate pairs meet in an equi-join on
+    (user, time-bucket), never a theta join) with a per-purchase
+    window count for the 1/n split. The split weight is one exact
+    division per pair; only the credited sum rounds."""
+    from funding_monitoring_spark.operators.temporal import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    # interval_join matches left.ts <= right.ts < left.ts + window:
+    # left = clicks (window start), right = purchases — a click is a
+    # touch for purchases in the hour AFTER it; the strict/inclusive
+    # ends mirror the oracle (click_ts >= p - W AND click_ts < p)
+    pairs = interval_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        window_seconds=_ATTR_WINDOW,
+    ).filter(F.col("click_ts") < F.col("purchase_ts"))
+    w = Window.partitionBy("purchase_id")
+    touches = pairs.withColumn("n_touches", F.count(F.lit(1)).over(w))
+    us = 3_600_000_000
+    touch_hour = F.timestamp_seconds(
+        F.floor(F.unix_micros(F.col("click_ts")) / us) * 3600
+    )
+    return touches.groupBy(touch_hour.alias("touch_hour")).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(
+            F.sum(F.col("value") / F.col("n_touches")), 6
+        ).alias("credited_value"),
+    )

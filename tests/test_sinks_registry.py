@@ -170,3 +170,31 @@ def test_schema_evolution_merged_read(spark, tmp_path):
     assert set(merged.columns) >= {"id", "source", "score"}
     nulls = merged.filter("score IS NULL").count()
     assert nulls == 3  # gen=1 rows surface the new column as NULL
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(
+    spark, tmp_path
+):
+    """Dynamic partition overwrite — the per-partition replace
+    semantics a partitioned lakehouse store depends on: writing a
+    batch that touches one partition must replace THAT partition's
+    content and leave every other partition intact (static mode would
+    truncate the whole table)."""
+    store = str(tmp_path / "parts")
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10), ("c", 100)], "p string, v int"
+    )
+    base.write.partitionBy("p").parquet(store)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch = spark.createDataFrame([("b", 99)], "p string, v int")
+        patch.write.mode("overwrite").partitionBy("p").parquet(store)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev
+        )
+    got = {
+        (r.p, r.v) for r in spark.read.parquet(store).collect()
+    }
+    assert got == {("a", 1), ("a", 2), ("b", 99), ("c", 100)}
