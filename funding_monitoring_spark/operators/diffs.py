@@ -39,6 +39,12 @@ def snapshot_diff(
     compared column as ``old_<c>`` / ``new_<c>``, and ``diff_status``
     in {added, removed, changed, unchanged}.
     """
+    reserved = {"__in_old", "__in_new"}
+    clash = reserved & (set(old.columns) | set(new.columns))
+    if clash:
+        raise ValueError(
+            f"snapshot_diff reserves column names {sorted(clash)}"
+        )
     o = old.select(
         *key_cols, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
     ).withColumn("__in_old", F.lit(1))

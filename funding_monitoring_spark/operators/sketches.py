@@ -82,8 +82,14 @@ def frequent_items_exact_2pass(
     carrying both the candidates and the partition row counts (so the
     global N needs no separate counting scan); pass 2 (the other scan)
     aggregates only rows whose item is in the (broadcast, checkpointed)
-    candidate set. The full distinct-item space never shuffles."""
-    items = df.select(item.alias("item"))
+    candidate set. The full distinct-item space never shuffles.
+
+    NULL items are excluded from counting (a NULL row would collide
+    with the summary's NULL-item partition-count sentinel, and
+    "frequency of NULL" is not a meaningful heavy hitter)."""
+    items = df.select(item.alias("item")).filter(
+        F.col("item").isNotNull()
+    )
     # checkpoint the tiny summary: it feeds BOTH the candidate set and
     # the total, and without it each consumer would re-run the MG scan
     summary = items.mapInPandas(

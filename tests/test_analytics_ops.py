@@ -333,3 +333,38 @@ def test_top_component_converges_to_numpy_eigvector(spark, sf_dir):
     cos4 = abs(float(v @ top)) / (np.linalg.norm(v) + 1e-12)
     cos1 = abs(float(v1 @ top))
     assert cos4 > cos1, (cos4, cos1)
+
+
+def test_frequent_items_null_and_exactness(spark):
+    """MG two-pass edge cases: NULL items never count (and never
+    collide with the partition-count sentinel), and the verified
+    output equals the plain exact threshold query on a skewed
+    multiset."""
+    from funding_monitoring_spark.operators.sketches import (
+        frequent_items_exact_2pass,
+    )
+
+    rows = (
+        [("hot",)] * 50
+        + [("warm",)] * 20
+        + [(f"cold{i}",) for i in range(30)]
+        + [(None,)] * 40
+    )
+    df = spark.createDataFrame(rows, "item string")
+    # capacity 5 → threshold N/5 = 100/5 = 20 (NULLs excluded from N)
+    got = {
+        r["item"]: r["n"]
+        for r in frequent_items_exact_2pass(
+            df, F.col("item"), capacity=5
+        ).collect()
+    }
+    # exact semantics: strictly greater than N/capacity
+    assert got == {"hot": 50}
+    # sanity: lowering the bar admits warm too (threshold 100/10 = 10)
+    got10 = {
+        r["item"]: r["n"]
+        for r in frequent_items_exact_2pass(
+            df, F.col("item"), capacity=10
+        ).collect()
+    }
+    assert got10 == {"hot": 50, "warm": 20}
