@@ -59,6 +59,8 @@ def top_component(
     Fully declarative: the vector is a d-row DataFrame, each iteration
     one join + one aggregate + one broadcast norm; intermediates are
     checkpointed (tiny) so iteration k never re-derives 1..k-1."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
     cov = symmetrize(cov_upper).localCheckpoint(eager=True)
     v = (
         cov.select(F.col("i").alias("dim"))

@@ -87,6 +87,11 @@ def frequent_items_exact_2pass(
     NULL items are excluded from counting (a NULL row would collide
     with the summary's NULL-item partition-count sentinel, and
     "frequency of NULL" is not a meaningful heavy hitter)."""
+    if capacity < 2:
+        raise ValueError(
+            "capacity must be >= 2 (capacity=1 makes the threshold "
+            "N — nothing can exceed it — and degenerates the summary)"
+        )
     items = df.select(item.alias("item")).filter(
         F.col("item").isNotNull()
     )

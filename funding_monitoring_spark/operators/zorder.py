@@ -80,6 +80,8 @@ def write_zordered(
     range exchange on the z-value, sorted within partitions so each
     file covers a compact Morton-curve segment (= a small rectangle
     in (x, y), = tight min/max stats on both columns)."""
+    if "__z" in df.columns:
+        raise ValueError("write_zordered reserves the column name '__z'")
     z = z_value(x, y).alias("__z")
     (
         df.withColumn("__z", z)
