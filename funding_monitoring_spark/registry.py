@@ -52,9 +52,12 @@ def query(name: str, sql: str | None):
 #:       carrying an r1-only row; (d) the oldest r2 rows, streaming
 #:       and temporal families first (their sink/state code changed
 #:       this round: streaming/sinks.py legacy-marker fix).
-#:   r5 plan: the 33 remaining r2-row queries (ANN/text/TPC-H
-#:       r2 families), then the r3 rows in registration order, then
-#:       the r4 post-freeze registrations (the 11 below).
+#:   r5 plan (precommitted): (a) the 43 round-4 post-freeze
+#:       registrations below, in the order listed — they carry local
+#:       driver-format rows (CORRECTNESS_LOCAL_r4.json, 126/126
+#:       green) but have never had an EXTERNAL row; (b) the 7 oldest
+#:       r2-row queries. The r2/r3 remainder refreshes in r6;
+#:       every overflow query gets a fresh local row each round.
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
