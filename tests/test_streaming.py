@@ -501,3 +501,44 @@ def test_heavy_hitters_restart_accumulates_counts_once(spark, tmp_path):
     }
     # 3 + 2, not 3 + 2 + (re-applied 3) — state carried, not replayed
     assert got == {("a", 7): 5, ("a", 8): 1}
+
+
+def test_window_distinct_users_dedups_across_batches(spark, tmp_path):
+    """The chained-stateful distinct count must count a user once per
+    window even when their events arrive in DIFFERENT micro-batches
+    (the dedup state is cross-batch), and must still count the same
+    user again in a different window."""
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_window_distinct_users,
+    )
+
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    # window [0,60min): users 7 (twice, split across batches) and 8
+    b0 = _events(
+        spark,
+        [(1, _ts(1), 7, "a", 1.0), (2, _ts(2), 8, "a", 1.0)],
+    )
+    b1 = _events(spark, [(3, _ts(30), 7, "a", 1.0)])  # dup user, same window
+    # window [60,120min): user 7 again — a NEW distinct occurrence
+    b2 = _events(spark, [(4, _ts(65), 7, "a", 1.0)])
+    # sentinel far in the future flushes both windows past the watermark
+    b3 = _events(spark, [(9, _ts(600), -1, "sentinel", 0.0)])
+    for i, b in enumerate((b0, b1, b2, b3)):
+        _write_chunk(b, chunks, i)
+    store = os.path.join(tmp, "store")
+    streaming_window_distinct_users(
+        spark,
+        chunks,
+        b0.schema,
+        store,
+        os.path.join(tmp, "ckpt"),
+        interval="1 hour",
+        watermark="10 minutes",
+    )
+    got = {
+        r.window_start: r.n_users
+        for r in spark.read.parquet(store).collect()
+        if r.window_start < _ts(600)
+    }
+    assert got == {_ts(0): 2, _ts(60): 1}
