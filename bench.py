@@ -157,6 +157,7 @@ HEADLINE = [
     "ks_two_sample",
     "weekly_churn",
     "multi_touch_attribution",
+    "simhash_distance_histogram",
 ]
 
 

@@ -349,3 +349,49 @@ def q_incremental_dedup(spark, sf_dir):
     return batch.join(store, "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
     )
+
+
+SIMHASH_HIST_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform({_TOKS}, tok -> {_sql_poly('tok')}) AS fps
+        FROM documents
+    ),
+    sigs AS (SELECT doc_id AS id, {_sql_simhash()} AS sig FROM t),
+    banded AS (
+        SELECT id, sig,
+               unnest([CAST(b AS VARCHAR) || ':' ||
+                       CAST((sig >> (b * {D.SIMHASH_BAND_BITS})) &
+                            {(1 << D.SIMHASH_BAND_BITS) - 1} AS VARCHAR)
+                       for b in generate_series(0, {D.SIMHASH_BANDS - 1})])
+                   AS band_key
+        FROM sigs
+    ),
+    candidates AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a JOIN banded b USING (band_key)
+        WHERE a.id < b.id
+    )
+    SELECT CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM candidates GROUP BY 1
+"""
+
+
+@query("simhash_distance_histogram", SIMHASH_HIST_ORACLE)
+def q_simhash_distance_histogram(spark, sf_dir):
+    """Threshold calibration for SimHash near-dup: the full Hamming
+    distribution over the band-candidate pairs — pick max_hamming
+    where the histogram's near-dup mode separates from the random-pair
+    bulk (the operational answer to "is 3 the right cutoff?"). Same
+    banded candidate generation as the dedup path (the 100 TB shape:
+    only (id, band_key) shuffles); the verify filter is simply not
+    applied, so every candidate's distance lands in the histogram."""
+    pairs = D.simhash_near_dup(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=D.SIMHASH_BITS,
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
