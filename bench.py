@@ -158,6 +158,9 @@ HEADLINE = [
     "weekly_churn",
     "multi_touch_attribution",
     "simhash_distance_histogram",
+    "dedup_savings_report",
+    "hourly_activity_heatmap",
+    "value_histogram",
 ]
 
 

@@ -52,10 +52,10 @@ def query(name: str, sql: str | None):
 #:       carrying an r1-only row; (d) the oldest r2 rows, streaming
 #:       and temporal families first (their sink/state code changed
 #:       this round: streaming/sinks.py legacy-marker fix).
-#:   r5 plan (precommitted): (a) the 44 round-4 post-freeze
+#:   r5 plan (precommitted): (a) the 47 round-4 post-freeze
 #:       registrations below, in the order listed — they carry local
 #:       driver-format rows (CORRECTNESS_LOCAL_r4.json, 127/127
-#:       green) but have never had an EXTERNAL row; (b) the 6 oldest
+#:       green) but have never had an EXTERNAL row; (b) the 3 oldest
 #:       r2-row queries. The r2/r3 remainder refreshes in r6;
 #:       every overflow query gets a fresh local row each round.
 #:
@@ -76,7 +76,8 @@ def query(name: str, sql: str | None):
 #: incremental_dedup, robust_anomaly_mad, embedding_top_component,
 #: trend_regression, skew_diagnostics, stream_window_distinct_users,
 #: table_profile, ks_two_sample, weekly_churn,
-#: multi_touch_attribution, simhash_distance_histogram.
+#: multi_touch_attribution, simhash_distance_histogram,
+#: dedup_savings_report, hourly_activity_heatmap, value_histogram.
 _PRIORITY: list[str] = [
     # (a) never driver-checked, registered late in round 3 (15)
     "tpch_q2_min_cost_supplier",

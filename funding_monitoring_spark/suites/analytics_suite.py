@@ -1768,3 +1768,113 @@ def q_multi_touch_attribution(spark, sf_dir):
             F.sum(F.col("value") / F.col("n_touches")), 6
         ).alias("credited_value"),
     )
+
+
+DEDUP_SAVINGS_ORACLE = """
+    WITH groups AS (
+        SELECT md5(text) AS h, COUNT(*) AS n, MIN(n_chars) AS chars
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_removed,
+           CAST(SUM((n - 1) * chars) AS BIGINT) AS chars_saved,
+           ROUND((SUM(n) - COUNT(*))
+                 / CAST(SUM(n) AS DOUBLE), 6) AS dedup_ratio
+    FROM groups
+"""
+
+
+@query("dedup_savings_report", DEDUP_SAVINGS_ORACLE)
+def q_dedup_savings_report(spark, sf_dir):
+    """Dedup economics in one row: documents before/after exact
+    dedup, removed copies, characters saved, and the dedup ratio —
+    the go/no-go number before paying for the near-dup passes. One
+    hash-groupBy on the digest (exact copies share n_chars, so MIN is
+    exact), then a single-row summary."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("chars"),
+    )
+    return groups.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("n") - F.count(F.lit(1))).alias("n_removed"),
+        F.sum((F.col("n") - 1) * F.col("chars")).alias("chars_saved"),
+        F.round(
+            (F.sum("n") - F.count(F.lit(1)))
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("dedup_ratio"),
+    )
+
+
+HEATMAP_ORACLE = """
+    SELECT CAST(isodow(ts) - 1 AS INT) AS weekday,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query("hourly_activity_heatmap", HEATMAP_ORACLE)
+def q_hourly_activity_heatmap(spark, sf_dir):
+    """The ops-dashboard activity heatmap: event count and value sum
+    by (weekday, hour-of-day). Weekday convention pinned explicitly —
+    Spark's weekday() (0 = Monday) equals DuckDB's isodow − 1; the
+    bare dayofweek functions disagree across engines (Sunday-first vs
+    Monday-first) and are avoided."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.weekday(F.col("ts")).cast("int").alias("weekday"),
+        F.hour(F.col("ts")).cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+_HIST_BINS = 20
+
+VALUE_HIST_ORACLE = f"""
+    WITH bounds AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR((value - b.lo) / ((b.hi - b.lo)
+                                                  / {_HIST_BINS}))
+                          AS INT), {_HIST_BINS - 1}) AS bin
+        FROM events CROSS JOIN bounds b
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin
+"""
+
+
+@query("value_histogram", VALUE_HIST_ORACLE)
+def q_value_histogram(spark, sf_dir):
+    """Equal-width 20-bin histogram of the value column: global
+    min/max arrive as a broadcast 1-row frame (no driver collect),
+    bin = floor((v − lo)/width) clamped so the maximum lands in the
+    last bin. The bin arithmetic is the same three FP ops on both
+    engines — identical doubles, exact integer bins."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(_HIST_BINS)
+    return (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast(
+                    "int"
+                ),
+                F.lit(_HIST_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
