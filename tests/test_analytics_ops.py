@@ -368,3 +368,78 @@ def test_frequent_items_null_and_exactness(spark):
         ).collect()
     }
     assert got10 == {"hot": 50, "warm": 20}
+
+
+def test_zorder_bits_match_python_reference(spark):
+    """Bit-exactness of the Morton interleave: the column algebra must
+    equal a plain-Python bit-by-bit interleave for edge values (0,
+    max, single bits, alternating patterns) and a spread of others."""
+    from funding_monitoring_spark.operators.zorder import z_value
+
+    def py_z(x, y):
+        x &= 0xFFFF
+        y &= 0xFFFF
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    xs = [0, 1, 2, 0x5555, 0xAAAA, 0xFFFF, 12345, 65535, 40000]
+    pairs = [(x, y) for x in xs for y in xs]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", z_value(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for x, y in pairs:
+        assert got[(x, y)] == py_z(x, y), (x, y)
+
+
+def test_snapshot_diff_property_random_states(spark):
+    """Property check: snapshot_diff equals a plain dict-diff
+    reference on randomized old/new key-value states (including None
+    values and disjoint key sets)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    state = st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        max_size=10,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(state, state)
+    def check(old, new):
+        if not old and not new:
+            return
+        mk = lambda d: spark.createDataFrame(
+            [(k, v) for k, v in d.items()] or [(None, None)],
+            "k int, v int",
+        ).filter(F.col("k").isNotNull())
+        out = {
+            r["k"]: r["diff_status"]
+            for r in snapshot_diff(
+                mk(old), mk(new), ["k"], ["v"]
+            ).collect()
+        }
+        want = {}
+        for k in set(old) | set(new):
+            if k not in old:
+                want[k] = "added"
+            elif k not in new:
+                want[k] = "removed"
+            elif old[k] == new[k]:
+                want[k] = "unchanged"
+            else:
+                want[k] = "changed"
+        assert out == want
+
+    check()
