@@ -443,3 +443,92 @@ def test_snapshot_diff_property_random_states(spark):
         assert out == want
 
     check()
+
+
+def test_frequent_items_property_vs_exact(spark):
+    """Property check: the MG two-pass result equals the exact
+    threshold query for random multisets and capacities (the sketch
+    affects data movement, never the answer)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from funding_monitoring_spark.operators.sketches import (
+        frequent_items_exact_2pass,
+    )
+
+    bags = st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(bags, st.integers(min_value=2, max_value=8))
+    def check(items, capacity):
+        df = spark.createDataFrame([(i,) for i in items], "item string")
+        got = {
+            r["item"]: r["n"]
+            for r in frequent_items_exact_2pass(
+                df, F.col("item"), capacity=capacity
+            ).collect()
+        }
+        counts = Counter(items)
+        n = len(items)
+        want = {
+            k: c for k, c in counts.items() if c * capacity > n
+        }
+        assert got == want, (capacity, counts)
+
+    check()
+
+
+def test_scd2_property_vs_rle_reference(spark):
+    """Property check: SCD2 versions equal a run-length-encoding
+    reference over random per-key state sequences."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from funding_monitoring_spark.operators.temporal import scd2_history
+
+    seqs = st.lists(
+        st.sampled_from(["x", "y", "z"]), min_size=1, max_size=10
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(seqs, seqs)
+    def check(s1, s2):
+        rows = [(1, v, t, t) for t, v in enumerate(s1)]
+        rows += [(2, v, t, 100 + t) for t, v in enumerate(s2)]
+        df = spark.createDataFrame(
+            rows, "k int, state string, t int, eid int"
+        )
+        out = scd2_history(
+            df, ["k"], "state", [F.col("t"), F.col("eid")], "t"
+        ).collect()
+        got = sorted(
+            (r["k"], r["version"], r["state"], r["valid_from"],
+             r["valid_to"])
+            for r in out
+        )
+        want = []
+        for k, seq in ((1, s1), (2, s2)):
+            runs = []  # (state, start_t)
+            for t, v in enumerate(seq):
+                if not runs or runs[-1][0] != v:
+                    runs.append((v, t))
+            for i, (v, start) in enumerate(runs):
+                end = runs[i + 1][1] if i + 1 < len(runs) else None
+                want.append((k, i + 1, v, start, end))
+        assert got == sorted(want)
+
+    check()
