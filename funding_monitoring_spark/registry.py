@@ -52,12 +52,26 @@ def query(name: str, sql: str | None):
 #:       carrying an r1-only row; (d) the oldest r2 rows, streaming
 #:       and temporal families first (their sink/state code changed
 #:       this round: streaming/sinks.py legacy-marker fix).
-#:   r5 plan (precommitted): (a) the 47 round-4 post-freeze
-#:       registrations below, in the order listed — they carry local
-#:       driver-format rows (CORRECTNESS_LOCAL_r4.json, 127/127
-#:       green) but have never had an EXTERNAL row; (b) the 3 oldest
-#:       r2-row queries. The r2/r3 remainder refreshes in r6;
-#:       every overflow query gets a fresh local row each round.
+#:   r5 window (this list — executes the precommitted r5 plan):
+#:       (a) the 47 round-4 post-freeze registrations, in the order
+#:       pre-staged in round 4 — they carry local driver-format rows
+#:       (CORRECTNESS_LOCAL_r4.json, green) but have never had an
+#:       EXTERNAL row; (b) 3 of the 33 remaining r2-row queries —
+#:       the three whose code lives in operators/similarity.py,
+#:       which changes this round (ANN recall report), so the rows
+#:       most at risk of rotting over changed code refresh first.
+#:       Registration is FROZEN again once this window fills: every
+#:       round-5 registration (ann_recall_report, salted skew-stress
+#:       twins, pruned-fixture routes, ...) ships with a driver-format
+#:       row in CORRECTNESS_LOCAL_r5.json (tools/local_correctness.py)
+#:       and queues for r6.
+#:   r6 plan (precommitted): (a) all round-5 post-freeze
+#:       registrations in registration order; (b) the 30 remaining
+#:       r2-row queries (TPC-H q1-q22 remainder, text-analysis and
+#:       curation families, window_functions_suite,
+#:       train_test_split_stats, winsorized_stats); (c) any slots
+#:       left go to the oldest r3 rows. Every overflow query gets a
+#:       fresh local row each round.
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
@@ -79,66 +93,67 @@ def query(name: str, sql: str | None):
 #: multi_touch_attribution, simhash_distance_histogram,
 #: dedup_savings_report, hourly_activity_heatmap, value_histogram.
 _PRIORITY: list[str] = [
-    # (a) never driver-checked, registered late in round 3 (15)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_profit_by_nation_year",
-    "tpch_q11_important_parts",
-    "tpch_q16_supplier_variety",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "embedding_covariance",
-    "window_distribution_suite",
-    "cap_per_source",
-    "asof_join_forward",
-    "grouping_sets_revenue",
-    "multimodal_wav_roundtrip",
-    "multimodal_avi_framesample",
-    "jsonl_file_source",
-    "tsv_file_source",
-    # (b) new in round 4 (first driver row; sole r4 registration)
-    "main_dag_parity",
-    # (c) r1-only rows, 2 rounds stale (17)
-    "value_percentiles",
-    "keep_list_projection",
-    "drop_column",
-    "filter_suffix",
-    "filter_equality",
-    "filter_time_range",
-    "group_min",
-    "rollup_totals",
-    "distinct_values",
-    "existence_probe",
-    "broadcast_join_dim",
-    "semi_join_universe",
-    "sort_limit",
-    "topk_per_group",
-    "union_append",
-    "hash_sample_documents",
-    "stratified_sample_by_lang",
-    # (d) oldest r2 rows — streaming/stateful first (sink code changed
-    # this round), then paging/temporal companions (17)
-    "stream_funding_pipeline",
-    "stream_upsert_rates",
-    "stream_lending_append",
-    "stream_tumbling_rollup",
-    "stream_session_windows",
-    "stream_ewma_stateful",
-    "stream_stream_join_attribution",
-    "cdc_materialize",
-    "paged_backfill",
-    "asof_join_backward",
-    "interval_join_attribution",
-    "sessionize_events",
-    "session_window_agg",
-    "event_transition_matrix",
-    "ann_cosine_topk",
-    "ann_cosine_topk_lsh",
-    "ann_cosine_topk_scale",
+    # (a) round-4 post-freeze registrations, never driver-checked,
+    # in the order pre-staged by round 4's plan (47)
+    "truncate_bulk_load",
+    "doc_chunking",
+    "funding_rate_anomaly",
+    "snapshot_diff_ticks",
+    "heavy_hitter_users",
+    "event_type_correlation",
+    "reservoir_sample_by_source",
+    "dataset_mixture_plan",
+    "bpe_pair_counts",
+    "csv_file_source",
+    "orc_file_source",
+    "stream_anomaly_alerts",
+    "bpe_train_merges",
+    "ohlc_bars",
+    "cohort_retention",
+    "event_funnel",
+    "triangle_count",
+    "scd2_history",
+    "gap_fill_hourly",
+    "zorder_cluster_keys",
+    "frequent_tokens_sketch",
+    "rolling_beta",
+    "source_divergence_kl",
+    "rollup_cascade",
+    "stream_ohlc_bars",
+    "token_id_encoding",
+    "packed_training_batches",
+    "quality_filter_ablation",
+    "unigram_logprob_score",
+    "funnel_latency_quantiles",
+    "vocab_coverage_curve",
+    "missing_ticks_report",
+    "stream_heavy_hitters",
+    "incremental_dedup",
+    "robust_anomaly_mad",
+    "embedding_top_component",
+    "trend_regression",
+    "skew_diagnostics",
+    "stream_window_distinct_users",
+    "table_profile",
+    "ks_two_sample",
+    "weekly_churn",
+    "multi_touch_attribution",
+    "simhash_distance_histogram",
+    "dedup_savings_report",
+    "hourly_activity_heatmap",
+    "value_histogram",
+    # (b) oldest r2 rows over since-changed code: the three
+    # similarity.py residents (the ANN recall report touches that
+    # file this round); the other 30 r2 rows refresh in r6
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_ivf_kmeans",
+    "embedding_near_dup",
 ]
-# ^ exactly 50 entries. After this round every registered query's
-# newest external row is <= 2 rounds old; the queries NOT in this
-# window additionally get a same-format local row in
-# CORRECTNESS_LOCAL_r4.json each round (tools/local_correctness.py),
+# ^ exactly 50 entries. After this round every round-4 registration
+# has an external row; the r2/r3 remainder (externally green, <= 3
+# rounds old) refreshes in r6 per the precommitted plan above, and
+# every query NOT in this window gets a same-format local row in
+# CORRECTNESS_LOCAL_r5.json each round (tools/local_correctness.py),
 # so nothing ships on pytest evidence alone.
 
 
