@@ -86,13 +86,21 @@ def frequent_items_exact_2pass(
 
     NULL items are excluded from counting (a NULL row would collide
     with the summary's NULL-item partition-count sentinel, and
-    "frequency of NULL" is not a meaningful heavy hitter)."""
+    "frequency of NULL" is not a meaningful heavy hitter).
+
+    Contract: items are counted by their STRING rendering — the MG
+    summary's Arrow schema is pinned to ``item string``, so the item
+    column is cast to string up front (a bigint user_id and the
+    string '42' are the same item). The cast happens once in the
+    scan projection; both passes and the semi-join key use the same
+    casted column, so no implicit cast can diverge at the Arrow or
+    join boundary."""
     if capacity < 2:
         raise ValueError(
             "capacity must be >= 2 (capacity=1 makes the threshold "
             "N — nothing can exceed it — and degenerates the summary)"
         )
-    items = df.select(item.alias("item")).filter(
+    items = df.select(item.cast("string").alias("item")).filter(
         F.col("item").isNotNull()
     )
     # checkpoint the tiny summary: it feeds BOTH the candidate set and

@@ -226,9 +226,15 @@ def streaming_window_distinct_users(
     dropDuplicatesWithinWatermark exactly as the ingestion pipeline
     does."""
     src = stream_from_chunks(spark, chunks_dir, schema)
+    # the dedup bucket MUST be derived from the same interval as the
+    # count windows: a fixed date_trunc('hour') bucket under a
+    # non-hour interval would collapse users per hour while counting
+    # per interval — silently wrong distinct counts
     bucketed = (
         src.withWatermark("ts", watermark)
-        .withColumn("wstart", F.date_trunc("hour", F.col("ts")))
+        .withColumn(
+            "wstart", F.window(F.col("ts"), interval).getField("start")
+        )
     )
     dedup = bucketed.dropDuplicates(["wstart", "user_id"])
     agg = dedup.groupBy(F.window("ts", interval).alias("w")).agg(

@@ -1565,9 +1565,13 @@ KS_ORACLE = """
     ),
     tot AS (SELECT CAST(SUM(s1) AS BIGINT) AS n1,
                    CAST(SUM(s2) AS BIGINT) AS n2 FROM vals),
+    pervalue AS (
+        SELECT value, SUM(s1) AS d1, SUM(s2) AS d2
+        FROM vals GROUP BY value
+    ),
     cum AS (
-        SELECT SUM(s1) OVER w AS c1, SUM(s2) OVER w AS c2
-        FROM vals
+        SELECT SUM(d1) OVER w AS c1, SUM(d2) OVER w AS c2
+        FROM pervalue
         WINDOW w AS (ORDER BY value
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
@@ -1584,13 +1588,16 @@ KS_ORACLE = """
 def q_ks_two_sample(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov statistic between the click and
     view value distributions — distribution-drift detection with zero
-    binning decisions. D = max |F̂₁ − F̂₂| over the pooled sorted
-    sample: one global-order window over indicator cumsums (ties
-    resolved identically by evaluating at cumulative counts AFTER each
-    value). Every candidate is an exact integer ratio, so D needs no
-    rounding — identical doubles on both engines. The global sort is
-    the honest cost; at scale the same statistic computes over a
-    range-partitioned sort."""
+    binning decisions. D = max |F̂₁ − F̂₂| evaluated AFTER each
+    distinct value: indicator counts are pre-aggregated per distinct
+    value, then cumsummed in value order, so rows tied on value are
+    folded into one deviation candidate and the result is fully
+    deterministic (a ROWS frame over raw rows would expose arbitrary
+    intra-tie ordering and could overestimate D). Every candidate is
+    an exact integer ratio, so D needs no rounding — identical
+    doubles on both engines. The per-value groupBy also shrinks the
+    global-order window to |distinct values| rows; at scale the same
+    statistic computes over a range-partitioned sort."""
     events = load_table(spark, sf_dir, "events")
     vals = events.filter(
         F.col("event_type").isin("click", "view")
@@ -1602,12 +1609,15 @@ def q_ks_two_sample(spark, sf_dir):
     tot = vals.agg(
         F.sum("s1").alias("n1"), F.sum("s2").alias("n2")
     )
+    per_value = vals.groupBy("value").agg(
+        F.sum("s1").alias("d1"), F.sum("s2").alias("d2")
+    )
     w = Window.orderBy("value").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = vals.select(
-        F.sum("s1").over(w).alias("c1"),
-        F.sum("s2").over(w).alias("c2"),
+    cum = per_value.select(
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
     )
     return (
         cum.crossJoin(F.broadcast(tot))
@@ -1843,9 +1853,12 @@ VALUE_HIST_ORACLE = f"""
         SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
     ),
     binned AS (
-        SELECT LEAST(CAST(FLOOR((value - b.lo) / ((b.hi - b.lo)
-                                                  / {_HIST_BINS}))
-                          AS INT), {_HIST_BINS - 1}) AS bin
+        SELECT CASE WHEN b.hi = b.lo THEN 0
+                    ELSE LEAST(CAST(FLOOR((value - b.lo)
+                                          / ((b.hi - b.lo)
+                                             / {_HIST_BINS}))
+                                    AS INT), {_HIST_BINS - 1})
+               END AS bin
         FROM events CROSS JOIN bounds b
     )
     SELECT bin, CAST(COUNT(*) AS BIGINT) AS n
@@ -1858,8 +1871,11 @@ def q_value_histogram(spark, sf_dir):
     """Equal-width 20-bin histogram of the value column: global
     min/max arrive as a broadcast 1-row frame (no driver collect),
     bin = floor((v − lo)/width) clamped so the maximum lands in the
-    last bin. The bin arithmetic is the same three FP ops on both
-    engines — identical doubles, exact integer bins."""
+    last bin. A degenerate span (all values equal → width 0) maps
+    everything to bin 0 instead of dividing by zero (NaN bins on
+    Spark, a cast error on DuckDB). The bin arithmetic is the same
+    three FP ops on both engines — identical doubles, exact integer
+    bins."""
     events = load_table(spark, sf_dir, "events")
     bounds = events.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
@@ -1868,12 +1884,16 @@ def q_value_histogram(spark, sf_dir):
     return (
         events.crossJoin(F.broadcast(bounds))
         .select(
-            F.least(
-                F.floor((F.col("value") - F.col("lo")) / width).cast(
-                    "int"
-                ),
-                F.lit(_HIST_BINS - 1),
-            ).alias("bin")
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("lo")) / width
+                    ).cast("int"),
+                    F.lit(_HIST_BINS - 1),
+                )
+            )
+            .alias("bin")
         )
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))

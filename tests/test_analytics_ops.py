@@ -532,3 +532,59 @@ def test_scd2_property_vs_rle_reference(spark):
         assert got == sorted(want)
 
     check()
+
+
+def test_frequent_items_typed_item_column(spark):
+    """A non-string item column (bigint user ids) flows through the
+    MG summary's pinned Arrow schema by explicit string cast — the
+    documented count-by-string-rendering contract — instead of
+    failing or implicitly coercing at the Arrow/join boundary."""
+    from funding_monitoring_spark.operators.sketches import (
+        frequent_items_exact_2pass,
+    )
+
+    rows = [(1,)] * 30 + [(2,)] * 5 + [(i,) for i in range(100, 110)]
+    df = spark.createDataFrame(rows, "item bigint")
+    # N = 45, capacity 4 → threshold 11.25: only id 1 (30) qualifies
+    got = {
+        r["item"]: r["n"]
+        for r in frequent_items_exact_2pass(
+            df, F.col("item"), capacity=4
+        ).collect()
+    }
+    assert got == {"1": 30}
+
+
+def test_value_histogram_degenerate_span(spark, tmp_path):
+    """All-equal values (width 0) land in bin 0 instead of NaN/NULL
+    bins from a divide-by-zero."""
+    from funding_monitoring_spark.suites.analytics_suite import (
+        q_value_histogram,
+    )
+
+    spark.createDataFrame(
+        [(7.5,)] * 11, "value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = q_value_histogram(spark, str(tmp_path)).collect()
+    assert [(r["bin"], r["n"]) for r in out] == [(0, 11)]
+
+
+def test_ks_two_sample_cross_sample_ties(spark, tmp_path):
+    """Values tied ACROSS the two samples must not inflate D: the
+    deviation is evaluated after each distinct value (per-value
+    pre-aggregation), never at an arbitrary intra-tie row order.
+    click = [1,1,2,3], view = [1,2,2,3] → F1 = (.5,.75,1),
+    F2 = (.25,.75,1) → D = 0.25 exactly; a raw ROWS frame could
+    report 0.5 depending on how the four value-1 rows interleave."""
+    from funding_monitoring_spark.suites.analytics_suite import (
+        q_ks_two_sample,
+    )
+
+    rows = [("click", v) for v in (1.0, 1.0, 2.0, 3.0)]
+    rows += [("view", v) for v in (1.0, 2.0, 2.0, 3.0)]
+    spark.createDataFrame(
+        rows, "event_type string, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    [r] = q_ks_two_sample(spark, str(tmp_path)).collect()
+    assert (r["n1"], r["n2"]) == (4, 4)
+    assert abs(r["ks_d"] - 0.25) < 1e-12

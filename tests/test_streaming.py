@@ -542,3 +542,41 @@ def test_window_distinct_users_dedups_across_batches(spark, tmp_path):
         if r.window_start < _ts(600)
     }
     assert got == {_ts(0): 2, _ts(60): 1}
+
+
+def test_window_distinct_users_non_hour_interval(spark, tmp_path):
+    """The dedup bucket must derive from the SAME interval as the
+    count windows. With 30-minute windows, a user active in
+    [0,30min) and again in [30,60min) is two distinct occurrences;
+    the old fixed date_trunc('hour') bucket would collapse them into
+    one and silently drop the second window."""
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_window_distinct_users,
+    )
+
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    b0 = _events(
+        spark,
+        [(1, _ts(1), 7, "a", 1.0), (2, _ts(5), 7, "a", 1.0)],
+    )
+    b1 = _events(spark, [(3, _ts(31), 7, "a", 1.0)])
+    b2 = _events(spark, [(9, _ts(600), -1, "sentinel", 0.0)])
+    for i, b in enumerate((b0, b1, b2)):
+        _write_chunk(b, chunks, i)
+    store = os.path.join(tmp, "store")
+    streaming_window_distinct_users(
+        spark,
+        chunks,
+        b0.schema,
+        store,
+        os.path.join(tmp, "ckpt"),
+        interval="30 minutes",
+        watermark="10 minutes",
+    )
+    got = {
+        r.window_start: r.n_users
+        for r in spark.read.parquet(store).collect()
+        if r.window_start < _ts(600)
+    }
+    assert got == {_ts(0): 1, _ts(30): 1}
