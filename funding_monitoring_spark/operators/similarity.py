@@ -532,3 +532,39 @@ def embedding_near_dup_exact(
     return scored.filter(F.col("score") >= threshold).select(
         F.col("q_id").alias("id_a"), F.col("c_id").alias("id_b"), "score"
     )
+
+
+def topk_recall(
+    exact: DataFrame, approx: DataFrame, method: str
+) -> DataFrame:
+    """recall@k of an approximate top-k result against its exact twin:
+    the fraction of true (query_id, neighbor_id) pairs the
+    approximate path recovered. Both inputs are (query_id,
+    neighbor_id[, ...]) top-k frames from the same (queries, corpus,
+    k); both are deterministic (score-then-id tie-break), so recall
+    is a reproducible oracle-checkable number, not a sampled
+    estimate. One row out: method, n_queries, n_exact, n_hits,
+    recall_at_k. The left-join probes the (tiny) approximate set
+    against the exact set — broadcast-sized at any corpus scale since
+    both are ≤ |queries|·k rows."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = e.join(a, ["query_id", "neighbor_id"], "left")
+    return (
+        joined.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.sum("hit"), F.lit(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .withColumn("method", F.lit(method))
+        .select(
+            "method", "n_queries", "n_exact", "n_hits", "recall_at_k"
+        )
+    )

@@ -55,9 +55,7 @@ _SQL_COSINE = (
 )
 
 
-@query(
-    "ann_cosine_topk",
-    f"""
+ANN_EXACT_ORACLE = f"""
     WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
                FROM embeddings WHERE vec_id < {N_QUERIES}),
     c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
@@ -73,8 +71,10 @@ _SQL_COSINE = (
     )
     SELECT q_id AS query_id, c_id AS neighbor_id, score, rank
     FROM ranked WHERE rank <= {K}
-    """,
-)
+    """
+
+
+@query("ann_cosine_topk", ANN_EXACT_ORACLE)
 def q_ann_brute(spark, sf_dir):
     """Exact brute-force cosine top-k (the correctness baseline for ANN)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -82,9 +82,7 @@ def q_ann_brute(spark, sf_dir):
     return S.cosine_topk(queries, emb, k=K)
 
 
-@query(
-    "ann_cosine_topk_lsh",
-    f"""
+ANN_LSH_ORACLE = f"""
     WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
                FROM embeddings WHERE vec_id < {N_QUERIES}),
     c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
@@ -109,8 +107,10 @@ def q_ann_brute(spark, sf_dir):
     )
     SELECT q_id AS query_id, c_id AS neighbor_id, score, rank
     FROM ranked WHERE rank <= {K}
-    """,
-)
+    """
+
+
+@query("ann_cosine_topk_lsh", ANN_LSH_ORACLE)
 def q_ann_lsh(spark, sf_dir):
     """Approximate top-k via random-hyperplane LSH buckets — candidates
     share the query's sign-pattern bucket (equi-join, not cross join)."""
@@ -156,9 +156,7 @@ def q_ann_scale(spark, sf_dir):
     return S.cosine_topk_scale(queries, emb, k=K)
 
 
-@query(
-    "ann_cosine_topk_ivf",
-    f"""
+ANN_IVF_ORACLE = f"""
     WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
                FROM embeddings WHERE vec_id < {N_QUERIES}),
     c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
@@ -209,8 +207,10 @@ def q_ann_scale(spark, sf_dir):
     SELECT q_id AS query_id, c_id AS neighbor_id,
            ROUND(raw, {S.SCORE_ROUND}) AS score, rank
     FROM ranked WHERE rank <= {K}
-    """,
-)
+    """
+
+
+@query("ann_cosine_topk_ivf", ANN_IVF_ORACLE)
 def q_ann_ivf(spark, sf_dir):
     """Approximate top-k via an IVF index (corpus hard-assigned to
     sampled centroid cells; queries probe nprobe cells) — candidate
@@ -434,3 +434,51 @@ def q_embedding_quantize_int8(spark, sf_dir):
     )
 
     return quantize_int8_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+def _recall_sql(method: str, approx_sql: str) -> str:
+    return f"""
+    SELECT '{method}' AS method,
+           CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_hits,
+           ROUND(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                                   THEN 1 ELSE 0 END), 0)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_k
+    FROM (SELECT query_id, neighbor_id FROM ({ANN_EXACT_ORACLE})) e
+    LEFT JOIN (SELECT query_id, neighbor_id FROM ({approx_sql})) a
+           USING (query_id, neighbor_id)
+    """
+
+
+@query(
+    "ann_recall_report",
+    f"""
+    {_recall_sql('lsh', ANN_LSH_ORACLE)}
+    UNION ALL
+    {_recall_sql('ivf', ANN_IVF_ORACLE)}
+    """,
+)
+def q_ann_recall_report(spark, sf_dir):
+    """recall@k of the two approximate ANN paths against the exact
+    brute-force baseline — the approximation-quality claim as an
+    oracle-tracked number instead of an assertion. Every input is
+    deterministic (fold dot product, score-then-id tie-break), so
+    recall is exactly reproducible on both engines. The exact top-k
+    is localCheckpointed: it feeds both method rows and Catalyst
+    never reuses aliased subplans, so without it the brute-force
+    scoring would run twice."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = (
+        S.cosine_topk(queries, emb, k=K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    lsh = S.cosine_topk_lsh(queries, emb, k=K)
+    ivf = S.cosine_topk_ivf(queries, emb, k=K)
+    return S.topk_recall(exact, lsh, "lsh").unionByName(
+        S.topk_recall(exact, ivf, "ivf")
+    )

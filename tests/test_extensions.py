@@ -491,3 +491,25 @@ def test_salted_agg_all_group_columns(spark):
         ).collect()
     }
     assert got == {k: 20 for k in range(5)}
+
+
+def test_topk_recall_counts_hits_per_pair(spark):
+    """recall@k = recovered (query, neighbor) pairs / exact pairs;
+    a wrong neighbor never counts, an empty approx set gives 0.0."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12)],
+        "query_id int, neighbor_id int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 10), (2, 12)],
+        "query_id int, neighbor_id int",
+    )
+    [r] = S.topk_recall(exact, approx, "lsh").collect()
+    assert (
+        r["method"], r["n_queries"], r["n_exact"], r["n_hits"]
+    ) == ("lsh", 2, 4, 3)
+    assert abs(r["recall_at_k"] - 0.75) < 1e-12
+    [empty] = S.topk_recall(
+        exact, approx.filter("query_id < 0"), "ivf"
+    ).collect()
+    assert empty["n_hits"] == 0 and empty["recall_at_k"] == 0.0
