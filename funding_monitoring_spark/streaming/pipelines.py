@@ -601,6 +601,7 @@ def streaming_ewma_stateful(
     checkpoint: str,
     alpha: float = EWMA_ALPHA,
     available_now: bool = True,
+    state_ttl_ms: int | None = None,
 ) -> None:
     """Custom stateful streaming operator via applyInPandasWithState:
     a per-symbol exponentially-weighted moving average maintained
@@ -612,15 +613,30 @@ def streaming_ewma_stateful(
     replay in the same order, so the streamed state equals one batch
     fold over the full history — the oracle (DuckDB list_reduce over
     the ordered value list) checks that exactly, bit-for-bit (alpha
-    and 1-alpha are binary-exact)."""
+    and 1-alpha are binary-exact).
+
+    ``state_ttl_ms`` bounds per-key state under an OPEN key universe:
+    when set, the stream declares a watermark and each key arms an
+    event-time timeout at (its newest event + TTL). A key idle past
+    the TTL has its state REMOVED when the watermark passes the
+    deadline — a later event restarts its fold from scratch. Default
+    None keeps the reference semantics (state = full history) for the
+    bounded ~O(100)-symbol universe the reference implies; eviction
+    is deterministic (watermark-driven, not wall-clock), so replays
+    stay reproducible."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     import pandas as pd  # noqa: PLC0415 — worker-side import parity
 
     src = stream_from_chunks(spark, chunks_dir, schema)
     rates = rates_from_events(src)
+    if state_ttl_ms is not None:
+        rates = rates.withWatermark("funding_time", "0 seconds")
 
     def update(key, pdfs, state):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         rows = pd.concat(list(pdfs))
         rows = rows.sort_values(["funding_time", "event_id"])
         vals = rows["funding_rate"].astype("float64").reset_index(drop=True)
@@ -643,6 +659,12 @@ def streaming_ewma_stateful(
                 ewma = ewma * (1 - alpha) + float(v) * alpha
             n += len(vals)
         state.update((ewma, n))
+        if state_ttl_ms is not None and len(vals):
+            # tz-naive UTC → epoch ms without touching worker-local TZ
+            newest = (
+                rows["funding_time"].max() - pd.Timestamp("1970-01-01")
+            ) // pd.Timedelta(milliseconds=1)
+            state.setTimeoutTimestamp(int(newest) + state_ttl_ms)
         yield pd.DataFrame({"symbol": [key[0]], "ewma": [ewma], "n": [n]})
 
     out = rates.groupBy("symbol").applyInPandasWithState(
@@ -650,7 +672,11 @@ def streaming_ewma_stateful(
         outputStructType="symbol string, ewma double, n long",
         stateStructType="ewma double, n long",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )
     writer = out.writeStream.outputMode("update").foreachBatch(
         upsert_writer(store_path, key_cols=["symbol"], order_cols=["n"])
@@ -674,11 +700,21 @@ def streaming_anomaly_alerts(
     store_path: str,
     checkpoint: str,
     available_now: bool = True,
+    state_ttl_ms: int | None = None,
 ) -> None:
     """Streaming twin of operators/anomaly.rolling_zscore: per-symbol
     rolling z-score alerting with the trailing-20 baseline carried
     ACROSS micro-batches (state = the last n observed values per key,
     via applyInPandasWithState).
+
+    ``state_ttl_ms`` (None = reference semantics, keep history
+    forever) arms a per-key event-time timeout at (newest event +
+    TTL): an idle key's 20-double baseline is evicted once the
+    watermark passes the deadline, so an open key universe — here the
+    key is (user, event_type), unbounded at 100 TB — cannot grow
+    state without bound. A returning key rebuilds its baseline from
+    min_obs, exactly like a brand-new key; eviction is
+    watermark-driven and therefore replay-deterministic.
 
     Each observation is scored against strictly-prior history, so a
     score is immutable the moment it is emitted — append output mode,
@@ -710,14 +746,23 @@ def streaming_anomaly_alerts(
         "event_id",
         "value",
     )
+    if state_ttl_ms is not None:
+        obs = obs.withWatermark("ts", "0 seconds")
 
     def update(key, pdfs, state):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         # drop empty Arrow slices before concat (their all-NA dtypes
         # would poison the concat result dtype under pandas >= 2.1)
         frames = [p for p in pdfs if len(p)]
         buf = list(state.get[0]) if state.exists else []
         if not frames:
             state.update((buf,))
+            if state_ttl_ms is not None:
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + state_ttl_ms
+                )
             return
         rows = pd.concat(frames).sort_values(["ts", "event_id"])
         out = {
@@ -753,6 +798,11 @@ def streaming_anomaly_alerts(
             if len(buf) > n:
                 buf.pop(0)
         state.update((buf,))
+        if state_ttl_ms is not None:
+            newest = (
+                rows["ts"].max() - pd.Timestamp("1970-01-01")
+            ) // pd.Timedelta(milliseconds=1)
+            state.setTimeoutTimestamp(int(newest) + state_ttl_ms)
         yield pd.DataFrame(out)
 
     scored = obs.groupBy("symbol").applyInPandasWithState(
@@ -763,7 +813,11 @@ def streaming_anomaly_alerts(
         ),
         stateStructType="values array<double>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )
 
     def on_batch(batch: DataFrame, batch_id: int) -> None:

@@ -580,3 +580,104 @@ def test_window_distinct_users_non_hour_interval(spark, tmp_path):
         if r.window_start < _ts(600)
     }
     assert got == {_ts(0): 1, _ts(30): 1}
+
+
+def test_anomaly_alerts_state_ttl_evicts_idle_key(spark, tmp_path):
+    """With state_ttl_ms set, a key idle past the TTL has its baseline
+    EVICTED once the watermark passes its deadline (a returning event
+    is scored like a brand-new key, baseline_n == 0); a key active
+    within the TTL keeps its baseline. Eviction is event-time-driven,
+    so the replay is deterministic."""
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_anomaly_alerts,
+    )
+
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    # b0: key 7 builds 3 observations; key 8 one observation
+    b0 = _events(
+        spark,
+        [(i, _ts(i), 7, "funding", float(i)) for i in range(3)]
+        + [(10, _ts(2), 8, "funding", 1.0)],
+    )
+    # b1: key 8 stays active at minute 10 (re-arms its deadline to 25)
+    b1 = _events(spark, [(11, _ts(10), 8, "funding", 2.0)])
+    # b2: watermark jumps to minute 60 via key 8 (deadline → 75)
+    b2 = _events(spark, [(12, _ts(60), 8, "funding", 3.0)])
+    # b3: key 8 only. Timeouts fire for keys with NO data in the
+    # batch: key 7 (deadline minute 17 < watermark 60) is evicted
+    # here; key 8 has data, keeps state
+    b3 = _events(spark, [(13, _ts(61), 8, "funding", 4.0)])
+    # b4: key 7 returns — must restart with an EMPTY baseline; key 8
+    # continues its 4-observation history
+    b4 = _events(
+        spark,
+        [(14, _ts(62), 7, "funding", 9.0), (15, _ts(62), 8, "funding", 9.0)],
+    )
+    for i, b in enumerate((b0, b1, b2, b3, b4)):
+        _write_chunk(b, chunks, i)
+    store = os.path.join(tmp, "store")
+    streaming_anomaly_alerts(
+        spark,
+        chunks,
+        b0.schema,
+        store,
+        os.path.join(tmp, "ckpt"),
+        state_ttl_ms=15 * 60 * 1000,
+    )
+    got = {r.event_id: r for r in spark.read.parquet(store).collect()}
+    # within b0/b1 the baseline accumulates normally
+    assert got[2].baseline_n == 2
+    assert got[11].baseline_n == 1  # key 8 kept state from b0
+    # key 8 stays under its re-armed deadline throughout
+    assert got[12].baseline_n == 2
+    assert got[13].baseline_n == 3
+    # key 7 idled past the TTL → evicted in b3 → restarts from scratch
+    assert got[14].baseline_n == 0
+    # the active key was untouched by the eviction
+    assert got[15].baseline_n == 4
+
+
+def test_ewma_state_ttl_restarts_fold(spark, tmp_path):
+    """EWMA stateful pipeline with TTL: an evicted key's fold restarts
+    from scratch instead of continuing the carried state. The store's
+    upsert keeps the max-n row per symbol, so the restart emits THREE
+    events (restarted n=3 beats the stored n=2; a continued fold
+    would have n=5 and a history-contaminated ewma)."""
+    from funding_monitoring_spark.streaming.pipelines import (
+        EWMA_ALPHA,
+        streaming_ewma_stateful,
+    )
+
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    mk = lambda eid, m, sym, v: (eid, _ts(m), 7, sym, v)
+    b0 = _events(spark, [mk(1, 0, "fr-A", 4.0), mk(2, 1, "fr-A", 8.0)])
+    # advance the watermark far past A's deadline via another symbol
+    b1 = _events(spark, [mk(3, 60, "fr-B", 1.0)])
+    # b2: fr-B only — fr-A has NO data this batch, its deadline
+    # (minute 16) is behind the watermark (60), so it is evicted here
+    b2 = _events(spark, [mk(4, 61, "fr-B", 1.0)])
+    # A returns with 3 events: with TTL the fold restarts at the first
+    b3 = _events(
+        spark,
+        [mk(5, 62, "fr-A", 2.0), mk(6, 63, "fr-A", 4.0), mk(7, 64, "fr-A", 6.0)],
+    )
+    for i, b in enumerate((b0, b1, b2, b3)):
+        _write_chunk(b, chunks, i)
+    store = os.path.join(tmp, "store")
+    streaming_ewma_stateful(
+        spark,
+        chunks,
+        b0.schema,
+        store,
+        os.path.join(tmp, "ckpt"),
+        state_ttl_ms=15 * 60 * 1000,
+    )
+    got = {r.symbol: r for r in spark.read.parquet(store).collect()}
+    a = EWMA_ALPHA
+    want = 2.0
+    for v in (4.0, 6.0):
+        want = want * (1 - a) + v * a
+    assert got["7-fr-A"].n == 3
+    assert got["7-fr-A"].ewma == want
