@@ -175,3 +175,202 @@ def bpe_encode_vocab(state: DataFrame) -> DataFrame:
         .groupBy("symbol")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def merge_pairs_fold(symbols: Column, merges: Column) -> Column:
+    """Apply an ORDERED array of merge structs (rank, pair_a, pair_b)
+    to one symbol array in a single projection: the double-space
+    `replace` algebra folded over the batch with F.aggregate. One
+    narrow pass per row regardless of batch size — no per-merge job."""
+    joined = F.concat(
+        F.lit("  "), F.array_join(symbols, "  "), F.lit("  ")
+    )
+    folded = F.aggregate(
+        merges,
+        joined,
+        lambda acc, m: F.replace(
+            acc,
+            F.concat(
+                F.lit(" "),
+                m["pair_a"],
+                F.lit("  "),
+                m["pair_b"],
+                F.lit(" "),
+            ),
+            F.concat(F.lit(" "), m["pair_a"], m["pair_b"], F.lit(" ")),
+        ),
+    )
+    arr = F.split(folded, "  ")
+    return F.filter(arr, lambda s: s != F.lit(""))
+
+
+def batch_candidates(state: DataFrame, cap: int) -> DataFrame:
+    """Select the largest batch of ranked pairs whose one-pass merge
+    is PROVABLY identical to applying them sequentially — the
+    exactness argument, so the sequential unrolled oracle stays valid:
+
+    1. Rank all pairs by (n DESC, a ASC, b ASC) — the sequential
+       argmax order — and keep the top cap+1.
+    2. Walk the ranked prefix CONTIGUOUSLY and stop at the first pair
+       that (a) shares any symbol — or its concatenated merged
+       string — with an earlier prefix pair (merging would change the
+       later pair's count, breaking the ranking), or (b) whose merged
+       string already exists in the vocab (the merge would create new
+       occurrences of existing pairs, which could out-rank a later
+       prefix pair).
+    3. Require every selected count to STRICTLY exceed the first
+       excluded pair's count: any pair a merge can create has count
+       <= some unselected pair's count <= that boundary, so at
+       sequential step j every competitor still loses to prefix pair
+       j without tie-break ambiguity. Rank 1 is always kept (a
+       single merge is literally the sequential step).
+
+    Runs entirely on a <= cap+1-row frame: a row_number window, a
+    running collect_list for the disjointness scan, and a broadcast
+    semi-flag against the distinct-symbol vocab.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        state.select(
+            F.explode(adjacent_pairs(F.col("symbols"))).alias("p")
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    split = F.split(F.col("p"), PAIR_SEP)
+    cand = (
+        counts.select(
+            split[0].alias("pair_a"), split[1].alias("pair_b"), "n"
+        )
+        .orderBy(F.desc("n"), F.asc("pair_a"), F.asc("pair_b"))
+        .limit(cap + 1)
+    )
+    vocab = (
+        state.select(F.explode("symbols").alias("merged"))
+        .distinct()
+        .withColumn("in_vocab", F.lit(True))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("pair_a"), F.asc("pair_b"))
+    toks = F.array(
+        F.col("pair_a"),
+        F.col("pair_b"),
+        F.concat("pair_a", "pair_b"),
+    )
+    prev = F.flatten(
+        F.coalesce(
+            F.collect_list(toks).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.array().cast("array<array<string>>"),
+        )
+    )
+    flagged = (
+        cand.withColumn("merged", F.concat("pair_a", "pair_b"))
+        .join(F.broadcast(vocab), "merged", "left")
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "blocked",
+            F.arrays_overlap(toks, prev)
+            | F.coalesce(F.col("in_vocab"), F.lit(False)),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cut = F.coalesce(
+        F.min(F.when(F.col("blocked"), F.col("rank"))).over(wall),
+        F.lit(cap + 1),
+    )
+    resolved = flagged.withColumn("cut", cut).withColumn(
+        "boundary_n",
+        F.max(
+            F.when(F.col("rank") == F.col("cut"), F.col("n"))
+        ).over(wall),
+    )
+    return resolved.filter(
+        (F.col("rank") == 1)
+        | (
+            (F.col("rank") < F.col("cut"))
+            & (
+                F.col("boundary_n").isNull()
+                | (F.col("n") > F.col("boundary_n"))
+            )
+        )
+    ).select("rank", "pair_a", "pair_b", "merged", "n")
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+    max_chars: int = 200,
+    max_batch: int = 8,
+) -> DataFrame:
+    """`bpe_train` with batched merge rounds: per round, ONE pair
+    count picks up to ``max_batch`` merges (batch_candidates — the
+    selected prefix is provably sequential-equivalent, so the
+    unrolled sequential CTE remains the oracle) and ONE fold
+    projection applies them all. Per-round job overhead is paid once
+    per BATCH instead of once per merge — the fixed ~1.4 s/step cost
+    that capped usable K in the unbatched loop amortizes by the
+    average batch size.
+
+    The merge structs never leave the cluster (broadcast 1-row array
+    join, exactly like bpe_train's argmax); the only driver value is
+    each round's batch SIZE — an O(1) control-flow scalar needed to
+    number the next round's steps, the same role as a paging cursor
+    (sources/paged.py)."""
+    state = word_state(
+        docs, text_col=text_col, max_chars=max_chars
+    ).localCheckpoint(eager=True)
+    merges: list[DataFrame] = []
+    done = 0
+    while done < n_merges:
+        cap = min(max_batch, n_merges - done)
+        batch = batch_candidates(state, cap).localCheckpoint(
+            eager=True
+        )
+        n_sel = batch.count()
+        if n_sel == 0:
+            break  # corpus exhausted (no adjacent pairs remain)
+        merges.append(
+            batch.select(
+                (F.lit(done) + F.col("rank")).alias("step"),
+                "pair_a",
+                "pair_b",
+                "merged",
+                "n",
+            )
+        )
+        mb = batch.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("rank", "pair_a", "pair_b")
+                )
+            ).alias("ms")
+        )
+        state = (
+            state.crossJoin(F.broadcast(mb))
+            .select(
+                "doc_id",
+                "word_id",
+                merge_pairs_fold(
+                    F.col("symbols"), F.col("ms")
+                ).alias("symbols"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        done += n_sel
+    if not merges:
+        # no adjacent pairs anywhere (every word is one symbol):
+        # same empty-result contract as bpe_train's empty argmax
+        return docs.sparkSession.createDataFrame(
+            [],
+            "step long, pair_a string, pair_b string, "
+            "merged string, n long",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

@@ -304,9 +304,12 @@ def _bpe_train_oracle(k: int) -> str:
     steps (operators/bpe.py): the same double-space `replace` algebra,
     step by step — state_i is the corpus after i merges, best_i the
     step's argmax pair. Engine-exact: every intermediate is integer
-    counts and byte-identical strings."""
+    counts and byte-identical strings. Every CTE is MATERIALIZED:
+    each state_i is referenced several times by the next step, so
+    DuckDB's default inlining re-expands the chain exponentially in K
+    (K=20 exhausts file handles before it exhausts time)."""
     ctes = [
-        """state0 AS (
+        """state0 AS MATERIALIZED (
         SELECT '  ' || array_to_string(
                    list_transform(range(1, length(word) + 1),
                                   i -> substr(word, i, 1)), '  ')
@@ -318,21 +321,21 @@ def _bpe_train_oracle(k: int) -> str:
     ]
     for i in range(1, k + 1):
         p = i - 1
-        ctes.append(f"""pairs{i} AS (
+        ctes.append(f"""pairs{i} AS MATERIALIZED (
         SELECT unnest(list_transform(range(1, len(toks)),
                       j -> toks[j] || ' ' || toks[j + 1])) AS p
         FROM (SELECT list_filter(string_split(s, '  '),
                                  x -> x <> '') AS toks
               FROM state{p})
     )""")
-        ctes.append(f"""best{i} AS (
+        ctes.append(f"""best{i} AS MATERIALIZED (
         SELECT split_part(p, ' ', 1) AS a,
                split_part(p, ' ', 2) AS b,
                COUNT(*) AS n
         FROM pairs{i} GROUP BY p
         ORDER BY n DESC, a ASC, b ASC LIMIT 1
     )""")
-        ctes.append(f"""state{i} AS (
+        ctes.append(f"""state{i} AS MATERIALIZED (
         SELECT replace(s,
             ' ' || (SELECT a FROM best{i}) || '  '
                 || (SELECT b FROM best{i}) || ' ',
@@ -348,26 +351,29 @@ def _bpe_train_oracle(k: int) -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
 
 
-_BPE_MERGES = 5
+_BPE_MERGES = 20
 
 
 @query("bpe_train_merges", _bpe_train_oracle(_BPE_MERGES))
 def q_bpe_train_merges(spark, sf_dir):
-    """Full BPE tokenizer training, 5 merges over the corpus
-    (operators/bpe.py bpe_train): per step, one map-side-combined
-    pair count + a broadcast 1-row argmax joined back into the
-    per-word symbol state — the whole loop is ONE declarative plan,
-    nothing collected to the driver. The oracle unrolls the identical
-    algebra as a DuckDB CTE chain; also property-tested against a
-    pure-Python BPE reference (tests/test_analytics_ops.py)."""
-    from funding_monitoring_spark.operators.bpe import bpe_train
+    """Full BPE tokenizer training, 20 merges over the corpus via the
+    BATCHED trainer (operators/bpe.py bpe_train_batched): per round,
+    one map-side-combined pair count selects a provably
+    sequential-equivalent prefix of merges (contiguous rank order,
+    pairwise symbol-disjoint, merged strings outside the vocab,
+    counts strictly above the first excluded pair) and one fold
+    projection applies them all — the fixed per-step job overhead
+    that capped usable K amortizes by the batch size (measured ~1.9×
+    at K=20/sf0.01; the unbatched loop stays available as bpe_train).
+    The oracle unrolls the SEQUENTIAL algebra as a DuckDB CTE chain —
+    exactly the point: batch selection is exactness-preserving, so
+    the sequential oracle keeps checking it. Also property-tested
+    against a pure-Python BPE reference
+    (tests/test_analytics_ops.py)."""
+    from funding_monitoring_spark.operators.bpe import bpe_train_batched
 
     docs = load_table(spark, sf_dir, "documents")
-    # checkpoint every step: at K=5 the pure unrolled plan already
-    # pays ~4× in Catalyst recompute (measured 11.3s → 2.9s at
-    # sf0.01); a production 30k-merge run would checkpoint in the
-    # hundreds-of-steps cadence instead
-    return bpe_train(docs, n_merges=_BPE_MERGES, checkpoint_every=1)
+    return bpe_train_batched(docs, n_merges=_BPE_MERGES)
 
 
 BPE_ORACLE = """

@@ -588,3 +588,71 @@ def test_ks_two_sample_cross_sample_ties(spark, tmp_path):
     [r] = q_ks_two_sample(spark, str(tmp_path)).collect()
     assert (r["n1"], r["n2"]) == (4, 4)
     assert abs(r["ks_d"] - 0.25) < 1e-12
+
+
+def test_bpe_batched_property_equals_sequential(spark):
+    """Exactness of the BATCHED trainer's prefix selection: on random
+    corpora (merge ties, 'aaa' overlaps, vocab collisions where a
+    merged string equals an existing symbol), bpe_train_batched must
+    emit exactly the sequential textbook merge list — batching is a
+    performance transform, never a semantic one."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from funding_monitoring_spark.operators.bpe import bpe_train_batched
+
+    words = st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(words)
+    def check(ws):
+        docs = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(ws)], "doc_id long, text string"
+        )
+        k = 4
+        got = sorted(
+            (r["step"], r["pair_a"], r["pair_b"], r["n"])
+            for r in bpe_train_batched(
+                docs, n_merges=k, max_batch=3
+            ).collect()
+        )
+        state = [list(w) for w in ws]
+        want = []
+        for step in range(1, k + 1):
+            counts = {}
+            for syms in state:
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+            if not counts:
+                break
+            (a, b), n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            want.append((step, a, b, n))
+            new_state = []
+            for syms in state:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_state.append(out)
+            state = new_state
+        assert got == sorted(want)
+
+    check()
