@@ -513,3 +513,123 @@ def test_topk_recall_counts_hits_per_pair(spark):
         exact, approx.filter("query_id < 0"), "ivf"
     ).collect()
     assert empty["n_hits"] == 0 and empty["recall_at_k"] == 0.0
+
+
+def _zipf_fact(spark, n_rows):
+    """Deterministic Zipf-ish fixture: ~90% of rows on one HOT key,
+    the tail uniform over 200 cold keys."""
+    return (
+        spark.range(n_rows)
+        .select(
+            F.col("id"),
+            F.when(
+                F.pmod(F.xxhash64("id"), F.lit(100)) < 90, F.lit("HOT")
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("k"),
+                    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(200)).cast(
+                        "string"
+                    ),
+                )
+            )
+            .alias("key"),
+            (
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000))
+                / F.lit(10.0)
+            ).alias("value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_salted_join_skewed_beats_unsalted_and_matches(spark):
+    """The salted join on a hot-key fixture: with AQE and broadcast
+    off (the regime salting exists for — a dim too big to broadcast,
+    no runtime skew splitting), the plain sort-merge join funnels
+    ~90% of the fact through ONE task while the salted join spreads
+    it over num_salts tasks. Asserts (a) row-exact equality of the
+    aggregated result and (b) a measured wall-clock win with a 1.2x
+    safety margin (observed ~1.9x on local[32] at 3M rows)."""
+    import time
+
+    from funding_monitoring_spark.operators.skew import salted_join
+
+    fact = _zipf_fact(spark, 3_000_000)
+    dim = (
+        spark.range(201)
+        .select(
+            F.when(F.col("id") == 0, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") - 1).cast("string")))
+            .alias("key"),
+            (F.col("id") * 2).alias("weight"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def agg(j):
+        return {
+            r.key: (r.n, r.s)
+            for r in j.groupBy("key")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value") + F.col("weight")), 4).alias(
+                    "s"
+                ),
+            )
+            .collect()
+        }
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get(
+            "spark.sql.adaptive.enabled"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        t0 = time.perf_counter()
+        plain = agg(fact.join(dim, "key"))
+        t1 = time.perf_counter()
+        salted = agg(salted_join(fact, dim, "key", 32, ["id"]))
+        t2 = time.perf_counter()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert salted == plain
+    assert (t2 - t1) * 1.2 < (t1 - t0), (
+        f"salted {t2 - t1:.2f}s not faster than plain {t1 - t0:.2f}s"
+    )
+
+
+def test_salted_agg_skewed_matches_plain(spark):
+    """salted_agg on the hot-key fixture is row-exact vs the plain
+    groupBy. No wall assertion here ON PURPOSE: decomposable
+    aggregates are already map-side combined, so a skewed groupBy
+    shuffles one partial row per (key, task) regardless of skew —
+    salting an agg is for the pathological cases (partial-agg
+    fallback, wide partial state), and its value on this fixture is
+    equivalence, not speed."""
+    from funding_monitoring_spark.operators.skew import salted_agg
+
+    fact = _zipf_fact(spark, 300_000)
+    plain = {
+        r.key: (r.n, round(r.s, 4))
+        for r in fact.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    salted = {
+        r.key: (r.n, round(r.s, 4))
+        for r in salted_agg(
+            fact,
+            ["key"],
+            {"n": ("count", "value"), "s": ("sum", "value")},
+            num_salts=32,
+            tiebreak_cols=["id"],
+        ).collect()
+    }
+    assert salted == plain
