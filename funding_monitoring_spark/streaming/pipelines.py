@@ -855,8 +855,26 @@ def replay_events_pipeline(
     """Harness: chunk `events`, run the named pipeline to completion
     (availableNow), return the resulting store as a DataFrame."""
     chunks_dir = os.path.join(workdir, "chunks")
-    checkpoint = os.path.join(workdir, "checkpoint")
     schema = write_time_ordered_chunks(events, chunks_dir, n_chunks)
+    return replay_pipeline_from_chunks(
+        spark, chunks_dir, schema, workdir, pipeline, state_partitions
+    )
+
+
+def replay_pipeline_from_chunks(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    workdir: str,
+    pipeline: str,
+    state_partitions: int = REPLAY_STATE_PARTITIONS,
+) -> DataFrame:
+    """Run a named pipeline over an ALREADY-chunked replay input.
+    Chunks are immutable once written, so callers replaying the same
+    fixture through several pipelines chunk once and share the
+    directory (suites/streaming_suite._replay); each run still gets
+    its own checkpoint and store under `workdir`."""
+    checkpoint = os.path.join(workdir, "checkpoint")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:

@@ -25,7 +25,12 @@ from funding_monitoring_spark.suites.temporal_suite import (
     session_window_oracle_sql,
 )
 from funding_monitoring_spark.sources.tables import load_table
-from funding_monitoring_spark.streaming.pipelines import replay_events_pipeline
+from funding_monitoring_spark.streaming.pipelines import (
+    replay_pipeline_from_chunks,
+)
+from funding_monitoring_spark.streaming.replay import (
+    write_time_ordered_chunks,
+)
 
 #: replay micro-batch count. Every batch oracle below is parameterized
 #: by the SAME constant (the NTILE tiling), so overriding it keeps
@@ -51,6 +56,38 @@ def _workdir() -> str:
     return tempfile.mkdtemp(prefix="fm_stream_")
 
 
+#: chunked-replay input cache, keyed by (fixture, chunk count,
+#: variant). Chunk files are immutable once written, so the dozen
+#: streaming queries replaying the SAME fixture share one chunking
+#: pass per session (~5 s at sf0.1 each, before this: every query
+#: re-chunked into a fresh tempdir); each run still gets its own
+#: store + checkpoint via _workdir(). `variant` isolates inputs that
+#: differ from the raw events table (sentinel-flushed unions).
+_CHUNK_CACHE: dict[tuple[str, int, str], tuple[str, object]] = {}
+
+
+def _chunked_events(spark, sf_dir, variant="", events=None):
+    key = (os.path.abspath(sf_dir), N_CHUNKS, variant)
+    if key not in _CHUNK_CACHE:
+        if events is None:
+            events = load_table(spark, sf_dir, "events")
+        cdir = os.path.join(
+            tempfile.mkdtemp(prefix="fm_chunks_"), "chunks"
+        )
+        schema = write_time_ordered_chunks(events, cdir, N_CHUNKS)
+        _CHUNK_CACHE[key] = (cdir, schema)
+    return _CHUNK_CACHE[key]
+
+
+def _replay(
+    spark, sf_dir, pipeline, variant="", events=None, **kwargs
+):
+    cdir, schema = _chunked_events(spark, sf_dir, variant, events)
+    return replay_pipeline_from_chunks(
+        spark, cdir, schema, _workdir(), pipeline, **kwargs
+    )
+
+
 @query(
     "stream_upsert_rates",
     f"SELECT * FROM ({_DEDUPED_RATES})",
@@ -58,10 +95,7 @@ def _workdir() -> str:
 def q_stream_upsert_rates(spark, sf_dir):
     """Watermarked dedup + last-write-wins upsert ingestion, replayed
     over 4 micro-batches; final store == batch dedup of the source."""
-    events = load_table(spark, sf_dir, "events")
-    return replay_events_pipeline(
-        spark, events, _workdir(), "upsert_rates", N_CHUNKS
-    )
+    return _replay(spark, sf_dir, "upsert_rates")
 
 
 @query(
@@ -80,10 +114,7 @@ def q_stream_upsert_rates(spark, sf_dir):
 def q_stream_tumbling_rollup(spark, sf_dir):
     """5-minute tumbling-window streaming aggregation (update mode,
     upsert-by-window sink); converged store == batch window agg."""
-    events = load_table(spark, sf_dir, "events")
-    return replay_events_pipeline(
-        spark, events, _workdir(), "tumbling_rollup", N_CHUNKS
-    )
+    return _replay(spark, sf_dir, "tumbling_rollup")
 
 
 @query(
@@ -117,10 +148,7 @@ def q_stream_lending_append(spark, sf_dir):
     """The lending DAG as a stream: per-tick group-min + ceil-5-min
     bucket, idempotently APPENDED (accumulating table); the store ==
     the batch per-tile computation."""
-    events = load_table(spark, sf_dir, "events")
-    return replay_events_pipeline(
-        spark, events, _workdir(), "lending_append", N_CHUNKS
-    )
+    return _replay(spark, sf_dir, "lending_append")
 
 
 @query(
@@ -138,17 +166,13 @@ def q_stream_ewma_stateful(spark, sf_dir):
     EWMA carried across micro-batches; the converged state equals the
     batch fold over the ordered history, bit-for-bit (alpha=0.25 is
     binary-exact — no rounding needed)."""
-    events = load_table(spark, sf_dir, "events")
     # applyInPandasWithState pays a per-KEY-GROUP Arrow+state round
     # trip, so its state partitioning scales with key count (spread
     # the 750 symbols across all cores) — the opposite sizing from the
     # watermark-dedupe pipelines, where each partition costs a state
     # commit per batch and batches are small (measured: 2 parts 98s,
     # 8 parts 32s, 32 parts 18s at sf0.1).
-    return replay_events_pipeline(
-        spark, events, _workdir(), "ewma_stateful", N_CHUNKS,
-        state_partitions=32,
-    )
+    return _replay(spark, sf_dir, "ewma_stateful", state_partitions=32)
 
 
 @query(
@@ -184,13 +208,9 @@ def q_stream_anomaly_alerts(spark, sf_dir):
     append-only as observations arrive. The converged store equals
     the batch window computation — scores are functions of strictly
     prior history, so nothing is ever revised."""
-    events = load_table(spark, sf_dir, "events")
     # same sizing rationale as ewma_stateful: per-key-group Arrow
     # round trips dominate, so spread the 750 symbols across cores
-    return replay_events_pipeline(
-        spark, events, _workdir(), "anomaly_alerts", N_CHUNKS,
-        state_partitions=32,
-    )
+    return _replay(spark, sf_dir, "anomaly_alerts", state_partitions=32)
 
 
 @query(
@@ -207,10 +227,7 @@ def q_stream_funding_pipeline(spark, sf_dir):
     """The full reference DAG as a stream: ingest+upsert rates, then
     per-tick snapshot recompute of funding stats; the final snapshot ==
     the batch flagship query over the deduplicated store."""
-    events = load_table(spark, sf_dir, "events")
-    return replay_events_pipeline(
-        spark, events, _workdir(), "funding_pipeline", N_CHUNKS
-    )
+    return _replay(spark, sf_dir, "funding_pipeline")
 
 
 @query(
@@ -231,10 +248,7 @@ def q_stream_stream_join(spark, sf_dir):
     """Stream-stream range join: clicks ⋈ purchases within a 60-minute
     attribution horizon, both sides watermarked (bounded join state);
     the appended match set == the batch range join."""
-    events = load_table(spark, sf_dir, "events")
-    return replay_events_pipeline(
-        spark, events, _workdir(), "click_attribution", N_CHUNKS
-    )
+    return _replay(spark, sf_dir, "click_attribution")
 
 
 # the SAME oracle text as the batch session_window_agg query — gap and
@@ -267,12 +281,12 @@ def q_stream_session_windows(spark, sf_dir):
     sentinel = events.sparkSession.createDataFrame(
         [(-1, flush_ts, -1, "sentinel", 0.0, None)], events.schema
     )
-    out = replay_events_pipeline(
+    out = _replay(
         spark,
-        events.unionByName(sentinel),
-        _workdir(),
+        sf_dir,
         "session_windows",
-        N_CHUNKS,
+        variant="session_sentinel",
+        events=events.unionByName(sentinel),
     )
     return out.filter(F.col("user_id") >= 0)
 
@@ -286,10 +300,7 @@ def q_stream_cdc_materialize(spark, sf_dir):
     into the state store with accumulated change counts and retained
     tombstones (sinks.cdc_writer); the converged store must equal the
     batch compaction — the SAME oracle SQL as `cdc_materialize`."""
-    events = load_table(spark, sf_dir, "events")
-    return replay_events_pipeline(
-        spark, events, _workdir(), "cdc_materialize", N_CHUNKS
-    )
+    return _replay(spark, sf_dir, "cdc_materialize")
 
 
 from funding_monitoring_spark.suites.window_suite import HOPPING_ORACLE_SQL
@@ -301,10 +312,7 @@ def q_stream_hopping_rollup(spark, sf_dir):
     sliding every 5, update-mode state per open window, upserted by
     (window_start, event_type); converged store == the batch hopping
     aggregation — same oracle as `hopping_window_rollup`."""
-    events = load_table(spark, sf_dir, "events")
-    return replay_events_pipeline(
-        spark, events, _workdir(), "hopping_rollup", N_CHUNKS
-    )
+    return _replay(spark, sf_dir, "hopping_rollup")
 
 
 #: streaming OHLC shares the batch bars oracle exactly — window start
@@ -338,10 +346,7 @@ def q_stream_ohlc_bars(spark, sf_dir):
     across micro-batches), each changed bar re-emitted in update mode
     and last-write-wins-upserted by (symbol, bar) — the store
     converges to exactly the batch bars, which is the shared oracle."""
-    events = load_table(spark, sf_dir, "events")
-    return replay_events_pipeline(
-        spark, events, _workdir(), "ohlc_bars", N_CHUNKS
-    )
+    return _replay(spark, sf_dir, "ohlc_bars")
 
 
 @query(
@@ -369,10 +374,7 @@ def q_stream_heavy_hitters(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    events = load_table(spark, sf_dir, "events")
-    store = replay_events_pipeline(
-        spark, events, _workdir(), "heavy_hitters", N_CHUNKS
-    )
+    store = _replay(spark, sf_dir, "heavy_hitters")
     w = Window.partitionBy("event_type").orderBy(
         F.desc("n"), F.asc("user_id")
     )
@@ -416,11 +418,11 @@ def q_stream_window_distinct_users(spark, sf_dir):
     sentinel = events.sparkSession.createDataFrame(
         [(-1, flush_ts, -1, "sentinel", 0.0, None)], events.schema
     )
-    out = replay_events_pipeline(
+    out = _replay(
         spark,
-        events.unionByName(sentinel),
-        _workdir(),
+        sf_dir,
         "window_distinct_users",
-        N_CHUNKS,
+        variant="wdu_sentinel",
+        events=events.unionByName(sentinel),
     )
     return out.filter(F.col("window_start") < F.lit(flush_ts))
