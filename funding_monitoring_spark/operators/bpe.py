@@ -52,7 +52,16 @@ def word_state(
 ) -> DataFrame:
     """Initial BPE state: one row per word with its character-symbol
     array. Text is bounded and lowercased (training normalization);
-    words are maximal \\S+ runs."""
+    words are maximal \\S+ runs.
+
+    The state is repartitioned to the cluster's default parallelism:
+    the fixture arrives as ONE parquet file, and without the spread
+    every training scan — pair counts, vocab, merge rewrites, every
+    round — would inherit that single partition and run on one core
+    (measured: the whole K=20 loop single-threaded before this)."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
@@ -204,7 +213,9 @@ def merge_pairs_fold(symbols: Column, merges: Column) -> Column:
     return F.filter(arr, lambda s: s != F.lit(""))
 
 
-def batch_candidates(state: DataFrame, cap: int) -> DataFrame:
+def batch_candidates(
+    state: DataFrame, cap: int, vocab: DataFrame | None = None
+) -> DataFrame:
     """Select the largest batch of ranked pairs whose one-pass merge
     is PROVABLY identical to applying them sequentially — the
     exactness argument, so the sequential unrolled oracle stays valid:
@@ -228,6 +239,13 @@ def batch_candidates(state: DataFrame, cap: int) -> DataFrame:
     Runs entirely on a <= cap+1-row frame: a row_number window, a
     running collect_list for the disjointness scan, and a broadcast
     semi-flag against the distinct-symbol vocab.
+
+    ``vocab``: the CURRENT distinct-symbol set as a 1-column
+    ('merged') DataFrame. When None it is derived from `state` (an
+    extra corpus scan); bpe_train_batched maintains it incrementally
+    instead — initial distinct characters once, plus each round's
+    merged strings — so the per-round cost stays at two corpus
+    passes (count + rewrite).
     """
     from pyspark.sql import Window
 
@@ -246,11 +264,11 @@ def batch_candidates(state: DataFrame, cap: int) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair_a"), F.asc("pair_b"))
         .limit(cap + 1)
     )
-    vocab = (
-        state.select(F.explode("symbols").alias("merged"))
-        .distinct()
-        .withColumn("in_vocab", F.lit(True))
-    )
+    if vocab is None:
+        vocab = state.select(
+            F.explode("symbols").alias("merged")
+        ).distinct()
+    vocab = vocab.withColumn("in_vocab", F.lit(True))
     w = Window.orderBy(F.desc("n"), F.asc("pair_a"), F.asc("pair_b"))
     toks = F.array(
         F.col("pair_a"),
@@ -324,16 +342,27 @@ def bpe_train_batched(
     state = word_state(
         docs, text_col=text_col, max_chars=max_chars
     ).localCheckpoint(eager=True)
+    # incremental vocab: distinct characters once, then each round's
+    # merged strings — batch_candidates' collision check never
+    # re-scans the corpus (tiny frame, Heaps'-law bounded)
+    vocab = (
+        state.select(F.explode("symbols").alias("merged"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     merges: list[DataFrame] = []
     done = 0
     while done < n_merges:
         cap = min(max_batch, n_merges - done)
-        batch = batch_candidates(state, cap).localCheckpoint(
+        batch = batch_candidates(state, cap, vocab).localCheckpoint(
             eager=True
         )
         n_sel = batch.count()
         if n_sel == 0:
             break  # corpus exhausted (no adjacent pairs remain)
+        vocab = vocab.unionByName(
+            batch.select("merged")
+        ).localCheckpoint(eager=True)
         merges.append(
             batch.select(
                 (F.lit(done) + F.col("rank")).alias("step"),
