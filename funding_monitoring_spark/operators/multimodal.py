@@ -9,11 +9,13 @@ wire format decodes FOR REAL in pure numpy/struct + stdlib zlib —
 scanline unfilters), 16-bit PCM WAV (RIFF chunk walk, deinterleave),
 and raw-DIB AVI video (avih/strh/strf headers, movi frame chunks,
 idx1); oracle-verified round trips in `multimodal_{bmp,png,wav}_
-roundtrip` and `multimodal_avi_framesample`. Only genuinely
-compressed formats (JPEG, MP3/AAC, MPEG video) are stubbed behind
-``NotImplementedError`` or a deterministic fake, because those codec
-libraries are not in this environment — swapping the stub for
-PIL/ffmpeg changes ONE function, not the pipeline.
+roundtrip` and `multimodal_avi_framesample`. JPEG rides on the
+OPTIONAL Pillow dependency: with it installed, encode_jpeg /
+decode_image run the real codec inside the same mapInPandas plumbing
+(and `multimodal_jpeg_roundtrip` registers itself); without it they
+raise loudly. The remaining compressed formats (MP3/AAC, MPEG video)
+stay stubbed behind ``NotImplementedError`` — swapping a stub for
+ffmpeg changes ONE function, not the pipeline.
 
 Scale notes (100 TB): media rows are large, so the operators use
 ``mapInPandas`` (streaming Arrow batches, no row materialization of
@@ -62,21 +64,67 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _pil_image_module():
+    """The optional imaging dependency, or None. JPEG support rides
+    on Pillow when it is installed; everything else in this module is
+    dependency-free."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes) -> object:
     """Image decode dispatch by magic bytes. Uncompressed 24-bit BMP
     and 8-bit truecolor PNG decode HERE, for real (pure numpy/struct +
-    stdlib zlib — no imaging library needed); JPEG/WebP/... need a
-    real codec library and raise until one is present (in production:
-    ``PIL.Image.open(io.BytesIO(payload))``).
-    """
+    stdlib zlib — no imaging library needed). JPEG decodes through
+    Pillow WHEN INSTALLED (optional dependency, probed at call time
+    so executors resolve it against their own environment); without
+    it — and for any other compressed format — the decode raises
+    loudly instead of faking pixels."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        Image = _pil_image_module()
+        if Image is None:
+            raise NotImplementedError(
+                "JPEG decode needs the optional Pillow dependency "
+                "(pip install Pillow); refusing to fake pixels"
+            )
+        import io
+
+        import numpy as np
+
+        with Image.open(io.BytesIO(payload)) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
     raise NotImplementedError(
-        "JPEG/other compressed-image codecs not available in this "
+        "compressed-image codec not available in this "
         "environment; swap in PIL/torchvision here"
     )
+
+
+def encode_jpeg(pixels, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as JPEG via the optional
+    Pillow dependency; raises loudly without it (the lossless BMP/PNG
+    encoders above need no library)."""
+    Image = _pil_image_module()
+    if Image is None:
+        raise NotImplementedError(
+            "JPEG encode needs the optional Pillow dependency"
+        )
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    Image.fromarray(np.asarray(pixels, dtype=np.uint8), "RGB").save(
+        buf, format="JPEG", quality=quality
+    )
+    return buf.getvalue()
 
 
 #: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes)
@@ -1023,3 +1071,64 @@ def decode_avi_frames(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=AVI_FRAME_SCHEMA)
+
+
+def synthesize_jpeg_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Real JPEG payloads from the closed-form pixel field, via the
+    optional Pillow dependency (encode_jpeg raises without it)."""
+    return _synthesize_media(ids, id_col, encode_jpeg, "image/jpeg")
+
+
+def decode_image_features_tolerant(
+    media: DataFrame, tol: float = 16.0
+) -> DataFrame:
+    """Reader half for LOSSY codecs (JPEG): decode each payload with
+    the real codec, then compare the per-channel means against the
+    closed-form pixel field the writer encoded and emit
+    within-tolerance flags. Exact means can't be oracle-checked for
+    a lossy codec — the flags turn 'decoded approximately the right
+    image' into an exact, hashable assertion (a channel swap,
+    row flip, or garbage decode pushes the mean error far past any
+    quantization loss)."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                h, w, _ = px.shape
+                got = px.reshape(-1, 3).mean(axis=0)
+                want = (
+                    _bmp_pixels(int(mid), w, h)
+                    .reshape(-1, 3)
+                    .mean(axis=0)
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "mean_close_r": int(abs(got[0] - want[0]) <= tol),
+                        "mean_close_g": int(abs(got[1] - want[1]) <= tol),
+                        "mean_close_b": int(abs(got[2] - want[2]) <= tol),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, width int, height int, "
+            "mean_close_r int, mean_close_g int, mean_close_b int"
+        ),
+    )

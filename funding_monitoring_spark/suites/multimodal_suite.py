@@ -244,3 +244,42 @@ def q_multimodal_avi_framesample(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_avi_frames(synthesize_avi_media(docs))
+
+
+# JPEG rides on the optional Pillow dependency: the roundtrip query
+# registers ONLY when Pillow is importable, so environments without
+# it (this container) never expose a query that can't run — green
+# when the lib exists, cleanly absent when not. The codec is lossy,
+# so the oracle checks exact dimensions plus within-tolerance flags
+# (decode_image_features_tolerant) instead of exact means.
+from funding_monitoring_spark.operators.multimodal import (  # noqa: E402
+    _pil_image_module,
+)
+
+if _pil_image_module() is not None:
+
+    @query(
+        "multimodal_jpeg_roundtrip",
+        """
+        SELECT doc_id AS media_id,
+               CAST(2 + doc_id % 6 AS INT) AS width,
+               CAST(2 + doc_id % 4 AS INT) AS height,
+               1 AS mean_close_r, 1 AS mean_close_g, 1 AS mean_close_b
+        FROM documents
+        """,
+    )
+    def q_multimodal_jpeg_roundtrip(spark, sf_dir):
+        """Lossy-codec round trip through the optional Pillow JPEG
+        path: synthesize a JPEG per document from the closed-form
+        pixel field, decode it with the real codec in the same
+        Arrow-batched mapInPandas plumbing as BMP/PNG, and assert the
+        per-channel means land within quantization tolerance of the
+        source field (exact flags — a channel swap or garbage decode
+        lands far outside)."""
+        from funding_monitoring_spark.operators.multimodal import (
+            decode_image_features_tolerant,
+            synthesize_jpeg_media,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        return decode_image_features_tolerant(synthesize_jpeg_media(docs))

@@ -633,3 +633,43 @@ def test_salted_agg_skewed_matches_plain(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_jpeg_optional_dependency_contract(spark):
+    """JPEG support is gated on the optional Pillow dependency: with
+    it, encode->decode round-trips within quantization tolerance
+    through the registered query path; without it, both halves raise
+    the loud NotImplementedError (never fake pixels), and the
+    roundtrip query is NOT registered."""
+    from funding_monitoring_spark.operators.multimodal import (
+        _pil_image_module,
+        decode_image,
+        encode_jpeg,
+    )
+    from funding_monitoring_spark.registry import queries
+
+    registered = "multimodal_jpeg_roundtrip" in queries()
+    if _pil_image_module() is None:
+        assert not registered
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            encode_jpeg([[[0, 0, 0]]])
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    else:
+        assert registered
+        from funding_monitoring_spark.operators.multimodal import (
+            decode_image_features_tolerant,
+            synthesize_jpeg_media,
+        )
+
+        ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+        out = decode_image_features_tolerant(
+            synthesize_jpeg_media(ids)
+        ).collect()
+        assert len(out) == 8
+        for r in out:
+            assert (r.mean_close_r, r.mean_close_g, r.mean_close_b) == (
+                1,
+                1,
+                1,
+            )
