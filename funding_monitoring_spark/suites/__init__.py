@@ -8,6 +8,7 @@ from funding_monitoring_spark.suites import (  # noqa: F401
     curation_suite,
     dedup_suite,
     graph_suite,
+    layout_suite,
     main_dag_suite,
     multimodal_suite,
     olap_suite,

@@ -337,3 +337,50 @@ def test_frequent_sketch_broadcasts_candidates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert plan.count("FileScan") == 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pruned_queries_read_only_in_range_partitions(spark, sf_dir):
+    """The pruned_* driver queries must carry the partition filter in
+    their scan AND actually read strictly fewer partition directories
+    than the store holds — partition pruning in the external
+    correctness path, not only in the layout unit tests."""
+    from funding_monitoring_spark.suites.layout_suite import (
+        partitioned_events_path,
+    )
+
+    import contextlib
+    import glob
+    import io
+    import os
+
+    for name in ("pruned_time_range_stats", "pruned_daily_rollup"):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            ALL[name](spark, sf_dir).explain("formatted")
+        plan = buf.getvalue()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m, plan
+        assert "event_date" in m.group(1), plan
+        # both range bounds must be partition-level predicates
+        assert ">= 2024-01-10" in m.group(1), plan
+        assert "<= 2024-01-16" in m.group(1), plan
+    # physical check, not just plan text: input_file_name() reflects
+    # the files EXECUTION actually read — must be a strict subset of
+    # the store's partition directories, one per in-range day
+    from funding_monitoring_spark.suites.layout_suite import (
+        pruned_events,
+    )
+
+    store = partitioned_events_path(spark, sf_dir)
+    all_parts = glob.glob(os.path.join(store, "event_date=*"))
+    scanned = {
+        os.path.basename(os.path.dirname(r[0]))
+        for r in pruned_events(spark, sf_dir)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert 0 < len(scanned) < len(all_parts), (scanned, len(all_parts))
+    assert scanned == {
+        f"event_date=2024-01-{d}" for d in range(10, 17)
+    }, scanned
