@@ -161,6 +161,12 @@ HEADLINE = [
     "dedup_savings_report",
     "hourly_activity_heatmap",
     "value_histogram",
+    # new in round 5
+    "ann_recall_report",
+    "near_dup_recall_report",
+    "pruned_time_range_stats",
+    "pruned_daily_rollup",
+    "bucketed_join_revenue",
 ]
 
 

@@ -109,3 +109,90 @@ def q_pruned_daily_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+_BUCKETED_DB: dict[str, str] = {}
+
+
+def bucketed_order_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Materialize (once per fixture per session) orders and lineitem
+    bucketed 8-ways on the order key into a tempdir-backed database;
+    return the two table names. Recurring order-grain joins over
+    these read matching buckets directly — exchange-free when the
+    planner picks the shuffle join (gated with broadcast disabled in
+    tests/test_layout.py); the Spark analogue of the co-located joins
+    the reference gets from Postgres-side indexes."""
+    from funding_monitoring_spark.sources.layout import (
+        write_bucketed_table,
+    )
+
+    key = os.path.abspath(sf_dir)
+    if key not in _BUCKETED_DB:
+        import hashlib
+
+        # stable name (Python hash() is process-salted)
+        db = f"fm_bucketed_{hashlib.md5(key.encode()).hexdigest()[:8]}"
+        loc = tempfile.mkdtemp(prefix="fm_bucketed_wh_")
+        spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority"
+        )
+        lineitem = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            )
+        )
+        write_bucketed_table(
+            spark, orders, f"{db}.orders_b", ["o_orderkey"], 8
+        )
+        write_bucketed_table(
+            spark, lineitem, f"{db}.lineitem_b", ["o_orderkey"], 8
+        )
+        _BUCKETED_DB[key] = db
+    db = _BUCKETED_DB[key]
+    return f"{db}.orders_b", f"{db}.lineitem_b"
+
+
+@query(
+    "bucketed_join_revenue",
+    """
+    SELECT o.o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_quantity), 6) AS sum_qty,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_bucketed_join_revenue(spark, sf_dir):
+    """The recurring order-grain join routed through the BUCKETED
+    layout: both sides pre-bucketed 8-ways on the order key, so the
+    join reads matching buckets instead of shuffling either table —
+    the external correctness row for the co-located-join story
+    (exchange-freeness itself is plan-gated with broadcast disabled
+    in tests/test_layout.py). Money sums aggregate in DECIMAL(18,6)
+    for order-independent exactness, same policy as TPC-H Q1."""
+    o_name, l_name = bucketed_order_tables(spark, sf_dir)
+    o = spark.table(o_name)
+    li = spark.table(l_name)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(li, "o_orderkey")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.sum(disc.cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

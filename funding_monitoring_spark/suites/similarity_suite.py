@@ -220,9 +220,7 @@ def q_ann_ivf(spark, sf_dir):
     return S.cosine_topk_ivf(queries, emb, k=K)
 
 
-@query(
-    "embedding_near_dup",
-    f"""
+NEAR_DUP_LSH_ORACLE = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings WHERE vec_id < {NEAR_DUP_LIMIT}),
     vb AS (SELECT vec_id, unnest({_sql_bucket_keys('emb')}) AS bucket
@@ -239,8 +237,10 @@ def q_ann_ivf(spark, sf_dir):
     SELECT id_a, id_b, {_SQL_COSINE} AS score
     FROM pairs
     WHERE {_SQL_COSINE} >= {NEAR_DUP_THRESHOLD}
-    """,
-)
+    """
+
+
+@query("embedding_near_dup", NEAR_DUP_LSH_ORACLE)
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, LSH band-then-verify —
     the scale path (bucket equi-join, no cross join; the oracle
@@ -251,9 +251,7 @@ def q_embedding_near_dup(spark, sf_dir):
     return S.embedding_near_dup(v, threshold=NEAR_DUP_THRESHOLD)
 
 
-@query(
-    "embedding_near_dup_exact",
-    f"""
+NEAR_DUP_EXACT_ORACLE = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings WHERE vec_id < {NEAR_DUP_LIMIT}),
     pairs AS (
@@ -264,8 +262,10 @@ def q_embedding_near_dup(spark, sf_dir):
     SELECT q_id AS id_a, c_id AS id_b, {_SQL_COSINE} AS score
     FROM pairs
     WHERE {_SQL_COSINE} >= {NEAR_DUP_THRESHOLD}
-    """,
-)
+    """
+
+
+@query("embedding_near_dup_exact", NEAR_DUP_EXACT_ORACLE)
 def q_embedding_near_dup_exact(spark, sf_dir):
     """Exact all-pairs near-dup twin (bounded fixture): the recall
     baseline the LSH path is measured against."""
@@ -481,4 +481,50 @@ def q_ann_recall_report(spark, sf_dir):
     ivf = S.cosine_topk_ivf(queries, emb, k=K)
     return S.topk_recall(exact, lsh, "lsh").unionByName(
         S.topk_recall(exact, ivf, "ivf")
+    )
+
+
+@query(
+    "near_dup_recall_report",
+    f"""
+    SELECT 'lsh_near_dup' AS method,
+           CAST((SELECT COUNT(*)
+                 FROM ({NEAR_DUP_EXACT_ORACLE})) AS BIGINT) AS n_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(COUNT(*) / CAST((SELECT COUNT(*)
+                 FROM ({NEAR_DUP_EXACT_ORACLE})) AS DOUBLE), 6)
+               AS recall
+    FROM ({NEAR_DUP_EXACT_ORACLE}) e
+    JOIN ({NEAR_DUP_LSH_ORACLE}) a USING (id_a, id_b)
+    """,
+)
+def q_near_dup_recall_report(spark, sf_dir):
+    """recall of the LSH band-then-verify near-dup pair set against
+    the exact all-pairs twin at the same threshold — the second
+    approximate path whose quality claim becomes an oracle-tracked
+    number (companion to ann_recall_report). Both pair sets are
+    deterministic, so recall is exact; the semi-join probes the
+    (tiny) pair frames, never the embeddings."""
+    v = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEAR_DUP_LIMIT
+    )
+    exact = S.embedding_near_dup_exact(
+        v, threshold=NEAR_DUP_THRESHOLD
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    lsh = S.embedding_near_dup(v, threshold=NEAR_DUP_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    hits = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            F.lit("lsh_near_dup").alias("method"),
+            "n_exact",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.col("n_exact").cast("double"), 6
+            ).alias("recall"),
+        )
     )

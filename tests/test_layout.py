@@ -164,3 +164,28 @@ def test_zorder_bounds_both_dimensions(spark, tmp_path):
     # straddlers from the sampled range boundaries)
     assert avg_candidate_files(zordered, "x") <= 7
     assert avg_candidate_files(zordered, "y") <= 7
+
+
+def test_bucketed_join_revenue_query_no_join_exchange(spark, sf_dir):
+    """The REGISTERED bucketed_join_revenue query (not just the layout
+    helper) must plan its join exchange-free over the bucketed
+    tables: with broadcast disabled (the 100 TB regime), the only
+    Exchange left is the post-join status aggregation."""
+    from funding_monitoring_spark import registry
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_str(
+            registry.queries()["bucketed_join_revenue"](spark, sf_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    join_part = plan.split("Join")[-1]
+    assert "Exchange" not in join_part, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan, plan
+    # exactly one exchange total: the grouping on o_orderstatus
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hash", plan)) == 1, plan
