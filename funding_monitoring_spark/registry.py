@@ -66,12 +66,18 @@ def query(name: str, sql: str | None):
 #:       row in CORRECTNESS_LOCAL_r5.json (tools/local_correctness.py)
 #:       and queues for r6.
 #:   r6 plan (precommitted): (a) all round-5 post-freeze
-#:       registrations in registration order; (b) the 30 remaining
-#:       r2-row queries (TPC-H q1-q22 remainder, text-analysis and
-#:       curation families, window_functions_suite,
-#:       train_test_split_stats, winsorized_stats); (c) any slots
-#:       left go to the oldest r3 rows. Every overflow query gets a
-#:       fresh local row each round.
+#:       registrations in registration order — ann_recall_report,
+#:       near_dup_recall_report, pruned_time_range_stats,
+#:       pruned_daily_rollup, bucketed_join_revenue (plus
+#:       multimodal_jpeg_roundtrip wherever the optional Pillow
+#:       dependency exists; it self-registers only then); each ships
+#:       with a driver-format row in CORRECTNESS_LOCAL_r5.json this
+#:       round; (b) the 30 remaining r2-row queries (TPC-H q1-q22
+#:       remainder, text-analysis and curation families,
+#:       window_functions_suite, train_test_split_stats,
+#:       winsorized_stats); (c) any slots left go to the oldest r3
+#:       rows. Every overflow query gets a fresh local row each
+#:       round.
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
