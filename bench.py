@@ -196,6 +196,34 @@ def main() -> None:
     )
     warm.write.format("noop").mode("overwrite").save()
 
+    # Warm the Structured Streaming machinery the same way (offset/
+    # commit logs, state-store provider, micro-batch planner): a
+    # 1-row availableNow replay costs ~2 s once; without it the first
+    # stream_* query in the suite absorbs that startup and reads 2-3x
+    # slower than identical later runs. Fixture chunking (shared per
+    # session, suites/streaming_suite._replay) is NOT pre-paid here —
+    # it stays inside the first streaming query's measured time.
+    import tempfile as _tf
+
+    _wdir = _tf.mkdtemp(prefix="fm_bench_warm_")
+    _wdf = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1))], "v long, ts timestamp"
+    )
+    _wdf.coalesce(1).write.parquet(os.path.join(_wdir, "in"))
+    (
+        spark.readStream.schema(_wdf.schema)
+        .parquet(os.path.join(_wdir, "in"))
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark()  # state-store provider init
+        .writeStream.foreachBatch(lambda b, i: b.count())
+        .option(
+            "checkpointLocation", os.path.join(_wdir, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
     from funding_monitoring_spark.streaming import metrics
 
     metrics.ENABLED = True  # per-tick attribution for stream_* sinks
