@@ -167,6 +167,7 @@ HEADLINE = [
     "pruned_time_range_stats",
     "pruned_daily_rollup",
     "bucketed_join_revenue",
+    "store_compaction_report",
 ]
 
 

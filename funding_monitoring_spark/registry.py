@@ -68,7 +68,8 @@ def query(name: str, sql: str | None):
 #:   r6 plan (precommitted): (a) all round-5 post-freeze
 #:       registrations in registration order — ann_recall_report,
 #:       near_dup_recall_report, pruned_time_range_stats,
-#:       pruned_daily_rollup, bucketed_join_revenue (plus
+#:       pruned_daily_rollup, bucketed_join_revenue,
+#:       store_compaction_report (plus
 #:       multimodal_jpeg_roundtrip wherever the optional Pillow
 #:       dependency exists; it self-registers only then); each ships
 #:       with a driver-format row in CORRECTNESS_LOCAL_r5.json this

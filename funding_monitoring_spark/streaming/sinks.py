@@ -29,7 +29,10 @@ from funding_monitoring_spark.operators.upsert import dedupe_batch, upsert
 
 
 def atomic_overwrite(
-    df: DataFrame, path: str, extra_files: dict[str, str] | None = None
+    df: DataFrame,
+    path: str,
+    extra_files: dict[str, str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Materialize df into `path`, atomically: write a sibling
     versioned data dir, then swap a symlink over `path` with a single
@@ -60,7 +63,11 @@ def atomic_overwrite(
     os.makedirs(parent, exist_ok=True)
     token = uuid.uuid4().hex[:8]
     data = f"{path}.__v_{token}"
-    df.write.mode("overwrite").parquet(data)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        # preserve a partitioned store's pruning layout across rewrites
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data)
     for name, content in (extra_files or {}).items():
         if not name.startswith("_"):  # must be Spark-invisible
             raise ValueError(

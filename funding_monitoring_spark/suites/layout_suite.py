@@ -196,3 +196,47 @@ def q_bucketed_join_revenue(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "store_compaction_report",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_event,
+           CAST(MAX(event_id) AS BIGINT) AS max_event
+    FROM events
+    """,
+)
+def q_store_compaction_report(spark, sf_dir):
+    """Small-file compaction as an oracle-checked operation: fragment
+    a copy of the events table into per-append small files (the shape
+    a 5-minute append sink produces), run
+    operators/maintenance.compact_store, and aggregate the COMPACTED
+    store — the oracle computes the same aggregates from the raw
+    table, so any row lost or duplicated by the rewrite breaks the
+    hash. File-count and partition-layout guarantees are asserted in
+    tests/test_maintenance.py; this row proves content preservation
+    in the external path."""
+    import tempfile as _tf
+
+    from funding_monitoring_spark.operators.maintenance import (
+        compact_store,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    store = os.path.join(_tf.mkdtemp(prefix="fm_compact_"), "events")
+    # 4 fragmented appends: split by event_id stripe, several files each
+    for stripe in range(4):
+        events.filter(
+            F.pmod(F.col("event_id"), F.lit(4)) == stripe
+        ).repartition(4).write.mode("append").parquet(store)
+    compact_store(spark, store)
+    return spark.read.parquet(store).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )

@@ -133,9 +133,19 @@ def main() -> int:
         )
 
     out_path = os.path.join(REPO, f"CORRECTNESS_LOCAL_r{args.round}.json")
+    # merge into the round's existing artifact: a --names refresh of a
+    # few queries must not clobber the full overflow pass
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            merged = json.load(fh)
+    merged.update(results)
     with open(out_path, "w") as fh:
-        json.dump(results, fh, indent=2)
-    print(f"wrote {out_path}: {len(results) - n_fail}/{len(results)} ok")
+        json.dump(merged, fh, indent=2)
+    print(
+        f"wrote {out_path}: {len(results) - n_fail}/{len(results)} ok "
+        f"this run, {len(merged)} total rows"
+    )
     return 1 if n_fail else 0
 
 
