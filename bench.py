@@ -168,6 +168,7 @@ HEADLINE = [
     "pruned_daily_rollup",
     "bucketed_join_revenue",
     "store_compaction_report",
+    "schema_evolution_read",
 ]
 
 

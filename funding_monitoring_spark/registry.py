@@ -69,7 +69,7 @@ def query(name: str, sql: str | None):
 #:       registrations in registration order — ann_recall_report,
 #:       near_dup_recall_report, pruned_time_range_stats,
 #:       pruned_daily_rollup, bucketed_join_revenue,
-#:       store_compaction_report (plus
+#:       store_compaction_report, schema_evolution_read (plus
 #:       multimodal_jpeg_roundtrip wherever the optional Pillow
 #:       dependency exists; it self-registers only then); each ships
 #:       with a driver-format row in CORRECTNESS_LOCAL_r5.json this

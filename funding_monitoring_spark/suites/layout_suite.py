@@ -240,3 +240,71 @@ def q_store_compaction_report(spark, sf_dir):
         F.min("event_id").alias("min_event"),
         F.max("event_id").alias("max_event"),
     )
+
+
+@query(
+    "schema_evolution_read",
+    """
+    WITH gen AS (
+        SELECT event_id,
+               CASE WHEN event_id % 2 = 0
+                    THEN CAST(CAST(value AS FLOAT) AS DOUBLE)
+                    ELSE value END AS value,
+               CASE WHEN event_id % 2 = 0 THEN NULL
+                    ELSE event_type END AS event_type
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gen1,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(MAX(event_id) AS BIGINT) AS max_event
+    FROM gen
+    """,
+)
+def q_schema_evolution_read(spark, sf_dir):
+    """Multi-generation store read at one declared schema
+    (sources/evolution.read_evolving_parquet): generation 1 is
+    written narrow (int event_id, float value, no event_type column —
+    the store's original shape), generation 2 wide; the explicit-
+    schema read widens gen-1 physically in the vectorized reader and
+    materializes its missing column as typed NULLs. The oracle
+    replays the same float round-trip (CAST to FLOAT and back is the
+    identical IEEE conversion on both engines) and NULL pattern from
+    the raw table, so a mis-widened value or mis-defaulted column
+    breaks the hash."""
+    import tempfile as _tf
+
+    from pyspark.sql import types as T
+
+    from funding_monitoring_spark.sources.evolution import (
+        read_evolving_parquet,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    store = os.path.join(_tf.mkdtemp(prefix="fm_evolve_"), "events")
+    gen1 = events.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").cast("int").alias("event_id"),
+        F.col("value").cast("float").alias("value"),
+    )
+    gen1.write.mode("append").parquet(store)
+    gen2 = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "value", "event_type"
+    )
+    gen2.write.mode("append").parquet(store)
+    target = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    out = read_evolving_parquet(spark, store, target)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("event_type").isNull(), 1).otherwise(0)
+        ).alias("n_gen1"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("event_id").alias("max_event"),
+    )
