@@ -120,3 +120,82 @@ def test_null_inside_window_poisons_mean(spark):
     got = {r["g"]: (r["m2"], r["m3"]) for r in out.collect()}
     assert got["g1"] == (None, None)
     assert got["g2"] == (5.0, None)
+
+
+def test_upsert_property_random_batches(spark):
+    """Property check for the K1/K2 merge (SURVEY §7 'What's hard'
+    #1): folding random micro-batches through dedupe_batch + ordered
+    upsert must equal a plain dict replay that keeps, per key, the
+    row with the highest (order, arrival) — including intra-batch
+    duplicates, cross-batch revisions, stale re-emissions (lower
+    order arriving later), and ties (incoming wins). Also asserts
+    idempotence: re-applying the final batch changes nothing."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from funding_monitoring_spark.operators.upsert import (
+        dedupe_batch,
+        upsert,
+    )
+
+    # unique (key, order) per batch: order keys are unique event ids
+    # at every call site (PK uniqueness in the reference — SURVEY §7
+    # "What's hard" #2), and max_by ties would otherwise be
+    # legitimately arbitrary
+    batch = st.dictionaries(
+        st.tuples(st.integers(0, 4), st.integers(0, 9)),
+        st.integers(0, 99),
+        min_size=1,
+        max_size=6,
+    ).map(lambda d: [(k, o, v) for (k, o), v in d.items()])
+    batches = st.lists(batch, min_size=1, max_size=5)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(batches)
+    def check(bs):
+        store = None
+        expected = {}
+        for batch_rows in bs:
+            batch = dedupe_batch(
+                spark.createDataFrame(
+                    batch_rows, "k int, o int, v int"
+                ),
+                ["k"],
+                ["o"],
+            )
+            store = (
+                batch
+                if store is None
+                else upsert(store, batch, ["k"], order_cols=["o"])
+            )
+            # dict replay: within a batch max (o, v) wins (v breaks
+            # order ties deterministically, mirroring max_by over the
+            # full struct being unique per (k,o) after dedupe —
+            # emulate by folding rows in sorted order); across
+            # batches the incoming row wins on order ties
+            best = {}
+            for k, o, v in sorted(batch_rows):
+                if k not in best or o >= best[k][0]:
+                    best[k] = (o, v)
+            for k, (o, v) in best.items():
+                if k not in expected or o >= expected[k][0]:
+                    expected[k] = (o, v)
+        got = {r.k: (r.o, r.v) for r in store.collect()}
+        assert got == expected
+        # idempotence: replaying the LAST batch is a no-op
+        last = dedupe_batch(
+            spark.createDataFrame(bs[-1], "k int, o int, v int"),
+            ["k"],
+            ["o"],
+        )
+        again = {
+            r.k: (r.o, r.v)
+            for r in upsert(store, last, ["k"], order_cols=["o"]).collect()
+        }
+        assert again == expected
+
+    check()
