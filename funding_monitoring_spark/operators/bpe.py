@@ -54,14 +54,16 @@ def word_state(
     array. Text is bounded and lowercased (training normalization);
     words are maximal \\S+ runs.
 
-    The state is repartitioned to the cluster's default parallelism:
-    the fixture arrives as ONE parquet file, and without the spread
-    every training scan — pair counts, vocab, merge rewrites, every
-    round — would inherit that single partition and run on one core
-    (measured: the whole K=20 loop single-threaded before this)."""
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    )
+    An UNDER-partitioned input (the fixture arrives as ONE parquet
+    file) is spread to the cluster's default parallelism — without
+    that, every training scan (pair counts, vocab, merge rewrites,
+    every round) inherits the single partition and runs on one core
+    (measured: the whole K=20 loop single-threaded). An input that
+    already has enough partitions — any real multi-file corpus — is
+    left alone: no unconditional full-corpus shuffle."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(

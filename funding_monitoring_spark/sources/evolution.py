@@ -6,9 +6,14 @@ handles the union shape (``mergeSchema``), but downstream operators
 need one STABLE schema — this module reads the union and aligns it to
 a caller-declared target: missing columns materialize as typed NULLs,
 compatible type drift (int→long, float→double, …) casts explicitly,
-and column order is pinned. Unknown EXTRA columns are rejected loudly
-by default (a silently dropped column is how data quietly goes
-missing) unless ``allow_extra`` opts in to pruning them.
+and column order is pinned. Two enforcement levels: the parquet
+reader (``read_evolving_parquet``) treats the declared target as the
+caller's projection contract — columns outside it are pruned by the
+scan, exactly like any explicit-schema read — while the
+DataFrame-level aligner (``align_to_schema``) additionally REJECTS
+unknown extra columns loudly by default (a silently dropped column
+is how data quietly goes missing) unless ``allow_extra`` opts in to
+pruning them. Both fail loudly on narrowing drift.
 
 Scale notes: ``mergeSchema`` reconciles footers only (one metadata
 pass, no data); the alignment projection is column pruning + casts in

@@ -659,27 +659,59 @@ def streaming_ewma_stateful(
                 ewma = ewma * (1 - alpha) + float(v) * alpha
             n += len(vals)
         state.update((ewma, n))
-        if state_ttl_ms is not None and len(vals):
+        newest_ms = 0
+        if len(vals):
             # tz-naive UTC → epoch ms without touching worker-local TZ
-            newest = (
-                rows["funding_time"].max() - pd.Timestamp("1970-01-01")
-            ) // pd.Timedelta(milliseconds=1)
-            state.setTimeoutTimestamp(int(newest) + state_ttl_ms)
-        yield pd.DataFrame({"symbol": [key[0]], "ewma": [ewma], "n": [n]})
+            newest_ms = int(
+                (
+                    rows["funding_time"].max()
+                    - pd.Timestamp("1970-01-01")
+                )
+                // pd.Timedelta(milliseconds=1)
+            )
+        if state_ttl_ms is not None and len(vals):
+            state.setTimeoutTimestamp(newest_ms + state_ttl_ms)
+        if state_ttl_ms is None:
+            yield pd.DataFrame(
+                {"symbol": [key[0]], "ewma": [ewma], "n": [n]}
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "symbol": [key[0]],
+                    "ewma": [ewma],
+                    "n": [n],
+                    "last_ts": [newest_ms],
+                }
+            )
 
+    # Without TTL, per-key n grows monotonically, so ordering the
+    # store merge by n doubles as recency and guards against stale
+    # re-emissions. WITH TTL an evicted key legitimately RESTARTS at
+    # n=1 — a max-n merge would pin the stale pre-eviction row
+    # forever — so the TTL variant carries the newest folded event
+    # time and merges last-write-wins on THAT.
+    ttl_on = state_ttl_ms is not None
     out = rates.groupBy("symbol").applyInPandasWithState(
         update,
-        outputStructType="symbol string, ewma double, n long",
+        outputStructType=(
+            "symbol string, ewma double, n long"
+            + (", last_ts long" if ttl_on else "")
+        ),
         stateStructType="ewma double, n long",
         outputMode="update",
         timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if state_ttl_ms is None
-            else GroupStateTimeout.EventTimeTimeout
+            GroupStateTimeout.EventTimeTimeout
+            if ttl_on
+            else GroupStateTimeout.NoTimeout
         ),
     )
     writer = out.writeStream.outputMode("update").foreachBatch(
-        upsert_writer(store_path, key_cols=["symbol"], order_cols=["n"])
+        upsert_writer(
+            store_path,
+            key_cols=["symbol"],
+            order_cols=["last_ts"] if ttl_on else ["n"],
+        )
     )
     q = _run(writer, available_now, checkpoint)
     if available_now:

@@ -85,3 +85,46 @@ def test_compact_partitioned_store_preserves_pruning(spark, tmp_path):
         F.col("event_date") == "2024-01-02"
     )
     assert pruned.count() == 20
+
+
+def test_compact_partitioned_store_splits_hot_partition(spark, tmp_path):
+    """Per-partition sizing: a partition whose bytes exceed
+    target_bytes is rewritten into MULTIPLE size-targeted files (it
+    must never funnel into one giant file/task), while small
+    partitions still collapse to one."""
+    from funding_monitoring_spark.operators.maintenance import (
+        partition_dir_bytes,
+    )
+
+    store = str(tmp_path / "hot_store")
+    # hot date: 20k rows with long payloads; cold dates: 50 rows
+    hot = spark.createDataFrame(
+        [(i, "2024-01-01", "x" * 100 + str(i)) for i in range(20000)],
+        "k long, event_date string, payload string",
+    )
+    cold = spark.createDataFrame(
+        [(i, f"2024-01-0{d}", "y") for d in (2, 3) for i in range(50)],
+        "k long, event_date string, payload string",
+    )
+    for frag in range(3):  # fragmented appends
+        hot.filter(F.col("k") % 3 == frag).union(
+            cold.filter(F.col("k") % 3 == frag)
+        ).repartition(4).write.mode("append").partitionBy(
+            "event_date"
+        ).parquet(store)
+    before = _rows(spark, store)
+    hot_bytes = partition_dir_bytes(store, "event_date")["2024-01-01"]
+    target = hot_bytes // 4  # force the hot partition into >= 4 files
+    report = compact_store(
+        spark, store, target_bytes=target, partition_cols=["event_date"]
+    )
+    hot_files = glob.glob(
+        os.path.join(store, "event_date=2024-01-01", "*.parquet")
+    )
+    assert len(hot_files) >= 4, report
+    for d in ("2024-01-02", "2024-01-03"):
+        assert (
+            len(glob.glob(os.path.join(store, f"event_date={d}", "*.parquet")))
+            == 1
+        )
+    assert _rows(spark, store) == before

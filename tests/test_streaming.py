@@ -640,12 +640,12 @@ def test_anomaly_alerts_state_ttl_evicts_idle_key(spark, tmp_path):
 
 def test_ewma_state_ttl_restarts_fold(spark, tmp_path):
     """EWMA stateful pipeline with TTL: an evicted key's fold restarts
-    from scratch instead of continuing the carried state. The store's
-    upsert keeps the max-n row per symbol, so the restart emits THREE
-    events (restarted n=3 beats the stored n=2; a continued fold
-    would have n=5 and a history-contaminated ewma)."""
+    from scratch instead of continuing the carried state — and the
+    restarted row REPLACES the stale pre-eviction store row even
+    though its n is SMALLER (the TTL variant merges last-write-wins
+    on the newest folded event time, not max-n; max-n would pin the
+    evicted history forever)."""
     from funding_monitoring_spark.streaming.pipelines import (
-        EWMA_ALPHA,
         streaming_ewma_stateful,
     )
 
@@ -658,11 +658,8 @@ def test_ewma_state_ttl_restarts_fold(spark, tmp_path):
     # b2: fr-B only — fr-A has NO data this batch, its deadline
     # (minute 16) is behind the watermark (60), so it is evicted here
     b2 = _events(spark, [mk(4, 61, "fr-B", 1.0)])
-    # A returns with 3 events: with TTL the fold restarts at the first
-    b3 = _events(
-        spark,
-        [mk(5, 62, "fr-A", 2.0), mk(6, 63, "fr-A", 4.0), mk(7, 64, "fr-A", 6.0)],
-    )
+    # A returns with ONE event — fewer than its evicted history
+    b3 = _events(spark, [mk(5, 62, "fr-A", 2.0)])
     for i, b in enumerate((b0, b1, b2, b3)):
         _write_chunk(b, chunks, i)
     store = os.path.join(tmp, "store")
@@ -675,9 +672,8 @@ def test_ewma_state_ttl_restarts_fold(spark, tmp_path):
         state_ttl_ms=15 * 60 * 1000,
     )
     got = {r.symbol: r for r in spark.read.parquet(store).collect()}
-    a = EWMA_ALPHA
-    want = 2.0
-    for v in (4.0, 6.0):
-        want = want * (1 - a) + v * a
-    assert got["7-fr-A"].n == 3
-    assert got["7-fr-A"].ewma == want
+    # restarted fold: n reset to 1, ewma = the single new value —
+    # NOT n=3 / a continued fold from the evicted (4.0, 8.0) history
+    assert got["7-fr-A"].n == 1
+    assert got["7-fr-A"].ewma == 2.0
+    assert got["7-fr-B"].n == 2

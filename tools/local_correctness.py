@@ -134,11 +134,17 @@ def main() -> int:
 
     out_path = os.path.join(REPO, f"CORRECTNESS_LOCAL_r{args.round}.json")
     # merge into the round's existing artifact: a --names refresh of a
-    # few queries must not clobber the full overflow pass
+    # few queries must not clobber the full overflow pass. Rows whose
+    # query no longer exists in the registry are PRUNED on merge — a
+    # renamed/deleted query must not keep a stale green row alive.
     merged = {}
     if os.path.exists(out_path):
         with open(out_path) as fh:
-            merged = json.load(fh)
+            merged = {
+                k: v
+                for k, v in json.load(fh).items()
+                if k in qs
+            }
     merged.update(results)
     with open(out_path, "w") as fh:
         json.dump(merged, fh, indent=2)
