@@ -65,20 +65,25 @@ def query(name: str, sql: str | None):
 #:       twins, pruned-fixture routes, ...) ships with a driver-format
 #:       row in CORRECTNESS_LOCAL_r5.json (tools/local_correctness.py)
 #:       and queues for r6.
-#:   r6 plan (precommitted): (a) all round-5 post-freeze
-#:       registrations in registration order — ann_recall_report,
-#:       near_dup_recall_report, pruned_time_range_stats,
-#:       pruned_daily_rollup, bucketed_join_revenue,
-#:       store_compaction_report, schema_evolution_read (plus
-#:       multimodal_jpeg_roundtrip wherever the optional Pillow
-#:       dependency exists; it self-registers only then); each ships
-#:       with a driver-format row in CORRECTNESS_LOCAL_r5.json this
-#:       round; (b) the 30 remaining r2-row queries (TPC-H q1-q22
-#:       remainder, text-analysis and curation families,
-#:       window_functions_suite, train_test_split_stats,
-#:       winsorized_stats); (c) any slots left go to the oldest r3
-#:       rows. Every overflow query gets a fresh local row each
-#:       round.
+#:   r6 window (this list — executes the precommitted r6 plan):
+#:       (a) the 7 round-5 post-freeze registrations, never
+#:       driver-checked; (b) token_id_encoding +
+#:       packed_training_batches — r5's only red rows, re-checked
+#:       after their array<int> outputs were serialized to comma
+#:       strings (the driver's canonicalizer sorts raw pandas columns
+#:       and crashes on list cells); (c) the 30 remaining r2-row
+#:       queries (TPC-H remainder, text/curation families); (d) 11
+#:       oldest r3 rows, those over since-changed files first
+#:       (curation_suite.py: token serialization; multimodal.py:
+#:       JPEG subsampling + optional audio codecs; streaming
+#:       pipelines.py: TTL watermark parameterization).
+#:   r7 plan (precommitted): (a) every round-6 post-freeze
+#:       registration in registration order (each ships with a
+#:       driver-format row in CORRECTNESS_LOCAL_r6.json);
+#:       (b) the 39 remaining r3 rows; (c) leftover slots to the
+#:       oldest r4 rows, streaming family first (pipelines.py TTL
+#:       changes land in r6). Every overflow query gets a fresh
+#:       local row each round.
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
@@ -100,67 +105,70 @@ def query(name: str, sql: str | None):
 #: multi_touch_attribution, simhash_distance_histogram,
 #: dedup_savings_report, hourly_activity_heatmap, value_histogram.
 _PRIORITY: list[str] = [
-    # (a) round-4 post-freeze registrations, never driver-checked,
-    # in the order pre-staged by round 4's plan (47)
-    "truncate_bulk_load",
-    "doc_chunking",
-    "funding_rate_anomaly",
-    "snapshot_diff_ticks",
-    "heavy_hitter_users",
-    "event_type_correlation",
-    "reservoir_sample_by_source",
-    "dataset_mixture_plan",
-    "bpe_pair_counts",
-    "csv_file_source",
-    "orc_file_source",
-    "stream_anomaly_alerts",
-    "bpe_train_merges",
-    "ohlc_bars",
-    "cohort_retention",
-    "event_funnel",
-    "triangle_count",
-    "scd2_history",
-    "gap_fill_hourly",
-    "zorder_cluster_keys",
-    "frequent_tokens_sketch",
-    "rolling_beta",
-    "source_divergence_kl",
-    "rollup_cascade",
-    "stream_ohlc_bars",
+    # (a) round-5 post-freeze registrations, never driver-checked (7)
+    "ann_recall_report",
+    "near_dup_recall_report",
+    "pruned_time_range_stats",
+    "pruned_daily_rollup",
+    "bucketed_join_revenue",
+    "store_compaction_report",
+    "schema_evolution_read",
+    # (b) r5's two red rows, re-checked after the array<int> ->
+    # comma-string serialization fix (2)
     "token_id_encoding",
     "packed_training_batches",
-    "quality_filter_ablation",
-    "unigram_logprob_score",
-    "funnel_latency_quantiles",
-    "vocab_coverage_curve",
-    "missing_ticks_report",
-    "stream_heavy_hitters",
-    "incremental_dedup",
-    "robust_anomaly_mad",
-    "embedding_top_component",
-    "trend_regression",
-    "skew_diagnostics",
-    "stream_window_distinct_users",
-    "table_profile",
-    "ks_two_sample",
-    "weekly_churn",
-    "multi_touch_attribution",
-    "simhash_distance_histogram",
-    "dedup_savings_report",
-    "hourly_activity_heatmap",
-    "value_histogram",
-    # (b) oldest r2 rows over since-changed code: the three
-    # similarity.py residents (the ANN recall report touches that
-    # file this round); the other 30 r2 rows refresh in r6
-    "ann_cosine_topk_ivf",
-    "ann_cosine_topk_ivf_kmeans",
-    "embedding_near_dup",
+    # (c) the 30 remaining r2-row queries (30)
+    "winsorized_stats",
+    "repetition_filter",
+    "tfidf_top_terms",
+    "test_set_contamination",
+    "pii_redaction",
+    "corpus_balance_report",
+    "train_test_split_stats",
+    "embedding_near_dup_exact",
+    "window_functions_suite",
+    "token_count",
+    "doc_fingerprint",
+    "text_quality",
+    "lang_id",
+    "curation_pipeline",
+    "curation_pipeline_full",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q4_order_priority",
+    "tpch_q12_priority_classes",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_dormant_customers",
+    "tpch_q7_nation_volume",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    # (d) oldest r3 rows over since-changed files first:
+    # curation_suite.py (token serialization), multimodal.py (JPEG
+    # subsampling + optional audio codecs), streaming pipelines (11)
+    "term_posting_lists",
+    "ngram_novelty",
+    "sequence_packing_plan",
+    "sequence_packing_sharded",
+    "multimodal_features",
+    "multimodal_resize_pipeline",
+    "multimodal_bmp_roundtrip",
+    "multimodal_png_roundtrip",
+    "stream_cdc_materialize",
+    "stream_hopping_rollup",
+    "hopping_window_rollup",
 ]
-# ^ exactly 50 entries. After this round every round-4 registration
-# has an external row; the r2/r3 remainder (externally green, <= 3
-# rounds old) refreshes in r6 per the precommitted plan above, and
-# every query NOT in this window gets a same-format local row in
-# CORRECTNESS_LOCAL_r5.json each round (tools/local_correctness.py),
+# ^ exactly 50 entries. After this round cumulative external coverage
+# is 187/187 registered queries (the first fully externally-verified
+# registry) with max row age <= 3 rounds; the r3/r4 remainder
+# refreshes in r7 per the precommitted plan above, and every query
+# NOT in this window gets a same-format local row in
+# CORRECTNESS_LOCAL_r6.json each round (tools/local_correctness.py),
 # so nothing ships on pytest evidence alone.
 
 

@@ -594,9 +594,10 @@ TOKEN_ID_ORACLE = f"""
     )
     SELECT toks.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           list(CASE WHEN vocab.id <= {_VOCAB_SIZE}
-                     THEN CAST(vocab.id AS INT) ELSE 0 END
-                ORDER BY toks.pos) AS token_ids
+           string_agg(CAST(CASE WHEN vocab.id <= {_VOCAB_SIZE}
+                                THEN CAST(vocab.id AS INT) ELSE 0 END
+                           AS VARCHAR), ',' ORDER BY toks.pos)
+               AS token_ids
     FROM toks JOIN vocab ON vocab.t = toks.t
     GROUP BY toks.doc_id
 """
@@ -655,8 +656,17 @@ def q_token_id_encoding(spark, sf_dir):
     order (sort_array over (pos, id) structs — deterministic without
     relying on collect order). One shuffle for the vocab count, one
     for the per-doc reassembly; the token stream itself never sorts
-    globally."""
-    return _encode_token_ids(load_table(spark, sf_dir, "documents"))
+    globally. The id array is serialized to a comma string at the
+    query boundary (the term_posting_lists pattern) so the driver's
+    value hash covers ordering AND its canonicalizer — which sorts
+    raw pandas columns and crashes on list cells — can digest it."""
+    return _encode_token_ids(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), ","
+        ).alias("token_ids"),
+    )
 
 
 PACKED_BATCHES_ORACLE = f"""
@@ -695,7 +705,8 @@ PACKED_BATCHES_ORACLE = f"""
     SELECT o.lang,
            (o.start_offset + ids.pos - 1) // {PACK_CAPACITY} AS pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           list(ids.id ORDER BY o.start_offset + ids.pos - 1)
+           string_agg(CAST(ids.id AS VARCHAR), ','
+                      ORDER BY o.start_offset + ids.pos - 1)
                AS token_ids
     FROM ids JOIN offsets o ON o.doc_id = ids.doc_id
     GROUP BY o.lang, (o.start_offset + ids.pos - 1) // {PACK_CAPACITY}
@@ -751,9 +762,15 @@ def q_packed_training_batches(spark, sf_dir):
         .groupBy("lang", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("gpos", "id"))),
-                lambda s: s["id"],
+            # comma-serialized in stream order: driver-canonicalizable
+            # (its raw-column sort crashes on list cells) and the hash
+            # covers intra-pack ordering, not just membership
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("gpos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+                ",",
             ).alias("token_ids"),
         )
     )

@@ -40,18 +40,28 @@ def duck():
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Order-insensitive canonical form: columns sorted by name, rows
-    sorted by every column's string repr (mirrors the driver's
-    order-insensitive value-hash)."""
+    """Order-insensitive canonical form mirroring the external
+    driver's canonicalizer: columns sorted by name, rows sorted on the
+    RAW column values (the driver sorts before stringifying, so
+    list/dict/ndarray cells crash there — they must crash here too;
+    round 5 shipped two queries green locally that the driver rejected
+    because the old normalize stringified list cells first)."""
     def cell(v):
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return str([cell(x) for x in v])
+        if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+            raise TypeError(
+                f"complex cell {type(v).__name__} is not "
+                "driver-canonicalizable; serialize to a string column"
+            )
         return "NULL" if pd.isna(v) else str(v)
 
     out = df[sorted(df.columns)].copy()
+    if len(out) and len(out.columns):
+        # raw-column sort first, exactly like the driver (unhashable
+        # cells raise TypeError inside pandas' lexsort)
+        out = out.sort_values(by=list(out.columns))
     for c in out.columns:
         out[c] = out[c].map(cell)
-    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    return out.reset_index(drop=True)
 
 
 def assert_matches_oracle(spark_df, duck_con, sql: str) -> None:

@@ -17,6 +17,23 @@ ORACLES = registry.oracle_sql()
 @pytest.mark.parametrize("name", sorted(ALL))
 def test_query_vs_oracle(name, spark, sf_dir, duck):
     df = ALL[name](spark, sf_dir)
+    # Registry lint: the external driver canonicalizes by sorting RAW
+    # pandas columns, which crashes on unhashable cells — so no
+    # registered query may return array/map/struct-typed columns
+    # (serialize to a delimited string instead; r5's only two red
+    # rows were exactly this).
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} returns complex-typed columns {complex_cols}; the "
+        "driver's canonicalizer cannot sort list/dict cells — "
+        "serialize them (e.g. F.array_join) on both engines"
+    )
     if name in ORACLES:
         assert_matches_oracle(df, duck, ORACLES[name])
     else:

@@ -33,19 +33,14 @@ TABLES = (
 
 
 def normalize(df):
-    """Mirror of tests/conftest.normalize (the driver's
-    order-insensitive canonical form)."""
-    import pandas as pd
+    """The driver's canonical form — single definition lives in
+    tests/conftest.py (raw-column sort BEFORE stringification, so
+    complex cells fail here exactly as they fail in the external
+    driver; round 5's two red rows were masked by a local normalize
+    that stringified list cells first)."""
+    from tests.conftest import normalize as _n
 
-    def cell(v):
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return str([cell(x) for x in v])
-        return "NULL" if pd.isna(v) else str(v)
-
-    out = df[sorted(df.columns)].copy()
-    for c in out.columns:
-        out[c] = out[c].map(cell)
-    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    return _n(df)
 
 
 def value_hash(norm) -> str:
