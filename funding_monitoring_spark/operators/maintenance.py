@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 import os
+import urllib.parse
 
 from pyspark.sql import SparkSession
 
@@ -37,15 +38,31 @@ def store_file_stats(path: str) -> tuple[int, int]:
     return n, total
 
 
-def partition_dir_bytes(path: str, partition_col: str) -> dict[str, int]:
+#: directory name Spark/Hive writers use for NULL partition values
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def partition_dir_bytes(
+    path: str, partition_col: str
+) -> dict[str | None, int]:
     """{partition value -> data bytes} for a directory-partitioned
-    store (``<path>/<col>=<value>/...``). Metadata-only walk."""
-    out: dict[str, int] = {}
+    store (``<path>/<col>=<value>/...``). Metadata-only walk.
+
+    Directory names are URI-unescaped (writers percent-encode spaces,
+    ':' etc.), and the ``__HIVE_DEFAULT_PARTITION__`` sentinel maps to
+    key ``None`` — so the returned keys compare equal to the COLUMN
+    values a reader sees, not the escaped on-disk spelling."""
+    out: dict[str | None, int] = {}
     prefix = f"{partition_col}="
     for entry in os.listdir(os.path.realpath(path)):
         if not entry.startswith(prefix):
             continue
-        value = entry[len(prefix):]
+        raw = entry[len(prefix):]
+        value = (
+            None
+            if raw == HIVE_DEFAULT_PARTITION
+            else urllib.parse.unquote(raw)
+        )
         _, b = store_file_stats(os.path.join(path, entry))
         out[value] = b
     return out
@@ -62,13 +79,21 @@ def compact_store(
     ``partition_cols`` (one directory-partition column — pass the
     store's existing column to preserve its pruning layout), each
     partition directory is rewritten into ceil(its_bytes /
-    target_bytes) files: the per-directory byte sizes (a metadata
-    walk) drive a per-row deterministic salt, so a hot partition
-    splits across ceil(bytes/target) tasks instead of funneling
-    through one — compaction can never turn a 10 GB date into a
-    single 10 GB file/task. Atomic: readers see the old store until
-    the swap. Returns {files_before, files_after, bytes,
-    n_files_target}.
+    target_bytes) files via a GLOBAL file index: partition value v
+    owns the dense index range [offset_v, offset_v + k_v) (offset =
+    cumulative sum of k over sorted values, k_v = ceil(bytes_v /
+    target)), each row hashes into its value's range, and the frame
+    range-partitions on that index — equal indices can never split
+    and distinct indices land in distinct range buckets, so
+    per-partition file counts are deterministic (a plain
+    repartition(n, pcol, salt) hash-partitions the (value, salt)
+    combos, which can collide a hot partition's salts into one
+    task/file). A hot 10 GB date therefore splits across
+    ceil(bytes/target) tasks instead of funneling through one, and a
+    maxRecordsPerFile backstop (derived from the store's observed
+    bytes/row) re-splits any file a range-sampling miss would
+    over-fill. Atomic: readers see the old store until the swap.
+    Returns {files_before, files_after, bytes, n_files_target}.
     """
     from pyspark.sql import functions as F
 
@@ -86,31 +111,76 @@ def compact_store(
             v: max(1, math.ceil(b / target_bytes))
             for v, b in sizes.items()
         }
-        n_target = sum(k_by_value.values()) or 1
+        rows_map = []
+        offset = 0
+        # None (the NULL partition) sorts first; order only needs to
+        # be deterministic for the offsets to be stable
+        for v in sorted(k_by_value, key=lambda x: (x is not None, x)):
+            rows_map.append((v, k_by_value[v], offset))
+            offset += k_by_value[v]
+        n_target = offset or 1
         kmap = spark.createDataFrame(
-            [(v, k) for v, k in sorted(k_by_value.items())],
-            "__pval string, __k int",
+            rows_map, "__pval string, __k int, __off int"
         )
         data_cols = [c for c in df.columns if c != pcol]
-        salted = (
+        # eqNullSafe: the NULL partition (__HIVE_DEFAULT_PARTITION__
+        # on disk, None in kmap) must match too, not fall through
+        indexed = (
             df.join(
                 F.broadcast(kmap),
-                df[pcol].cast("string") == F.col("__pval"),
+                df[pcol].cast("string").eqNullSafe(F.col("__pval")),
                 "left",
             )
             .withColumn(
-                "__salt",
-                F.pmod(
+                "__fidx",
+                F.coalesce(F.col("__off"), F.lit(0))
+                + F.pmod(
                     F.xxhash64(*[F.col(c) for c in data_cols]),
                     F.coalesce(F.col("__k"), F.lit(1)),
                 ),
             )
-            .drop("__pval", "__k")
+            .drop("__pval", "__k", "__off")
         )
-        out = salted.repartition(n_target, pcol, "__salt").drop(
-            "__salt"
+        out = indexed.repartitionByRange(n_target, "__fidx").drop(
+            "__fidx"
         )
-        atomic_overwrite(out, path, partition_by=[pcol])
+        # backstop: cap files at the largest per-(partition, index)
+        # group's row count, so a range-sampling miss that merges two
+        # index groups into one task still splits on write — and no
+        # partition is ever split FINER than its k_v (a global
+        # bytes/row average would split small partitions with
+        # atypically small rows). The count scans only the partition
+        # column → answered from directory metadata, no data read.
+        counts = {
+            r["__p"]: r["n"]
+            for r in df.groupBy(
+                df[pcol].cast("string").alias("__p")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # 20% slack: hash skew puts some index groups slightly above
+        # the exact n_v/k_v mean; without slack those groups would
+        # each shed a sliver file. A merged DOUBLE group (the
+        # sampling-miss case this backstop exists for) still exceeds
+        # the slacked cap and splits.
+        max_records = max(
+            (
+                math.ceil(1.2 * n / k_by_value.get(v, 1))
+                for v, n in counts.items()
+            ),
+            default=None,
+        )
+        atomic_overwrite(
+            out,
+            path,
+            partition_by=[pcol],
+            writer_options=(
+                {"maxRecordsPerFile": max_records}
+                if max_records
+                else None
+            ),
+        )
     else:
         n_target = max(1, math.ceil(total / target_bytes))
         atomic_overwrite(df.repartition(n_target), path)

@@ -107,10 +107,17 @@ def decode_image(payload: bytes) -> object:
     )
 
 
-def encode_jpeg(pixels, quality: int = 90) -> bytes:
+def encode_jpeg(pixels, quality: int = 95) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as JPEG via the optional
     Pillow dependency; raises loudly without it (the lossless BMP/PNG
-    encoders above need no library)."""
+    encoders above need no library).
+
+    subsampling=0 (4:4:4) is load-bearing: default chroma subsampling
+    on the tiny synthetic test images makes per-channel error depend
+    on the libjpeg build, which would make the roundtrip oracle's
+    fixed tolerance flaky across Pillow environments; full-resolution
+    chroma at quality>=95 bounds quantization error independently of
+    the decoder version."""
     Image = _pil_image_module()
     if Image is None:
         raise NotImplementedError(
@@ -122,7 +129,7 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
 
     buf = io.BytesIO()
     Image.fromarray(np.asarray(pixels, dtype=np.uint8), "RGB").save(
-        buf, format="JPEG", quality=quality
+        buf, format="JPEG", quality=quality, subsampling=0
     )
     return buf.getvalue()
 

@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: widenings that are always value-preserving (never truncate)
+#: widenings that are always value-preserving (never truncate):
+#: every source value round-trips exactly (int < 2^31 fits a double's
+#: 53-bit mantissa; float→double is an exact embedding)
 _SAFE_WIDENINGS: dict[tuple[str, str], bool] = {
     ("byte", "short"): True,
     ("byte", "int"): True,
@@ -36,8 +38,17 @@ _SAFE_WIDENINGS: dict[tuple[str, str], bool] = {
     ("int", "long"): True,
     ("float", "double"): True,
     ("int", "double"): True,
-    ("long", "double"): True,  # lossy past 2^53; accepted like Spark
     ("date", "timestamp"): True,
+}
+
+#: Spark-compatible widenings that can LOSE precision: long→double
+#: silently rounds integers above 2^53 (large ids corrupt). The
+#: vectorized parquet reader performs these without complaint, but
+#: align_to_schema requires the explicit ``allow_lossy`` opt-in —
+#: "schema surprises should fail the job, not corrupt the data"
+#: includes this one.
+_LOSSY_WIDENINGS: dict[tuple[str, str], bool] = {
+    ("long", "double"): True,
 }
 
 
@@ -45,12 +56,14 @@ def align_to_schema(
     df: DataFrame,
     target: T.StructType,
     allow_extra: bool = False,
+    allow_lossy: bool = False,
 ) -> DataFrame:
     """Project df onto ``target``: add missing columns as typed
     NULLs, apply safe widening casts, pin column order. Raises on
-    extra columns (unless allow_extra) and on narrowing/incompatible
-    type drift — schema surprises should fail the job, not corrupt
-    the data."""
+    extra columns (unless allow_extra), on narrowing/incompatible
+    type drift, and on precision-losing widenings like long→double
+    (unless allow_lossy — doubles round integers above 2^53) —
+    schema surprises should fail the job, not corrupt the data."""
     have = {f.name: f.dataType for f in df.schema.fields}
     want = {f.name: f.dataType for f in target.fields}
     extra = [c for c in have if c not in want]
@@ -70,9 +83,18 @@ def align_to_schema(
             cols.append(F.col(name))
             continue
         key = (have_t.simpleString(), want_t.simpleString())
-        if _SAFE_WIDENINGS.get(key):
+        if _SAFE_WIDENINGS.get(key) or (
+            allow_lossy and _LOSSY_WIDENINGS.get(key)
+        ):
             cols.append(F.col(name).cast(want_t).alias(name))
             continue
+        if _LOSSY_WIDENINGS.get(key):
+            raise ValueError(
+                f"column {name!r}: widening "
+                f"{have_t.simpleString()}→{want_t.simpleString()} "
+                "loses precision (doubles round above 2^53); pass "
+                "allow_lossy=True to accept it deliberately"
+            )
         raise ValueError(
             f"column {name!r}: stored type {have_t.simpleString()} "
             f"does not safely widen to {want_t.simpleString()}"
@@ -96,6 +118,11 @@ def read_evolving_parquet(
     IS the caller's declared contract. (``mergeSchema`` is the wrong
     tool here: it unions ADDED columns but refuses type drift
     outright, CANNOT_MERGE_SCHEMAS.)
+
+    Caveat: the vectorized reader also performs long→double when the
+    target declares it — a LOSSY conversion above 2^53 that this path
+    cannot intercept (align_to_schema gates it behind allow_lossy);
+    don't declare double targets over bigint id columns.
 
     Use align_to_schema for frames already loaded some other way —
     it applies the same policy at the DataFrame level, where unknown

@@ -602,6 +602,7 @@ def streaming_ewma_stateful(
     alpha: float = EWMA_ALPHA,
     available_now: bool = True,
     state_ttl_ms: int | None = None,
+    watermark: str = WATERMARK_DELAY,
 ) -> None:
     """Custom stateful streaming operator via applyInPandasWithState:
     a per-symbol exponentially-weighted moving average maintained
@@ -616,14 +617,23 @@ def streaming_ewma_stateful(
     and 1-alpha are binary-exact).
 
     ``state_ttl_ms`` bounds per-key state under an OPEN key universe:
-    when set, the stream declares a watermark and each key arms an
-    event-time timeout at (its newest event + TTL). A key idle past
-    the TTL has its state REMOVED when the watermark passes the
-    deadline — a later event restarts its fold from scratch. Default
-    None keeps the reference semantics (state = full history) for the
-    bounded ~O(100)-symbol universe the reference implies; eviction
-    is deterministic (watermark-driven, not wall-clock), so replays
-    stay reproducible."""
+    when set, the stream declares a watermark with ``watermark`` delay
+    (default the module-wide 10 minutes — NOT zero: event-time
+    timeouts require a watermark, and a zero-delay watermark would
+    silently drop every cross-batch out-of-order event before it
+    reached the fold, changing results far beyond "idle keys get
+    evicted") and each key arms an event-time timeout at (its newest
+    event + TTL). A key idle past the TTL has its state REMOVED once
+    the watermark — which lags the newest global event by the
+    ``watermark`` delay, so eviction effectively lands TTL + delay
+    after the key's last event — passes the deadline; a later event
+    restarts its fold from scratch. Events later than the delay are
+    dropped pre-update, the standard watermark contract. Default None
+    keeps the reference semantics (state = full history, no
+    watermark, nothing dropped) for the bounded ~O(100)-symbol
+    universe the reference implies; eviction is deterministic
+    (watermark-driven, not wall-clock), so replays stay
+    reproducible."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     import pandas as pd  # noqa: PLC0415 — worker-side import parity
@@ -631,7 +641,7 @@ def streaming_ewma_stateful(
     src = stream_from_chunks(spark, chunks_dir, schema)
     rates = rates_from_events(src)
     if state_ttl_ms is not None:
-        rates = rates.withWatermark("funding_time", "0 seconds")
+        rates = rates.withWatermark("funding_time", watermark)
 
     def update(key, pdfs, state):
         if state_ttl_ms is not None and state.hasTimedOut:
@@ -733,6 +743,7 @@ def streaming_anomaly_alerts(
     checkpoint: str,
     available_now: bool = True,
     state_ttl_ms: int | None = None,
+    watermark: str = WATERMARK_DELAY,
 ) -> None:
     """Streaming twin of operators/anomaly.rolling_zscore: per-symbol
     rolling z-score alerting with the trailing-20 baseline carried
@@ -740,13 +751,18 @@ def streaming_anomaly_alerts(
     via applyInPandasWithState).
 
     ``state_ttl_ms`` (None = reference semantics, keep history
-    forever) arms a per-key event-time timeout at (newest event +
-    TTL): an idle key's 20-double baseline is evicted once the
-    watermark passes the deadline, so an open key universe — here the
-    key is (user, event_type), unbounded at 100 TB — cannot grow
-    state without bound. A returning key rebuilds its baseline from
-    min_obs, exactly like a brand-new key; eviction is
-    watermark-driven and therefore replay-deterministic.
+    forever, no watermark) arms a per-key event-time timeout at
+    (newest event + TTL): an idle key's 20-double baseline is evicted
+    once the watermark passes the deadline, so an open key universe —
+    here the key is (user, event_type), unbounded at 100 TB — cannot
+    grow state without bound. The watermark uses the ``watermark``
+    delay (default 10 minutes, NOT zero: a zero-delay watermark would
+    drop every cross-batch out-of-order event before scoring, not
+    just evict idle keys), so eviction effectively lands TTL + delay
+    after a key's last event and only events later than the delay are
+    dropped. A returning key rebuilds its baseline from min_obs,
+    exactly like a brand-new key; eviction is watermark-driven and
+    therefore replay-deterministic.
 
     Each observation is scored against strictly-prior history, so a
     score is immutable the moment it is emitted — append output mode,
@@ -779,7 +795,7 @@ def streaming_anomaly_alerts(
         "value",
     )
     if state_ttl_ms is not None:
-        obs = obs.withWatermark("ts", "0 seconds")
+        obs = obs.withWatermark("ts", watermark)
 
     def update(key, pdfs, state):
         if state_ttl_ms is not None and state.hasTimedOut:

@@ -33,6 +33,7 @@ def atomic_overwrite(
     path: str,
     extra_files: dict[str, str] | None = None,
     partition_by: list[str] | None = None,
+    writer_options: dict | None = None,
 ) -> None:
     """Materialize df into `path`, atomically: write a sibling
     versioned data dir, then swap a symlink over `path` with a single
@@ -67,6 +68,8 @@ def atomic_overwrite(
     if partition_by:
         # preserve a partitioned store's pruning layout across rewrites
         writer = writer.partitionBy(*partition_by)
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
     writer.parquet(data)
     for name, content in (extra_files or {}).items():
         if not name.startswith("_"):  # must be Spark-invisible

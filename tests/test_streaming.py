@@ -638,6 +638,42 @@ def test_anomaly_alerts_state_ttl_evicts_idle_key(spark, tmp_path):
     assert got[15].baseline_n == 4
 
 
+def test_anomaly_ttl_keeps_late_but_valid_events(spark, tmp_path):
+    """Turning TTL on must NOT silently change late-data semantics: a
+    cross-batch out-of-order event within the watermark delay is still
+    scored (a zero-delay watermark — the old hardcoded behavior —
+    would drop every such event before the stateful update)."""
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_anomaly_alerts,
+    )
+
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    # b0 advances event time to minute 30 → watermark = 30 - 10 = 20
+    b0 = _events(
+        spark,
+        [(i, _ts(i), 8, "funding", float(i)) for i in range(3)]
+        + [(3, _ts(30), 8, "funding", 3.0)],
+    )
+    # b1: minute 25 — OLDER than b0's max (out-of-order across
+    # batches) but newer than the watermark → must be scored
+    b1 = _events(spark, [(4, _ts(25), 7, "funding", 1.0)])
+    for i, b in enumerate((b0, b1)):
+        _write_chunk(b, chunks, i)
+    store = os.path.join(tmp, "store")
+    streaming_anomaly_alerts(
+        spark,
+        chunks,
+        b0.schema,
+        store,
+        os.path.join(tmp, "ckpt"),
+        state_ttl_ms=60 * 60 * 1000,
+        watermark="10 minutes",
+    )
+    got = {r.event_id for r in spark.read.parquet(store).collect()}
+    assert 4 in got, "late-but-valid event was dropped under TTL"
+
+
 def test_ewma_state_ttl_restarts_fold(spark, tmp_path):
     """EWMA stateful pipeline with TTL: an evicted key's fold restarts
     from scratch instead of continuing the carried state — and the
