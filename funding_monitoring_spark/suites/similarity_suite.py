@@ -48,6 +48,20 @@ def _sql_bucket_keys(emb: str) -> str:
     return f"[{keys}]"
 
 
+def _sql_probe_bucket_keys(emb: str) -> str:
+    """Multi-probe twin of operators.similarity.probe_bucket_keys:
+    per table, the exact bucket plus every 1-bit xor flip."""
+    keys = []
+    for t in range(S.N_TABLES):
+        b = _sql_bucket(emb, t)
+        keys.append(f"'{t}' || ':' || CAST({b} AS VARCHAR)")
+        keys.extend(
+            f"'{t}' || ':' || CAST(xor({b}, {1 << j}) AS VARCHAR)"
+            for j in range(S.N_PLANES)
+        )
+    return f"[{', '.join(keys)}]"
+
+
 _SQL_COSINE = (
     f"ROUND({_sql_dot('q_emb', 'c_emb')} / "
     f"(SQRT({_sql_dot('q_emb', 'q_emb')}) * "
@@ -87,7 +101,7 @@ ANN_LSH_ORACLE = f"""
                FROM embeddings WHERE vec_id < {N_QUERIES}),
     c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
           FROM embeddings),
-    qb AS (SELECT q_id, unnest({_sql_bucket_keys('q_emb')}) AS bucket
+    qb AS (SELECT q_id, unnest({_sql_probe_bucket_keys('q_emb')}) AS bucket
            FROM q),
     cb AS (SELECT c_id, unnest({_sql_bucket_keys('c_emb')}) AS bucket
            FROM c),
@@ -225,9 +239,11 @@ NEAR_DUP_LSH_ORACLE = f"""
                FROM embeddings WHERE vec_id < {NEAR_DUP_LIMIT}),
     vb AS (SELECT vec_id, unnest({_sql_bucket_keys('emb')}) AS bucket
            FROM v),
+    vpb AS (SELECT vec_id, unnest({_sql_probe_bucket_keys('emb')}) AS bucket
+            FROM v),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM vb a JOIN vb b USING (bucket) WHERE a.vec_id < b.vec_id
+        FROM vpb a JOIN vb b USING (bucket) WHERE a.vec_id < b.vec_id
     ),
     pairs AS (
         SELECT id_a, id_b, va.emb AS q_emb, vc.emb AS c_emb
