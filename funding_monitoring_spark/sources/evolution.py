@@ -28,14 +28,17 @@ from pyspark.sql import types as T
 
 #: widenings that are always value-preserving (never truncate):
 #: every source value round-trips exactly (int < 2^31 fits a double's
-#: 53-bit mantissa; float→double is an exact embedding)
+#: 53-bit mantissa; float→double is an exact embedding). Keys are
+#: Spark ``simpleString`` names — "tinyint"/"smallint"/"bigint", NOT
+#: the DDL aliases byte/short/long (a property test caught int→long
+#: being rejected because the table was keyed on the aliases).
 _SAFE_WIDENINGS: dict[tuple[str, str], bool] = {
-    ("byte", "short"): True,
-    ("byte", "int"): True,
-    ("byte", "long"): True,
-    ("short", "int"): True,
-    ("short", "long"): True,
-    ("int", "long"): True,
+    ("tinyint", "smallint"): True,
+    ("tinyint", "int"): True,
+    ("tinyint", "bigint"): True,
+    ("smallint", "int"): True,
+    ("smallint", "bigint"): True,
+    ("int", "bigint"): True,
     ("float", "double"): True,
     ("int", "double"): True,
     ("date", "timestamp"): True,
@@ -48,7 +51,7 @@ _SAFE_WIDENINGS: dict[tuple[str, str], bool] = {
 #: "schema surprises should fail the job, not corrupt the data"
 #: includes this one.
 _LOSSY_WIDENINGS: dict[tuple[str, str], bool] = {
-    ("long", "double"): True,
+    ("bigint", "double"): True,
 }
 
 

@@ -426,3 +426,78 @@ def q_stream_window_distinct_users(spark, sf_dir):
         events=events.unionByName(sentinel),
     )
     return out.filter(F.col("window_start") < F.lit(flush_ts))
+
+
+@query(
+    "stream_append_compaction",
+    f"""
+    WITH ordered AS (
+        SELECT *, NTILE({N_CHUNKS}) OVER (ORDER BY ts, event_id) AS tile
+        FROM events
+    ),
+    tiles AS (SELECT tile, MAX(ts) AS anchor FROM ordered GROUP BY tile),
+    mins AS (
+        SELECT tile, CAST(user_id % 4 AS INT) AS loan_duration_days,
+               MIN(CAST(CAST(value AS VARCHAR) AS DOUBLE))
+                   AS daily_interest_rate
+        FROM ordered GROUP BY tile, user_id % 4
+    ),
+    lending AS (
+        SELECT m.loan_duration_days,
+               ROUND(m.daily_interest_rate * 365, {ROUND})
+                   AS annualized_interest_rate
+        FROM mins m JOIN tiles t USING (tile)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT loan_duration_days) AS BIGINT)
+               AS n_durations,
+           ROUND(SUM(annualized_interest_rate), {ROUND})
+               AS sum_annualized,
+           CAST(1 AS INT) AS fragmented_before,
+           CAST(1 AS INT) AS compacted_to_target
+    FROM lending
+    """,
+)
+def q_stream_append_compaction(spark, sf_dir):
+    """The maintenance loop a per-tick append sink needs: run the
+    lending pipeline's N append ticks (each micro-batch writes its
+    own small files — the reference's 288-files/day fragmentation
+    story, operators/maintenance.py), then compact the store with
+    operators/maintenance.compact_store, then read it back. The
+    oracle recomputes the lending content from the raw table, so any
+    row the rewrite loses or duplicates breaks the hash; the
+    file-count claims travel as flag columns the oracle pins to 1
+    (`fragmented_before`: the tick appends really produced more files
+    than the compaction target; `compacted_to_target`: the rewrite
+    landed exactly n_files_target). Tick append, compaction sizing,
+    and content identity all checked in ONE external row."""
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.operators.maintenance import (
+        compact_store,
+    )
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_lending_append,
+    )
+
+    cdir, schema = _chunked_events(spark, sf_dir)
+    workdir = _workdir()
+    store = os.path.join(workdir, "lending")
+    streaming_lending_append(
+        spark, cdir, schema, store, os.path.join(workdir, "checkpoint")
+    )
+    report = compact_store(spark, store)
+    compacted = spark.read.parquet(store).drop("batch_id")
+    return compacted.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("loan_duration_days").alias("n_durations"),
+        F.round(F.sum("annualized_interest_rate"), ROUND).alias(
+            "sum_annualized"
+        ),
+        F.lit(
+            1 if report["files_before"] > report["n_files_target"] else 0
+        ).cast("int").alias("fragmented_before"),
+        F.lit(
+            1 if report["files_after"] == report["n_files_target"] else 0
+        ).cast("int").alias("compacted_to_target"),
+    )
