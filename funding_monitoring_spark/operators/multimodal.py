@@ -10,12 +10,17 @@ scanline unfilters), 16-bit PCM WAV (RIFF chunk walk, deinterleave),
 and raw-DIB AVI video (avih/strh/strf headers, movi frame chunks,
 idx1); oracle-verified round trips in `multimodal_{bmp,png,wav}_
 roundtrip` and `multimodal_avi_framesample`. JPEG rides on the
-OPTIONAL Pillow dependency: with it installed, encode_jpeg /
-decode_image run the real codec inside the same mapInPandas plumbing
-(and `multimodal_jpeg_roundtrip` registers itself); without it they
-raise loudly. The remaining compressed formats (MP3/AAC, MPEG video)
-stay stubbed behind ``NotImplementedError`` — swapping a stub for
-ffmpeg changes ONE function, not the pipeline.
+OPTIONAL dependencies, probed at call time so executors resolve them
+against their own environment: Pillow backs JPEG (encode_jpeg /
+decode_image) and the per-frame codec of MJPG AVI streams; soundfile
+(with an MP3-capable libsndfile) backs MP3 (encode_mp3 / decode_mp3 /
+decode_audio). With a dependency installed, the real codec runs
+inside the same mapInPandas plumbing and the matching roundtrip query
+registers itself (`multimodal_jpeg_roundtrip`,
+`multimodal_mjpg_framesample`, `multimodal_mp3_roundtrip`); without
+it, the codec raises loudly — refusing, never faking. Remaining
+formats (AAC, MPEG video) follow the same seam: swapping in ffmpeg
+changes ONE function, not the pipeline.
 
 Scale notes (100 TB): media rows are large, so the operators use
 ``mapInPandas`` (streaming Arrow batches, no row materialization of
@@ -817,6 +822,222 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
 
 
+# -- compressed audio: MP3 via the optional soundfile dependency -----------
+
+
+def _soundfile_module():
+    """The optional compressed-audio dependency (soundfile >= 0.12
+    riding libsndfile with MP3 support), or None — probed at call
+    time so executors resolve it against their own environment, same
+    pattern as the Pillow JPEG path."""
+    try:
+        import soundfile  # noqa: PLC0415 — optional dependency
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+def mp3_supported() -> bool:
+    """True when the installed soundfile/libsndfile pair can actually
+    round-trip MP3 (the Python module can be present while the native
+    library predates MP3 support, so this probes with a real tiny
+    encode+decode, cached per process)."""
+    global _MP3_PROBE
+    if _MP3_PROBE is None:
+        sf = _soundfile_module()
+        if sf is None:
+            _MP3_PROBE = False
+        else:
+            try:
+                import io
+
+                import numpy as np
+
+                buf = io.BytesIO()
+                sf.write(
+                    buf,
+                    np.zeros((1152, 1), dtype="int16"),
+                    MP3_RATE,
+                    format="MP3",
+                )
+                buf.seek(0)
+                sf.read(buf, dtype="int16")
+                _MP3_PROBE = True
+            except Exception:
+                _MP3_PROBE = False
+    return _MP3_PROBE
+
+
+_MP3_PROBE: bool | None = None
+MP3_RATE = 16000
+
+
+def encode_mp3(samples, sample_rate: int = MP3_RATE) -> bytes:
+    """Encode an (n_samples, channels) int16 array as MP3 via the
+    optional soundfile dependency; raises loudly when the codec is
+    unavailable — refusing, not faking, is the contract every
+    compressed format here follows."""
+    sf = _soundfile_module()
+    if sf is None or not mp3_supported():
+        raise NotImplementedError(
+            "MP3 encode needs the optional soundfile dependency with "
+            "an MP3-capable libsndfile (pip install soundfile)"
+        )
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    sf.write(
+        buf,
+        np.asarray(samples, dtype="int16"),
+        sample_rate,
+        format="MP3",
+    )
+    return buf.getvalue()
+
+
+def decode_mp3(payload: bytes):
+    """Decode an MP3 into ((n_samples, channels) int16 array,
+    sample_rate) via the optional soundfile dependency; raises loudly
+    without it."""
+    sf = _soundfile_module()
+    if sf is None or not mp3_supported():
+        raise NotImplementedError(
+            "MP3 decode needs the optional soundfile dependency with "
+            "an MP3-capable libsndfile; refusing to fake samples"
+        )
+    import io
+
+    data, rate = sf.read(io.BytesIO(payload), dtype="int16")
+    if data.ndim == 1:
+        data = data.reshape(-1, 1)
+    return data, rate
+
+
+def decode_audio(payload: bytes):
+    """Audio decode dispatch by magic bytes, the audio twin of
+    decode_image: RIFF/WAVE decodes here for real (dependency-free
+    PCM path); an ID3 tag or MPEG frame sync dispatches to the
+    optional-dependency MP3 path; anything else is rejected loudly."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        return decode_mp3(payload)
+    raise NotImplementedError(
+        "compressed-audio codec not recognized; WAV decodes natively, "
+        "MP3 rides the optional soundfile dependency"
+    )
+
+
+def synthesize_mp3_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """MP3 payloads from the same closed-form sample field as the WAV
+    writer, via the optional soundfile codec (raises loudly without
+    it). 1:1 mapInPandas, no shuffle."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                n, ch = _wav_shape(int(mid))
+                payloads.append(
+                    encode_mp3(_wav_samples(int(mid), n, ch), MP3_RATE)
+                )
+                metas.append(
+                    {
+                        "modality": "audio",
+                        "mime": "audio/mpeg",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": int(n * 1000 / MP3_RATE),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media_ids = ids.select(F.col(id_col).alias("media_id"))
+    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_audio_features_tolerant(media: DataFrame) -> DataFrame:
+    """Reader half for LOSSY audio (MP3): decode with the real codec
+    and flag the stream as close to the closed-form source the writer
+    encoded. MP3 adds encoder delay and frame padding, so even the
+    sample COUNT is approximate — the flags assert (1) the decoded
+    length is within one frame-pair (2×1152 samples) of the source,
+    (2) the decoded energy is within 3 dB of the source energy —
+    bounds any real codec meets and any channel/garbage bug breaks.
+    Exact fields (media_id, channels, sample_rate) hash directly."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm, rate = decode_audio(bytes(payload))
+                n_got, ch = pcm.shape
+                n_src, src_ch = _wav_shape(int(mid))
+                src = _wav_samples(int(mid), n_src, src_ch).astype(
+                    np.float64
+                )
+                got_energy = float(
+                    (pcm.astype(np.float64) ** 2).mean()
+                ) if n_got else 0.0
+                src_energy = float((src**2).mean())
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "channels": ch,
+                        "sample_rate": rate,
+                        "length_close": int(
+                            abs(n_got - n_src) <= 2 * 1152
+                        ),
+                        "energy_close": int(
+                            src_energy > 0
+                            and 0.5 <= got_energy / src_energy <= 2.0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, channels int, sample_rate int, "
+            "length_close int, energy_close int"
+        ),
+    )
+
+
 # -- real video container: uncompressed AVI (RIFF, raw DIB frames) ---------
 
 
@@ -856,19 +1077,33 @@ def _riff_chunk(tag: bytes, body: bytes) -> bytes:
 AVI_FPS = 10
 
 
-def encode_avi(frames) -> bytes:
+def encode_avi(frames, codec: bytes = b"DIB ") -> bytes:
     """Encode a list/array of (h, w, 3) uint8 RGB frames as a minimal
-    spec-compliant uncompressed AVI: RIFF('AVI ') with an hdrl LIST
-    (56-byte avih main header + a vids strl whose strf is the same
-    BITMAPINFOHEADER a BMP carries), a movi LIST of raw-DIB '00db'
-    frame chunks, and an idx1 index — the real container format, pure
-    struct/numpy."""
+    spec-compliant AVI: RIFF('AVI ') with an hdrl LIST (56-byte avih
+    main header + a vids strl whose strf is the same BITMAPINFOHEADER
+    a BMP carries), a movi LIST of frame chunks, and an idx1 index —
+    the real container format.
+
+    codec=b"DIB " (default) writes raw-DIB '00db' frames, pure
+    struct/numpy. codec=b"MJPG" writes each frame as a JPEG '00dc'
+    chunk via the optional Pillow dependency (encode_jpeg raises
+    loudly without it) — the standard motion-JPEG layout, where the
+    container is ours and only the per-frame codec is borrowed."""
     import numpy as np
 
+    if codec not in (b"DIB ", b"MJPG"):
+        raise NotImplementedError(f"AVI codec {codec!r} not supported")
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     h, w, _ = frames[0].shape
-    bodies = [_dib_body(f) for f in frames]
-    frame_size = len(bodies[0])
+    if codec == b"MJPG":
+        bodies = [encode_jpeg(f) for f in frames]
+        chunk_tag, compression = b"00dc", int.from_bytes(
+            b"MJPG", "little"
+        )
+    else:
+        bodies = [_dib_body(f) for f in frames]
+        chunk_tag, compression = b"00db", 0
+    frame_size = max(len(b) for b in bodies)
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         1_000_000 // AVI_FPS,  # microseconds per frame
@@ -878,12 +1113,13 @@ def encode_avi(frames) -> bytes:
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0,
+        b"vids", codec, 0, 0, 0, 0,
         1, AVI_FPS,  # scale, rate -> fps
         0, len(frames), frame_size, 0, 0, 0, 0, w, h,
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, compression, frame_size, 2835, 2835, 0, 0,
     )
     hdrl = _riff_list(
         b"hdrl",
@@ -892,31 +1128,39 @@ def encode_avi(frames) -> bytes:
             b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
         ),
     )
-    movi_body = b"".join(_riff_chunk(b"00db", b) for b in bodies)
+    movi_body = b"".join(_riff_chunk(chunk_tag, b) for b in bodies)
     movi = _riff_list(b"movi", movi_body)
     # idx1: (ckid, flags=AVIIF_KEYFRAME, offset from movi tag+4, size)
     idx_entries, off = [], 4
     for b in bodies:
-        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(b)))
+        idx_entries.append(
+            struct.pack("<4sIII", chunk_tag, 0x10, off, len(b))
+        )
         off += 8 + len(b) + (len(b) & 1)
     idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+#: strf biCompression fourcc for motion JPEG
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
 def decode_avi(payload: bytes):
-    """Decode a raw-DIB AVI into (list of (h, w, 3) uint8 RGB frames,
-    fps): validate the RIFF/'AVI ' envelope, read dimensions and frame
+    """Decode an AVI into (list of (h, w, 3) uint8 RGB frames, fps):
+    validate the RIFF/'AVI ' envelope, read dimensions and frame
     count from avih, fps from the vids strh scale/rate pair, then walk
-    the movi LIST decoding each '00db'/'00dc' chunk. Compressed
-    streams (strh handler other than raw DIB / strf biCompression)
-    are rejected loudly."""
+    the movi LIST decoding each '00db'/'00dc' chunk. Raw-DIB streams
+    decode dependency-free; MJPG streams decode each frame through
+    the optional Pillow JPEG path (decode_image raises loudly without
+    it); any other compression is rejected loudly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     pos, dims, n_frames, fps, frames = 12, None, None, None, []
+    codec = b"DIB "
 
     def walk(lo: int, hi: int) -> None:
-        nonlocal dims, n_frames, fps, frames
+        nonlocal dims, n_frames, fps, frames, codec
         pos = lo
         while pos + 8 <= hi:
             tag = payload[pos : pos + 4]
@@ -930,25 +1174,34 @@ def decode_avi(payload: bytes):
             elif tag == b"strh":
                 fcc, handler = struct.unpack_from("<4s4s", payload, body_lo)
                 if fcc == b"vids":
-                    if handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                    if handler not in (
+                        b"DIB ",
+                        b"\x00\x00\x00\x00",
+                        b"MJPG",
+                    ):
                         raise NotImplementedError(
                             f"compressed AVI stream {handler!r} not "
-                            "supported (raw DIB only)"
+                            "supported (raw DIB or MJPG only)"
                         )
+                    if handler == b"MJPG":
+                        codec = b"MJPG"
                     scale, rate = struct.unpack_from(
                         "<II", payload, body_lo + 20
                     )
                     fps = rate // max(scale, 1)
             elif tag == b"strf":
                 comp = struct.unpack_from("<IiiHHI", payload, body_lo)[5]
-                if comp != 0:
+                if comp not in (0, _MJPG_FOURCC):
                     raise NotImplementedError("compressed AVI frames")
             elif tag in (b"00db", b"00dc"):
                 if dims is None:
                     raise ValueError("frame chunk before avih header")
                 w, h = dims
+                body = payload[body_lo : body_lo + ln]
                 frames.append(
-                    _dib_decode(payload[body_lo : body_lo + ln], w, h)
+                    decode_image(body)
+                    if codec == b"MJPG"
+                    else _dib_decode(body, w, h)
                 )
             pos = body_lo + ln + (ln & 1)
 
@@ -1078,6 +1331,117 @@ def decode_avi_frames(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=AVI_FRAME_SCHEMA)
+
+
+def synthesize_mjpg_avi_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Motion-JPEG AVI payloads from the same closed-form per-frame
+    pixel field as the raw-DIB writer — container ours, per-frame
+    codec via the optional Pillow dependency (raises loudly without
+    it). 1:1 mapInPandas, no shuffle."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                w, h = _bmp_dims(int(mid))
+                n = _avi_n_frames(int(mid))
+                payloads.append(
+                    encode_avi(
+                        [
+                            _avi_frame_pixels(int(mid), f, w, h)
+                            for f in range(n)
+                        ],
+                        codec=b"MJPG",
+                    )
+                )
+                metas.append(
+                    {
+                        "modality": "video",
+                        "mime": "video/x-msvideo",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": int(n * 1000 / AVI_FPS),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media_ids = ids.select(F.col(id_col).alias("media_id"))
+    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_avi_frames_tolerant(
+    media: DataFrame, tol: float = 16.0
+) -> DataFrame:
+    """Reader half for LOSSY AVI codecs (MJPG): parse the container
+    with the real decoder, fan out one row per frame, and flag each
+    frame's per-channel mean as within-tolerance of the closed-form
+    field the writer encoded — exact means can't survive a lossy
+    per-frame codec, but the flags (plus exact fps and frame fan-out)
+    make the roundtrip hashable: a frame-order, channel-order, or
+    garbage-decode bug lands far outside quantization loss."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, fps = decode_avi(bytes(payload))
+                for f_idx, px in enumerate(frames):
+                    h, w, _ = px.shape
+                    got = px.reshape(-1, 3).mean(axis=0)
+                    want = (
+                        _avi_frame_pixels(int(mid), f_idx, w, h)
+                        .reshape(-1, 3)
+                        .mean(axis=0)
+                    )
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": f_idx,
+                            "fps": fps,
+                            "mean_close_r": int(
+                                abs(got[0] - want[0]) <= tol
+                            ),
+                            "mean_close_g": int(
+                                abs(got[1] - want[1]) <= tol
+                            ),
+                            "mean_close_b": int(
+                                abs(got[2] - want[2]) <= tol
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, frame_idx int, fps int, "
+            "mean_close_r int, mean_close_g int, mean_close_b int"
+        ),
+    )
 
 
 def synthesize_jpeg_media(

@@ -283,3 +283,71 @@ if _pil_image_module() is not None:
 
         docs = load_table(spark, sf_dir, "documents").select("doc_id")
         return decode_image_features_tolerant(synthesize_jpeg_media(docs))
+
+    @query(
+        "multimodal_mjpg_framesample",
+        """
+        WITH dims AS (
+            SELECT doc_id AS media_id,
+                   CAST(2 + doc_id % 4 AS INT) AS n_frames
+            FROM documents
+        )
+        SELECT media_id, CAST(f AS INT) AS frame_idx,
+               CAST(10 AS INT) AS fps,
+               1 AS mean_close_r, 1 AS mean_close_g, 1 AS mean_close_b
+        FROM dims, unnest(range(0, n_frames)) AS u(f)
+        """,
+    )
+    def q_multimodal_mjpg_framesample(spark, sf_dir):
+        """Compressed-video round trip: motion-JPEG AVI per document
+        (our container writer, Pillow per-frame codec), parsed back
+        with the real container decoder and per-frame JPEG decode —
+        frame fan-out and fps hash exactly, per-channel frame means
+        flagged within quantization tolerance of the closed-form
+        field."""
+        from funding_monitoring_spark.operators.multimodal import (
+            decode_avi_frames_tolerant,
+            synthesize_mjpg_avi_media,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        return decode_avi_frames_tolerant(
+            synthesize_mjpg_avi_media(docs)
+        )
+
+
+# MP3 rides the optional soundfile dependency (and needs an
+# MP3-capable libsndfile underneath — probed with a real tiny
+# roundtrip, not just an import): registered only where the codec
+# actually works, loud NotImplementedError everywhere else.
+from funding_monitoring_spark.operators.multimodal import (  # noqa: E402
+    mp3_supported,
+)
+
+if mp3_supported():
+
+    @query(
+        "multimodal_mp3_roundtrip",
+        """
+        SELECT doc_id AS media_id,
+               CAST(1 + doc_id % 2 AS INT) AS channels,
+               CAST(16000 AS INT) AS sample_rate,
+               1 AS length_close, 1 AS energy_close
+        FROM documents
+        """,
+    )
+    def q_multimodal_mp3_roundtrip(spark, sf_dir):
+        """Compressed-audio round trip through the optional soundfile
+        MP3 path: encode the closed-form sample field per document,
+        decode with the real codec, and assert stream length (within
+        one frame-pair of encoder delay/padding) and energy (within
+        3 dB) against the source — exact channels/rate hash directly."""
+        from funding_monitoring_spark.operators.multimodal import (
+            decode_audio_features_tolerant,
+            synthesize_mp3_media,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        return decode_audio_features_tolerant(
+            synthesize_mp3_media(docs)
+        )

@@ -673,3 +673,114 @@ def test_jpeg_optional_dependency_contract(spark):
                 1,
                 1,
             )
+
+
+def test_mp3_optional_dependency_contract(spark):
+    """MP3 is gated on the optional soundfile dependency (probed with
+    a real tiny roundtrip): where the codec works, the roundtrip query
+    registers and flags all-green; where it doesn't, both halves raise
+    the loud NotImplementedError and the query is NOT registered."""
+    from funding_monitoring_spark.operators import multimodal as M
+    from funding_monitoring_spark.registry import queries
+
+    registered = "multimodal_mp3_roundtrip" in queries()
+    if not M.mp3_supported():
+        assert not registered
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            M.encode_mp3([[0]])
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            M.decode_mp3(b"ID3" + b"\x00" * 16)
+    else:
+        assert registered
+        ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+        out = M.decode_audio_features_tolerant(
+            M.synthesize_mp3_media(ids)
+        ).collect()
+        assert len(out) == 8
+        for r in out:
+            assert (r.length_close, r.energy_close) == (1, 1)
+
+
+def test_audio_dispatch_with_fake_codec(monkeypatch):
+    """The MP3 plumbing (magic-byte dispatch, int16 shape contract,
+    encode/decode seam) is real even where the native codec is absent:
+    inject an identity 'codec' through the optional-module seam and
+    round-trip through encode_mp3 -> decode_audio; the RIFF branch
+    must keep dispatching to the native WAV decoder."""
+    import struct as _struct
+
+    import numpy as np
+
+    from funding_monitoring_spark.operators import multimodal as M
+
+    class FakeSF:
+        @staticmethod
+        def write(buf, data, rate, format=None):
+            arr = np.asarray(data, dtype="<i2")
+            buf.write(
+                b"ID3"
+                + _struct.pack("<III", rate, arr.shape[0], arr.shape[1])
+                + arr.tobytes()
+            )
+
+        @staticmethod
+        def read(buf, dtype="int16"):
+            raw = buf.read()
+            rate, n, ch = _struct.unpack_from("<III", raw, 3)
+            return (
+                np.frombuffer(raw[15:], dtype="<i2").reshape(n, ch),
+                rate,
+            )
+
+    monkeypatch.setattr(M, "_soundfile_module", lambda: FakeSF)
+    monkeypatch.setattr(M, "_MP3_PROBE", True)
+    pcm = M._wav_samples(5, 40, 2)
+    payload = M.encode_mp3(pcm, 16000)
+    got, rate = M.decode_audio(payload)
+    assert rate == 16000 and (got == pcm).all()
+    wav_got, wav_rate = M.decode_audio(M.encode_wav(pcm, 8000))
+    assert wav_rate == 8000 and (wav_got == pcm).all()
+    with pytest.raises(NotImplementedError, match="not recognized"):
+        M.decode_audio(b"OggS" + b"\x00" * 16)
+
+
+def test_mjpg_avi_optional_dependency_contract(spark):
+    """MJPG AVI rides the optional Pillow dependency for its per-frame
+    codec: without Pillow the writer refuses and a real MJPG container
+    fails loudly at frame decode (never garbage pixels); with it, the
+    full container+codec roundtrip flags all-green through the query
+    path. Unknown codecs are rejected at the encoder too."""
+    import numpy as np
+
+    from funding_monitoring_spark.operators import multimodal as M
+    from funding_monitoring_spark.registry import queries
+
+    frame = np.zeros((2, 2, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError, match="codec"):
+        M.encode_avi([frame], codec=b"H264")
+    registered = "multimodal_mjpg_framesample" in queries()
+    if M._pil_image_module() is None:
+        assert not registered
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            M.encode_avi([frame], codec=b"MJPG")
+        # an MJPG-flagged container decodes its frames through the
+        # JPEG path, which must refuse without Pillow (the frame body
+        # here isn't JPEG, so any NON-loud path would fake pixels)
+        raw = bytearray(M.encode_avi([frame]))
+        i = raw.find(b"vids") + 4
+        raw[i : i + 4] = b"MJPG"
+        with pytest.raises(NotImplementedError):
+            M.decode_avi(bytes(raw))
+    else:
+        assert registered
+        ids = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+        out = M.decode_avi_frames_tolerant(
+            M.synthesize_mjpg_avi_media(ids)
+        ).collect()
+        assert len(out) > 6  # 1:N frame fan-out
+        for r in out:
+            assert (r.mean_close_r, r.mean_close_g, r.mean_close_b) == (
+                1,
+                1,
+                1,
+            )
