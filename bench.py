@@ -3,7 +3,13 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "suite_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "sf": 0.1,
+     "all_registry_wall_sec": M, "overflow_queries": {...}}
+
+``value`` is the headline-set wall; the default run then also times
+every non-headline registered query so each round's artifact tracks
+the all-registry wall too (``all_registry_wall_sec`` = headline +
+overflow; headliners are not re-run).
 
 Each query is forced with the ``noop`` write sink — full evaluation
 of every output column (``count()`` would let Catalyst prune
@@ -169,6 +175,8 @@ HEADLINE = [
     "bucketed_join_revenue",
     "store_compaction_report",
     "schema_evolution_read",
+    # new in round 6
+    "stream_append_compaction",
 ]
 
 
@@ -178,12 +186,18 @@ def main() -> None:
 
     args = sys.argv[1:]
     all_queries = registry.queries()
+    overflow: list[str] = []
     if "--all" in args:
         names = sorted(all_queries)
     elif args:
         names = args
     else:
         names = [n for n in HEADLINE if n in all_queries]
+        # default runs ALSO time the non-headline remainder, so every
+        # per-round BENCH artifact carries BOTH walls (headline +
+        # all-registry) and a regression in a non-headline query is
+        # visible round-over-round, not only in ad-hoc --all runs
+        overflow = sorted(n for n in all_queries if n not in set(names))
 
     spark = get_spark(app_name="fm_spark_bench")
     # Warm the JVM once so per-query numbers measure the query, not
@@ -254,6 +268,16 @@ def main() -> None:
             }
     wall = round(time.perf_counter() - t_suite, 3)
 
+    overflow_timings: dict[str, float] = {}
+    t_over = time.perf_counter()
+    for name in overflow:
+        t0 = time.perf_counter()
+        df = all_queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        overflow_timings[name] = round(time.perf_counter() - t0, 3)
+        metrics.drain()
+    overflow_wall = round(time.perf_counter() - t_over, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -266,6 +290,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if overflow:
+        out["all_registry_wall_sec"] = round(wall + overflow_wall, 3)
+        out["overflow_queries"] = overflow_timings
     # r2->r3 common-set drift (+6%) investigated in round 4: the same
     # 43 queries rerun under identical JVM settings swing far more
     # than the drift between consecutive local runs (individual
@@ -303,6 +330,14 @@ def main() -> None:
             "let-bound medians keep it in codegen (>300s without)"
         ),
     }
+    notes["lsh_multiprobe_tradeoff_r6"] = (
+        "near_dup_recall_report / ann LSH queries run ~1.5x longer "
+        "than round 5: the probing side now fans out to each table's "
+        "1-bit-flip buckets (~5x candidates), buying recall@5 "
+        "0.34 -> 0.85 and near-dup pair recall 0.58 -> 0.84 — a "
+        "deliberate recall/candidate-count trade, still bucket-"
+        "bounded equi-joins"
+    )
     out["notes"] = notes
     print(json.dumps(out))
     spark.stop()
