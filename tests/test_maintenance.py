@@ -112,6 +112,8 @@ def test_compact_partitioned_store_splits_hot_partition(spark, tmp_path):
         ).repartition(4).write.mode("append").partitionBy(
             "event_date"
         ).parquet(store)
+    import math
+
     before = _rows(spark, store)
     hot_bytes = partition_dir_bytes(store, "event_date")["2024-01-01"]
     target = hot_bytes // 4  # force the hot partition into >= 4 files
@@ -121,10 +123,52 @@ def test_compact_partitioned_store_splits_hot_partition(spark, tmp_path):
     hot_files = glob.glob(
         os.path.join(store, "event_date=2024-01-01", "*.parquet")
     )
-    assert len(hot_files) >= 4, report
+    # deterministic under the global-file-index + range partitioning:
+    # exactly ceil(bytes/target) files (the old (value, salt) hash
+    # repartition could collide salts into one task and undershoot)
+    assert len(hot_files) == math.ceil(hot_bytes / target), report
     for d in ("2024-01-02", "2024-01-03"):
         assert (
             len(glob.glob(os.path.join(store, f"event_date={d}", "*.parquet")))
             == 1
         )
     assert _rows(spark, store) == before
+
+
+def test_compact_store_null_and_escaped_partition_values(spark, tmp_path):
+    """Partition values that URI-escape on disk (spaces, colons) and
+    NULL partitions (__HIVE_DEFAULT_PARTITION__) must get real
+    per-partition sizing — the join is eqNullSafe on the UNESCAPED
+    value, so neither silently falls through to the k=1 default with
+    wrong grouping, and content round-trips exactly."""
+    from funding_monitoring_spark.operators.maintenance import (
+        partition_dir_bytes,
+    )
+
+    store = str(tmp_path / "esc_store")
+    rows = [
+        (1, "a b", 1.0),
+        (2, "a b", 2.0),
+        (3, "x:y", 3.0),
+        (4, None, 4.0),
+        (5, None, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, part string, v double")
+    for _ in range(2):  # fragment
+        df.repartition(2).write.mode("append").partitionBy(
+            "part"
+        ).parquet(store)
+
+    def rows_none_safe(path):
+        return sorted(
+            (tuple(r) for r in spark.read.parquet(path).collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    before = rows_none_safe(store)
+    sizes = partition_dir_bytes(store, "part")
+    # unescaped + null keys present (not the on-disk spellings)
+    assert "a b" in sizes and "x:y" in sizes and None in sizes
+    report = compact_store(spark, store, partition_cols=["part"])
+    assert report["files_after"] == 3  # one per partition value
+    assert rows_none_safe(store) == before
