@@ -177,6 +177,8 @@ HEADLINE = [
     "schema_evolution_read",
     # new in round 6
     "stream_append_compaction",
+    "hll_sketch_merge_rollup",
+    "semantic_dedup_clusters",
 ]
 
 

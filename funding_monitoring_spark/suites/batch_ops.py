@@ -283,6 +283,78 @@ def q_approx_distinct(spark, sf_dir):
 
 
 @query(
+    "hll_sketch_merge_rollup",
+    """
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+               AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS INT) AS merge_close,
+           CAST(1 AS INT) AS within_bound
+    FROM events GROUP BY 1
+    """,
+)
+def q_hll_sketch_merge_rollup(spark, sf_dir):
+    """MERGEABLE distinct sketches — the property that makes
+    COUNT(DISTINCT) tractable at 100 TB: each day builds its own HLL
+    sketch (constant memory, map-side combinable), and coarser grains
+    come from UNIONING the stored sketches (register-wise max), never
+    re-scanning the raw data. The query materializes per-day sketches
+    (hll_sketch_agg), merges them to weeks (hll_union_agg), and
+    cross-checks against a direct weekly sketch over the raw rows:
+    `merge_close` pins union-of-partials against sketch-of-whole
+    within 2% — register content is equivalent, but the union gadget
+    materializes at a different HLL target precision (HLL_8) than the
+    direct sketch, so estimates differ by a fraction of a percent
+    (measured 1488 vs 1494 on 1500 exact at sf0.1), not bit-exactly —
+    and `within_bound` pins the estimate against the exact count at
+    5%. Sketch estimates are engine-specific, so the flags
+    + exact counts are the hashable surface (the approx_distinct_users
+    pattern); at scale the daily sketch table IS the stored rollup
+    artifact and weekly/monthly reads are tiny sketch merges."""
+    ev = load_table(spark, sf_dir, "events")
+    lgk = F.lit(12)
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id", lgk).alias("sk"))
+    merged = daily.groupBy("week").agg(
+        F.hll_union_agg("sk").alias("sk_merged"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    direct = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.hll_sketch_agg("user_id", lgk).alias("sk_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        merged.join(direct, "week")
+        .select(
+            "week",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk_merged")
+                    - F.hll_sketch_estimate("sk_direct")
+                )
+                <= F.greatest(F.lit(1.0), 0.02 * F.col("exact_users"))
+            )
+            .cast("int")
+            .alias("merge_close"),
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk_direct")
+                    - F.col("exact_users")
+                )
+                <= F.greatest(F.lit(1.0), 0.05 * F.col("exact_users"))
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+    )
+
+
+@query(
     "rollup_totals",
     """
     SELECT event_type,

@@ -544,3 +544,69 @@ def q_near_dup_recall_report(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+SEMANTIC_DEDUP_ORACLE = f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id < {NEAR_DUP_LIMIT}
+    ),
+    vb AS (SELECT vec_id, unnest({_sql_bucket_keys('emb')}) AS bucket
+           FROM v),
+    vpb AS (SELECT vec_id, unnest({_sql_probe_bucket_keys('emb')}) AS bucket
+            FROM v),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM vpb a JOIN vb b USING (bucket) WHERE a.vec_id < b.vec_id
+    ),
+    dpairs AS (
+        SELECT id_a, id_b
+        FROM (SELECT id_a, id_b, va.emb AS q_emb, vc.emb AS c_emb
+              FROM cand JOIN v va ON va.vec_id = cand.id_a
+                        JOIN v vc ON vc.vec_id = cand.id_b)
+        WHERE {_SQL_COSINE} >= {NEAR_DUP_THRESHOLD}
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS w FROM dpairs
+        UNION
+        SELECT id_b AS u, id_a AS w FROM dpairs
+    ),
+    reach(id, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.w, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT v.vec_id,
+           COALESCE(c.cluster_id, v.vec_id) AS cluster_id,
+           v.vec_id = COALESCE(c.cluster_id, v.vec_id) AS is_canonical
+    FROM v LEFT JOIN comp c ON c.id = v.vec_id
+    """
+
+
+@query("semantic_dedup_clusters", SEMANTIC_DEDUP_ORACLE)
+def q_semantic_dedup_clusters(spark, sf_dir):
+    """SEMANTIC deduplication end to end — the embedding-space twin of
+    the MinHash `dedup_clusters` pipeline: multi-probe LSH near-dup
+    pairs (cosine >= threshold, exact-verified) feed hash-min
+    connected components, every vector maps to its transitive
+    duplicate cluster, and `is_canonical` marks the survivor a
+    curation pass keeps (min id — deterministic). The oracle replays
+    the same pairs and closes them with a recursive CTE, so cluster
+    assignments are value-checked member by member. At 100 TB every
+    stage is bounded: bucket equi-joins for pairs, (node, label)
+    shuffles for the closure, and the final assignment joins the slim
+    component frame back to the corpus."""
+    from funding_monitoring_spark.operators.components import (
+        dedup_cluster_assignment,
+    )
+
+    v = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEAR_DUP_LIMIT
+    )
+    pairs = S.embedding_near_dup(
+        v, threshold=NEAR_DUP_THRESHOLD
+    ).select("id_a", "id_b")
+    return dedup_cluster_assignment(
+        v.select("vec_id"), pairs, id_col="vec_id"
+    ).select("vec_id", "cluster_id", "is_canonical")
