@@ -384,3 +384,16 @@ def test_pruned_queries_read_only_in_range_partitions(spark, sf_dir):
     assert scanned == {
         f"event_date=2024-01-{d}" for d in range(10, 17)
     }, scanned
+
+
+def test_hll_rollup_sketches_combine_map_side(spark, sf_dir):
+    """The mergeable-sketch rollup must plan as two-phase
+    ObjectHashAggregate: partial_hll_sketch_agg before the exchange
+    (each partition ships ONE register array per group, not rows) and
+    partial_hll_union_agg merging the per-day sketches up to weeks —
+    the property that makes the stored-sketch rollup O(groups), not
+    O(rows), at 100 TB."""
+    plan = plan_str(ALL["hll_sketch_merge_rollup"](spark, sf_dir))
+    assert "partial_hll_sketch_agg" in plan, plan
+    assert "partial_hll_union_agg" in plan, plan
+    assert "ObjectHashAggregate" in plan, plan
