@@ -179,6 +179,7 @@ HEADLINE = [
     "stream_append_compaction",
     "hll_sketch_merge_rollup",
     "semantic_dedup_clusters",
+    "stream_sketch_rollup",
 ]
 
 

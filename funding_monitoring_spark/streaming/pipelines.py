@@ -1008,6 +1008,12 @@ def _dispatch_pipeline(
             spark, chunks_dir, schema, store, checkpoint
         )
         return spark.read.parquet(store)
+    if pipeline == "sketch_rollup":
+        store = os.path.join(workdir, "sketches")
+        streaming_sketch_rollup(
+            spark, chunks_dir, schema, store, checkpoint
+        )
+        return spark.read.parquet(store)
     if pipeline == "cdc_materialize":
         store = os.path.join(workdir, "cdc_state")
         streaming_cdc_materialize(
@@ -1026,6 +1032,59 @@ def _dispatch_pipeline(
             )
         )
     raise ValueError(f"unknown pipeline {pipeline!r}")
+
+
+def streaming_sketch_rollup(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    lg_config_k: int = 12,
+    trigger_interval: str = TRIGGER_INTERVAL,
+):
+    """Incremental distinct-user sketches maintained across ticks —
+    the streaming half of the mergeable-sketch rollup
+    (suites/batch_ops.hll_sketch_merge_rollup): each micro-batch
+    sketches ONLY its own rows (hll_sketch_agg, constant memory) and
+    merges register-wise into the stored per-week sketch
+    (hll_union_agg over store ∪ batch, atomic overwrite). The store
+    stays O(weeks) bytes no matter how many rows stream through.
+
+    No batch-id bookkeeping: HLL union is register-wise MAX —
+    idempotent and commutative — so a replayed batch re-merges to the
+    identical store, which is a stronger effectively-once argument
+    than any sink-side guard. The converged store's estimates equal a
+    batch sketch over the whole feed within estimator tolerance (the
+    union path materializes HLL_8 vs the direct sketch's HLL_4), which
+    the registry query pins as flags against the exact counts."""
+    src = stream_from_chunks(spark, chunks_dir, schema)
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        b = batch.groupBy(
+            F.date_trunc("week", "ts").alias("week")
+        ).agg(
+            F.hll_sketch_agg("user_id", F.lit(lg_config_k)).alias("sk")
+        )
+        if os.path.exists(store_path):
+            merged = (
+                spark.read.parquet(store_path)
+                .unionByName(b)
+                .groupBy("week")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        else:
+            merged = b
+        atomic_overwrite(merged, store_path)
+
+    writer = src.writeStream.foreachBatch(on_batch)
+    q = _run(writer, available_now, checkpoint, trigger_interval)
+    if available_now:
+        q.awaitTermination()
+    return q
 
 
 def streaming_cdc_materialize(

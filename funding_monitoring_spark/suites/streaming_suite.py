@@ -501,3 +501,46 @@ def q_stream_append_compaction(spark, sf_dir):
             1 if report["files_after"] == report["n_files_target"] else 0
         ).cast("int").alias("compacted_to_target"),
     )
+
+
+@query(
+    "stream_sketch_rollup",
+    """
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS INT) AS within_bound
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_sketch_rollup(spark, sf_dir):
+    """The mergeable-sketch rollup as a STREAM: every micro-batch
+    sketches its own rows and register-max-merges into the stored
+    per-week HLL sketch (streaming/pipelines.streaming_sketch_rollup)
+    — the store stays O(weeks) bytes under unbounded input, and the
+    merge is idempotent under batch replay with no bookkeeping. The
+    converged store's estimates are checked against the exact weekly
+    distinct counts (3-sigma flag pinned to 1), the same hashable
+    surface as the batch twin hll_sketch_merge_rollup."""
+    from pyspark.sql import functions as F
+
+    store = _replay(spark, sf_dir, "sketch_rollup")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        store.join(exact, "week")
+        .select(
+            "week",
+            "exact_users",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk") - F.col("exact_users")
+                )
+                <= F.greatest(F.lit(1.0), 0.05 * F.col("exact_users"))
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+    )

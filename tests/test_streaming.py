@@ -713,3 +713,56 @@ def test_ewma_state_ttl_restarts_fold(spark, tmp_path):
     assert got["7-fr-A"].n == 1
     assert got["7-fr-A"].ewma == 2.0
     assert got["7-fr-B"].n == 2
+
+
+def test_sketch_rollup_merge_idempotent(spark, tmp_path):
+    """HLL merges are register-wise max, so re-merging an
+    already-ingested batch must leave the store's estimates unchanged
+    — the no-bookkeeping effectively-once argument the sketch-rollup
+    pipeline relies on under batch replay."""
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_sketch_rollup,
+    )
+    from funding_monitoring_spark.streaming.sinks import atomic_overwrite
+
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    b0 = _events(
+        spark, [(i, _ts(i), i % 7, "funding", 1.0) for i in range(20)]
+    )
+    b1 = _events(
+        spark,
+        [(100 + i, _ts(30 + i), i % 5, "funding", 1.0) for i in range(10)],
+    )
+    for i, b in enumerate((b0, b1)):
+        _write_chunk(b, chunks, i)
+    store = os.path.join(tmp, "store")
+    streaming_sketch_rollup(
+        spark, chunks, b0.schema, store, os.path.join(tmp, "ckpt")
+    )
+
+    def estimates():
+        return {
+            r.week: r.est
+            for r in spark.read.parquet(store)
+            .select(
+                "week", F.hll_sketch_estimate("sk").alias("est")
+            )
+            .collect()
+        }
+
+    before = estimates()
+    # replay batch 0's merge verbatim — the retry scenario
+    replay = b0.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = (
+        spark.read.parquet(store)
+        .unionByName(replay)
+        .groupBy("week")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+    atomic_overwrite(merged, store)
+    assert estimates() == before
