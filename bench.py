@@ -180,6 +180,7 @@ HEADLINE = [
     "hll_sketch_merge_rollup",
     "semantic_dedup_clusters",
     "stream_sketch_rollup",
+    "grouped_split_leakage_report",
 ]
 
 

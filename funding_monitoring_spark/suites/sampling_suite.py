@@ -102,3 +102,66 @@ def q_train_test_split(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+_UH = oracle_hash_expr("user_id", SAMPLE_SEED)
+
+
+@query(
+    "grouped_split_leakage_report",
+    f"""
+    WITH tagged AS (
+        SELECT *,
+               CASE WHEN {_UH} < {hash_threshold(SPLIT_TRAIN_FRACTION)}
+                    THEN 'train' ELSE 'test' END AS split
+        FROM events
+    ),
+    leak AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS leaked_users FROM (
+            SELECT user_id FROM tagged
+            GROUP BY user_id HAVING COUNT(DISTINCT split) > 1
+        )
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (SELECT leaked_users FROM leak) AS leaked_users
+    FROM tagged GROUP BY split
+    """,
+)
+def q_grouped_split_leakage_report(spark, sf_dir):
+    """GROUP-level train/test split — the ML leakage guard a row-level
+    split misses: splitting events by event hash puts one user's
+    history on both sides, so a model trains on the very users it is
+    evaluated on. Here the split key is the GROUP (user_id hash):
+    every event of a user lands on exactly one side by construction,
+    and the report MEASURES it rather than assuming it — leaked_users
+    counts users observed in both splits via an actual aggregation
+    (hash-verified 0 on both engines), next to per-split user/event
+    volumes. Still a scan-stage predicate: zero shuffle for the
+    split itself, one aggregation for the report."""
+    from funding_monitoring_spark.operators.sampling import key_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.withColumn(
+        "split",
+        F.when(
+            key_hash(F.col("user_id"), SAMPLE_SEED)
+            < hash_threshold(SPLIT_TRAIN_FRACTION),
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    )
+    leak = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_users"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
