@@ -77,13 +77,18 @@ def query(name: str, sql: str | None):
 #:       (curation_suite.py: token serialization; multimodal.py:
 #:       JPEG subsampling + optional audio codecs; streaming
 #:       pipelines.py: TTL watermark parameterization).
-#:   r7 plan (precommitted): (a) every round-6 post-freeze
-#:       registration in registration order (each ships with a
-#:       driver-format row in CORRECTNESS_LOCAL_r6.json);
-#:       (b) the 39 remaining r3 rows; (c) leftover slots to the
-#:       oldest r4 rows, streaming family first (pipelines.py TTL
-#:       changes land in r6). Every overflow query gets a fresh
-#:       local row each round.
+#:   r7 plan (precommitted): (a) the round-6 post-freeze
+#:       registrations in registration order —
+#:       stream_append_compaction, hll_sketch_merge_rollup,
+#:       semantic_dedup_clusters, stream_sketch_rollup,
+#:       grouped_split_leakage_report (each ships with a
+#:       driver-format row in CORRECTNESS_LOCAL_r6.json, plus the
+#:       optional-codec self-registrations multimodal_jpeg_roundtrip
+#:       / multimodal_mjpg_framesample / multimodal_mp3_roundtrip
+#:       wherever their libraries exist); (b) the 39 remaining r3
+#:       rows; (c) leftover slots to the oldest r4 rows, streaming
+#:       family first (pipelines.py TTL changes landed in r6). Every
+#:       overflow query gets a fresh local row each round.
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
