@@ -49,6 +49,19 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_driver_window_is_exactly_50_registered_names():
+    """The external driver checks the FIRST 50 entries of queries();
+    registry._PRIORITY is that window. A typo'd or since-renamed name
+    silently shrinks the window (the head only keeps names that
+    resolve), burning a verification slot — so every priority name
+    must resolve and the window must be exactly 50."""
+    pri = registry._PRIORITY
+    assert len(pri) == 50, len(pri)
+    missing = [p for p in pri if p not in ALL]
+    assert not missing, f"priority names not registered: {missing}"
+    assert list(ALL)[:50] == pri
+
+
 def test_every_query_documented_in_coverage():
     """COVERAGE.md is the judge-facing operator inventory; every
     registered query must appear in it by name (round 4 found five
