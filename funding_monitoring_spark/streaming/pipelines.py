@@ -697,10 +697,14 @@ def streaming_ewma_stateful(
 
     # Without TTL, per-key n grows monotonically, so ordering the
     # store merge by n doubles as recency and guards against stale
-    # re-emissions. WITH TTL an evicted key legitimately RESTARTS at
-    # n=1 — a max-n merge would pin the stale pre-eviction row
-    # forever — so the TTL variant carries the newest folded event
-    # time and merges last-write-wins on THAT.
+    # re-emissions. WITH TTL neither data column is monotone: an
+    # evicted key legitimately RESTARTS at n=1 (max-n would pin the
+    # stale pre-eviction row forever), and a late-but-valid event
+    # folded under a nonzero watermark delay emits NEWER state with
+    # an OLDER max event time (max-last_ts would reject it — a real
+    # bug the disorder regression test caught). The only monotone
+    # key for cumulative state is EMISSION order, so the TTL variant
+    # merges on the micro-batch id (upsert_writer seq_col).
     ttl_on = state_ttl_ms is not None
     out = rates.groupBy("symbol").applyInPandasWithState(
         update,
@@ -720,7 +724,8 @@ def streaming_ewma_stateful(
         upsert_writer(
             store_path,
             key_cols=["symbol"],
-            order_cols=["last_ts"] if ttl_on else ["n"],
+            order_cols=["__merge_seq"] if ttl_on else ["n"],
+            seq_col="__merge_seq" if ttl_on else None,
         )
     )
     q = _run(writer, available_now, checkpoint)

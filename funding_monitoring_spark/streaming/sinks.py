@@ -114,12 +114,23 @@ def upsert_writer(
     order_cols: Sequence[str],
     transform: Callable[[DataFrame], DataFrame] | None = None,
     on_batch_complete: Callable[[DataFrame], None] | None = None,
+    seq_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer: dedupe the batch on key_cols (max order_cols
     wins), then order-aware merge into the parquet store — order_cols
     decide cross-batch conflicts too (max wins, tie to the incoming
     row), so a late re-emission of an older state (e.g. after streaming
     state eviction) cannot regress a stored row.
+
+    seq_col: when set, each batch's rows gain a column holding the
+    MICRO-BATCH id before the merge — the right order key for
+    cumulative per-key state whose emissions are monotone in batch
+    order but NOT in any data column (a stateful fold that ingests a
+    late-but-valid event emits newer state with an OLDER max event
+    time; merging on event time would wrongly reject it, and per-key
+    counters reset on state eviction). Callers put seq_col in
+    order_cols. Replays re-run under their original batch id
+    (checkpoint offsets), so retries merge idempotently.
 
     transform: optional shaping applied to the raw micro-batch first.
     on_batch_complete: hook called with the post-merge store DataFrame
@@ -134,6 +145,8 @@ def upsert_writer(
         t0 = time.perf_counter()
         spark = batch_df.sparkSession
         batch = transform(batch_df) if transform is not None else batch_df
+        if seq_col is not None:
+            batch = batch.withColumn(seq_col, F.lit(batch_id))
         batch = dedupe_batch(batch, key_cols, order_cols)
         if os.path.exists(store_path):
             existing = spark.read.parquet(store_path)

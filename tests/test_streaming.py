@@ -678,9 +678,10 @@ def test_ewma_state_ttl_restarts_fold(spark, tmp_path):
     """EWMA stateful pipeline with TTL: an evicted key's fold restarts
     from scratch instead of continuing the carried state — and the
     restarted row REPLACES the stale pre-eviction store row even
-    though its n is SMALLER (the TTL variant merges last-write-wins
-    on the newest folded event time, not max-n; max-n would pin the
-    evicted history forever)."""
+    though its n is SMALLER (the TTL variant merges on micro-batch
+    order, the only key monotone in emission; max-n would pin the
+    evicted history forever, and max-event-time would reject
+    late-but-valid folds)."""
     from funding_monitoring_spark.streaming.pipelines import (
         streaming_ewma_stateful,
     )
@@ -766,3 +767,39 @@ def test_sketch_rollup_merge_idempotent(spark, tmp_path):
     )
     atomic_overwrite(merged, store)
     assert estimates() == before
+
+
+def test_ewma_ttl_keeps_late_but_valid_events(spark, tmp_path):
+    """The EWMA fold under TTL must include cross-batch out-of-order
+    events within the watermark delay (the old zero-delay watermark
+    dropped them before the fold — a semantic change far beyond 'idle
+    keys evicted'). The late row folds at ARRIVAL order, so we assert
+    inclusion (n counts it), not time-order parity."""
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_ewma_stateful,
+    )
+
+    tmp = str(tmp_path)
+    chunks = os.path.join(tmp, "chunks")
+    mk = lambda eid, m, v: (eid, _ts(m), 7, "fr-A", v)
+    # b0 advances event time to minute 30 -> watermark = 20
+    b0 = _events(spark, [mk(1, 0, 4.0), mk(2, 30, 8.0)])
+    # b1: minute 25 — older than b0's max, newer than the watermark
+    b1 = _events(spark, [mk(3, 25, 2.0)])
+    for i, b in enumerate((b0, b1)):
+        _write_chunk(b, chunks, i)
+    store = os.path.join(tmp, "store")
+    streaming_ewma_stateful(
+        spark,
+        chunks,
+        b0.schema,
+        store,
+        os.path.join(tmp, "ckpt"),
+        state_ttl_ms=60 * 60 * 1000,
+        watermark="10 minutes",
+    )
+    got = {r.symbol: r for r in spark.read.parquet(store).collect()}
+    # all three events folded: 4.0 -> *0.75 + 8.0*0.25 = 5.0 -> *0.75
+    # + 2.0*0.25 = 4.25 (arrival order; alpha=0.25 binary-exact)
+    assert got["7-fr-A"].n == 3
+    assert got["7-fr-A"].ewma == 4.25
