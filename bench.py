@@ -334,6 +334,20 @@ def main() -> None:
             "let-bound medians keep it in codegen (>300s without)"
         ),
     }
+    notes["new_query_attribution_r6"] = {
+        "semantic_dedup_clusters": (
+            "~6 s = the full multi-probe LSH near-dup pipeline "
+            "(persisted once into the CC edge frame) + 3-5 hash-min "
+            "label-propagation rounds, each a localCheckpointed "
+            "(node,label) shuffle + convergence probe — cost is "
+            "per-round job latency at fixture scale, bounded "
+            "equi-joins at any scale"
+        ),
+        "stream_append_compaction / stream_sketch_rollup": (
+            "per-tick streaming machinery + one store rewrite / "
+            "sketch merge; both ~1.2 s warm"
+        ),
+    }
     notes["lsh_multiprobe_tradeoff_r6"] = (
         "near_dup_recall_report / ann LSH queries run ~1.5x longer "
         "than round 5: the probing side now fans out to each table's "
