@@ -172,3 +172,59 @@ def test_compact_store_null_and_escaped_partition_values(spark, tmp_path):
     report = compact_store(spark, store, partition_cols=["part"])
     assert report["files_after"] == 3  # one per partition value
     assert rows_none_safe(store) == before
+
+
+# ---- property test: deterministic per-partition file counts -------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    sizes=st.lists(st.integers(1, 3), min_size=1, max_size=3),
+    divisor=st.integers(1, 4),
+    frags=st.integers(1, 3),
+)
+def test_compaction_file_counts_deterministic(
+    sizes, divisor, frags, spark, tmp_path_factory
+):
+    """PROPERTY: for any partition-size mix, fragmentation level, and
+    target, compact_store rewrites partition v into exactly
+    ceil(bytes_v / target) files with content identical — the global
+    file-index determinism claim, not just the two crafted cases."""
+    import math
+
+    from funding_monitoring_spark.operators.maintenance import (
+        partition_dir_bytes,
+    )
+
+    store = str(tmp_path_factory.mktemp("prop") / "store")
+    rows = [
+        (p * 100000 + i, f"p{p}", "x" * 50)
+        for p, mult in enumerate(sizes)
+        for i in range(mult * 400)
+    ]
+    df = spark.createDataFrame(rows, "k long, part string, payload string")
+    for frag in range(frags):
+        df.filter(F.col("k") % frags == frag).repartition(
+            2
+        ).write.mode("append").partitionBy("part").parquet(store)
+    before = _rows(spark, store)
+    bytes_by_part = partition_dir_bytes(store, "part")
+    target = max(1, max(bytes_by_part.values()) // divisor)
+    compact_store(
+        spark, store, target_bytes=target, partition_cols=["part"]
+    )
+    import glob as _glob
+
+    for v, b in bytes_by_part.items():
+        got = len(
+            _glob.glob(os.path.join(store, f"part={v}", "*.parquet"))
+        )
+        assert got == math.ceil(b / target), (v, b, target, got)
+    assert _rows(spark, store) == before
