@@ -141,6 +141,18 @@ def compact_store(
             )
             .drop("__pval", "__k", "__off")
         )
+        # Range boundaries come from sampling; a tiny partition's
+        # index underrepresented in the sample would merge into a
+        # neighbor's range bucket. Raise the per-partition sample for
+        # the duration of the rewrite so every dense index value is
+        # seen (n_target is small — the sample stays driver-cheap);
+        # the maxRecordsPerFile backstop below still catches any
+        # residual miss.
+        _SAMPLE_KEY = (
+            "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+        )
+        prev_sample = spark.conf.get(_SAMPLE_KEY, None)
+        spark.conf.set(_SAMPLE_KEY, "1000")
         out = indexed.repartitionByRange(n_target, "__fidx").drop(
             "__fidx"
         )
@@ -171,16 +183,24 @@ def compact_store(
             ),
             default=None,
         )
-        atomic_overwrite(
-            out,
-            path,
-            partition_by=[pcol],
-            writer_options=(
-                {"maxRecordsPerFile": max_records}
-                if max_records
-                else None
-            ),
-        )
+        try:
+            # the sample conf is read when the exchange EXECUTES
+            # (inside the write), so it must stay raised until then
+            atomic_overwrite(
+                out,
+                path,
+                partition_by=[pcol],
+                writer_options=(
+                    {"maxRecordsPerFile": max_records}
+                    if max_records
+                    else None
+                ),
+            )
+        finally:
+            if prev_sample is None:
+                spark.conf.unset(_SAMPLE_KEY)
+            else:
+                spark.conf.set(_SAMPLE_KEY, prev_sample)
     else:
         n_target = max(1, math.ceil(total / target_bytes))
         atomic_overwrite(df.repartition(n_target), path)
