@@ -181,6 +181,7 @@ HEADLINE = [
     "semantic_dedup_clusters",
     "stream_sketch_rollup",
     "grouped_split_leakage_report",
+    "file_provenance_report",
 ]
 
 

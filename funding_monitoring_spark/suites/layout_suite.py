@@ -308,3 +308,56 @@ def q_schema_evolution_read(spark, sf_dir):
         F.round(F.sum("value"), 4).alias("sum_value"),
         F.max("event_id").alias("max_event"),
     )
+
+
+@query(
+    "file_provenance_report",
+    """
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+               AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS INT) AS rows_match_file_partition
+    FROM events GROUP BY 1
+    """,
+)
+def q_file_provenance_report(spark, sf_dir):
+    """Row -> source-file lineage, the provenance a curation pipeline
+    needs to trace a bad training document back to the file that
+    produced it: every row is tagged with its physical source file
+    (input_file_name, evaluated in the scan — zero shuffle), the
+    partition value is parsed back OUT of the path, and the report
+    verifies the wiring — `rows_match_file_partition` pins that every
+    row's event time truncates to exactly its file's partition date
+    (a mis-parsed path, a row written into the wrong partition, or a
+    scan that loses file attribution all flip it). Per-date row
+    counts hash against the flat-file oracle, so the partitioned
+    store's content is simultaneously proven identical."""
+    path = partitioned_events_path(spark, sf_dir)
+    df = spark.read.parquet(path).withColumn(
+        "__file", F.input_file_name()
+    )
+    parsed = df.withColumn(
+        "file_date",
+        F.to_date(
+            F.regexp_extract("__file", r"event_date=([0-9\-]+)", 1)
+        ),
+    )
+    return (
+        parsed.groupBy("file_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (
+                    F.date_trunc("day", "ts").cast("date")
+                    != F.col("file_date")
+                ).cast("int")
+            ).alias("n_mismatched"),
+        )
+        .select(
+            F.col("file_date").cast("string").alias("event_date"),
+            "n_rows",
+            (F.col("n_mismatched") == 0)
+            .cast("int")
+            .alias("rows_match_file_partition"),
+        )
+    )
