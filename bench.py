@@ -182,6 +182,7 @@ HEADLINE = [
     "stream_sketch_rollup",
     "grouped_split_leakage_report",
     "file_provenance_report",
+    "span_dedup_cleaned_docs",
 ]
 
 

@@ -774,3 +774,118 @@ def q_packed_training_batches(spark, sf_dir):
             ).alias("token_ids"),
         )
     )
+
+
+SPAN_WORDS = 10
+
+SPAN_DEDUP_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS l
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, CAST(s AS INT) AS seg_idx,
+               array_to_string(
+                   l[s * {SPAN_WORDS} + 1 : (s + 1) * {SPAN_WORDS}], ' '
+               ) AS seg
+        FROM toks,
+             unnest(range(0, CAST(ceil(len(l) / {SPAN_WORDS}.0) AS INT)))
+                 AS u(s)
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY seg ORDER BY doc_id, seg_idx
+        ) AS rn
+        FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                      ORDER BY seg_idx) AS cleaned_text
+    FROM ranked GROUP BY doc_id
+"""
+
+
+@query("span_dedup_cleaned_docs", SPAN_DEDUP_ORACLE)
+def q_span_dedup_cleaned_docs(spark, sf_dir):
+    """C4-style SPAN deduplication — finer-grained than whole-document
+    dedup: every document splits into fixed {n}-word segments, a
+    segment whose exact text already appeared EARLIER in the corpus
+    (first occurrence by (doc_id, seg_idx) — deterministic) is
+    removed, and each document reassembles from its surviving
+    segments. Catches boilerplate repeated across documents that
+    document-level fingerprints miss entirely. One shuffle on the
+    segment text (rank-the-first-occurrence window) and one on doc_id
+    for reassembly — segment text is the heaviest thing shuffled, the
+    same cost shape C4's three-sentence-span dedup pays at scale; at
+    100 TB the window key would extend with a segment hash bucket.
+    The oracle replays the identical split/rank/reassembly, so the
+    cleaned TEXT itself is value-hashed, not just the counts."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"(\S+)"), 1
+        ).alias("l"),
+    )
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("l") / SPAN_WORDS).cast("int") - 1,
+            )
+        ).alias("seg_idx"),
+        F.col("l"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.array_join(
+            F.slice(
+                "l",
+                F.col("seg_idx") * SPAN_WORDS + 1,
+                SPAN_WORDS,
+            ),
+            " ",
+        ).alias("seg"),
+    )
+    ranked = segs.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("seg").orderBy("doc_id", "seg_idx")
+        ),
+    )
+    agg = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum((F.col("rn") == 1).cast("int")).alias("n_kept"),
+        # when(rn != 1) -> NULL, which collect_list drops; surviving
+        # segments reassemble in seg_idx order
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1,
+                            F.struct("seg_idx", "seg"),
+                        )
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("joined"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_segments",
+        "n_kept",
+        # a fully-duplicated doc has NO surviving segments: NULL, to
+        # match string_agg over an all-NULL group
+        F.when(F.col("n_kept") > 0, F.col("joined")).alias(
+            "cleaned_text"
+        ),
+    )
