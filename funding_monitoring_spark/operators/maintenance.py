@@ -78,22 +78,29 @@ def compact_store(
     files. Flat store: ceil(total_bytes / target_bytes) files. With
     ``partition_cols`` (one directory-partition column — pass the
     store's existing column to preserve its pruning layout), each
-    partition directory is rewritten into ceil(its_bytes /
-    target_bytes) files via a GLOBAL file index: partition value v
-    owns the dense index range [offset_v, offset_v + k_v) (offset =
-    cumulative sum of k over sorted values, k_v = ceil(bytes_v /
-    target)), each row hashes into its value's range, and the frame
-    range-partitions on that index — equal indices can never split
-    and distinct indices land in distinct range buckets, so
-    per-partition file counts are deterministic (a plain
-    repartition(n, pcol, salt) hash-partitions the (value, salt)
-    combos, which can collide a hot partition's salts into one
-    task/file). A hot 10 GB date therefore splits across
-    ceil(bytes/target) tasks instead of funneling through one, and a
-    maxRecordsPerFile backstop (derived from the store's observed
-    bytes/row) re-splits any file a range-sampling miss would
-    over-fill. Atomic: readers see the old store until the swap.
-    Returns {files_before, files_after, bytes, n_files_target}.
+    partition directory is planned into k_v = ceil(bytes_v / target)
+    file groups via a GLOBAL file index: partition value v owns the
+    dense index range [offset_v, offset_v + k_v) (offset = cumulative
+    sum of k over sorted values), each row hashes into its value's
+    range, and the frame range-partitions on that index — equal
+    indices never split across tasks, so a partition can never
+    produce MORE than k_v files, and a plain repartition(n, pcol,
+    salt)'s failure mode (hash-colliding a hot partition's salts into
+    one task/file) is gone.
+
+    Exactness contract (range partitioning balances ROWS, so two
+    low-weight groups of the same small partition may share a task
+    and bin-pack): per partition, file count is in
+    [ceil(rows_v / max_records), k_v], where max_records =
+    ceil(1.2 · max_v(rows_v / k_v)) is the writer's per-file row cap.
+    For the HOT partition — the one that attains that max — the lower
+    bound is ceil(k_hot / 1.2): a hot 10 GB date splits across ~k
+    tasks/files and can never funnel through one, which is the
+    guarantee compaction exists to provide; partitions much smaller
+    than the row-balance step may legitimately pack into fewer,
+    correctly sized files. Atomic: readers see the old store until
+    the swap. Returns {files_before, files_after, bytes,
+    n_files_target}.
     """
     from pyspark.sql import functions as F
 

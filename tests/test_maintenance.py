@@ -194,9 +194,15 @@ def test_compaction_file_counts_deterministic(
     sizes, divisor, frags, spark, tmp_path_factory
 ):
     """PROPERTY: for any partition-size mix, fragmentation level, and
-    target, compact_store rewrites partition v into exactly
-    ceil(bytes_v / target) files with content identical — the global
-    file-index determinism claim, not just the two crafted cases."""
+    target, compact_store's file-count contract holds — per partition
+    v, files in [ceil(rows_v / max_records), k_v] with k_v =
+    ceil(bytes_v / target) and max_records the writer's row cap; the
+    partition attaining the max row quantum (the 'hot' one) therefore
+    can never funnel below ceil(k/1.2) files — and content is
+    identical. (An earlier version asserted EXACTLY k_v files; this
+    very test falsified it: range partitioning balances rows, so two
+    low-weight groups of one small partition can share a task and
+    bin-pack into a single correctly sized file.)"""
     import math
 
     from funding_monitoring_spark.operators.maintenance import (
@@ -204,6 +210,7 @@ def test_compaction_file_counts_deterministic(
     )
 
     store = str(tmp_path_factory.mktemp("prop") / "store")
+    rows_by_part = {f"p{p}": mult * 400 for p, mult in enumerate(sizes)}
     rows = [
         (p * 100000 + i, f"p{p}", "x" * 50)
         for p, mult in enumerate(sizes)
@@ -217,14 +224,23 @@ def test_compaction_file_counts_deterministic(
     before = _rows(spark, store)
     bytes_by_part = partition_dir_bytes(store, "part")
     target = max(1, max(bytes_by_part.values()) // divisor)
+    k_by_part = {
+        v: max(1, math.ceil(b / target))
+        for v, b in bytes_by_part.items()
+    }
+    max_records = max(
+        math.ceil(1.2 * rows_by_part[v] / k_by_part[v])
+        for v in k_by_part
+    )
     compact_store(
         spark, store, target_bytes=target, partition_cols=["part"]
     )
     import glob as _glob
 
-    for v, b in bytes_by_part.items():
+    for v, k in k_by_part.items():
         got = len(
             _glob.glob(os.path.join(store, f"part={v}", "*.parquet"))
         )
-        assert got == math.ceil(b / target), (v, b, target, got)
+        lo = math.ceil(rows_by_part[v] / max_records)
+        assert lo <= got <= k, (v, lo, k, got, target)
     assert _rows(spark, store) == before
