@@ -79,16 +79,19 @@ def query(name: str, sql: str | None):
 #:       pipelines.py: TTL watermark parameterization).
 #:   r7 plan (precommitted): (a) the round-6 post-freeze
 #:       registrations in registration order —
-#:       stream_append_compaction, hll_sketch_merge_rollup,
-#:       semantic_dedup_clusters, stream_sketch_rollup,
-#:       grouped_split_leakage_report (each ships with a
-#:       driver-format row in CORRECTNESS_LOCAL_r6.json, plus the
-#:       optional-codec self-registrations multimodal_jpeg_roundtrip
-#:       / multimodal_mjpg_framesample / multimodal_mp3_roundtrip
-#:       wherever their libraries exist); (b) the 39 remaining r3
-#:       rows; (c) leftover slots to the oldest r4 rows, streaming
-#:       family first (pipelines.py TTL changes landed in r6). Every
-#:       overflow query gets a fresh local row each round.
+#:       hll_sketch_merge_rollup, span_dedup_cleaned_docs,
+#:       snapshot_time_travel_read, snapshot_rollback_expire,
+#:       snapshot_pruned_read, file_provenance_report,
+#:       grouped_split_leakage_report, semantic_dedup_clusters,
+#:       stream_append_compaction, stream_sketch_rollup (each ships
+#:       with a driver-format row in CORRECTNESS_LOCAL_r6.json, plus
+#:       the optional-codec self-registrations
+#:       multimodal_jpeg_roundtrip / multimodal_mjpg_framesample /
+#:       multimodal_mp3_roundtrip wherever their libraries exist);
+#:       (b) the 39 remaining r3 rows; (c) leftover slots to the
+#:       oldest r4 rows, streaming family first (pipelines.py TTL
+#:       changes landed in r6). Every overflow query gets a fresh
+#:       local row each round.
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and

@@ -1,0 +1,343 @@
+"""Manifest-based snapshot store: versioned commits, time-travel
+reads, rollback, and snapshot expiry over plain parquet.
+
+The reference's stores are mutable Postgres tables — an UPDATE is
+destructive and "what did the table look like yesterday?" is
+unanswerable (funding_rates_etl.py upserts in place). At 100 TB the
+lakehouse answer is a TABLE FORMAT: data files are immutable, a tiny
+JSON manifest enumerates the files visible at each version, and a
+commit is one atomic metadata operation. This module is that design
+reduced to its load-bearing core (the same skeleton as Iceberg/Delta,
+storage-agnostic):
+
+- ``store/data/<commit>/part-*.parquet`` — immutable data files; an
+  append never rewrites bytes, so every historical snapshot is
+  ZERO-COPY (versions share files).
+- ``store/_manifests/v{N}.json`` — the file list (+ optional per-file
+  column min/max stats) visible at version N. Readers plan from the
+  manifest, never from a directory listing — on an object store the
+  recursive LIST a plain parquet read needs is the scaling wall this
+  removes.
+- Commit = claim ``v{N+1}.json`` via hard-link of a fully-written
+  temp file (``os.link`` fails atomically if the name exists) →
+  optimistic concurrency: two racing writers get consecutive
+  versions, neither sees a torn manifest, and a crash strands only an
+  unreferenced temp file.
+- ``rollback_snapshot`` never deletes history: it commits a NEW
+  version whose file list equals the target's (roll-forward undo).
+- ``expire_snapshots`` is the vacuum: drop manifests older than the
+  retained window, then delete data files no retained version
+  references. Readers of retained versions are never broken.
+
+Per-file min/max stats (``stats_cols``) give manifest-level FILE
+SKIPPING: a range predicate prunes files before Spark ever lists
+them — the second pruning lever after directory partitioning, and
+the one that works for NON-partition columns when the data is
+range-clustered (write with ``repartitionByRange`` on the stats
+column). Skipping returns a superset; the row-level predicate is
+re-applied in the scan, so a stats bug can cost speed, never
+correctness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_dir(store: str) -> str:
+    return os.path.join(store, _MANIFEST_DIR)
+
+
+def _manifest_path(store: str, version: int) -> str:
+    return os.path.join(_manifest_dir(store), f"v{version:09d}.json")
+
+
+def list_versions(store: str) -> list[int]:
+    """Committed snapshot versions, ascending. Metadata-only."""
+    mdir = _manifest_dir(store)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def latest_version(store: str) -> int | None:
+    vs = list_versions(store)
+    return vs[-1] if vs else None
+
+
+def _read_manifest(store: str, version: int) -> dict:
+    with open(_manifest_path(store, version)) as fh:
+        return json.load(fh)
+
+
+def _claim_version(store: str, manifest: dict) -> int:
+    """Atomically commit `manifest` as the next version and return
+    its number. The manifest is FULLY written to a temp file first;
+    ``os.link`` then either publishes it under the version name or
+    raises FileExistsError (another writer won) — readers can never
+    observe a partial manifest, and losers retry at N+1."""
+    mdir = _manifest_dir(store)
+    os.makedirs(mdir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=mdir, prefix=".__commit_")
+    try:
+        version = (latest_version(store) or 0) + 1
+        while True:
+            manifest["version"] = version
+            with os.fdopen(os.dup(fd), "w") as fh:
+                fh.seek(0)
+                fh.truncate()
+                json.dump(manifest, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, _manifest_path(store, version))
+                return version
+            except FileExistsError:
+                version += 1
+    finally:
+        os.close(fd)
+        os.unlink(tmp)
+
+
+def _rel_files(store: str, commit_dir: str) -> list[dict]:
+    out = []
+    for root, _dirs, files in os.walk(commit_dir):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(root, f)
+            out.append(
+                {
+                    "path": os.path.relpath(p, store),
+                    "bytes": os.path.getsize(p),
+                }
+            )
+    return out
+
+
+def _file_stats(
+    spark: SparkSession, paths: list[str], stats_cols: list[str]
+) -> dict[str, dict]:
+    """{abs file path -> {col: [min, max]}} via one grouped scan over
+    the just-written files (columns pruned to stats_cols)."""
+    df = spark.read.parquet(*paths).select(*stats_cols)
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    rows = (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(*aggs)
+        .collect()
+    )
+    from urllib.parse import unquote, urlparse
+
+    out: dict[str, dict] = {}
+    for r in rows:
+        fp = r["__file"]
+        if fp.startswith("file:"):
+            # input_file_name returns a URI (file:///abs/path,
+            # percent-encoded) — normalize to a plain abs path so it
+            # keys against os.path.join(store, rel)
+            fp = unquote(urlparse(fp).path)
+        out[fp] = {
+            c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_cols
+        }
+    return out
+
+
+def commit_snapshot(
+    df: DataFrame,
+    store: str,
+    mode: str = "append",
+    n_files: int | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Write ``df`` as immutable data files and commit the next
+    snapshot version; returns the version number.
+
+    mode="append": the new version sees the parent's files PLUS the
+    new ones (no byte is rewritten — the parent snapshot stays
+    readable, zero-copy). mode="overwrite": the new version sees only
+    the new files; the old data files remain on disk for time travel
+    until ``expire_snapshots`` reclaims them.
+
+    ``n_files`` repartitions before the write (deterministic file
+    count); the caller may instead pre-arrange df (e.g.
+    ``repartitionByRange`` on a stats column for tight min/max).
+    ``stats_cols`` records per-file min/max in the manifest for
+    manifest-level file skipping at read time.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    spark = df.sparkSession
+    token = uuid.uuid4().hex[:12]
+    commit_dir = os.path.join(store, _DATA_DIR, token)
+    out = df.repartition(n_files) if n_files else df
+    out.write.parquet(commit_dir)
+    new_files = _rel_files(store, commit_dir)
+    if stats_cols and new_files:
+        stats = _file_stats(
+            spark,
+            [os.path.join(store, f["path"]) for f in new_files],
+            stats_cols,
+        )
+        for f in new_files:
+            f["stats"] = stats.get(
+                os.path.abspath(os.path.join(store, f["path"])), {}
+            )
+    parent = latest_version(store)
+    files = list(new_files)
+    if mode == "append" and parent is not None:
+        files = _read_manifest(store, parent)["files"] + files
+    return _claim_version(
+        store,
+        {"operation": mode, "parent": parent, "files": files},
+    )
+
+
+def snapshot_files(
+    store: str,
+    version: int | None = None,
+    between: tuple[str, object, object] | None = None,
+) -> list[str]:
+    """Absolute data-file paths visible at ``version`` (default
+    latest). ``between=(col, lo, hi)`` prunes via manifest min/max
+    stats — files whose [min, max] cannot intersect [lo, hi] are
+    skipped; files without stats for ``col`` are conservatively
+    kept (skipping may over-include, never under-include)."""
+    if version is None:
+        version = latest_version(store)
+        if version is None:
+            raise ValueError(f"no snapshots committed at {store}")
+    m = _read_manifest(store, version)
+    files = m["files"]
+    if between is not None:
+        col, lo, hi = between
+        kept = []
+        for f in files:
+            s = f.get("stats", {}).get(col)
+            if s is None or s[0] is None or s[1] is None:
+                kept.append(f)
+            elif not (s[1] < lo or s[0] > hi):
+                kept.append(f)
+        files = kept
+    return [os.path.join(store, f["path"]) for f in files]
+
+
+def read_snapshot(
+    spark: SparkSession,
+    store: str,
+    version: int | None = None,
+    between: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Time-travel read: the store exactly as of ``version`` (default
+    latest). Plans from the manifest's explicit file list — no
+    directory listing. With ``between``, manifest stats skip
+    non-overlapping files AND the row-level predicate is applied, so
+    results are exact regardless of how coarse the stats are."""
+    files = snapshot_files(store, version, between)
+    if not files:
+        raise ValueError(
+            f"snapshot v{version} of {store} has no data files"
+        )
+    df = spark.read.parquet(*files)
+    if between is not None:
+        col, lo, hi = between
+        df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    return df
+
+
+def snapshot_log(store: str) -> list[dict]:
+    """Commit history, ascending: [{version, operation, parent,
+    n_files, bytes}]. Metadata-only."""
+    out = []
+    for v in list_versions(store):
+        m = _read_manifest(store, v)
+        out.append(
+            {
+                "version": v,
+                "operation": m["operation"],
+                "parent": m["parent"],
+                "n_files": len(m["files"]),
+                "bytes": sum(f["bytes"] for f in m["files"]),
+            }
+        )
+    return out
+
+
+def rollback_snapshot(store: str, to_version: int) -> int:
+    """Undo by ROLLING FORWARD: commit a new version whose file list
+    equals ``to_version``'s. History is preserved (the bad version
+    stays inspectable); nothing is deleted, so concurrent readers of
+    any version are unaffected."""
+    m = _read_manifest(store, to_version)
+    return _claim_version(
+        store,
+        {
+            "operation": "rollback",
+            "parent": latest_version(store),
+            "rolled_back_to": to_version,
+            "files": m["files"],
+        },
+    )
+
+
+def expire_snapshots(store: str, keep_last: int = 1) -> dict:
+    """Vacuum: drop all but the newest ``keep_last`` manifests, then
+    delete data files no RETAINED manifest references. The retained
+    versions stay byte-identical readable; the reclaimed bytes are
+    exactly the time-travel history given up. Returns
+    {manifests_removed, files_removed, bytes_removed}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(store)
+    drop, keep = versions[:-keep_last], versions[-keep_last:]
+    referenced = set()
+    for v in keep:
+        for f in _read_manifest(store, v)["files"]:
+            referenced.add(f["path"])
+    files_removed = 0
+    bytes_removed = 0
+    for v in drop:
+        for f in _read_manifest(store, v)["files"]:
+            if f["path"] in referenced:
+                continue
+            p = os.path.join(store, f["path"])
+            if os.path.exists(p):
+                bytes_removed += os.path.getsize(p)
+                os.unlink(p)
+                files_removed += 1
+            referenced.add(f["path"])  # count each path once
+    for v in drop:
+        os.unlink(_manifest_path(store, v))
+    # sweep now-empty commit dirs (cosmetic; correctness lives in the
+    # manifests)
+    data_root = os.path.join(store, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            full = os.path.join(data_root, d)
+            if os.path.isdir(full) and not any(
+                files for _r, _d, files in os.walk(full)
+            ):
+                shutil.rmtree(full)
+    return {
+        "manifests_removed": len(drop),
+        "files_removed": files_removed,
+        "bytes_removed": bytes_removed,
+    }

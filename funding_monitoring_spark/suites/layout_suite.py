@@ -311,6 +311,164 @@ def q_schema_evolution_read(spark, sf_dir):
 
 
 @query(
+    "snapshot_time_travel_read",
+    """
+    WITH striped AS (
+        SELECT event_id, value, event_id % 3 AS stripe FROM events
+    )
+    SELECT CAST(v.version AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(s.value), 4) AS sum_value,
+           CAST(MAX(s.event_id) AS BIGINT) AS max_event
+    FROM (VALUES (1), (2), (3)) AS v(version)
+    JOIN striped s ON s.stripe < v.version
+    GROUP BY 1
+    """,
+)
+def q_snapshot_time_travel_read(spark, sf_dir):
+    """Versioned commits + time travel (sources/snapshots.py): three
+    APPEND commits build the store stripe by stripe (immutable data
+    files + one JSON manifest per version — the Iceberg/Delta
+    skeleton), then every historical version is read back AS OF its
+    manifest and aggregated. The oracle reconstructs each version's
+    expected content from the raw table (version N sees stripes < N),
+    so a commit that loses, duplicates, or leaks rows across
+    snapshots breaks the hash. Reads plan from the manifest's file
+    list — no directory listing, the metadata path that scales to an
+    object store."""
+    import tempfile as _tf
+
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "value"
+    )
+    store = os.path.join(_tf.mkdtemp(prefix="fm_snap_tt_"), "events")
+    for stripe in range(3):
+        commit_snapshot(
+            events.filter(F.col("event_id") % 3 == stripe), store
+        )
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            read_snapshot(spark, store, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+                F.max("event_id").alias("max_event"),
+            )
+            .withColumn("version", F.lit(v).cast("int"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "snapshot_rollback_expire",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(MAX(event_id) AS BIGINT) AS max_event,
+           CAST(2 AS INT) AS manifests_removed,
+           CAST(2 AS INT) AS files_removed
+    FROM events WHERE event_id % 3 < 2
+    """,
+)
+def q_snapshot_rollback_expire(spark, sf_dir):
+    """Rollback-as-roll-forward + snapshot expiry: v1 = stripes 0-1,
+    v2 OVERWRITES with stripe 2 (the bad write), v3 rolls back to v1
+    by committing v1's file list anew; expire_snapshots(keep_last=1)
+    then vacuums — it must reclaim exactly v2's two unreferenced
+    files (the constants in the oracle) while v3, which references
+    v1's files, stays byte-identical. The final aggregate over the
+    post-expiry store hashes against the raw table's stripes 0-1: a
+    GC that deletes a referenced file, or a rollback that restores
+    the wrong file list, breaks the hash."""
+    import tempfile as _tf
+
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        expire_snapshots,
+        read_snapshot,
+        rollback_snapshot,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "value"
+    )
+    store = os.path.join(_tf.mkdtemp(prefix="fm_snap_rb_"), "events")
+    commit_snapshot(events.filter(F.col("event_id") % 3 < 2), store)
+    commit_snapshot(
+        events.filter(F.col("event_id") % 3 == 2),
+        store,
+        mode="overwrite",
+        n_files=2,
+    )
+    rollback_snapshot(store, to_version=1)
+    report = expire_snapshots(store, keep_last=1)
+    return read_snapshot(spark, store).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("event_id").alias("max_event"),
+        F.lit(report["manifests_removed"])
+        .cast("int")
+        .alias("manifests_removed"),
+        F.lit(report["files_removed"]).cast("int").alias("files_removed"),
+    )
+
+
+@query(
+    "snapshot_pruned_read",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE event_id BETWEEN 100 AND 299
+    GROUP BY 1
+    """,
+)
+def q_snapshot_pruned_read(spark, sf_dir):
+    """Manifest-level FILE SKIPPING: the commit records per-file
+    min/max of event_id (data written range-clustered on it), and the
+    read's BETWEEN predicate prunes non-overlapping files from the
+    manifest before Spark lists a single one — the pruning lever for
+    NON-partition columns at 100 TB. Skipping returns a superset and
+    the row predicate is re-applied, so the aggregate hashes exactly
+    against the flat-table oracle regardless of where file boundaries
+    fell; that a strict subset of files is actually read is asserted
+    in tests/test_snapshots.py."""
+    import tempfile as _tf
+
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    store = os.path.join(_tf.mkdtemp(prefix="fm_snap_pr_"), "events")
+    commit_snapshot(
+        events.repartitionByRange(8, "event_id"),
+        store,
+        stats_cols=["event_id"],
+    )
+    return (
+        read_snapshot(spark, store, between=("event_id", 100, 299))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query(
     "file_provenance_report",
     """
     SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)

@@ -1,0 +1,146 @@
+"""Snapshot store: commits, time travel, rollback, expiry, file
+skipping (sources/snapshots.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from funding_monitoring_spark.sources.snapshots import (
+    commit_snapshot,
+    expire_snapshots,
+    latest_version,
+    list_versions,
+    read_snapshot,
+    rollback_snapshot,
+    snapshot_files,
+    snapshot_log,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return str(tmp_path / "snapstore")
+
+
+def _frame(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, payload string"
+    )
+
+
+def test_append_time_travel(spark, store):
+    v1 = commit_snapshot(_frame(spark, range(0, 5)), store)
+    v2 = commit_snapshot(_frame(spark, range(5, 8)), store)
+    assert (v1, v2) == (1, 2)
+    assert _rows(read_snapshot(spark, store, version=1)) == _rows(
+        _frame(spark, range(0, 5))
+    )
+    assert _rows(read_snapshot(spark, store)) == _rows(
+        _frame(spark, range(0, 8))
+    )
+    log = snapshot_log(store)
+    assert [e["version"] for e in log] == [1, 2]
+    assert log[1]["parent"] == 1
+    assert log[1]["n_files"] > log[0]["n_files"]
+
+
+def test_overwrite_keeps_history(spark, store):
+    commit_snapshot(_frame(spark, range(0, 5)), store)
+    commit_snapshot(
+        _frame(spark, range(100, 103)), store, mode="overwrite"
+    )
+    assert _rows(read_snapshot(spark, store)) == _rows(
+        _frame(spark, range(100, 103))
+    )
+    # old version still byte-identical readable (zero-copy history)
+    assert _rows(read_snapshot(spark, store, version=1)) == _rows(
+        _frame(spark, range(0, 5))
+    )
+
+
+def test_rollback_rolls_forward(spark, store):
+    commit_snapshot(_frame(spark, range(0, 5)), store)
+    commit_snapshot(
+        _frame(spark, range(100, 103)), store, mode="overwrite"
+    )
+    v3 = rollback_snapshot(store, to_version=1)
+    assert v3 == 3
+    assert _rows(read_snapshot(spark, store)) == _rows(
+        _frame(spark, range(0, 5))
+    )
+    # the bad version stays inspectable — undo never deletes
+    assert _rows(read_snapshot(spark, store, version=2)) == _rows(
+        _frame(spark, range(100, 103))
+    )
+    assert snapshot_log(store)[-1]["operation"] == "rollback"
+
+
+def test_concurrent_claim_retries(spark, store):
+    commit_snapshot(_frame(spark, [1]), store)
+    # simulate a racing writer that already claimed v2
+    import json
+
+    mdir = os.path.join(store, "_manifests")
+    with open(os.path.join(mdir, f"v{2:09d}.json"), "w") as fh:
+        json.dump(
+            {"version": 2, "operation": "append", "parent": 1,
+             "files": []},
+            fh,
+        )
+    v = commit_snapshot(_frame(spark, [2]), store, mode="overwrite")
+    assert v == 3
+    assert latest_version(store) == 3
+
+
+def test_expire_reclaims_unreferenced_only(spark, store):
+    commit_snapshot(_frame(spark, range(0, 5)), store, n_files=2)
+    commit_snapshot(_frame(spark, range(5, 8)), store, n_files=2)
+    commit_snapshot(
+        _frame(spark, range(8, 10)), store, mode="overwrite", n_files=2
+    )
+    latest_before = _rows(read_snapshot(spark, store))
+    report = expire_snapshots(store, keep_last=1)
+    assert report["manifests_removed"] == 2
+    # v1+v2's four files are unreferenced by v3 → reclaimed
+    assert report["files_removed"] == 4
+    assert report["bytes_removed"] > 0
+    assert list_versions(store) == [3]
+    assert _rows(read_snapshot(spark, store)) == latest_before
+
+
+def test_expire_never_breaks_retained_appends(spark, store):
+    commit_snapshot(_frame(spark, range(0, 5)), store, n_files=2)
+    commit_snapshot(_frame(spark, range(5, 8)), store, n_files=2)
+    # keep_last=1 retains v2, which REFERENCES v1's files (append):
+    # nothing may be deleted
+    report = expire_snapshots(store, keep_last=1)
+    assert report["files_removed"] == 0
+    assert _rows(read_snapshot(spark, store)) == _rows(
+        _frame(spark, range(0, 8))
+    )
+
+
+def test_file_skipping_superset_and_exact(spark, store):
+    df = _frame(spark, range(0, 1000)).repartitionByRange(8, "id")
+    commit_snapshot(df, store, stats_cols=["id"])
+    all_files = snapshot_files(store)
+    pruned = snapshot_files(store, between=("id", 100, 160))
+    assert 0 < len(pruned) < len(all_files)
+    got = read_snapshot(spark, store, between=("id", 100, 160))
+    assert _rows(got) == _rows(_frame(spark, range(100, 161)))
+
+
+def test_file_skipping_without_stats_keeps_all(spark, store):
+    commit_snapshot(_frame(spark, range(0, 100)), store, n_files=4)
+    # no stats recorded → skipping must conservatively keep all files
+    assert len(
+        snapshot_files(store, between=("id", 5, 6))
+    ) == len(snapshot_files(store))
+    got = read_snapshot(spark, store, between=("id", 5, 6))
+    assert _rows(got) == _rows(_frame(spark, [5, 6]))
