@@ -81,7 +81,8 @@ def query(name: str, sql: str | None):
 #:       registrations in registration order —
 #:       hll_sketch_merge_rollup, span_dedup_cleaned_docs,
 #:       snapshot_time_travel_read, snapshot_rollback_expire,
-#:       snapshot_pruned_read, file_provenance_report,
+#:       snapshot_incremental_read, snapshot_pruned_read,
+#:       file_provenance_report,
 #:       grouped_split_leakage_report, semantic_dedup_clusters,
 #:       stream_append_compaction, stream_sketch_rollup (each ships
 #:       with a driver-format row in CORRECTNESS_LOCAL_r6.json, plus

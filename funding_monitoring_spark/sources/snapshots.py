@@ -263,6 +263,50 @@ def read_snapshot(
     return df
 
 
+def read_snapshot_changes(
+    spark: SparkSession,
+    store: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental consumption: the rows ADDED between ``from_version``
+    (exclusive) and ``to_version`` (inclusive, default latest) — i.e.
+    the files in ``to``'s manifest absent from ``from``'s. A consumer
+    that remembers its last processed version reprocesses nothing: at
+    100 TB this is the difference between a daily pipeline that scans
+    the day's appends and one that scans the table. Raises if any
+    intervening commit is not an append (an overwrite/rollback
+    invalidates file-set subtraction — the consumer must re-read the
+    snapshot; same contract as Iceberg's incremental scan)."""
+    if to_version is None:
+        to_version = latest_version(store)
+        if to_version is None:
+            raise ValueError(f"no snapshots committed at {store}")
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} > to_version {to_version}"
+        )
+    for v in list_versions(store):
+        if from_version < v <= to_version:
+            op = _read_manifest(store, v)["operation"]
+            if op != "append":
+                raise ValueError(
+                    f"v{v} is {op!r}, not append: file-set diff is "
+                    "not the row delta — re-read the snapshot"
+                )
+    old = {f["path"] for f in _read_manifest(store, from_version)["files"]}
+    new = [
+        os.path.join(store, f["path"])
+        for f in _read_manifest(store, to_version)["files"]
+        if f["path"] not in old
+    ]
+    if not new:
+        raise ValueError(
+            f"no files added between v{from_version} and v{to_version}"
+        )
+    return spark.read.parquet(*new)
+
+
 def snapshot_log(store: str) -> list[dict]:
     """Commit history, ascending: [{version, operation, parent,
     n_files, bytes}]. Metadata-only."""

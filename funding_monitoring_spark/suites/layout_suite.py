@@ -423,6 +423,53 @@ def q_snapshot_rollback_expire(spark, sf_dir):
 
 
 @query(
+    "snapshot_incremental_read",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_event
+    FROM events WHERE event_id % 3 IN (1, 2)
+    GROUP BY 1
+    """,
+)
+def q_snapshot_incremental_read(spark, sf_dir):
+    """Incremental consumption between snapshot versions: three
+    append commits grow the store stripe by stripe, and the consumer
+    reads ONLY the rows added after v1 (file-set diff of the v1/v3
+    manifests — no reprocessing of v1's files, the lever that keeps a
+    daily pipeline's scan proportional to the day, not the table).
+    The oracle reconstructs the expected delta (stripes 1-2) from the
+    raw table, so a diff that leaks old files in or drops a new one
+    breaks the hash; non-append histories are rejected loudly
+    (tests/test_snapshots.py)."""
+    import tempfile as _tf
+
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot_changes,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    store = os.path.join(_tf.mkdtemp(prefix="fm_snap_inc_"), "events")
+    for stripe in range(3):
+        commit_snapshot(
+            events.filter(F.col("event_id") % 3 == stripe), store
+        )
+    return (
+        read_snapshot_changes(spark, store, from_version=1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("event_id").alias("min_event"),
+        )
+    )
+
+
+@query(
     "snapshot_pruned_read",
     """
     SELECT event_type,

@@ -126,6 +126,37 @@ def test_expire_never_breaks_retained_appends(spark, store):
     )
 
 
+def test_incremental_changes(spark, store):
+    from funding_monitoring_spark.sources.snapshots import (
+        read_snapshot_changes,
+    )
+
+    commit_snapshot(_frame(spark, range(0, 5)), store)
+    commit_snapshot(_frame(spark, range(5, 8)), store)
+    commit_snapshot(_frame(spark, range(8, 10)), store)
+    got = read_snapshot_changes(spark, store, from_version=1)
+    assert _rows(got) == _rows(_frame(spark, range(5, 10)))
+    got = read_snapshot_changes(spark, store, 1, to_version=2)
+    assert _rows(got) == _rows(_frame(spark, range(5, 8)))
+
+
+def test_incremental_changes_rejects_non_append(spark, store):
+    from funding_monitoring_spark.sources.snapshots import (
+        read_snapshot_changes,
+    )
+
+    commit_snapshot(_frame(spark, range(0, 5)), store)
+    commit_snapshot(
+        _frame(spark, range(5, 8)), store, mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="not append"):
+        read_snapshot_changes(spark, store, from_version=1)
+    # a range that stops BEFORE the overwrite is still valid
+    commit_snapshot(_frame(spark, range(8, 10)), store)
+    got = read_snapshot_changes(spark, store, 2, to_version=3)
+    assert _rows(got) == _rows(_frame(spark, range(8, 10)))
+
+
 def test_file_skipping_superset_and_exact(spark, store):
     df = _frame(spark, range(0, 1000)).repartitionByRange(8, "id")
     commit_snapshot(df, store, stats_cols=["id"])
