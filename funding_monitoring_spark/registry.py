@@ -84,7 +84,8 @@ def query(name: str, sql: str | None):
 #:       snapshot_incremental_read, snapshot_pruned_read,
 #:       file_provenance_report,
 #:       grouped_split_leakage_report, semantic_dedup_clusters,
-#:       stream_append_compaction, stream_sketch_rollup (each ships
+#:       stream_append_compaction, stream_snapshot_commits,
+#:       stream_sketch_rollup (each ships
 #:       with a driver-format row in CORRECTNESS_LOCAL_r6.json, plus
 #:       the optional-codec self-registrations
 #:       multimodal_jpeg_roundtrip / multimodal_mjpg_framesample /

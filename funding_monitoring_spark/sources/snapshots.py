@@ -167,6 +167,7 @@ def commit_snapshot(
     mode: str = "append",
     n_files: int | None = None,
     stats_cols: list[str] | None = None,
+    extra_meta: dict | None = None,
 ) -> int:
     """Write ``df`` as immutable data files and commit the next
     snapshot version; returns the version number.
@@ -181,7 +182,9 @@ def commit_snapshot(
     count); the caller may instead pre-arrange df (e.g.
     ``repartitionByRange`` on a stats column for tight min/max).
     ``stats_cols`` records per-file min/max in the manifest for
-    manifest-level file skipping at read time.
+    manifest-level file skipping at read time. ``extra_meta`` is
+    stored verbatim in the manifest (e.g. a streaming sink's
+    batch_id for replay idempotence).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -205,10 +208,10 @@ def commit_snapshot(
     files = list(new_files)
     if mode == "append" and parent is not None:
         files = _read_manifest(store, parent)["files"] + files
-    return _claim_version(
-        store,
-        {"operation": mode, "parent": parent, "files": files},
-    )
+    manifest = {"operation": mode, "parent": parent, "files": files}
+    if extra_meta:
+        manifest["meta"] = extra_meta
+    return _claim_version(store, manifest)
 
 
 def snapshot_files(
@@ -305,6 +308,53 @@ def read_snapshot_changes(
             f"no files added between v{from_version} and v{to_version}"
         )
     return spark.read.parquet(*new)
+
+
+def last_committed_batch(store: str) -> int | None:
+    """Highest streaming batch_id any manifest records (None if no
+    commit carries one). Manifests are tiny JSONs; the scan is
+    metadata-only."""
+    best = None
+    for v in list_versions(store):
+        bid = _read_manifest(store, v).get("meta", {}).get("batch_id")
+        if bid is not None and (best is None or bid > best):
+            best = bid
+    return best
+
+
+def snapshot_commit_writer(
+    store: str,
+    mode: str = "append",
+    n_files: int | None = None,
+    stats_cols: list[str] | None = None,
+):
+    """foreachBatch sink: one snapshot version per micro-batch,
+    EFFECTIVELY-ONCE under Structured Streaming's at-least-once batch
+    redelivery — each commit records its batch_id in the manifest, and
+    a redelivered batch (batch_id <= the highest already committed) is
+    skipped instead of double-committed. That makes the versioned
+    store a transaction log of the stream: downstream consumers read
+    incrementally with ``read_snapshot_changes`` keyed on the versions
+    they have processed (the streaming-ingest half of the table-format
+    story). Empty batches commit nothing — versions map 1:1 to ticks
+    that carried data."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_committed_batch(store)
+        if last is not None and batch_id <= last:
+            return
+        if batch_df.isEmpty():
+            return
+        commit_snapshot(
+            batch_df,
+            store,
+            mode=mode,
+            n_files=n_files,
+            stats_cols=stats_cols,
+            extra_meta={"batch_id": batch_id},
+        )
+
+    return write
 
 
 def snapshot_log(store: str) -> list[dict]:

@@ -442,6 +442,36 @@ def streaming_lending_append(
         q.awaitTermination()
 
 
+def streaming_snapshot_commits(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> None:
+    """Stream ingestion INTO the versioned snapshot store: every
+    micro-batch appends its rows as one snapshot commit
+    (sources/snapshots.snapshot_commit_writer), so the store doubles
+    as the stream's transaction log — any historical tick boundary is
+    a readable version, downstream jobs consume the appends
+    incrementally via read_snapshot_changes, and a redelivered batch
+    is skipped by manifest batch_id instead of double-committed
+    (effectively-once, the same contract as the upsert sinks but with
+    time travel for free)."""
+    from funding_monitoring_spark.sources.snapshots import (
+        snapshot_commit_writer,
+    )
+
+    src = stream_from_chunks(spark, chunks_dir, schema)
+    writer = src.writeStream.foreachBatch(
+        snapshot_commit_writer(store_path)
+    )
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
 #: session gap for the streaming sessionization pipeline — the single
 #: canonical value; both session suites import it
 SESSION_GAP_SECONDS = 8 * 3600

@@ -504,6 +504,68 @@ def q_stream_append_compaction(spark, sf_dir):
 
 
 @query(
+    "stream_snapshot_commits",
+    f"""
+    WITH ordered AS (
+        SELECT *, NTILE({N_CHUNKS}) OVER (ORDER BY ts, event_id) AS tile
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), {ROUND}) AS sum_value,
+           CAST(SUM(CASE WHEN tile > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rows_delta,
+           ROUND(SUM(CASE WHEN tile > 1 THEN value ELSE 0 END),
+                 {ROUND}) AS sum_value_delta,
+           CAST(1 AS INT) AS versions_equal_ticks
+    FROM ordered
+    """,
+)
+def q_stream_snapshot_commits(spark, sf_dir):
+    """Streaming ingestion into the versioned snapshot store: each of
+    the N replay ticks appends as ONE snapshot commit (manifest
+    batch_id skips redelivered batches — effectively-once), so the
+    store is simultaneously the stream's transaction log and a
+    time-travel table. The row checks all three consumption paths at
+    once: the LATEST read (full content), the INCREMENTAL read of
+    everything after the first tick's version (read_snapshot_changes
+    — a delta that leaks tick-1 files in or drops a later tick breaks
+    the hash, tiles 2..N in the oracle), and that versions map 1:1 to
+    ticks (flag pinned to 1)."""
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.sources.snapshots import (
+        list_versions,
+        read_snapshot,
+        read_snapshot_changes,
+    )
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_snapshot_commits,
+    )
+
+    cdir, schema = _chunked_events(spark, sf_dir)
+    workdir = _workdir()
+    store = os.path.join(workdir, "snapstore")
+    streaming_snapshot_commits(
+        spark, cdir, schema, store, os.path.join(workdir, "checkpoint")
+    )
+    versions = list_versions(store)
+    latest = read_snapshot(spark, store).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), ROUND).alias("sum_value"),
+    )
+    delta = read_snapshot_changes(
+        spark, store, from_version=versions[0]
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows_delta"),
+        F.round(F.sum("value"), ROUND).alias("sum_value_delta"),
+    )
+    return latest.crossJoin(delta).withColumn(
+        "versions_equal_ticks",
+        F.lit(1 if len(versions) == N_CHUNKS else 0).cast("int"),
+    )
+
+
+@query(
     "stream_sketch_rollup",
     """
     SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,

@@ -157,6 +157,37 @@ def test_incremental_changes_rejects_non_append(spark, store):
     assert _rows(got) == _rows(_frame(spark, range(8, 10)))
 
 
+def test_commit_writer_idempotent_under_redelivery(spark, store):
+    from funding_monitoring_spark.sources.snapshots import (
+        snapshot_commit_writer,
+    )
+
+    write = snapshot_commit_writer(store)
+    write(_frame(spark, range(0, 5)), 0)
+    write(_frame(spark, range(0, 5)), 0)  # redelivered batch: no-op
+    write(_frame(spark, range(5, 8)), 1)
+    write(_frame(spark, range(5, 8)), 1)
+    assert list_versions(store) == [1, 2]
+    assert _rows(read_snapshot(spark, store)) == _rows(
+        _frame(spark, range(0, 8))
+    )
+
+
+def test_commit_writer_skips_empty_batches(spark, store):
+    from funding_monitoring_spark.sources.snapshots import (
+        snapshot_commit_writer,
+    )
+
+    write = snapshot_commit_writer(store)
+    write(_frame(spark, range(0, 3)), 0)
+    write(_frame(spark, []), 1)
+    write(_frame(spark, [7]), 2)
+    assert list_versions(store) == [1, 2]
+    assert _rows(read_snapshot(spark, store)) == _rows(
+        _frame(spark, [0, 1, 2, 7])
+    )
+
+
 def test_file_skipping_superset_and_exact(spark, store):
     df = _frame(spark, range(0, 1000)).repartitionByRange(8, "id")
     commit_snapshot(df, store, stats_cols=["id"])
