@@ -995,3 +995,84 @@ def q_tsv_file_source(spark, sf_dir):
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@query(
+    "data_contract_report",
+    """
+    WITH checks AS (
+        SELECT 'not_null(l_orderkey)' AS rule,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'range(l_discount,[0.0,0.08])',
+               CAST(SUM(CASE WHEN l_discount IS NULL
+                              OR l_discount < 0.0
+                              OR l_discount > 0.08
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'accepted_values(l_returnflag)',
+               CAST(SUM(CASE WHEN l_returnflag IS NULL
+                              OR l_returnflag NOT IN ('A', 'N')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'unique(l_orderkey,l_linenumber)',
+               CAST(COUNT(*) -
+                    COUNT(DISTINCT (l_orderkey, l_linenumber))
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'foreign_key(l_orderkey)',
+               CAST((SELECT COUNT(*)
+                     FROM lineitem l
+                     LEFT JOIN orders o
+                       ON l.l_orderkey = o.o_orderkey
+                     WHERE o.o_orderkey IS NULL) AS BIGINT)
+        UNION ALL
+        SELECT 'quantity_le_30',
+               CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem
+    )
+    SELECT rule, n_violations,
+           CAST(n_violations = 0 AS INT) AS passed
+    FROM checks
+    """,
+)
+def q_data_contract_report(spark, sf_dir):
+    """Declarative data contracts over the ingest (operators/
+    quality.check_constraints): six rules — null, range,
+    accepted-values, composite-key uniqueness, referential integrity
+    against orders, and a custom predicate — validated in one report.
+    The four row-predicate rules fuse into a SINGLE scan (conditional
+    sums in one agg); uniqueness adds one hash-aggregate and the
+    foreign key one anti-join. The rule set is chosen so some rules
+    PASS and some FAIL on the fixture (discounts above 0.08 and
+    quantities above 30 exist; returnflag 'R' is deliberately
+    excluded), proving violations are counted, not just asserted
+    absent — every count hashes against the oracle's independent
+    CASE-sum recomputation."""
+    from funding_monitoring_spark.operators.quality import (
+        accepted_values,
+        check_constraints,
+        foreign_key,
+        in_range,
+        not_null,
+        predicate,
+        unique,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        not_null("l_orderkey"),
+        in_range("l_discount", 0.0, 0.08),
+        accepted_values("l_returnflag", ["A", "N"]),
+        unique(["l_orderkey", "l_linenumber"]),
+        foreign_key(["l_orderkey"], orders, ["o_orderkey"]),
+        predicate("quantity_le_30", F.col("l_quantity") > 30),
+    ]
+    return check_constraints(lineitem, rules)
