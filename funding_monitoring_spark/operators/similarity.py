@@ -609,3 +609,185 @@ def topk_recall(
             "method", "n_queries", "n_exact", "n_hits", "recall_at_k"
         )
     )
+
+
+# --- Product quantization (PQ / ADC) --------------------------------
+
+PQ_M = 8                 #: subspaces per vector
+PQ_SUBDIM = DIM // PQ_M  #: dims per subspace
+#: sub-codebook = unit-normalized corpus vectors with
+#: vec_id % MOD == 0 AND vec_id < CAP — deterministic on both engines
+#: and O(1)-bounded, so the broadcast codebook and the per-vector
+#: encode cost stay fixed as the corpus grows.
+PQ_CENT_MOD = 11
+PQ_CENT_CAP = 4096
+#: ADC shortlist size = PQ_RERANK * k candidates, exact-rescored
+PQ_RERANK = 16
+
+
+def _pq_subspaces(
+    df: DataFrame, id_col: str, emb_col: str, prefix: str
+) -> DataFrame:
+    """(id, m, sub): the UNIT-normalized embedding split into PQ_M
+    contiguous subvectors (m is 1-based). Normalizing first makes the
+    ADC sum of per-subspace inner products equal the full cosine."""
+    emb = to_double_array(emb_col)
+    nemb = F.transform(emb, lambda x: x / seq_norm(emb))
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(
+                    F.col("__nemb"),
+                    (m - 1) * PQ_SUBDIM + 1,
+                    PQ_SUBDIM,
+                ).alias("sub"),
+            )
+            for m in range(1, PQ_M + 1)
+        ]
+    )
+    return (
+        df.select(
+            F.col(id_col).alias(f"{prefix}_id"), nemb.alias("__nemb")
+        )
+        .select(f"{prefix}_id", F.explode(structs).alias("s"))
+        .select(
+            f"{prefix}_id",
+            F.col("s.m").alias("m"),
+            F.col("s.sub").alias("sub"),
+        )
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(m, j, csub): per-subspace codebook from the deterministic
+    corpus sample — j is the sampled vector's id (the tie-break key).
+    PQ_M * |sample| rows: broadcast-sized at any corpus scale."""
+    sample = corpus.filter(
+        ((F.col(id_col) % PQ_CENT_MOD) == 0)
+        & (F.col(id_col) < PQ_CENT_CAP)
+    )
+    return _pq_subspaces(sample, id_col, emb_col, "cent").select(
+        "m", F.col("cent_id").alias("j"), F.col("sub").alias("csub")
+    )
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance between two arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(c_id, m, code): every corpus vector compressed to PQ_M
+    sub-centroid ids — its nearest codebook entry per subspace by
+    squared L2 (distance rounded, then id, so the argmin is
+    reproducible across engines). The codes table is the PQ index:
+    PQ_M small ints per vector (~16x compression on 64-dim doubles),
+    built by one broadcast join against the codebook — cost
+    O(N * PQ_M * |codebook|) scan-stage folds, no shuffle of
+    embeddings."""
+    subs = _pq_subspaces(corpus, id_col, emb_col, "c")
+    d = F.round(_sq_l2(F.col("sub"), F.col("csub")), SCORE_ROUND)
+    w = Window.partitionBy("c_id", "m").orderBy(
+        F.asc("dist"), F.asc("j")
+    )
+    return (
+        subs.join(F.broadcast(cents), "m")
+        .withColumn("dist", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_id", "m", F.col("j").alias("code"))
+    )
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Approximate top-k via product quantization with asymmetric
+    distance computation (ADC) plus exact re-ranking: the corpus
+    lives as PQ_M-byte codes, each query precomputes a lookup table
+    of per-subspace inner products against the codebook, a
+    candidate's ADC score is the m-ordered SUM of table lookups — no
+    full-dimension dot in the scan, which reads the compressed codes,
+    never the embeddings — and only the rerank*k ADC-shortlisted
+    candidates per query get an exact full-dimension rescore (the
+    standard PQ pipeline: the compressed scan does the winnowing, the
+    expensive metric runs on a bounded shortlist). The per-(query,
+    candidate) partials fold in m order (array_sort over (m, partial)
+    structs), so the double sum is bit-identical on both engines
+    before the shortlist cut.
+
+    Scale path: this is the ADC linear scan; at 100 TB compose with
+    the IVF cell routing (cosine_topk_ivf) so each query scans only
+    its probed cells' codes — IVF-PQ, the standard composition. The
+    codebook is sample-seeded like IVF's (k-means refinement via
+    kmeans_refined_centroids changes recall, not shape)."""
+    cents = pq_codebook(corpus, id_col, emb_col)
+    # the tiny codebook feeds BOTH the encode and the query LUT;
+    # localCheckpoint so Catalyst doesn't recompute the sample scan
+    # per consumer (aliased subplans are never reused)
+    cents = cents.localCheckpoint(eager=True)
+    codes = pq_encode(corpus, cents, id_col, emb_col)
+    qsubs = _pq_subspaces(queries, id_col, emb_col, "q")
+    lut = (
+        qsubs.join(F.broadcast(cents), "m")
+        .select(
+            "q_id",
+            "m",
+            "j",
+            seq_dot(F.col("sub"), F.col("csub")).alias("partial"),
+        )
+    )
+    pairs = codes.join(
+        F.broadcast(lut),
+        (codes["m"] == lut["m"]) & (codes["code"] == lut["j"]),
+    ).select("q_id", "c_id", codes["m"].alias("m"), "partial")
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("m").alias("m"), F.col("partial").alias("partial"))
+        )
+    )
+    score = F.round(
+        F.aggregate(
+            ordered, F.lit(0.0), lambda acc, s: acc + s["partial"]
+        ),
+        SCORE_ROUND,
+    )
+    adc = (
+        pairs.groupBy("q_id", "c_id")
+        .agg(score.alias("adc_score"))
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("adc_score"), F.asc("c_id")
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * rerank)
+        .select("q_id", "c_id")
+    )
+    # exact re-rank of the bounded shortlist: rerank*k rows per query
+    # join back to the raw embeddings — the only full-dimension dots
+    # in the pipeline
+    q = _prep(queries, id_col, emb_col, "q")
+    c = _prep(corpus, id_col, emb_col, "c")
+    rescored = shortlist.join(F.broadcast(q), "q_id").join(c, "c_id")
+    return _score_and_rank(rescored, k)

@@ -610,3 +610,113 @@ def q_semantic_dedup_clusters(spark, sf_dir):
     return dedup_cluster_assignment(
         v.select("vec_id"), pairs, id_col="vec_id"
     ).select("vec_id", "cluster_id", "is_canonical")
+
+
+def _sql_sq_l2(a: str, b: str) -> str:
+    """Sequential fold matching operators.similarity._sq_l2."""
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(list_zip({a}, {b}), "
+        f"x -> (x[1] - x[2]) * (x[1] - x[2]))), "
+        f"(acc, y) -> acc + y)"
+    )
+
+
+ANN_PQ_ORACLE = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(
+                     emb, x -> x / sqrt({_sql_dot('emb', 'emb')}))
+                     AS nemb
+          FROM v),
+    subs AS (SELECT vec_id, m,
+                    list_slice(nemb, (m - 1) * {S.PQ_SUBDIM} + 1,
+                               m * {S.PQ_SUBDIM}) AS sub
+             FROM n CROSS JOIN
+                  (SELECT unnest(range(1, {S.PQ_M} + 1)) AS m)),
+    cents AS (SELECT m, vec_id AS j, sub AS csub
+              FROM subs
+              WHERE vec_id % {S.PQ_CENT_MOD} = 0
+                AND vec_id < {S.PQ_CENT_CAP}),
+    dists AS (SELECT s.vec_id AS c_id, s.m, c.j,
+                     ROUND({_sql_sq_l2('s.sub', 'c.csub')},
+                           {S.SCORE_ROUND}) AS dist
+              FROM subs s JOIN cents c ON s.m = c.m),
+    codes AS (SELECT c_id, m, j AS code FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY c_id, m
+                      ORDER BY dist ASC, j ASC) AS rn
+                  FROM dists)
+              WHERE rn = 1),
+    lut AS (SELECT q.vec_id AS q_id, q.m, c.j,
+                   {_sql_dot('q.sub', 'c.csub')} AS partial
+            FROM subs q JOIN cents c ON q.m = c.m
+            WHERE q.vec_id < {N_QUERIES}),
+    pairs AS (SELECT l.q_id, cd.c_id, cd.m, l.partial
+              FROM codes cd
+              JOIN lut l ON l.m = cd.m AND l.j = cd.code),
+    scored AS (SELECT q_id, c_id,
+                      ROUND(list_reduce(
+                          list_prepend(0.0,
+                              list(partial ORDER BY m)),
+                          (acc, y) -> acc + y), {S.SCORE_ROUND})
+                          AS score
+               FROM pairs
+               GROUP BY q_id, c_id
+               HAVING q_id != c_id),
+    shortlist AS (SELECT q_id, c_id FROM (
+                      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, c_id ASC) AS rn
+                      FROM scored)
+                  WHERE rn <= {K} * {S.PQ_RERANK}),
+    rescored AS (SELECT s.q_id, s.c_id, {_SQL_COSINE} AS score
+                 FROM shortlist s
+                 JOIN (SELECT vec_id AS q_id, emb AS q_emb FROM v) q
+                      USING (q_id)
+                 JOIN (SELECT vec_id AS c_id, emb AS c_emb FROM v) c
+                      USING (c_id)),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, c_id ASC) AS rank
+               FROM rescored)
+    SELECT q_id AS query_id, c_id AS neighbor_id, score, rank
+    FROM ranked WHERE rank <= {K}
+    """
+
+
+@query("ann_cosine_topk_pq", ANN_PQ_ORACLE)
+def q_ann_pq(spark, sf_dir):
+    """Product-quantized ANN with asymmetric distance computation
+    plus exact re-rank: the corpus is compressed to PQ_M sub-centroid
+    codes, queries precompute per-subspace inner-product lookup
+    tables against the broadcast codebook, ADC scores (m-ordered sums
+    of table lookups — the scan touches codes, never embeddings)
+    winnow to a rerank*k shortlist, and only that bounded shortlist
+    gets full-dimension exact rescoring. Every argmin, fold, and cut
+    is fixed-order with rounded tie-breaks, so the whole compressed
+    pipeline (codebook -> encode -> LUT -> ADC shortlist -> exact
+    re-rank) hashes exactly against the oracle's replica. At 100 TB
+    this composes with IVF cell routing (IVF-PQ); here the linear ADC
+    scan is the registered path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.cosine_topk_pq(queries, emb, k=K)
+
+
+@query(
+    "ann_pq_recall_report",
+    _recall_sql("pq", ANN_PQ_ORACLE),
+)
+def q_ann_pq_recall(spark, sf_dir):
+    """recall@k of the PQ/ADC path against the exact brute-force
+    baseline — the compression-quality claim as an oracle-tracked
+    number, companion to ann_recall_report's LSH/IVF rows (PQ trades
+    memory for recall; LSH/IVF trade candidates for recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = (
+        S.cosine_topk(queries, emb, k=K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    return S.topk_recall(exact, S.cosine_topk_pq(queries, emb, k=K), "pq")
