@@ -784,3 +784,37 @@ def test_mjpg_avi_optional_dependency_contract(spark):
                 1,
                 1,
             )
+
+
+def test_pq_codes_shape_and_recall_floor(spark, sf_dir):
+    """PQ/ADC + re-rank: the codes table carries exactly PQ_M codes
+    per corpus vector, every code is a codebook id for its subspace,
+    and recall vs the exact baseline stays high on the fixture (the
+    re-rank makes missing a true neighbor require it falling out of
+    the ADC shortlist entirely)."""
+    from funding_monitoring_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.pq_codebook(emb).localCheckpoint(eager=True)
+    codes = S.pq_encode(emb, cents)
+    n_vecs = emb.count()
+    assert codes.count() == n_vecs * S.PQ_M
+    valid = {
+        (r.m, r.j) for r in cents.select("m", "j").collect()
+    }
+    assert all(
+        (r.m, r.code) in valid
+        for r in codes.select("m", "code").collect()
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_pq(queries, emb, k=5).collect()
+    }
+    assert len(approx) <= 50
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
