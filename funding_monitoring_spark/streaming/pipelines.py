@@ -472,6 +472,55 @@ def streaming_snapshot_commits(
         q.awaitTermination()
 
 
+def streaming_contract_ledger(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    rules: list[dict],
+    available_now: bool = True,
+) -> None:
+    """Per-micro-batch data-contract validation: every tick runs
+    check_constraints over ITS rows and appends (batch_id, rule,
+    n_violations, passed) to a ledger store — the gate a streaming
+    ingest needs (alert the tick that violated, not the day after).
+
+    Only row-predicate rules belong here: their counts are ADDITIVE
+    across batches, so the summed ledger equals the batch-mode report
+    over the full input — which is exactly what the oracle checks.
+    Cross-row rules (unique, foreign_key) are NOT additive per batch
+    (a duplicate spanning two ticks is invisible to both); run those
+    against the accumulated store, not the stream — fail loudly here
+    rather than under-count silently.
+
+    Idempotent append: each batch overwrites its own ``batch_id=N``
+    partition, so a redelivered batch rewrites the same ledger rows
+    instead of double-counting them."""
+    from funding_monitoring_spark.operators.quality import (
+        check_constraints,
+    )
+
+    bad = [r["rule"] for r in rules if r["kind"] != "pred"]
+    if bad:
+        raise ValueError(
+            f"streaming contracts must be row-predicate rules; "
+            f"{bad} are not additive across micro-batches"
+        )
+    src = stream_from_chunks(spark, chunks_dir, schema)
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        report = check_constraints(batch, rules)
+        report.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+
+    writer = src.writeStream.foreachBatch(on_batch)
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
 #: session gap for the streaming sessionization pipeline — the single
 #: canonical value; both session suites import it
 SESSION_GAP_SECONDS = 8 * 3600

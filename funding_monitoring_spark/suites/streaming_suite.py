@@ -606,3 +606,81 @@ def q_stream_sketch_rollup(spark, sf_dir):
             .alias("within_bound"),
         )
     )
+
+
+@query(
+    "stream_contract_ledger",
+    f"""
+    WITH checks AS (
+        SELECT 'not_null(user_id)' AS rule,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
+        FROM events
+        UNION ALL
+        SELECT 'range(value,[0.0,80.0])',
+               CAST(SUM(CASE WHEN value IS NULL
+                              OR value < 0.0 OR value > 80.0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'accepted_values(event_type)',
+               CAST(SUM(CASE WHEN event_type IS NULL
+                              OR event_type NOT IN
+                                 ('click', 'view', 'purchase', 'signup')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+    )
+    SELECT rule, n_violations,
+           CAST({N_CHUNKS} AS BIGINT) AS n_batches,
+           CAST(n_violations = 0 AS INT) AS passed
+    FROM checks
+    """,
+)
+def q_stream_contract_ledger(spark, sf_dir):
+    """Data contracts ON THE STREAM: every replay tick validates its
+    own rows (operators/quality.check_constraints — the row-predicate
+    rules fuse into one scan per batch) and appends to a per-batch
+    violations ledger. Row-predicate counts are additive across
+    batches, so the summed ledger must equal the batch-mode report
+    over the whole table — the oracle recomputes exactly that, and
+    n_batches pins that every tick wrote its ledger rows. Rules are
+    chosen so some pass and some fail on the fixture ('error' events
+    and values above 80 exist); non-additive rules (unique/FK) are
+    rejected loudly by the pipeline rather than silently
+    under-counted."""
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.operators.quality import (
+        accepted_values,
+        in_range,
+        not_null,
+    )
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_contract_ledger,
+    )
+
+    rules = [
+        not_null("user_id"),
+        in_range("value", 0.0, 80.0),
+        accepted_values(
+            "event_type", ["click", "view", "purchase", "signup"]
+        ),
+    ]
+    cdir, schema = _chunked_events(spark, sf_dir)
+    workdir = _workdir()
+    store = os.path.join(workdir, "ledger")
+    streaming_contract_ledger(
+        spark, cdir, schema, store,
+        os.path.join(workdir, "checkpoint"), rules,
+    )
+    return (
+        spark.read.parquet(store)
+        .groupBy("rule")
+        .agg(
+            F.sum("n_violations").alias("n_violations"),
+            F.count(F.lit(1)).alias("n_batches"),
+        )
+        .withColumn(
+            "passed", (F.col("n_violations") == 0).cast("int")
+        )
+    )

@@ -100,3 +100,23 @@ def test_pred_rules_fuse_into_one_scan(spark, sf_dir, tmp_path):
     assert (
         plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1
     ), plan
+
+
+def test_streaming_contracts_reject_non_additive_rules(spark, tmp_path):
+    """unique()/foreign_key() counts are not additive across
+    micro-batches — the streaming ledger must refuse them loudly."""
+    import pytest
+
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_contract_ledger,
+    )
+
+    with pytest.raises(ValueError, match="not additive"):
+        streaming_contract_ledger(
+            spark,
+            str(tmp_path / "chunks"),
+            "id long",
+            str(tmp_path / "store"),
+            str(tmp_path / "ckpt"),
+            [unique(["id"])],
+        )
