@@ -397,3 +397,34 @@ def test_hll_rollup_sketches_combine_map_side(spark, sf_dir):
     assert "partial_hll_sketch_agg" in plan, plan
     assert "partial_hll_union_agg" in plan, plan
     assert "ObjectHashAggregate" in plan, plan
+
+
+def test_pq_encode_broadcasts_codebook_no_embedding_shuffle(
+    spark, sf_dir
+):
+    """PQ encode: the codebook join must broadcast (it is O(1)-sized
+    by construction) and the corpus embeddings must never hash-shuffle
+    — the only exchange the encode is allowed is the per-(vector,
+    subspace) window for the argmin, which partitions on (c_id, m),
+    never on the embedding payload."""
+    from funding_monitoring_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.pq_codebook(emb)
+    plan = plan_str(S.pq_encode(emb, cents))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_topk_scan_side_joins_all_broadcast(spark, sf_dir):
+    """PQ/ADC search: every join in the pipeline (codebook, LUT,
+    shortlist re-rank queries) must be broadcast — the corpus-sized
+    side is never sort-merge-joined, so at scale the ADC scan streams
+    the codes against in-memory tables."""
+    from funding_monitoring_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    plan = plan_str(S.cosine_topk_pq(queries, emb, k=5))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
