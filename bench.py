@@ -349,6 +349,24 @@ def main() -> None:
             "per-tick streaming machinery + one store rewrite / "
             "sketch merge; both ~1.2 s warm"
         ),
+        "ann_cosine_topk_pq / ann_pq_recall_report": (
+            "~10 s each at sf0.1: the encode scans 50k vectors x 8 "
+            "subspaces against a ~370-entry/subspace broadcast "
+            "codebook (argmin folds, codegen) — the deliberate "
+            "recall-0.9 operating point (PQ_CENT_MOD=11, rerank 16x); "
+            "the ADC scan + bounded exact re-rank are sub-second on "
+            "top. All joins broadcast (plan-gated); at 100 TB the "
+            "encode is a once-per-ingest cost and search routes "
+            "through IVF cells (IVF-PQ)"
+        ),
+        "snapshot_* / stream_snapshot_commits / *_contract_*": (
+            "the table-format family (versioned commits, time "
+            "travel, rollback+expiry, manifest file skipping, "
+            "incremental reads, streaming commits, batch+stream "
+            "data contracts) each lands <1 s at sf0.1 — manifest "
+            "operations are metadata-sized and every heavy rule "
+            "fuses into one scan"
+        ),
     }
     notes["lsh_multiprobe_tradeoff_r6"] = (
         "near_dup_recall_report / ann LSH queries run ~1.5x longer "
