@@ -791,3 +791,103 @@ def cosine_topk_pq(
     c = _prep(corpus, id_col, emb_col, "c")
     rescored = shortlist.join(F.broadcast(q), "q_id").join(c, "c_id")
     return _score_and_rank(rescored, k)
+
+
+def _adc_scores(pairs: DataFrame) -> DataFrame:
+    """(q_id, c_id, adc_score) from per-subspace (m, partial) rows:
+    partials fold in m order (array_sort over structs), so the
+    4-or-8-term double sum is bit-identical on both engines."""
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("m").alias("m"), F.col("partial").alias("partial")
+            )
+        )
+    )
+    score = F.round(
+        F.aggregate(
+            ordered, F.lit(0.0), lambda acc, s: acc + s["partial"]
+        ),
+        SCORE_ROUND,
+    )
+    return pairs.groupBy("q_id", "c_id").agg(score.alias("adc_score"))
+
+
+def cosine_topk_ivf_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    nprobe: int = IVF_NPROBE,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN path. The IVF index routes —
+    the corpus is hard-assigned to sampled-centroid cells and a query
+    probes its nprobe nearest, so candidates are a cell equi-join,
+    never a corpus scan; PQ compresses — the candidates' scores come
+    from the codes table via the query's ADC lookup table, not from
+    full-dimension dots; and only the rerank*k ADC shortlist gets
+    exact rescoring. At scale the corpus is partitioned by cell with
+    codes co-located, a query moves (nprobe cells x PQ_M lookups) of
+    work, and the embeddings are touched only for the bounded
+    shortlist — memory ~PQ_M bytes/vector in the scan path. Every
+    stage reuses the verified pieces (_cell_assignments, pq_codebook,
+    pq_encode) and keeps their determinism guarantees."""
+    cents = _prep(
+        corpus.filter((F.col(id_col) % IVF_CENTROID_MOD) == 0),
+        id_col,
+        emb_col,
+        "cent",
+    )
+    c = _prep(corpus, id_col, emb_col, "c")
+    q = _prep(queries, id_col, emb_col, "q")
+    c_cells = _cell_assignments(
+        c.select(
+            F.col("c_id").alias("v_id"),
+            F.col("c_emb").alias("v_emb"),
+            F.col("c_norm").alias("v_norm"),
+        ),
+        cents,
+        keep=1,
+    ).select(F.col("v_id").alias("c_id"), "cent_id")
+    q_cells = _cell_assignments(
+        q.select(
+            F.col("q_id").alias("v_id"),
+            F.col("q_emb").alias("v_emb"),
+            F.col("q_norm").alias("v_norm"),
+        ),
+        cents,
+        keep=nprobe,
+    ).select(F.col("v_id").alias("q_id"), "cent_id")
+    cand = (
+        q_cells.join(c_cells, on="cent_id")
+        .select("q_id", "c_id")
+        .distinct()
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    pq_cents = pq_codebook(corpus, id_col, emb_col).localCheckpoint(
+        eager=True
+    )
+    codes = pq_encode(corpus, pq_cents, id_col, emb_col)
+    qsubs = _pq_subspaces(queries, id_col, emb_col, "q")
+    lut = qsubs.join(F.broadcast(pq_cents), "m").select(
+        "q_id",
+        "m",
+        F.col("j").alias("code"),
+        seq_dot(F.col("sub"), F.col("csub")).alias("partial"),
+    )
+    pairs = cand.join(codes, "c_id").join(
+        F.broadcast(lut), ["q_id", "m", "code"]
+    )
+    adc = _adc_scores(pairs)
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("adc_score"), F.asc("c_id")
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * rerank)
+        .select("q_id", "c_id")
+    )
+    rescored = shortlist.join(F.broadcast(q), "q_id").join(c, "c_id")
+    return _score_and_rank(rescored, k)
