@@ -818,3 +818,38 @@ def test_pq_codes_shape_and_recall_floor(spark, sf_dir):
     assert len(approx) <= 50
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, recall
+
+
+def test_ivf_pq_candidates_bounded_and_recall_floor(spark, sf_dir):
+    """IVF-PQ composition: results are a subset of the plain-IVF
+    candidate universe (cell routing really restricts the scan), at
+    most k rows per query, and recall stays near the IVF routing
+    ceiling (the PQ compression must not collapse inside the cells)."""
+    from funding_monitoring_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(queries, emb, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_ivf(queries, emb, k=200).collect()
+    }  # k=200 ~ the full probed-cell candidate universe at sf0.001
+    ivf_pq_rows = S.cosine_topk_ivf_pq(queries, emb, k=5).collect()
+    ivf_pq = {(r.query_id, r.neighbor_id) for r in ivf_pq_rows}
+    assert ivf_pq <= ivf  # routing: never a candidate outside the cells
+    per_q = {}
+    for r in ivf_pq_rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n <= 5 for n in per_q.values())
+    ivf_recall = len(
+        exact
+        & {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk_ivf(queries, emb, k=5).collect()
+        }
+    ) / len(exact)
+    pq_recall = len(exact & ivf_pq) / len(exact)
+    assert pq_recall >= ivf_recall - 0.15, (pq_recall, ivf_recall)
