@@ -15,7 +15,7 @@ shard, processed embarrassingly parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from funding_monitoring_spark.functions.scalars import let
@@ -234,3 +234,75 @@ def lang_id(col: Column | str) -> Column:
         return expr
 
     return let(let(tokens(c), score_array), pick)
+
+
+def collocation_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) over adjacent token bigrams —
+    the corpus-analysis primitive behind multi-word-expression
+    detection (tokenizer vocab candidates, boilerplate phrases).
+
+    Shape at scale: one unigram-count aggregate and one bigram-count
+    aggregate (fixed-width word keys, map-side combined), two
+    broadcast-sized joins of the bigram table against the vocab
+    counts, and a global top-n over the min_count-filtered
+    collocation table — bounded by vocabulary, not corpus size. The
+    PMI expression divides in a fixed order on both engines and the
+    ranking sorts the ROUNDED value with (w1, w2) tie-breaks, so the
+    report is value-hashable; ln's last-ulp engine variance is
+    absorbed by the rounding (irrational outputs — measure-zero
+    boundary risk)."""
+    from pyspark.sql.window import Window
+
+    uni = docs.select(F.explode(tokens(text_col)).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    t_total = uni.agg(
+        F.count(F.lit(1)).cast("double").alias("t")
+    )
+    big = docs.select(
+        F.explode(word_bigrams(text_col)).alias("bigram")
+    ).select(
+        F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+    )
+    bcnt = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    b_total = big.agg(F.count(F.lit(1)).cast("double").alias("b"))
+    u1 = ucnt.select(
+        F.col("w").alias("w1"), F.col("n_w").alias("n_w1")
+    )
+    u2 = ucnt.select(
+        F.col("w").alias("w2"), F.col("n_w").alias("n_w2")
+    )
+    scored = (
+        bcnt.filter(F.col("n_pair") >= min_count)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(b_total))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("b"))
+                    / (
+                        (F.col("n_w1") / F.col("t"))
+                        * (F.col("n_w2") / F.col("t"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("w1", "w2", "n_pair", "pmi", "rank")
+    )

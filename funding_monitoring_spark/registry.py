@@ -88,7 +88,8 @@ def query(name: str, sql: str | None):
 #:       stream_append_compaction, stream_snapshot_commits,
 #:       stream_sketch_rollup, stream_contract_ledger,
 #:       ann_cosine_topk_pq, ann_pq_recall_report,
-#:       ann_cosine_topk_ivf_pq, ann_ivf_pq_recall_report (each ships
+#:       ann_cosine_topk_ivf_pq, ann_ivf_pq_recall_report,
+#:       collocation_pmi (each ships
 #:       with a driver-format row in CORRECTNESS_LOCAL_r6.json, plus
 #:       the optional-codec self-registrations
 #:       multimodal_jpeg_roundtrip / multimodal_mjpg_framesample /

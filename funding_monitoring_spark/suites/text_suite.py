@@ -298,3 +298,58 @@ def q_curation_pipeline_full(spark, sf_dir):
     return train_test_split(
         canonical, "doc_id", SPLIT_TRAIN_FRACTION, SPLIT_SEED
     ).select("doc_id", "n_tokens", "quality", "split")
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 20
+
+
+@query(
+    "collocation_pmi",
+    f"""
+    WITH toks AS (SELECT {_SQL_TOKENS} AS ts FROM documents),
+    uni AS (SELECT unnest(ts) AS w FROM toks),
+    ucnt AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM uni),
+    big AS (
+        SELECT list_extract(ts, i) AS w1,
+               list_extract(ts, i + 1) AS w2
+        FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks)
+    ),
+    bcnt AS (SELECT w1, w2, COUNT(*) AS n_pair
+             FROM big GROUP BY w1, w2),
+    btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b FROM big),
+    scored AS (
+        SELECT bc.w1, bc.w2, bc.n_pair,
+               ROUND(ln((bc.n_pair / btot.b) /
+                        ((u1.n_w / tot.t) * (u2.n_w / tot.t))),
+                     6) AS pmi
+        FROM bcnt bc
+        JOIN ucnt u1 ON u1.w = bc.w1
+        JOIN ucnt u2 ON u2.w = bc.w2
+        CROSS JOIN tot CROSS JOIN btot
+        WHERE bc.n_pair >= {PMI_MIN_COUNT}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank
+        FROM scored
+    )
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {PMI_TOP_N}
+    """,
+)
+def q_collocation_pmi(spark, sf_dir):
+    """Top-{20} collocations by pointwise mutual information over
+    adjacent token bigrams (min pair count {5}) — multi-word-
+    expression detection for tokenizer vocab / boilerplate analysis.
+    Two vocabulary-bounded aggregates + broadcast joins; PMI divides
+    in a fixed order on both engines and the ranking sorts the
+    ROUNDED value with (w1, w2) tie-breaks, so the whole report
+    value-hashes (ln's last-ulp variance is absorbed by round-6 —
+    irrational output, measure-zero boundary risk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.collocation_pmi(
+        docs, min_count=PMI_MIN_COUNT, top_n=PMI_TOP_N
+    )
