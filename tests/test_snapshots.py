@@ -206,3 +206,81 @@ def test_file_skipping_without_stats_keeps_all(spark, store):
     ) == len(snapshot_files(store))
     got = read_snapshot(spark, store, between=("id", 5, 6))
     assert _rows(got) == _rows(_frame(spark, [5, 6]))
+
+
+# ---- property test: random histories vs a pure-Python model -------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+#: command alphabet: ("append", ids) | ("overwrite", ids) |
+#: ("rollback",) targets a random earlier version | ("expire", keep)
+_CMD = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.integers(0, 99),
+                                          min_size=1, max_size=4)),
+    st.tuples(st.just("overwrite"), st.lists(st.integers(0, 99),
+                                             min_size=1, max_size=4)),
+    st.tuples(st.just("rollback")),
+    st.tuples(st.just("expire"), st.integers(1, 3)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(cmds=st.lists(_CMD, min_size=1, max_size=5),
+       data=st.data())
+def test_snapshot_history_matches_model(
+    cmds, data, spark, tmp_path_factory
+):
+    """PROPERTY: for any command sequence (append / overwrite /
+    rollback-to-random-earlier / expire), every RETAINED version's
+    content equals a pure-Python model's, and expire never breaks a
+    retained version. Exercises the interactions the crafted tests
+    can't enumerate (rollback over rollback, expire after overwrite
+    chains, appends on a rolled-back base)."""
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        expire_snapshots,
+        list_versions,
+        read_snapshot,
+        rollback_snapshot,
+    )
+
+    store = str(tmp_path_factory.mktemp("snapprop") / "store")
+    model: dict[int, list[int]] = {}  # version -> multiset of ids
+    latest: list[int] = []
+    for cmd in cmds:
+        if cmd[0] == "append":
+            latest = latest + cmd[1]
+            v = commit_snapshot(_frame(spark, cmd[1]), store)
+            model[v] = list(latest)
+        elif cmd[0] == "overwrite":
+            latest = list(cmd[1])
+            v = commit_snapshot(
+                _frame(spark, cmd[1]), store, mode="overwrite"
+            )
+            model[v] = list(latest)
+        elif cmd[0] == "rollback":
+            if not model:
+                continue
+            target = data.draw(
+                st.sampled_from(sorted(model)), label="rollback_to"
+            )
+            latest = list(model[target])
+            v = rollback_snapshot(store, to_version=target)
+            model[v] = list(latest)
+        else:  # expire
+            if not model:
+                continue
+            keep = cmd[1]
+            expire_snapshots(store, keep_last=keep)
+            for gone in sorted(model)[:-keep]:
+                model.pop(gone)
+    assert list_versions(store) == sorted(model)
+    for v, ids in model.items():
+        got = sorted(r["id"] for r in
+                     read_snapshot(spark, store, version=v).collect())
+        assert got == sorted(ids), (v, got, ids)
