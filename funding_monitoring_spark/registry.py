@@ -83,7 +83,7 @@ def query(name: str, sql: str | None):
 #:       span_dedup_cleaned_docs,
 #:       snapshot_time_travel_read, snapshot_rollback_expire,
 #:       snapshot_incremental_read, snapshot_pruned_read,
-#:       file_provenance_report,
+#:       snapshot_optimize_read, file_provenance_report,
 #:       grouped_split_leakage_report, semantic_dedup_clusters,
 #:       stream_append_compaction, stream_snapshot_commits,
 #:       stream_sketch_rollup, stream_contract_ledger,

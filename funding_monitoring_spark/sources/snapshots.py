@@ -392,6 +392,43 @@ def rollback_snapshot(store: str, to_version: int) -> int:
     )
 
 
+def optimize_snapshot(
+    spark: SparkSession,
+    store: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE ZORDER for the snapshot store: rewrite the LATEST
+    version z-order-clustered on (x_col, y_col) and commit it as a
+    new overwrite version with per-file min/max stats on both
+    columns — each output file covers a small Morton rectangle, so
+    manifest-level skipping (snapshot_files(between=...)) prunes on
+    EITHER dimension. Content-identical (the rewrite only re-arranges
+    rows across files); prior versions stay time-travelable until
+    expire_snapshots reclaims them — the same transactional OPTIMIZE
+    a lakehouse table format provides. One range exchange; returns
+    the new version."""
+    from funding_monitoring_spark.operators.zorder import z_value
+
+    df = read_snapshot(spark, store)
+    if "__z" in df.columns:
+        raise ValueError("optimize_snapshot reserves the column '__z'")
+    arranged = (
+        df.withColumn("__z", z_value(F.col(x_col), F.col(y_col)))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    return commit_snapshot(
+        arranged,
+        store,
+        mode="overwrite",
+        stats_cols=stats_cols or [x_col, y_col],
+    )
+
+
 def expire_snapshots(store: str, keep_last: int = 1) -> dict:
     """Vacuum: drop all but the newest ``keep_last`` manifests, then
     delete data files no RETAINED manifest references. The retained

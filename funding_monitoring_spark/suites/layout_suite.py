@@ -516,6 +516,60 @@ def q_snapshot_pruned_read(spark, sf_dir):
 
 
 @query(
+    "snapshot_optimize_read",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(MAX(event_id) AS BIGINT) AS max_event,
+           CAST(2 AS INT) AS n_versions
+    FROM events WHERE user_id BETWEEN 3 AND 7
+    GROUP BY 1
+    """,
+)
+def q_snapshot_optimize_read(spark, sf_dir):
+    """Transactional OPTIMIZE ZORDER over the snapshot store: the
+    initial commit lands stats-free (skipping conservatively reads
+    everything), optimize_snapshot rewrites the latest version
+    z-order-clustered on (user_id, event_id) as a NEW overwrite
+    version carrying per-file min/max on both columns, and the read
+    routes through manifest skipping on the user_id predicate. The
+    oracle recomputes the aggregate from the raw table, so a rewrite
+    that loses or duplicates a row breaks the hash; n_versions pins
+    that the optimize was a versioned commit (old layout still
+    time-travelable). That a strict subset of files is read, on
+    either dimension, is asserted in tests/test_snapshots.py."""
+    import tempfile as _tf
+
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        list_versions,
+        optimize_snapshot,
+        read_snapshot,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    store = os.path.join(_tf.mkdtemp(prefix="fm_snap_opt_"), "events")
+    commit_snapshot(events, store, n_files=4)
+    optimize_snapshot(spark, store, "user_id", "event_id")
+    out = (
+        read_snapshot(spark, store, between=("user_id", 3, 7))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
+    return out.withColumn(
+        "n_versions",
+        F.lit(len(list_versions(store))).cast("int"),
+    )
+
+
+@query(
     "file_provenance_report",
     """
     SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)

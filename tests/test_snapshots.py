@@ -284,3 +284,36 @@ def test_snapshot_history_matches_model(
         got = sorted(r["id"] for r in
                      read_snapshot(spark, store, version=v).collect())
         assert got == sorted(ids), (v, got, ids)
+
+
+def test_optimize_zorder_prunes_both_dims_content_identical(
+    spark, store
+):
+    """optimize_snapshot: content identical, old version retained,
+    and the z-clustered manifest stats prune files on EITHER
+    dimension (the pre-optimize commit carries no stats, so skipping
+    conservatively kept everything)."""
+    from funding_monitoring_spark.sources.snapshots import (
+        optimize_snapshot,
+    )
+
+    rows = [(i, (i * 37) % 100, (i * 61) % 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    commit_snapshot(df, store, n_files=4)
+    assert len(
+        snapshot_files(store, between=("x", 10, 20))
+    ) == len(snapshot_files(store))  # no stats yet -> keep all
+    before = _rows(read_snapshot(spark, store))
+    v = optimize_snapshot(spark, store, "x", "y", n_files=8)
+    assert v == 2
+    assert _rows(read_snapshot(spark, store)) == before
+    assert _rows(read_snapshot(spark, store, version=1)) == before
+    total = len(snapshot_files(store))
+    px = len(snapshot_files(store, between=("x", 10, 20)))
+    py = len(snapshot_files(store, between=("y", 10, 20)))
+    assert 0 < px < total, (px, total)
+    assert 0 < py < total, (py, total)
+    got = read_snapshot(spark, store, between=("x", 10, 20))
+    assert _rows(got) == sorted(
+        (i, x, y) for i, x, y in rows if 10 <= x <= 20
+    )
