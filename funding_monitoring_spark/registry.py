@@ -85,10 +85,10 @@ def query(name: str, sql: str | None):
 #:       snapshot_incremental_read, snapshot_pruned_read,
 #:       snapshot_optimize_read, file_provenance_report,
 #:       grouped_split_leakage_report, semantic_dedup_clusters,
-#:       stream_append_compaction, stream_snapshot_commits,
-#:       stream_sketch_rollup, stream_contract_ledger,
 #:       ann_cosine_topk_pq, ann_pq_recall_report,
 #:       ann_cosine_topk_ivf_pq, ann_ivf_pq_recall_report,
+#:       stream_append_compaction, stream_snapshot_commits,
+#:       stream_sketch_rollup, stream_contract_ledger,
 #:       collocation_pmi (each ships
 #:       with a driver-format row in CORRECTNESS_LOCAL_r6.json, plus
 #:       the optional-codec self-registrations
