@@ -1904,3 +1904,80 @@ def q_value_histogram(spark, sf_dir):
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+BIGRAM_LOGPROB_ORACLE = """
+    WITH toks AS (
+        SELECT regexp_extract_all(lower(text), '\\S+') AS ts, doc_id
+        FROM documents
+    ),
+    bigs AS (
+        SELECT doc_id,
+               list_extract(ts, i) AS w1,
+               list_extract(ts, i + 1) AS w2
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+              FROM toks)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS nb FROM bigs GROUP BY w1, w2),
+    uc AS (SELECT w1, SUM(nb) AS nw FROM bc GROUP BY w1),
+    voc AS (SELECT CAST(COUNT(DISTINCT w2) AS DOUBLE) AS v FROM bc)
+    SELECT bigs.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(ln((nb + 0.5) / (nw + 0.5 * v))) / COUNT(*), 6)
+               AS avg_neg_logprob
+    FROM bigs
+    JOIN bc ON bc.w1 = bigs.w1 AND bc.w2 = bigs.w2
+    JOIN uc ON uc.w1 = bigs.w1
+    CROSS JOIN voc
+    GROUP BY bigs.doc_id
+"""
+
+
+@query("bigram_logprob_score", BIGRAM_LOGPROB_ORACLE)
+def q_bigram_logprob_score(spark, sf_dir):
+    """Perplexity-proxy curation signal, order-aware: each document's
+    mean negative log-probability under the corpus BIGRAM LM with
+    add-0.5 smoothing — P(w2|w1) = (c(w1,w2)+0.5)/(c(w1·)+0.5·V),
+    prefix counts derived from the bigram table itself and V the
+    continuation vocabulary. Catches shuffled-word noise the unigram
+    score (unigram_logprob_score) is blind to: a bag of plausible
+    tokens in an implausible ORDER scores high here. Shape: one
+    bigram count (map-side combined, fixed-width word-pair keys)
+    feeding prefix counts and vocabulary by re-aggregation — the
+    corpus scans twice total (count pass + scoring pass), both joins
+    broadcast-sized (vocabulary², bounded)."""
+    from funding_monitoring_spark.operators.textstats import (
+        word_bigrams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigs = docs.select(
+        "doc_id",
+        F.explode(word_bigrams(F.lower(F.col("text")))).alias("bg"),
+    ).select(
+        "doc_id",
+        F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+    )
+    bc = (
+        bigs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .localCheckpoint(eager=True)
+    )
+    uc = bc.groupBy("w1").agg(F.sum("nb").alias("nw"))
+    voc = bc.agg(
+        F.countDistinct("w2").cast("double").alias("v")
+    )
+    p = (F.col("nb") + 0.5) / (F.col("nw") + 0.5 * F.col("v"))
+    return (
+        bigs.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uc), "w1")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.sum(F.log(p)) / F.count(F.lit(1)), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
