@@ -142,3 +142,20 @@ def oracle_hash_expr(key_sql: str, seed: int = 0) -> str:
     m, a, c = SAMPLE_MOD, SAMPLE_MUL, SAMPLE_INC
     shifted = f"(({key_sql}) + {seed * SAMPLE_SEED_PRIME})"
     return f"((({shifted} % {m} + {m}) % {m}) * {a} + {c}) % {m}"
+
+
+def kfold_assign(
+    df: DataFrame, key: str, k: int, seed: int = 0,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = key_hash(key) mod k —
+    an exact partition of the keyspace, stable across runs, engines,
+    and cluster sizes (pure scan-stage integer algebra, no shuffle,
+    no randomness to seed-manage per executor). Cross-validation and
+    sharded evaluation read fold i via a pushed-down filter; the same
+    key always lands in the same fold, so folds never leak rows when
+    the corpus grows."""
+    return df.withColumn(
+        fold_col,
+        F.pmod(key_hash(F.col(key), seed), F.lit(k)).cast("int"),
+    )

@@ -85,7 +85,8 @@ def query(name: str, sql: str | None):
 #:       snapshot_time_travel_read, snapshot_rollback_expire,
 #:       snapshot_incremental_read, snapshot_pruned_read,
 #:       snapshot_optimize_read, file_provenance_report,
-#:       grouped_split_leakage_report, semantic_dedup_clusters,
+#:       grouped_split_leakage_report, kfold_split_stats,
+#:       semantic_dedup_clusters,
 #:       ann_cosine_topk_pq, ann_pq_recall_report,
 #:       ann_cosine_topk_ivf_pq, ann_ivf_pq_recall_report,
 #:       stream_append_compaction, stream_snapshot_commits,

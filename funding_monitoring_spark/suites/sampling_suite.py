@@ -165,3 +165,40 @@ def q_grouped_split_leakage_report(spark, sf_dir):
         )
         .crossJoin(F.broadcast(leak))
     )
+
+
+N_FOLDS = 5
+
+
+@query(
+    "kfold_split_stats",
+    f"""
+    SELECT CAST(({_H}) % {N_FOLDS} AS INT) AS fold,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_kfold_split_stats(spark, sf_dir):
+    """Deterministic k-fold assignment audited per (fold, language):
+    fold = key_hash(doc_id) mod 5, a pure scan-stage partition of the
+    keyspace — stable across engines and corpus growth, no RNG state
+    to manage per executor. The per-fold per-language doc and char
+    counts hash against the oracle's identical integer algebra, so a
+    single row assigned to a different fold breaks the row; balance
+    across folds is visible in the report rather than assumed."""
+    from funding_monitoring_spark.operators.sampling import (
+        kfold_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        kfold_assign(docs, "doc_id", N_FOLDS, seed=SAMPLE_SEED)
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
