@@ -120,3 +120,64 @@ def test_streaming_contracts_reject_non_additive_rules(spark, tmp_path):
             str(tmp_path / "ckpt"),
             [unique(["id"])],
         )
+
+
+# ---- property test: violation counts vs a pandas model ------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_VAL = st.one_of(st.none(), st.integers(-5, 60))
+_CAT = st.one_of(st.none(), st.sampled_from(["a", "b", "zz"]))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), _CAT, _VAL),
+        min_size=1,
+        max_size=12,
+    ),
+    lo=st.integers(-2, 10),
+    width=st.integers(0, 30),
+)
+def test_contract_counts_match_model(rows, lo, width, spark):
+    """PROPERTY: for random data (NULLs included) and a random range
+    rule, every violation count equals a direct Python recount —
+    NULL handling (NULL fails not_null, range, accepted_values; NULL
+    ids collide in unique()'s grouping) is where hand-written CASE
+    logic usually drifts."""
+    hi = lo + width
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "rid long, id long, cat string, v long",
+    )
+    rules = [
+        not_null("cat"),
+        in_range("v", lo, hi),
+        accepted_values("cat", ["a", "b"]),
+        unique(["id"]),
+    ]
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in check_constraints(df, rules).collect()
+    }
+    exp_not_null = sum(1 for _id, cat, _v in rows if cat is None)
+    exp_range = sum(
+        1 for _id, _cat, v in rows if v is None or v < lo or v > hi
+    )
+    exp_accept = sum(
+        1 for _id, cat, _v in rows if cat is None or cat == "zz"
+    )
+    from collections import Counter
+
+    id_counts = Counter(_id for _id, _cat, _v in rows)
+    exp_unique = sum(n - 1 for n in id_counts.values())
+    assert got["not_null(cat)"] == exp_not_null
+    assert got[f"range(v,[{lo},{hi}])"] == exp_range
+    assert got["accepted_values(cat)"] == exp_accept
+    assert got["unique(id)"] == exp_unique
