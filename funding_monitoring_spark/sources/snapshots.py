@@ -217,13 +217,18 @@ def commit_snapshot(
 def snapshot_files(
     store: str,
     version: int | None = None,
-    between: tuple[str, object, object] | None = None,
+    between: tuple[str, object, object]
+    | list[tuple[str, object, object]]
+    | None = None,
 ) -> list[str]:
     """Absolute data-file paths visible at ``version`` (default
-    latest). ``between=(col, lo, hi)`` prunes via manifest min/max
-    stats — files whose [min, max] cannot intersect [lo, hi] are
-    skipped; files without stats for ``col`` are conservatively
-    kept (skipping may over-include, never under-include)."""
+    latest). ``between=(col, lo, hi)`` — or a LIST of such triples,
+    ANDed — prunes via manifest min/max stats: files whose [min, max]
+    cannot intersect [lo, hi] on ANY conjunct are skipped; files
+    without stats for a conjunct's column are conservatively kept for
+    that conjunct (skipping may over-include, never under-include).
+    Multiple conjuncts are how z-order-clustered stats pay off: a
+    rectangle predicate prunes on both dimensions at once."""
     if version is None:
         version = latest_version(store)
         if version is None:
@@ -231,15 +236,18 @@ def snapshot_files(
     m = _read_manifest(store, version)
     files = m["files"]
     if between is not None:
-        col, lo, hi = between
-        kept = []
-        for f in files:
-            s = f.get("stats", {}).get(col)
-            if s is None or s[0] is None or s[1] is None:
-                kept.append(f)
-            elif not (s[1] < lo or s[0] > hi):
-                kept.append(f)
-        files = kept
+        conjuncts = (
+            [between] if isinstance(between, tuple) else list(between)
+        )
+        for col, lo, hi in conjuncts:
+            kept = []
+            for f in files:
+                s = f.get("stats", {}).get(col)
+                if s is None or s[0] is None or s[1] is None:
+                    kept.append(f)
+                elif not (s[1] < lo or s[0] > hi):
+                    kept.append(f)
+            files = kept
     return [os.path.join(store, f["path"]) for f in files]
 
 
@@ -247,13 +255,16 @@ def read_snapshot(
     spark: SparkSession,
     store: str,
     version: int | None = None,
-    between: tuple[str, object, object] | None = None,
+    between: tuple[str, object, object]
+    | list[tuple[str, object, object]]
+    | None = None,
 ) -> DataFrame:
     """Time-travel read: the store exactly as of ``version`` (default
     latest). Plans from the manifest's explicit file list — no
-    directory listing. With ``between``, manifest stats skip
-    non-overlapping files AND the row-level predicate is applied, so
-    results are exact regardless of how coarse the stats are."""
+    directory listing. With ``between`` (one (col, lo, hi) triple or
+    a list, ANDed), manifest stats skip non-overlapping files AND the
+    row-level predicates are applied, so results are exact regardless
+    of how coarse the stats are."""
     files = snapshot_files(store, version, between)
     if not files:
         raise ValueError(
@@ -261,8 +272,11 @@ def read_snapshot(
         )
     df = spark.read.parquet(*files)
     if between is not None:
-        col, lo, hi = between
-        df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        conjuncts = (
+            [between] if isinstance(between, tuple) else list(between)
+        )
+        for col, lo, hi in conjuncts:
+            df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
     return df
 
 

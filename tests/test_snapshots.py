@@ -317,3 +317,30 @@ def test_optimize_zorder_prunes_both_dims_content_identical(
     assert _rows(got) == sorted(
         (i, x, y) for i, x, y in rows if 10 <= x <= 20
     )
+
+
+def test_conjunctive_skipping_rectangle_prunes_more(spark, store):
+    """A rectangle predicate (two ANDed between conjuncts) over a
+    z-ordered store must prune at least as hard as either dimension
+    alone, and the read stays exact."""
+    from funding_monitoring_spark.sources.snapshots import (
+        optimize_snapshot,
+    )
+
+    rows = [(i, (i * 37) % 100, (i * 61) % 100) for i in range(2000)]
+    commit_snapshot(
+        spark.createDataFrame(rows, "id long, x long, y long"),
+        store,
+        n_files=4,
+    )
+    optimize_snapshot(spark, store, "x", "y", n_files=8)
+    px = len(snapshot_files(store, between=("x", 10, 30)))
+    rect = [("x", 10, 30), ("y", 40, 60)]
+    pxy = len(snapshot_files(store, between=rect))
+    assert pxy <= px
+    got = _rows(read_snapshot(spark, store, between=rect))
+    assert got == sorted(
+        (i, x, y)
+        for i, x, y in rows
+        if 10 <= x <= 30 and 40 <= y <= 60
+    )
