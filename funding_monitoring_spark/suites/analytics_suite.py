@@ -1981,3 +1981,66 @@ def q_bigram_logprob_score(spark, sf_dir):
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+ACF_ORACLE = """
+    WITH s AS (
+        SELECT event_type, value,
+               LAG(value, 1) OVER w AS l1,
+               LAG(value, 2) OVER w AS l2,
+               LAG(value, 3) OVER w AS l3
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, 1 AS lag,
+           ROUND(CORR(value, l1), 6) + 0.0 AS acf,
+           CAST(COUNT(l1) AS BIGINT) AS n_pairs
+    FROM s GROUP BY 1
+    UNION ALL
+    SELECT event_type, 2, ROUND(CORR(value, l2), 6) + 0.0,
+           CAST(COUNT(l2) AS BIGINT)
+    FROM s GROUP BY 1
+    UNION ALL
+    SELECT event_type, 3, ROUND(CORR(value, l3), 6) + 0.0,
+           CAST(COUNT(l3) AS BIGINT)
+    FROM s GROUP BY 1
+"""
+
+
+@query("acf_by_type", ACF_ORACLE)
+def q_acf_by_type(spark, sf_dir):
+    """Autocorrelation function per series at lags 1-3 — the
+    time-series memory diagnostic a rates monitor runs before
+    trusting a rolling-mean signal (high lag-1 ACF = momentum, ~0 =
+    noise; the reference's rolling averages implicitly assume the
+    former). One window pass computes all three lagged columns on the
+    shared (series, time) ordering, one aggregation per lag over the
+    SAME frame — no re-scan, no self-join; rounded corr with the
+    negative-zero canonicalization, same conventions as
+    event_type_correlation."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = events.select(
+        "event_type",
+        "value",
+        F.lag("value", 1).over(w).alias("l1"),
+        F.lag("value", 2).over(w).alias("l2"),
+        F.lag("value", 3).over(w).alias("l3"),
+    ).localCheckpoint(eager=True)
+    parts = []
+    for k in (1, 2, 3):
+        parts.append(
+            s.groupBy("event_type").agg(
+                F.lit(k).cast("int").alias("lag"),
+                (
+                    F.round(F.corr("value", f"l{k}"), 6) + F.lit(0.0)
+                ).alias("acf"),
+                F.count(f"l{k}").alias("n_pairs"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
