@@ -79,7 +79,7 @@ def query(name: str, sql: str | None):
 #:       pipelines.py: TTL watermark parameterization).
 #:   r7 plan (precommitted): (a) the round-6 post-freeze
 #:       registrations in registration order —
-#:       bigram_logprob_score, acf_by_type,
+#:       bigram_logprob_score, acf_by_type, max_drawdown_by_type,
 #:       hll_sketch_merge_rollup, data_contract_report,
 #:       span_dedup_cleaned_docs,
 #:       snapshot_time_travel_read, snapshot_rollback_expire,

@@ -2044,3 +2044,55 @@ def q_acf_by_type(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+DRAWDOWN_ORACLE = """
+    WITH runs AS (
+        SELECT event_type, value,
+               MAX(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_max
+        FROM events
+    )
+    SELECT event_type,
+           ROUND(MIN(value / run_max - 1.0), 6) + 0.0
+               AS max_drawdown,
+           ROUND(MAX(run_max), 6) AS peak,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM runs GROUP BY event_type
+"""
+
+
+@query("max_drawdown_by_type", DRAWDOWN_ORACLE)
+def q_max_drawdown_by_type(spark, sf_dir):
+    """Maximum drawdown per series — the worst peak-to-trough decline
+    of the value path, the risk statistic a funding-rate monitor
+    reports next to the rolling mean. One running-max window pass on
+    the shared (series, time) ordering, then a plain aggregate: the
+    drawdown at each point is value/run_max - 1 (exact same division
+    on both engines), and the minimum is order-independent, so only
+    the final ROUND is needed. No self-join, no re-scan."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = events.select(
+        "event_type",
+        "value",
+        F.max("value").over(w).alias("run_max"),
+    )
+    return runs.groupBy("event_type").agg(
+        (
+            F.round(
+                F.min(F.col("value") / F.col("run_max") - 1.0), 6
+            )
+            + F.lit(0.0)
+        ).alias("max_drawdown"),
+        F.round(F.max("run_max"), 6).alias("peak"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
