@@ -96,10 +96,13 @@ def query(name: str, sql: str | None):
 #:       the optional-codec self-registrations
 #:       multimodal_jpeg_roundtrip / multimodal_mjpg_framesample /
 #:       multimodal_mp3_roundtrip wherever their libraries exist);
-#:       (b) the 39 remaining r3 rows; (c) leftover slots to the
-#:       oldest r4 rows, streaming family first (pipelines.py TTL
-#:       changes landed in r6). Every overflow query gets a fresh
-#:       local row each round.
+#:       (b) the remaining slots (50 - 24 = 26) to the oldest r3
+#:       rows, those over files changed in r6 first (similarity.py:
+#:       PQ additions; snapshots-adjacent layout code); the r3
+#:       remainder and the oldest r4 rows (streaming family first —
+#:       pipelines.py TTL + contract-ledger changes landed in r6)
+#:       roll to r8. Every overflow query gets a fresh local row each
+#:       round.
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
