@@ -91,7 +91,7 @@ def query(name: str, sql: str | None):
 #:       ann_cosine_topk_ivf_pq, ann_ivf_pq_recall_report,
 #:       stream_append_compaction, stream_snapshot_commits,
 #:       stream_sketch_rollup, stream_contract_ledger,
-#:       collocation_pmi (each ships
+#:       stream_max_drawdown, collocation_pmi (each ships
 #:       with a driver-format row in CORRECTNESS_LOCAL_r6.json, plus
 #:       the optional-codec self-registrations
 #:       multimodal_jpeg_roundtrip / multimodal_mjpg_framesample /

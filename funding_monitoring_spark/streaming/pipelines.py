@@ -442,6 +442,74 @@ def streaming_lending_append(
         q.awaitTermination()
 
 
+def streaming_drawdown_stateful(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> None:
+    """Per-symbol maximum drawdown maintained ACROSS micro-batches —
+    path-dependent state (running peak + worst trough ratio) that no
+    built-in streaming aggregate expresses, the second
+    applyInPandasWithState operator next to the EWMA. State per key =
+    (run_max, max_dd, n); within a batch rows fold in (funding_time,
+    event_id) order, and chunks replay in that order, so the streamed
+    state equals the batch running-max window computation exactly —
+    every division v/run_max happens on the same operands in the same
+    order on both engines, so raw doubles hash (no rounding needed;
+    the min is order-independent)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import parity
+
+    src = stream_from_chunks(spark, chunks_dir, schema)
+    rates = rates_from_events(src)
+
+    def update(key, pdfs, state):
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["funding_time", "event_id"])
+        vals = rows["funding_rate"].astype("float64").reset_index(drop=True)
+        if state.exists:
+            run_max, max_dd, n = state.get
+        else:
+            run_max, max_dd, n = float("-inf"), 0.0, 0
+        for v in vals:
+            v = float(v)
+            if v > run_max:
+                run_max = v
+            dd = v / run_max - 1.0
+            if dd < max_dd:
+                max_dd = dd
+        n += len(vals)
+        state.update((run_max, max_dd, n))
+        yield pd.DataFrame(
+            {
+                "symbol": [key[0]],
+                "max_drawdown": [max_dd],
+                "peak": [run_max],
+                "n": [n],
+            }
+        )
+
+    out = rates.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "symbol string, max_drawdown double, peak double, n long"
+        ),
+        stateStructType="run_max double, max_dd double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = out.writeStream.outputMode("update").foreachBatch(
+        upsert_writer(store_path, ["symbol"], ["n"])
+    )
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
 def streaming_snapshot_commits(
     spark: SparkSession,
     chunks_dir: str,
@@ -1058,6 +1126,12 @@ def _dispatch_pipeline(
             spark, chunks_dir, schema, store, checkpoint
         )
         return spark.read.parquet(store).drop("batch_id")
+    if pipeline == "drawdown_stateful":
+        store = os.path.join(workdir, "drawdown")
+        streaming_drawdown_stateful(
+            spark, chunks_dir, schema, store, checkpoint
+        )
+        return spark.read.parquet(store)
     if pipeline == "ewma_stateful":
         store = os.path.join(workdir, "ewma")
         streaming_ewma_stateful(

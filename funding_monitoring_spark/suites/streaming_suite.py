@@ -684,3 +684,38 @@ def q_stream_contract_ledger(spark, sf_dir):
             "passed", (F.col("n_violations") == 0).cast("int")
         )
     )
+
+
+@query(
+    "stream_max_drawdown",
+    """
+    WITH r AS (
+        SELECT CAST(user_id AS VARCHAR) || '-' || event_type AS symbol,
+               value,
+               MAX(value) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_max
+        FROM events
+    )
+    SELECT symbol,
+           MIN(value / run_max - 1.0) AS max_drawdown,
+           MAX(run_max) AS peak,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY symbol
+    """,
+)
+def q_stream_max_drawdown(spark, sf_dir):
+    """Per-symbol maximum drawdown maintained ACROSS micro-batches
+    (applyInPandasWithState, state = running peak + worst trough):
+    path-dependent monitoring state no built-in streaming aggregate
+    expresses — the risk twin of the batch max_drawdown_by_type. The
+    converged store equals the batch running-max computation
+    BIT-FOR-BIT: rows fold in (funding_time, event_id) order within
+    and across replayed chunks, so every v/run_max division sees the
+    same operands on both engines and the raw doubles hash with no
+    rounding."""
+    return _replay(
+        spark, sf_dir, "drawdown_stateful", state_partitions=32
+    )
