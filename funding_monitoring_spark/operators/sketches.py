@@ -122,3 +122,84 @@ def frequent_items_exact_2pass(
         .filter(F.col("n") * capacity > F.col("_n"))
         .drop("_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable point-frequency estimates
+# ---------------------------------------------------------------------------
+#
+# Misra-Gries (above) answers "which items are frequent"; Count-Min
+# (Cormode & Muthukrishnan 2005) answers "how frequent is THIS item"
+# for any item, from a fixed d x w grid of counters. The sketch is a
+# pure groupBy over derived (row, bucket) keys, so Spark's partial
+# aggregation IS the sketch merge: every partition combines its local
+# grid map-side and the shuffle moves at most d*w rows per partition
+# regardless of corpus size — the full distinct-token space never
+# shuffles (the same property the MG pass has, but answering point
+# queries instead of a threshold scan).
+#
+# Guarantees (classic): estimate >= true count always (counters only
+# ever overcount), and estimate <= true + e/w * N with probability
+# >= 1 - (1/e)^d per query. Both engines recompute the grid with
+# exact integer arithmetic (the LCG row hashes from
+# operators/sampling.py over the polynomial string fingerprint from
+# operators/textstats.py), so the differential oracle checks the
+# ESTIMATES bit-for-bit, not just the exact counts.
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def cm_bucket(fp: Column, row: int, width: int = CM_WIDTH) -> Column:
+    """Bucket of a fingerprint in sketch row ``row``: the seeded LCG
+    mix (deterministic, cross-engine) reduced mod the grid width."""
+    from funding_monitoring_spark.operators.sampling import key_hash
+
+    return F.pmod(key_hash(fp, seed=row), F.lit(width))
+
+
+def cm_sketch(
+    items: DataFrame,
+    fp: Column,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Build the d x w counter grid over one pass: each item row
+    explodes to its ``depth`` (row, bucket) cells, and a single
+    groupBy counts them. Output: (cm_row, cm_bucket, n) — at most
+    depth*width rows total, broadcastable to any consumer."""
+    cells = F.posexplode(
+        F.array(*[cm_bucket(fp, j, width) for j in range(depth)])
+    )
+    return (
+        items.select(cells.alias("cm_row", "cm_bucket"))
+        .groupBy("cm_row", "cm_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    fp: Column,
+    key_cols: list[str],
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point estimates for a query set: min over the query item's
+    ``depth`` cells. The grid is tiny (<= depth*width rows) so it
+    broadcasts; the query side never shuffles. Returns the query
+    columns plus ``cm_n``. Cells no query item hashes into are
+    irrelevant; cells that exist in the grid but hold only OTHER
+    items' counts are exactly the overcount the min tracks."""
+    probes = queries.select(
+        *key_cols,
+        F.posexplode(
+            F.array(*[cm_bucket(fp, j, width) for j in range(depth)])
+        ).alias("cm_row", "cm_bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["cm_row", "cm_bucket"], "left")
+        .groupBy(*key_cols)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_n"))
+    )

@@ -2096,3 +2096,126 @@ def q_max_drawdown_by_type(spark, sf_dir):
         F.round(F.max("run_max"), 6).alias("peak"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+# -- Count-Min point-frequency report ------------------------------------
+
+from funding_monitoring_spark.operators.dedup import poly_hash_of
+from funding_monitoring_spark.operators.sampling import (
+    SAMPLE_INC,
+    SAMPLE_MOD,
+    SAMPLE_MUL,
+    SAMPLE_SEED_PRIME,
+)
+from funding_monitoring_spark.operators.sketches import (
+    cm_estimate,
+    cm_sketch,
+)
+from funding_monitoring_spark.suites.dedup_suite import _sql_poly
+
+#: the query's grid is deliberately NARROW (4 x 16) for the 31-token
+#: test vocabulary so the overcount column exercises the collision
+#: path; production sizing is the operator default (4 x 1024, eps =
+#: e/1024). The bound and the estimates are recomputed bit-for-bit by
+#: the oracle either way.
+_CM_W = 16
+_CM_D = 4
+
+
+def _sql_cm_bucket(fp_sql: str, row: int, width: int) -> str:
+    """DuckDB twin of sketches.cm_bucket: the seeded LCG mix of
+    operators/sampling.py reduced mod the grid width (inputs are
+    non-negative, so plain % matches pmod)."""
+    m, a, c = SAMPLE_MOD, SAMPLE_MUL, SAMPLE_INC
+    shifted = f"(({fp_sql}) + {row * SAMPLE_SEED_PRIME})"
+    return f"(((({shifted} % {m}) * {a} + {c}) % {m}) % {width})"
+
+
+_CM_ROWS = ", ".join(str(j) for j in range(_CM_D))
+
+COUNT_MIN_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, {_sql_poly("token")} AS f
+        FROM (SELECT DISTINCT token FROM toks)
+    ),
+    cells AS (
+        SELECT j.j AS cm_row,
+               CASE j.j
+                   {" ".join(f"WHEN {j} THEN {_sql_cm_bucket('v.f', j, _CM_W)}" for j in range(_CM_D))}
+               END AS cm_bucket,
+               COUNT(*) AS n
+        FROM toks t
+        JOIN vocab v USING (token),
+             (SELECT unnest([{_CM_ROWS}]) AS j) j
+        GROUP BY 1, 2
+    ),
+    top20 AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM toks GROUP BY 1
+        ORDER BY exact_n DESC, token LIMIT 20
+    ),
+    probes AS (
+        SELECT t.token, t.exact_n, j.j AS cm_row,
+               CASE j.j
+                   {" ".join(f"WHEN {j} THEN {_sql_cm_bucket('v.f', j, _CM_W)}" for j in range(_CM_D))}
+               END AS cm_bucket
+        FROM top20 t
+        JOIN vocab v USING (token),
+             (SELECT unnest([{_CM_ROWS}]) AS j) j
+    )
+    SELECT p.token, p.exact_n,
+           CAST(MIN(c.n) AS BIGINT) AS cm_n,
+           CAST(MIN(c.n) - p.exact_n AS BIGINT) AS overcount
+    FROM probes p JOIN cells c USING (cm_row, cm_bucket)
+    GROUP BY 1, 2
+"""
+
+
+@query("count_min_freq_report", COUNT_MIN_ORACLE)
+def q_count_min_freq_report(spark, sf_dir):
+    """Count-Min point-frequency estimates vs exact counts for the
+    top-20 corpus tokens (operators/sketches.py cm_sketch): the d x w
+    counter grid is ONE groupBy over derived (row, bucket) keys —
+    Spark's map-side partial aggregation is the sketch merge, so the
+    shuffle moves at most d*w rows per partition no matter how large
+    the corpus, and the grid broadcasts to the probe side. The
+    overcount column (cm_n - exact_n, always >= 0) makes the sketch's
+    approximation error an oracle-tracked number, the same discipline
+    as the ANN recall reports. Grid deliberately narrow (4 x 16) at
+    test scale so collisions actually occur; estimates are exact
+    integer arithmetic, recomputed bit-for-bit by the DuckDB twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"(\S+)"), 1
+            )
+        ).alias("token")
+    )
+    tf = toks.withColumn("f", poly_hash_of(F.col("token")))
+    sketch = cm_sketch(tf, F.col("f"), depth=_CM_D, width=_CM_W)
+    top20 = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token"))
+        .limit(20)
+        .withColumn("f", poly_hash_of(F.col("token")))
+    )
+    est = cm_estimate(
+        sketch,
+        top20,
+        F.col("f"),
+        ["token", "exact_n"],
+        depth=_CM_D,
+        width=_CM_W,
+    )
+    return est.select(
+        "token",
+        "exact_n",
+        "cm_n",
+        (F.col("cm_n") - F.col("exact_n")).alias("overcount"),
+    )

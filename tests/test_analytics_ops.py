@@ -656,3 +656,50 @@ def test_bpe_batched_property_equals_sequential(spark):
         assert got == sorted(want)
 
     check()
+
+
+def test_count_min_never_undercounts_and_bounds(spark):
+    """CM property on a random multiset: every estimate >= the true
+    count (counters only overcount), estimates of present items are
+    positive, an absent item whose cells happen to be empty reads 0,
+    and the grid never exceeds depth*width cells."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    rng = random.Random(20260815)
+    items = [rng.randrange(50) for _ in range(4000)]
+    exact = {}
+    for it in items:
+        exact[it] = exact.get(it, 0) + 1
+    df = spark.createDataFrame(
+        [(v,) for v in items], "f long"
+    ).repartition(7)
+    depth, width = 4, 8  # narrow on purpose: force collisions
+    sketch = cm_sketch(df, F.col("f"), depth=depth, width=width)
+    cells = sketch.collect()
+    assert len(cells) <= depth * width
+    assert sum(r.n for r in cells) == len(items) * depth
+
+    queries = spark.createDataFrame(
+        [(v,) for v in sorted(exact)] + [(999_999,)], "f long"
+    )
+    est = {
+        r.f: r.cm_n
+        for r in cm_estimate(
+            sketch, queries, F.col("f"), ["f"],
+            depth=depth, width=width,
+        ).collect()
+    }
+    n = len(items)
+    for v, true_n in exact.items():
+        assert est[v] >= true_n, (v, est[v], true_n)
+        # deterministic grid: worst-row overcount is bounded by the
+        # total mass that can share a cell
+        assert est[v] <= n
+    assert est[999_999] >= 0  # absent item: min over its cells
