@@ -203,3 +203,72 @@ def cm_estimate(
         .groupBy(*key_cols)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: mergeable distinct counts that can
+# INTERSECT
+# ---------------------------------------------------------------------------
+#
+# HLL (Spark's approx_count_distinct) unions cheaply but cannot
+# estimate |A ∩ B|; the KMV sketch (Bar-Yossef et al. 2002; Beyer et
+# al. 2007 for the unbiased estimator and set operations) keeps the k
+# smallest distinct hash values per set, and because min-k of a union
+# is computable from the per-set min-k arrays, union/intersection/
+# Jaccard all come out of the sketches alone. That's the tool for
+# "how much does the training corpus overlap the eval set" at 100 TB,
+# where the exact distinct-intersection groupBy is the cost ceiling.
+#
+# Estimators (k-th smallest hash h_k over a domain of size M):
+#   distinct(A)  ≈ (k-1) * M / h_k          (exact when |A| < k)
+#   K(A ∪ B)     = first k of sorted merge of K(A), K(B)
+#   ρ            = |K(A∪B) ∩ K(A) ∩ K(B)| / k
+#   |A ∩ B|      ≈ ρ * distinct-estimate(A ∪ B),  Jaccard ≈ ρ
+#
+# Everything is exact integer/IEEE arithmetic over the deterministic
+# polynomial fingerprints, so the differential oracle recomputes the
+# ESTIMATES bit-for-bit — approximation error is an oracle-tracked
+# number, never an invisible hazard.
+
+KMV_K = 256
+KMV_FANOUT = 64
+
+
+def kmv_min_k(
+    df: DataFrame,
+    value: Column,
+    group: Column,
+    k: int = KMV_K,
+    fanout: int = KMV_FANOUT,
+) -> DataFrame:
+    """Per-group k smallest DISTINCT values as a sorted array column
+    ``kmv``, via a two-level tree aggregation: level 1 reduces each
+    (group, value mod fanout) bucket to at most k values (collect_set
+    state is bounded by the bucket's distinct count, and the shuffle
+    carries at most fanout*k rows per group), level 2 merges the
+    bucket arrays. A value lands in exactly one bucket, so the merged
+    arrays are duplicate-free by construction."""
+    lvl1 = (
+        df.select(group.alias("g"), value.alias("v"))
+        .groupBy("g", F.pmod(F.col("v"), F.lit(fanout)).alias("_b"))
+        .agg(F.slice(F.array_sort(F.collect_set("v")), 1, k).alias("_arr"))
+    )
+    return lvl1.groupBy("g").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_arr"))), 1, k
+        ).alias("kmv")
+    )
+
+
+def kmv_distinct_estimate(
+    kmv: Column, domain: int, k: int = KMV_K
+) -> Column:
+    """Unbiased distinct-count estimate from a min-k array: exact size
+    while the sketch is not full (the set fit entirely), else
+    (k-1)*M / h_k. (k-1)*M stays below 2^53, so the double literal is
+    exact and the single IEEE division is bit-identical cross-engine."""
+    return F.when(
+        F.size(kmv) < k, F.size(kmv).cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * domain)) / F.element_at(kmv, k)
+    )

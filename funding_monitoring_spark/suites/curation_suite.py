@@ -889,3 +889,230 @@ def q_span_dedup_cleaned_docs(spark, sf_dir):
             "cleaned_text"
         ),
     )
+
+
+# -- KMV dataset-overlap report ------------------------------------------
+
+from funding_monitoring_spark.operators.dedup import (
+    POLY_MOD as _KMV_M,
+)
+from funding_monitoring_spark.operators.dedup import (
+    shingle_fingerprints,
+)
+from funding_monitoring_spark.operators.sampling import (
+    hash_threshold,
+    oracle_hash_expr,
+    train_test_split,
+)
+from funding_monitoring_spark.operators.sketches import (
+    kmv_distinct_estimate,
+    kmv_min_k,
+)
+
+#: same split as sampling_suite's train_test_split_stats (seed 7,
+#: 80/20) so the overlap report reads on the split users actually ship
+_KMV_SEED = 7
+_KMV_FRAC = 0.8
+_KMV_K = 256
+_KMV_NUM = (_KMV_K - 1) * _KMV_M  # < 2^53: exact as a double literal
+
+
+def _sql_kmv_est(kset: str) -> str:
+    """DuckDB twin of sketches.kmv_distinct_estimate over a named
+    min-k CTE: exact size while not full, else (k-1)*M / h_k."""
+    return f"""
+        CASE WHEN (SELECT COUNT(*) FROM {kset}) < {_KMV_K}
+             THEN CAST((SELECT COUNT(*) FROM {kset}) AS DOUBLE)
+             ELSE CAST({_KMV_NUM} AS DOUBLE)
+                  / (SELECT MAX(f) FROM {kset})
+        END
+    """
+
+
+_KMV_H = oracle_hash_expr("doc_id", _KMV_SEED)
+
+DATASET_OVERLAP_KMV_ORACLE = f"""
+    WITH tagged AS (
+        SELECT CASE WHEN {_KMV_H} < {hash_threshold(_KMV_FRAC)}
+                    THEN 'train' ELSE 'test' END AS split,
+               text
+        FROM documents
+    ),
+    fps AS (
+        SELECT DISTINCT split, f
+        FROM (SELECT split, unnest({_FPS}) AS f FROM tagged)
+    ),
+    ka AS (SELECT f FROM fps WHERE split = 'train'
+           ORDER BY f LIMIT {_KMV_K}),
+    kb AS (SELECT f FROM fps WHERE split = 'test'
+           ORDER BY f LIMIT {_KMV_K}),
+    ku AS (SELECT f FROM (SELECT f FROM ka UNION SELECT f FROM kb) u
+           ORDER BY f LIMIT {_KMV_K}),
+    scal AS (
+        SELECT
+            (SELECT COUNT(*) FROM fps WHERE split = 'train')
+                AS exact_train,
+            (SELECT COUNT(*) FROM fps WHERE split = 'test')
+                AS exact_test,
+            (SELECT COUNT(*) FROM (
+                SELECT f FROM fps GROUP BY f
+                HAVING COUNT(DISTINCT split) = 2)) AS exact_inter,
+            (SELECT COUNT(*) FROM ku
+             WHERE f IN (SELECT f FROM ka)
+               AND f IN (SELECT f FROM kb)) AS rho_n,
+            ROUND({_sql_kmv_est("ka")}, 4) AS est_train,
+            ROUND({_sql_kmv_est("kb")}, 4) AS est_test,
+            ROUND({_sql_kmv_est("ku")}, 4) AS est_union,
+            CASE WHEN (SELECT COUNT(*) FROM ku) < {_KMV_K}
+                 THEN CAST((SELECT COUNT(*) FROM (
+                     SELECT f FROM fps GROUP BY f
+                     HAVING COUNT(DISTINCT split) = 2)) AS DOUBLE)
+                 ELSE ROUND(
+                     (CAST((SELECT COUNT(*) FROM ku
+                            WHERE f IN (SELECT f FROM ka)
+                              AND f IN (SELECT f FROM kb)) AS DOUBLE)
+                      / {float(_KMV_K)})
+                     * (CAST({_KMV_NUM} AS DOUBLE)
+                        / (SELECT MAX(f) FROM ku)), 4)
+            END AS est_inter
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(exact_train AS BIGINT) AS exact_train,
+           CAST(exact_test AS BIGINT) AS exact_test,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           est_train, est_test, est_union, est_inter,
+           ROUND(CAST(rho_n AS DOUBLE) / {float(_KMV_K)}, 4)
+               AS jaccard_est,
+           ROUND(CAST(exact_inter AS DOUBLE)
+                 / (exact_train + exact_test - exact_inter), 4)
+               AS jaccard_exact,
+           CASE WHEN exact_inter > 0
+                THEN ROUND(ABS(est_inter - exact_inter)
+                           / exact_inter, 4)
+           END AS rel_err_inter
+    FROM scal
+"""
+
+
+@query("dataset_overlap_kmv", DATASET_OVERLAP_KMV_ORACLE)
+def q_dataset_overlap_kmv(spark, sf_dir):
+    """Train/eval shingle-set overlap from KMV min-k sketches
+    (operators/sketches.py kmv_min_k): HLL unions but cannot
+    intersect; the k smallest distinct fingerprints per side support
+    union, intersection, and Jaccard estimates from 2*k values total —
+    the 100 TB contamination-screening tool, where the exact
+    distinct-intersection groupBy (test_set_contamination above) is
+    the cost ceiling. The report carries BOTH the estimates and the
+    exact counts, so the sketch's error is an oracle-tracked number
+    (same discipline as the ANN recall reports); a sketch-only
+    deployment drops the exact columns and the full-fingerprint
+    shuffle with them. Estimates are single IEEE divisions over exact
+    integers — recomputed bit-for-bit by the DuckDB twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = train_test_split(docs, "doc_id", _KMV_FRAC, _KMV_SEED)
+    fps = tagged.select(
+        "split",
+        F.explode(shingle_fingerprints(F.col("text"))).alias("f"),
+    )
+    sketches = kmv_min_k(
+        fps, F.col("f"), F.col("split"), k=_KMV_K
+    )
+    arrs = sketches.groupBy().agg(
+        F.first(
+            F.when(F.col("g") == "train", F.col("kmv")),
+            ignorenulls=True,
+        ).alias("ka"),
+        F.first(
+            F.when(F.col("g") == "test", F.col("kmv")),
+            ignorenulls=True,
+        ).alias("kb"),
+    )
+    flags = fps.groupBy("f").agg(
+        F.max(
+            F.when(F.col("split") == "train", 1).otherwise(0)
+        ).alias("in_tr"),
+        F.max(
+            F.when(F.col("split") == "test", 1).otherwise(0)
+        ).alias("in_te"),
+    )
+    exact = flags.agg(
+        F.sum("in_tr").alias("exact_train"),
+        F.sum("in_te").alias("exact_test"),
+        F.sum(F.col("in_tr") * F.col("in_te")).alias("exact_inter"),
+    )
+    ku = F.slice(
+        F.array_sort(
+            F.array_distinct(F.concat(F.col("ka"), F.col("kb")))
+        ),
+        1,
+        _KMV_K,
+    )
+    combined = (
+        exact.crossJoin(F.broadcast(arrs))
+        .withColumn("ku", ku)
+        .withColumn(
+            "rho_n",
+            F.size(
+                F.filter(
+                    F.col("ku"),
+                    lambda v: F.array_contains(F.col("ka"), v)
+                    & F.array_contains(F.col("kb"), v),
+                )
+            ),
+        )
+        .withColumn(
+            "est_inter",
+            F.when(
+                F.size(F.col("ku")) < _KMV_K,
+                F.col("exact_inter").cast("double"),
+            ).otherwise(
+                F.round(
+                    (
+                        F.col("rho_n").cast("double")
+                        / F.lit(float(_KMV_K))
+                    )
+                    * (
+                        F.lit(float(_KMV_NUM))
+                        / F.element_at(F.col("ku"), _KMV_K)
+                    ),
+                    4,
+                )
+            ),
+        )
+    )
+    return combined.select(
+        F.lit(_KMV_K).cast("bigint").alias("k"),
+        "exact_train",
+        "exact_test",
+        "exact_inter",
+        F.round(
+            kmv_distinct_estimate(F.col("ka"), _KMV_M, _KMV_K), 4
+        ).alias("est_train"),
+        F.round(
+            kmv_distinct_estimate(F.col("kb"), _KMV_M, _KMV_K), 4
+        ).alias("est_test"),
+        F.round(
+            kmv_distinct_estimate(F.col("ku"), _KMV_M, _KMV_K), 4
+        ).alias("est_union"),
+        "est_inter",
+        F.round(
+            F.col("rho_n").cast("double") / F.lit(float(_KMV_K)), 4
+        ).alias("jaccard_est"),
+        F.round(
+            F.col("exact_inter").cast("double")
+            / (
+                F.col("exact_train")
+                + F.col("exact_test")
+                - F.col("exact_inter")
+            ),
+            4,
+        ).alias("jaccard_exact"),
+        F.when(
+            F.col("exact_inter") > 0,
+            F.round(
+                F.abs(F.col("est_inter") - F.col("exact_inter"))
+                / F.col("exact_inter"),
+                4,
+            ),
+        ).alias("rel_err_inter"),
+    )

@@ -703,3 +703,55 @@ def test_count_min_never_undercounts_and_bounds(spark):
         # total mass that can share a cell
         assert est[v] <= n
     assert est[999_999] >= 0  # absent item: min over its cells
+
+
+def test_kmv_exact_small_sets_and_estimate_error(spark):
+    """KMV properties: a set smaller than k is reproduced exactly
+    (sketch = the set, estimate = true count); for a large set the
+    (k-1)*M/h_k estimate lands within the ~2/sqrt(k) relative-error
+    envelope for the LCG-hashed integer universe."""
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.operators.sampling import key_hash
+    from funding_monitoring_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_min_k,
+    )
+
+    small = spark.createDataFrame(
+        [(v % 100,) for v in range(1000)], "v long"
+    ).withColumn("g", F.lit("s"))
+    sk = kmv_min_k(small, F.col("v"), F.col("g"), k=256).collect()[0]
+    assert sk.kmv == sorted(set(range(100)))
+    est = (
+        kmv_min_k(small, F.col("v"), F.col("g"), k=256)
+        .select(
+            kmv_distinct_estimate(
+                F.col("kmv"), 2_147_483_648, 256
+            ).alias("e")
+        )
+        .collect()[0]
+        .e
+    )
+    assert est == 100.0
+
+    n = 60_000
+    big = (
+        spark.range(n)
+        .select(key_hash(F.col("id"), seed=3).alias("v"))
+        .withColumn("g", F.lit("b"))
+        .repartition(8)
+    )
+    est_big = (
+        kmv_min_k(big, F.col("v"), F.col("g"), k=256)
+        .select(
+            kmv_distinct_estimate(
+                F.col("kmv"), 2_147_483_648, 256
+            ).alias("e")
+        )
+        .collect()[0]
+        .e
+    )
+    # distinct(v) <= n; LCG over a 2^31 domain from 60k keys has few
+    # collisions, so the true distinct count is within a hair of n
+    assert abs(est_big - n) / n < 2 / (256 ** 0.5), est_big
