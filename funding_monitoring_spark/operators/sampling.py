@@ -28,7 +28,7 @@ not be able to *predict* membership should mix a secret seed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SAMPLE_MOD = 2_147_483_648  # 2^31
@@ -158,4 +158,45 @@ def kfold_assign(
     return df.withColumn(
         fold_col,
         F.pmod(key_hash(F.col(key), seed), F.lit(k)).cast("int"),
+    )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic weight-proportional sample: k rows per group by
+    PRIORITY SAMPLING (Duffield, Lund & Thorup 2007) — priority
+    q_i = w_i / u_i with u_i a deterministic uniform in (0, 1] derived
+    from the key hash; keep the k largest priorities per group.
+    Heavier rows win proportionally more often, every row keeps a
+    nonzero chance, and — unlike A-ES exponential weighting — the
+    priority needs NO transcendental function: two IEEE divisions over
+    exact integers, so membership is bit-identical across engines,
+    runs, and cluster sizes (the differential oracle checks the actual
+    sampled rows). Ties (equal weight AND colliding 31-bit hash) break
+    on the key, keeping the sample a pure function of the data.
+
+    The ranking is one per-group window — the same single-shuffle
+    shape as operators/topk.py; at 100 TB the group cardinality is the
+    parallelism, and a skewed group can pre-reduce with a per-partition
+    top-k before the window without changing the result (any local
+    row below its partition's k-th priority can never enter the global
+    top k)."""
+    u = (key_hash(F.col(key), seed) + F.lit(1)).cast("double") / F.lit(
+        float(SAMPLE_MOD)
+    )
+    pri = F.col(weight_col).cast("double") / u
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(pri.desc(), F.col(key))
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
     )

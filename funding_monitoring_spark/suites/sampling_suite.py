@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from funding_monitoring_spark.operators.sampling import (
+    SAMPLE_MOD,
     hash_sample,
     hash_threshold,
     oracle_hash_expr,
@@ -202,3 +203,51 @@ def q_kfold_split_stats(spark, sf_dir):
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+# -- weighted (priority) sampling ----------------------------------------
+
+_WPS_K = 20
+
+
+@query(
+    "weighted_sample_priority",
+    f"""
+    WITH pri AS (
+        SELECT lang, doc_id, n_chars,
+               CAST(n_chars AS DOUBLE)
+               / (CAST(({_H}) + 1 AS DOUBLE) / {float(SAMPLE_MOD)})
+                   AS p
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY p DESC, doc_id
+               ) AS sample_rank
+        FROM pri
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= {_WPS_K}
+    """,
+)
+def q_weighted_sample_priority(spark, sf_dir):
+    """Weight-proportional sample of 20 docs per language, weighted by
+    document length (operators/sampling.py weighted_priority_sample):
+    priority sampling keeps the k largest w/u priorities with u a
+    deterministic uniform from the key hash — longer documents are
+    proportionally likelier, yet membership stays a pure function of
+    the data (resumable, auditable, bit-identical across engines; the
+    oracle checks the SAMPLED ROWS, not a count). Chosen over A-ES
+    exponential keys because w/u needs no transcendental function —
+    the two IEEE divisions are exactly reproducible in any engine;
+    pow/log implementations are not guaranteed to be."""
+    from funding_monitoring_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_priority_sample(
+        docs, "lang", "doc_id", "n_chars", _WPS_K, seed=SAMPLE_SEED
+    ).select("lang", "doc_id", "n_chars", "sample_rank")

@@ -63,3 +63,41 @@ def test_sample_predicate_no_shuffle(spark, sf_dir):
     plan = plan_string(hash_sample(docs, "doc_id", 0.2).select("doc_id"))
     assert not re.search(r"Exchange", plan), plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_weighted_priority_sample_prefers_heavy_rows(spark, sf_dir):
+    """Priority sampling properties: exactly k rows per group,
+    deterministic across runs, and weight-proportional — the sampled
+    rows' mean weight exceeds the population mean (longer docs are
+    proportionally likelier under q = w/u)."""
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+    from funding_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = weighted_priority_sample(
+        docs, "lang", "doc_id", "n_chars", 10, seed=7
+    )
+    rows = s1.collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r.lang, []).append(r.doc_id)
+    n_langs = docs.select("lang").distinct().count()
+    assert len(per_group) == n_langs
+    for ids in per_group.values():
+        assert len(ids) == 10 and len(set(ids)) == 10
+
+    # determinism: a second evaluation selects the identical rows
+    s2 = weighted_priority_sample(
+        docs, "lang", "doc_id", "n_chars", 10, seed=7
+    )
+    assert sorted((r.lang, r.doc_id) for r in s2.collect()) == sorted(
+        (r.lang, r.doc_id) for r in rows
+    )
+
+    pop_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    samp_mean = s1.agg(F.avg("n_chars")).collect()[0][0]
+    assert samp_mean > pop_mean, (samp_mean, pop_mean)
