@@ -1,0 +1,178 @@
+"""Approximate string join under an edit-distance bound, without the
+cross join: q-gram prefix filtering + banded Levenshtein verify.
+
+The task — "find all pairs of keys within edit distance d" — is the
+entity-resolution / near-dup-title primitive a curation pipeline needs
+(canonicalizing URLs, titles, product names). The naive plan is an
+O(N²) cross join; the classic fix (SSJoin, Chaudhuri et al. 2006; the
+prefix-filtering family of PPJoin, Xiao et al. 2008) turns the bound
+into a set-overlap condition on q-gram sets and blocks on a tiny
+PREFIX of each set:
+
+  1. one edit changes at most q distinct q-grams, so
+     dist(a, b) <= d  =>  |G_a ∩ G_b| >= max(|G_a|, |G_b|) - d*q;
+  2. order all grams by global frequency (rarest first): two sets with
+     that much overlap MUST share a gram within their first d*q + 1
+     grams (prefix principle) — provided the larger set has more than
+     d*q grams;
+  3. pairs where BOTH gram sets are that small fall back to a
+     within-group all-pairs over just those rows (the "short block").
+
+Candidates therefore come from a self-join on (group, prefix-gram) —
+the shuffle key is a gram, never a row pair — followed by an exact
+verify: a length filter (|len_a - len_b| <= d is necessary) and
+Spark's banded ``levenshtein(l, r, threshold)``, which abandons a pair
+the moment its distance provably exceeds d. The result is EXACT —
+identical to the cross-join query — so the differential oracle is the
+plain brute-force SQL; blocking affects how much data moves, never
+the answer (the same contract as sketches.frequent_items_exact_2pass).
+
+Scale: the prefix explode emits d*q + 1 rows per string; the
+candidate join shuffles (group, gram) keys; the verify join shuffles
+candidate ids. Nothing is ever quadratic in N unless the data itself
+is (a degenerate corpus where everything matches everything). A
+``max_bucket`` guard fails loudly when a blocking bucket exceeds the
+configured bound — the signal to raise q or tighten the grouping, the
+same guarded-matrix discipline as operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def qgram_set(s: Column, q: int) -> Column:
+    """Distinct q-grams of a string (positional-free); a string
+    shorter than q contributes itself as its only gram."""
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(s) - (q - 1), F.lit(1))
+    )
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.substring(s, i, q))
+    )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    str_col: str,
+    d: int,
+    q: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """All within-group pairs (id_a < id_b) whose ``str_col`` values
+    are within Levenshtein distance ``d``. Exact output; blocking per
+    the module docstring. Returns (group, id_a, id_b, dist).
+
+    ``max_bucket`` eagerly checks that no (group, prefix-gram)
+    blocking bucket exceeds the bound and raises with the offending
+    gram — candidate volume is quadratic in the largest bucket, so a
+    hot bucket is a plan hazard the caller must see, not absorb."""
+    p = d * q + 1
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(group_col).alias("_g"),
+            F.col(str_col).alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .withColumn("_grams", qgram_set(F.col("_s"), q))
+        .withColumn("_gn", F.size("_grams"))
+    )
+
+    # every row joins the prefix index — a short set's "prefix" is the
+    # whole set, which is exactly what the prefix principle needs for
+    # short-vs-long pairs (t = |G_long| - d*q >= 1 holds); only
+    # short-vs-short pairs lack the guarantee and go to the fallback
+    exploded = base.select(
+        "_id", "_g", F.explode("_grams").alias("_gram")
+    )
+    freq = exploded.groupBy("_gram").agg(
+        F.count(F.lit(1)).alias("_gf")
+    )
+    w = Window.partitionBy("_id").orderBy("_gf", "_gram")
+    prefix = (
+        exploded.join(freq, "_gram")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= p)
+        .select("_id", "_g", "_gram")
+    )
+
+    if max_bucket is not None:
+        hot = (
+            prefix.groupBy("_g", "_gram")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            r = hot[0]
+            raise ValueError(
+                f"edit_distance_join blocking bucket (group={r._g!r}, "
+                f"gram={r._gram!r}) holds {r._n} rows > max_bucket="
+                f"{max_bucket}: candidate volume is quadratic in the "
+                "bucket — raise q, tighten the group, or raise the "
+                "bound deliberately"
+            )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand_long = (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._gram") == F.col("b._gram"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._g").alias("_g"),
+            F.col("a._id").alias("_ida"),
+            F.col("b._id").alias("_idb"),
+        )
+    )
+    shorts = base.filter(F.col("_gn") <= d * q).select("_id", "_g")
+    sa, sb = shorts.alias("sa"), shorts.alias("sb")
+    cand_short = sa.join(
+        sb,
+        (F.col("sa._g") == F.col("sb._g"))
+        & (F.col("sa._id") < F.col("sb._id")),
+    ).select(
+        F.col("sa._g").alias("_g"),
+        F.col("sa._id").alias("_ida"),
+        F.col("sb._id").alias("_idb"),
+    )
+    cands = cand_long.union(cand_short).distinct()
+
+    strings = base.select("_id", "_s", F.length("_s").alias("_len"))
+    verified = (
+        cands.join(
+            strings.select(
+                F.col("_id").alias("_ida"),
+                F.col("_s").alias("_sa"),
+                F.col("_len").alias("_la"),
+            ),
+            "_ida",
+        )
+        .join(
+            strings.select(
+                F.col("_id").alias("_idb"),
+                F.col("_s").alias("_sb"),
+                F.col("_len").alias("_lb"),
+            ),
+            "_idb",
+        )
+        .filter(F.abs(F.col("_la") - F.col("_lb")) <= d)
+        .withColumn(
+            "_dist",
+            F.levenshtein(F.col("_sa"), F.col("_sb"), d),
+        )
+        .filter(F.col("_dist") >= 0)
+    )
+    return verified.select(
+        F.col("_g").alias(group_col),
+        F.col("_ida").alias(f"{id_col}_a"),
+        F.col("_idb").alias(f"{id_col}_b"),
+        F.col("_dist").cast("bigint").alias("dist"),
+    )

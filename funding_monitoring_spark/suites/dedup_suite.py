@@ -395,3 +395,55 @@ def q_simhash_distance_histogram(spark, sf_dir):
     return pairs.groupBy("hamming").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+# -- edit-distance fuzzy join --------------------------------------------
+
+_FUZZY_D = 3
+_FUZZY_TITLE_LEN = 40
+
+FUZZY_TITLE_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               substring(text, 1, {_FUZZY_TITLE_LEN}) AS title
+        FROM documents
+    )
+    SELECT a.lang,
+           a.doc_id AS doc_id_a,
+           b.doc_id AS doc_id_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE abs(length(a.title) - length(b.title)) <= {_FUZZY_D}
+      AND levenshtein(a.title, b.title) <= {_FUZZY_D}
+"""
+
+
+@query("fuzzy_title_pairs", FUZZY_TITLE_ORACLE)
+def q_fuzzy_title_pairs(spark, sf_dir):
+    """Within-language document pairs whose 40-char title prefixes are
+    within edit distance 3 (operators/fuzzyjoin.py edit_distance_join)
+    — the entity-resolution primitive for canonicalizing titles/URLs
+    at corpus scale. Candidates come from a self-join on (lang,
+    prefix q-gram) — the shuffle key is a gram, never a row pair —
+    then banded Levenshtein verifies exactly, so the result is
+    IDENTICAL to the O(N²) cross join the oracle runs; blocking
+    changes data movement, never the answer. The corpus is ASCII, so
+    Spark's codepoint Levenshtein and DuckDB's byte-based one agree
+    (asserted structurally: titles are drawn from '\\S+' ASCII word
+    text; a multibyte corpus would need a byte-identical key)."""
+    from funding_monitoring_spark.operators.fuzzyjoin import (
+        edit_distance_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.col("text"), 1, _FUZZY_TITLE_LEN).alias(
+            "title"
+        ),
+    )
+    return edit_distance_join(
+        titles, "doc_id", "lang", "title", _FUZZY_D, q=3
+    ).select("lang", "doc_id_a", "doc_id_b", "dist")

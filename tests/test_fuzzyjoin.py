@@ -1,0 +1,134 @@
+"""edit_distance_join must be EXACTLY the cross-join query: blocking
+(prefix filter + short fallback) affects data movement, never the
+answer. These tests compare against a pure-Python DP brute force on
+adversarial corpora — a tiny alphabet pushing everything into the
+short block, and a mutated-clone corpus exercising the long/prefix
+path — plus the hot-bucket guard."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.operators.fuzzyjoin import (
+    edit_distance_join,
+    qgram_set,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _brute(rows, d):
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, ga, sa), (ib, gb, sb) = rows[i], rows[j]
+            if ga != gb:
+                continue
+            lo, hi = (ia, ib) if ia < ib else (ib, ia)
+            dist = _lev(sa, sb)
+            if dist <= d:
+                out.add((ga, lo, hi, dist))
+    return out
+
+
+def _run(spark, rows, d, q=3):
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+    got = {
+        (r.g, r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(
+            df.repartition(5), "id", "g", "s", d, q=q
+        ).collect()
+    }
+    assert got == _brute(rows, d)
+
+
+def test_fuzzy_join_short_block_tiny_alphabet(spark):
+    """Alphabet {a, b}: distinct 3-gram sets max out at 8 <= d*q, so
+    nearly every string lands in the short fallback — the regime where
+    plain prefix filtering silently loses pairs."""
+    rng = random.Random(6)
+    rows = [
+        (
+            i,
+            "g" + str(i % 2),
+            "".join(rng.choice("ab") for _ in range(rng.randint(3, 10))),
+        )
+        for i in range(160)
+    ]
+    _run(spark, rows, d=2)
+
+
+def test_fuzzy_join_mutated_clones_long_path(spark):
+    """Mutated clones of a few base strings over a 6-letter alphabet:
+    long gram sets (prefix path), real matches at known distances,
+    and cross-group isolation."""
+    rng = random.Random(7)
+    bases = [
+        "".join(rng.choice("abcdef") for _ in range(20))
+        for _ in range(12)
+    ]
+    rows = []
+    for i in range(150):
+        s = list(rng.choice(bases))
+        for _ in range(rng.randint(0, 3)):
+            op = rng.choice("sid")
+            pos = rng.randrange(len(s))
+            if op == "s":
+                s[pos] = rng.choice("abcdef")
+            elif op == "i":
+                s.insert(pos, rng.choice("abcdef"))
+            elif len(s) > 1:
+                del s[pos]
+        rows.append((i, "g" + str(i % 2), "".join(s)))
+    _run(spark, rows, d=2)
+
+
+def test_fuzzy_join_mixed_short_and_long(spark):
+    """Short and long strings in one group: short-vs-long pairs must
+    come out of the prefix join (the short set IS its own prefix)."""
+    rows = [
+        (1, "g", "ab"),
+        (2, "g", "abc"),
+        (3, "g", "abcdefghijklmnop"),
+        (4, "g", "abcdefghijklmnoX"),
+        (5, "g", "abcdefghijklmn"),
+        (6, "g", ""),
+        (7, "g", "a"),
+    ]
+    _run(spark, rows, d=2)
+
+
+def test_fuzzy_join_hot_bucket_guard(spark):
+    """A degenerate corpus (everyone shares every gram) must trip the
+    max_bucket guard, not silently build a quadratic candidate set."""
+    rows = [(i, "g", "aaaaaaaaaaaaaaaa") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+    with pytest.raises(ValueError, match="max_bucket"):
+        edit_distance_join(df, "id", "g", "s", 2, q=3, max_bucket=10)
+
+
+def test_qgram_set_edges(spark):
+    df = spark.createDataFrame(
+        [("abcd",), ("ab",), ("",)], "s string"
+    ).select(qgram_set(F.col("s"), 3).alias("g"))
+    got = [r.g for r in df.collect()]
+    assert got == [["abc", "bcd"], ["ab"], [""]]
