@@ -447,3 +447,68 @@ def q_fuzzy_title_pairs(spark, sf_dir):
     return edit_distance_join(
         titles, "doc_id", "lang", "title", _FUZZY_D, q=3
     ).select("lang", "doc_id_a", "doc_id_b", "dist")
+
+
+FUZZY_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang,
+               substring(text, 1, {_FUZZY_TITLE_LEN}) AS title
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE abs(length(a.title) - length(b.title)) <= {_FUZZY_D}
+          AND levenshtein(a.title, b.title) <= {_FUZZY_D}
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
+@query("fuzzy_title_clusters", FUZZY_CLUSTERS_ORACLE)
+def q_fuzzy_title_clusters(spark, sf_dir):
+    """Entity-resolution end to end: fuzzy title pairs (prefix-filter
+    blocking + banded Levenshtein, exact) feed connected components,
+    and every document gets its canonical cluster representative (min
+    doc_id survivor rule) — the same clustering contract as
+    dedup_clusters, over an edit-distance graph instead of a Jaccard
+    one. Transitivity is the point: titles A~B and B~C within
+    distance 3 may sit 6 apart, and a record-linkage pipeline must
+    still merge them; the recursive-CTE oracle value-checks the
+    closure per document."""
+    from funding_monitoring_spark.operators.components import (
+        dedup_cluster_assignment,
+    )
+    from funding_monitoring_spark.operators.fuzzyjoin import (
+        edit_distance_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.col("text"), 1, _FUZZY_TITLE_LEN).alias(
+            "title"
+        ),
+    )
+    pairs = edit_distance_join(
+        titles, "doc_id", "lang", "title", _FUZZY_D, q=3
+    )
+    return dedup_cluster_assignment(
+        docs, pairs, src="doc_id_a", dst="doc_id_b"
+    ).select("doc_id", "cluster_id", "is_canonical")
