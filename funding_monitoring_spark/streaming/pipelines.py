@@ -1166,6 +1166,14 @@ def _dispatch_pipeline(
             spark, chunks_dir, schema, store, checkpoint
         )
         return spark.read.parquet(store)
+    if pipeline == "cm_rollup":
+        store = os.path.join(workdir, "cm_cells")
+        streaming_cm_rollup(spark, chunks_dir, schema, store, checkpoint)
+        return (
+            spark.read.parquet(store)
+            .groupBy("cm_row", "cm_bucket")
+            .agg(F.sum("n").alias("n"))
+        )
     if pipeline == "sketch_rollup":
         store = os.path.join(workdir, "sketches")
         streaming_sketch_rollup(
@@ -1190,6 +1198,54 @@ def _dispatch_pipeline(
             )
         )
     raise ValueError(f"unknown pipeline {pipeline!r}")
+
+
+def streaming_cm_rollup(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 16,
+    available_now: bool = True,
+):
+    """Count-Min cells maintained across ticks — the ADDITIVE sibling
+    of streaming_sketch_rollup's register-max HLL merge: each
+    micro-batch sketches ONLY its own rows into a d x w grid
+    (operators/sketches.cm_sketch, constant memory) and the live grid
+    is the cell-wise SUM across batches.
+
+    Addition is not idempotent, so effectively-once cannot lean on the
+    merge operator the way HLL's max can; it comes from the LEDGER
+    layout instead (same pattern as streaming_contract_ledger): every
+    batch overwrites its own ``batch_id=N`` partition, so a
+    redelivered batch rewrites identical cell rows rather than
+    double-counting into an accumulator. The store stays
+    O(batches x depth x width) tiny rows, and reading the grid is one
+    partial-aggregated groupBy over it."""
+    from funding_monitoring_spark.operators.sketches import cm_sketch
+
+    src = stream_from_chunks(spark, chunks_dir, schema)
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cells = cm_sketch(
+            batch.select(F.col("user_id").alias("f")),
+            F.col("f"),
+            depth=depth,
+            width=width,
+        )
+        cells.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+
+    writer = src.writeStream.foreachBatch(on_batch)
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+    return q
 
 
 def streaming_sketch_rollup(

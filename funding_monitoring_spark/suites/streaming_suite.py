@@ -719,3 +719,94 @@ def q_stream_max_drawdown(spark, sf_dir):
     return _replay(
         spark, sf_dir, "drawdown_stateful", state_partitions=32
     )
+
+
+# -- streaming Count-Min rollup ------------------------------------------
+
+from funding_monitoring_spark.suites.analytics_suite import (
+    _sql_cm_bucket,
+)
+
+_SCM_W = 16
+_SCM_D = 4
+_SCM_ROWS = ", ".join(str(j) for j in range(_SCM_D))
+
+
+def _scm_bucket_case(fp_sql: str) -> str:
+    return (
+        "CASE j.j "
+        + " ".join(
+            f"WHEN {j} THEN {_sql_cm_bucket(fp_sql, j, _SCM_W)}"
+            for j in range(_SCM_D)
+        )
+        + " END"
+    )
+
+
+@query(
+    "stream_count_min_rollup",
+    f"""
+    WITH cells AS (
+        SELECT j.j AS cm_row,
+               {_scm_bucket_case("e.user_id")} AS cm_bucket,
+               COUNT(*) AS n
+        FROM events e, (SELECT unnest([{_SCM_ROWS}]) AS j) j
+        GROUP BY 1, 2
+    ),
+    top20 AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY 1
+        ORDER BY exact_n DESC, user_id LIMIT 20
+    ),
+    probes AS (
+        SELECT t.user_id, t.exact_n, j.j AS cm_row,
+               {_scm_bucket_case("t.user_id")} AS cm_bucket
+        FROM top20 t, (SELECT unnest([{_SCM_ROWS}]) AS j) j
+    )
+    SELECT p.user_id, p.exact_n,
+           CAST(MIN(c.n) AS BIGINT) AS cm_n,
+           CAST(MIN(c.n) - p.exact_n AS BIGINT) AS overcount
+    FROM probes p JOIN cells c USING (cm_row, cm_bucket)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_count_min_rollup(spark, sf_dir):
+    """The Count-Min grid as a STREAM: each micro-batch sketches its
+    own rows and the live grid is the cell-wise sum across batches
+    (streaming/pipelines.streaming_cm_rollup). Addition is not
+    idempotent — unlike the HLL rollup's register max — so
+    effectively-once comes from the batch-id ledger layout: a
+    redelivered batch rewrites its own partition instead of
+    double-counting. The converged grid is therefore EXACTLY the
+    batch-mode grid, and the per-user point estimates against the
+    exact top-20 activity counts hash against the same oracle the
+    batch twin (count_min_freq_report) uses — streamed approximation
+    error stays an oracle-tracked number."""
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.operators.sketches import (
+        cm_estimate,
+    )
+
+    grid = _replay(spark, sf_dir, "cm_rollup")
+    events = load_table(spark, sf_dir, "events")
+    top20 = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id"))
+        .limit(20)
+    )
+    est = cm_estimate(
+        grid,
+        top20,
+        F.col("user_id"),
+        ["user_id", "exact_n"],
+        depth=_SCM_D,
+        width=_SCM_W,
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cm_n",
+        (F.col("cm_n") - F.col("exact_n")).alias("overcount"),
+    )
