@@ -79,7 +79,6 @@ def edit_distance_join(
         )
         .filter(F.col("_s").isNotNull())
         .withColumn("_grams", qgram_set(F.col("_s"), q))
-        .withColumn("_gn", F.size("_grams"))
     )
 
     # every row joins the prefix index — a short set's "prefix" is the
@@ -93,11 +92,18 @@ def edit_distance_join(
         F.count(F.lit(1)).alias("_gf")
     )
     w = Window.partitionBy("_id").orderBy("_gf", "_gram")
+    # the prefix index is consumed three times (hot-bucket guard +
+    # both sides of the candidate self-join); without a checkpoint the
+    # scan → gram explode → freq join → window chain re-executes per
+    # consumer. Catalyst does not reuse aliased self-join subplans
+    # (no ReusedExchange), so materializing the slim (id, group, gram)
+    # frame — d*q+1 rows per string — is the repo-standard fix.
     prefix = (
         exploded.join(freq, "_gram")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= p)
         .select("_id", "_g", "_gram")
+        .localCheckpoint(eager=True)
     )
 
     if max_bucket is not None:
@@ -132,7 +138,15 @@ def edit_distance_join(
             F.col("b._id").alias("_idb"),
         )
     )
-    shorts = base.filter(F.col("_gn") <= d * q).select("_id", "_g")
+    # a short string's prefix is its entire gram set, so its row count
+    # in the (checkpointed) prefix index is < d*q + 1 — the short set
+    # falls out of the index with no second gram pass over the data
+    shorts = (
+        prefix.groupBy("_id", "_g")
+        .agg(F.count(F.lit(1)).alias("_pn"))
+        .filter(F.col("_pn") < p)
+        .select("_id", "_g")
+    )
     sa, sb = shorts.alias("sa"), shorts.alias("sb")
     cand_short = sa.join(
         sb,

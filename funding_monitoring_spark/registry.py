@@ -77,26 +77,30 @@ def query(name: str, sql: str | None):
 #:       (curation_suite.py: token serialization; multimodal.py:
 #:       JPEG subsampling + optional audio codecs; streaming
 #:       pipelines.py: TTL watermark parameterization).
-#:   r7 plan (precommitted): (a) the round-6 post-freeze
+#:   r7 plan (precommitted): (a) the 32 round-6 post-freeze
 #:       registrations in registration order —
 #:       bigram_logprob_score, acf_by_type, max_drawdown_by_type,
-#:       hll_sketch_merge_rollup, data_contract_report,
-#:       span_dedup_cleaned_docs,
+#:       fuzzy_title_pairs, fuzzy_title_clusters,
+#:       count_min_freq_report, cusum_change_points,
+#:       hll_sketch_merge_rollup,
+#:       data_contract_report, span_dedup_cleaned_docs,
+#:       dataset_overlap_kmv,
 #:       snapshot_time_travel_read, snapshot_rollback_expire,
 #:       snapshot_incremental_read, snapshot_pruned_read,
 #:       snapshot_optimize_read, file_provenance_report,
 #:       grouped_split_leakage_report, kfold_split_stats,
-#:       semantic_dedup_clusters,
+#:       weighted_sample_priority, semantic_dedup_clusters,
 #:       ann_cosine_topk_pq, ann_pq_recall_report,
 #:       ann_cosine_topk_ivf_pq, ann_ivf_pq_recall_report,
 #:       stream_append_compaction, stream_snapshot_commits,
 #:       stream_sketch_rollup, stream_contract_ledger,
-#:       stream_max_drawdown, collocation_pmi (each ships
-#:       with a driver-format row in CORRECTNESS_LOCAL_r6.json, plus
-#:       the optional-codec self-registrations
-#:       multimodal_jpeg_roundtrip / multimodal_mjpg_framesample /
-#:       multimodal_mp3_roundtrip wherever their libraries exist);
-#:       (b) the remaining slots (50 - 24 = 26) to the oldest r3
+#:       stream_max_drawdown, stream_count_min_rollup,
+#:       collocation_pmi (each ships with a driver-format row in
+#:       CORRECTNESS_LOCAL_r6.json, plus the optional-codec
+#:       self-registrations multimodal_jpeg_roundtrip /
+#:       multimodal_mjpg_framesample / multimodal_mp3_roundtrip
+#:       wherever their libraries exist);
+#:       (b) the remaining slots (50 - 32 = 18) to the oldest r3
 #:       rows, those over files changed in r6 first (similarity.py:
 #:       PQ additions; snapshots-adjacent layout code); the r3
 #:       remainder and the oldest r4 rows (streaming family first —

@@ -2219,3 +2219,126 @@ def q_count_min_freq_report(spark, sf_dir):
         "cm_n",
         (F.col("cm_n") - F.col("exact_n")).alias("overcount"),
     )
+
+
+# -- CUSUM change-point detection ----------------------------------------
+
+_CUSUM_K = 0.5  # slack, in z units
+_CUSUM_H = 5.0  # alarm threshold, in z units
+
+CUSUM_ORACLE = f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               ROUND(SUM(value), 6) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, AVG(s) AS mu,
+               AVG(s * s) - AVG(s) * AVG(s) AS var_pop
+        FROM hourly GROUP BY 1
+    ),
+    z AS (
+        SELECT h.event_type, h.h,
+               (h.s - st.mu) / sqrt(st.var_pop) AS z
+        FROM hourly h JOIN stats st USING (event_type)
+        WHERE st.var_pop > 0
+    ),
+    p AS (
+        SELECT event_type, h,
+               SUM(z - {_CUSUM_K}) OVER w AS p_pos,
+               SUM(-z - {_CUSUM_K}) OVER w AS p_neg
+        FROM z
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    c AS (
+        SELECT event_type, h,
+               ROUND(p_pos - LEAST(0, MIN(p_pos) OVER w), 4) + 0.0
+                   AS cusum_pos,
+               ROUND(p_neg - LEAST(0, MIN(p_neg) OVER w), 4) + 0.0
+                   AS cusum_neg
+        FROM p
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, h,
+           cusum_pos, cusum_neg,
+           CAST(cusum_pos > {_CUSUM_H} OR cusum_neg > {_CUSUM_H}
+                AS INT) AS alarm
+    FROM c
+"""
+
+
+@query("cusum_change_points", CUSUM_ORACLE)
+def q_cusum_change_points(spark, sf_dir):
+    """Two-sided CUSUM change-point statistic per series — the
+    monitoring question after anomaly scoring: not "is this tick
+    odd" but "has the LEVEL shifted". The Page (1954) recursion
+    S_t = max(0, S_{t-1} + z_t - k) looks like an imperative fold,
+    but the classic identity S_t = P_t - min(0, min_{j<=t} P_j)
+    (prefix sums minus their running minimum) turns it into two
+    cumulative window passes — fully distributed, no UDF, no state,
+    identical algebra on both engines. Hourly sums are rounded before
+    standardization (the verify-skill float discipline); variance
+    uses the explicit AVG(s^2) - AVG(s)^2 form so neither engine's
+    internal moment algorithm leaks into the hash."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 6).alias("s"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("s").alias("mu"),
+        (F.avg(F.col("s") * F.col("s"))
+         - F.avg("s") * F.avg("s")).alias("var_pop"),
+    )
+    z = (
+        hourly.join(stats, "event_type")
+        .filter(F.col("var_pop") > 0)
+        .withColumn(
+            "z",
+            (F.col("s") - F.col("mu")) / F.sqrt(F.col("var_pop")),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = z.select(
+        "event_type",
+        "h",
+        F.sum(F.col("z") - _CUSUM_K).over(w).alias("p_pos"),
+        F.sum(-F.col("z") - _CUSUM_K).over(w).alias("p_neg"),
+    )
+    c = p.select(
+        "event_type",
+        "h",
+        (
+            F.round(
+                F.col("p_pos")
+                - F.least(F.lit(0.0), F.min("p_pos").over(w)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("cusum_pos"),
+        (
+            F.round(
+                F.col("p_neg")
+                - F.least(F.lit(0.0), F.min("p_neg").over(w)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("cusum_neg"),
+    )
+    return c.select(
+        "event_type",
+        "h",
+        "cusum_pos",
+        "cusum_neg",
+        (
+            (F.col("cusum_pos") > _CUSUM_H)
+            | (F.col("cusum_neg") > _CUSUM_H)
+        )
+        .cast("int")
+        .alias("alarm"),
+    )
