@@ -22,7 +22,8 @@ import math
 import os
 import urllib.parse
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from funding_monitoring_spark.streaming.sinks import atomic_overwrite
 
@@ -218,3 +219,36 @@ def compact_store(
         "bytes": total,
         "n_files_target": n_target,
     }
+
+
+def merge_additive_rollup(
+    stored: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    merges: dict[str, str],
+) -> DataFrame:
+    """Fold a delta's partial aggregates into a stored rollup —
+    incremental view maintenance for DECOMPOSABLE aggregates: counts
+    and sums merge by summing, min/max by min/max, and derived stats
+    (avg = sum/count) belong at read time, never in the store. The
+    merge is one union + re-aggregate over the (tiny) rollup frames,
+    so maintaining a daily rollup costs the DELTA's aggregation, not
+    a rescan of the table — at 100 TB the difference between a
+    pipeline that processes the day and one that reprocesses history.
+
+    Not every aggregate decomposes: COUNT(DISTINCT) and exact
+    percentiles need either the raw data or a mergeable sketch — use
+    the HLL / KMV / Count-Min / GK operators for those (same merge
+    shape, sketch-typed state).
+
+    ``merges`` maps each value column to its merge function:
+    'sum' (counts merge as sums of counts), 'min', or 'max'."""
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    bad = {c: h for c, h in merges.items() if h not in fns}
+    if bad:
+        raise ValueError(
+            f"non-decomposable merge spec {bad}: only sum/min/max "
+            "merge; distinct-style aggregates need a sketch"
+        )
+    aggs = [fns[h](c).alias(c) for c, h in merges.items()]
+    return stored.unionByName(delta).groupBy(*keys).agg(*aggs)

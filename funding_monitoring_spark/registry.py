@@ -77,7 +77,7 @@ def query(name: str, sql: str | None):
 #:       (curation_suite.py: token serialization; multimodal.py:
 #:       JPEG subsampling + optional audio codecs; streaming
 #:       pipelines.py: TTL watermark parameterization).
-#:   r7 plan (precommitted): (a) the 32 round-6 post-freeze
+#:   r7 plan (precommitted): (a) the 33 round-6 post-freeze
 #:       registrations in registration order —
 #:       bigram_logprob_score, acf_by_type, max_drawdown_by_type,
 #:       fuzzy_title_pairs, fuzzy_title_clusters,
@@ -88,6 +88,7 @@ def query(name: str, sql: str | None):
 #:       snapshot_time_travel_read, snapshot_rollback_expire,
 #:       snapshot_incremental_read, snapshot_pruned_read,
 #:       snapshot_optimize_read, file_provenance_report,
+#:       incremental_rollup_maintenance,
 #:       grouped_split_leakage_report, kfold_split_stats,
 #:       weighted_sample_priority, semantic_dedup_clusters,
 #:       ann_cosine_topk_pq, ann_pq_recall_report,
@@ -100,7 +101,7 @@ def query(name: str, sql: str | None):
 #:       self-registrations multimodal_jpeg_roundtrip /
 #:       multimodal_mjpg_framesample / multimodal_mp3_roundtrip
 #:       wherever their libraries exist);
-#:       (b) the remaining slots (50 - 32 = 18) to the oldest r3
+#:       (b) the remaining slots (50 - 33 = 17) to the oldest r3
 #:       rows, those over files changed in r6 first (similarity.py:
 #:       PQ additions; snapshots-adjacent layout code); the r3
 #:       remainder and the oldest r4 rows (streaming family first —

@@ -620,3 +620,98 @@ def q_file_provenance_report(spark, sf_dir):
             .alias("rows_match_file_partition"),
         )
     )
+
+
+# -- incremental aggregate maintenance -----------------------------------
+
+
+@query(
+    "incremental_rollup_maintenance",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_event
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_incremental_rollup_maintenance(spark, sf_dir):
+    """Incremental view maintenance over the snapshot store: the
+    daily rollup is initialized from v1 and then maintained by
+    aggregating ONLY each version's file-set delta
+    (read_snapshot_changes) and sum/min-merging it into the stored
+    rollup (operators/maintenance.merge_additive_rollup), with the
+    rollup store atomically overwritten per step like a real
+    checkpointed pipeline. The oracle is the FULL aggregation over
+    the whole table — the maintained store must equal a recompute
+    exactly, which is the whole claim of delta processing: at 100 TB
+    the per-day cost is the day's aggregation, not a table rescan.
+    Only decomposable aggregates live in the store (count/sum/min);
+    distinct-style stats ride mergeable sketches instead (HLL / KMV /
+    Count-Min, same merge shape)."""
+    from funding_monitoring_spark.operators.maintenance import (
+        merge_additive_rollup,
+    )
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+        read_snapshot_changes,
+    )
+    from funding_monitoring_spark.streaming.sinks import (
+        atomic_overwrite,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="fm_snap_ivm_"), "events"
+    )
+    versions = [
+        commit_snapshot(
+            events.filter(F.col("event_id") % 3 == stripe), store
+        )
+        for stripe in range(3)
+    ]
+
+    def day_rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value").alias("sum_value"),
+            F.min("event_id").alias("min_event"),
+        )
+
+    rollup_path = os.path.join(
+        os.path.dirname(store), "rollup_store"
+    )
+    atomic_overwrite(
+        day_rollup(read_snapshot(spark, store, version=versions[0])),
+        rollup_path,
+    )
+    for prev, cur in zip(versions, versions[1:]):
+        delta = read_snapshot_changes(
+            spark, store, from_version=prev, to_version=cur
+        )
+        merged = merge_additive_rollup(
+            spark.read.parquet(rollup_path),
+            day_rollup(delta),
+            keys=["day", "event_type"],
+            merges={
+                "n_rows": "sum",
+                "sum_value": "sum",
+                "min_event": "min",
+            },
+        )
+        atomic_overwrite(merged, rollup_path)
+
+    return spark.read.parquet(rollup_path).select(
+        "day",
+        "event_type",
+        "n_rows",
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_event",
+    )

@@ -244,3 +244,26 @@ def test_compaction_file_counts_deterministic(
         lo = math.ceil(rows_by_part[v] / max_records)
         assert lo <= got <= k, (v, lo, k, got, target)
     assert _rows(spark, store) == before
+
+
+def test_merge_additive_rollup_rejects_non_decomposable(spark):
+    """Only sum/min/max merge; distinct-style specs must fail loudly
+    rather than silently produce a wrong rollup."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from funding_monitoring_spark.operators.maintenance import (
+        merge_additive_rollup,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "k string, n long")
+    with pytest.raises(ValueError, match="sketch"):
+        merge_additive_rollup(
+            df, df, keys=["k"], merges={"n": "count_distinct"}
+        )
+    merged = merge_additive_rollup(
+        df, df, keys=["k"], merges={"n": "sum"}
+    ).collect()
+    assert merged == [("a", 2)] or [
+        (r.k, r.n) for r in merged
+    ] == [("a", 2)]
