@@ -77,7 +77,7 @@ def query(name: str, sql: str | None):
 #:       (curation_suite.py: token serialization; multimodal.py:
 #:       JPEG subsampling + optional audio codecs; streaming
 #:       pipelines.py: TTL watermark parameterization).
-#:   r7 plan (precommitted): (a) the 33 round-6 post-freeze
+#:   r7 plan (precommitted): (a) the 34 round-6 post-freeze
 #:       registrations in registration order —
 #:       bigram_logprob_score, acf_by_type, max_drawdown_by_type,
 #:       fuzzy_title_pairs, fuzzy_title_clusters,
@@ -96,12 +96,12 @@ def query(name: str, sql: str | None):
 #:       stream_append_compaction, stream_snapshot_commits,
 #:       stream_sketch_rollup, stream_contract_ledger,
 #:       stream_max_drawdown, stream_count_min_rollup,
-#:       collocation_pmi (each ships with a driver-format row in
+#:       stream_late_event_audit, collocation_pmi (each ships with a driver-format row in
 #:       CORRECTNESS_LOCAL_r6.json, plus the optional-codec
 #:       self-registrations multimodal_jpeg_roundtrip /
 #:       multimodal_mjpg_framesample / multimodal_mp3_roundtrip
 #:       wherever their libraries exist);
-#:       (b) the remaining slots (50 - 33 = 17) to the oldest r3
+#:       (b) the remaining slots (50 - 34 = 16) to the oldest r3
 #:       rows, those over files changed in r6 first (similarity.py:
 #:       PQ additions; snapshots-adjacent layout code); the r3
 #:       remainder and the oldest r4 rows (streaming family first —

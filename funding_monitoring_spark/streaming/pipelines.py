@@ -1166,6 +1166,10 @@ def _dispatch_pipeline(
             spark, chunks_dir, schema, store, checkpoint
         )
         return spark.read.parquet(store)
+    if pipeline == "late_audit":
+        store = os.path.join(workdir, "late_ledger")
+        streaming_late_audit(spark, chunks_dir, schema, store, checkpoint)
+        return spark.read.parquet(store)
     if pipeline == "cm_rollup":
         store = os.path.join(workdir, "cm_cells")
         streaming_cm_rollup(spark, chunks_dir, schema, store, checkpoint)
@@ -1242,6 +1246,70 @@ def streaming_cm_rollup(
         )
 
     writer = src.writeStream.foreachBatch(on_batch)
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def streaming_late_audit(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    delay_minutes: int = 2,
+    available_now: bool = True,
+):
+    """Watermark observability: per micro-batch, how many rows arrived
+    LATER than a watermark of ``delay_minutes`` would tolerate — the
+    number you need to TUNE a watermark delay (every stateful pipeline
+    here takes one) instead of guessing it. The pipeline does not drop
+    anything; it measures what a given delay WOULD drop.
+
+    The watermark each batch is judged against derives from the ledger
+    itself, not from mutable driver state: W_prev(N) = max(max_ts over
+    ledger rows with batch_id < N) - delay, exactly Spark's global
+    watermark rule (max event time seen, minus delay, applied next
+    batch). Each batch overwrites its own batch_id=N partition with
+    (n_rows, late_n, max_ts), so a redelivered batch recomputes the
+    same W_prev from the same prior rows and rewrites identical values
+    — effectively-once with no extra bookkeeping."""
+    src_df = stream_from_chunks(spark, chunks_dir, schema)
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        w_prev = None
+        if os.path.exists(store_path):
+            prior = (
+                spark.read.parquet(store_path)
+                .filter(F.col("batch_id") < batch_id)
+                .agg(F.max("max_ts").alias("m"))
+                .collect()[0]
+                .m
+            )
+            w_prev = prior
+        agg = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("ts").alias("max_ts"),
+        ]
+        if w_prev is not None:
+            late = F.sum(
+                (
+                    F.col("ts")
+                    < F.lit(w_prev)
+                    - F.expr(f"INTERVAL {delay_minutes} MINUTES")
+                ).cast("long")
+            ).alias("late_n")
+        else:
+            late = F.lit(0).cast("long").alias("late_n")
+        row = batch.agg(*agg, late)
+        row.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+
+    writer = src_df.writeStream.foreachBatch(on_batch)
     q = _run(writer, available_now, checkpoint)
     if available_now:
         q.awaitTermination()
