@@ -77,7 +77,8 @@ def query(name: str, sql: str | None):
 #:       (curation_suite.py: token serialization; multimodal.py:
 #:       JPEG subsampling + optional audio codecs; streaming
 #:       pipelines.py: TTL watermark parameterization).
-#:   r7 plan (precommitted): (a) the 34 round-6 post-freeze
+#:   r7 window (this list — executes the precommitted r7 plan):
+#:       (a) the 34 round-6 post-freeze
 #:       registrations in registration order —
 #:       bigram_logprob_score, acf_by_type, max_drawdown_by_type,
 #:       fuzzy_title_pairs, fuzzy_title_clusters,
@@ -103,10 +104,30 @@ def query(name: str, sql: str | None):
 #:       wherever their libraries exist);
 #:       (b) the remaining slots (50 - 34 = 16) to the oldest r3
 #:       rows, those over files changed in r6 first (similarity.py:
-#:       PQ additions; snapshots-adjacent layout code); the r3
-#:       remainder and the oldest r4 rows (streaming family first —
-#:       pipelines.py TTL + contract-ledger changes landed in r6)
-#:       roll to r8. Every overflow query gets a fresh local row each
+#:       PQ additions → embedding_quantize_int8; components.py:
+#:       CC reuse by semantic_dedup_clusters → dedup_clusters,
+#:       dedup_clusters_star, pagerank_trading_graph; dedup.py
+#:       family), then oldest registration order (batch_ops head).
+#:   r8 plan (precommitted): (a) any round-7 post-freeze
+#:       registrations first (each ships with a driver-format row in
+#:       CORRECTNESS_LOCAL_r7.json); (b) the 23 r3-row remainder
+#:       (age 5 rounds at r8 — oldest in the registry): upsert_merge,
+#:       scalar_datetime_suite, scalar_string_suite,
+#:       scalar_cast_annualize, json_extract, nested_json_explode,
+#:       full_outer_reconciliation, jsonl_quarantine, salted_join_agg,
+#:       pivot_status_by_priority, unpivot_part_attrs, cube_revenue,
+#:       set_intersect_nations, set_except_nations,
+#:       approx_quantiles_events, futures_snapshot,
+#:       spot_pairs_snapshot, lending_pipeline, funding_stats,
+#:       sql_funding_stats, trailing_time_features,
+#:       tpch_q8_market_share, expectation_audit; (c) remaining slots
+#:       to the oldest r4 rows, streaming family first
+#:       (stream_upsert_rates, stream_tumbling_rollup,
+#:       stream_lending_append, stream_ewma_stateful,
+#:       stream_funding_pipeline, stream_stream_join_attribution,
+#:       stream_session_windows — streaming/pipelines.py changed
+#:       again in r7: drawdown run_max guard). The r4 remainder rolls
+#:       to r9. Every overflow query gets a fresh local row each
 #:       round.
 #:
 #: Round-4 post-freeze registrations (window already full → each
@@ -129,71 +150,71 @@ def query(name: str, sql: str | None):
 #: multi_touch_attribution, simhash_distance_histogram,
 #: dedup_savings_report, hourly_activity_heatmap, value_histogram.
 _PRIORITY: list[str] = [
-    # (a) round-5 post-freeze registrations, never driver-checked (7)
-    "ann_recall_report",
-    "near_dup_recall_report",
-    "pruned_time_range_stats",
-    "pruned_daily_rollup",
-    "bucketed_join_revenue",
-    "store_compaction_report",
-    "schema_evolution_read",
-    # (b) r5's two red rows, re-checked after the array<int> ->
-    # comma-string serialization fix (2)
-    "token_id_encoding",
-    "packed_training_batches",
-    # (c) the 30 remaining r2-row queries (30)
-    "winsorized_stats",
-    "repetition_filter",
-    "tfidf_top_terms",
-    "test_set_contamination",
-    "pii_redaction",
-    "corpus_balance_report",
-    "train_test_split_stats",
-    "embedding_near_dup_exact",
-    "window_functions_suite",
-    "token_count",
-    "doc_fingerprint",
-    "text_quality",
-    "lang_id",
-    "curation_pipeline",
-    "curation_pipeline_full",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q4_order_priority",
-    "tpch_q12_priority_classes",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_dormant_customers",
-    "tpch_q7_nation_volume",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    # (d) oldest r3 rows over since-changed files first:
-    # curation_suite.py (token serialization), multimodal.py (JPEG
-    # subsampling + optional audio codecs), streaming pipelines (11)
-    "term_posting_lists",
-    "ngram_novelty",
-    "sequence_packing_plan",
-    "sequence_packing_sharded",
-    "multimodal_features",
-    "multimodal_resize_pipeline",
-    "multimodal_bmp_roundtrip",
-    "multimodal_png_roundtrip",
-    "stream_cdc_materialize",
-    "stream_hopping_rollup",
-    "hopping_window_rollup",
+    # (a) round-6 post-freeze registrations, never driver-checked,
+    # in true registration order (34)
+    "bigram_logprob_score",
+    "acf_by_type",
+    "max_drawdown_by_type",
+    "fuzzy_title_pairs",
+    "fuzzy_title_clusters",
+    "count_min_freq_report",
+    "cusum_change_points",
+    "hll_sketch_merge_rollup",
+    "data_contract_report",
+    "span_dedup_cleaned_docs",
+    "dataset_overlap_kmv",
+    "snapshot_time_travel_read",
+    "snapshot_rollback_expire",
+    "snapshot_incremental_read",
+    "snapshot_pruned_read",
+    "snapshot_optimize_read",
+    "file_provenance_report",
+    "incremental_rollup_maintenance",
+    "grouped_split_leakage_report",
+    "kfold_split_stats",
+    "weighted_sample_priority",
+    "semantic_dedup_clusters",
+    "ann_cosine_topk_pq",
+    "ann_pq_recall_report",
+    "ann_cosine_topk_ivf_pq",
+    "ann_ivf_pq_recall_report",
+    "stream_append_compaction",
+    "stream_snapshot_commits",
+    "stream_sketch_rollup",
+    "stream_contract_ledger",
+    "stream_max_drawdown",
+    "stream_count_min_rollup",
+    "stream_late_event_audit",
+    "collocation_pmi",
+    # (b) 16 oldest (r3-row) queries, those over files changed in
+    # r6/r7 first: similarity.py (PQ in r6, IVF-PQ residual in r7),
+    # components.py (CC reused by semantic_dedup_clusters),
+    # dedup.py family; then oldest registration order (16)
+    "embedding_quantize_int8",
+    "embedding_centroids",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "pagerank_trading_graph",
+    "minhash_lsh_dedup",
+    "simhash_near_dup",
+    "simhash_signatures",
+    "exact_dedup",
+    "ngram_jaccard_dedup",
+    "snake_case_rename",
+    "salted_group_agg",
+    "approx_distinct_users",
+    "group_count_guard",
+    "latest_per_group",
+    "dedup_keys",
 ]
-# ^ exactly 50 entries. After this round cumulative external coverage
-# is 187/187 registered queries (the first fully externally-verified
-# registry) with max row age <= 3 rounds; the r3/r4 remainder
-# refreshes in r7 per the precommitted plan above, and every query
-# NOT in this window gets a same-format local row in
-# CORRECTNESS_LOCAL_r6.json each round (tools/local_correctness.py),
-# so nothing ships on pytest evidence alone.
+# ^ exactly 50 entries. After this round every one of the 221
+# registered queries has an external driver row (cumulative
+# 221/221 — the 34 r6 post-freeze registrations get their first);
+# the r3/r4 remainder refreshes in r8 per the precommitted plan
+# above, and every query NOT in this window gets a same-format local
+# row in CORRECTNESS_LOCAL_r7.json each round
+# (tools/local_correctness.py), so nothing ships on pytest evidence
+# alone.
 
 
 def _ordered(d: dict) -> dict:
