@@ -1,10 +1,12 @@
 """Benchmark harness: times the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]. Stdout layout (truncation-proof — the
+compact summary is both the FIRST and the LAST line, so a capture
+that keeps only the head or the tail of stdout still parses):
 
-    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1,
-     "all_registry_wall_sec": M, "overflow_queries": {...}}
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec", ...}
+    {... full detail: "queries": {"q1": sec, ...}, "notes": ...}
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec", ...}
 
 ``value`` is the headline-set wall; the default run then also times
 every non-headline registered query so each round's artifact tracks
@@ -252,11 +254,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     notes: dict[str, object] = {}
+    errors: dict[str, str] = {}
     t_suite = time.perf_counter()
     for name in names:
         t0 = time.perf_counter()
-        df = all_queries[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
+        # Per-query guard: an environment-sensitive query (optional
+        # codec, missing fixture) must cost one entry, not the whole
+        # artifact — without it the headline wall itself is lost.
+        try:
+            df = all_queries[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — recorded, not hidden
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            metrics.drain()
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         ticks = metrics.drain()
         if ticks:
@@ -278,9 +289,12 @@ def main() -> None:
     t_over = time.perf_counter()
     for name in overflow:
         t0 = time.perf_counter()
-        df = all_queries[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        overflow_timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = all_queries[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            overflow_timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — recorded, not hidden
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         metrics.drain()
     overflow_wall = round(time.perf_counter() - t_over, 3)
 
@@ -289,6 +303,24 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Compact summary — printed as the FIRST stdout line AND repeated
+    # as the LAST, so a capture window that keeps only the head or
+    # only the tail of stdout (BENCH_r03-r06 artifacts were truncated
+    # to a 2000-char tail, losing the headline metric inside the big
+    # per-query dict) always preserves the parseable one-liner.
+    summary = {
+        "metric": "suite_wall_sec",
+        "value": wall,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+    }
+    if overflow:
+        summary["all_registry_wall_sec"] = round(wall + overflow_wall, 3)
+        summary["n_overflow"] = len(overflow_timings)
+    print(json.dumps(summary), flush=True)
+
     out = {
         "metric": "suite_wall_sec",
         "value": wall,
@@ -299,6 +331,8 @@ def main() -> None:
     if overflow:
         out["all_registry_wall_sec"] = round(wall + overflow_wall, 3)
         out["overflow_queries"] = overflow_timings
+    if errors:
+        out["errors"] = errors
     # r2->r3 common-set drift (+6%) investigated in round 4: the same
     # 43 queries rerun under identical JVM settings swing far more
     # than the drift between consecutive local runs (individual
@@ -370,7 +404,8 @@ def main() -> None:
         "bounded equi-joins"
     )
     out["notes"] = notes
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+    print(json.dumps(summary), flush=True)
     spark.stop()
 
 
