@@ -84,18 +84,29 @@ def _read_manifest(store: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _claim_version(store: str, manifest: dict) -> int:
-    """Atomically commit `manifest` as the next version and return
-    its number. The manifest is FULLY written to a temp file first;
-    ``os.link`` then either publishes it under the version name or
-    raises FileExistsError (another writer won) — readers can never
-    observe a partial manifest, and losers retry at N+1."""
+def _claim_version(store: str, build_manifest) -> int:
+    """Atomically commit the next version and return its number.
+    ``build_manifest(parent_version)`` constructs the manifest dict
+    for a commit whose parent is ``parent_version`` (None for the
+    first commit). The manifest is FULLY written to a temp file
+    first; ``os.link`` then either publishes it under the version
+    name or raises FileExistsError (another writer won) — readers can
+    never observe a partial manifest.
+
+    The builder is re-invoked with the NEW latest version on every
+    retry: an append's merged file list must include the racing
+    winner's just-committed files, or the loser's snapshot silently
+    drops committed rows. (Re-reading the parent manifest inside the
+    retry loop is what makes 'two racing writers get consecutive
+    versions' a correctness statement, not just a numbering one.)"""
     mdir = _manifest_dir(store)
     os.makedirs(mdir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=mdir, prefix=".__commit_")
     try:
-        version = (latest_version(store) or 0) + 1
         while True:
+            parent = latest_version(store)
+            version = (parent or 0) + 1
+            manifest = build_manifest(parent)
             manifest["version"] = version
             with os.fdopen(os.dup(fd), "w") as fh:
                 fh.seek(0)
@@ -107,7 +118,7 @@ def _claim_version(store: str, manifest: dict) -> int:
                 os.link(tmp, _manifest_path(store, version))
                 return version
             except FileExistsError:
-                version += 1
+                continue  # another writer won — rebuild from new parent
     finally:
         os.close(fd)
         os.unlink(tmp)
@@ -204,14 +215,16 @@ def commit_snapshot(
             f["stats"] = stats.get(
                 os.path.abspath(os.path.join(store, f["path"])), {}
             )
-    parent = latest_version(store)
-    files = list(new_files)
-    if mode == "append" and parent is not None:
-        files = _read_manifest(store, parent)["files"] + files
-    manifest = {"operation": mode, "parent": parent, "files": files}
-    if extra_meta:
-        manifest["meta"] = extra_meta
-    return _claim_version(store, manifest)
+    def build(parent: int | None) -> dict:
+        files = list(new_files)
+        if mode == "append" and parent is not None:
+            files = _read_manifest(store, parent)["files"] + files
+        manifest = {"operation": mode, "parent": parent, "files": files}
+        if extra_meta:
+            manifest["meta"] = extra_meta
+        return manifest
+
+    return _claim_version(store, build)
 
 
 def snapshot_files(
@@ -397,9 +410,9 @@ def rollback_snapshot(store: str, to_version: int) -> int:
     m = _read_manifest(store, to_version)
     return _claim_version(
         store,
-        {
+        lambda parent: {
             "operation": "rollback",
-            "parent": latest_version(store),
+            "parent": parent,
             "rolled_back_to": to_version,
             "files": m["files"],
         },

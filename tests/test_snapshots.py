@@ -98,6 +98,51 @@ def test_concurrent_claim_retries(spark, store):
     assert latest_version(store) == 3
 
 
+def test_concurrent_append_merges_winner_files(spark, store, monkeypatch):
+    """The lost-update race: a writer that loses the version claim must
+    rebuild its APPEND file list from the new latest manifest, or the
+    winner's just-committed files silently vanish from the newest
+    snapshot (the optimistic-concurrency contract is about data, not
+    just version numbering)."""
+    import json
+
+    commit_snapshot(_frame(spark, [1]), store)
+    real_link = os.link
+    fired = []
+
+    def racing_link(src, dst, *a, **kw):
+        if not fired:
+            fired.append(True)
+            # winner claims v2 with its own file AFTER the loser read
+            # parent=1 but BEFORE the loser's link — the exact window
+            with open(
+                os.path.join(store, "_manifests", f"v{2:09d}.json"), "w"
+            ) as fh:
+                json.dump(
+                    {
+                        "version": 2,
+                        "operation": "append",
+                        "parent": 1,
+                        "files": [
+                            {"path": "data/winner/part-0.parquet",
+                             "bytes": 1}
+                        ],
+                    },
+                    fh,
+                )
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "link", racing_link)
+    v = commit_snapshot(_frame(spark, [2]), store, mode="append")
+    assert v == 3
+    files = {f["path"] for f in __import__("json").load(
+        open(os.path.join(store, "_manifests", f"v{3:09d}.json"))
+    )["files"]}
+    # the loser's retry merged the winner's file list, not its stale one
+    assert "data/winner/part-0.parquet" in files
+    assert len(files) > 2  # v1's files + winner's + the loser's own
+
+
 def test_expire_reclaims_unreferenced_only(spark, store):
     commit_snapshot(_frame(spark, range(0, 5)), store, n_files=2)
     commit_snapshot(_frame(spark, range(5, 8)), store, n_files=2)
