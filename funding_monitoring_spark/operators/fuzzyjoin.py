@@ -30,10 +30,17 @@ the answer (the same contract as sketches.frequent_items_exact_2pass).
 Scale: the prefix explode emits d*q + 1 rows per string; the
 candidate join shuffles (group, gram) keys; the verify join shuffles
 candidate ids. Nothing is ever quadratic in N unless the data itself
-is (a degenerate corpus where everything matches everything). A
-``max_bucket`` guard fails loudly when a blocking bucket exceeds the
-configured bound — the signal to raise q or tighten the grouping, the
-same guarded-matrix discipline as operators/similarity.py.
+is (a degenerate corpus where everything matches everything). Hot
+buckets degrade GRACEFULLY before failing: a (group, prefix-gram)
+bucket larger than ``max_bucket`` is re-blocked by LENGTH BUCKET
+(floor(len / (d+1)) — valid pairs satisfy |len_a - len_b| <= d, a
+necessary condition, so adjacent-bucket joins keep the answer exact),
+and the short-string fallback is length-blocked the same way. Only
+when a bucket is still hot AFTER secondary blocking (same group, same
+gram, same length class — candidates genuinely quadratic) does the
+guard fail loudly — the signal to raise q, tighten the group, or
+raise the bound deliberately; the same guarded-matrix discipline as
+operators/similarity.py.
 """
 
 from __future__ import annotations
@@ -66,10 +73,13 @@ def edit_distance_join(
     are within Levenshtein distance ``d``. Exact output; blocking per
     the module docstring. Returns (group, id_a, id_b, dist).
 
-    ``max_bucket`` eagerly checks that no (group, prefix-gram)
-    blocking bucket exceeds the bound and raises with the offending
-    gram — candidate volume is quadratic in the largest bucket, so a
-    hot bucket is a plan hazard the caller must see, not absorb."""
+    ``max_bucket`` bounds candidate volume (quadratic in the largest
+    blocking bucket): a hot (group, prefix-gram) bucket degrades to
+    length-blocked joins — still exact, since |len_a - len_b| <= d is
+    necessary — and only a bucket that is STILL hot after length
+    blocking raises. The short-string fallback is length-blocked and
+    guarded the same way (a group dominated by sub-d*q-gram strings
+    would otherwise go quadratic silently)."""
     p = d * q + 1
     base = (
         df.select(
@@ -79,78 +89,163 @@ def edit_distance_join(
         )
         .filter(F.col("_s").isNotNull())
         .withColumn("_grams", qgram_set(F.col("_s"), q))
+        .withColumn("_len", F.length("_s"))
     )
+    # length class: valid pairs (|len diff| <= d) land in the same or
+    # an ADJACENT class, so an equi-join on the class plus a 3-way
+    # offset explode on one side is exact — the secondary blocking key
+    # for hot buckets
+    blk = (F.col("_len") / (d + 1)).cast("long")
 
     # every row joins the prefix index — a short set's "prefix" is the
     # whole set, which is exactly what the prefix principle needs for
     # short-vs-long pairs (t = |G_long| - d*q >= 1 holds); only
     # short-vs-short pairs lack the guarantee and go to the fallback
     exploded = base.select(
-        "_id", "_g", F.explode("_grams").alias("_gram")
+        "_id", "_g", F.col("_len"), F.explode("_grams").alias("_gram")
     )
     freq = exploded.groupBy("_gram").agg(
         F.count(F.lit(1)).alias("_gf")
     )
     w = Window.partitionBy("_id").orderBy("_gf", "_gram")
-    # the prefix index is consumed three times (hot-bucket guard +
-    # both sides of the candidate self-join); without a checkpoint the
-    # scan → gram explode → freq join → window chain re-executes per
-    # consumer. Catalyst does not reuse aliased self-join subplans
-    # (no ReusedExchange), so materializing the slim (id, group, gram)
-    # frame — d*q+1 rows per string — is the repo-standard fix.
+    # the prefix index is consumed several times (hot-bucket tagging +
+    # both sides of the candidate self-joins); without a checkpoint
+    # the scan → gram explode → freq join → window chain re-executes
+    # per consumer. Catalyst does not reuse aliased self-join subplans
+    # (no ReusedExchange), so materializing the slim (id, group, gram,
+    # len) frame — d*q+1 rows per string — is the repo-standard fix.
     prefix = (
         exploded.join(freq, "_gram")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= p)
-        .select("_id", "_g", "_gram")
+        .select("_id", "_g", "_gram", "_len")
         .localCheckpoint(eager=True)
     )
 
     if max_bucket is not None:
-        hot = (
+        # hot (group, gram) buckets re-block by length class instead
+        # of failing; the list is bounded (<= prefix_rows/max_bucket
+        # entries) so it broadcasts
+        hot_keys = (
             prefix.groupBy("_g", "_gram")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("_g", "_gram")
+            .withColumn("_hot", F.lit(True))
+        )
+        tagged = prefix.join(
+            F.broadcast(hot_keys), ["_g", "_gram"], "left"
+        ).localCheckpoint(eager=True)
+        cold_prefix = tagged.filter(F.col("_hot").isNull()).select(
+            "_id", "_g", "_gram"
+        )
+        hot_prefix = tagged.filter(
+            F.col("_hot").isNotNull()
+        ).select("_id", "_g", "_gram", blk.alias("_blk"))
+        still_hot = (
+            hot_prefix.groupBy("_g", "_gram", "_blk")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > max_bucket)
             .limit(1)
             .collect()
         )
-        if hot:
-            r = hot[0]
+        if still_hot:
+            r = still_hot[0]
             raise ValueError(
                 f"edit_distance_join blocking bucket (group={r._g!r}, "
-                f"gram={r._gram!r}) holds {r._n} rows > max_bucket="
-                f"{max_bucket}: candidate volume is quadratic in the "
-                "bucket — raise q, tighten the group, or raise the "
+                f"gram={r._gram!r}, length class {r._blk}) holds "
+                f"{r._n} rows > max_bucket={max_bucket} even after "
+                "length-class re-blocking: candidates are genuinely "
+                "quadratic — raise q, tighten the group, or raise the "
                 "bound deliberately"
             )
+    else:
+        cold_prefix = prefix.select("_id", "_g", "_gram")
+        hot_prefix = None
 
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand_long = (
-        a.join(
-            b,
-            (F.col("a._g") == F.col("b._g"))
-            & (F.col("a._gram") == F.col("b._gram"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._g").alias("_g"),
-            F.col("a._id").alias("_ida"),
-            F.col("b._id").alias("_idb"),
-        )
+    a, b = cold_prefix.alias("a"), cold_prefix.alias("b")
+    cand_long = a.join(
+        b,
+        (F.col("a._g") == F.col("b._g"))
+        & (F.col("a._gram") == F.col("b._gram"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._g").alias("_g"),
+        F.col("a._id").alias("_ida"),
+        F.col("b._id").alias("_idb"),
     )
+    if hot_prefix is not None:
+        # one side probes its own class and both neighbours via a
+        # 3-row offset explode — an equi-join on (_g, _gram, _blk), so
+        # the per-task bucket is the LENGTH CLASS, not the whole gram
+        # bucket; a pair never matches twice per gram (offsets yield
+        # distinct classes) and cross-gram repeats die in distinct()
+        ha = hot_prefix.alias("ha")
+        hb = (
+            hot_prefix.withColumn(
+                "_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+            )
+            .withColumn("_blk", F.col("_blk") + F.col("_off"))
+            .drop("_off")
+            .alias("hb")
+        )
+        cand_hot = ha.join(
+            hb,
+            (F.col("ha._g") == F.col("hb._g"))
+            & (F.col("ha._gram") == F.col("hb._gram"))
+            & (F.col("ha._blk") == F.col("hb._blk"))
+            & (F.col("ha._id") < F.col("hb._id")),
+        ).select(
+            F.col("ha._g").alias("_g"),
+            F.col("ha._id").alias("_ida"),
+            F.col("hb._id").alias("_idb"),
+        )
+        cand_long = cand_long.union(cand_hot)
     # a short string's prefix is its entire gram set, so its row count
     # in the (checkpointed) prefix index is < d*q + 1 — the short set
-    # falls out of the index with no second gram pass over the data
+    # falls out of the index with no second gram pass over the data.
+    # The all-pairs fallback is length-blocked up front (same exact
+    # adjacency argument) and guarded per (group, length class).
     shorts = (
         prefix.groupBy("_id", "_g")
-        .agg(F.count(F.lit(1)).alias("_pn"))
+        .agg(
+            F.count(F.lit(1)).alias("_pn"),
+            F.first("_len").alias("_len"),
+        )
         .filter(F.col("_pn") < p)
-        .select("_id", "_g")
+        .select("_id", "_g", blk.alias("_blk"))
     )
-    sa, sb = shorts.alias("sa"), shorts.alias("sb")
+    if max_bucket is not None:
+        short_hot = (
+            shorts.groupBy("_g", "_blk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .limit(1)
+            .collect()
+        )
+        if short_hot:
+            r = short_hot[0]
+            raise ValueError(
+                f"edit_distance_join short-string fallback bucket "
+                f"(group={r._g!r}, length class {r._blk}) holds "
+                f"{r._n} rows > max_bucket={max_bucket}: the "
+                "all-pairs fallback is quadratic in that bucket — "
+                "raise q, tighten the group, or raise the bound "
+                "deliberately"
+            )
+    sa = shorts.alias("sa")
+    sb = (
+        shorts.withColumn(
+            "_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+        )
+        .withColumn("_blk", F.col("_blk") + F.col("_off"))
+        .drop("_off")
+        .alias("sb")
+    )
     cand_short = sa.join(
         sb,
         (F.col("sa._g") == F.col("sb._g"))
+        & (F.col("sa._blk") == F.col("sb._blk"))
         & (F.col("sa._id") < F.col("sb._id")),
     ).select(
         F.col("sa._g").alias("_g"),

@@ -118,11 +118,69 @@ def test_fuzzy_join_mixed_short_and_long(spark):
 
 
 def test_fuzzy_join_hot_bucket_guard(spark):
-    """A degenerate corpus (everyone shares every gram) must trip the
-    max_bucket guard, not silently build a quadratic candidate set."""
+    """A genuinely degenerate corpus (everyone shares every gram AND
+    the same length class) must still trip the max_bucket guard, not
+    silently build a quadratic candidate set."""
     rows = [(i, "g", "aaaaaaaaaaaaaaaa") for i in range(50)]
     df = spark.createDataFrame(rows, "id long, g string, s string")
     with pytest.raises(ValueError, match="max_bucket"):
+        edit_distance_join(df, "id", "g", "s", 2, q=3, max_bucket=10)
+
+
+def test_fuzzy_join_hot_bucket_length_diverse_degrades(spark):
+    """A hot (group, gram) bucket whose rows are length-diverse must
+    NOT raise: secondary length-class blocking bounds the candidates
+    and the answer stays exactly the brute force. (Before round 7 this
+    fixture raised — one viral title cluster would kill a 100 TB job
+    even though its lengths spread the work fine.)"""
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        # every string carries the marker gram "qqq" → one hot bucket;
+        # lengths 10..50 spread across many length classes
+        n = rng.randint(10, 50)
+        body = "".join(
+            rng.choice("abcdefghijklmnop") for _ in range(n)
+        )
+        pos = rng.randrange(len(body) + 1)
+        rows.append((i, "g", body[:pos] + "qqq" + body[pos:]))
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+    got = {
+        (r.g, r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(
+            df.repartition(5), "id", "g", "s", 2, q=3, max_bucket=8
+        ).collect()
+    }
+    assert got == _brute(rows, 2)
+
+
+def test_fuzzy_join_short_chain_length_blocked(spark):
+    """Shorts (< d*q+1 grams) of DIVERSE lengths: the fallback's
+    length blocking must keep exactly the |len diff| <= d pairs —
+    a chain corpus where adjacency in length is adjacency in
+    distance."""
+    rows = [(k, "g", "xyz" + "a" * k) for k in range(40)]
+    got_rows = spark.createDataFrame(rows, "id long, g string, s string")
+    got = {
+        (r.g, r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(
+            got_rows.repartition(5), "id", "g", "s", 2, q=3, max_bucket=5
+        ).collect()
+    }
+    assert got == _brute(rows, 2)
+    assert got  # the chain has real pairs — not vacuous
+
+
+def test_fuzzy_join_short_fallback_guard(spark):
+    """A group flooded with same-length shorts whose gram sets are
+    DISJOINT (prefix buckets all cold) must trip the short-fallback
+    guard — before round 7 this went quadratic with no loud failure."""
+    alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    rows = [
+        (i, "g", alpha[4 * i : 4 * i + 4]) for i in range(12)
+    ]  # 12 length-4 strings, disjoint grams
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+    with pytest.raises(ValueError, match="short-string fallback"):
         edit_distance_join(df, "id", "g", "s", 2, q=3, max_bucket=10)
 
 
