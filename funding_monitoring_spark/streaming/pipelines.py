@@ -459,7 +459,9 @@ def streaming_drawdown_stateful(
     state equals the batch running-max window computation exactly —
     every division v/run_max happens on the same operands in the same
     order on both engines, so raw doubles hash (no rounding needed;
-    the min is order-independent)."""
+    the min is order-independent). Points where run_max <= 0 are
+    excluded (drawdown requires a positive peak); a key with no
+    positive peak reports NULL max_drawdown."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     import pandas as pd  # noqa: PLC0415 — worker-side import parity
@@ -479,15 +481,21 @@ def streaming_drawdown_stateful(
             v = float(v)
             if v > run_max:
                 run_max = v
-            dd = v / run_max - 1.0
-            if dd < max_dd:
-                max_dd = dd
+            # drawdown only folds from a POSITIVE peak (zero peak
+            # divides by zero, negative peak flips the sign — funding
+            # rates go negative); same CASE guard in the batch twin
+            # and both oracles
+            if run_max > 0:
+                dd = v / run_max - 1.0
+                if dd < max_dd:
+                    max_dd = dd
         n += len(vals)
         state.update((run_max, max_dd, n))
         yield pd.DataFrame(
             {
                 "symbol": [key[0]],
-                "max_drawdown": [max_dd],
+                # no positive peak yet -> the statistic is undefined
+                "max_drawdown": [max_dd if run_max > 0 else None],
                 "peak": [run_max],
                 "n": [n],
             }

@@ -2056,7 +2056,8 @@ DRAWDOWN_ORACLE = """
         FROM events
     )
     SELECT event_type,
-           ROUND(MIN(value / run_max - 1.0), 6) + 0.0
+           ROUND(MIN(CASE WHEN run_max > 0
+                          THEN value / run_max - 1.0 END), 6) + 0.0
                AS max_drawdown,
            ROUND(MAX(run_max), 6) AS peak,
            CAST(COUNT(*) AS BIGINT) AS n_obs
@@ -2072,7 +2073,13 @@ def q_max_drawdown_by_type(spark, sf_dir):
     the shared (series, time) ordering, then a plain aggregate: the
     drawdown at each point is value/run_max - 1 (exact same division
     on both engines), and the minimum is order-independent, so only
-    the final ROUND is needed. No self-join, no re-scan."""
+    the final ROUND is needed. No self-join, no re-scan.
+
+    Drawdown is only meaningful from a POSITIVE peak: a zero peak
+    divides by zero and a negative peak inverts the ratio's sign, so
+    points where run_max <= 0 are excluded from the fold (funding
+    rates routinely go negative) and a series with no positive peak
+    reports NULL — identically guarded in the oracle's CASE."""
     from pyspark.sql.window import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -2089,7 +2096,13 @@ def q_max_drawdown_by_type(spark, sf_dir):
     return runs.groupBy("event_type").agg(
         (
             F.round(
-                F.min(F.col("value") / F.col("run_max") - 1.0), 6
+                F.min(
+                    F.when(
+                        F.col("run_max") > 0,
+                        F.col("value") / F.col("run_max") - 1.0,
+                    )
+                ),
+                6,
             )
             + F.lit(0.0)
         ).alias("max_drawdown"),

@@ -702,7 +702,8 @@ def q_stream_contract_ledger(spark, sf_dir):
         FROM events
     )
     SELECT symbol,
-           MIN(value / run_max - 1.0) AS max_drawdown,
+           MIN(CASE WHEN run_max > 0
+                    THEN value / run_max - 1.0 END) AS max_drawdown,
            MAX(run_max) AS peak,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM r GROUP BY symbol

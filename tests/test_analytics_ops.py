@@ -755,3 +755,52 @@ def test_kmv_exact_small_sets_and_estimate_error(spark):
     # distinct(v) <= n; LCG over a 2^31 domain from 60k keys has few
     # collisions, so the true distinct count is within a hair of n
     assert abs(est_big - n) / n < 2 / (256 ** 0.5), est_big
+
+
+def test_max_drawdown_requires_positive_peak(spark, tmp_path):
+    """Drawdown folds only from a positive peak: a zero peak divides
+    by zero and a negative peak inverts the sign (funding rates go
+    negative). Differential against the registered oracle on a
+    crafted fixture with negative/zero/crossing series — the public
+    testdata is all-positive, so this regime is otherwise untested."""
+    import datetime as dt
+
+    import duckdb
+
+    from conftest import assert_matches_oracle
+    from funding_monitoring_spark.suites.analytics_suite import (
+        DRAWDOWN_ORACLE,
+        q_max_drawdown_by_type,
+    )
+
+    series = {
+        "neg": [-5.0, -3.0, -4.0],        # no positive peak -> NULL
+        "zerostart": [0.0, 2.0, 1.0],     # zero peak skipped, then -0.5
+        "cross": [-1.0, 4.0, 1.0, -2.0],  # below -100% drawdown: -1.5
+        "rise": [1.0, 2.0, 3.0],          # monotone: 0.0
+    }
+    rows, eid = [], 0
+    for et, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, 0, i), 1, et, v, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    fx = str(tmp_path / "fx")
+    df.coalesce(1).write.parquet(f"{fx}/events.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{fx}/events.parquet/*.parquet'"
+    )
+    out = q_max_drawdown_by_type(spark, fx)
+    assert_matches_oracle(out, con, DRAWDOWN_ORACLE)
+    got = {r.event_type: r.max_drawdown for r in out.collect()}
+    assert got["neg"] is None
+    assert got["zerostart"] == -0.5
+    assert got["cross"] == -1.5
+    assert got["rise"] == 0.0
