@@ -167,12 +167,18 @@ def cm_sketch(
     """Build the d x w counter grid over one pass: each item row
     explodes to its ``depth`` (row, bucket) cells, and a single
     groupBy counts them. Output: (cm_row, cm_bucket, n) — at most
-    depth*width rows total, broadcastable to any consumer."""
+    depth*width rows total, broadcastable to any consumer.
+
+    NULL fingerprints are excluded from counting (same contract as
+    frequent_items_exact_2pass: "frequency of NULL" is not a
+    meaningful point query, and a NULL fp hashes to NULL cells that
+    no probe can ever match)."""
     cells = F.posexplode(
         F.array(*[cm_bucket(fp, j, width) for j in range(depth)])
     )
     return (
-        items.select(cells.alias("cm_row", "cm_bucket"))
+        items.filter(fp.isNotNull())
+        .select(cells.alias("cm_row", "cm_bucket"))
         .groupBy("cm_row", "cm_bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -191,11 +197,27 @@ def cm_estimate(
     broadcasts; the query side never shuffles. Returns the query
     columns plus ``cm_n``. Cells no query item hashes into are
     irrelevant; cells that exist in the grid but hold only OTHER
-    items' counts are exactly the overcount the min tracks."""
+    items' counts are exactly the overcount the min tracks.
+
+    A NULL query fingerprint FAILS THE JOB (row-level raise inside
+    the bucket projection — no extra scan): NULL buckets match no
+    cell, and coalescing the miss to 0 would return a confident zero
+    where the documented "estimate >= true count" guarantee cannot
+    hold. Filter NULLs out first if they are expected."""
+    checked = F.when(fp.isNotNull(), fp).otherwise(
+        F.raise_error(
+            F.lit(
+                "cm_estimate: NULL query fingerprint — the estimate "
+                "is undefined for NULL keys; filter them out first"
+            )
+        )
+    )
     probes = queries.select(
         *key_cols,
         F.posexplode(
-            F.array(*[cm_bucket(fp, j, width) for j in range(depth)])
+            F.array(
+                *[cm_bucket(checked, j, width) for j in range(depth)]
+            )
         ).alias("cm_row", "cm_bucket"),
     )
     return (

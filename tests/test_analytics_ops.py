@@ -804,3 +804,40 @@ def test_max_drawdown_requires_positive_peak(spark, tmp_path):
     assert got["zerostart"] == -0.5
     assert got["cross"] == -1.5
     assert got["rise"] == 0.0
+
+
+def test_count_min_null_fingerprints(spark):
+    """NULL keys: excluded from the sketch (no NULL cells pollute the
+    grid) and FATAL in the estimate — coalescing the miss to zero
+    would break 'estimate >= true count' with a confident 0."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (1,), (None,), (2,)], "f long"
+    )
+    sketch = cm_sketch(df, F.col("f"), depth=2, width=8)
+    cells = sketch.collect()
+    # 3 non-null items x 2 rows; no NULL buckets
+    assert sum(r.n for r in cells) == 3 * 2
+    assert all(r.cm_bucket is not None for r in cells)
+
+    good = cm_estimate(
+        sketch,
+        spark.createDataFrame([(1,), (2,)], "f long"),
+        F.col("f"), ["f"], depth=2, width=8,
+    )
+    assert {r.f: r.cm_n for r in good.collect()} == {1: 2, 2: 1}
+
+    bad = cm_estimate(
+        sketch,
+        spark.createDataFrame([(1,), (None,)], "f long"),
+        F.col("f"), ["f"], depth=2, width=8,
+    )
+    with pytest.raises(Exception, match="NULL query fingerprint"):
+        bad.collect()
