@@ -623,6 +623,47 @@ PQ_CENT_MOD = 11
 PQ_CENT_CAP = 4096
 #: ADC shortlist size = PQ_RERANK * k candidates, exact-rescored
 PQ_RERANK = 16
+#: IVF-PQ shortlist multiplier. Wider than the linear-ADC path's
+#: because the fixture corpus is UNCLUSTERED (best-centroid cosine
+#: ~0.16 at sf0.01), so residuals are larger than the vectors they
+#: encode and the residual ADC winnows weakly — the wider exact
+#: re-rank restores recall to the IVF routing ceiling (0.69 at
+#: sf0.01, the max any PQ variant can reach inside the probed
+#: cells). rerank*k is a CONSTANT per query at any corpus size; on a
+#: genuinely clustered 100 TB corpus residuals quantize finer and
+#: this can shrink back toward PQ_RERANK.
+IVF_PQ_RERANK = 48
+
+
+def _subspace_split(
+    df: DataFrame, id_col: str, arr: Column, prefix: str
+) -> DataFrame:
+    """(id, m, sub): an already-prepared double array split into PQ_M
+    contiguous subvectors (m is 1-based). Shared by the raw-vector PQ
+    path (normalized embeddings) and the IVF-PQ residual path
+    (vector minus assigned centroid, NOT renormalized)."""
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(
+                    F.col("__arr"),
+                    (m - 1) * PQ_SUBDIM + 1,
+                    PQ_SUBDIM,
+                ).alias("sub"),
+            )
+            for m in range(1, PQ_M + 1)
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias(f"{prefix}_id"), arr.alias("__arr"))
+        .select(f"{prefix}_id", F.explode(structs).alias("s"))
+        .select(
+            f"{prefix}_id",
+            F.col("s.m").alias("m"),
+            F.col("s.sub").alias("sub"),
+        )
+    )
 
 
 def _pq_subspaces(
@@ -633,30 +674,7 @@ def _pq_subspaces(
     ADC sum of per-subspace inner products equal the full cosine."""
     emb = to_double_array(emb_col)
     nemb = F.transform(emb, lambda x: x / seq_norm(emb))
-    structs = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.slice(
-                    F.col("__nemb"),
-                    (m - 1) * PQ_SUBDIM + 1,
-                    PQ_SUBDIM,
-                ).alias("sub"),
-            )
-            for m in range(1, PQ_M + 1)
-        ]
-    )
-    return (
-        df.select(
-            F.col(id_col).alias(f"{prefix}_id"), nemb.alias("__nemb")
-        )
-        .select(f"{prefix}_id", F.explode(structs).alias("s"))
-        .select(
-            f"{prefix}_id",
-            F.col("s.m").alias("m"),
-            F.col("s.sub").alias("sub"),
-        )
-    )
+    return _subspace_split(df, id_col, nemb, prefix)
 
 
 def pq_codebook(
@@ -699,7 +717,14 @@ def pq_encode(
     built by one broadcast join against the codebook — cost
     O(N * PQ_M * |codebook|) scan-stage folds, no shuffle of
     embeddings."""
-    subs = _pq_subspaces(corpus, id_col, emb_col, "c")
+    return _argmin_codes(_pq_subspaces(corpus, id_col, emb_col, "c"), cents)
+
+
+def _argmin_codes(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(c_id, m, code): nearest codebook entry per (vector, subspace)
+    by squared L2 (distance rounded, then id — reproducible argmin).
+    One broadcast join against the codebook, codegen folds, no shuffle
+    of the vectors themselves."""
     d = F.round(_sq_l2(F.col("sub"), F.col("csub")), SCORE_ROUND)
     w = Window.partitionBy("c_id", "m").orderBy(
         F.asc("dist"), F.asc("j")
@@ -820,20 +845,26 @@ def cosine_topk_ivf_pq(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     nprobe: int = IVF_NPROBE,
-    rerank: int = PQ_RERANK,
+    rerank: int = IVF_PQ_RERANK,
 ) -> DataFrame:
-    """IVF-PQ: the composed 100 TB ANN path. The IVF index routes —
-    the corpus is hard-assigned to sampled-centroid cells and a query
-    probes its nprobe nearest, so candidates are a cell equi-join,
-    never a corpus scan; PQ compresses — the candidates' scores come
-    from the codes table via the query's ADC lookup table, not from
-    full-dimension dots; and only the rerank*k ADC shortlist gets
-    exact rescoring. At scale the corpus is partitioned by cell with
-    codes co-located, a query moves (nprobe cells x PQ_M lookups) of
-    work, and the embeddings are touched only for the bounded
-    shortlist — memory ~PQ_M bytes/vector in the scan path. Every
-    stage reuses the verified pieces (_cell_assignments, pq_codebook,
-    pq_encode) and keeps their determinism guarantees."""
+    """IVF-PQ with RESIDUAL encoding: the composed 100 TB ANN path.
+    The IVF index routes — the corpus is hard-assigned to
+    sampled-centroid cells and a query probes its nprobe nearest, so
+    candidates are a cell equi-join, never a corpus scan; PQ
+    compresses the RESIDUAL r = v_n - cent_n (unit vector minus its
+    cell's unit centroid — the standard IVF-PQ trick: residuals
+    cluster far tighter than raw vectors, so the same codebook budget
+    quantizes much finer). The ADC identity is exact before
+    quantization:  q_n . v_n = q_n . cent_n + q_n . r  — the centroid
+    term enters the m-ordered fold as an m=0 row, and the PQ_M
+    residual partials come from the query's lookup table against the
+    residual codebook. Only the rerank*k ADC shortlist gets exact
+    full-dimension rescoring. At scale the corpus is partitioned by
+    cell with codes co-located, a query moves (nprobe cells x PQ_M
+    lookups) of work, and the embeddings are touched only for the
+    bounded shortlist — memory ~PQ_M bytes/vector in the scan path.
+    Every stage keeps the determinism guarantees (rounded argmins,
+    fixed fold orders), so the oracle replays it bit-for-bit."""
     cents = _prep(
         corpus.filter((F.col(id_col) % IVF_CENTROID_MOD) == 0),
         id_col,
@@ -842,15 +873,22 @@ def cosine_topk_ivf_pq(
     )
     c = _prep(corpus, id_col, emb_col, "c")
     q = _prep(queries, id_col, emb_col, "q")
-    c_cells = _cell_assignments(
-        c.select(
-            F.col("c_id").alias("v_id"),
-            F.col("c_emb").alias("v_emb"),
-            F.col("c_norm").alias("v_norm"),
-        ),
-        cents,
-        keep=1,
-    ).select(F.col("v_id").alias("c_id"), "cent_id")
+    # hard assignments feed THREE consumers (candidate join, residual
+    # computation, the m=0 centroid term) — checkpoint the slim
+    # (c_id, cent_id) frame so the assignment crossJoin runs once
+    c_cells = (
+        _cell_assignments(
+            c.select(
+                F.col("c_id").alias("v_id"),
+                F.col("c_emb").alias("v_emb"),
+                F.col("c_norm").alias("v_norm"),
+            ),
+            cents,
+            keep=1,
+        )
+        .select(F.col("v_id").alias("c_id"), "cent_id")
+        .localCheckpoint(eager=True)
+    )
     q_cells = _cell_assignments(
         q.select(
             F.col("q_id").alias("v_id"),
@@ -866,10 +904,44 @@ def cosine_topk_ivf_pq(
         .distinct()
         .filter(F.col("q_id") != F.col("c_id"))
     )
-    pq_cents = pq_codebook(corpus, id_col, emb_col).localCheckpoint(
-        eager=True
+    # residual encoding: r = v_n - cent_n (both unit-normalized,
+    # element-wise — the residual itself is NOT renormalized)
+    ncent = cents.select(
+        "cent_id",
+        F.transform(
+            "cent_emb", lambda x: x / F.col("cent_norm")
+        ).alias("ncent"),
     )
-    codes = pq_encode(corpus, pq_cents, id_col, emb_col)
+    resid = (
+        c.select(
+            "c_id",
+            F.transform(
+                "c_emb", lambda x: x / F.col("c_norm")
+            ).alias("ncemb"),
+        )
+        .join(c_cells, "c_id")
+        .join(F.broadcast(ncent), "cent_id")
+        .select(
+            "c_id",
+            F.zip_with(
+                "ncemb", "ncent", lambda a, b: a - b
+            ).alias("remb"),
+        )
+    )
+    # residual subspace rows feed BOTH the codebook sample and the
+    # encode argmin; checkpoint so the residual join runs once
+    rsubs = _subspace_split(
+        resid, "c_id", F.col("remb"), "c"
+    ).localCheckpoint(eager=True)
+    pq_cents = (
+        rsubs.filter(
+            ((F.col("c_id") % PQ_CENT_MOD) == 0)
+            & (F.col("c_id") < PQ_CENT_CAP)
+        )
+        .select("m", F.col("c_id").alias("j"), F.col("sub").alias("csub"))
+        .localCheckpoint(eager=True)
+    )
+    codes = _argmin_codes(rsubs, pq_cents)
     qsubs = _pq_subspaces(queries, id_col, emb_col, "q")
     lut = qsubs.join(F.broadcast(pq_cents), "m").select(
         "q_id",
@@ -877,10 +949,29 @@ def cosine_topk_ivf_pq(
         F.col("j").alias("code"),
         seq_dot(F.col("sub"), F.col("csub")).alias("partial"),
     )
-    pairs = cand.join(codes, "c_id").join(
+    pq_pairs = cand.join(codes, "c_id").join(
         F.broadcast(lut), ["q_id", "m", "code"]
+    ).select("q_id", "c_id", "m", "partial")
+    # the exact q . cent term enters the fold as the m=0 row — the
+    # candidate's ONE hard-assigned cell, so exactly one row per pair
+    nq = q.select(
+        "q_id",
+        F.transform("q_emb", lambda x: x / F.col("q_norm")).alias(
+            "nqemb"
+        ),
     )
-    adc = _adc_scores(pairs)
+    cent_term = (
+        cand.join(c_cells, "c_id")
+        .join(F.broadcast(ncent), "cent_id")
+        .join(F.broadcast(nq), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.lit(0).alias("m"),
+            seq_dot(F.col("nqemb"), F.col("ncent")).alias("partial"),
+        )
+    )
+    adc = _adc_scores(pq_pairs.unionByName(cent_term))
     w = Window.partitionBy("q_id").orderBy(
         F.desc("adc_score"), F.asc("c_id")
     )
