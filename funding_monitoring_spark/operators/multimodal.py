@@ -9,16 +9,17 @@ wire format decodes FOR REAL in pure numpy/struct + stdlib zlib —
 scanline unfilters), 16-bit PCM WAV (RIFF chunk walk, deinterleave),
 and raw-DIB AVI video (avih/strh/strf headers, movi frame chunks,
 idx1); oracle-verified round trips in `multimodal_{bmp,png,wav}_
-roundtrip` and `multimodal_avi_framesample`. JPEG rides on the
-OPTIONAL dependencies, probed at call time so executors resolve them
-against their own environment: Pillow backs JPEG (encode_jpeg /
-decode_image) and the per-frame codec of MJPG AVI streams; soundfile
+roundtrip` and `multimodal_avi_framesample`. JPEG decodes
+EVERYWHERE since round 7: Pillow when installed (probed at call time
+so executors resolve it against their own environment), the
+pure-Python baseline 4:4:4 codec (operators/jpegcodec.py) otherwise
+— encode_jpeg / decode_image and the per-frame codec of MJPG AVI
+streams all ride that dispatch, and `multimodal_jpeg_roundtrip` /
+`multimodal_mjpg_framesample` register unconditionally. soundfile
 (with an MP3-capable libsndfile) backs MP3 (encode_mp3 / decode_mp3 /
-decode_audio). With a dependency installed, the real codec runs
-inside the same mapInPandas plumbing and the matching roundtrip query
-registers itself (`multimodal_jpeg_roundtrip`,
-`multimodal_mjpg_framesample`, `multimodal_mp3_roundtrip`); without
-it, the codec raises loudly — refusing, never faking. Remaining
+decode_audio): with it installed the roundtrip query registers
+itself (`multimodal_mp3_roundtrip`); without it, the codec raises
+loudly — refusing, never faking. Remaining
 formats (AAC, MPEG video) follow the same seam: swapping in ffmpeg
 changes ONE function, not the pipeline.
 
@@ -96,10 +97,16 @@ def decode_image(payload: bytes) -> object:
     if payload[:3] == b"\xff\xd8\xff":
         Image = _pil_image_module()
         if Image is None:
-            raise NotImplementedError(
-                "JPEG decode needs the optional Pillow dependency "
-                "(pip install Pillow); refusing to fake pixels"
+            # pure-Python baseline fallback (operators/jpegcodec.py):
+            # decodes sequential 4:4:4 8-bit streams — exactly the
+            # profile the engine's own encoder emits — and raises
+            # NotImplementedError for progressive/subsampled rather
+            # than faking pixels
+            from funding_monitoring_spark.operators.jpegcodec import (
+                decode_baseline_jpeg,
             )
+
+            return decode_baseline_jpeg(payload)
         import io
 
         import numpy as np
@@ -113,21 +120,26 @@ def decode_image(payload: bytes) -> object:
 
 
 def encode_jpeg(pixels, quality: int = 95) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as JPEG via the optional
-    Pillow dependency; raises loudly without it (the lossless BMP/PNG
-    encoders above need no library).
+    """Encode an (h, w, 3) uint8 RGB array as baseline JPEG — Pillow
+    when installed, the pure-Python baseline codec
+    (operators/jpegcodec.py) otherwise, so JPEG coverage no longer
+    depends on the environment.
 
-    subsampling=0 (4:4:4) is load-bearing: default chroma subsampling
-    on the tiny synthetic test images makes per-channel error depend
-    on the libjpeg build, which would make the roundtrip oracle's
-    fixed tolerance flaky across Pillow environments; full-resolution
-    chroma at quality>=95 bounds quantization error independently of
-    the decoder version."""
+    subsampling=0 (4:4:4) is load-bearing on BOTH paths: default
+    chroma subsampling on the tiny synthetic test images makes
+    per-channel error depend on the libjpeg build, which would make
+    the roundtrip oracle's fixed tolerance flaky across
+    environments; full-resolution chroma at quality>=95 bounds
+    quantization error independently of the encoder (the pure codec
+    measures ~3 mean per-pixel error at q95 even on noise images —
+    far inside the roundtrip check's +-16 channel-mean tolerance)."""
     Image = _pil_image_module()
     if Image is None:
-        raise NotImplementedError(
-            "JPEG encode needs the optional Pillow dependency"
+        from funding_monitoring_spark.operators.jpegcodec import (
+            encode_baseline_jpeg,
         )
+
+        return encode_baseline_jpeg(pixels, quality=quality)
     import io
 
     import numpy as np
@@ -1086,9 +1098,9 @@ def encode_avi(frames, codec: bytes = b"DIB ") -> bytes:
 
     codec=b"DIB " (default) writes raw-DIB '00db' frames, pure
     struct/numpy. codec=b"MJPG" writes each frame as a JPEG '00dc'
-    chunk via the optional Pillow dependency (encode_jpeg raises
-    loudly without it) — the standard motion-JPEG layout, where the
-    container is ours and only the per-frame codec is borrowed."""
+    chunk via encode_jpeg (Pillow when installed, the pure baseline
+    codec otherwise) — the standard motion-JPEG layout, where the
+    container is ours either way."""
     import numpy as np
 
     if codec not in (b"DIB ", b"MJPG"):
@@ -1152,8 +1164,9 @@ def decode_avi(payload: bytes):
     count from avih, fps from the vids strh scale/rate pair, then walk
     the movi LIST decoding each '00db'/'00dc' chunk. Raw-DIB streams
     decode dependency-free; MJPG streams decode each frame through
-    the optional Pillow JPEG path (decode_image raises loudly without
-    it); any other compression is rejected loudly."""
+    decode_image's JPEG path (Pillow when installed, the pure
+    baseline codec otherwise); any other compression is rejected
+    loudly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     pos, dims, n_frames, fps, frames = 12, None, None, None, []

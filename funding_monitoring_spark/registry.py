@@ -108,9 +108,12 @@ def query(name: str, sql: str | None):
 #:       CC reuse by semantic_dedup_clusters → dedup_clusters,
 #:       dedup_clusters_star, pagerank_trading_graph; dedup.py
 #:       family), then oldest registration order (batch_ops head).
-#:   r8 plan (precommitted): (a) any round-7 post-freeze
-#:       registrations first (each ships with a driver-format row in
-#:       CORRECTNESS_LOCAL_r7.json); (b) the 23 r3-row remainder
+#:   r8 plan (precommitted): (a) round-7 post-freeze registrations
+#:       first (each ships with a driver-format row in
+#:       CORRECTNESS_LOCAL_r7.json) — multimodal_jpeg_roundtrip and
+#:       multimodal_mjpg_framesample (now registered unconditionally
+#:       via the pure baseline JPEG codec) plus any later r7
+#:       additions; (b) the 23 r3-row remainder
 #:       (age 5 rounds at r8 — oldest in the registry): upsert_merge,
 #:       scalar_datetime_suite, scalar_string_suite,
 #:       scalar_cast_annualize, json_extract, nested_json_explode,

@@ -145,7 +145,8 @@ def q_multimodal_png_roundtrip(spark, sf_dir):
     twin, so the hash only matches if inflate+unfilter reproduces
     every pixel exactly; this retires the round-2 'compressed formats
     are stubbed' caveat for PNG (operators/multimodal.py encode_png/
-    decode_png; JPEG still raises pending a codec library)."""
+    decode_png; JPEG decodes via Pillow or the pure baseline codec —
+    see multimodal_jpeg_roundtrip)."""
     from funding_monitoring_spark.operators.multimodal import (
         decode_image_features,
         synthesize_png_media,
@@ -246,74 +247,71 @@ def q_multimodal_avi_framesample(spark, sf_dir):
     return decode_avi_frames(synthesize_avi_media(docs))
 
 
-# JPEG rides on the optional Pillow dependency: the roundtrip query
-# registers ONLY when Pillow is importable, so environments without
-# it (this container) never expose a query that can't run — green
-# when the lib exists, cleanly absent when not. The codec is lossy,
-# so the oracle checks exact dimensions plus within-tolerance flags
-# (decode_image_features_tolerant) instead of exact means.
-from funding_monitoring_spark.operators.multimodal import (  # noqa: E402
-    _pil_image_module,
+# JPEG registers UNCONDITIONALLY since round 7: Pillow when
+# installed, otherwise the pure-Python baseline 4:4:4 codec
+# (operators/jpegcodec.py) — the dominant real-world image format no
+# longer depends on the environment. The codec is lossy, so the
+# oracle checks exact dimensions plus within-tolerance flags
+# (decode_image_features_tolerant) instead of exact means; both
+# encoder paths pin 4:4:4 at quality 95, which keeps channel-mean
+# error ~0.5 against the +-16 tolerance.
+
+@query(
+    "multimodal_jpeg_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 6 AS INT) AS width,
+           CAST(2 + doc_id % 4 AS INT) AS height,
+           1 AS mean_close_r, 1 AS mean_close_g, 1 AS mean_close_b
+    FROM documents
+    """,
 )
+def q_multimodal_jpeg_roundtrip(spark, sf_dir):
+    """Lossy-codec round trip through the optional Pillow JPEG
+    path: synthesize a JPEG per document from the closed-form
+    pixel field, decode it with the real codec in the same
+    Arrow-batched mapInPandas plumbing as BMP/PNG, and assert the
+    per-channel means land within quantization tolerance of the
+    source field (exact flags — a channel swap or garbage decode
+    lands far outside)."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_image_features_tolerant,
+        synthesize_jpeg_media,
+    )
 
-if _pil_image_module() is not None:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features_tolerant(synthesize_jpeg_media(docs))
 
-    @query(
-        "multimodal_jpeg_roundtrip",
-        """
+@query(
+    "multimodal_mjpg_framesample",
+    """
+    WITH dims AS (
         SELECT doc_id AS media_id,
-               CAST(2 + doc_id % 6 AS INT) AS width,
-               CAST(2 + doc_id % 4 AS INT) AS height,
-               1 AS mean_close_r, 1 AS mean_close_g, 1 AS mean_close_b
+               CAST(2 + doc_id % 4 AS INT) AS n_frames
         FROM documents
-        """,
     )
-    def q_multimodal_jpeg_roundtrip(spark, sf_dir):
-        """Lossy-codec round trip through the optional Pillow JPEG
-        path: synthesize a JPEG per document from the closed-form
-        pixel field, decode it with the real codec in the same
-        Arrow-batched mapInPandas plumbing as BMP/PNG, and assert the
-        per-channel means land within quantization tolerance of the
-        source field (exact flags — a channel swap or garbage decode
-        lands far outside)."""
-        from funding_monitoring_spark.operators.multimodal import (
-            decode_image_features_tolerant,
-            synthesize_jpeg_media,
-        )
-
-        docs = load_table(spark, sf_dir, "documents").select("doc_id")
-        return decode_image_features_tolerant(synthesize_jpeg_media(docs))
-
-    @query(
-        "multimodal_mjpg_framesample",
-        """
-        WITH dims AS (
-            SELECT doc_id AS media_id,
-                   CAST(2 + doc_id % 4 AS INT) AS n_frames
-            FROM documents
-        )
-        SELECT media_id, CAST(f AS INT) AS frame_idx,
-               CAST(10 AS INT) AS fps,
-               1 AS mean_close_r, 1 AS mean_close_g, 1 AS mean_close_b
-        FROM dims, unnest(range(0, n_frames)) AS u(f)
-        """,
+    SELECT media_id, CAST(f AS INT) AS frame_idx,
+           CAST(10 AS INT) AS fps,
+           1 AS mean_close_r, 1 AS mean_close_g, 1 AS mean_close_b
+    FROM dims, unnest(range(0, n_frames)) AS u(f)
+    """,
+)
+def q_multimodal_mjpg_framesample(spark, sf_dir):
+    """Compressed-video round trip: motion-JPEG AVI per document
+    (our container writer, Pillow per-frame codec), parsed back
+    with the real container decoder and per-frame JPEG decode —
+    frame fan-out and fps hash exactly, per-channel frame means
+    flagged within quantization tolerance of the closed-form
+    field."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_avi_frames_tolerant,
+        synthesize_mjpg_avi_media,
     )
-    def q_multimodal_mjpg_framesample(spark, sf_dir):
-        """Compressed-video round trip: motion-JPEG AVI per document
-        (our container writer, Pillow per-frame codec), parsed back
-        with the real container decoder and per-frame JPEG decode —
-        frame fan-out and fps hash exactly, per-channel frame means
-        flagged within quantization tolerance of the closed-form
-        field."""
-        from funding_monitoring_spark.operators.multimodal import (
-            decode_avi_frames_tolerant,
-            synthesize_mjpg_avi_media,
-        )
 
-        docs = load_table(spark, sf_dir, "documents").select("doc_id")
-        return decode_avi_frames_tolerant(
-            synthesize_mjpg_avi_media(docs)
-        )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_avi_frames_tolerant(
+        synthesize_mjpg_avi_media(docs)
+    )
 
 
 # MP3 rides the optional soundfile dependency (and needs an

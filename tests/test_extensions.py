@@ -225,8 +225,11 @@ def test_bmp_decode_rejects_unsupported():
 
     with _pytest.raises(ValueError):
         decode_bmp(b"XX" + b"\x00" * 60)
-    with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 60)  # JPEG magic
+    # JPEG magic with a garbage body: decodes through the pure
+    # baseline codec since round 7, which rejects the malformed
+    # segment instead of faking pixels
+    with _pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 60)
 
 
 def test_png_roundtrip_exercises_all_filters():
@@ -635,44 +638,29 @@ def test_salted_agg_skewed_matches_plain(spark):
     assert salted == plain
 
 
-def test_jpeg_optional_dependency_contract(spark):
-    """JPEG support is gated on the optional Pillow dependency: with
-    it, encode->decode round-trips within quantization tolerance
-    through the registered query path; without it, both halves raise
-    the loud NotImplementedError (never fake pixels), and the
-    roundtrip query is NOT registered."""
+def test_jpeg_roundtrip_registered_on_both_codec_paths(spark):
+    """JPEG registers UNCONDITIONALLY since round 7 — Pillow when
+    installed, the pure-Python baseline codec otherwise — and the
+    synthesize -> decode roundtrip lands within quantization
+    tolerance through the registered query path on either backend."""
     from funding_monitoring_spark.operators.multimodal import (
-        _pil_image_module,
-        decode_image,
-        encode_jpeg,
+        decode_image_features_tolerant,
+        synthesize_jpeg_media,
     )
     from funding_monitoring_spark.registry import queries
 
-    registered = "multimodal_jpeg_roundtrip" in queries()
-    if _pil_image_module() is None:
-        assert not registered
-        with pytest.raises(NotImplementedError, match="Pillow"):
-            encode_jpeg([[[0, 0, 0]]])
-        with pytest.raises(NotImplementedError, match="Pillow"):
-            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
-    else:
-        assert registered
-        from funding_monitoring_spark.operators.multimodal import (
-            decode_image_features_tolerant,
-            synthesize_jpeg_media,
+    assert "multimodal_jpeg_roundtrip" in queries()
+    ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    out = decode_image_features_tolerant(
+        synthesize_jpeg_media(ids)
+    ).collect()
+    assert len(out) == 8
+    for r in out:
+        assert (r.mean_close_r, r.mean_close_g, r.mean_close_b) == (
+            1,
+            1,
+            1,
         )
-
-        ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
-        out = decode_image_features_tolerant(
-            synthesize_jpeg_media(ids)
-        ).collect()
-        assert len(out) == 8
-        for r in out:
-            assert (r.mean_close_r, r.mean_close_g, r.mean_close_b) == (
-                1,
-                1,
-                1,
-            )
 
 
 def test_mp3_optional_dependency_contract(spark):
@@ -744,12 +732,13 @@ def test_audio_dispatch_with_fake_codec(monkeypatch):
         M.decode_audio(b"OggS" + b"\x00" * 16)
 
 
-def test_mjpg_avi_optional_dependency_contract(spark):
-    """MJPG AVI rides the optional Pillow dependency for its per-frame
-    codec: without Pillow the writer refuses and a real MJPG container
-    fails loudly at frame decode (never garbage pixels); with it, the
-    full container+codec roundtrip flags all-green through the query
-    path. Unknown codecs are rejected at the encoder too."""
+def test_mjpg_avi_contract(spark):
+    """MJPG AVI registers unconditionally since round 7 (per-frame
+    codec = Pillow when installed, the pure baseline codec
+    otherwise): the full container+codec roundtrip flags all-green
+    through the query path; unknown codecs are rejected at the
+    encoder; a container whose MJPG-flagged frames are NOT JPEG fails
+    loudly at decode (never garbage pixels)."""
     import numpy as np
 
     from funding_monitoring_spark.operators import multimodal as M
@@ -758,32 +747,25 @@ def test_mjpg_avi_optional_dependency_contract(spark):
     frame = np.zeros((2, 2, 3), dtype=np.uint8)
     with pytest.raises(NotImplementedError, match="codec"):
         M.encode_avi([frame], codec=b"H264")
-    registered = "multimodal_mjpg_framesample" in queries()
-    if M._pil_image_module() is None:
-        assert not registered
-        with pytest.raises(NotImplementedError, match="Pillow"):
-            M.encode_avi([frame], codec=b"MJPG")
-        # an MJPG-flagged container decodes its frames through the
-        # JPEG path, which must refuse without Pillow (the frame body
-        # here isn't JPEG, so any NON-loud path would fake pixels)
-        raw = bytearray(M.encode_avi([frame]))
-        i = raw.find(b"vids") + 4
-        raw[i : i + 4] = b"MJPG"
-        with pytest.raises(NotImplementedError):
-            M.decode_avi(bytes(raw))
-    else:
-        assert registered
-        ids = spark.range(0, 6).select(F.col("id").alias("doc_id"))
-        out = M.decode_avi_frames_tolerant(
-            M.synthesize_mjpg_avi_media(ids)
-        ).collect()
-        assert len(out) > 6  # 1:N frame fan-out
-        for r in out:
-            assert (r.mean_close_r, r.mean_close_g, r.mean_close_b) == (
-                1,
-                1,
-                1,
-            )
+    assert "multimodal_mjpg_framesample" in queries()
+    # an MJPG-flagged container whose frame body is raw DIB (not
+    # JPEG) must fail loudly in the frame decoder on any backend
+    raw = bytearray(M.encode_avi([frame]))
+    i = raw.find(b"vids") + 4
+    raw[i : i + 4] = b"MJPG"
+    with pytest.raises((NotImplementedError, ValueError)):
+        M.decode_avi(bytes(raw))
+    ids = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+    out = M.decode_avi_frames_tolerant(
+        M.synthesize_mjpg_avi_media(ids)
+    ).collect()
+    assert len(out) > 6  # 1:N frame fan-out
+    for r in out:
+        assert (r.mean_close_r, r.mean_close_g, r.mean_close_b) == (
+            1,
+            1,
+            1,
+        )
 
 
 def test_pq_codes_shape_and_recall_floor(spark, sf_dir):

@@ -1,0 +1,120 @@
+"""Pure-Python baseline JPEG codec (operators/jpegcodec.py): encode ->
+decode roundtrip error bounds across shapes and qualities, padding /
+cropping at non-multiple-of-8 dims, honest refusal of non-baseline
+features, and malformed-stream rejection."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from funding_monitoring_spark.operators.jpegcodec import (
+    _quality_tables,
+    _zigzag_order,
+    decode_baseline_jpeg,
+    encode_baseline_jpeg,
+)
+
+
+def test_zigzag_is_a_permutation_with_known_anchors():
+    z = _zigzag_order()
+    assert sorted(z.tolist()) == list(range(64))
+    # T.81 figure 5 anchors: DC first, then (0,1), (1,0), (2,0) ...
+    assert z[0] == 0 and z[1] == 1 and z[2] == 8 and z[3] == 16
+    assert z[63] == 63
+
+
+def test_quality_scaling_monotone():
+    q50, _ = _quality_tables(50)
+    q95, _ = _quality_tables(95)
+    q100, _ = _quality_tables(100)
+    assert (q95 <= q50).all() and (q100 <= q95).all()
+    assert q100.min() >= 1 and q50.max() <= 255
+
+
+@pytest.mark.parametrize(
+    "shape", [(1, 1), (2, 2), (5, 7), (8, 8), (13, 19), (32, 24)]
+)
+def test_roundtrip_noise_within_quantization_error(shape):
+    rng = np.random.RandomState(hash(shape) % (2**31))
+    px = rng.randint(0, 256, size=(*shape, 3), dtype=np.uint8)
+    back = decode_baseline_jpeg(encode_baseline_jpeg(px, quality=95))
+    assert back.shape == px.shape
+    err = np.abs(back.astype(int) - px.astype(int))
+    # noise is JPEG's worst case; q95 4:4:4 stays well-bounded
+    assert err.mean() < 8, err.mean()
+    chan = np.abs(
+        back.reshape(-1, 3).mean(0) - px.reshape(-1, 3).mean(0)
+    )
+    assert (chan < 8).all(), chan  # roundtrip oracle uses +-16
+
+
+def test_roundtrip_smooth_near_lossless():
+    y, x = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [(x * 2) % 256, (y * 3) % 256, (x + y) % 256], axis=-1
+    ).astype(np.uint8)
+    back = decode_baseline_jpeg(encode_baseline_jpeg(img, 95))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_roundtrip_flat_lossless():
+    img = np.full((10, 10, 3), 200, np.uint8)
+    back = decode_baseline_jpeg(encode_baseline_jpeg(img, 95))
+    assert np.array_equal(back, img)
+
+
+def test_quality_degrades_gracefully():
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    errs = [
+        np.abs(
+            decode_baseline_jpeg(
+                encode_baseline_jpeg(px, q)
+            ).astype(int)
+            - px.astype(int)
+        ).mean()
+        for q in (25, 75, 100)
+    ]
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[2] < 1  # q100 on the identity quant floor
+
+
+def test_rejects_non_baseline_and_malformed():
+    rng = np.random.RandomState(4)
+    px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_baseline_jpeg(px, 95))
+    # flip SOF0 -> SOF2 (progressive): honest refusal, not garbage
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_baseline_jpeg(bytes(data))
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(b"\x00\x01")  # no SOI
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(b"\xff\xd8\xff\xe0\x00\x00garbage")
+
+
+def test_rejects_subsampled_sof():
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_baseline_jpeg(px, 95))
+    i = data.find(b"\xff\xc0")
+    # component 1's H/V byte lives at SOF body offset 7 (marker+len=4,
+    # prec/h/w/nc=6, comp id=1): set 2x2 subsampling
+    data[i + 4 + 6 + 1] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_baseline_jpeg(bytes(data))
+
+
+def test_stuffed_ff_bytes_survive():
+    """Entropy data containing 0xFF bytes must byte-stuff on encode
+    and unstuff on decode; random noise at high quality reliably
+    produces them — assert the stream actually contains FF00."""
+    rng = np.random.RandomState(0)  # seed chosen to hit a stuffed FF
+    px = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    data = encode_baseline_jpeg(px, 98)
+    assert b"\xff\x00" in data
+    back = decode_baseline_jpeg(data)
+    assert back.shape == px.shape
+    assert np.abs(back.astype(int) - px.astype(int)).mean() < 8
