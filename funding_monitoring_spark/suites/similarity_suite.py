@@ -884,3 +884,96 @@ def q_ann_ivf_pq_recall(spark, sf_dir):
     return S.topk_recall(
         exact, S.cosine_topk_ivf_pq(queries, emb, k=K), "ivf_pq"
     )
+
+
+# -- incremental ANN index maintenance ---------------------------------
+
+#: v1 of the embeddings snapshot store holds vec_id < IDX_SPLIT;
+#: v2 appends the rest. Centroids train ONCE on v1 (standard IVF
+#: practice: the coarse quantizer is frozen; new data routes to
+#: existing cells until a rebuild is scheduled).
+IDX_SPLIT = 350
+
+ANN_INDEX_INCR_ORACLE = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cent_id, emb AS cent_emb,
+               SQRT({_sql_dot('emb', 'emb')}) AS cent_norm
+        FROM v WHERE vec_id % {S.IVF_CENTROID_MOD} = 0
+                 AND vec_id < {IDX_SPLIT}
+    ),
+    assign AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT v.vec_id, cents.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_sql_dot('emb', 'cent_emb')} /
+                                (SQRT({_sql_dot('emb', 'emb')})
+                                 * cent_norm) DESC,
+                                cent_id ASC) AS rn
+            FROM v CROSS JOIN cents
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, cent_id,
+           CAST(CASE WHEN vec_id < {IDX_SPLIT} THEN 1 ELSE 2 END
+                AS INT) AS indexed_at_version
+    FROM assign
+    """
+
+
+@query("ann_index_incremental", ANN_INDEX_INCR_ORACLE)
+def q_ann_index_incremental(spark, sf_dir):
+    """Stateful ANN index maintenance: the IVF routing table kept in
+    step with a GROWING table-format store, re-routing ONLY the rows
+    added since the last indexed version. v1 of the snapshot store is
+    committed and fully indexed (centroids trained on it, then
+    frozen — standard IVF practice); v2 appends new vectors, and the
+    index update reads exactly the delta via read_snapshot_changes
+    (file-set subtraction on manifests — no rescan of v1's files) and
+    assigns it against the SAME frozen centroids. The oracle is the
+    full rebuild over the final table, so the hash proves
+    incremental == rebuild row for row; indexed_at_version pins WHICH
+    pass indexed each vector, so a delta reader that leaks old rows
+    (or misses new ones) breaks the match. At 100 TB this is the
+    difference between re-encoding the corpus nightly and routing
+    only the day's ingest — the same consumer pattern as
+    incremental_rollup_maintenance, applied to the ANN index."""
+    import os
+    import tempfile as _tf
+
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+        read_snapshot_changes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = os.path.join(
+        _tf.mkdtemp(prefix="fm_ann_idx_"), "embeddings"
+    )
+    v1 = commit_snapshot(emb.filter(F.col("vec_id") < IDX_SPLIT), store)
+    base = read_snapshot(spark, store, version=v1)
+    cents = S._prep(
+        base.filter((F.col("vec_id") % S.IVF_CENTROID_MOD) == 0),
+        "vec_id",
+        "embedding",
+        "cent",
+    ).localCheckpoint(eager=True)
+
+    def route(df, version: int):
+        return (
+            S._cell_assignments(
+                S._prep(df, "vec_id", "embedding", "v"), cents, keep=1
+            )
+            .select(
+                F.col("v_id").alias("vec_id"),
+                "cent_id",
+                F.lit(version).cast("int").alias("indexed_at_version"),
+            )
+        )
+
+    index_v1 = route(base, 1)
+    commit_snapshot(emb.filter(F.col("vec_id") >= IDX_SPLIT), store)
+    delta = read_snapshot_changes(spark, store, from_version=v1)
+    return index_v1.unionByName(route(delta, 2))
