@@ -113,7 +113,9 @@ def query(name: str, sql: str | None):
 #:       CORRECTNESS_LOCAL_r7.json) — multimodal_jpeg_roundtrip and
 #:       multimodal_mjpg_framesample (now registered unconditionally
 #:       via the pure baseline JPEG codec), ann_index_incremental
-#:       (snapshot-store + IVF composition), plus any later r7
+#:       (snapshot-store + IVF composition),
+#:       snapshot_bloom_pruned_read (bloom file skipping), plus any
+#:       later r7
 #:       additions; (b) the 23 r3-row remainder
 #:       (age 5 rounds at r8 — oldest in the registry): upsert_merge,
 #:       scalar_datetime_suite, scalar_string_suite,

@@ -37,6 +37,18 @@ range-clustered (write with ``repartitionByRange`` on the stats
 column). Skipping returns a superset; the row-level predicate is
 re-applied in the scan, so a stats bug can cost speed, never
 correctness.
+
+Per-file BLOOM filters (``bloom_cols``) are the EQUALITY-predicate
+companion: min/max is useless for point lookups over hash-clustered
+data (every file's range spans the domain), but a small per-file
+bit array over the column's hashed values lets ``equals=`` prune
+every file whose bloom provably excludes the key. Bits are set with
+the repo's deterministic LCG (operators/sampling.key_hash), the
+probe recomputes the same positions driver-side, and the same
+superset-plus-row-filter contract applies: a false positive costs a
+file read, never a wrong row. Cluster the write on the bloom column
+(``repartition(n, col)``) so each file holds few distinct keys and
+the filters stay sparse.
 """
 
 from __future__ import annotations
@@ -52,6 +64,12 @@ from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+
+#: per-file bloom sizing: 1024 bits / 4 hashes -> ~2% false-positive
+#: rate at ~150 distinct keys per file (manifest cost: 256 hex chars
+#: per file per column)
+BLOOM_BITS = 1024
+BLOOM_K = 4
 
 
 def _manifest_dir(store: str) -> str:
@@ -172,12 +190,85 @@ def _file_stats(
     return out
 
 
+def _py_key_hash(v: int, seed: int) -> int:
+    """Driver-side mirror of operators/sampling.key_hash — the same
+    LCG, so a probe computes exactly the bit positions the build
+    set. Python's %% matches Spark's pmod for negative keys."""
+    from funding_monitoring_spark.operators.sampling import (
+        SAMPLE_INC,
+        SAMPLE_MOD,
+        SAMPLE_MUL,
+        SAMPLE_SEED_PRIME,
+    )
+
+    bounded = (int(v) + seed * SAMPLE_SEED_PRIME) % SAMPLE_MOD
+    return (bounded * SAMPLE_MUL + SAMPLE_INC) % SAMPLE_MOD
+
+
+def _bloom_positions(value: int, bits: int = BLOOM_BITS) -> list[int]:
+    return [_py_key_hash(value, seed=j) % bits for j in range(BLOOM_K)]
+
+
+def _file_blooms(
+    spark: SparkSession,
+    paths: list[str],
+    bloom_cols: list[str],
+    bits: int = BLOOM_BITS,
+) -> dict[str, dict[str, str]]:
+    """{abs file path -> {col: hex bitstring}} via one grouped scan
+    over the just-written files. Integral columns only (the hash is
+    the repo's bigint LCG); fingerprint strings first with
+    operators/textstats if needed."""
+    from funding_monitoring_spark.operators.sampling import key_hash
+
+    df = spark.read.parquet(*paths).select(*bloom_cols)
+    aggs = []
+    for c in bloom_cols:
+        for j in range(BLOOM_K):
+            aggs.append(
+                F.collect_set(
+                    F.pmod(key_hash(F.col(c), seed=j), F.lit(bits))
+                ).alias(f"__b_{c}_{j}")
+            )
+    rows = (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(*aggs)
+        .collect()
+    )
+    from urllib.parse import unquote, urlparse
+
+    out: dict[str, dict[str, str]] = {}
+    for r in rows:
+        fp = r["__file"]
+        if fp.startswith("file:"):
+            fp = unquote(urlparse(fp).path)
+        blooms = {}
+        for c in bloom_cols:
+            mask = 0
+            for j in range(BLOOM_K):
+                for p in r[f"__b_{c}_{j}"]:
+                    mask |= 1 << int(p)
+            blooms[c] = f"{mask:0{bits // 4}x}"
+        out[fp] = blooms
+    return out
+
+
+def _bloom_may_contain(hex_mask: str, value: int) -> bool:
+    mask = int(hex_mask, 16)
+    bits = len(hex_mask) * 4
+    return all(
+        mask >> p & 1 for p in _bloom_positions(int(value), bits)
+    )
+
+
 def commit_snapshot(
     df: DataFrame,
     store: str,
     mode: str = "append",
     n_files: int | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     extra_meta: dict | None = None,
 ) -> int:
     """Write ``df`` as immutable data files and commit the next
@@ -193,7 +284,9 @@ def commit_snapshot(
     count); the caller may instead pre-arrange df (e.g.
     ``repartitionByRange`` on a stats column for tight min/max).
     ``stats_cols`` records per-file min/max in the manifest for
-    manifest-level file skipping at read time. ``extra_meta`` is
+    manifest-level file skipping at read time; ``bloom_cols`` records
+    per-file bloom filters (integral columns) for EQUALITY-predicate
+    skipping (``snapshot_files(equals=...)``). ``extra_meta`` is
     stored verbatim in the manifest (e.g. a streaming sink's
     batch_id for replay idempotence).
     """
@@ -215,6 +308,16 @@ def commit_snapshot(
             f["stats"] = stats.get(
                 os.path.abspath(os.path.join(store, f["path"])), {}
             )
+    if bloom_cols and new_files:
+        blooms = _file_blooms(
+            spark,
+            [os.path.join(store, f["path"]) for f in new_files],
+            bloom_cols,
+        )
+        for f in new_files:
+            f["bloom"] = blooms.get(
+                os.path.abspath(os.path.join(store, f["path"])), {}
+            )
     def build(parent: int | None) -> dict:
         files = list(new_files)
         if mode == "append" and parent is not None:
@@ -233,6 +336,9 @@ def snapshot_files(
     between: tuple[str, object, object]
     | list[tuple[str, object, object]]
     | None = None,
+    equals: tuple[str, object]
+    | list[tuple[str, object]]
+    | None = None,
 ) -> list[str]:
     """Absolute data-file paths visible at ``version`` (default
     latest). ``between=(col, lo, hi)`` — or a LIST of such triples,
@@ -241,7 +347,11 @@ def snapshot_files(
     without stats for a conjunct's column are conservatively kept for
     that conjunct (skipping may over-include, never under-include).
     Multiple conjuncts are how z-order-clustered stats pay off: a
-    rectangle predicate prunes on both dimensions at once."""
+    rectangle predicate prunes on both dimensions at once.
+    ``equals=(col, value)`` — or a list, ANDed — prunes via per-file
+    bloom filters (``commit_snapshot(bloom_cols=...)``): a file is
+    skipped when any of the value's hash bits is unset in its bloom;
+    files without a bloom for the column are conservatively kept."""
     if version is None:
         version = latest_version(store)
         if version is None:
@@ -261,6 +371,17 @@ def snapshot_files(
                 elif not (s[1] < lo or s[0] > hi):
                     kept.append(f)
             files = kept
+    if equals is not None:
+        eq_conjuncts = (
+            [equals] if isinstance(equals, tuple) else list(equals)
+        )
+        for col, value in eq_conjuncts:
+            kept = []
+            for f in files:
+                b = f.get("bloom", {}).get(col)
+                if b is None or _bloom_may_contain(b, value):
+                    kept.append(f)
+            files = kept
     return [os.path.join(store, f["path"]) for f in files]
 
 
@@ -271,14 +392,19 @@ def read_snapshot(
     between: tuple[str, object, object]
     | list[tuple[str, object, object]]
     | None = None,
+    equals: tuple[str, object]
+    | list[tuple[str, object]]
+    | None = None,
 ) -> DataFrame:
     """Time-travel read: the store exactly as of ``version`` (default
     latest). Plans from the manifest's explicit file list — no
     directory listing. With ``between`` (one (col, lo, hi) triple or
-    a list, ANDed), manifest stats skip non-overlapping files AND the
+    a list, ANDed) and/or ``equals`` ((col, value) or a list),
+    manifest stats / per-file blooms skip non-matching files AND the
     row-level predicates are applied, so results are exact regardless
-    of how coarse the stats are."""
-    files = snapshot_files(store, version, between)
+    of how coarse the stats are or how many bloom false positives
+    slip through."""
+    files = snapshot_files(store, version, between, equals)
     if not files:
         raise ValueError(
             f"snapshot v{version} of {store} has no data files"
@@ -290,6 +416,12 @@ def read_snapshot(
         )
         for col, lo, hi in conjuncts:
             df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    if equals is not None:
+        eq_conjuncts = (
+            [equals] if isinstance(equals, tuple) else list(equals)
+        )
+        for col, value in eq_conjuncts:
+            df = df.filter(F.col(col) == F.lit(value))
     return df
 
 

@@ -516,6 +516,57 @@ def q_snapshot_pruned_read(spark, sf_dir):
 
 
 @query(
+    "snapshot_bloom_pruned_read",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(MAX(event_id) AS BIGINT) AS max_event
+    FROM events WHERE user_id = 7
+    GROUP BY 1
+    """,
+)
+def q_snapshot_bloom_pruned_read(spark, sf_dir):
+    """BLOOM-filter file skipping — the EQUALITY-predicate companion
+    to min/max pruning: the commit hash-clusters on user_id and
+    records a per-file bloom (1024 bits, 4 LCG hashes) in the
+    manifest, and the point lookup prunes every file whose bloom
+    provably excludes the key BEFORE Spark lists one. min/max stats
+    are useless here (each file's user_id range spans the domain —
+    exactly the hash-clustered case a lakehouse point lookup hits at
+    100 TB); the bloom skips ~7/8 of the files at this fixture's
+    ~19 users/file. Skipping is a superset and the row predicate is
+    re-applied, so the aggregate hashes exactly against the
+    flat-table oracle; that a strict subset of files is read is
+    asserted in tests/test_snapshots.py."""
+    import tempfile as _tf
+
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    store = os.path.join(_tf.mkdtemp(prefix="fm_snap_bl_"), "events")
+    commit_snapshot(
+        events.repartition(8, "user_id"),
+        store,
+        bloom_cols=["user_id"],
+    )
+    return (
+        read_snapshot(spark, store, equals=("user_id", 7))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
+
+
+@query(
     "snapshot_optimize_read",
     """
     SELECT event_type,

@@ -389,3 +389,57 @@ def test_conjunctive_skipping_rectangle_prunes_more(spark, store):
         for i, x, y in rows
         if 10 <= x <= 30 and 40 <= y <= 60
     )
+
+
+def test_py_key_hash_mirrors_spark(spark):
+    """_py_key_hash must reproduce operators/sampling.key_hash exactly
+    (including negative keys) — a drift would make bloom probes check
+    the wrong bits and silently skip files holding real rows."""
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.operators.sampling import key_hash
+    from funding_monitoring_spark.sources.snapshots import _py_key_hash
+
+    vals = [-(2**40), -7, -1, 0, 1, 42, 2**31, 2**40 + 13]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for seed in (0, 1, 3):
+        got = [
+            r.h
+            for r in df.select(
+                key_hash(F.col("v"), seed=seed).alias("h")
+            ).collect()
+        ]
+        want = [_py_key_hash(v, seed) for v in vals]
+        assert got == want, (seed, got, want)
+
+
+def test_bloom_equality_pruning_exact_and_strict(spark, store):
+    """Bloom file skipping: with the write clustered on the key, an
+    equality probe reads a strict subset of files yet the filtered
+    rows are exactly the plain filter's (superset + row predicate)."""
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 40, f"p{i}") for i in range(2000)],
+        "id long, k long, payload string",
+    )
+    commit_snapshot(
+        df.repartition(8, "k"), store, bloom_cols=["k"]
+    )
+    total = snapshot_files(store)
+    pruned = snapshot_files(store, equals=("k", 7))
+    assert 0 < len(pruned) < len(total), (len(pruned), len(total))
+    got = sorted(
+        r.id for r in read_snapshot(spark, store, equals=("k", 7)).collect()
+    )
+    assert got == [i for i in range(2000) if i % 40 == 7]
+    # absent key: every file's bloom excludes it
+    assert snapshot_files(store, equals=("k", 41)) == []
+    # files without a bloom for the column are conservatively kept
+    assert len(snapshot_files(store, equals=("id", 7))) == len(total)
