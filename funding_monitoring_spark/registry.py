@@ -114,7 +114,8 @@ def query(name: str, sql: str | None):
 #:       multimodal_mjpg_framesample (now registered unconditionally
 #:       via the pure baseline JPEG codec), ann_index_incremental
 #:       (snapshot-store + IVF composition),
-#:       snapshot_bloom_pruned_read (bloom file skipping), plus any
+#:       snapshot_bloom_pruned_read (bloom file skipping),
+#:       bloom_prefilter_join (runtime bloom join filter), plus any
 #:       later r7
 #:       additions; (b) the 23 r3-row remainder
 #:       (age 5 rounds at r8 — oldest in the registry): upsert_merge,

@@ -288,3 +288,70 @@ def q_grouping_sets(spark, sf_dir):
         "lineitem"
     )
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "bloom_prefilter_join",
+    """
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_7'
+    GROUP BY s.s_name
+    """,
+)
+def q_bloom_prefilter_join(spark, sf_dir):
+    """Runtime bloom join filter (operators/runtimefilter.py): revenue
+    by German supplier, with the lineitem scan PRE-FILTERED against a
+    bloom of the qualifying suppliers' keys before any exchange — the
+    shuffle sees only rows that might join, which at 100 TB is the
+    sliver-vs-table gap on every selective fact-dim join. The bloom
+    predicate is pure scan-stage column algebra (literal word array +
+    shiftright, whole-stage codegen — no UDF, no extra shuffle);
+    false positives die in the real broadcast join, so the
+    composition equals the plain join and the oracle IS the plain
+    join. The decimal-exact revenue sum matches cube_revenue's
+    convention; that the prefilter passes a strict subset of lineitem
+    is asserted in tests/test_runtimefilter.py."""
+    from funding_monitoring_spark.operators.runtimefilter import (
+        bloom_mask_words,
+        bloom_prefilter,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .select("s_suppkey", "s_name")
+        .localCheckpoint(eager=True)  # mask build + join probe reuse
+    )
+    words = bloom_mask_words(dim, F.col("s_suppkey"))
+    pre = bloom_prefilter(
+        li.select(
+            "l_suppkey",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(18,6)").alias("rev"),
+        ),
+        F.col("l_suppkey"),
+        words,
+    )
+    return (
+        pre.join(
+            F.broadcast(dim),
+            pre["l_suppkey"] == dim["s_suppkey"],
+        )
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
