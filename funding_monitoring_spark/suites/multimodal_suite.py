@@ -157,6 +157,57 @@ def q_multimodal_png_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_resize_real",
+    f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(2 + doc_id % 6 AS INT) AS w,
+               CAST(2 + doc_id % 4 AS INT) AS h
+        FROM documents
+    ),
+    grid AS (
+        SELECT media_id, w, h, xs.x AS x, ys.y AS y
+        FROM dims,
+             (SELECT unnest(range(0, 4)) AS x) xs,
+             (SELECT unnest(range(0, 3)) AS y) ys
+    )
+    SELECT media_id,
+           CAST(4 AS INT) AS width,
+           CAST(3 AS INT) AS height,
+           ROUND(SUM(((media_id*7 + (((y*h)//3)*w + ((x*w)//4))*3 + 0)*31) % 256) / 12.0, 6) AS mean_r,
+           ROUND(SUM(((media_id*7 + (((y*h)//3)*w + ((x*w)//4))*3 + 1)*31) % 256) / 12.0, 6) AS mean_g,
+           ROUND(SUM(((media_id*7 + (((y*h)//3)*w + ((x*w)//4))*3 + 2)*31) % 256) / 12.0, 6) AS mean_b,
+           CAST(((media_id*7 + 0)*31) % 256 AS INT) AS corner_r,
+           CAST(((media_id*7 + 1)*31) % 256 AS INT) AS corner_g,
+           CAST(((media_id*7 + 2)*31) % 256 AS INT) AS corner_b
+    FROM grid GROUP BY media_id
+    """,
+)
+def q_multimodal_resize_real(spark, sf_dir):
+    """REAL pixel-space resize (round 7 — retires the byte-stub-only
+    caveat on resize): synthesize a BMP per document from the
+    closed-form field, nearest-neighbor resample to 4x3 with the
+    floor convention src = (dst * src_dim) // dst_dim, re-encode
+    losslessly, decode back, and report per-channel means + the
+    corner pixel. The oracle recomputes the RESAMPLED field purely
+    from the formula (a 4x3 grid of (y*h//3, x*w//4) source
+    lookups), so an off-by-one in the index math, a channel swap, or
+    an orientation flip breaks the hash exactly. Decode -> resample
+    -> re-encode is one Arrow-batched 1:1 mapInPandas — the shape a
+    100 TB image-preprocessing stage runs per partition."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_image_features,
+        resize_images,
+        synthesize_bmp_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features(
+        resize_images(synthesize_bmp_media(docs), 4, 3)
+    )
+
+
+@query(
     "multimodal_wav_roundtrip",
     """
     WITH shape AS (

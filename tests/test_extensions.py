@@ -835,3 +835,32 @@ def test_ivf_pq_candidates_bounded_and_recall_floor(spark, sf_dir):
     ) / len(exact)
     pq_recall = len(exact & ivf_pq) / len(exact)
     assert pq_recall >= ivf_recall - 0.15, (pq_recall, ivf_recall)
+
+
+def test_resize_images_real_pixel_math(spark):
+    """resize_images must be actual resampling, not byte surgery:
+    identity resize reproduces the image exactly, and a 2x upscale of
+    a 2x2 image replicates each source pixel into a 2x2 block (the
+    floor convention src = (dst * src_dim) // dst_dim)."""
+    import numpy as np
+
+    from funding_monitoring_spark.operators import multimodal as M
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    media = spark.createDataFrame(
+        [(1, bytearray(M.encode_bmp(px)),
+          {"modality": "image", "mime": "image/bmp", "width": 2,
+           "height": 2, "duration_ms": None})],
+        M.MEDIA_SCHEMA,
+    )
+    same = M.decode_image(
+        bytes(M.resize_images(media, 2, 2).collect()[0].payload)
+    )
+    assert np.array_equal(same, px)
+    up = M.decode_image(
+        bytes(M.resize_images(media, 4, 4).collect()[0].payload)
+    )
+    assert up.shape == (4, 4, 3)
+    for y in range(4):
+        for x in range(4):
+            assert np.array_equal(up[y, x], px[y // 2, x // 2])
