@@ -167,44 +167,43 @@ def exact_dedup_groups(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    threshold: float = 0.5,
-    round_digits: int = 6,
+def minhash_signature_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs, verified with true Jaccard.
+    """(id, fps, sig): the persisted MinHash signature table — the
+    expensive shingle fingerprints are computed a single time even
+    though the frame is scanned several times downstream (band join
+    sides, verify joins). At cluster scale this is the signature
+    store you persist/checkpoint once per corpus and keep between
+    ingest batches (the incremental path's historical index)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingle_fingerprints(text_col).alias("fps"),
+        )
+        .select(
+            "id", "fps", minhash_signature(F.col("fps")).alias("sig")
+        )
+        .persist()
+    )
 
-    shingle → fingerprint → signature → explode band keys →
-    self-equi-join on band key → distinct candidate pair →
-    exact Jaccard on the shingle sets → threshold filter.
-    """
-    # (id, fps, sig) materialized once and persisted: the expensive
-    # shingle fingerprints are computed a single time even though the
-    # frame is scanned four times (band self-join ×2, verify join ×2).
-    # At cluster scale this is the "signature table" you would persist
-    # to MEMORY_AND_DISK (or checkpoint) before the LSH join.
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        shingle_fingerprints(text_col).alias("fps"),
-    ).select(
-        "id", "fps", minhash_signature(F.col("fps")).alias("sig")
-    ).persist()
 
-    # slim band join: only (id, band_key) shuffles — never the
-    # fingerprint arrays, never the document text
-    bands = sigs.select(
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """Slim (id, band_key) rows: only these shuffle in the LSH join —
+    never the fingerprint arrays, never the document text."""
+    return sigs.select(
         "id", F.explode(minhash_band_keys(F.col("sig"))).alias("band_key")
     )
-    candidates = (
-        bands.select(F.col("id").alias("id_a"), "band_key")
-        .join(bands.select(F.col("id").alias("id_b"), "band_key"), "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # verify candidates with exact Jaccard on the persisted shingle sets
+
+
+def _verify_pairs(
+    candidates: DataFrame,
+    sigs: DataFrame,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidates against
+    the signature table's shingle sets."""
     verified = (
         candidates.join(
             sigs.select(F.col("id").alias("id_a"), F.col("fps").alias("fps_a")),
@@ -223,6 +222,72 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with true Jaccard.
+
+    shingle → fingerprint → signature → explode band keys →
+    self-equi-join on band key → distinct candidate pair →
+    exact Jaccard on the shingle sets → threshold filter.
+    """
+    sigs = minhash_signature_table(df, text_col, id_col)
+    bands = _band_rows(sigs)
+    candidates = (
+        bands.select(F.col("id").alias("id_a"), "band_key")
+        .join(bands.select(F.col("id").alias("id_b"), "band_key"), "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_pairs(candidates, sigs, threshold, round_digits)
+
+
+def minhash_lsh_pairs_incremental(
+    new_sigs: DataFrame,
+    store_sigs: DataFrame,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch, probed against a
+    persisted signature store — the steady-state shape of corpus
+    near-dup at 100 TB: each arriving batch computes its own
+    signatures, probes its band keys against the historical band
+    index PLUS itself, and never re-pairs the historical corpus
+    against itself. Equivalent to running the full LSH join on
+    (store ∪ new) and keeping pairs with >= 1 new member — band
+    collision is symmetric, so probing new-vs-all finds exactly the
+    (old, new) and (new, new) collisions — which is what lets the
+    differential oracle be the full-pipeline SQL filtered to new
+    members. Output pairs are normalized id_a < id_b.
+
+    Both inputs are (id, fps, sig) signature tables
+    (minhash_signature_table); ids must be disjoint. The store's
+    band index shuffles as slim (id, band_key) rows; its fps arrays
+    move only for the verified candidates."""
+    all_sigs = store_sigs.unionByName(new_sigs)
+    new_bands = _band_rows(new_sigs)
+    all_bands = _band_rows(all_sigs)
+    candidates = (
+        new_bands.select(F.col("id").alias("id_n"), "band_key")
+        .join(
+            all_bands.select(F.col("id").alias("id_o"), "band_key"),
+            "band_key",
+        )
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    return _verify_pairs(candidates, all_sigs, threshold, round_digits)
 
 
 def ngram_jaccard_pairs(

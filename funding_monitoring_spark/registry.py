@@ -116,7 +116,8 @@ def query(name: str, sql: str | None):
 #:       (snapshot-store + IVF composition),
 #:       snapshot_bloom_pruned_read (bloom file skipping),
 #:       bloom_prefilter_join (runtime bloom join filter),
-#:       multimodal_resize_real (real pixel resample), plus any
+#:       multimodal_resize_real (real pixel resample),
+#:       incremental_minhash_dedup (signature-store near-dup), plus any
 #:       later r7
 #:       additions; (b) the 23 r3-row remainder
 #:       (age 5 rounds at r8 — oldest in the registry): upsert_merge,

@@ -512,3 +512,59 @@ def q_fuzzy_title_clusters(spark, sf_dir):
     return dedup_cluster_assignment(
         docs, pairs, src="doc_id_a", dst="doc_id_b"
     ).select("doc_id", "cluster_id", "is_canonical")
+
+
+INCR_MINHASH_SPLIT_MOD = 4  #: new batch = doc_id % 4 == 0
+
+
+@query(
+    "incremental_minhash_dedup",
+    f"""
+    WITH sigs AS (
+        SELECT doc_id AS id, {_FPS} AS fps FROM documents
+    ),
+    mh AS (
+        SELECT id, fps,
+               {", ".join(f"{expr} AS s{j}" for j, expr in enumerate(_sql_minhash_sigs()))}
+        FROM sigs
+    ),
+    banded AS (
+        SELECT id, fps, unnest({_sql_band_keys()}) AS band_key FROM mh
+    ),
+    candidates AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b USING (band_key)
+        WHERE a.id < b.id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b, sa.fps AS fps_a, sb.fps AS fps_b
+        FROM candidates c
+        JOIN sigs sa ON sa.id = c.id_a
+        JOIN sigs sb ON sb.id = c.id_b
+    )
+    SELECT id_a, id_b, {_JACCARD} AS jaccard
+    FROM verified
+    WHERE {_JACCARD} >= {THRESHOLD}
+      AND (id_a % {INCR_MINHASH_SPLIT_MOD} = 0
+           OR id_b % {INCR_MINHASH_SPLIT_MOD} = 0)
+    """,
+)
+def q_incremental_minhash_dedup(spark, sf_dir):
+    """Incremental NEAR-dup detection — the MinHash twin of
+    incremental_dedup's exact path, and the steady-state 100 TB
+    shape: the historical corpus keeps a persisted signature store
+    (id, shingle fps, MinHash sig), an arriving batch computes ONLY
+    its own signatures and probes its band keys against the
+    historical band index plus itself — the old corpus is never
+    re-paired against itself. Equivalence to the full-corpus LSH
+    join filtered to pairs with >= 1 new member is what the oracle
+    checks (band collision is symmetric, so new-vs-all probing finds
+    exactly those pairs). Fixture split: new batch = doc_id % 4 == 0,
+    store = the rest."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % INCR_MINHASH_SPLIT_MOD) == 0
+    store_sigs = D.minhash_signature_table(docs.filter(~is_new))
+    new_sigs = D.minhash_signature_table(docs.filter(is_new))
+    return D.minhash_lsh_pairs_incremental(
+        new_sigs, store_sigs, threshold=THRESHOLD
+    )
