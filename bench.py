@@ -185,6 +185,14 @@ HEADLINE = [
     "grouped_split_leakage_report",
     "file_provenance_report",
     "span_dedup_cleaned_docs",
+    # new in round 7
+    "multimodal_jpeg_roundtrip",
+    "multimodal_mjpg_framesample",
+    "multimodal_resize_real",
+    "ann_index_incremental",
+    "snapshot_bloom_pruned_read",
+    "bloom_prefilter_join",
+    "incremental_minhash_dedup",
 ]
 
 
