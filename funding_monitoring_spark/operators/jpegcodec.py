@@ -100,8 +100,13 @@ def _dct_matrix() -> np.ndarray:
 _DCT = _dct_matrix()
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
 def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
-    """libjpeg-compatible quality scaling of the Annex-K tables."""
+    """libjpeg-compatible quality scaling of the Annex-K tables
+    (cached — callers must treat the returned arrays as read-only)."""
     q = min(max(int(quality), 1), 100)
     scale = 5000 // q if q < 50 else 200 - 2 * q
     out = []
@@ -143,6 +148,15 @@ def _dht_payload(table_class: int, table_id: int, enc: dict) -> bytes:
     return bytes([(table_class << 4) | table_id] + bits) + syms
 
 
+#: the four DHT bodies every stream declares — constant, built once
+_DHT_PAYLOADS = (
+    _dht_payload(0, 0, _ENC_DC),
+    _dht_payload(1, 0, _ENC_AC),
+    _dht_payload(0, 1, _ENC_DC),
+    _dht_payload(1, 1, _ENC_AC),
+)
+
+
 # --- bit I/O ----------------------------------------------------------
 
 
@@ -161,6 +175,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # drop emitted high bits — the accumulator must stay a small
+        # int over an arbitrarily long stream
+        self._acc &= (1 << self._n) - 1
 
     def flush(self) -> None:
         if self._n:
@@ -177,10 +194,16 @@ class _BitReader:
 
     def _fill(self) -> None:
         # the caller's scan split already unstuffed FF00 -> FF and
-        # removed markers, so every byte here is entropy data
+        # removed markers, so every byte here is entropy data. The
+        # accumulator is masked to its live bits so it stays a small
+        # int over an arbitrarily long stream (reads only ever look
+        # at the low _n bits).
         if self.pos >= len(self.data):
             raise EOFError("entropy data exhausted")
-        self._acc = (self._acc << 8) | self.data[self.pos]
+        self._acc = (
+            ((self._acc & ((1 << self._n) - 1)) << 8)
+            | self.data[self.pos]
+        )
         self.pos += 1
         self._n += 8
 
@@ -191,10 +214,12 @@ class _BitReader:
         return (self._acc >> self._n) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        # bulk read: fill the accumulator to >= n bits, slice once
+        # (the per-bit loop dominated the decode profile)
+        while self._n < n:
+            self._fill()
+        self._n -= n
+        return (self._acc >> self._n) & ((1 << n) - 1)
 
 
 # --- encode -----------------------------------------------------------
@@ -300,10 +325,8 @@ def encode_baseline_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
     for cid, tq in ((1, 0), (2, 1), (3, 1)):
         sof += bytes([cid, 0x11, tq])  # H=1, V=1: 4:4:4
     out += seg(0xFFC0, sof)
-    out += seg(0xFFC4, _dht_payload(0, 0, _ENC_DC))
-    out += seg(0xFFC4, _dht_payload(1, 0, _ENC_AC))
-    out += seg(0xFFC4, _dht_payload(0, 1, _ENC_DC))
-    out += seg(0xFFC4, _dht_payload(1, 1, _ENC_AC))
+    for payload_dht in _DHT_PAYLOADS:
+        out += seg(0xFFC4, payload_dht)
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += seg(0xFFDA, sos)
     out += bw_.out
@@ -314,23 +337,35 @@ def encode_baseline_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
 # --- decode -----------------------------------------------------------
 
 
-def _build_decode_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol from a DHT's canonical description."""
+def _build_decode_table(
+    bits: list[int], vals: bytes
+) -> tuple[int, dict[tuple[int, int], int]]:
+    """(min_code_length, {(length, code) -> symbol}) from a DHT's
+    canonical description. The min length lets the decoder grab that
+    many bits in ONE bulk read before extending bit by bit — with
+    this encoder's fixed-length tables every symbol resolves on the
+    first probe."""
     table = {}
     code = 0
     k = 0
+    min_len = 17
     for ln in range(1, 17):
+        if bits[ln - 1]:
+            min_len = min(min_len, ln)
         for _ in range(bits[ln - 1]):
             table[(ln, code)] = vals[k]
             code += 1
             k += 1
         code <<= 1
-    return table
+    return (min_len if min_len < 17 else 1), table
 
 
-def _read_symbol(br: _BitReader, table: dict) -> int:
-    code = 0
-    for ln in range(1, 17):
+def _read_symbol(br: _BitReader, tbl: tuple[int, dict]) -> int:
+    min_len, table = tbl
+    code = br.read_bits(min_len)
+    if (min_len, code) in table:
+        return table[(min_len, code)]
+    for ln in range(min_len + 1, 17):
         code = (code << 1) | br.read_bit()
         if (ln, code) in table:
             return table[(ln, code)]
