@@ -193,6 +193,8 @@ HEADLINE = [
     "snapshot_bloom_pruned_read",
     "bloom_prefilter_join",
     "incremental_minhash_dedup",
+    "multimodal_adpcm_roundtrip",
+    "snapshot_version_cdc",
 ]
 
 

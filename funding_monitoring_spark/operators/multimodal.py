@@ -782,10 +782,19 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     tag_code, ch, rate, _, _, bits = fmt
+    if tag_code == 0x11:
+        # IMA ADPCM — the real compressed-audio path, decoded by the
+        # pure-Python codec (operators/adpcmcodec.py re-walks the
+        # chunks itself: it needs the fmt extension and fact count)
+        from funding_monitoring_spark.operators.adpcmcodec import (
+            decode_adpcm_wav,
+        )
+
+        return decode_adpcm_wav(payload)
     if tag_code != 1 or bits != 16:
         raise NotImplementedError(
-            f"only 16-bit PCM WAV supported (format={tag_code}, "
-            f"bits={bits})"
+            f"only 16-bit PCM and IMA ADPCM WAV supported "
+            f"(format={tag_code}, bits={bits})"
         )
     pcm = np.frombuffer(data, dtype="<i2")
     return pcm.reshape(-1, ch), rate
@@ -999,6 +1008,127 @@ def decode_audio(payload: bytes):
     raise NotImplementedError(
         "compressed-audio codec not recognized; WAV decodes natively, "
         "MP3 rides the optional soundfile dependency"
+    )
+
+
+def synthesize_adpcm_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """IMA ADPCM payloads (mono) from the same closed-form sample
+    field as the WAV writer — the compressed-audio writer half that
+    needs NO optional dependency (operators/adpcmcodec.py). 1:1
+    mapInPandas, no shuffle."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    from funding_monitoring_spark.operators.adpcmcodec import (
+        encode_adpcm_wav,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                n = 50 + int(mid) % 64  # mono twin of _wav_shape
+                payloads.append(
+                    encode_adpcm_wav(
+                        _adpcm_samples(int(mid), n), WAV_RATE
+                    )
+                )
+                metas.append(
+                    {
+                        "modality": "audio",
+                        "mime": "audio/x-adpcm",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": int(n * 1000 / WAV_RATE),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media_ids = ids.select(F.col(id_col).alias("media_id"))
+    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def _adpcm_samples(media_id: int, n: int):
+    """Closed-form SMOOTH sample field for the ADPCM roundtrip: a
+    per-id phase-shifted sine (max step ~785/sample — inside the
+    codec's adaptation range). The PCM field (_wav_samples) is a
+    sawtooth that cliff-wraps by -65536 mid-stream, which an
+    adaptive-delta codec cannot track; the flag compares decoded
+    vs source PYTHON-side, so the source needs no SQL twin and can
+    be chosen to exercise the codec's intended regime."""
+    import numpy as np
+
+    j = np.arange(n, dtype=np.float64)
+    return (
+        (8000.0 * np.sin(2.0 * np.pi * (media_id * 13 + j) / 64.0))
+        .astype(np.int16)
+        .reshape(-1, 1)
+    )
+
+
+def decode_adpcm_features_tolerant(
+    media: DataFrame, tol: float = 1024.0
+) -> DataFrame:
+    """Reader half for the ADPCM roundtrip: decode with the real
+    codec (via decode_audio's WAV dispatch) and emit exact shape
+    fields plus a mean-absolute-error flag against the closed-form
+    source. ADPCM preserves the sample count exactly (fact chunk), so
+    n_samples/channels/sample_rate hash directly; the amplitude
+    tolerance (sine-field codec error <= ~400, misrouted payloads
+    ~5900, garbage far beyond) is what makes 'decoded approximately
+    the right stream' an exact, hashable assertion."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm, rate = decode_audio(bytes(payload))
+                n_got, ch = pcm.shape
+                src = _adpcm_samples(int(mid), n_got).astype(np.float64)
+                mae = float(
+                    np.abs(pcm.astype(np.float64) - src).mean()
+                ) if n_got else 0.0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_samples": n_got,
+                        "channels": ch,
+                        "sample_rate": rate,
+                        "mean_close": int(mae <= tol),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, n_samples int, channels int, "
+            "sample_rate int, mean_close int"
+        ),
     )
 
 

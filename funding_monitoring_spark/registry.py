@@ -117,7 +117,9 @@ def query(name: str, sql: str | None):
 #:       snapshot_bloom_pruned_read (bloom file skipping),
 #:       bloom_prefilter_join (runtime bloom join filter),
 #:       multimodal_resize_real (real pixel resample),
-#:       incremental_minhash_dedup (signature-store near-dup), plus any
+#:       incremental_minhash_dedup (signature-store near-dup),
+#:       snapshot_version_cdc (row-level CDC across versions),
+#:       multimodal_adpcm_roundtrip (pure-Python IMA ADPCM), plus any
 #:       later r7
 #:       additions; (b) the 23 r3-row remainder
 #:       (age 5 rounds at r8 — oldest in the registry): upsert_merge,

@@ -516,6 +516,87 @@ def q_snapshot_pruned_read(spark, sf_dir):
 
 
 @query(
+    "snapshot_version_cdc",
+    """
+    WITH v1 AS (
+        SELECT event_id, value FROM events WHERE event_id % 3 < 2
+    ),
+    v2 AS (
+        SELECT event_id,
+               value * CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END
+                   AS value
+        FROM events WHERE event_id % 3 > 0
+    ),
+    d AS (
+        SELECT COALESCE(v1.event_id, v2.event_id) AS event_id,
+               v1.value AS old_value, v2.value AS new_value,
+               CASE WHEN v1.event_id IS NULL THEN 'added'
+                    WHEN v2.event_id IS NULL THEN 'removed'
+                    WHEN v1.value = v2.value THEN 'unchanged'
+                    ELSE 'changed' END AS diff_status
+        FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id
+    )
+    SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(SUM(COALESCE(old_value, 0)), 4) AS sum_old,
+           ROUND(SUM(COALESCE(new_value, 0)), 4) AS sum_new
+    FROM d GROUP BY 1
+    """,
+)
+def q_snapshot_version_cdc(spark, sf_dir):
+    """Row-level CHANGE DATA FEED between two snapshot VERSIONS —
+    what the table format's file-set diff cannot give for overwrite
+    commits: v1 and v2 are both time-travel reads from the manifest,
+    and the row delta (added / removed / changed / unchanged, with
+    old/new values) comes from one full-outer key join
+    (operators/diffs.py snapshot_diff). The fixture's v2 overwrite
+    drops the %3==0 stripe, adds the %3==2 stripe, and doubles
+    even-id values, so all four classes are populated and the oracle
+    recomputes every class straight from the raw table. At 100 TB
+    both versions are written bucketed on the key and the CDC join
+    runs exchange-free — the consumer-side complement to
+    read_snapshot_changes' append-only fast path."""
+    import tempfile as _tf
+
+    from funding_monitoring_spark.operators.diffs import snapshot_diff
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "value"
+    )
+    store = os.path.join(_tf.mkdtemp(prefix="fm_snap_cdc_"), "events")
+    v1 = commit_snapshot(
+        events.filter(F.col("event_id") % 3 < 2), store
+    )
+    v2 = commit_snapshot(
+        events.filter(F.col("event_id") % 3 > 0).withColumn(
+            "value",
+            F.col("value")
+            * F.when(F.col("event_id") % 2 == 0, 2).otherwise(1),
+        ),
+        store,
+        mode="overwrite",
+    )
+    cdc = snapshot_diff(
+        read_snapshot(spark, store, version=v1),
+        read_snapshot(spark, store, version=v2),
+        key_cols=["event_id"],
+        compare_cols=["value"],
+    )
+    return cdc.groupBy("diff_status").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(
+            F.sum(F.coalesce(F.col("old_value"), F.lit(0.0))), 4
+        ).alias("sum_old"),
+        F.round(
+            F.sum(F.coalesce(F.col("new_value"), F.lit(0.0))), 4
+        ).alias("sum_new"),
+    )
+
+
+@query(
     "snapshot_bloom_pruned_read",
     """
     SELECT event_type,

@@ -365,6 +365,37 @@ def q_multimodal_mjpg_framesample(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_adpcm_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CAST(50 + doc_id % 64 AS INT) AS n_samples,
+           1 AS channels,
+           CAST(8000 AS INT) AS sample_rate,
+           1 AS mean_close
+    FROM documents
+    """,
+)
+def q_multimodal_adpcm_roundtrip(spark, sf_dir):
+    """COMPRESSED-audio codec round trip with NO optional dependency:
+    IMA ADPCM (WAVE format tag 0x11 — 4-bit adaptive-delta nibbles,
+    per-block predictor/step headers, fact-chunk exact length),
+    implemented in pure Python (operators/adpcmcodec.py), encoded
+    from the closed-form sample field and decoded back through the
+    real RIFF dispatch. Sample count, channels, and rate hash
+    exactly (ADPCM is length-preserving via the fact chunk); the
+    amplitude flag asserts the decoded stream tracks the source
+    within adaptive-quantization error — the audio twin of the JPEG
+    roundtrip's lossy-tolerance contract."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_adpcm_features_tolerant,
+        synthesize_adpcm_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_adpcm_features_tolerant(synthesize_adpcm_media(docs))
+
+
 # MP3 rides the optional soundfile dependency (and needs an
 # MP3-capable libsndfile underneath — probed with a real tiny
 # roundtrip, not just an import): registered only where the codec

@@ -864,3 +864,44 @@ def test_resize_images_real_pixel_math(spark):
     for y in range(4):
         for x in range(4):
             assert np.array_equal(up[y, x], px[y // 2, x // 2])
+
+
+def test_adpcm_roundtrip_and_refusals():
+    """IMA ADPCM codec: exact length preservation via the fact chunk,
+    bounded error on smooth signals, graceful handling of the block
+    boundary, and loud refusal of stereo / non-ADPCM streams."""
+    import numpy as np
+
+    from funding_monitoring_spark.operators.adpcmcodec import (
+        SAMPLES_PER_BLOCK,
+        decode_adpcm_wav,
+        encode_adpcm_wav,
+    )
+
+    for n in (1, 3, SAMPLES_PER_BLOCK, SAMPLES_PER_BLOCK + 1, 1300):
+        sig = (
+            (9000 * np.sin(np.arange(n) / 40.0))
+            .astype(np.int16)
+            .reshape(-1, 1)
+        )
+        out, rate = decode_adpcm_wav(encode_adpcm_wav(sig, 8000))
+        assert rate == 8000 and out.shape == sig.shape
+        if n >= 50:  # cold-start step adaptation needs a few samples
+            err = np.abs(out.astype(int) - sig.astype(int))
+            assert err.mean() < 512, (n, err.mean())
+    with pytest.raises(NotImplementedError, match="mono"):
+        encode_adpcm_wav(np.zeros((4, 2), dtype=np.int16))
+    with pytest.raises(ValueError):
+        decode_adpcm_wav(b"nope")
+    # a PCM wav is not ADPCM: the dedicated decoder refuses it
+    from funding_monitoring_spark.operators.multimodal import encode_wav
+
+    pcm = encode_wav(np.zeros((4, 1), dtype=np.int16))
+    with pytest.raises(NotImplementedError, match="not IMA ADPCM"):
+        decode_adpcm_wav(pcm)
+    # ...while the RIFF dispatch routes each tag to the right codec
+    from funding_monitoring_spark.operators.multimodal import decode_wav
+
+    sig = (500 * np.sin(np.arange(60) / 5.0)).astype(np.int16).reshape(-1, 1)
+    via_dispatch, _ = decode_wav(encode_adpcm_wav(sig))
+    assert via_dispatch.shape == sig.shape
