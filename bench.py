@@ -195,6 +195,7 @@ HEADLINE = [
     "incremental_minhash_dedup",
     "multimodal_adpcm_roundtrip",
     "snapshot_version_cdc",
+    "multimodal_gif_roundtrip",
 ]
 
 

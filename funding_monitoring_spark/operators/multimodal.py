@@ -113,6 +113,12 @@ def decode_image(payload: bytes) -> object:
 
         with Image.open(io.BytesIO(payload)) as img:
             return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    if payload[:4] == b"GIF8":
+        from funding_monitoring_spark.operators.gifcodec import (
+            decode_gif,
+        )
+
+        return decode_gif(payload)[0]
     raise NotImplementedError(
         "compressed-image codec not available in this "
         "environment; swap in PIL/torchvision here"
@@ -1009,6 +1015,76 @@ def decode_audio(payload: bytes):
         "compressed-audio codec not recognized; WAV decodes natively, "
         "MP3 rides the optional soundfile dependency"
     )
+
+
+#: the GIF fixture palette: index i -> (i, 3i mod 256, 7i mod 256) —
+#: closed-form in the SQL oracle, so the indexed roundtrip is EXACT
+def _gif_palette():
+    import numpy as np
+
+    i = np.arange(256)
+    return np.stack(
+        [i, (i * 3) % 256, (i * 7) % 256], axis=1
+    ).astype(np.uint8)
+
+
+def _gif_indices(media_id: int, w: int, h: int):
+    """Closed-form index field: pixel p (row-major) has palette index
+    ((media_id*7 + p*3) * 31) % 256 — the BMP field's R channel, so
+    the oracle reuses the same arithmetic."""
+    import numpy as np
+
+    p = np.arange(w * h, dtype=np.int64)
+    return (
+        ((media_id * 7 + p * 3) * 31 % 256).astype(np.uint8).reshape(h, w)
+    )
+
+
+def synthesize_gif_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Real GIF87a payloads (indexed color + LZW) from the closed-form
+    index field — lossless, so the reader half is the exact
+    decode_image_features path. 1:1 mapInPandas, no shuffle."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    from funding_monitoring_spark.operators.gifcodec import encode_gif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pal = _gif_palette()
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                w, h = 2 + int(mid) % 6, 2 + int(mid) % 4
+                payloads.append(
+                    encode_gif(_gif_indices(int(mid), w, h), pal)
+                )
+                metas.append(
+                    {
+                        "modality": "image",
+                        "mime": "image/gif",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media_ids = ids.select(F.col(id_col).alias("media_id"))
+    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def synthesize_adpcm_media(

@@ -119,7 +119,8 @@ def query(name: str, sql: str | None):
 #:       multimodal_resize_real (real pixel resample),
 #:       incremental_minhash_dedup (signature-store near-dup),
 #:       snapshot_version_cdc (row-level CDC across versions),
-#:       multimodal_adpcm_roundtrip (pure-Python IMA ADPCM), plus any
+#:       multimodal_adpcm_roundtrip (pure-Python IMA ADPCM),
+#:       multimodal_gif_roundtrip (GIF87a/LZW codec), plus any
 #:       later r7
 #:       additions; (b) the 23 r3-row remainder
 #:       (age 5 rounds at r8 — oldest in the registry): upsert_merge,

@@ -157,6 +157,46 @@ def q_multimodal_png_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_gif_roundtrip",
+    f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(2 + doc_id % 6 AS INT) AS width,
+               CAST(2 + doc_id % 4 AS INT) AS height
+        FROM documents
+    )
+    SELECT media_id, width, height,
+           ROUND(list_sum(list_transform(range(0, width*height), p -> (((media_id*7 + p*3)*31) % 256))) / CAST(width*height AS DOUBLE), 6) AS mean_r,
+           ROUND(list_sum(list_transform(range(0, width*height), p -> ((((media_id*7 + p*3)*31) % 256) * 3) % 256)) / CAST(width*height AS DOUBLE), 6) AS mean_g,
+           ROUND(list_sum(list_transform(range(0, width*height), p -> ((((media_id*7 + p*3)*31) % 256) * 7) % 256)) / CAST(width*height AS DOUBLE), 6) AS mean_b,
+           CAST((((media_id*7)*31) % 256) AS INT) AS corner_r,
+           CAST(((((media_id*7)*31) % 256) * 3) % 256 AS INT) AS corner_g,
+           CAST(((((media_id*7)*31) % 256) * 7) % 256 AS INT) AS corner_b
+    FROM dims
+    """,
+)
+def q_multimodal_gif_roundtrip(spark, sf_dir):
+    """REAL indexed-color codec round trip: GIF87a per document —
+    closed-form palette indices, a 256-entry global color table, and
+    genuine LZW compression (variable-width LSB-first codes,
+    dictionary growth with clear-code resets) — decoded back through
+    decode_image's magic-byte dispatch (operators/gifcodec.py). GIF
+    is lossless on indexed data, so the oracle recomputes the exact
+    per-channel means and corner pixel from the index formula and
+    the palette's (i, 3i, 7i) mod-256 closed form; any LZW width
+    off-by-one, palette misread, or sub-block reassembly bug breaks
+    the hash exactly. Completes the image-format family: struct
+    (BMP), DEFLATE (PNG), DCT (JPEG), LZW (GIF)."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_image_features,
+        synthesize_gif_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features(synthesize_gif_media(docs))
+
+
+@query(
     "multimodal_resize_real",
     f"""
     WITH dims AS (

@@ -905,3 +905,47 @@ def test_adpcm_roundtrip_and_refusals():
     sig = (500 * np.sin(np.arange(60) / 5.0)).astype(np.int16).reshape(-1, 1)
     via_dispatch, _ = decode_wav(encode_adpcm_wav(sig))
     assert via_dispatch.shape == sig.shape
+
+
+def test_gif_codec_lzw_edges():
+    """GIF LZW edges: KwKwK sequences, dictionary growth past a width
+    boundary, clear-code reset at 4096 entries, tiny palettes, and
+    refusal paths."""
+    import numpy as np
+
+    from funding_monitoring_spark.operators.gifcodec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.stack(
+        [np.arange(256), (np.arange(256) * 3) % 256,
+         (np.arange(256) * 7) % 256], axis=1
+    ).astype(np.uint8)
+    # KwKwK: aaa... runs force the code == len(table) branch
+    runs = np.zeros((1, 400), dtype=np.uint8)
+    rgb, idx = decode_gif(encode_gif(runs, pal))
+    assert np.array_equal(idx, runs)
+    # structured 300x300: fills the dictionary -> clear-code reset,
+    # and must actually compress
+    big = (np.arange(300 * 300).reshape(300, 300) % 251).astype(np.uint8)
+    g = encode_gif(big, pal)
+    assert len(g) < 300 * 300 // 2
+    rgb, idx = decode_gif(g)
+    assert np.array_equal(idx, big)
+    assert np.array_equal(rgb, pal[big])
+    # random noise across widths/heights
+    rng = np.random.default_rng(3)
+    for shape in ((1, 1), (5, 7), (33, 17)):
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        rgb, idx = decode_gif(encode_gif(a, pal))
+        assert np.array_equal(idx, a)
+    with pytest.raises(ValueError):
+        decode_gif(b"notagif")
+    with pytest.raises(ValueError):
+        encode_gif(np.zeros((2, 2, 3), dtype=np.uint8), pal)  # not indexed
+    # dispatch integration: decode_image routes GIF magic
+    from funding_monitoring_spark.operators.multimodal import decode_image
+
+    a = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_gif(a, pal)), pal[a])
