@@ -406,6 +406,37 @@ def main() -> None:
             "fuses into one scan"
         ),
     }
+    notes["new_query_attribution_r7"] = {
+        "multimodal_mjpg_framesample / multimodal_jpeg_roundtrip": (
+            "the heaviest r7 additions (~20 s / ~6 s at sf0.1): "
+            "~17.5k / 5k pure-Python JPEG frame roundtrips with no "
+            "imaging library in this environment (already 5x faster "
+            "after the bulk-bit-read entropy path; with Pillow "
+            "installed the same queries ride libjpeg). Honest cost "
+            "of real-codec coverage, embarrassingly parallel across "
+            "partitions at scale"
+        ),
+        "ann_*pq* family": (
+            "+1-2 s each vs r6: residual encoding adds the "
+            "per-vector residual join and the IVF_PQ_RERANK=48 "
+            "shortlist widens the exact rescore — the trade that "
+            "bought recall 0.66 -> 0.69 (= the IVF routing ceiling) "
+            "on the unclustered fixture; rerank*k stays a per-query "
+            "constant at any corpus size"
+        ),
+        "fuzzy_title_pairs": (
+            "+~1.5 s vs r6: hot-bucket length-class re-blocking adds "
+            "a tagged checkpoint and a secondary guard — the price "
+            "of degrading gracefully instead of raising on viral "
+            "title clusters"
+        ),
+        "snapshot_bloom_pruned_read / bloom_prefilter_join / "
+        "snapshot_version_cdc / ann_index_incremental / "
+        "incremental_minhash_dedup / multimodal_{adpcm,gif,resize}": (
+            "all ~1-3 s at sf0.1 — manifest-sized metadata ops, "
+            "scan-stage filters, or bounded codec roundtrips"
+        ),
+    }
     notes["lsh_multiprobe_tradeoff_r6"] = (
         "near_dup_recall_report / ann LSH queries run ~1.5x longer "
         "than round 5: the probing side now fans out to each table's "
