@@ -196,6 +196,7 @@ HEADLINE = [
     "multimodal_adpcm_roundtrip",
     "snapshot_version_cdc",
     "multimodal_gif_roundtrip",
+    "hashed_ngram_quality_score",
 ]
 
 

@@ -135,6 +135,73 @@ def char_pairs(col: Column | str, max_chars: int = 200) -> Column:
     return let(F.lower(F.substring(c, 1, max_chars)), body)
 
 
+#: hashed-feature space for the linear quality scorer
+NGRAM_HASH_DIM = 1024
+
+
+def hashed_ngram_score(
+    col: Column | str,
+    n: int = 3,
+    dim: int = NGRAM_HASH_DIM,
+    seed: int = 1,
+    max_chars: int = 400,
+) -> Column:
+    """Linear model scoring over hashed char n-gram features — the
+    SHAPE of fasttext-style quality filtering (the standard
+    pretraining-corpus filter), with the model reduced to its
+    plumbing: each n-gram of the (bounded, lowercased) text hashes
+    into one of ``dim`` buckets (rolling polynomial hash mod dim —
+    the hashing trick), each bucket carries a fixed deterministic
+    weight in [-0.5, 0.5) (the LCG mix of operators/sampling.py over
+    the bucket id), and the document's score is the mean feature
+    weight, rounded to 6. Swapping the LCG weights for a trained
+    vector is a ONE-expression change — the scan-stage feature
+    hashing, the fold, and the filter predicate are exactly what a
+    real model-scored filter executes per document at 100 TB (no
+    UDF, no shuffle; the score is a pure projection).
+
+    Texts shorter than ``n`` contribute their whole text as one
+    feature; empty text scores NULL."""
+    from funding_monitoring_spark.operators.sampling import (
+        SAMPLE_MOD,
+        key_hash,
+    )
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    def body(t: Column) -> Column:
+        ln = F.length(t)
+        grams = F.when(
+            ln >= n,
+            F.transform(
+                F.sequence(F.lit(1), ln - (n - 1)),
+                lambda i: t.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array(t))
+
+        def weight(g: Column) -> Column:
+            codes = F.transform(
+                F.split(g, ""), lambda ch: F.ascii(ch).cast("long")
+            )
+            ph = F.aggregate(
+                codes,
+                F.lit(POLY_INIT).cast("long"),
+                lambda acc, x: (acc * POLY_MULT + x) % POLY_MOD,
+            )
+            b = F.pmod(ph, F.lit(dim))
+            return key_hash(b, seed) / F.lit(float(SAMPLE_MOD)) - F.lit(
+                0.5
+            )
+
+        weights = F.transform(grams, weight)
+        mean = F.aggregate(
+            weights, F.lit(0.0), lambda a, x: a + x
+        ) / F.size(grams)
+        return F.when(ln > 0, F.round(mean, 6) + F.lit(0.0))
+
+    return let(F.lower(F.substring(c, 1, max_chars)), body)
+
+
 def punct_ratio(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)

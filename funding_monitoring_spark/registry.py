@@ -120,7 +120,9 @@ def query(name: str, sql: str | None):
 #:       incremental_minhash_dedup (signature-store near-dup),
 #:       snapshot_version_cdc (row-level CDC across versions),
 #:       multimodal_adpcm_roundtrip (pure-Python IMA ADPCM),
-#:       multimodal_gif_roundtrip (GIF87a/LZW codec), plus any
+#:       multimodal_gif_roundtrip (GIF87a/LZW codec),
+#:       hashed_ngram_quality_score (hashing-trick linear filter),
+#:       plus any
 #:       later r7
 #:       additions; (b) the 23 r3-row remainder
 #:       (age 5 rounds at r8 — oldest in the registry): upsert_merge,

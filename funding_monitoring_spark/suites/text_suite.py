@@ -353,3 +353,97 @@ def q_collocation_pmi(spark, sf_dir):
     return X.collocation_pmi(
         docs, min_count=PMI_MIN_COUNT, top_n=PMI_TOP_N
     )
+
+
+# -- hashed n-gram linear quality scorer --------------------------------
+
+from funding_monitoring_spark.operators.sampling import (  # noqa: E402
+    SAMPLE_INC,
+    SAMPLE_MOD,
+    SAMPLE_MUL,
+    SAMPLE_SEED_PRIME,
+)
+
+_HNS_N, _HNS_DIM, _HNS_SEED, _HNS_MAXC = 3, X.NGRAM_HASH_DIM, 1, 400
+
+
+def _sql_gram_weight(g: str) -> str:
+    """DuckDB twin of the per-gram weight: rolling poly hash of the
+    gram's codepoints -> bucket (mod dim) -> LCG weight in
+    [-0.5, 0.5). Same left folds, same integer arithmetic."""
+    poly = (
+        f"list_reduce(list_prepend(CAST({X.POLY_INIT} AS BIGINT), "
+        f"list_transform(string_split({g}, ''), "
+        f"ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(acc, x) -> (acc * {X.POLY_MULT} + x) % {X.POLY_MOD})"
+    )
+    bucket = f"(({poly}) % {_HNS_DIM})"
+    shifted = f"(({bucket}) + {_HNS_SEED * SAMPLE_SEED_PRIME})"
+    lcg = (
+        f"((({shifted} % {SAMPLE_MOD}) * {SAMPLE_MUL} + {SAMPLE_INC})"
+        f" % {SAMPLE_MOD})"
+    )
+    return f"(CAST({lcg} AS DOUBLE) / {float(SAMPLE_MOD)} - 0.5)"
+
+
+@query(
+    "hashed_ngram_quality_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               lower(substring(text, 1, {_HNS_MAXC})) AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN length(t) >= {_HNS_N}
+                    THEN list_transform(
+                        range(1, length(t) - {_HNS_N} + 2),
+                        i -> substring(t, i, {_HNS_N}))
+                    ELSE [t] END AS grams,
+               length(t) AS ln
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CASE WHEN ln > 0 THEN
+               ROUND(list_reduce(list_prepend(0.0,
+                   list_transform(grams, gr -> {_sql_gram_weight("gr")})),
+                   (a, x) -> a + x) / len(grams), 6) + 0.0
+           END AS score,
+           CAST(CASE WHEN ln > 0 THEN
+               ROUND(list_reduce(list_prepend(0.0,
+                   list_transform(grams, gr -> {_sql_gram_weight("gr")})),
+                   (a, x) -> a + x) / len(grams), 6) + 0.0 >= 0
+           END AS INT) AS kept
+    FROM g
+    """,
+)
+def q_hashed_ngram_quality_score(spark, sf_dir):
+    """Model-scored quality filtering, reduced to its distributed
+    plumbing: hashed char-trigram features (the hashing trick into a
+    1024-bucket space), a fixed deterministic weight per bucket, the
+    document score = mean feature weight, and the keep/drop predicate
+    on the score — exactly the per-document execution shape of a
+    fasttext-style pretraining filter, as pure scan-stage expression
+    algebra (HOF transforms + folds, zero UDFs, zero shuffles). The
+    weight vector is the one seam a trained model replaces; every
+    stage (gram extraction, poly hash, bucket, LCG weight, m-ordered
+    fold, rounded mean, threshold) is recomputed bit-for-bit by the
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = X.hashed_ngram_score(
+        "text", n=_HNS_N, dim=_HNS_DIM, seed=_HNS_SEED,
+        max_chars=_HNS_MAXC,
+    )
+    t = F.lower(F.substring(F.col("text"), 1, _HNS_MAXC))
+    n_grams = F.when(
+        F.length(t) >= _HNS_N,
+        (F.length(t) - (_HNS_N - 1)).cast("long"),
+    ).otherwise(F.lit(1).cast("long"))
+    return docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        score.alias("score"),
+        (score >= 0).cast("int").alias("kept"),
+    )
