@@ -197,6 +197,7 @@ HEADLINE = [
     "snapshot_version_cdc",
     "multimodal_gif_roundtrip",
     "hashed_ngram_quality_score",
+    "merge_on_read_snapshot",
 ]
 
 

@@ -122,6 +122,7 @@ def query(name: str, sql: str | None):
 #:       multimodal_adpcm_roundtrip (pure-Python IMA ADPCM),
 #:       multimodal_gif_roundtrip (GIF87a/LZW codec),
 #:       hashed_ngram_quality_score (hashing-trick linear filter),
+#:       merge_on_read_snapshot (LWW merge-on-read over deltas),
 #:       plus any
 #:       later r7
 #:       additions; (b) the 23 r3-row remainder

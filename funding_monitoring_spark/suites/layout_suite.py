@@ -516,6 +516,97 @@ def q_snapshot_pruned_read(spark, sf_dir):
 
 
 @query(
+    "merge_on_read_snapshot",
+    """
+    WITH log AS (
+        SELECT event_id, ROUND(value, 6) AS value, 'U' AS op, 0 AS seq
+        FROM events WHERE event_id % 3 < 2
+        UNION ALL
+        SELECT event_id, ROUND(value * 3, 6), 'U', 1
+        FROM events WHERE event_id % 6 = 1
+        UNION ALL
+        SELECT event_id, NULL, 'D', 2
+        FROM events WHERE event_id % 6 = 4
+        UNION ALL
+        SELECT event_id, ROUND(value, 6), 'U', 2
+        FROM events WHERE event_id % 3 = 2
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_id
+                                  ORDER BY seq DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_id) AS n_changes
+        FROM log
+    )
+    SELECT event_id, value, CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked WHERE rn = 1 AND op != 'D'
+    """,
+)
+def q_merge_on_read_snapshot(spark, sf_dir):
+    """MERGE-ON-READ over the snapshot store — the LSM-style
+    complement to copy-on-write compaction: the base version and
+    every delta commit are plain APPENDS carrying (op, seq), no byte
+    of the base is ever rewritten, and the READER reconstructs
+    current state with one per-key last-write-wins aggregation
+    (operators/upsert.cdc_materialize: max_by with map-side partial
+    aggregation — one shuffle, one candidate row per key per map
+    partition). Updates, deletes, and inserts across two delta
+    commits are all exercised; n_changes audits how many log rows
+    each surviving key folded. At 100 TB this is the write-cheap /
+    read-costly end of the upsert spectrum — OPTIMIZE (store
+    compaction) moves tables back toward the read-cheap end, and
+    both live on the same manifest machinery."""
+    import tempfile as _tf
+
+    from funding_monitoring_spark.operators.upsert import (
+        cdc_materialize,
+    )
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "value"
+    )
+    store = os.path.join(_tf.mkdtemp(prefix="fm_mor_"), "events")
+    base = events.filter(F.col("event_id") % 3 < 2).select(
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.lit("U").alias("op"),
+        F.lit(0).alias("seq"),
+    )
+    upd = events.filter(F.col("event_id") % 6 == 1).select(
+        "event_id",
+        F.round(F.col("value") * 3, 6).alias("value"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    dele = events.filter(F.col("event_id") % 6 == 4).select(
+        "event_id",
+        F.lit(None).cast("double").alias("value"),
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    ins = events.filter(F.col("event_id") % 3 == 2).select(
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    commit_snapshot(base, store)
+    commit_snapshot(upd, store)  # delta commits: pure appends
+    commit_snapshot(dele.unionByName(ins), store)
+    merged = cdc_materialize(
+        read_snapshot(spark, store),
+        key_cols=["event_id"],
+        order_cols=["seq"],
+        delete_pred=F.col("op") == "D",
+    )
+    return merged.select("event_id", "value", "n_changes")
+
+
+@query(
     "snapshot_version_cdc",
     """
     WITH v1 AS (
