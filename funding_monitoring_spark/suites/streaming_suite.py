@@ -506,6 +506,64 @@ def q_stream_append_compaction(spark, sf_dir):
 
 
 @query(
+    "stream_merge_on_read",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (
+                   PARTITION BY user_id, event_type) AS n_changes
+        FROM events
+    )
+    SELECT user_id, event_type, value,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_stream_merge_on_read(spark, sf_dir):
+    """Streaming MERGE-ON-READ: every replay tick APPENDS its rows as
+    one snapshot commit (the cheapest possible streaming write — no
+    per-tick merge, no store rewrite, effectively-once by manifest
+    batch_id), and current per-key state materializes READER-side
+    with one max_by last-write-wins aggregation over the whole delta
+    log (operators/upsert.cdc_materialize). The write-cheap twin of
+    stream_upsert_rates' merge-per-tick sink: ingestion cost is
+    O(batch) instead of O(store) per tick, and the full log stays
+    time-travelable; the reader pays the merge, which OPTIMIZE /
+    compaction amortizes at 100 TB. The oracle recomputes the LWW
+    winner and change count per (user, type) straight from the raw
+    table, so a lost tick, duplicated batch, or mis-ordered merge
+    breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.operators.upsert import (
+        cdc_materialize,
+    )
+    from funding_monitoring_spark.sources.snapshots import (
+        read_snapshot,
+    )
+    from funding_monitoring_spark.streaming.pipelines import (
+        streaming_snapshot_commits,
+    )
+
+    cdir, schema = _chunked_events(spark, sf_dir)
+    workdir = _workdir()
+    store = os.path.join(workdir, "morstore")
+    streaming_snapshot_commits(
+        spark, cdir, schema, store, os.path.join(workdir, "checkpoint")
+    )
+    merged = cdc_materialize(
+        read_snapshot(spark, store),
+        key_cols=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+        delete_pred=F.lit(False),
+    )
+    return merged.select("user_id", "event_type", "value", "n_changes")
+
+
+@query(
     "stream_snapshot_commits",
     f"""
     WITH ordered AS (
