@@ -198,6 +198,7 @@ HEADLINE = [
     "multimodal_gif_roundtrip",
     "hashed_ngram_quality_score",
     "merge_on_read_snapshot",
+    "stream_merge_on_read",
 ]
 
 
