@@ -258,8 +258,16 @@ def _amplitude(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def encode_baseline_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline 4:4:4 JFIF bytes."""
+def encode_baseline_jpeg(
+    pixels: np.ndarray, quality: int = 95, restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline 4:4:4 JFIF bytes.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that-many MCUs (byte-aligned, DC predictors reset) — the
+    resynchronization feature real encoders use for error resilience
+    and parallel decode; here it keeps the decoder's restart path
+    honest instead of dead code."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("encode_baseline_jpeg expects (h, w, 3) RGB")
@@ -280,6 +288,14 @@ def encode_baseline_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
     prev_dc = [0, 0, 0]
     n_mcu = comp_coeffs[0].shape[0]
     for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            # byte-align, then the marker goes in RAW (markers are
+            # the one thing byte stuffing must not escape)
+            bw_.flush()
+            bw_.out += bytes(
+                [0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]
+            )
+            prev_dc = [0, 0, 0]
         for ci in range(3):
             zz = comp_coeffs[ci][mcu]
             diff = int(zz[0]) - prev_dc[ci]
@@ -327,6 +343,8 @@ def encode_baseline_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
     out += seg(0xFFC0, sof)
     for payload_dht in _DHT_PAYLOADS:
         out += seg(0xFFC4, payload_dht)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += seg(0xFFDA, sos)
     out += bw_.out

@@ -118,3 +118,19 @@ def test_stuffed_ff_bytes_survive():
     back = decode_baseline_jpeg(data)
     assert back.shape == px.shape
     assert np.abs(back.astype(int) - px.astype(int)).mean() < 8
+
+
+@pytest.mark.parametrize("interval", [1, 2, 3])
+def test_restart_markers_roundtrip(interval):
+    """DRI + RSTn: byte-aligned restarts with DC-predictor resets must
+    decode identically to the marker-free stream — exercises the
+    decoder's resynchronization path (real encoders emit these for
+    error resilience / parallel decode)."""
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, size=(24, 40, 3), dtype=np.uint8)  # 15 MCUs
+    plain = decode_baseline_jpeg(encode_baseline_jpeg(px, 95))
+    data = encode_baseline_jpeg(px, 95, restart_interval=interval)
+    assert b"\xff\xdd" in data  # DRI present
+    assert any(bytes([0xFF, 0xD0 + j]) in data for j in range(8))
+    with_rst = decode_baseline_jpeg(data)
+    assert np.array_equal(with_rst, plain)
