@@ -143,9 +143,13 @@ def _lzw_decode(
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + (entry[0],))
-        elif code == len(table):  # the KwKwK case
-            entry = prev + (prev[0],)
+            # deferred-clear convention: once the table is full the
+            # encoder keeps using existing codes WITHOUT adding — the
+            # decoder must stop adding too or the tables desync
+            if len(table) < _DICT_LIMIT:
+                table.append(prev + (entry[0],))
+        elif code == len(table) and len(table) < _DICT_LIMIT:
+            entry = prev + (prev[0],)  # the KwKwK case
             table.append(entry)
         else:
             raise ValueError(f"LZW code {code} out of range")

@@ -949,3 +949,48 @@ def test_gif_codec_lzw_edges():
 
     a = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
     assert np.array_equal(decode_image(encode_gif(a, pal)), pal[a])
+
+
+def test_gif_lzw_deferred_clear_streams_decode():
+    """A deferred-clear encoder (fills the dictionary and keeps using
+    it WITHOUT emitting a clear code — a convention real encoders use)
+    must decode correctly: the decoder has to stop growing its table
+    at 4096 or the two desync exactly at the first post-full code."""
+    import numpy as np
+
+    from funding_monitoring_spark.operators import gifcodec as G
+
+    rng = np.random.default_rng(17)
+    # enough varied symbols to fill the dictionary well past 4096
+    indices = rng.integers(0, 256, size=30_000).tolist()
+    min_code_size = 8
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    bw = G._LsbBitWriter()
+    table = {(i,): i for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    bw.write(clear, width)
+    w = ()
+    filled = False
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], width)
+        if next_code < G._DICT_LIMIT:
+            table[wk] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < G._MAX_CODE_WIDTH:
+                width += 1
+        else:
+            filled = True  # deferred: keep coding, add nothing
+        w = (int(k),)
+    if w:
+        bw.write(table[w], width)
+    bw.write(end, width)
+    bw.flush()
+    assert filled  # the regime under test was actually reached
+
+    out = G._lzw_decode(bytes(bw.out), min_code_size, len(indices))
+    assert out == indices
