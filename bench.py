@@ -199,6 +199,7 @@ HEADLINE = [
     "hashed_ngram_quality_score",
     "merge_on_read_snapshot",
     "stream_merge_on_read",
+    "image_dhash_index",
 ]
 
 

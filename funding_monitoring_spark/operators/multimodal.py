@@ -1017,6 +1017,69 @@ def decode_audio(payload: bytes):
     )
 
 
+def image_dhash_features(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the standard
+    cheap image-dedup fingerprint: decode with the real codec,
+    nearest-neighbor resize to 9x8 (the same floor convention as
+    resize_images), integer grayscale (luma 299/587/114 per mille,
+    floor division — no float anywhere), then 64 bits of
+    brighter-than-the-right-neighbor comparisons, emitted as a
+    16-hex-char string. Hamming-near hashes are near-duplicate
+    images, so downstream dedup is the SimHash machinery applied to
+    pixels; here the hash itself is the oracle-checked artifact
+    (every stage is integer-exact and closed-form on the fixture
+    field). 1:1 Arrow-batched mapInPandas, no shuffle."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def dhash(payload: bytes) -> tuple[int, int, str]:
+            px = decode_image(bytes(payload)).astype(np.int64)
+            h_src, w_src, _ = px.shape
+            xs = (np.arange(9) * w_src) // 9
+            ys = (np.arange(8) * h_src) // 8
+            small = px[np.ix_(ys, xs)]
+            gray = (
+                299 * small[..., 0]
+                + 587 * small[..., 1]
+                + 114 * small[..., 2]
+            ) // 1000
+            bits = 0
+            for y in range(8):
+                for x in range(8):
+                    bits = (bits << 1) | int(
+                        gray[y, x] > gray[y, x + 1]
+                    )
+            return h_src, w_src, f"{bits:016x}"
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h, w, hx = dhash(payload)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "dhash": hx,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        schema="media_id long, width int, height int, dhash string",
+    )
+
+
 #: the GIF fixture palette: index i -> (i, 3i mod 256, 7i mod 256) —
 #: closed-form in the SQL oracle, so the indexed roundtrip is EXACT
 def _gif_palette():

@@ -123,9 +123,10 @@ def query(name: str, sql: str | None):
 #:       multimodal_gif_roundtrip (GIF87a/LZW codec),
 #:       hashed_ngram_quality_score (hashing-trick linear filter),
 #:       merge_on_read_snapshot (LWW merge-on-read over deltas),
-#:       stream_merge_on_read (append-commit ingest + reader LWW) —
-#:       13 post-freeze registrations in all, so the r8 window is
-#:       13 + the 23 r3-row remainder + the 14 oldest r4 rows = 50;
+#:       stream_merge_on_read (append-commit ingest + reader LWW),
+#:       image_dhash_index (perceptual image hash) —
+#:       14 post-freeze registrations in all, so the r8 window is
+#:       14 + the 23 r3-row remainder + the 13 oldest r4 rows = 50;
 #:       (b) the 23 r3-row remainder
 #:       (age 5 rounds at r8 — oldest in the registry): upsert_merge,
 #:       scalar_datetime_suite, scalar_string_suite,

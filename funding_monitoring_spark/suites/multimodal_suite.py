@@ -436,6 +436,78 @@ def q_multimodal_adpcm_roundtrip(spark, sf_dir):
     return decode_adpcm_features_tolerant(synthesize_adpcm_media(docs))
 
 
+# -- perceptual image hash (dHash) --------------------------------------
+
+
+def _dh_gray(kexpr: str, di: int) -> str:
+    """SQL gray value at dHash grid cell (j, i+di) for comparison
+    index k = j*8 + i: integer luma over the closed-form BMP field."""
+    j = f"(({kexpr}) // 8)"
+    i = f"((({kexpr}) % 8) + {di})"
+    pos = f"((({j} * height) // 8) * width + (({i} * width) // 9))"
+
+    def chan(c: int) -> str:
+        return f"(((media_id*7 + ({pos})*3 + {c})*31) % 256)"
+
+    return (
+        f"((299*{chan(0)} + 587*{chan(1)} + 114*{chan(2)}) // 1000)"
+    )
+
+
+def _dh_bit(kexpr: str) -> str:
+    return (
+        f"(CASE WHEN {_dh_gray(kexpr, 0)} > {_dh_gray(kexpr, 1)} "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+
+def _dh_nibble(qvar: str) -> str:
+    return (
+        f"lower(to_hex(8*{_dh_bit(f'4*{qvar}')} "
+        f"+ 4*{_dh_bit(f'4*{qvar}+1')} "
+        f"+ 2*{_dh_bit(f'4*{qvar}+2')} "
+        f"+ 1*{_dh_bit(f'4*{qvar}+3')}))"
+    )
+
+
+@query(
+    "image_dhash_index",
+    f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(2 + doc_id % 6 AS INT) AS width,
+               CAST(2 + doc_id % 4 AS INT) AS height
+        FROM documents
+    )
+    SELECT media_id, width, height,
+           list_reduce(
+               list_transform(range(0, 16), q -> {_dh_nibble("q")}),
+               (a, b) -> a || b) AS dhash
+    FROM dims
+    """,
+)
+def q_image_dhash_index(spark, sf_dir):
+    """Perceptual image fingerprinting — the image-dedup primitive a
+    multimodal training pipeline runs at ingest: real decode,
+    nearest-neighbor 9x8 resample, integer grayscale, 64
+    brighter-than-right-neighbor bits, hex-serialized
+    (operators/multimodal.image_dhash_features). Hamming-close
+    hashes are near-duplicate images, so the banded SimHash dedup
+    machinery applies to pixels unchanged; the hash itself is what
+    the oracle value-checks — every stage is integer-exact, so the
+    64 bits are recomputed straight from the pixel-field closed form
+    and any resample off-by-one, luma drift, or bit-order bug flips
+    hex digits. At 100 TB this is a once-per-ingest scan-stage map;
+    the dedup join runs on 16-char strings, never pixels."""
+    from funding_monitoring_spark.operators.multimodal import (
+        image_dhash_features,
+        synthesize_bmp_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_dhash_features(synthesize_bmp_media(docs))
+
+
 # MP3 rides the optional soundfile dependency (and needs an
 # MP3-capable libsndfile underneath — probed with a real tiny
 # roundtrip, not just an import): registered only where the codec
