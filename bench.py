@@ -399,7 +399,7 @@ def main() -> None:
             "sketch merge; both ~1.2 s warm"
         ),
         "ann_*pq* family (pq, ivf_pq, 2 recall reports)": (
-            "~10 s each at sf0.1 (4 queries, ~40 s of the overflow wall): the encode scans 50k vectors x 8 subspaces against a ~370-entry/subspace broadcast codebook (argmin folds, codegen) — the deliberate recall-0.9 operating point for the linear ADC path (PQ_CENT_MOD=11, rerank 16x); the ADC scan + bounded exact re-rank are sub-second on top, and the IVF-PQ composition adds cell routing + residual encoding (round 7: recall 0.69 = the IVF routing ceiling, via residual codes + the wider IVF_PQ_RERANK shortlist — see similarity.py for the unclustered-fixture discussion). All joins broadcast (plan-gated); at 100 TB the encode is a once-per-ingest cost"
+            "~10 s each at sf0.1 (4 queries, ~40 s of the overflow wall): the encode scans 50k vectors x 8 subspaces against a ~370-entry/subspace broadcast codebook (argmin via min_by with MAP-SIDE partial aggregation since late r7 — the window row_number it replaced shuffled the full 150M-row explosion, ~3-4 s per query) — the deliberate recall-0.9 operating point for the linear ADC path (PQ_CENT_MOD=11, rerank 16x); the ADC scan + bounded exact re-rank are sub-second on top, and the IVF-PQ composition adds cell routing + residual encoding (round 7: recall 0.69 = the IVF routing ceiling, via residual codes + the wider IVF_PQ_RERANK shortlist — see similarity.py for the unclustered-fixture discussion). All joins broadcast (plan-gated); at 100 TB the encode is a once-per-ingest cost"
         ),
         "snapshot_* / stream_snapshot_commits / *_contract_*": (
             "the table-format family (versioned commits, time "

@@ -723,18 +723,25 @@ def pq_encode(
 def _argmin_codes(subs: DataFrame, cents: DataFrame) -> DataFrame:
     """(c_id, m, code): nearest codebook entry per (vector, subspace)
     by squared L2 (distance rounded, then id — reproducible argmin).
-    One broadcast join against the codebook, codegen folds, no shuffle
-    of the vectors themselves."""
+    One broadcast join against the codebook, codegen folds, and a
+    min_by aggregation for the argmin: the (vector x codebook)
+    explosion collapses MAP-SIDE (partial aggregation keeps one
+    candidate per (c_id, m) per partition), so the shuffle moves one
+    row per vector-subspace — a window row_number here would shuffle
+    the entire |vectors| x |codebook| explosion first (measured ~3 s
+    per PQ query at sf0.1). min_by on the (dist, j) struct is exactly
+    the (dist asc, j asc) argmin: j is unique within a group, so no
+    tie can reach the struct's second field undecided."""
     d = F.round(_sq_l2(F.col("sub"), F.col("csub")), SCORE_ROUND)
-    w = Window.partitionBy("c_id", "m").orderBy(
-        F.asc("dist"), F.asc("j")
-    )
     return (
         subs.join(F.broadcast(cents), "m")
         .withColumn("dist", d)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("c_id", "m", F.col("j").alias("code"))
+        .groupBy("c_id", "m")
+        .agg(
+            F.min_by(
+                F.col("j"), F.struct(F.col("dist"), F.col("j"))
+            ).alias("code")
+        )
     )
 
 
