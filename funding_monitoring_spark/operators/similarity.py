@@ -292,12 +292,27 @@ def _cell_assignments(
 ) -> DataFrame:
     """Nearest-`keep` centroid cells per vector (1 = hard assignment
     for the corpus; nprobe > 1 for queries). Deterministic: raw cosine
-    desc, centroid id asc."""
+    desc, centroid id asc.
+
+    keep=1 (the CORPUS-side path — the big input) aggregates with
+    min_by so the (vector x centroid) explosion collapses map-side;
+    the same (-cscore, cent_id) struct ordering reproduces the
+    window's (cscore desc, cent_id asc) winner exactly, including the
+    -0.0/<+0.0 edge (negation flips the IEEE sort order
+    consistently). keep>1 (query probes, a small frame) keeps the
+    row_number window — a top-N has no partial-aggregation form."""
     scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
         "cscore",
         seq_dot(F.col("v_emb"), F.col("cent_emb"))
         / (F.col("v_norm") * F.col("cent_norm")),
     )
+    if keep == 1:
+        return scored.groupBy("v_id").agg(
+            F.min_by(
+                F.col("cent_id"),
+                F.struct(-F.col("cscore"), F.col("cent_id")),
+            ).alias("cent_id")
+        )
     w = Window.partitionBy("v_id").orderBy(
         F.desc("cscore"), F.asc("cent_id")
     )
