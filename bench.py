@@ -200,6 +200,7 @@ HEADLINE = [
     "merge_on_read_snapshot",
     "stream_merge_on_read",
     "image_dhash_index",
+    "snapshot_metadata_count",
 ]
 
 

@@ -124,9 +124,10 @@ def query(name: str, sql: str | None):
 #:       hashed_ngram_quality_score (hashing-trick linear filter),
 #:       merge_on_read_snapshot (LWW merge-on-read over deltas),
 #:       stream_merge_on_read (append-commit ingest + reader LWW),
-#:       image_dhash_index (perceptual image hash) —
-#:       14 post-freeze registrations in all, so the r8 window is
-#:       14 + the 23 r3-row remainder + the 13 oldest r4 rows = 50;
+#:       image_dhash_index (perceptual image hash),
+#:       snapshot_metadata_count (COUNT(*) from manifest row counts) —
+#:       15 post-freeze registrations in all, so the r8 window is
+#:       15 + the 23 r3-row remainder + the 12 oldest r4 rows = 50;
 #:       (b) the 23 r3-row remainder
 #:       (age 5 rounds at r8 — oldest in the registry): upsert_merge,
 #:       scalar_datetime_suite, scalar_string_suite,

@@ -143,6 +143,13 @@ def _claim_version(store: str, build_manifest) -> int:
 
 
 def _rel_files(store: str, commit_dir: str) -> list[dict]:
+    """File entries for a just-written commit: path, size, and the
+    ROW COUNT straight from the parquet footer (pyarrow metadata
+    read — no data scan; footers are how real table formats get
+    their stats for free). Row counts make COUNT(*) at any version a
+    metadata-only operation (snapshot_row_count)."""
+    import pyarrow.parquet as pq
+
     out = []
     for root, _dirs, files in os.walk(commit_dir):
         for f in sorted(files):
@@ -153,6 +160,7 @@ def _rel_files(store: str, commit_dir: str) -> list[dict]:
                 {
                     "path": os.path.relpath(p, store),
                     "bytes": os.path.getsize(p),
+                    "rows": pq.ParquetFile(p).metadata.num_rows,
                 }
             )
     return out
@@ -467,6 +475,27 @@ def read_snapshot_changes(
             f"no files added between v{from_version} and v{to_version}"
         )
     return spark.read.parquet(*new)
+
+
+def snapshot_row_count(store: str, version: int | None = None) -> int:
+    """COUNT(*) as of ``version`` WITHOUT touching a data file: the
+    sum of the manifest's per-file footer row counts. At 100 TB this
+    is the difference between answering a count from a few KB of
+    JSON and scanning the table; files committed before row counts
+    were recorded raise loudly rather than undercount."""
+    if version is None:
+        version = latest_version(store)
+        if version is None:
+            raise ValueError(f"no snapshots committed at {store}")
+    total = 0
+    for f in _read_manifest(store, version)["files"]:
+        if "rows" not in f:
+            raise ValueError(
+                f"manifest v{version} file {f['path']} predates row "
+                "counts — re-commit or count by scanning"
+            )
+        total += f["rows"]
+    return total
 
 
 def last_committed_batch(store: str) -> int | None:

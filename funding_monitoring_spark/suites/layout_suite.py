@@ -516,6 +516,54 @@ def q_snapshot_pruned_read(spark, sf_dir):
 
 
 @query(
+    "snapshot_metadata_count",
+    """
+    SELECT CAST(v.version AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_metadata,
+           1 AS matches_scan
+    FROM (VALUES (1), (2), (3)) AS v(version)
+    JOIN events e ON e.event_id % 3 < v.version
+    GROUP BY 1
+    """,
+)
+def q_snapshot_metadata_count(spark, sf_dir):
+    """COUNT(*) from METADATA: every commit records each file's
+    parquet-footer row count in the manifest, so the row count of any
+    historical version is the sum of a few JSON numbers — zero data
+    files touched (sources/snapshots.snapshot_row_count). The query
+    builds three append versions, answers each version's count from
+    the manifest alone, and cross-checks it against an actual scan
+    (matches_scan pins metadata == data); the oracle recomputes the
+    per-version counts from the raw table. At 100 TB this is the
+    difference between a KB of JSON and a table scan — the same
+    footer-derived stats path real table formats use."""
+    import tempfile as _tf
+
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_row_count,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "value"
+    )
+    store = os.path.join(_tf.mkdtemp(prefix="fm_meta_ct_"), "events")
+    for stripe in range(3):
+        commit_snapshot(
+            events.filter(F.col("event_id") % 3 == stripe), store
+        )
+    rows = []
+    for v in (1, 2, 3):
+        meta = snapshot_row_count(store, v)
+        scanned = read_snapshot(spark, store, version=v).count()
+        rows.append((v, meta, int(meta == scanned)))
+    return spark.createDataFrame(
+        rows, "version int, n_rows_metadata long, matches_scan int"
+    )
+
+
+@query(
     "merge_on_read_snapshot",
     """
     WITH log AS (

@@ -443,3 +443,29 @@ def test_bloom_equality_pruning_exact_and_strict(spark, store):
     assert snapshot_files(store, equals=("k", 41)) == []
     # files without a bloom for the column are conservatively kept
     assert len(snapshot_files(store, equals=("id", 7))) == len(total)
+
+
+def test_snapshot_row_count_is_metadata_only(spark, store):
+    from funding_monitoring_spark.sources.snapshots import (
+        snapshot_row_count,
+    )
+
+    commit_snapshot(_frame(spark, range(0, 5)), store, n_files=2)
+    commit_snapshot(_frame(spark, range(5, 8)), store, n_files=2)
+    assert snapshot_row_count(store, 1) == 5
+    assert snapshot_row_count(store) == 8
+    # rows come from the manifest: deleting the data files must not
+    # change the answer (that is the point)
+    import shutil
+
+    shutil.rmtree(os.path.join(store, "data"))
+    assert snapshot_row_count(store) == 8
+    # a hand-written manifest entry without row counts raises loudly
+    import json
+
+    mpath = os.path.join(store, "_manifests", f"v{2:09d}.json")
+    m = json.load(open(mpath))
+    del m["files"][0]["rows"]
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="predates row counts"):
+        snapshot_row_count(store, 2)
