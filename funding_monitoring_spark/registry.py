@@ -108,7 +108,8 @@ def query(name: str, sql: str | None):
 #:       CC reuse by semantic_dedup_clusters → dedup_clusters,
 #:       dedup_clusters_star, pagerank_trading_graph; dedup.py
 #:       family), then oldest registration order (batch_ops head).
-#:   r8 plan (precommitted): (a) round-7 post-freeze registrations
+#:   r8 window (this list — executes the precommitted r8 plan):
+#:       (a) round-7 post-freeze registrations
 #:       first (each ships with a driver-format row in
 #:       CORRECTNESS_LOCAL_r7.json) — multimodal_jpeg_roundtrip and
 #:       multimodal_mjpg_framesample (now registered unconditionally
@@ -147,6 +148,17 @@ def query(name: str, sql: str | None):
 #:       again in r7: drawdown run_max guard). The r4 remainder rolls
 #:       to r9. Every overflow query gets a fresh local row each
 #:       round.
+#:   r9 plan (precommitted): (a) round-8 post-freeze registrations
+#:       first, in registration order (each must ship with a
+#:       driver-format row in CORRECTNESS_LOCAL_r8.json); (b) the 38
+#:       r4-row remainder — the oldest rows in the registry at r9
+#:       (ann_cosine_topk/_lsh/_scale, asof joins, broadcast/semi
+#:       joins, cdc_materialize, TPC-H q2/q9/q11/q16/q20/q21, file
+#:       sources, sessionization, samplers, multimodal wav/avi,
+#:       main_dag_parity, window_distribution_suite, ...), in
+#:       registration order; (c) remaining slots to the oldest r5
+#:       rows in registration order. Registration FREEZES once the
+#:       r9 window fills.
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
@@ -168,71 +180,73 @@ def query(name: str, sql: str | None):
 #: multi_touch_attribution, simhash_distance_histogram,
 #: dedup_savings_report, hourly_activity_heatmap, value_histogram.
 _PRIORITY: list[str] = [
-    # (a) round-6 post-freeze registrations, never driver-checked,
-    # in true registration order (34)
-    "bigram_logprob_score",
-    "acf_by_type",
-    "max_drawdown_by_type",
-    "fuzzy_title_pairs",
-    "fuzzy_title_clusters",
-    "count_min_freq_report",
-    "cusum_change_points",
-    "hll_sketch_merge_rollup",
-    "data_contract_report",
-    "span_dedup_cleaned_docs",
-    "dataset_overlap_kmv",
-    "snapshot_time_travel_read",
-    "snapshot_rollback_expire",
-    "snapshot_incremental_read",
-    "snapshot_pruned_read",
-    "snapshot_optimize_read",
-    "file_provenance_report",
-    "incremental_rollup_maintenance",
-    "grouped_split_leakage_report",
-    "kfold_split_stats",
-    "weighted_sample_priority",
-    "semantic_dedup_clusters",
-    "ann_cosine_topk_pq",
-    "ann_pq_recall_report",
-    "ann_cosine_topk_ivf_pq",
-    "ann_ivf_pq_recall_report",
-    "stream_append_compaction",
-    "stream_snapshot_commits",
-    "stream_sketch_rollup",
-    "stream_contract_ledger",
-    "stream_max_drawdown",
-    "stream_count_min_rollup",
-    "stream_late_event_audit",
-    "collocation_pmi",
-    # (b) 16 oldest (r3-row) queries, those over files changed in
-    # r6/r7 first: similarity.py (PQ in r6, IVF-PQ residual in r7),
-    # components.py (CC reused by semantic_dedup_clusters),
-    # dedup.py family; then oldest registration order (16)
-    "embedding_quantize_int8",
-    "embedding_centroids",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "pagerank_trading_graph",
-    "minhash_lsh_dedup",
-    "simhash_near_dup",
-    "simhash_signatures",
-    "exact_dedup",
-    "ngram_jaccard_dedup",
-    "snake_case_rename",
-    "salted_group_agg",
-    "approx_distinct_users",
-    "group_count_guard",
-    "latest_per_group",
-    "dedup_keys",
+    # (a) round-7 post-freeze registrations, never driver-checked,
+    # in true registration order (15) — each carries a green
+    # driver-format row in CORRECTNESS_LOCAL_r7.json
+    "bloom_prefilter_join",
+    "incremental_minhash_dedup",
+    "snapshot_metadata_count",
+    "merge_on_read_snapshot",
+    "snapshot_version_cdc",
+    "snapshot_bloom_pruned_read",
+    "multimodal_gif_roundtrip",
+    "multimodal_resize_real",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_mjpg_framesample",
+    "multimodal_adpcm_roundtrip",
+    "image_dhash_index",
+    "ann_index_incremental",
+    "stream_merge_on_read",
+    "hashed_ngram_quality_score",
+    # (b) the 23 r3-row remainder — oldest rows in the registry
+    # (age 5 rounds), exactly as precommitted in the r7 docstring (23)
+    "upsert_merge",
+    "scalar_datetime_suite",
+    "scalar_string_suite",
+    "scalar_cast_annualize",
+    "json_extract",
+    "nested_json_explode",
+    "full_outer_reconciliation",
+    "jsonl_quarantine",
+    "salted_join_agg",
+    "pivot_status_by_priority",
+    "unpivot_part_attrs",
+    "cube_revenue",
+    "set_intersect_nations",
+    "set_except_nations",
+    "approx_quantiles_events",
+    "futures_snapshot",
+    "spot_pairs_snapshot",
+    "lending_pipeline",
+    "funding_stats",
+    "sql_funding_stats",
+    "trailing_time_features",
+    "tpch_q8_market_share",
+    "expectation_audit",
+    # (c) 12 oldest r4 rows: the 7-query streaming family first
+    # (streaming/pipelines.py changed in r7 — drawdown run_max
+    # guard), then the 5 oldest non-streaming r4 rows by
+    # registration order (12)
+    "stream_upsert_rates",
+    "stream_tumbling_rollup",
+    "stream_lending_append",
+    "stream_ewma_stateful",
+    "stream_funding_pipeline",
+    "stream_stream_join_attribution",
+    "stream_session_windows",
+    "embedding_covariance",
+    "grouping_sets_revenue",
+    "keep_list_projection",
+    "drop_column",
+    "filter_suffix",
 ]
-# ^ exactly 50 entries. After this round every one of the 221
-# registered queries has an external driver row (cumulative
-# 221/221 — the 34 r6 post-freeze registrations get their first);
-# the r3/r4 remainder refreshes in r8 per the precommitted plan
-# above, and every query NOT in this window gets a same-format local
-# row in CORRECTNESS_LOCAL_r7.json each round
-# (tools/local_correctness.py), so nothing ships on pytest evidence
-# alone.
+# ^ exactly 50 entries. After this round cumulative external coverage
+# is 236/236 — the 15 r7 post-freeze registrations get their first
+# external row. The r4 remainder (38 queries) rolls to r9 per the
+# precommitted plan in the docstring above, and every query NOT in
+# this window gets a same-format local row in
+# CORRECTNESS_LOCAL_r8.json (tools/local_correctness.py), so nothing
+# ships on pytest evidence alone.
 
 
 def _ordered(d: dict) -> dict:
