@@ -170,6 +170,11 @@ def encode_gif(indices, palette) -> bytes:
         raise ValueError("encode_gif expects an (h, w) index array")
     if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
         raise ValueError("palette must be (n<=256, 3)")
+    if idx.size and int(idx.max()) >= len(pal):
+        raise ValueError(
+            f"pixel index {int(idx.max())} outside the "
+            f"{len(pal)}-entry palette"
+        )
     h, w = idx.shape
     # global color table size: smallest power of two >= len(pal), >= 2
     bits = max(1, int(np.ceil(np.log2(max(len(pal), 2)))))

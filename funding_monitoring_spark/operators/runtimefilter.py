@@ -50,9 +50,12 @@ def bloom_mask_words(
     """Build the bit array from the build side's keys; returns
     ceil(bits/63) non-negative ints, each < 2^63. One distinct over
     at most ``bits`` positions comes back to the driver — bounded by
-    the bloom size, not the build side's row count."""
+    the bloom size, not the build side's row count. NULL keys are
+    dropped before hashing, mirroring bloom_prefilter's NULL-drop
+    contract (a NULL join key cannot match an equi-join)."""
     pos_rows = (
-        keys.select(
+        keys.filter(key.isNotNull())
+        .select(
             F.explode(
                 F.array(
                     *[

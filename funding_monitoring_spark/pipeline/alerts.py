@@ -54,11 +54,13 @@ def run_task(name: str, fn: Callable[[], object], policy: AlertPolicy):
     never error handling). A notifier that itself fails must not mask
     the task error — its exception is chained as context."""
     attempts = policy.retries + 1
-    last: BaseException | None = None
+    last: Exception | None = None
     for attempt in range(1, attempts + 1):
         try:
             return fn()
-        except BaseException as exc:
+        # Exception only: KeyboardInterrupt/SystemExit must propagate
+        # immediately, never retried or turned into failure alerts.
+        except Exception as exc:
             last = exc
             if attempt < attempts:
                 if policy.retry_delay_s:

@@ -414,6 +414,18 @@ def read_snapshot(
     slip through."""
     files = snapshot_files(store, version, between, equals)
     if not files:
+        if between is not None or equals is not None:
+            all_files = snapshot_files(store, version)
+            if all_files:
+                # Pruning (stats/bloom) correctly eliminated every
+                # file — the expected outcome of a point lookup for a
+                # key absent from the store. Return an empty frame
+                # with the store schema, not an error.
+                return (
+                    spark.read.parquet(*all_files)
+                    .filter(F.lit(False))
+                    .limit(0)
+                )
         raise ValueError(
             f"snapshot v{version} of {store} has no data files"
         )

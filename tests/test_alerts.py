@@ -143,3 +143,24 @@ def test_smtp_notifier_delivers_over_loopback():
     assert "update_funding_stats" in text
     assert "RuntimeError" in text
     assert "Subject: [pipeline failure]" in text
+
+
+def test_keyboard_interrupt_propagates_unretried(tmp_path):
+    """BaseException (KeyboardInterrupt/SystemExit) must propagate
+    immediately: no retry, no sleep, no failure notification."""
+    ledger = str(tmp_path / "alerts.jsonl")
+    calls = []
+
+    def interrupted():
+        calls.append(1)
+        raise KeyboardInterrupt
+
+    policy = AlertPolicy(
+        retries=3, retry_delay_s=60.0, notifiers=[file_notifier(ledger)]
+    )
+    with pytest.raises(KeyboardInterrupt):
+        run_task("t", interrupted, policy)
+    assert len(calls) == 1  # not retried (and no 60s sleeps)
+    import os
+
+    assert not os.path.exists(ledger)  # no alert for an interrupt

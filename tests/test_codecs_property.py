@@ -7,6 +7,7 @@ packing) that fixed-seed tests can miss."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -86,3 +87,10 @@ def test_adpcm_roundtrip_shape_and_tracking(n, seed, amp, period):
         # step sizes track the slope: error stays a small fraction
         # of the amplitude
         assert err < max(64, amp * 0.2), (n, amp, period, err)
+
+
+def test_gif_encode_rejects_out_of_palette_index():
+    idx = np.full((4, 4), 5, dtype=np.uint8)
+    pal = np.zeros((4, 3), dtype=np.uint8)  # indices must be < 4
+    with pytest.raises(ValueError, match="outside the"):
+        encode_gif(idx, pal)

@@ -134,3 +134,15 @@ def test_restart_markers_roundtrip(interval):
     assert any(bytes([0xFF, 0xD0 + j]) in data for j in range(8))
     with_rst = decode_baseline_jpeg(data)
     assert np.array_equal(with_rst, plain)
+
+
+def test_ff_fill_bytes_before_marker_tolerated():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker id; another encoder's spec-legal padding must parse."""
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data = encode_baseline_jpeg(px, 90)
+    i = data.find(b"\xff\xdb")  # pad before the first DQT
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]
+    back = decode_baseline_jpeg(padded)
+    assert np.array_equal(back, decode_baseline_jpeg(data))

@@ -82,3 +82,20 @@ def test_bloom_mask_words_layout(spark):
     assert len(words) == -(-4096 // 63)
     assert all(0 <= w < 2**63 for w in words)
     assert sum(bin(w).count("1") for w in words) <= 4  # k hashes
+
+
+def test_bloom_mask_words_tolerates_null_build_keys(spark):
+    """A NULL build-side key must be dropped before hashing (the
+    probe side already drops NULLs), not crash the driver collect."""
+    build = spark.createDataFrame(
+        [(3,), (None,), (77,)], "k long"
+    )
+    words = bloom_mask_words(build, F.col("k"))
+    probe = spark.createDataFrame(
+        [(i, k) for i, k in enumerate([3, 77, 200, None])],
+        "id long, k long",
+    )
+    got = sorted(
+        r.id for r in bloom_prefilter(probe, F.col("k"), words).collect()
+    )
+    assert 0 in got and 1 in got and 3 not in got

@@ -469,3 +469,24 @@ def test_snapshot_row_count_is_metadata_only(spark, store):
     json.dump(m, open(mpath, "w"))
     with pytest.raises(ValueError, match="predates row counts"):
         snapshot_row_count(store, 2)
+
+
+def test_total_bloom_prune_returns_empty_frame(spark, store):
+    """A point lookup for a key absent from the store: per-file
+    blooms correctly eliminate every file — that's an empty result
+    with the store schema, not an error."""
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 10, f"p{i}") for i in range(200)],
+        "id long, k long, payload string",
+    )
+    commit_snapshot(df.repartition(4, "k"), store, bloom_cols=["k"])
+    assert snapshot_files(store, equals=("k", 999)) == []
+    out = read_snapshot(spark, store, equals=("k", 999))
+    assert out.count() == 0
+    assert out.columns == ["id", "k", "payload"]
