@@ -2,27 +2,35 @@
 
 Why this exists: a training-data pipeline's images are overwhelmingly
 JPEG, but this environment has no imaging library — and the engine's
-policy is loud refusal over faked pixels. This module removes the
-refusal for the dominant case: BASELINE sequential JPEG, 8-bit,
-no chroma subsampling (4:4:4), the exact profile the engine's own
-encoder emits (operators/multimodal.py encode_jpeg uses Pillow with
-subsampling=0 when installed, this codec otherwise). Everything is
-the public T.81 spec reduced to its sequential-DCT core:
+policy is loud refusal over faked pixels. This module covers BASELINE
+sequential JPEG, 8-bit, at 4:4:4, 4:2:2 and 4:2:0 chroma sampling —
+4:4:4 is the profile the engine's own encoder emits
+(operators/multimodal.py encode_jpeg uses Pillow with subsampling=0
+when installed, this codec otherwise), and 4:2:0 is what real scraped
+web corpora overwhelmingly contain. Everything is the public T.81
+spec reduced to its sequential-DCT core:
 
-- Encode: RGB -> JFIF YCbCr, 8x8 edge-padded blocks, orthonormal
-  2-D DCT (one matmul pair per plane — numpy does all blocks at
-  once), quality-scaled Annex-K quantization tables, zigzag,
-  DC-differential + (run, size) AC symbols, canonical Huffman with
-  FIXED-LENGTH code tables (4-bit DC, 8-bit AC — a legal JFIF
-  stream declares its tables in DHT, so nothing requires the
-  Annex-K defaults; fixed lengths cost a little compression and
-  remove a transcription-error class), byte-stuffed entropy data.
+- Encode: RGB -> JFIF YCbCr, optional chroma box-downsample, 8x8
+  edge-padded blocks in MCU-interleaved order, orthonormal 2-D DCT
+  (one einsum per plane — numpy does all blocks at once),
+  quality-scaled Annex-K quantization tables, zigzag, DC-differential
+  + (run, size) AC symbols, canonical Huffman with FIXED-LENGTH code
+  tables (4-bit DC, 8-bit AC — a legal JFIF stream declares its
+  tables in DHT, so nothing requires the Annex-K defaults; fixed
+  lengths cost a little compression and remove a transcription-error
+  class), byte-stuffed entropy data. The whole entropy stage is
+  vectorized: (run, size) tokens are built with numpy index algebra
+  across every block at once and bit-packed via np.packbits — no
+  per-coefficient Python loop.
 - Decode: full marker parse (DQT/DHT/SOF0/DRI/SOS, APPn/COM
-  skipped), arbitrary DHT tables (canonical reconstruction),
-  restart markers, then dequantize -> IDCT -> level shift ->
-  YCbCr -> RGB. Progressive (SOF2), 12-bit, arithmetic coding, and
-  subsampled scans raise NotImplementedError with the reason —
-  honest partial coverage, never garbage pixels.
+  skipped), arbitrary DHT tables via a cached 16-bit prefix LUT (one
+  list index resolves any code), arbitrary sampling factors with
+  integer ratios (1/2/4 — covers 4:4:4, 4:2:2, 4:2:0), restart
+  markers, then dequantize -> IDCT -> level shift -> chroma
+  replication upsample -> YCbCr -> RGB. Progressive (SOF2), 12-bit,
+  arithmetic coding, and fractional sampling ratios raise
+  NotImplementedError with the reason — honest partial coverage,
+  never garbage pixels.
 
 The codec is deterministic (no library-version dependence), so the
 lossy roundtrip oracle's fixed tolerance is stable by construction.
@@ -35,6 +43,7 @@ is identical whether the bytes go through Pillow or this fallback.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -100,9 +109,6 @@ def _dct_matrix() -> np.ndarray:
 _DCT = _dct_matrix()
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=16)
 def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     """libjpeg-compatible quality scaling of the Annex-K tables
@@ -136,13 +142,26 @@ def _fixed_table(symbols: list[int], length: int) -> dict[int, tuple[int, int]]:
 _ENC_DC = _fixed_table(_DC_SYMBOLS, 4)
 _ENC_AC = _fixed_table(_AC_SYMBOLS, 8)
 
+#: numpy views of the fixed tables for the vectorized token builder
+_DC_CODES = np.array([_ENC_DC[s][0] for s in range(12)], dtype=np.int64)
+_AC_CODES = np.zeros(256, dtype=np.int64)
+for _sym, (_code, _ln) in _ENC_AC.items():
+    _AC_CODES[_sym] = _code
+_EOB_CODE, _ZRL_CODE = _ENC_AC[0x00][0], _ENC_AC[0xF0][0]
+
+#: |value| -> size category (bit_length); DC differentials of 8-bit
+#: baseline are bounded by 2048, AC by 1024 — 4096 covers both.
+_SIZE_LUT = np.zeros(4096, dtype=np.int64)
+for _i in range(1, 4096):
+    _SIZE_LUT[_i] = _i.bit_length()
+
 
 def _dht_payload(table_class: int, table_id: int, enc: dict) -> bytes:
     """DHT body for a canonical table: 16 length counts + symbols in
     code order."""
     bits = [0] * 16
     in_order = sorted(enc.items(), key=lambda kv: (kv[1][1], kv[1][0]))
-    for _sym, (_code, ln) in in_order:
+    for _sym2, (_code2, ln) in in_order:
         bits[ln - 1] += 1
     syms = bytes(sym for sym, _ in in_order)
     return bytes([(table_class << 4) | table_id] + bits) + syms
@@ -156,70 +175,12 @@ _DHT_PAYLOADS = (
     _dht_payload(1, 1, _ENC_AC),
 )
 
-
-# --- bit I/O ----------------------------------------------------------
-
-
-class _BitWriter:
-    def __init__(self) -> None:
-        self.out = bytearray()
-        self._acc = 0
-        self._n = 0
-
-    def write(self, code: int, length: int) -> None:
-        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
-        self._n += length
-        while self._n >= 8:
-            self._n -= 8
-            byte = (self._acc >> self._n) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.out.append(0x00)
-        # drop emitted high bits — the accumulator must stay a small
-        # int over an arbitrarily long stream
-        self._acc &= (1 << self._n) - 1
-
-    def flush(self) -> None:
-        if self._n:
-            pad = 8 - self._n
-            self.write((1 << pad) - 1, pad)  # 1-padding per spec
-
-
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self._acc = 0
-        self._n = 0
-
-    def _fill(self) -> None:
-        # the caller's scan split already unstuffed FF00 -> FF and
-        # removed markers, so every byte here is entropy data. The
-        # accumulator is masked to its live bits so it stays a small
-        # int over an arbitrarily long stream (reads only ever look
-        # at the low _n bits).
-        if self.pos >= len(self.data):
-            raise EOFError("entropy data exhausted")
-        self._acc = (
-            ((self._acc & ((1 << self._n) - 1)) << 8)
-            | self.data[self.pos]
-        )
-        self.pos += 1
-        self._n += 8
-
-    def read_bit(self) -> int:
-        if self._n == 0:
-            self._fill()
-        self._n -= 1
-        return (self._acc >> self._n) & 1
-
-    def read_bits(self, n: int) -> int:
-        # bulk read: fill the accumulator to >= n bits, slice once
-        # (the per-bit loop dominated the decode profile)
-        while self._n < n:
-            self._fill()
-        self._n -= n
-        return (self._acc >> self._n) & ((1 << n) - 1)
+#: (H, V) per component (Y, Cb, Cr) for each supported subsampling
+_SUBSAMPLING_HV = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
 
 
 # --- encode -----------------------------------------------------------
@@ -235,119 +196,218 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """Edge-pad to 8-multiples and return (n_blocks, 8, 8) in MCU
-    (row-major block) order plus the block grid dims."""
+def _downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Box-mean chroma downsample by integer factors (edge-padded)."""
+    if fy == 1 and fx == 1:
+        return plane
     h, w = plane.shape
-    bh, bw = -(-h // 8), -(-w // 8)
-    padded = np.pad(
-        plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+def _mcu_order_blocks(
+    plane: np.ndarray, mcuy: int, mcux: int, v: int, hh: int
+) -> np.ndarray:
+    """Edge-pad a component plane to its MCU grid and return its 8x8
+    blocks in MCU-interleaved scan order: for each MCU (raster), the
+    component's v*hh blocks in raster sub-order (T.81 A.2.3)."""
+    ph, pw = mcuy * v * 8, mcux * hh * 8
+    p = np.pad(
+        plane,
+        ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+        mode="edge",
     )
-    blocks = (
-        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return (
+        p.reshape(mcuy, v, 8, mcux, hh, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(-1, 8, 8)
     )
-    return blocks, bh, bw
 
 
-def _size_cat(v: int) -> int:
-    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+def _entropy_tokens(
+    zz: np.ndarray, dc_diff: np.ndarray, bids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized (code, bit-length) token stream for a set of
+    blocks. ``zz`` is (M, 64) quantized zigzag coefficients,
+    ``dc_diff`` the per-block DC differential, ``bids`` each block's
+    global scan position. Returns (codes, lengths, bids_per_token)
+    sorted to scan order. The encoder's DC/AC code tables are
+    identical for both table ids, so tokens don't depend on the
+    component."""
+    m = zz.shape[0]
+    s_dc = _SIZE_LUT[np.abs(dc_diff)]
+    amp_dc = np.where(dc_diff >= 0, dc_diff, dc_diff + (1 << s_dc) - 1)
+    tok_b = [bids, bids]
+    tok_k = [np.zeros(m, np.int64), np.ones(m, np.int64)]
+    tok_c = [_DC_CODES[s_dc], amp_dc]
+    tok_l = [np.full(m, 4, np.int64), s_dc]
+
+    ac = zz[:, 1:]
+    bi, kj = np.nonzero(ac)
+    if len(bi):
+        ki = kj + 1  # zigzag position 1..63
+        v = ac[bi, kj]
+        first = np.r_[True, bi[1:] != bi[:-1]]
+        prev = np.where(first, 0, np.r_[0, ki[:-1]])
+        run = ki - prev - 1
+        n_zrl = run >> 4
+        rem = run & 15
+        s = _SIZE_LUT[np.abs(v)]
+        amp = np.where(v >= 0, v, v + (1 << s) - 1)
+        # ZRL tokens (16-zero runs) precede their (run, size) symbol
+        zb = np.repeat(bi, n_zrl)
+        zk = np.repeat(3 * ki, n_zrl)
+        tok_b += [bids[zb], bids[bi], bids[bi]]
+        tok_k += [zk, 3 * ki + 1, 3 * ki + 2]
+        tok_c += [
+            np.full(len(zb), _ZRL_CODE, np.int64),
+            _AC_CODES[(rem << 4) | s],
+            amp,
+        ]
+        tok_l += [np.full(len(zb), 8, np.int64), np.full(len(bi), 8, np.int64), s]
+        last_nz = np.zeros(m, dtype=np.int64)
+        np.maximum.at(last_nz, bi, ki)
+    else:
+        last_nz = np.zeros(m, dtype=np.int64)
+    eob = np.flatnonzero(last_nz < 63)
+    tok_b.append(bids[eob])
+    tok_k.append(np.full(len(eob), 3 * 64 + 2, np.int64))
+    tok_c.append(np.full(len(eob), _EOB_CODE, np.int64))
+    tok_l.append(np.full(len(eob), 8, np.int64))
+
+    b = np.concatenate(tok_b)
+    k = np.concatenate(tok_k)
+    c = np.concatenate(tok_c)
+    ln = np.concatenate(tok_l)
+    order = np.lexsort((k, b))  # stable: ZRLs keep emission order
+    return c[order], ln[order], b[order]
 
 
-def _amplitude(v: int, size: int) -> int:
-    """One's-complement amplitude bits (T.81 F.1.2.1)."""
-    return v if v >= 0 else v + (1 << size) - 1
+def _pack_tokens(codes: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Bit-pack (code, length) tokens MSB-first, 1-pad to a byte
+    boundary (T.81 F.1.2.3), then byte-stuff 0xFF -> 0xFF 0x00."""
+    total = int(lengths.sum())
+    pad = (-total) % 8
+    if pad:
+        codes = np.append(codes, (1 << pad) - 1)
+        lengths = np.append(lengths, pad)
+    idx = np.repeat(np.arange(len(codes)), lengths)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    offs = np.arange(ends[-1] if len(ends) else 0) - starts[idx]
+    shift = lengths[idx] - 1 - offs
+    bits = ((codes[idx] >> shift) & 1).astype(np.uint8)
+    by = np.packbits(bits)
+    ff = np.flatnonzero(by == 0xFF)
+    if len(ff):
+        by = np.insert(by, ff + 1, 0)
+    return by.tobytes()
 
 
 def encode_baseline_jpeg(
-    pixels: np.ndarray, quality: int = 95, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: int = 95,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline 4:4:4 JFIF bytes.
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.
 
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
-    every that-many MCUs (byte-aligned, DC predictors reset) — the
-    resynchronization feature real encoders use for error resilience
-    and parallel decode; here it keeps the decoder's restart path
-    honest instead of dead code."""
+    ``subsampling`` is "444" (default — full-resolution chroma, the
+    profile the roundtrip oracles fix their tolerance against),
+    "422", or "420" (2x2 box-downsampled chroma, the dominant profile
+    of real web corpora). ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that-many MCUs (byte-aligned, DC
+    predictors reset) — the resynchronization feature real encoders
+    use for error resilience and parallel decode; here it keeps the
+    decoder's restart path honest instead of dead code."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("encode_baseline_jpeg expects (h, w, 3) RGB")
+    if subsampling not in _SUBSAMPLING_HV:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hv = _SUBSAMPLING_HV[subsampling]
+    hmax = max(c[0] for c in hv)
+    vmax = max(c[1] for c in hv)
     h, w = px.shape[:2]
+    mcuy, mcux = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    n_mcu = mcuy * mcux
     qy, qc = _quality_tables(quality)
     ycc = _rgb_to_ycbcr(px)
 
-    # quantized zigzag coefficients per component, MCU order
-    comp_coeffs = []
+    per_mcu = [ch * cv for ch, cv in hv]
+    n_units = sum(per_mcu)
+    unit_off = np.cumsum([0] + per_mcu[:-1])
+
+    all_zz, all_diff, all_bids = [], [], []
     for ci in range(3):
-        blocks, _bh, _bw = _blocks(ycc[..., ci] - 128.0)
-        coef = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT)
+        ch_, cv = hv[ci]
+        plane = _downsample(
+            ycc[..., ci] - 128.0, vmax // cv, hmax // ch_
+        )
+        blocks = _mcu_order_blocks(plane, mcuy, mcux, cv, ch_)
+        coef = _DCT @ blocks @ _DCT.T  # batched BLAS, all blocks at once
         q = (qy if ci == 0 else qc).reshape(8, 8)
-        quant = np.round(coef / q).astype(np.int64)
-        comp_coeffs.append(quant.reshape(-1, 64)[:, _ZIGZAG])
+        zz = (
+            np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, _ZIGZAG]
+        )
+        dc = zz[:, 0]
+        npb = per_mcu[ci]
+        j = np.arange(len(dc))
+        diff = np.empty_like(dc)
+        diff[0] = dc[0]
+        if len(dc) > 1:
+            diff[1:] = dc[1:] - dc[:-1]
+        if restart_interval:
+            seg = (j // npb) // restart_interval
+            seg_start = np.r_[True, seg[1:] != seg[:-1]]
+            diff[seg_start] = dc[seg_start]
+        all_zz.append(zz)
+        all_diff.append(diff)
+        all_bids.append(n_units * (j // npb) + unit_off[ci] + (j % npb))
 
-    bw_ = _BitWriter()
-    prev_dc = [0, 0, 0]
-    n_mcu = comp_coeffs[0].shape[0]
-    for mcu in range(n_mcu):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            # byte-align, then the marker goes in RAW (markers are
-            # the one thing byte stuffing must not escape)
-            bw_.flush()
-            bw_.out += bytes(
-                [0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]
-            )
-            prev_dc = [0, 0, 0]
-        for ci in range(3):
-            zz = comp_coeffs[ci][mcu]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            s = _size_cat(diff)
-            code, ln = _ENC_DC[s]
-            bw_.write(code, ln)
-            if s:
-                bw_.write(_amplitude(diff, s), s)
-            run = 0
-            last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(
-                zz[1:]
-            ) else 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = _ENC_AC[0xF0]
-                    bw_.write(code, ln)
-                    run -= 16
-                s = _size_cat(v)
-                code, ln = _ENC_AC[(run << 4) | s]
-                bw_.write(code, ln)
-                bw_.write(_amplitude(v, s), s)
-                run = 0
-            if last_nz < 63:
-                code, ln = _ENC_AC[0x00]
-                bw_.write(code, ln)
-    bw_.flush()
+    codes, lengths, bids = _entropy_tokens(
+        np.concatenate(all_zz),
+        np.concatenate(all_diff),
+        np.concatenate(all_bids),
+    )
+    if restart_interval:
+        mcu_of_tok = bids // n_units
+        seg_of_tok = mcu_of_tok // restart_interval
+        n_seg = (n_mcu - 1) // restart_interval + 1
+        bounds = np.searchsorted(
+            seg_of_tok, np.arange(1, n_seg), side="left"
+        )
+        parts = np.split(np.arange(len(codes)), bounds)
+        body = bytearray()
+        for si, part in enumerate(parts):
+            if si:
+                body += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+            body += _pack_tokens(codes[part], lengths[part])
+        entropy = bytes(body)
+    else:
+        entropy = _pack_tokens(codes, lengths)
 
-    def seg(marker: int, body: bytes) -> bytes:
+    def seg_(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(
+    out += seg_(
         0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     )  # APP0
-    out += seg(0xFFDB, bytes([0]) + bytes(qy[_ZIGZAG].tolist()))
-    out += seg(0xFFDB, bytes([1]) + bytes(qc[_ZIGZAG].tolist()))
+    out += seg_(0xFFDB, bytes([0]) + bytes(qy[_ZIGZAG].tolist()))
+    out += seg_(0xFFDB, bytes([1]) + bytes(qc[_ZIGZAG].tolist()))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])  # H=1, V=1: 4:4:4
-    out += seg(0xFFC0, sof)
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        sof += bytes([cid, (hv[ci][0] << 4) | hv[ci][1], tq])
+    out += seg_(0xFFC0, sof)
     for payload_dht in _DHT_PAYLOADS:
-        out += seg(0xFFC4, payload_dht)
+        out += seg_(0xFFC4, payload_dht)
     if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+        out += seg_(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
-    out += seg(0xFFDA, sos)
-    out += bw_.out
+    out += seg_(0xFFDA, sos)
+    out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -355,39 +415,24 @@ def encode_baseline_jpeg(
 # --- decode -----------------------------------------------------------
 
 
-def _build_decode_table(
-    bits: list[int], vals: bytes
-) -> tuple[int, dict[tuple[int, int], int]]:
-    """(min_code_length, {(length, code) -> symbol}) from a DHT's
-    canonical description. The min length lets the decoder grab that
-    many bits in ONE bulk read before extending bit by bit — with
-    this encoder's fixed-length tables every symbol resolves on the
-    first probe."""
-    table = {}
+@functools.lru_cache(maxsize=64)
+def _lut_from_dht(bits: tuple, vals: bytes) -> list:
+    """16-bit prefix lookup list for a canonical DHT: peeking 16 bits
+    and indexing resolves ANY code in one probe — entry is
+    (symbol << 5) | code_length, 0 = invalid. Cached on the table
+    description because a media column decodes thousands of streams
+    sharing identical tables."""
+    lut = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
-    min_len = 17
     for ln in range(1, 17):
-        if bits[ln - 1]:
-            min_len = min(min_len, ln)
         for _ in range(bits[ln - 1]):
-            table[(ln, code)] = vals[k]
+            base = code << (16 - ln)
+            lut[base : base + (1 << (16 - ln))] = (vals[k] << 5) | ln
             code += 1
             k += 1
         code <<= 1
-    return (min_len if min_len < 17 else 1), table
-
-
-def _read_symbol(br: _BitReader, tbl: tuple[int, dict]) -> int:
-    min_len, table = tbl
-    code = br.read_bits(min_len)
-    if (min_len, code) in table:
-        return table[(min_len, code)]
-    for ln in range(min_len + 1, 17):
-        code = (code << 1) | br.read_bit()
-        if (ln, code) in table:
-            return table[(ln, code)]
-    raise ValueError("invalid Huffman code in entropy data")
+    return lut.tolist()
 
 
 def _extend(bits: int, size: int) -> int:
@@ -409,14 +454,16 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 
 def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential 4:4:4 JFIF bytes -> (h, w, 3) uint8 RGB.
-    Raises NotImplementedError for progressive / 12-bit / subsampled
+    """Baseline sequential JFIF bytes -> (h, w, 3) uint8 RGB.
+    Handles arbitrary DHT tables, restart markers, and integer-ratio
+    sampling factors (4:4:4 / 4:2:2 / 4:2:0). Raises
+    NotImplementedError for progressive / 12-bit / fractional-ratio
     streams and ValueError for malformed ones."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict] = {}
+    htables: dict[tuple[int, int], list] = {}
     frame = None
     restart_interval = 0
     while pos < len(payload):
@@ -455,10 +502,10 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
             o = 0
             while o < len(body):
                 tc, th = body[o] >> 4, body[o] & 0xF
-                bits = list(body[o + 1 : o + 17])
+                bits = tuple(body[o + 1 : o + 17])
                 n = sum(bits)
-                vals = body[o + 17 : o + 17 + n]
-                htables[(tc, th)] = _build_decode_table(bits, vals)
+                vals = bytes(body[o + 17 : o + 17 + n])
+                htables[(tc, th)] = _lut_from_dht(bits, vals)
                 o += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
@@ -466,13 +513,23 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(f"{prec}-bit JPEG")
             comps = []
             for i in range(nc):
-                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                if hv != 0x11:
+                cid, hvb, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hvb >> 4, "v": hvb & 0xF, "tq": tq}
+                )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if (
+                    c["h"] not in (1, 2, 4)
+                    or c["v"] not in (1, 2, 4)
+                    or hmax % c["h"]
+                    or vmax % c["v"]
+                ):
                     raise NotImplementedError(
-                        "chroma-subsampled JPEG needs Pillow "
-                        "(this fallback decodes 4:4:4 baseline only)"
+                        f"sampling factors {c['h']}x{c['v']} "
+                        "(non-integer chroma ratio) need Pillow"
                     )
-                comps.append({"id": cid, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -491,28 +548,42 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 cs, tda = body[1 + 2 * i], body[2 + 2 * i]
                 scan_sel[cs] = (tda >> 4, tda & 0xF)
             # split entropy-coded data: unstuff FF00, stop at a
-            # non-RST marker; RSTn resets DC predictors
-            data = bytearray()
-            rst_breaks = []
-            p = pos
-            while p < len(payload) - 1:
-                b = payload[p]
-                if b != 0xFF:
-                    data.append(b)
-                    p += 1
+            # non-RST marker; RSTn resets DC predictors. Vectorized:
+            # only 0xFF positions (rare) are inspected in Python.
+            tail = np.frombuffer(payload, dtype=np.uint8, offset=pos)
+            ffs = np.flatnonzero(tail == 0xFF)
+            drop = []  # indices into `tail` excluded from the data
+            rst_at = []  # (tail index of the 0xFF, marker byte)
+            end = len(tail)
+            skip_next = -1
+            for fi in ffs.tolist():
+                if fi == skip_next or fi + 1 >= len(tail):
                     continue
-                nxt = payload[p + 1]
+                nxt = tail[fi + 1]
                 if nxt == 0x00:
-                    data.append(0xFF)
-                    p += 2
+                    drop.append(fi + 1)  # drop the stuffed zero
+                    skip_next = fi + 1
                 elif 0xD0 <= nxt <= 0xD7:
-                    rst_breaks.append(len(data))
-                    p += 2
+                    drop += [fi, fi + 1]
+                    rst_at.append(fi)
+                    skip_next = fi + 1
                 else:
+                    end = fi
                     break
-            pos = p
+            keep = np.ones(end, dtype=bool)
+            drop_arr = np.array(
+                [d for d in drop if d < end], dtype=np.int64
+            )
+            keep[drop_arr] = False
+            data = tail[:end][keep].tobytes()
+            # RST break offsets in unstuffed-data coordinates
+            n_dropped_before = np.searchsorted(drop_arr, rst_at)
+            rst_breaks = [
+                r - int(nd) for r, nd in zip(rst_at, n_dropped_before)
+            ]
+            pos += end
             return _decode_scan(
-                frame, scan_sel, qtables, htables, bytes(data),
+                frame, scan_sel, qtables, htables, data,
                 rst_breaks, restart_interval,
             )
         # else: APPn / COM / others — skipped
@@ -529,67 +600,136 @@ def _decode_scan(
     restart_interval: int,
 ) -> np.ndarray:
     h, w, comps = frame["h"], frame["w"], frame["comps"]
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    n_mcu = bh * bw_
     nc = len(comps)
-    coeffs = [np.zeros((n_mcu, 64), dtype=np.int64) for _ in comps]
-    br = _BitReader(data)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcuy, mcux = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    n_mcu = mcuy * mcux
+    # flat Python lists during the sequential scan (list setitem is
+    # ~4x cheaper than a numpy scalar setitem); one np.array at the end
+    coeffs = [[0] * (n_mcu * c["h"] * c["v"] * 64) for c in comps]
+    # one entry per block of an MCU: (component index, DC LUT, AC LUT)
+    units: list[tuple[int, list, list]] = []
+    for ci, comp in enumerate(comps):
+        td, ta = scan_sel[comp["id"]]
+        dct = htables.get((0, td))
+        act = htables.get((1, ta))
+        if dct is None or act is None:
+            raise ValueError("scan references undefined DHT table")
+        units += [(ci, dct, act)] * (comp["h"] * comp["v"])
+
+    # inlined MSB-first bit reader over `data` — local ints only.
+    # Reads past the end consume virtual zero bytes; legitimate
+    # overrun is bounded by the final <16-bit peek + pad, anything
+    # more means the stream was truncated (checked after the loop).
+    dlen = len(data)
+    pos = 0
+    acc = 0
+    nb = 0
     prev_dc = [0] * nc
-    mcu = 0
+    blk = [0] * nc
     seg = 0
-    while mcu < n_mcu:
+    for mcu in range(n_mcu):
         if restart_interval and mcu and mcu % restart_interval == 0:
             seg += 1
             if seg <= len(rst_breaks):
-                br = _BitReader(data)
-                br.pos = rst_breaks[seg - 1]
+                pos = rst_breaks[seg - 1]
+                acc = 0
+                nb = 0
             prev_dc = [0] * nc
-        for ci, comp in enumerate(comps):
-            td, ta = scan_sel[comp["id"]]
-            dct = htables.get((0, td))
-            act = htables.get((1, ta))
-            if dct is None or act is None:
-                raise ValueError("scan references undefined DHT table")
-            s = _read_symbol(br, dct)
-            diff = _extend(br.read_bits(s), s) if s else 0
-            prev_dc[ci] += diff
-            zz = coeffs[ci][mcu]
-            zz[0] = prev_dc[ci]
+        for ci, dct, act in units:
+            zz = coeffs[ci]
+            base = blk[ci] * 64
+            blk[ci] += 1
+            # DC: one LUT probe + amplitude bits
+            while nb < 16:
+                acc = (acc << 8) | (data[pos] if pos < dlen else 0)
+                pos += 1
+                nb += 8
+            e = dct[(acc >> (nb - 16)) & 0xFFFF]
+            if not e:
+                raise ValueError("invalid Huffman code in entropy data")
+            nb -= e & 31
+            s = e >> 5
+            if s:
+                while nb < s:
+                    acc = (acc << 8) | (data[pos] if pos < dlen else 0)
+                    pos += 1
+                    nb += 8
+                nb -= s
+                bits_v = (acc >> nb) & ((1 << s) - 1)
+                prev_dc[ci] += (
+                    bits_v
+                    if bits_v >= (1 << (s - 1))
+                    else bits_v - (1 << s) + 1
+                )
+            zz[base] = prev_dc[ci]
+            acc &= (1 << nb) - 1
             k = 1
             while k <= 63:
-                rs = _read_symbol(br, act)
-                r, s = rs >> 4, rs & 0xF
+                while nb < 16:
+                    acc = (acc << 8) | (data[pos] if pos < dlen else 0)
+                    pos += 1
+                    nb += 8
+                e = act[(acc >> (nb - 16)) & 0xFFFF]
+                if not e:
+                    raise ValueError(
+                        "invalid Huffman code in entropy data"
+                    )
+                nb -= e & 31
+                rs = e >> 5
+                s = rs & 0xF
                 if s == 0:
-                    if r == 15:
+                    if rs == 0xF0:
                         k += 16
                         continue
                     break  # EOB
-                k += r
+                k += rs >> 4
                 if k > 63:
                     raise ValueError("AC run past block end")
-                zz[k] = _extend(br.read_bits(s), s)
+                while nb < s:
+                    acc = (acc << 8) | (data[pos] if pos < dlen else 0)
+                    pos += 1
+                    nb += 8
+                nb -= s
+                bits_v = (acc >> nb) & ((1 << s) - 1)
+                zz[base + k] = (
+                    bits_v
+                    if bits_v >= (1 << (s - 1))
+                    else bits_v - (1 << s) + 1
+                )
                 k += 1
-        mcu += 1
+            acc &= (1 << nb) - 1
+    if pos > dlen + 2:
+        raise EOFError("entropy data exhausted")
 
     planes = []
     for ci, comp in enumerate(comps):
         q = qtables.get(comp["tq"])
         if q is None:
             raise ValueError("component references undefined DQT")
+        cv, ch_ = comp["v"], comp["h"]
         # coeffs are zigzag-ordered; q was un-zigzagged at DQT parse,
         # so permute the coefficients to row-major and multiply by
         # the row-major table
-        deq = (coeffs[ci][:, _UNZIGZAG] * q).reshape(
-            -1, 8, 8
-        ).astype(np.float64)
-        # IDCT: f = D.T @ F @ D  ->  f[x,y] = sum D[u,x] F[u,v] D[v,y]
-        spatial = np.einsum("ux,nuv,vy->nxy", _DCT, deq, _DCT)
-        plane = (
-            spatial.reshape(bh, bw_, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw_ * 8)
+        cf = np.array(coeffs[ci], dtype=np.int64).reshape(-1, 64)
+        deq = (cf[:, _UNZIGZAG] * q).reshape(-1, 8, 8).astype(
+            np.float64
         )
-        planes.append(plane[:h, :w] + 128.0)
+        # IDCT: f = D.T @ F @ D  ->  f[x,y] = sum D[u,x] F[u,v] D[v,y]
+        spatial = _DCT.T @ deq @ _DCT
+        plane = (
+            spatial.reshape(mcuy, mcux, cv, ch_, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * cv * 8, mcux * ch_ * 8)
+        )
+        comp_h = -(-h * cv // vmax)
+        comp_w = -(-w * ch_ // hmax)
+        plane = plane[:comp_h, :comp_w] + 128.0
+        fy, fx = vmax // cv, hmax // ch_
+        if fy > 1 or fx > 1:  # chroma replication upsample
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
     if nc == 3:
         return _ycbcr_to_rgb(np.stack(planes, axis=-1))
     if nc == 1:  # grayscale: replicate

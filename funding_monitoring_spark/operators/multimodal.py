@@ -12,9 +12,12 @@ idx1); oracle-verified round trips in `multimodal_{bmp,png,wav}_
 roundtrip` and `multimodal_avi_framesample`. JPEG decodes
 EVERYWHERE since round 7: Pillow when installed (probed at call time
 so executors resolve it against their own environment), the
-pure-Python baseline 4:4:4 codec (operators/jpegcodec.py) otherwise
-— encode_jpeg / decode_image and the per-frame codec of MJPG AVI
-streams all ride that dispatch, and `multimodal_jpeg_roundtrip` /
+pure-Python baseline codec (operators/jpegcodec.py) otherwise —
+since round 8 the pure codec handles 4:4:4, 4:2:2 AND 4:2:0 chroma
+sampling (the dominant real-corpus profile), so scraped web JPEGs
+decode without Pillow too. encode_jpeg / decode_image and the
+per-frame codec of MJPG AVI streams all ride that dispatch, and
+`multimodal_jpeg_roundtrip` / `multimodal_jpeg420_roundtrip` /
 `multimodal_mjpg_framesample` register unconditionally. soundfile
 (with an MP3-capable libsndfile) backs MP3 (encode_mp3 / decode_mp3 /
 decode_audio): with it installed the roundtrip query registers
@@ -98,10 +101,9 @@ def decode_image(payload: bytes) -> object:
         Image = _pil_image_module()
         if Image is None:
             # pure-Python baseline fallback (operators/jpegcodec.py):
-            # decodes sequential 4:4:4 8-bit streams — exactly the
-            # profile the engine's own encoder emits — and raises
-            # NotImplementedError for progressive/subsampled rather
-            # than faking pixels
+            # decodes sequential 8-bit streams at 4:4:4 / 4:2:2 /
+            # 4:2:0 chroma sampling and raises NotImplementedError
+            # for progressive/12-bit rather than faking pixels
             from funding_monitoring_spark.operators.jpegcodec import (
                 decode_baseline_jpeg,
             )
@@ -629,6 +631,18 @@ def _bmp_pixels(media_id: int, w: int, h: int):
     return ((media_id * 7 + j) * 31 % 256).astype(np.uint8).reshape(h, w, 3)
 
 
+
+def _spread_ids(media_ids: DataFrame) -> DataFrame:
+    """Round-robin the id column across the session's full
+    parallelism before the codec mapInPandas. A single-file parquet
+    source arrives as ONE partition, which would serialize the whole
+    per-payload codec workload onto one core; the ids are a few bytes
+    each, so this shuffle is free relative to the CPU it unlocks (the
+    encode stage is otherwise embarrassingly parallel)."""
+    sc = media_ids.sparkSession.sparkContext
+    return media_ids.repartition(sc.defaultParallelism)
+
+
 def _synthesize_media(
     ids: DataFrame, id_col: str, encoder, mime: str
 ) -> DataFrame:
@@ -667,7 +681,7 @@ def _synthesize_media(
                 }
             )
 
-    media_ids = ids.select(F.col(id_col).alias("media_id"))
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
     return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
@@ -864,7 +878,7 @@ def synthesize_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    media_ids = ids.select(F.col(id_col).alias("media_id"))
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
     return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
@@ -1146,7 +1160,7 @@ def synthesize_gif_media(
                 }
             )
 
-    media_ids = ids.select(F.col(id_col).alias("media_id"))
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
     return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
@@ -1197,7 +1211,7 @@ def synthesize_adpcm_media(
                 }
             )
 
-    media_ids = ids.select(F.col(id_col).alias("media_id"))
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
     return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
@@ -1311,7 +1325,7 @@ def synthesize_mp3_media(
                 }
             )
 
-    media_ids = ids.select(F.col(id_col).alias("media_id"))
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
     return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
@@ -1614,7 +1628,7 @@ def synthesize_avi_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    media_ids = ids.select(F.col(id_col).alias("media_id"))
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
     return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
@@ -1718,7 +1732,7 @@ def synthesize_mjpg_avi_media(
                 }
             )
 
-    media_ids = ids.select(F.col(id_col).alias("media_id"))
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
     return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
@@ -1787,6 +1801,24 @@ def synthesize_jpeg_media(
     """Real JPEG payloads from the closed-form pixel field, via the
     optional Pillow dependency (encode_jpeg raises without it)."""
     return _synthesize_media(ids, id_col, encode_jpeg, "image/jpeg")
+
+
+def _encode_jpeg420(px) -> bytes:
+    from funding_monitoring_spark.operators.jpegcodec import (
+        encode_baseline_jpeg,
+    )
+
+    return encode_baseline_jpeg(px, quality=95, subsampling="420")
+
+
+def synthesize_jpeg420_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Real 4:2:0 chroma-subsampled JPEG payloads — always the pure
+    codec (not Pillow), pinning the exact profile real web corpora
+    carry so the decoder's subsampled path is what gets exercised
+    regardless of environment."""
+    return _synthesize_media(ids, id_col, _encode_jpeg420, "image/jpeg")
 
 
 def decode_image_features_tolerant(

@@ -374,6 +374,35 @@ def q_multimodal_jpeg_roundtrip(spark, sf_dir):
     return decode_image_features_tolerant(synthesize_jpeg_media(docs))
 
 @query(
+    "multimodal_jpeg420_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 6 AS INT) AS width,
+           CAST(2 + doc_id % 4 AS INT) AS height,
+           1 AS mean_close_r, 1 AS mean_close_g, 1 AS mean_close_b
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg420_roundtrip(spark, sf_dir):
+    """4:2:0 chroma-subsampled JPEG round trip — the profile real
+    scraped web corpora overwhelmingly carry. Encoded AND decoded by
+    the pure baseline codec's subsampled path (box-downsampled
+    chroma, MCU-interleaved 4xY+Cb+Cr blocks, replication upsample
+    on decode; operators/jpegcodec.py), through the same
+    Arrow-batched mapInPandas plumbing as every other image codec.
+    Dimensions hash exactly; per-channel means land within the lossy
+    tolerance (subsampling loss is bounded well inside +-16 on the
+    smooth closed-form field)."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_image_features_tolerant,
+        synthesize_jpeg420_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features_tolerant(synthesize_jpeg420_media(docs))
+
+
+@query(
     "multimodal_mjpg_framesample",
     """
     WITH dims AS (

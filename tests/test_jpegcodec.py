@@ -95,16 +95,60 @@ def test_rejects_non_baseline_and_malformed():
         decode_baseline_jpeg(b"\xff\xd8\xff\xe0\x00\x00garbage")
 
 
-def test_rejects_subsampled_sof():
+def test_rejects_unsupported_sampling_factors():
     rng = np.random.RandomState(5)
     px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
     data = bytearray(encode_baseline_jpeg(px, 95))
     i = data.find(b"\xff\xc0")
     # component 1's H/V byte lives at SOF body offset 7 (marker+len=4,
-    # prec/h/w/nc=6, comp id=1): set 2x2 subsampling
-    data[i + 4 + 6 + 1] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    # prec/h/w/nc=6, comp id=1): H=3 is outside the supported set
+    data[i + 4 + 6 + 1] = 0x33
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_baseline_jpeg(bytes(data))
+
+
+@pytest.mark.parametrize("sub", ["420", "422"])
+@pytest.mark.parametrize("shape", [(64, 64), (17, 23), (9, 8), (15, 31)])
+def test_subsampled_roundtrip_within_tolerance(sub, shape):
+    """4:2:0 / 4:2:2: encode with box-downsampled chroma, decode with
+    replication upsample — smooth fields stay within a small fixed
+    error, and the stream is smaller than its 4:4:4 twin."""
+    hh, ww = shape
+    gx = np.linspace(0, 5, hh)[:, None]
+    gy = np.linspace(0, 5, ww)[None, :]
+    img = (127 + 60 * np.sin(gx) * np.cos(gy)).astype(np.uint8)
+    px = np.stack([img, np.flipud(img), 255 - img], axis=-1)
+    full = encode_baseline_jpeg(px, 90, subsampling="444")
+    data = encode_baseline_jpeg(px, 90, subsampling=sub)
+    if hh >= 32 and ww >= 32:  # tiny frames pad up to the 16px MCU
+        assert len(data) < len(full)
+    back = decode_baseline_jpeg(data)
+    assert back.shape == px.shape
+    assert np.abs(back.astype(int) - px.astype(int)).mean() < 16
+
+
+def test_subsampled_grid_alignment_exact_on_flat_image():
+    """A constant image survives 4:2:0 losslessly — any MCU/upsample
+    misalignment would smear block borders and break this."""
+    px = np.full((24, 40, 3), 200, dtype=np.uint8)
+    back = decode_baseline_jpeg(
+        encode_baseline_jpeg(px, 95, subsampling="420")
+    )
+    assert np.array_equal(back, px)
+
+
+def test_subsampled_restart_markers_roundtrip():
+    x = np.linspace(0, 6, 48)
+    img = (127 + 60 * np.sin(x)[:, None] * np.cos(x)[None, :]).astype(
+        np.uint8
+    )
+    px = np.stack([img, img.T, 255 - img], axis=-1)
+    data = encode_baseline_jpeg(
+        px, 85, restart_interval=2, subsampling="420"
+    )
+    assert b"\xff\xd0" in data or b"\xff\xd1" in data
+    back = decode_baseline_jpeg(data)
+    assert np.abs(back.astype(int) - px.astype(int)).mean() < 8
 
 
 def test_stuffed_ff_bytes_survive():
