@@ -997,10 +997,22 @@ def cosine_topk_ivf_pq(
     w = Window.partitionBy("q_id").orderBy(
         F.desc("adc_score"), F.asc("c_id")
     )
+    # the shortlist is bounded (n_queries * k * rerank rows) while
+    # the corpus is the full table — BROADCAST the shortlist+query
+    # side so the exact rescore is a BroadcastHashJoin probing the
+    # corpus scan, not a SortMergeJoin that shuffles and sorts the
+    # whole corpus for a sliver. (A bloom prefilter on c_id was
+    # evaluated and rejected: its driver collect forces a second
+    # execution of the ADC pipeline — or a checkpoint barrier — and
+    # rows it would drop are dropped just as cheaply at the BHJ
+    # probe; neither variant reduces scan IO since the predicate
+    # isn't parquet-pushable.)
     shortlist = (
         adc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k * rerank)
         .select("q_id", "c_id")
     )
-    rescored = shortlist.join(F.broadcast(q), "q_id").join(c, "c_id")
+    rescored = c.join(
+        F.broadcast(shortlist.join(F.broadcast(q), "q_id")), "c_id"
+    )
     return _score_and_rank(rescored, k)
