@@ -198,6 +198,76 @@ def _file_stats(
     return out
 
 
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _py_xxhash64(data: bytes, seed: int = 42) -> int:
+    """Pure-Python XXH64 (public reference algorithm), seed 42 to
+    match Spark's ``F.xxhash64`` on a string column's UTF-8 bytes —
+    the driver-side probe mirror for STRING bloom keys (equality
+    tested against Spark in tests/test_snapshots.py). Returns
+    Spark's SIGNED bigint."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i <= n - 32:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                v = (v + lane * _XXP2) & _M64
+                v = (_rotl64(v, 31) * _XXP1) & _M64
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = ((h * _XXP1) + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl64((lane * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = ((_rotl64(h, 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i <= n - 4:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h ^= (lane * _XXP1) & _M64
+        h = ((_rotl64(h, 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h  # Spark bigint
+
+
 def _py_key_hash(v: int, seed: int) -> int:
     """Driver-side mirror of operators/sampling.key_hash — the same
     LCG, so a probe computes exactly the bit positions the build
@@ -213,8 +283,17 @@ def _py_key_hash(v: int, seed: int) -> int:
     return (bounded * SAMPLE_MUL + SAMPLE_INC) % SAMPLE_MOD
 
 
-def _bloom_positions(value: int, bits: int = BLOOM_BITS) -> list[int]:
-    return [_py_key_hash(value, seed=j) % bits for j in range(BLOOM_K)]
+def _bloom_positions(value, bits: int = BLOOM_BITS) -> list[int]:
+    """Bit positions for a probe value. STRING keys are fingerprinted
+    with XXH64 first — the exact mirror of the build side's
+    ``xxhash64(col)`` — then fed through the same LCG as integral
+    keys, so string point lookups skip files too."""
+    v = (
+        _py_xxhash64(value.encode("utf-8"))
+        if isinstance(value, str)
+        else int(value)
+    )
+    return [_py_key_hash(v, seed=j) % bits for j in range(BLOOM_K)]
 
 
 def _file_blooms(
@@ -224,18 +303,26 @@ def _file_blooms(
     bits: int = BLOOM_BITS,
 ) -> dict[str, dict[str, str]]:
     """{abs file path -> {col: hex bitstring}} via one grouped scan
-    over the just-written files. Integral columns only (the hash is
-    the repo's bigint LCG); fingerprint strings first with
-    operators/textstats if needed."""
+    over the just-written files. Integral columns hash through the
+    repo's bigint LCG directly; STRING columns are fingerprinted
+    with ``xxhash64`` first (probe mirror: _py_xxhash64), so
+    dedup-fingerprint / entity-key lookups skip files too."""
+    from pyspark.sql.types import StringType
+
     from funding_monitoring_spark.operators.sampling import key_hash
 
     df = spark.read.parquet(*paths).select(*bloom_cols)
     aggs = []
     for c in bloom_cols:
+        key = (
+            F.xxhash64(F.col(c))
+            if isinstance(df.schema[c].dataType, StringType)
+            else F.col(c)
+        )
         for j in range(BLOOM_K):
             aggs.append(
                 F.collect_set(
-                    F.pmod(key_hash(F.col(c), seed=j), F.lit(bits))
+                    F.pmod(key_hash(key, seed=j), F.lit(bits))
                 ).alias(f"__b_{c}_{j}")
             )
     rows = (
@@ -262,11 +349,11 @@ def _file_blooms(
     return out
 
 
-def _bloom_may_contain(hex_mask: str, value: int) -> bool:
+def _bloom_may_contain(hex_mask: str, value) -> bool:
     mask = int(hex_mask, 16)
     bits = len(hex_mask) * 4
     return all(
-        mask >> p & 1 for p in _bloom_positions(int(value), bits)
+        mask >> p & 1 for p in _bloom_positions(value, bits)
     )
 
 

@@ -787,6 +787,48 @@ def q_snapshot_bloom_pruned_read(spark, sf_dir):
 
 
 @query(
+    "snapshot_bloom_pruned_read_str",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE md5(text) = (SELECT md5(text) FROM documents WHERE doc_id = 7)
+    """,
+)
+def q_snapshot_bloom_pruned_read_str(spark, sf_dir):
+    """STRING-key bloom file skipping — the dedup-fingerprint lookup
+    shape: a fingerprint store keyed by md5(text) is probed for one
+    fingerprint, and per-file blooms (build side hashes
+    xxhash64(fp) through the same LCG; the driver probe mirrors it
+    with a pure-Python XXH64, bit-for-bit — tests/test_snapshots.py)
+    skip every file whose bloom excludes the key before Spark lists
+    one. This is the steady-state ingest membership check at 100 TB:
+    without string blooms every new batch's anti-join scans the full
+    fingerprint store. Skipping is a superset + re-applied row
+    predicate, so the result hashes exactly against the flat oracle."""
+    import tempfile as _tf
+
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("fp")
+    )
+    store = os.path.join(_tf.mkdtemp(prefix="fm_snap_bls_"), "fps")
+    commit_snapshot(
+        docs.repartition(8, "fp"), store, bloom_cols=["fp"]
+    )
+    probe = (
+        docs.filter(F.col("doc_id") == 7).select("fp").first()["fp"]
+    )  # bounded: one fingerprint to the driver
+    return read_snapshot(spark, store, equals=("fp", probe)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
     "snapshot_optimize_read",
     """
     SELECT event_type,

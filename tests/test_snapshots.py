@@ -490,3 +490,56 @@ def test_total_bloom_prune_returns_empty_frame(spark, store):
     out = read_snapshot(spark, store, equals=("k", 999))
     assert out.count() == 0
     assert out.columns == ["id", "k", "payload"]
+
+
+def test_py_xxhash64_matches_spark(spark):
+    """The driver-side XXH64 probe mirror must equal Spark's
+    xxhash64 bit-for-bit across lengths covering every code path
+    (empty, <4, <8, 4-byte tail, 8-byte lanes, >=32 stripe loop,
+    multi-byte UTF-8)."""
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.sources.snapshots import _py_xxhash64
+
+    vals = ["", "a", "abc", "abcd", "x" * 7, "y" * 8, "z" * 31,
+            "w" * 32, "long-string-" * 10, "unicode-éß漢字"]
+    rows = {
+        r.s: r.h
+        for r in spark.createDataFrame([(v,) for v in vals], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    for v in vals:
+        assert rows[v] == _py_xxhash64(v.encode("utf-8")), v
+
+
+def test_bloom_string_key_pruning_exact_and_strict(spark, store):
+    """String-key blooms: a fingerprint point lookup reads a strict
+    subset of files and returns exactly the plain filter's rows; an
+    absent fingerprint prunes every file (empty result, not error)."""
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"fp-{i % 40:03d}", f"p{i}") for i in range(2000)],
+        "id long, fp string, payload string",
+    )
+    commit_snapshot(df.repartition(8, "fp"), store, bloom_cols=["fp"])
+    total = snapshot_files(store)
+    pruned = snapshot_files(store, equals=("fp", "fp-007"))
+    assert 0 < len(pruned) < len(total), (len(pruned), len(total))
+    got = sorted(
+        r.id
+        for r in read_snapshot(
+            spark, store, equals=("fp", "fp-007")
+        ).collect()
+    )
+    assert got == [i for i in range(2000) if i % 40 == 7]
+    assert snapshot_files(store, equals=("fp", "fp-999")) == []
+    out = read_snapshot(spark, store, equals=("fp", "fp-999"))
+    assert out.count() == 0 and out.columns == ["id", "fp", "payload"]
