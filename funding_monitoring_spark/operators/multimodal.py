@@ -918,6 +918,95 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
 
 
+# -- compressed audio: FLAC via the pure codec (no dependency) -------------
+
+
+def synthesize_flac_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Real FLAC payloads from the SAME closed-form sample field as
+    the WAV writer (operators/flaccodec.py — pure-Python lossless
+    codec, no optional dependency). Because FLAC is lossless the
+    roundtrip oracle is the WAV oracle verbatim: integer-exact
+    amplitude statistics, no tolerance flags."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from funding_monitoring_spark.operators.flaccodec import (
+            encode_flac,
+        )
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                n, ch = _wav_shape(int(mid))
+                payloads.append(
+                    encode_flac(_wav_samples(int(mid), n, ch), WAV_RATE)
+                )
+                metas.append(
+                    {
+                        "modality": "audio",
+                        "mime": "audio/flac",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": int(n * 1000 / WAV_RATE),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
+    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_flac_features(media: DataFrame) -> DataFrame:
+    """Reader half of the FLAC round trip: decode through the
+    decode_audio magic-byte dispatch (so the query exercises the
+    same entry point a mixed audio column would) and emit the exact
+    amplitude statistics of decode_wav_features."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm, rate = decode_audio(bytes(payload))
+                n, ch = pcm.shape
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_samples": n,
+                        "channels": ch,
+                        "sample_rate": rate,
+                        "sum_amplitude": int(pcm.sum(dtype="int64")),
+                        "min_amplitude": int(pcm.min()),
+                        "max_amplitude": int(pcm.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+
+
 # -- compressed audio: MP3 via the optional soundfile dependency -----------
 
 
@@ -1019,6 +1108,12 @@ def decode_audio(payload: bytes):
     optional-dependency MP3 path; anything else is rejected loudly."""
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from funding_monitoring_spark.operators.flaccodec import (
+            decode_flac,
+        )
+
+        return decode_flac(payload)
     if payload[:3] == b"ID3" or (
         len(payload) >= 2
         and payload[0] == 0xFF
@@ -1026,8 +1121,8 @@ def decode_audio(payload: bytes):
     ):
         return decode_mp3(payload)
     raise NotImplementedError(
-        "compressed-audio codec not recognized; WAV decodes natively, "
-        "MP3 rides the optional soundfile dependency"
+        "compressed-audio codec not recognized; WAV and FLAC decode "
+        "natively, MP3 rides the optional soundfile dependency"
     )
 
 

@@ -293,6 +293,51 @@ def q_multimodal_wav_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_flac_roundtrip",
+    """
+    WITH shape AS (
+        SELECT doc_id AS media_id,
+               CAST(50 + doc_id % 64 AS INT) AS n_samples,
+               CAST(1 + doc_id % 2 AS INT) AS channels
+        FROM documents
+    ),
+    amps AS (
+        SELECT media_id, n_samples, channels,
+               list_transform(
+                   range(0, n_samples * channels),
+                   j -> (media_id * 13 + j) * 97 % 65536 - 32768
+               ) AS a
+        FROM shape
+    )
+    SELECT media_id, n_samples, channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(list_sum(a) AS BIGINT) AS sum_amplitude,
+           CAST(list_min(a) AS INT) AS min_amplitude,
+           CAST(list_max(a) AS INT) AS max_amplitude
+    FROM amps
+    """,
+)
+def q_multimodal_flac_roundtrip(spark, sf_dir):
+    """LOSSLESS compressed-audio round trip with NO optional
+    dependency: FLAC (operators/flaccodec.py — pure-Python fixed
+    predictors + Rice residuals, CRC-8/16 and STREAMINFO-MD5
+    verified), encoded from the SAME closed-form sample field as the
+    WAV roundtrip and decoded back through the decode_audio
+    magic-byte dispatch. Because the codec is lossless the oracle is
+    the WAV oracle verbatim — integer-exact amplitude statistics
+    hash bit-for-bit, a strictly stronger contract than the lossy
+    ADPCM/JPEG tolerance flags. Closes the compressed-audio gap the
+    optional-soundfile MP3 path left open in this environment."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_flac_features,
+        synthesize_flac_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_flac_features(synthesize_flac_media(docs))
+
+
+@query(
     "multimodal_avi_framesample",
     """
     WITH dims AS (

@@ -94,3 +94,125 @@ def test_gif_encode_rejects_out_of_palette_index():
     pal = np.zeros((4, 3), dtype=np.uint8)  # indices must be < 4
     with pytest.raises(ValueError, match="outside the"):
         encode_gif(idx, pal)
+
+
+# --- FLAC (operators/flaccodec.py) -----------------------------------
+
+from funding_monitoring_spark.operators.flaccodec import (  # noqa: E402
+    _BitWriter as _FlacBW,
+    _crc8 as _flac_crc8,
+    _crc16 as _flac_crc16,
+    decode_flac,
+    encode_flac,
+)
+
+
+@given(
+    n=st.integers(1, 9000),
+    ch=st.integers(1, 2),
+    seed=st.integers(0, 2**16),
+)
+@settings(max_examples=25, deadline=None)
+def test_flac_roundtrip_lossless(n, ch, seed):
+    rng = np.random.RandomState(seed)
+    kind = seed % 3
+    if kind == 0:
+        x = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int16)
+    elif kind == 1:
+        t = np.linspace(0, n / 50.0, n)
+        x = np.stack(
+            [(3000 * np.sin(t + c)).astype(np.int16) for c in range(ch)],
+            axis=1,
+        )
+    else:
+        x = np.full((n, ch), seed % 100 - 50, dtype=np.int16)
+    pcm, rate = decode_flac(encode_flac(x, 8000))
+    assert rate == 8000
+    assert np.array_equal(pcm, x.astype(np.int32))
+
+
+def test_flac_compresses_smooth_signals():
+    x = (2000 * np.sin(np.linspace(0, 20, 5000))).astype(np.int16)
+    data = encode_flac(x, 8000)
+    assert len(data) < 0.3 * x.size * 2  # far below raw PCM
+
+
+def test_flac_rejects_malformed():
+    x = np.arange(100, dtype=np.int16)
+    data = bytearray(encode_flac(x, 8000))
+    with pytest.raises(ValueError, match="fLaC magic"):
+        decode_flac(b"RIFFnope")
+    # corrupt one entropy byte -> a CRC catches it (16 covers frames)
+    data[-3] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(data))
+
+
+def test_flac_decodes_foreign_lpc_mid_side_stream():
+    """Hand-built frame using features OUR encoder never emits — LPC
+    subframe + mid/side stereo + rice2 residuals + a raw-escape
+    partition — so the decoder is proven against the spec, not just
+    against its own writer."""
+    import struct as _st
+
+    n = 16
+    left = np.array(
+        [(37 * i * i - 900 * i + 400) % 4001 - 2000 for i in range(n)],
+        dtype=np.int64,
+    )
+    right = np.array(
+        [(23 * i * i + 700 * i - 300) % 3001 - 1500 for i in range(n)],
+        dtype=np.int64,
+    )
+    mid = (left + right) >> 1
+    side = left - right
+
+    def subframe_lpc(bw, x, bps):
+        """order-1 LPC with coef=1, shift=0 (pred = prev sample)."""
+        bw.write(0, 1)
+        bw.write(0b100000, 6)  # LPC order 1
+        bw.write(0, 1)  # no wasted bits
+        bw.write(int(x[0]) & ((1 << bps) - 1), bps)  # warmup
+        bw.write(3, 4)  # precision-1 = 3 -> 4-bit coefs
+        bw.write(0, 5)  # shift 0
+        bw.write(1, 4)  # coef = +1
+        res = np.diff(x)
+        bw.write(1, 2)  # rice2 (5-bit params)
+        bw.write(0, 4)  # partition order 0
+        bw.write(31, 5)  # escape -> raw
+        raw = 18
+        bw.write(raw, 5)
+        for v in res.tolist():
+            bw.write(int(v) & ((1 << raw) - 1), raw)
+
+    # STREAMINFO: 16-bit, 2ch, 8000 Hz, n samples, zero MD5 (unset)
+    si = bytearray()
+    si += _st.pack(">HH", n, n)
+    si += (0).to_bytes(3, "big") * 2
+    packed = (8000 << 44) | (1 << 41) | (15 << 36) | n
+    si += packed.to_bytes(8, "big")
+    si += bytes(16)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    bw = _FlacBW()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 2)
+    bw.write(6, 4)  # block size: 8-bit at end
+    bw.write(4, 4)  # 8000 Hz
+    bw.write(10, 4)  # mid/side
+    bw.write(0b100, 3)  # 16 bps
+    bw.write(0, 1)
+    bw.write(0, 8)  # frame 0 (UTF-8 single byte)
+    bw.write(n - 1, 8)
+    hdr = bytes(bw.out)
+    bw.write(_flac_crc8(hdr), 8)
+    subframe_lpc(bw, mid, 16)
+    subframe_lpc(bw, side, 17)  # side channel carries +1 bit
+    bw.align()
+    body = bytes(bw.out)
+    bw.write(_flac_crc16(body), 16)
+    out += bw.out
+    pcm, rate = decode_flac(bytes(out))
+    assert rate == 8000
+    assert np.array_equal(pcm[:, 0], left)
+    assert np.array_equal(pcm[:, 1], right)
