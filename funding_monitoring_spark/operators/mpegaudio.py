@@ -1,0 +1,133 @@
+"""MPEG audio (MP3) frame-header metadata scanner — no PCM decode.
+
+The dominant compressed-audio format's FULL decode needs normative
+filterbank/window tables this repo will not transcribe from memory
+(policy: loud refusal over faked samples — the PCM path rides the
+optional soundfile dependency, operators/multimodal.py decode_mp3).
+But a large-scale media pipeline's FIRST pass over an audio corpus
+is not decode — it's metadata profiling: codec, bitrate, sample
+rate, duration, tag presence, for routing/filtering/cost estimates.
+That pass IS implementable exactly from the public header layout
+(ISO/IEC 11172-3 frame header + the ID3v2 tag envelope), and this
+module does it for real:
+
+- ID3v2: 'ID3' magic, version/flags, 4-byte SYNCSAFE size (7 bits
+  per byte) — skipped, reported.
+- Frame walk: 11-bit sync, MPEG-1 version, Layer III, bitrate index
+  (32..320 kbps table), sample-rate index (44100/48000/32000),
+  padding bit; frame byte length = 144000*kbps/rate + padding;
+  1152 samples per frame. Every frame's header is validated —
+  a broken offset desyncs immediately and raises.
+- VBR detection: bitrate reported as the exact kbps when constant,
+  -1 (VBR) when frames disagree.
+
+Free-format (bitrate index 0), Layer I/II, and MPEG-2/2.5 raise
+NotImplementedError with the reason.
+"""
+
+from __future__ import annotations
+
+#: MPEG-1 Layer III bitrates by header index (kbps); 0 = free format
+_BITRATES = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_RATES = [44100, 48000, 32000]
+_SAMPLES_PER_FRAME = 1152
+
+
+def build_mp3_frame(
+    bitrate_kbps: int, sample_rate: int, pad: bool = False
+) -> bytes:
+    """One syntactically-valid MPEG-1 Layer III frame (header + zero
+    main data) — the writer half of the metadata-scan round trip.
+    The payload is NOT decodable audio and is never claimed to be;
+    the frame STRUCTURE (sync, indices, computed length) is real."""
+    bi = _BITRATES.index(bitrate_kbps)
+    ri = _RATES.index(sample_rate)
+    hdr = (
+        (0x7FF << 21)
+        | (0b11 << 19)  # MPEG-1
+        | (0b01 << 17)  # Layer III
+        | (1 << 16)  # no CRC
+        | (bi << 12)
+        | (ri << 10)
+        | (int(pad) << 9)
+        | (0b11 << 6)  # mono
+    )
+    length = 144000 * bitrate_kbps // sample_rate + int(pad)
+    return hdr.to_bytes(4, "big") + bytes(length - 4)
+
+
+def build_id3v2(size: int) -> bytes:
+    """A minimal ID3v2.3 tag envelope of ``size`` payload bytes
+    (syncsafe-coded length), zero-filled frames area."""
+    if size < 0 or size >= 1 << 28:
+        raise ValueError("ID3v2 size out of syncsafe range")
+    ss = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+         (size >> 7) & 0x7F, size & 0x7F]
+    )
+    return b"ID3\x03\x00\x00" + ss + bytes(size)
+
+
+def parse_mp3_metadata(payload: bytes) -> dict:
+    """Walk the stream and return exact structural metadata:
+    {n_frames, bitrate_kbps (-1 if VBR), sample_rate, duration_ms,
+    id3v2_bytes}. Raises ValueError on desync/truncation and
+    NotImplementedError on non-MPEG-1-Layer-III profiles."""
+    pos = 0
+    id3 = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        ss = payload[6:10]
+        if any(b & 0x80 for b in ss):
+            raise ValueError("non-syncsafe ID3v2 size")
+        id3 = 10 + (
+            (ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3]
+        )
+        pos = id3
+    n_frames = 0
+    bitrates: set[int] = set()
+    rate = None
+    while pos < len(payload):
+        if pos + 4 > len(payload):
+            raise ValueError(f"truncated frame header at byte {pos}")
+        hdr = int.from_bytes(payload[pos : pos + 4], "big")
+        if (hdr >> 21) & 0x7FF != 0x7FF:
+            raise ValueError(f"lost MP3 frame sync at byte {pos}")
+        version = (hdr >> 19) & 0x3
+        layer = (hdr >> 17) & 0x3
+        if version != 0b11:
+            raise NotImplementedError(
+                "MPEG-2/2.5 audio metadata not supported"
+            )
+        if layer != 0b01:
+            raise NotImplementedError(
+                "only Layer III (MP3) frames are scanned"
+            )
+        bi = (hdr >> 12) & 0xF
+        ri = (hdr >> 10) & 0x3
+        if bi == 0:
+            raise NotImplementedError("free-format bitrate")
+        if bi == 0xF or ri == 0x3:
+            raise ValueError("invalid bitrate/sample-rate index")
+        kbps = _BITRATES[bi]
+        r = _RATES[ri]
+        if rate is None:
+            rate = r
+        elif rate != r:
+            raise ValueError("sample rate changes mid-stream")
+        bitrates.add(kbps)
+        pad = (hdr >> 9) & 1
+        pos += 144000 * kbps // r + pad
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("no MP3 frames found")
+    return {
+        "n_frames": n_frames,
+        "bitrate_kbps": bitrates.pop() if len(bitrates) == 1 else -1,
+        "sample_rate": rate,
+        "duration_ms": n_frames * _SAMPLES_PER_FRAME * 1000 // rate,
+        "id3v2_bytes": id3,
+    }

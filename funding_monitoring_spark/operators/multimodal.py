@@ -1007,6 +1007,107 @@ def decode_flac_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
 
 
+# -- MP3 structural metadata (header walk, no PCM decode) ------------------
+
+
+def synthesize_mp3meta_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Streams with REAL MPEG-1 Layer III frame structure (valid
+    sync/index headers, spec-computed frame lengths, optional ID3v2
+    envelope) from closed-form parameters. The main data is zeroed —
+    these are metadata-scan fixtures, never claimed decodable; the
+    scanner under test walks exactly the structure a real MP3
+    carries (operators/mpegaudio.py)."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from funding_monitoring_spark.operators.mpegaudio import (
+            _BITRATES,
+            _RATES,
+            build_id3v2,
+            build_mp3_frame,
+        )
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid_ in pdf["media_id"]:
+                mid = int(mid_)
+                kbps = _BITRATES[1 + mid % 14]
+                rate = _RATES[mid % 3]
+                n = 3 + mid % 6
+                buf = bytearray()
+                if mid % 2:
+                    buf += build_id3v2(40 + mid % 50)
+                for f in range(n):
+                    buf += build_mp3_frame(
+                        kbps, rate, pad=(mid + f) % 3 == 0
+                    )
+                payloads.append(bytes(buf))
+                metas.append(
+                    {
+                        "modality": "audio",
+                        "mime": "audio/mpeg",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": n * 1152 * 1000 // rate,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
+    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def mp3_metadata_features(media: DataFrame) -> DataFrame:
+    """Structural-metadata scan of an MP3 column: ID3v2 skip + frame
+    walk with per-frame header validation — the routing/profiling
+    pass a media pipeline runs BEFORE spending decode CPU. Exact
+    integers, so the oracle recomputes them from the closed form."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from funding_monitoring_spark.operators.mpegaudio import (
+            parse_mp3_metadata,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                m = parse_mp3_metadata(bytes(payload))
+                m["media_id"] = mid
+                rows.append(m)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "n_frames int, bitrate_kbps int, sample_rate int, "
+            "duration_ms int, id3v2_bytes int, media_id long"
+        ),
+    )
+
+
 # -- compressed audio: MP3 via the optional soundfile dependency -----------
 
 

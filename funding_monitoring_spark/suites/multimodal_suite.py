@@ -480,6 +480,53 @@ def q_multimodal_mjpg_framesample(spark, sf_dir):
 
 
 @query(
+    "multimodal_mp3_frame_scan",
+    """
+    WITH p AS (
+        SELECT doc_id AS media_id,
+               list_extract(
+                   list_value(32,40,48,56,64,80,96,112,128,160,192,
+                              224,256,320),
+                   1 + CAST(doc_id % 14 AS INT)
+               ) AS kbps,
+               list_extract(
+                   list_value(44100, 48000, 32000),
+                   1 + CAST(doc_id % 3 AS INT)
+               ) AS rate,
+               CAST(3 + doc_id % 6 AS INT) AS n_frames
+        FROM documents
+    )
+    SELECT CAST(n_frames AS INT) AS n_frames,
+           CAST(kbps AS INT) AS bitrate_kbps,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(n_frames * 1152 * 1000 // rate AS INT) AS duration_ms,
+           CAST(CASE WHEN media_id % 2 = 1
+                     THEN 50 + media_id % 50 ELSE 0 END AS INT)
+               AS id3v2_bytes,
+           media_id
+    FROM p
+    """,
+)
+def q_multimodal_mp3_frame_scan(spark, sf_dir):
+    """MP3 STRUCTURAL metadata scan (operators/mpegaudio.py): ID3v2
+    syncsafe-envelope skip + MPEG-1 Layer III frame walk with
+    per-frame header validation and spec-computed frame lengths —
+    the profiling pass a media pipeline runs over the dominant audio
+    format BEFORE spending decode CPU (which here still rides the
+    optional soundfile dependency; this scanner claims structure,
+    never samples). Bitrate/rate/frame-count/duration/tag-size all
+    hash exactly against the closed form (id3v2_bytes includes the
+    10-byte header, hence 50 + media_id % 50)."""
+    from funding_monitoring_spark.operators.multimodal import (
+        mp3_metadata_features,
+        synthesize_mp3meta_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return mp3_metadata_features(synthesize_mp3meta_media(docs))
+
+
+@query(
     "multimodal_adpcm_roundtrip",
     """
     SELECT doc_id AS media_id,

@@ -216,3 +216,54 @@ def test_flac_decodes_foreign_lpc_mid_side_stream():
     assert rate == 8000
     assert np.array_equal(pcm[:, 0], left)
     assert np.array_equal(pcm[:, 1], right)
+
+
+# --- MP3 structural metadata (operators/mpegaudio.py) -----------------
+
+from funding_monitoring_spark.operators.mpegaudio import (  # noqa: E402
+    build_id3v2,
+    build_mp3_frame,
+    parse_mp3_metadata,
+)
+
+
+@given(
+    bi=st.integers(1, 14),
+    ri=st.integers(0, 2),
+    n=st.integers(1, 12),
+    id3=st.integers(-1, 200),
+)
+@settings(max_examples=40, deadline=None)
+def test_mp3_metadata_scan_exact(bi, ri, n, id3):
+    from funding_monitoring_spark.operators.mpegaudio import (
+        _BITRATES,
+        _RATES,
+    )
+
+    kbps, rate = _BITRATES[bi], _RATES[ri]
+    buf = bytearray()
+    if id3 >= 0:
+        buf += build_id3v2(id3)
+    for f in range(n):
+        buf += build_mp3_frame(kbps, rate, pad=f % 2 == 0)
+    m = parse_mp3_metadata(bytes(buf))
+    assert m["n_frames"] == n
+    assert m["bitrate_kbps"] == kbps
+    assert m["sample_rate"] == rate
+    assert m["duration_ms"] == n * 1152 * 1000 // rate
+    assert m["id3v2_bytes"] == (10 + id3 if id3 >= 0 else 0)
+
+
+def test_mp3_metadata_vbr_and_errors():
+    buf = build_mp3_frame(128, 44100) + build_mp3_frame(320, 44100)
+    assert parse_mp3_metadata(buf)["bitrate_kbps"] == -1  # VBR
+    with pytest.raises(ValueError, match="sync"):
+        parse_mp3_metadata(
+            build_mp3_frame(128, 44100) + b"\x00\x00\x00\x00"
+        )
+    with pytest.raises(ValueError, match="truncated"):
+        parse_mp3_metadata(build_mp3_frame(128, 44100) + b"\xff\xfb")
+    hdr = bytearray(build_mp3_frame(128, 44100))
+    hdr[1] = 0xF3  # MPEG-2 version bits
+    with pytest.raises(NotImplementedError, match="MPEG-2"):
+        parse_mp3_metadata(bytes(hdr))
