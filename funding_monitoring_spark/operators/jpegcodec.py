@@ -22,15 +22,22 @@ spec reduced to its sequential-DCT core:
   vectorized: (run, size) tokens are built with numpy index algebra
   across every block at once and bit-packed via np.packbits — no
   per-coefficient Python loop.
-- Decode: full marker parse (DQT/DHT/SOF0/DRI/SOS, APPn/COM
+- Decode: full marker parse (DQT/DHT/SOF0/SOF2/DRI/SOS, APPn/COM
   skipped), arbitrary DHT tables via a cached 16-bit prefix LUT (one
   list index resolves any code), arbitrary sampling factors with
   integer ratios (1/2/4 — covers 4:4:4, 4:2:2, 4:2:0), restart
   markers, then dequantize -> IDCT -> level shift -> chroma
-  replication upsample -> YCbCr -> RGB. Progressive (SOF2), 12-bit,
-  arithmetic coding, and fractional sampling ratios raise
-  NotImplementedError with the reason — honest partial coverage,
-  never garbage pixels.
+  replication upsample -> YCbCr -> RGB. PROGRESSIVE (SOF2) streams
+  decode for real too — the full Annex-G scan machinery: spectral
+  selection, successive approximation (DC and AC refinement with
+  correction bits), EOB-run coding, interleaved and single-component
+  scans (this file also carries a progressive ENCODER emitting the
+  standard 10-scan script, so the roundtrip is exactly testable:
+  progressive is a reordering of the same quantized coefficients,
+  and its decode equals the baseline decode bit-for-bit). 12-bit,
+  arithmetic coding, hierarchical, and fractional sampling ratios
+  raise NotImplementedError with the reason — honest partial
+  coverage, never garbage pixels.
 
 The codec is deterministic (no library-version dependence), so the
 lossy roundtrip oracle's fixed tolerance is stable by construction.
@@ -129,7 +136,11 @@ _AC_SYMBOLS = (
     [0x00]
     + [(r << 4) | s for r in range(16) for s in range(1, 11)]
     + [0xF0]
-)  # EOB + 160 (run,size) + ZRL = 162 symbols, 8-bit codes
+    # EOBn symbols (r<<4, r=1..14) — used only by progressive scans
+    # (EOB-run coding, T.81 G.1.2.2); appended last so the baseline
+    # symbols keep their canonical codes
+    + [r << 4 for r in range(1, 15)]
+)  # EOB + 160 (run,size) + ZRL + 14 EOBn = 176 symbols, 8-bit codes
 
 
 def _fixed_table(symbols: list[int], length: int) -> dict[int, tuple[int, int]]:
@@ -453,18 +464,54 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def _split_entropy(payload: bytes, pos: int):
+    """Unstuff one scan's entropy-coded data starting at ``pos``:
+    FF00 -> FF, RSTn markers removed (break offsets recorded), stop
+    at any other marker. Vectorized — only 0xFF positions (rare) are
+    inspected in Python. Returns (data, rst_breaks, new_pos)."""
+    tail = np.frombuffer(payload, dtype=np.uint8, offset=pos)
+    ffs = np.flatnonzero(tail == 0xFF)
+    drop = []
+    rst_at = []
+    end = len(tail)
+    for fi in ffs.tolist():
+        if fi + 1 >= len(tail):
+            continue
+        nxt = tail[fi + 1]
+        if nxt == 0x00:
+            drop.append(fi + 1)
+        elif 0xD0 <= nxt <= 0xD7:
+            drop += [fi, fi + 1]
+            rst_at.append(fi)
+        else:
+            end = fi
+            break
+    keep = np.ones(end, dtype=bool)
+    drop_arr = np.array([d for d in drop if d < end], dtype=np.int64)
+    keep[drop_arr] = False
+    data = tail[:end][keep].tobytes()
+    n_dropped_before = np.searchsorted(drop_arr, rst_at)
+    rst_breaks = [
+        r - int(nd) for r, nd in zip(rst_at, n_dropped_before)
+    ]
+    return data, rst_breaks, pos + end
+
+
 def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JFIF bytes -> (h, w, 3) uint8 RGB.
-    Handles arbitrary DHT tables, restart markers, and integer-ratio
-    sampling factors (4:4:4 / 4:2:2 / 4:2:0). Raises
-    NotImplementedError for progressive / 12-bit / fractional-ratio
-    streams and ValueError for malformed ones."""
+    """Sequential (SOF0) or progressive (SOF2) JFIF bytes ->
+    (h, w, 3) uint8 RGB. Handles arbitrary DHT tables, restart
+    markers, integer-ratio sampling factors (4:4:4 / 4:2:2 / 4:2:0),
+    and for progressive streams the full Annex-G scan machinery
+    (spectral selection, successive approximation, EOB runs). Raises
+    NotImplementedError for 12-bit / arithmetic / hierarchical /
+    fractional-ratio streams and ValueError for malformed ones."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], list] = {}
     frame = None
+    pstate = None  # progressive coefficient state across scans
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -507,7 +554,7 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 vals = bytes(body[o + 17 : o + 17 + n])
                 htables[(tc, th)] = _lut_from_dht(bits, vals)
                 o += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -530,8 +577,13 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                         f"sampling factors {c['h']}x{c['v']} "
                         "(non-integer chroma ratio) need Pillow"
                     )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+            frame = {
+                "h": fh,
+                "w": fw,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) "
@@ -541,52 +593,32 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan_sel = {}
+            scan_comps = []
             for i in range(ns):
                 cs, tda = body[1 + 2 * i], body[2 + 2 * i]
                 scan_sel[cs] = (tda >> 4, tda & 0xF)
-            # split entropy-coded data: unstuff FF00, stop at a
-            # non-RST marker; RSTn resets DC predictors. Vectorized:
-            # only 0xFF positions (rare) are inspected in Python.
-            tail = np.frombuffer(payload, dtype=np.uint8, offset=pos)
-            ffs = np.flatnonzero(tail == 0xFF)
-            drop = []  # indices into `tail` excluded from the data
-            rst_at = []  # (tail index of the 0xFF, marker byte)
-            end = len(tail)
-            skip_next = -1
-            for fi in ffs.tolist():
-                if fi == skip_next or fi + 1 >= len(tail):
-                    continue
-                nxt = tail[fi + 1]
-                if nxt == 0x00:
-                    drop.append(fi + 1)  # drop the stuffed zero
-                    skip_next = fi + 1
-                elif 0xD0 <= nxt <= 0xD7:
-                    drop += [fi, fi + 1]
-                    rst_at.append(fi)
-                    skip_next = fi + 1
-                else:
-                    end = fi
-                    break
-            keep = np.ones(end, dtype=bool)
-            drop_arr = np.array(
-                [d for d in drop if d < end], dtype=np.int64
-            )
-            keep[drop_arr] = False
-            data = tail[:end][keep].tobytes()
-            # RST break offsets in unstuffed-data coordinates
-            n_dropped_before = np.searchsorted(drop_arr, rst_at)
-            rst_breaks = [
-                r - int(nd) for r, nd in zip(rst_at, n_dropped_before)
-            ]
-            pos += end
-            return _decode_scan(
-                frame, scan_sel, qtables, htables, data,
+                scan_comps.append(cs)
+            data, rst_breaks, pos = _split_entropy(payload, pos)
+            if not frame["progressive"]:
+                return _decode_scan(
+                    frame, scan_sel, qtables, htables, data,
+                    rst_breaks, restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if pstate is None:
+                pstate = _progressive_state(frame)
+            _progressive_scan(
+                frame, pstate, scan_comps, scan_sel, htables, data,
                 rst_breaks, restart_interval,
+                ss, se, ahal >> 4, ahal & 0xF,
             )
         # else: APPn / COM / others — skipped
+    if frame is not None and frame.get("progressive") and pstate:
+        return _reassemble_progressive(frame, pstate, qtables)
     raise ValueError("no SOS scan found")
 
 
@@ -736,3 +768,585 @@ def _decode_scan(
         g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
     raise NotImplementedError(f"{nc}-component JPEG")
+
+
+# --- progressive JPEG (SOF2: spectral selection + successive
+# --- approximation), T.81 Annex G -------------------------------------
+
+
+class _StuffWriter:
+    """MSB-first bit writer with JPEG byte stuffing (FF -> FF 00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+
+
+#: libjpeg's standard "simple progression" scan script for 3
+#: components: (component indices, Ss, Se, Ah, Al)
+_PROGRESSIVE_SCANS = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _grid_coefficients(
+    px: np.ndarray, quality: int, hv: tuple
+) -> tuple[list, int, int, np.ndarray, np.ndarray]:
+    """Per-component quantized zigzag coefficients on the FULL
+    MCU-padded block grid in RASTER order: comp ci -> int64 array of
+    shape (gh, gw, 64) with gh = mcuy*v, gw = mcux*h."""
+    h, w = px.shape[:2]
+    hmax = max(c[0] for c in hv)
+    vmax = max(c[1] for c in hv)
+    mcuy, mcux = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    qy, qc = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(px)
+    grids = []
+    for ci in range(3):
+        ch_, cv = hv[ci]
+        plane = _downsample(ycc[..., ci] - 128.0, vmax // cv, hmax // ch_)
+        gh, gw = mcuy * cv, mcux * ch_
+        p = np.pad(
+            plane,
+            ((0, gh * 8 - plane.shape[0]), (0, gw * 8 - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = (
+            p.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coef = _DCT @ blocks @ _DCT.T
+        q = (qy if ci == 0 else qc).reshape(8, 8)
+        zz = (
+            np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, _ZIGZAG]
+        )
+        grids.append(zz.reshape(gh, gw, 64))
+    return grids, mcuy, mcux, qy, qc
+
+
+def _emit_eobrun(bw: _StuffWriter, state: dict) -> None:
+    run = state["eobrun"]
+    if run > 0:
+        r = run.bit_length() - 1
+        code, ln = _ENC_AC[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(run - (1 << r), r)
+        state["eobrun"] = 0
+    for bit in state["corr"]:
+        bw.write(bit, 1)
+    state["corr"] = []
+
+
+def _encode_ac_first(
+    bw: _StuffWriter, blocks: np.ndarray, ss: int, se: int, al: int,
+    state: dict,
+) -> None:
+    """First AC scan of a band (Ah=0): (run, size) symbols with
+    EOB-run coding; point transform truncates toward zero."""
+    for zz in blocks:
+        band = zz[ss : se + 1]
+        vals = np.where(
+            band >= 0, band >> al, -((-band) >> al)
+        )
+        nz = np.flatnonzero(vals)
+        if len(nz) == 0:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _emit_eobrun(bw, state)
+            continue
+        _emit_eobrun(bw, state)
+        run = 0
+        prev = -1
+        for i in nz.tolist():
+            run = i - prev - 1
+            prev = i
+            while run > 15:
+                code, ln = _ENC_AC[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            v = int(vals[i])
+            s = _size_cat_py(v)
+            code, ln = _ENC_AC[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        if prev < se - ss:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _emit_eobrun(bw, state)
+
+
+def _encode_ac_refine(
+    bw: _StuffWriter, blocks: np.ndarray, ss: int, se: int, al: int,
+    state: dict,
+) -> None:
+    """AC successive-approximation refinement (Ah=Al+1): newly
+    significant coefficients get (run, 1) symbols + a sign bit;
+    already-nonzero coefficients get buffered correction bits
+    (T.81 G.1.2.3 / the classic encode_mcu_AC_refine structure)."""
+    for zz in blocks:
+        band = zz[ss : se + 1]
+        absv = (np.abs(band) >> al).astype(np.int64)
+        ones = np.flatnonzero(absv == 1)
+        eob = int(ones[-1]) if len(ones) else -1
+        r = 0
+        corr: list[int] = []
+        for k in range(len(band)):
+            t = int(absv[k])
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                _emit_eobrun(bw, state)
+                code, ln = _ENC_AC[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                for bit in corr:
+                    bw.write(bit, 1)
+                corr = []
+            if t > 1:
+                corr.append(t & 1)
+                continue
+            _emit_eobrun(bw, state)
+            code, ln = _ENC_AC[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if band[k] >= 0 else 0, 1)
+            for bit in corr:
+                bw.write(bit, 1)
+            corr = []
+            r = 0
+        if r > 0 or corr:
+            state["eobrun"] += 1
+            state["corr"] += corr
+            if state["eobrun"] == 0x7FFF:
+                _emit_eobrun(bw, state)
+
+
+def _size_cat_py(v: int) -> int:
+    return v.bit_length() if v > 0 else (-v).bit_length()
+
+
+def encode_progressive_jpeg(
+    pixels: np.ndarray,
+    quality: int = 95,
+    subsampling: str = "444",
+    scans: tuple = _PROGRESSIVE_SCANS,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes using the
+    standard spectral-selection + successive-approximation scan
+    script. The quantized coefficients are IDENTICAL to the baseline
+    encoder's at the same quality/subsampling — progressive is a
+    reordering of the same data — so `decode` of this stream equals
+    `decode(encode_baseline_jpeg(...))` bit-for-bit, which is exactly
+    what the roundtrip tests assert."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_progressive_jpeg expects (h, w, 3) RGB")
+    if subsampling not in _SUBSAMPLING_HV:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hv = _SUBSAMPLING_HV[subsampling]
+    h, w = px.shape[:2]
+    grids, mcuy, mcux, qy, qc = _grid_coefficients(px, quality, hv)
+    hmax = max(c[0] for c in hv)
+    vmax = max(c[1] for c in hv)
+
+    def seg_(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg_(
+        0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += seg_(0xFFDB, bytes([0]) + bytes(qy[_ZIGZAG].tolist()))
+    out += seg_(0xFFDB, bytes([1]) + bytes(qc[_ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        sof += bytes([cid, (hv[ci][0] << 4) | hv[ci][1], tq])
+    out += seg_(0xFFC2, sof)  # SOF2: progressive DCT, Huffman
+    for payload_dht in _DHT_PAYLOADS:
+        out += seg_(0xFFC4, payload_dht)
+
+    for comps_sel, ss, se, ah, al in scans:
+        sos = bytes([len(comps_sel)])
+        for ci in comps_sel:
+            # component ids are 1-based; DC table 0/1, AC table 0/1
+            tbl = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tbl << 4) | tbl])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg_(0xFFDA, sos)
+        bw = _StuffWriter()
+        state = {"eobrun": 0, "corr": []}
+        if ss == 0:  # DC scan (interleaved over MCUs)
+            if ah == 0:
+                prev_dc = [0] * len(comps_sel)
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for si, ci in enumerate(comps_sel):
+                            ch_, cv = hv[ci]
+                            for by in range(cv):
+                                for bx in range(ch_):
+                                    dc = int(
+                                        grids[ci][
+                                            my * cv + by, mx * ch_ + bx, 0
+                                        ]
+                                    ) >> al
+                                    diff = dc - prev_dc[si]
+                                    prev_dc[si] = dc
+                                    s = _size_cat_py(diff)
+                                    code, ln = _ENC_DC[s]
+                                    bw.write(code, ln)
+                                    if s:
+                                        bw.write(
+                                            diff
+                                            if diff >= 0
+                                            else diff + (1 << s) - 1,
+                                            s,
+                                        )
+            else:  # DC refinement: one raw bit per block
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in comps_sel:
+                            ch_, cv = hv[ci]
+                            for by in range(cv):
+                                for bx in range(ch_):
+                                    dc = int(
+                                        grids[ci][
+                                            my * cv + by, mx * ch_ + bx, 0
+                                        ]
+                                    )
+                                    bw.write((dc >> al) & 1, 1)
+        else:  # AC scan: single component, comp-raster block order
+            (ci,) = comps_sel
+            ch_, cv = hv[ci]
+            comp_h = -(-h * cv // vmax)
+            comp_w = -(-w * ch_ // hmax)
+            nbh, nbw = -(-comp_h // 8), -(-comp_w // 8)
+            blocks = grids[ci][:nbh, :nbw].reshape(-1, 64)
+            if ah == 0:
+                _encode_ac_first(bw, blocks, ss, se, al, state)
+            else:
+                _encode_ac_refine(bw, blocks, ss, se, al, state)
+            _emit_eobrun(bw, state)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _PBitReader:
+    """MSB-first bit reader for progressive scans (marker-stripped
+    data). Simpler than the baseline path's inlined reader — the
+    progressive algorithms are control-flow-heavy, so clarity wins;
+    per-scan data volumes are the same order as baseline."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nb = 0
+
+    def reset(self, pos: int) -> None:
+        self.pos = pos
+        self.acc = 0
+        self.nb = 0
+
+    def bits(self, n: int) -> int:
+        while self.nb < n:
+            self.acc = (self.acc << 8) | (
+                self.data[self.pos] if self.pos < len(self.data) else 0
+            )
+            self.pos += 1
+            self.nb += 8
+        self.nb -= n
+        v = (self.acc >> self.nb) & ((1 << n) - 1)
+        self.acc &= (1 << self.nb) - 1
+        return v
+
+    def huff(self, lut: list) -> int:
+        while self.nb < 16:
+            self.acc = (self.acc << 8) | (
+                self.data[self.pos] if self.pos < len(self.data) else 0
+            )
+            self.pos += 1
+            self.nb += 8
+        e = lut[(self.acc >> (self.nb - 16)) & 0xFFFF]
+        if not e:
+            raise ValueError("invalid Huffman code in entropy data")
+        self.nb -= e & 31
+        self.acc &= (1 << self.nb) - 1
+        return e >> 5
+
+
+def _progressive_state(frame: dict) -> dict:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcuy = -(-frame["h"] // (8 * vmax))
+    mcux = -(-frame["w"] // (8 * hmax))
+    dims = []
+    coeffs = []
+    for c in comps:
+        gh, gw = mcuy * c["v"], mcux * c["h"]
+        dims.append((gh, gw))
+        coeffs.append([0] * (gh * gw * 64))
+    return {
+        "coeffs": coeffs,
+        "dims": dims,
+        "mcuy": mcuy,
+        "mcux": mcux,
+        "hmax": hmax,
+        "vmax": vmax,
+    }
+
+
+def _progressive_scan(
+    frame, pstate, scan_comps, scan_sel, htables, data, rst_breaks,
+    restart_interval, ss, se, ah, al,
+) -> None:
+    comps = frame["comps"]
+    cid_to_ci = {c["id"]: i for i, c in enumerate(comps)}
+    sel = [cid_to_ci[cs] for cs in scan_comps]
+    br = _PBitReader(data)
+    mcuy, mcux = pstate["mcuy"], pstate["mcux"]
+
+    def rst_check(unit: int, state_reset) -> None:
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg = unit // restart_interval
+            if seg <= len(rst_breaks):
+                br.reset(rst_breaks[seg - 1])
+            state_reset()
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        prev_dc = [0] * len(sel)
+
+        def dc_reset() -> None:
+            for i in range(len(prev_dc)):
+                prev_dc[i] = 0
+
+        interleaved = len(sel) > 1
+        units = (
+            [(ci,) for ci in sel]
+            if not interleaved
+            else None
+        )
+        if interleaved:
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    rst_check(unit, dc_reset)
+                    unit += 1
+                    for si, ci in enumerate(sel):
+                        comp = comps[ci]
+                        gh, gw = pstate["dims"][ci]
+                        dct = htables.get((0, scan_sel[comp["id"]][0]))
+                        if ah == 0 and dct is None:
+                            raise ValueError(
+                                "scan references undefined DHT table"
+                            )
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                base = (
+                                    (my * comp["v"] + by) * gw
+                                    + (mx * comp["h"] + bx)
+                                ) * 64
+                                buf = pstate["coeffs"][ci]
+                                if ah == 0:
+                                    s = br.huff(dct)
+                                    diff = (
+                                        _extend(br.bits(s), s) if s else 0
+                                    )
+                                    prev_dc[si] += diff
+                                    buf[base] = prev_dc[si] << al
+                                else:
+                                    if br.bits(1):
+                                        buf[base] |= 1 << al
+        else:
+            (ci,) = sel
+            comp = comps[ci]
+            gh, gw = pstate["dims"][ci]
+            nbh, nbw = _comp_block_dims(frame, pstate, ci)
+            dct = htables.get((0, scan_sel[comp["id"]][0]))
+            buf = pstate["coeffs"][ci]
+            unit = 0
+            for r in range(nbh):
+                for ccol in range(nbw):
+                    rst_check(unit, dc_reset)
+                    unit += 1
+                    base = (r * gw + ccol) * 64
+                    if ah == 0:
+                        if dct is None:
+                            raise ValueError(
+                                "scan references undefined DHT table"
+                            )
+                        s = br.huff(dct)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        prev_dc[0] += diff
+                        buf[base] = prev_dc[0] << al
+                    else:
+                        if br.bits(1):
+                            buf[base] |= 1 << al
+        return
+
+    # AC scan: exactly one component (T.81 G.1.1)
+    if len(sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    (ci,) = sel
+    comp = comps[ci]
+    gh, gw = pstate["dims"][ci]
+    nbh, nbw = _comp_block_dims(frame, pstate, ci)
+    act = htables.get((1, scan_sel[comp["id"]][1]))
+    if act is None:
+        raise ValueError("scan references undefined DHT table")
+    buf = pstate["coeffs"][ci]
+    state = {"eobrun": 0}
+
+    def ac_reset() -> None:
+        state["eobrun"] = 0
+
+    p1, m1 = 1 << al, -(1 << al)
+    unit = 0
+    for rrow in range(nbh):
+        for ccol in range(nbw):
+            rst_check(unit, ac_reset)
+            unit += 1
+            base = (rrow * gw + ccol) * 64
+            if ah == 0:  # first scan of this band
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:
+                            state["eobrun"] = (1 << r) - 1
+                            if r:
+                                state["eobrun"] += br.bits(r)
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    buf[base + k] = _extend(br.bits(s), s) << al
+                    k += 1
+            else:  # refinement scan (T.81 G.1.2.3)
+                k = ss
+                if state["eobrun"] == 0:
+                    while k <= se:
+                        rs = br.huff(act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                state["eobrun"] = 1 << r
+                                if r:
+                                    state["eobrun"] += br.bits(r)
+                                break
+                            val = 0
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "refinement scan size != 1"
+                                )
+                            val = p1 if br.bits(1) else m1
+                        while k <= se:
+                            coef = buf[base + k]
+                            if coef != 0:
+                                if br.bits(1) and (coef & p1) == 0:
+                                    buf[base + k] += (
+                                        p1 if coef >= 0 else m1
+                                    )
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            buf[base + k] = val
+                        k += 1
+                if state["eobrun"] > 0:
+                    while k <= se:
+                        coef = buf[base + k]
+                        if coef != 0:
+                            if br.bits(1) and (coef & p1) == 0:
+                                buf[base + k] += p1 if coef >= 0 else m1
+                        k += 1
+                    state["eobrun"] -= 1
+
+
+def _comp_block_dims(frame, pstate, ci: int) -> tuple[int, int]:
+    """Non-interleaved block grid: ceil(comp dims / 8), WITHOUT MCU
+    padding (T.81 A.2.2) — smaller than the padded grid for
+    subsampled components on non-multiple-of-16 frames."""
+    comp = frame["comps"][ci]
+    ch = -(-frame["h"] * comp["v"] // pstate["vmax"])
+    cw = -(-frame["w"] * comp["h"] // pstate["hmax"])
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _reassemble_progressive(
+    frame: dict, pstate: dict, qtables: dict
+) -> np.ndarray:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax = pstate["hmax"], pstate["vmax"]
+    planes = []
+    for ci, comp in enumerate(comps):
+        q = qtables.get(comp["tq"])
+        if q is None:
+            raise ValueError("component references undefined DQT")
+        gh, gw = pstate["dims"][ci]
+        cf = np.array(pstate["coeffs"][ci], dtype=np.int64).reshape(
+            -1, 64
+        )
+        deq = (cf[:, _UNZIGZAG] * q).reshape(-1, 8, 8).astype(
+            np.float64
+        )
+        spatial = _DCT.T @ deq @ _DCT
+        plane = (
+            spatial.reshape(gh, gw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gh * 8, gw * 8)
+        )
+        comp_h = -(-h * comp["v"] // vmax)
+        comp_w = -(-w * comp["h"] // hmax)
+        plane = plane[:comp_h, :comp_w] + 128.0
+        fy, fx = vmax // comp["v"], hmax // comp["h"]
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(comps) == 3:
+        return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    if len(comps) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    raise NotImplementedError(f"{len(comps)}-component JPEG")

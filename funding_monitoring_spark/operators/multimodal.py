@@ -2007,6 +2007,26 @@ def _encode_jpeg420(px) -> bytes:
     return encode_baseline_jpeg(px, quality=95, subsampling="420")
 
 
+def _encode_jpeg_progressive(px) -> bytes:
+    from funding_monitoring_spark.operators.jpegcodec import (
+        encode_progressive_jpeg,
+    )
+
+    return encode_progressive_jpeg(px, quality=95, subsampling="420")
+
+
+def synthesize_jpeg_progressive_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Progressive (SOF2) 4:2:0 JPEG payloads — the profile real web
+    image corpora most commonly combine (progressive + subsampled) —
+    via the pure codec's standard 10-scan script
+    (operators/jpegcodec.py encode_progressive_jpeg)."""
+    return _synthesize_media(
+        ids, id_col, _encode_jpeg_progressive, "image/jpeg"
+    )
+
+
 def synthesize_jpeg420_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -284,6 +284,15 @@ def cosine_topk_scale(
 
 
 IVF_CENTROID_MOD = 101  # corpus vectors with vec_id % MOD == 0 are centroids
+#: Centroid-set BOUND: the codebook must stay broadcastable, so the
+#: cell count is a bounded design parameter, NOT proportional to the
+#: corpus (an unbounded id-mod rule makes the assignment crossJoin
+#: O(N^2/MOD) — the sf1 sweep measured exactly that blowup, 15x wall
+#: at 10x data). Real IVF trains ~sqrt(N) centroids on a sample;
+#: this deterministic stand-in caps the seed ids instead. 8192 is a
+#: no-op at the sf0.01/sf0.1 fixtures (max vec_id 4999), so existing
+#: oracle results are unchanged.
+IVF_CENT_CAP = 8192
 IVF_NPROBE = 3
 
 
@@ -343,7 +352,10 @@ def cosine_topk_ivf(
     their probed cells, and per-cell top-k is bounded work.
     """
     cents = _prep(
-        corpus.filter((F.col(id_col) % IVF_CENTROID_MOD) == 0),
+        corpus.filter(
+            ((F.col(id_col) % IVF_CENTROID_MOD) == 0)
+            & (F.col(id_col) < IVF_CENT_CAP)
+        ),
         id_col,
         emb_col,
         "cent",
@@ -477,7 +489,10 @@ def cosine_topk_ivf_kmeans(
     broadcast join + (cell, dim) aggregate; search is still the cell
     equi-join)."""
     init = _prep(
-        corpus.filter((F.col(id_col) % IVF_CENTROID_MOD) == 0),
+        corpus.filter(
+            ((F.col(id_col) % IVF_CENTROID_MOD) == 0)
+            & (F.col(id_col) < IVF_CENT_CAP)
+        ),
         id_col,
         emb_col,
         "cent",
@@ -748,6 +763,14 @@ def _argmin_codes(subs: DataFrame, cents: DataFrame) -> DataFrame:
     the (dist asc, j asc) argmin: j is unique within a group, so no
     tie can reach the struct's second field undecided."""
     d = F.round(_sq_l2(F.col("sub"), F.col("csub")), SCORE_ROUND)
+    # spread the subs frame across the full parallelism FIRST: it is
+    # small in bytes (AQE happily coalesces it to one partition) but
+    # the broadcast join below explodes it |codebook|-fold in CPU —
+    # the classic cheap-to-store / expensive-to-process shape. The
+    # sf1 sweep measured the un-spread version running the entire
+    # 60M-row explosion in a single task (189 s -> ~6 s at 32 cores).
+    sc = subs.sparkSession.sparkContext
+    subs = subs.repartition(sc.defaultParallelism)
     return (
         subs.join(F.broadcast(cents), "m")
         .withColumn("dist", d)
@@ -888,7 +911,10 @@ def cosine_topk_ivf_pq(
     Every stage keeps the determinism guarantees (rounded argmins,
     fixed fold orders), so the oracle replays it bit-for-bit."""
     cents = _prep(
-        corpus.filter((F.col(id_col) % IVF_CENTROID_MOD) == 0),
+        corpus.filter(
+            ((F.col(id_col) % IVF_CENTROID_MOD) == 0)
+            & (F.col(id_col) < IVF_CENT_CAP)
+        ),
         id_col,
         emb_col,
         "cent",

@@ -448,6 +448,38 @@ def q_multimodal_jpeg420_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_progressive_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 6 AS INT) AS width,
+           CAST(2 + doc_id % 4 AS INT) AS height,
+           1 AS mean_close_r, 1 AS mean_close_g, 1 AS mean_close_b
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg_progressive_roundtrip(spark, sf_dir):
+    """PROGRESSIVE (SOF2) + 4:2:0 JPEG round trip — the profile real
+    web corpora most commonly combine. The pure codec both writes
+    (standard 10-scan spectral-selection + successive-approximation
+    script) and reads (full Annex-G machinery: DC/AC refinement,
+    correction bits, EOB runs) the stream; progressive is a
+    reordering of the same quantized coefficients, so its decode is
+    bit-identical to the baseline decode (asserted in
+    tests/test_jpegcodec.py) and the same lossy-tolerance oracle
+    applies. Closes the 'scraped corpora are progressive and the
+    fallback refuses them' gap named in the round-7 review."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_image_features_tolerant,
+        synthesize_jpeg_progressive_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features_tolerant(
+        synthesize_jpeg_progressive_media(docs)
+    )
+
+
+@query(
     "multimodal_mjpg_framesample",
     """
     WITH dims AS (

@@ -180,6 +180,7 @@ ANN_IVF_ORACLE = f"""
                SQRT({_sql_dot("CAST(embedding AS DOUBLE[])",
                               "CAST(embedding AS DOUBLE[])")}) AS cent_norm
         FROM embeddings WHERE vec_id % {S.IVF_CENTROID_MOD} = 0
+          AND vec_id < {S.IVF_CENT_CAP}
     ),
     c_assign AS (
         SELECT c_id, cent_id FROM (
@@ -305,6 +306,7 @@ def _sql_kmeans_cents(n_iters: int) -> tuple[str, str]:
     cents0 AS (
         SELECT c_id AS cent_id, c_emb AS cent_emb, c_norm AS cent_norm
         FROM kc WHERE c_id % {S.IVF_CENTROID_MOD} = 0
+          AND c_id < {S.IVF_CENT_CAP}
     )"""
     ]
     for i in range(1, n_iters + 1):
@@ -732,6 +734,7 @@ ANN_IVF_PQ_ORACLE = f"""
                SQRT({_sql_dot("CAST(embedding AS DOUBLE[])",
                               "CAST(embedding AS DOUBLE[])")}) AS cent_norm
         FROM embeddings WHERE vec_id % {S.IVF_CENTROID_MOD} = 0
+          AND vec_id < {S.IVF_CENT_CAP}
     ),
     c_assign AS (
         SELECT c_id, cent_id FROM (
@@ -901,7 +904,7 @@ ANN_INDEX_INCR_ORACLE = f"""
         SELECT vec_id AS cent_id, emb AS cent_emb,
                SQRT({_sql_dot('emb', 'emb')}) AS cent_norm
         FROM v WHERE vec_id % {S.IVF_CENTROID_MOD} = 0
-                 AND vec_id < {IDX_SPLIT}
+                 AND vec_id < least({IDX_SPLIT}, {S.IVF_CENT_CAP})
     ),
     assign AS (
         SELECT vec_id, cent_id FROM (
@@ -955,7 +958,10 @@ def q_ann_index_incremental(spark, sf_dir):
     v1 = commit_snapshot(emb.filter(F.col("vec_id") < IDX_SPLIT), store)
     base = read_snapshot(spark, store, version=v1)
     cents = S._prep(
-        base.filter((F.col("vec_id") % S.IVF_CENTROID_MOD) == 0),
+        base.filter(
+            ((F.col("vec_id") % S.IVF_CENTROID_MOD) == 0)
+            & (F.col("vec_id") < S.IVF_CENT_CAP)
+        ),
         "vec_id",
         "embedding",
         "cent",

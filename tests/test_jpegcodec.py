@@ -84,9 +84,10 @@ def test_rejects_non_baseline_and_malformed():
     rng = np.random.RandomState(4)
     px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
     data = bytearray(encode_baseline_jpeg(px, 95))
-    # flip SOF0 -> SOF2 (progressive): honest refusal, not garbage
+    # flip SOF0 -> SOF3 (lossless): honest refusal, not garbage
+    # (SOF2/progressive decodes for real since round 8)
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2
+    data[i + 1] = 0xC3
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_baseline_jpeg(bytes(data))
     with pytest.raises(ValueError):
@@ -190,3 +191,58 @@ def test_ff_fill_bytes_before_marker_tolerated():
     padded = data[:i] + b"\xff\xff\xff" + data[i:]
     back = decode_baseline_jpeg(padded)
     assert np.array_equal(back, decode_baseline_jpeg(data))
+
+
+# --- progressive (SOF2) ------------------------------------------------
+
+from funding_monitoring_spark.operators.jpegcodec import (  # noqa: E402
+    encode_progressive_jpeg,
+)
+
+
+@pytest.mark.parametrize("sub", ["444", "420", "422"])
+@pytest.mark.parametrize("quality", [75, 95])
+def test_progressive_decode_equals_baseline(sub, quality):
+    """Progressive is a REORDERING of the same quantized
+    coefficients: decoding the 10-scan SOF2 stream must equal the
+    baseline decode bit-for-bit — any error in spectral selection,
+    successive approximation, EOB runs, or correction bits breaks
+    coefficient equality and therefore this exact comparison."""
+    x = np.linspace(0, 6, 64)
+    img = (127 + 60 * np.sin(x)[:, None] * np.cos(x)[None, :]).astype(
+        np.uint8
+    )
+    px = np.stack([img, img.T, 255 - img], axis=-1)
+    base = decode_baseline_jpeg(
+        encode_baseline_jpeg(px, quality, subsampling=sub)
+    )
+    prog = decode_baseline_jpeg(
+        encode_progressive_jpeg(px, quality, subsampling=sub)
+    )
+    assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("shape", [(8, 8), (17, 23), (32, 24), (15, 31)])
+def test_progressive_noise_and_odd_shapes(seed, shape):
+    """Noise maximizes nonzero AC coefficients (stressing ZRL /
+    newly-significant paths); odd shapes stress the non-interleaved
+    component grids, which are SMALLER than the MCU-padded grid for
+    subsampled components."""
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(*shape, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        base = decode_baseline_jpeg(
+            encode_baseline_jpeg(px, 90, subsampling=sub)
+        )
+        prog = decode_baseline_jpeg(
+            encode_progressive_jpeg(px, 90, subsampling=sub)
+        )
+        assert np.array_equal(base, prog), (seed, shape, sub)
+
+
+def test_progressive_flat_image_sparse_scans():
+    """A flat image drives every AC scan through pure EOB runs."""
+    px = np.full((24, 40, 3), 130, dtype=np.uint8)
+    prog = decode_baseline_jpeg(encode_progressive_jpeg(px, 95))
+    assert np.array_equal(prog, px)
