@@ -148,17 +148,24 @@ def query(name: str, sql: str | None):
 #:       again in r7: drawdown run_max guard). The r4 remainder rolls
 #:       to r9. Every overflow query gets a fresh local row each
 #:       round.
-#:   r9 plan (precommitted): (a) round-8 post-freeze registrations
-#:       first, in registration order (each must ship with a
-#:       driver-format row in CORRECTNESS_LOCAL_r8.json); (b) the 38
+#:   r9 plan (precommitted): (a) the 5 round-8 post-freeze
+#:       registrations first, in registration order (each shipped
+#:       with a green driver-format row in CORRECTNESS_LOCAL_r8.json)
+#:       — snapshot_bloom_pruned_read_str, multimodal_flac_roundtrip,
+#:       multimodal_jpeg420_roundtrip,
+#:       multimodal_jpeg_progressive_roundtrip,
+#:       multimodal_mp3_frame_scan; (b) the 38
 #:       r4-row remainder — the oldest rows in the registry at r9
 #:       (ann_cosine_topk/_lsh/_scale, asof joins, broadcast/semi
 #:       joins, cdc_materialize, TPC-H q2/q9/q11/q16/q20/q21, file
 #:       sources, sessionization, samplers, multimodal wav/avi,
 #:       main_dag_parity, window_distribution_suite, ...), in
-#:       registration order; (c) remaining slots to the oldest r5
-#:       rows in registration order. Registration FREEZES once the
-#:       r9 window fills.
+#:       registration order — note ann_cosine_topk_ivf/_ivf_kmeans
+#:       and the PQ family run over similarity.py code that changed
+#:       in r8 (IVF_CENT_CAP + argmin repartition), so the r4/r5
+#:       rows over that file lead their cohorts; (c) remaining slots
+#:       (50 - 5 - 38 = 7) to the oldest r5 rows in registration
+#:       order. Registration FREEZES once the r9 window fills.
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
