@@ -1,9 +1,11 @@
 """Task failure policy: retries + notification on final failure.
 
 The reference's scheduler wraps every task in a default policy —
-1 retry, then an email to the operator on failure
-(dags/kucoin_main_dag.py:14-16: ``'email_on_failure': True,
-'retries': 1``; same block in dags/kucoin_lending_dag.py). The
+5 retries, then an email to the operator on failure
+(dags/kucoin_main_dag.py:12-15: ``'retries': 5,
+'email_on_failure': True``; same block in dags/kucoin_lending_dag.py;
+``AlertPolicy.retries`` is the parameter, defaulting to 1 for
+fast-failing test fixtures). The
 engine's pipelines are idempotent and resumable (PK upserts,
 effectively-once streaming sinks, snapshot batch-id ledgers), which
 removes the DATA reasons to babysit a failure — but an operator

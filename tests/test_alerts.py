@@ -1,5 +1,5 @@
 """Failure alerting (pipeline/alerts.py): retry-then-notify semantics
-mirroring the reference scheduler's per-task policy (1 retry +
+mirroring the reference scheduler's per-task policy (retries +
 email_on_failure), with the SMTP transport exercised over a real
 loopback socket."""
 
