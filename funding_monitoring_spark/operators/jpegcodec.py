@@ -958,6 +958,7 @@ def encode_progressive_jpeg(
     quality: int = 95,
     subsampling: str = "444",
     scans: tuple = _PROGRESSIVE_SCANS,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes using the
     standard spectral-selection + successive-approximation scan
@@ -992,6 +993,17 @@ def encode_progressive_jpeg(
     out += seg_(0xFFC2, sof)  # SOF2: progressive DCT, Huffman
     for payload_dht in _DHT_PAYLOADS:
         out += seg_(0xFFC4, payload_dht)
+    if restart_interval:
+        out += seg_(0xFFDD, struct.pack(">H", restart_interval))
+
+    def rst_marker(bw, state, n_done):
+        # byte-align, flush any pending EOB run first (an EOB run
+        # must not cross a restart boundary), then the RAW marker
+        _emit_eobrun(bw, state)
+        bw.flush()
+        bw.out += bytes(
+            [0xFF, 0xD0 + ((n_done // restart_interval - 1) % 8)]
+        )
 
     for comps_sel, ss, se, ah, al in scans:
         sos = bytes([len(comps_sel)])
@@ -1006,8 +1018,17 @@ def encode_progressive_jpeg(
         if ss == 0:  # DC scan (interleaved over MCUs)
             if ah == 0:
                 prev_dc = [0] * len(comps_sel)
+                mcu_n = 0
                 for my in range(mcuy):
                     for mx in range(mcux):
+                        if (
+                            restart_interval
+                            and mcu_n
+                            and mcu_n % restart_interval == 0
+                        ):
+                            rst_marker(bw, state, mcu_n)
+                            prev_dc = [0] * len(comps_sel)
+                        mcu_n += 1
                         for si, ci in enumerate(comps_sel):
                             ch_, cv = hv[ci]
                             for by in range(cv):
@@ -1030,8 +1051,16 @@ def encode_progressive_jpeg(
                                             s,
                                         )
             else:  # DC refinement: one raw bit per block
+                mcu_n = 0
                 for my in range(mcuy):
                     for mx in range(mcux):
+                        if (
+                            restart_interval
+                            and mcu_n
+                            and mcu_n % restart_interval == 0
+                        ):
+                            rst_marker(bw, state, mcu_n)
+                        mcu_n += 1
                         for ci in comps_sel:
                             ch_, cv = hv[ci]
                             for by in range(cv):
@@ -1049,10 +1078,12 @@ def encode_progressive_jpeg(
             comp_w = -(-w * ch_ // hmax)
             nbh, nbw = -(-comp_h // 8), -(-comp_w // 8)
             blocks = grids[ci][:nbh, :nbw].reshape(-1, 64)
-            if ah == 0:
-                _encode_ac_first(bw, blocks, ss, se, al, state)
-            else:
-                _encode_ac_refine(bw, blocks, ss, se, al, state)
+            step = restart_interval or len(blocks)
+            enc = _encode_ac_first if ah == 0 else _encode_ac_refine
+            for gi in range(0, len(blocks), max(step, 1)):
+                if gi:
+                    rst_marker(bw, state, gi)
+                enc(bw, blocks[gi : gi + step], ss, se, al, state)
             _emit_eobrun(bw, state)
         bw.flush()
         out += bw.out

@@ -246,3 +246,24 @@ def test_progressive_flat_image_sparse_scans():
     px = np.full((24, 40, 3), 130, dtype=np.uint8)
     prog = decode_baseline_jpeg(encode_progressive_jpeg(px, 95))
     assert np.array_equal(prog, px)
+
+
+@pytest.mark.parametrize("interval", [1, 2, 3])
+def test_progressive_restart_markers_roundtrip(interval):
+    """Progressive scans with RSTn: byte-aligned restarts reset DC
+    predictors AND flush EOB runs (an EOB run must not cross a
+    restart boundary); decode must still equal the baseline decode
+    exactly — this exercises the progressive decoder's restart
+    resynchronization path with real markers."""
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(32, 24, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        base = decode_baseline_jpeg(
+            encode_baseline_jpeg(px, 90, subsampling=sub)
+        )
+        data = encode_progressive_jpeg(
+            px, 90, subsampling=sub, restart_interval=interval
+        )
+        assert b"\xff\xdd" in data
+        assert any(bytes([0xFF, 0xD0 + j]) in data for j in range(8))
+        assert np.array_equal(decode_baseline_jpeg(data), base)
