@@ -5,8 +5,10 @@ struct (modality, mime, width/height/duration, …). All Spark-side
 plumbing — schema, Arrow-batched Pandas UDFs over ``mapInPandas``,
 partition sizing — is real and tested. Codecs: every UNCOMPRESSED
 wire format decodes FOR REAL in pure numpy/struct + stdlib zlib —
-24-bit BMP, 8-bit truecolor PNG (chunk CRCs, IDAT inflate, all five
-scanline unfilters), 16-bit PCM WAV (RIFF chunk walk, deinterleave),
+24-bit BMP, PNG across the real-corpus surface (chunk CRCs, IDAT
+inflate, all five scanline unfilters; grayscale / truecolor /
+palette at bit depths 1-8 / alpha variants / Adam7 interlace — only
+16-bit depths refuse), 16-bit PCM WAV (RIFF chunk walk, deinterleave),
 and raw-DIB AVI video (avih/strh/strf headers, movi frame chunks,
 idx1); oracle-verified round trips in `multimodal_{bmp,png,wav}_
 roundtrip` and `multimodal_avi_framesample`. JPEG decodes
@@ -87,7 +89,8 @@ def _pil_image_module():
 
 def decode_image(payload: bytes) -> object:
     """Image decode dispatch by magic bytes. Uncompressed 24-bit BMP
-    and 8-bit truecolor PNG decode HERE, for real (pure numpy/struct +
+    and PNG (gray/truecolor/palette/alpha, Adam7) decode HERE, for
+    real (pure numpy/struct +
     stdlib zlib — no imaging library needed). JPEG decodes through
     Pillow when installed (probed at call time so executors resolve
     it against their own environment) and through the pure-Python
@@ -281,56 +284,24 @@ def encode_png(pixels) -> bytes:
     )
 
 
-def decode_png(payload: bytes):
-    """Decode an 8-bit truecolor PNG into an (h, w, 3) uint8 RGB array
-    (top-down): walk the chunk stream (verifying each CRC), inflate
-    the concatenated IDAT data, and reverse the per-scanline filter —
-    all five types. Sub/Average/Paeth reconstruction is sequential in
-    x by definition (each pixel depends on the reconstructed left
-    neighbor), so those rows loop per pixel; palettes, interlacing,
-    alpha, and other bit depths are rejected loudly."""
-    import zlib
-
+def _png_unfilter(
+    raw: bytes, offset: int, h: int, stride: int, bpp: int
+):
+    """Reverse PNG scanline filtering for one (sub-)image: ``h``
+    scanlines of ``stride`` bytes each, preceded by a filter-type
+    byte; ``bpp`` is the filter's byte distance to the left
+    neighbor. Returns (h, stride) uint8. All five filter types;
+    Sub/Average/Paeth reconstruct sequentially in x by definition
+    (each byte depends on the reconstructed byte one pixel left), so
+    those rows loop per byte — a plain-int loop is ~10x cheaper than
+    per-pixel numpy indexing."""
     import numpy as np
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, dims = 8, bytearray(), None
-    while pos + 12 <= len(payload):
-        (ln,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
-        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {tag!r} chunk")
-        if tag == b"IHDR":
-            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
-                raise NotImplementedError(
-                    "only 8-bit truecolor non-interlaced PNG supported "
-                    f"(depth={depth}, color_type={ctype}, "
-                    f"interlace={interlace})"
-                )
-            dims = (w, h)
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln
-    if dims is None:
-        raise ValueError("missing IHDR chunk")
-    w, h = dims
-    raw = zlib.decompress(bytes(idat))
-    stride = w * _BPP
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT length does not match dimensions")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        start = y * (stride + 1) + 1
+        ftype = raw[offset + y * (stride + 1)]
+        start = offset + y * (stride + 1) + 1
         if ftype == 0:
             rec = np.frombuffer(raw, np.uint8, stride, start).astype(
                 np.int16
@@ -338,7 +309,7 @@ def decode_png(payload: bytes):
         elif ftype == 1:  # Sub: mod-256 additions commute with cumsum
             rec = (
                 np.frombuffer(raw, np.uint8, stride, start)
-                .reshape(w, _BPP)
+                .reshape(-1, bpp)
                 .astype(np.int64)
                 .cumsum(axis=0)
                 .reshape(stride)
@@ -349,24 +320,20 @@ def decode_png(payload: bytes):
                 np.frombuffer(raw, np.uint8, stride, start) + prev
             ) % 256
         elif ftype in (3, 4):
-            # Average/Paeth reconstruct sequentially in x by definition
-            # (each byte depends on the reconstructed byte one pixel
-            # left), so they can't be sliced; a plain-int byte loop is
-            # ~10× cheaper than per-pixel numpy indexing.
             cur = list(raw[start : start + stride])
             pv = prev.tolist()
             if ftype == 3:  # Average
-                for x in range(_BPP):
+                for x in range(bpp):
                     cur[x] = (cur[x] + pv[x] // 2) & 0xFF
-                for x in range(_BPP, stride):
+                for x in range(bpp, stride):
                     cur[x] = (
-                        cur[x] + (cur[x - _BPP] + pv[x]) // 2
+                        cur[x] + (cur[x - bpp] + pv[x]) // 2
                     ) & 0xFF
             else:  # Paeth
-                for x in range(_BPP):
+                for x in range(bpp):
                     cur[x] = (cur[x] + pv[x]) & 0xFF  # paeth(0,up,0)=up
-                for x in range(_BPP, stride):
-                    a, b, c = cur[x - _BPP], pv[x], pv[x - _BPP]
+                for x in range(bpp, stride):
+                    a, b, c = cur[x - bpp], pv[x], pv[x - bpp]
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     cur[x] = (
@@ -380,9 +347,139 @@ def decode_png(payload: bytes):
             rec = np.asarray(cur, dtype=np.int16)
         else:
             raise ValueError(f"unknown scanline filter {ftype}")
-        prev = rec.astype(np.int16)
+        prev = rec
         out[y] = rec.astype(np.uint8)
-    return out.reshape(h, w, _BPP)
+    return out
+
+
+#: Adam7 pass geometry: (x origin, y origin, x stride, y stride)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unpack_samples(rows, w: int, depth: int, channels: int):
+    """(h, stride_bytes) filtered-out bytes -> (h, w, channels)
+    uint8 SAMPLE values (palette indices / raw intensities; depths
+    1/2/4 are bit-unpacked MSB-first, NOT scaled)."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(h, -1)[:, : w * channels].reshape(
+            h, w, channels
+        )
+    # sub-byte depths are legal only for 1-channel color types
+    bits = np.unpackbits(rows, axis=1)
+    idx = bits.reshape(h, -1, depth)[:, :w, :]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (idx * weights).sum(axis=2, dtype=np.uint8).reshape(
+        h, w, 1
+    )
+
+
+def decode_png(payload: bytes):
+    """Decode a PNG into an (h, w, 3) uint8 RGB array (top-down):
+    walk the chunk stream (verifying every CRC), inflate the
+    concatenated IDAT data, reverse the per-scanline filters, and
+    handle the full 8-bit real-corpus surface — grayscale (0),
+    truecolor (2), palette (3, at bit depths 1/2/4/8), gray+alpha
+    (4) and truecolor+alpha (6), both sequential and Adam7
+    INTERLACED (7 independently-filtered sub-images scattered back
+    on the pass grid). Alpha channels are dropped (RGB output
+    contract); 16-bit depths raise loudly."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, dims, plte = 8, bytearray(), None, None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if comp != 0 or filt != 0 or interlace > 1:
+                raise ValueError("malformed IHDR")
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+            if channels is None:
+                raise ValueError(f"unknown PNG color type {ctype}")
+            ok_depths = (1, 2, 4, 8) if ctype in (0, 3) else (8,)
+            if depth not in ok_depths:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={ctype} "
+                    "not supported (16-bit needs a wider pipeline)"
+                )
+            dims = (w, h)
+        elif tag == b"PLTE":
+            if ln % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if dims is None:
+        raise ValueError("missing IHDR chunk")
+    w, h = dims
+    raw = zlib.decompress(bytes(idat))
+    bpp = max(1, depth * channels // 8)
+
+    def region_stride(width: int) -> int:
+        return -(-width * depth * channels // 8)
+
+    samples = np.zeros((h, w, channels), dtype=np.uint8)
+    if interlace == 0:
+        stride = region_stride(w)
+        if len(raw) != h * (stride + 1):
+            raise ValueError("IDAT length does not match dimensions")
+        rows = _png_unfilter(raw, 0, h, stride, bpp)
+        samples = _png_unpack_samples(rows, w, depth, channels)
+    else:  # Adam7
+        offset = 0
+        for ox, oy, sx, sy in _ADAM7:
+            pw = (w - ox + sx - 1) // sx
+            ph = (h - oy + sy - 1) // sy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = region_stride(pw)
+            need = ph * (stride + 1)
+            if offset + need > len(raw):
+                raise ValueError("IDAT shorter than Adam7 passes")
+            rows = _png_unfilter(raw, offset, ph, stride, bpp)
+            offset += need
+            sub = _png_unpack_samples(rows, pw, depth, channels)
+            samples[oy::sy, ox::sx, :] = sub
+        if offset != len(raw):
+            raise ValueError("IDAT longer than Adam7 passes")
+
+    if ctype == 2:
+        return samples
+    if ctype == 6:
+        return samples[:, :, :3]  # drop alpha
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("pixel index outside the palette")
+        return plte[idx]
+    # grayscale (0) / gray+alpha (4): scale sub-byte depths, replicate
+    g = samples[:, :, 0]
+    if depth < 8:
+        g = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    return np.stack([g, g, g], axis=-1)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:

@@ -270,17 +270,18 @@ def test_png_decode_rejects_corruption_and_unsupported():
         decode_png(bytes(good))
     with _pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"nope")
-    # grayscale (color type 0) header must be rejected loudly
+    # 16-bit depth must still be rejected loudly (grayscale/palette
+    # decode for REAL since round 8 — see test_png_variant_decodes)
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr))
         + b"IHDR"
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with _pytest.raises(NotImplementedError, match="truecolor"):
+    with _pytest.raises(NotImplementedError, match="depth=16"):
         decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
 
 
@@ -994,3 +995,116 @@ def test_gif_lzw_deferred_clear_streams_decode():
 
     out = G._lzw_decode(bytes(bw.out), min_code_size, len(indices))
     assert out == indices
+
+
+def test_png_variant_decodes_real_corpus_surface():
+    """Grayscale (8/1-bit), palette (4/2-bit incl. Adam7), alpha
+    variants, and Adam7-interlaced truecolor — hand-built
+    spec-conformant streams, exact pixel assertions. This is the PNG
+    surface a scraped corpus actually contains beyond our own
+    encoder's truecolor profile."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from funding_monitoring_spark.operators.multimodal import decode_png
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def build(w, h, depth, ctype, interlace, scanbytes, plte=None):
+        out = b"\x89PNG\r\n\x1a\n"
+        out += chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace),
+        )
+        if plte is not None:
+            out += chunk(b"PLTE", plte.tobytes())
+        return out + chunk(b"IDAT", zlib.compress(scanbytes)) + chunk(
+            b"IEND", b""
+        )
+
+    def pack_row(vals, depth):
+        bits = np.unpackbits(vals[:, None].astype(np.uint8), axis=1)[
+            :, 8 - depth :
+        ].reshape(-1)
+        bits = np.concatenate(
+            [bits, np.zeros((-len(bits)) % 8, dtype=np.uint8)]
+        )
+        return np.packbits(bits).tobytes()
+
+    rng = np.random.RandomState(0)
+    adam7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    # grayscale 8-bit
+    w, h = 9, 5
+    g = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    sb = b"".join(b"\x00" + g[y].tobytes() for y in range(h))
+    assert np.array_equal(
+        decode_png(build(w, h, 8, 0, 0, sb)), np.stack([g] * 3, -1)
+    )
+
+    # grayscale 1-bit scales to 0/255
+    w, h = 10, 3
+    bw = rng.randint(0, 2, size=(h, w), dtype=np.uint8)
+    sb = b"".join(b"\x00" + pack_row(bw[y], 1) for y in range(h))
+    assert np.array_equal(
+        decode_png(build(w, h, 1, 0, 0, sb))[:, :, 0], bw * 255
+    )
+
+    # palette 4-bit
+    w, h = 7, 4
+    idx = rng.randint(0, 16, size=(h, w), dtype=np.uint8)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    sb = b"".join(b"\x00" + pack_row(idx[y], 4) for y in range(h))
+    assert np.array_equal(
+        decode_png(build(w, h, 4, 3, 0, sb, plte=pal)), pal[idx]
+    )
+
+    # truecolor+alpha with Up filter rows: alpha dropped
+    w, h = 6, 5
+    rgba = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+    rows, prev = b"", np.zeros(w * 4, dtype=np.int16)
+    for y in range(h):
+        cur = rgba[y].reshape(-1).astype(np.int16)
+        rows += b"\x02" + ((cur - prev) % 256).astype(np.uint8).tobytes()
+        prev = cur
+    assert np.array_equal(
+        decode_png(build(w, h, 8, 6, 0, rows)), rgba[:, :, :3]
+    )
+
+    # Adam7 interlaced truecolor
+    w, h = 11, 9
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    sb = b""
+    for ox, oy, sx, sy in adam7:
+        sub = px[oy::sy, ox::sx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            sb += b"\x00" + sub[y].tobytes()
+    assert np.array_equal(decode_png(build(w, h, 8, 2, 1, sb)), px)
+
+    # Adam7 interlaced 2-bit palette
+    w, h = 9, 6
+    idx = rng.randint(0, 4, size=(h, w), dtype=np.uint8)
+    pal = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    sb = b""
+    for ox, oy, sx, sy in adam7:
+        sub = idx[oy::sy, ox::sx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            sb += b"\x00" + pack_row(sub[y], 2)
+    assert np.array_equal(
+        decode_png(build(w, h, 2, 3, 1, sb, plte=pal)), pal[idx]
+    )
