@@ -13,7 +13,7 @@ Scope (honest partial coverage, same policy as the other codecs):
   real LZW (dictionary growth to 4096 with clear-code reset,
   variable code width 9->12);
 - decoder handles arbitrary palette sizes, dictionary resets, and
-  the deferred-clear convention; interlaced or local-palette images
+  the deferred-clear convention; local-palette images
   raise NotImplementedError.
 
 The pixel payload is INDEXED: encode takes an (h, w) uint8 index
@@ -199,8 +199,9 @@ def encode_gif(indices, palette) -> bytes:
 
 def decode_gif(payload: bytes):
     """GIF87a/89a bytes -> ((h, w, 3) uint8 RGB, (h, w) uint8
-    indices). Single non-interlaced image with a global palette;
-    89a extension blocks are skipped."""
+    indices). Single image with a global palette (interlaced rows
+    are scattered back per App. E); 89a extension blocks are
+    skipped."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh = struct.unpack_from("<HH", payload, 6)
@@ -226,8 +227,7 @@ def decode_gif(payload: bytes):
             pos += 10
             if ipacked & 0x80:
                 raise NotImplementedError("local color tables")
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF")
+            interlaced = bool(ipacked & 0x40)
             min_code_size = payload[pos]
             pos += 1
             data = bytearray()
@@ -240,6 +240,21 @@ def decode_gif(payload: bytes):
                 _lzw_decode(bytes(data), min_code_size, w * h),
                 dtype=np.uint8,
             ).reshape(h, w)
+            if interlaced:
+                # GIF89a App. E: rows arrive in four passes
+                # (every 8th from 0, every 8th from 4, every 4th
+                # from 2, every 2nd from 1) — scatter back
+                order = np.concatenate(
+                    [
+                        np.arange(0, h, 8),
+                        np.arange(4, h, 8),
+                        np.arange(2, h, 4),
+                        np.arange(1, h, 2),
+                    ]
+                )
+                deint = np.empty_like(idx)
+                deint[order] = idx
+                idx = deint
             if idx.max(initial=0) >= len(table):
                 raise ValueError("pixel index outside the palette")
             return table[idx], idx

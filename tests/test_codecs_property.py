@@ -267,3 +267,22 @@ def test_mp3_metadata_vbr_and_errors():
     hdr[1] = 0xF3  # MPEG-2 version bits
     with pytest.raises(NotImplementedError, match="MPEG-2"):
         parse_mp3_metadata(bytes(hdr))
+
+
+def test_gif_interlaced_decode():
+    """GIF89a interlacing: rows arrive in four passes; craft the
+    stream by encoding pass-ordered rows and setting the interlace
+    flag — decode must scatter them back exactly."""
+    rng = np.random.RandomState(5)
+    h, w = 13, 6
+    idx = rng.randint(0, 8, size=(h, w)).astype(np.uint8)
+    pal = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8),
+         np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    data = bytearray(encode_gif(idx[order], pal))
+    data[data.index(0x2C) + 9] |= 0x40  # set the interlace flag
+    rgb, back = decode_gif(bytes(data))
+    assert np.array_equal(back, idx)
+    assert np.array_equal(rgb, pal[idx])
