@@ -225,8 +225,12 @@ def decode_gif(payload: bytes):
             left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
             ipacked = payload[pos + 9]
             pos += 10
-            if ipacked & 0x80:
-                raise NotImplementedError("local color tables")
+            if ipacked & 0x80:  # local color table overrides global
+                lct_n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(
+                    payload[pos : pos + 3 * lct_n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * lct_n
             interlaced = bool(ipacked & 0x40)
             min_code_size = payload[pos]
             pos += 1

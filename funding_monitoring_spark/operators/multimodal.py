@@ -190,30 +190,45 @@ def encode_bmp(pixels) -> bytes:
 
 
 def decode_bmp(payload: bytes):
-    """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB
-    array (top-down). Handles row padding, BGR order, and both
-    bottom-up (h > 0) and top-down (h < 0) row directions; anything
-    fancier (compression, other bit depths) is rejected loudly."""
+    """Decode an uncompressed 24-bit or 32-bit BMP into an (h, w, 3)
+    uint8 RGB array (top-down). Handles row padding, BGR(A) order,
+    both bottom-up (h > 0) and top-down (h < 0) row directions, and
+    BI_BITFIELDS 32-bit headers with the standard byte-aligned masks
+    (the common screenshot format — the alpha/padding byte is
+    dropped); anything fancier (RLE compression, palette depths,
+    non-standard bitfields) is rejected loudly."""
     import numpy as np
 
     magic, _, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
     if magic != b"BM":
         raise ValueError("not a BMP payload")
     _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
-    if bpp != 24 or comp != 0:
+    if bpp not in (24, 32) or comp not in (0, 3):
         raise NotImplementedError(
-            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
             f"compression={comp})"
         )
+    if comp == 3:  # BI_BITFIELDS: accept only the standard masks
+        if bpp != 32:
+            raise NotImplementedError("bitfields on non-32-bit BMP")
+        r_m, g_m, b_m = struct.unpack_from("<III", payload, 54)
+        if (r_m, g_m, b_m) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise NotImplementedError(
+                "non-standard BMP channel bitfields"
+            )
+    nch = bpp // 8
     top_down = h < 0
     hh = abs(h)
-    pad = (4 - (w * 3) % 4) % 4
-    row_size = w * 3 + pad
+    pad = (4 - (w * nch) % 4) % 4
+    row_size = w * nch + pad
     out = np.empty((hh, w, 3), dtype=np.uint8)
     for i in range(hh):
         row = np.frombuffer(
-            payload, dtype=np.uint8, count=w * 3, offset=offset + i * row_size
-        ).reshape(w, 3)[:, ::-1]  # BGR → RGB
+            payload,
+            dtype=np.uint8,
+            count=w * nch,
+            offset=offset + i * row_size,
+        ).reshape(w, nch)[:, 2::-1]  # BGR(A) → RGB, alpha dropped
         out[i if top_down else hh - 1 - i] = row
     return out
 

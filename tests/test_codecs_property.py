@@ -286,3 +286,21 @@ def test_gif_interlaced_decode():
     rgb, back = decode_gif(bytes(data))
     assert np.array_equal(back, idx)
     assert np.array_equal(rgb, pal[idx])
+
+
+def test_gif_local_color_table_overrides_global():
+    """A local color table replaces the global one for its image —
+    craft the stream by splicing an LCT into an encoded GIF and
+    check pixels resolve against the LOCAL palette."""
+    rng = np.random.RandomState(6)
+    idx = rng.randint(0, 4, size=(5, 7)).astype(np.uint8)
+    g_pal = np.zeros((4, 3), dtype=np.uint8)  # global: all black
+    l_pal = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+    data = bytearray(encode_gif(idx, g_pal))
+    i = data.index(0x2C)
+    lct_bits = 1  # 2 << 1 = 4 entries
+    data[i + 9] |= 0x80 | lct_bits
+    data[i + 10 : i + 10] = l_pal.tobytes()  # splice LCT after descriptor
+    rgb, back = decode_gif(bytes(data))
+    assert np.array_equal(back, idx)
+    assert np.array_equal(rgb, l_pal[idx])

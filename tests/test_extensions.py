@@ -1108,3 +1108,42 @@ def test_png_variant_decodes_real_corpus_surface():
     assert np.array_equal(
         decode_png(build(w, h, 2, 3, 1, sb, plte=pal)), pal[idx]
     )
+
+
+def test_bmp_32bit_decode():
+    """32-bit BMPs (the common screenshot format): BGRA byte order,
+    alpha dropped, both BI_RGB and standard BI_BITFIELDS headers."""
+    import struct
+
+    import numpy as np
+
+    from funding_monitoring_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.RandomState(8)
+    w, h = 5, 3
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def build(comp):
+        hdr_extra = (
+            struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+            if comp == 3
+            else b""
+        )
+        offset = 54 + len(hdr_extra)
+        rows = b""
+        for y in range(h - 1, -1, -1):  # bottom-up
+            for x in range(w):
+                r, g, b = px[y, x]
+                rows += bytes([b, g, r, 0xAA])  # BGRA, junk alpha
+        body = hdr_extra + rows
+        head = b"BM" + struct.pack(
+            "<IHHI", 14 + 40 + len(body), 0, 0, offset
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 32, comp, len(rows),
+            2835, 2835, 0, 0,
+        )
+        return head + info + body
+
+    for comp in (0, 3):
+        assert np.array_equal(decode_bmp(build(comp)), px), comp
