@@ -744,6 +744,113 @@ def _bmp_pixels(media_id: int, w: int, h: int):
 
 
 
+def _png_ihdr(w, h, depth, ctype, interlace=0) -> bytes:
+    return _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    )
+
+
+def _encode_png_gray(g) -> bytes:
+    """(h, w) uint8 -> 8-bit grayscale PNG (color type 0)."""
+    import zlib
+
+    h, w = g.shape
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_ihdr(w, h, 8, 0)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _encode_png_palette4(idx, pal) -> bytes:
+    """(h, w) indices < 16 + (16, 3) palette -> 4-bit palette PNG
+    (color type 3): two MSB-first nibbles per byte."""
+    import zlib
+
+    import numpy as np
+
+    h, w = idx.shape
+    rows = []
+    for y in range(h):
+        row = idx[y]
+        if w % 2:
+            row = np.concatenate([row, np.zeros(1, dtype=np.uint8)])
+        packed = (row[0::2] << 4) | row[1::2]
+        rows.append(b"\x00" + packed.astype(np.uint8).tobytes())
+    return (
+        _PNG_SIG
+        + _png_ihdr(w, h, 4, 3)
+        + _png_chunk(b"PLTE", np.asarray(pal, dtype=np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+#: Adam7 pass geometry (x origin, y origin, x stride, y stride)
+_ADAM7_ENC = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _encode_png_adam7_rgb(px) -> bytes:
+    """(h, w, 3) uint8 -> Adam7-INTERLACED truecolor PNG: seven
+    independently-filtered sub-images in pass order."""
+    import zlib
+
+    h, w = px.shape[:2]
+    raw = bytearray()
+    for ox, oy, sx, sy in _ADAM7_ENC:
+        sub = px[oy::sy, ox::sx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw += b"\x00" + sub[y].tobytes()
+    return (
+        _PNG_SIG
+        + _png_ihdr(w, h, 8, 2, interlace=1)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_variant_payload(mid: int) -> bytes:
+    """Closed-form payload for the PNG-variant round trip: variant
+    mid%3 selects grayscale / 4-bit palette / Adam7 truecolor, each
+    from an integer field the SQL oracle recomputes exactly."""
+    import numpy as np
+
+    w, h = _bmp_dims(mid)
+    v = mid % 3
+    if v == 0:
+        p = np.arange(w * h, dtype=np.int64)
+        g = ((mid * 11 + p * 5) * 29 % 256).astype(np.uint8)
+        return _encode_png_gray(g.reshape(h, w))
+    if v == 1:
+        p = np.arange(w * h, dtype=np.int64)
+        idx = ((mid + p * 5) % 16).astype(np.uint8).reshape(h, w)
+        i = np.arange(16, dtype=np.int64)
+        pal = np.stack(
+            [i * 17 % 256, i * 37 % 256, i * 73 % 256], axis=1
+        ).astype(np.uint8)
+        return _encode_png_palette4(idx, pal)
+    return _encode_png_adam7_rgb(_bmp_pixels(mid, w, h))
+
+
+def synthesize_png_variant_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """PNG payloads across the REAL-corpus variant surface —
+    grayscale (type 0), 4-bit palette (type 3), and Adam7-interlaced
+    truecolor — one variant per id, so the decoder's non-truecolor
+    paths get oracle rows, not just unit tests."""
+    return _synthesize_media(
+        ids, id_col, None, "image/png", payload_fn=_png_variant_payload
+    )
+
+
 def _spread_ids(media_ids: DataFrame) -> DataFrame:
     """Round-robin the id column across the session's full
     parallelism before the codec mapInPandas. A single-file parquet
@@ -756,10 +863,13 @@ def _spread_ids(media_ids: DataFrame) -> DataFrame:
 
 
 def _synthesize_media(
-    ids: DataFrame, id_col: str, encoder, mime: str
+    ids: DataFrame, id_col: str, encoder, mime: str, payload_fn=None
 ) -> DataFrame:
     """Shared writer half of the codec round trips: real encoded
     payloads (one per input id) from the closed-form pixel field.
+    ``payload_fn(media_id)``, when given, builds the payload directly
+    from the id instead of encoder(pixel field) — for variants whose
+    source field differs per id (the PNG-variant round trip).
     1:1 mapInPandas, no shuffle."""
     try:
         import sys as _sys
@@ -775,7 +885,11 @@ def _synthesize_media(
             payloads, metas = [], []
             for mid in pdf["media_id"]:
                 w, h = _bmp_dims(int(mid))
-                payloads.append(encoder(_bmp_pixels(int(mid), w, h)))
+                payloads.append(
+                    payload_fn(int(mid))
+                    if payload_fn is not None
+                    else encoder(_bmp_pixels(int(mid), w, h))
+                )
                 metas.append(
                     {
                         "modality": "image",

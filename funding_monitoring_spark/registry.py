@@ -148,11 +148,12 @@ def query(name: str, sql: str | None):
 #:       again in r7: drawdown run_max guard). The r4 remainder rolls
 #:       to r9. Every overflow query gets a fresh local row each
 #:       round.
-#:   r9 plan (precommitted): (a) the 5 round-8 post-freeze
+#:   r9 plan (precommitted): (a) the 6 round-8 post-freeze
 #:       registrations first, in registration order (each shipped
 #:       with a green driver-format row in CORRECTNESS_LOCAL_r8.json)
-#:       — snapshot_bloom_pruned_read_str, multimodal_flac_roundtrip,
-#:       multimodal_jpeg420_roundtrip,
+#:       — snapshot_bloom_pruned_read_str,
+#:       multimodal_png_variants_roundtrip,
+#:       multimodal_flac_roundtrip, multimodal_jpeg420_roundtrip,
 #:       multimodal_jpeg_progressive_roundtrip,
 #:       multimodal_mp3_frame_scan; (b) the 38
 #:       r4-row remainder — the oldest rows in the registry at r9

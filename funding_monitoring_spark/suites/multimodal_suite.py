@@ -157,6 +157,73 @@ def q_multimodal_png_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_png_variants_roundtrip",
+    """
+    WITH dims AS (
+        SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS v,
+               CAST(2 + doc_id % 6 AS INT) AS width,
+               CAST(2 + doc_id % 4 AS INT) AS height
+        FROM documents
+    ),
+    px AS (
+        SELECT media_id, v, width, height,
+               CASE v
+                 WHEN 0 THEN list_transform(range(0, width*height),
+                     p -> (media_id*11 + p*5)*29 % 256)
+                 WHEN 1 THEN list_transform(range(0, width*height),
+                     p -> ((media_id + p*5) % 16) * 17 % 256)
+                 ELSE list_transform(range(0, width*height),
+                     p -> ((media_id*7 + p*3 + 0)*31) % 256)
+               END AS r,
+               CASE v
+                 WHEN 0 THEN list_transform(range(0, width*height),
+                     p -> (media_id*11 + p*5)*29 % 256)
+                 WHEN 1 THEN list_transform(range(0, width*height),
+                     p -> ((media_id + p*5) % 16) * 37 % 256)
+                 ELSE list_transform(range(0, width*height),
+                     p -> ((media_id*7 + p*3 + 1)*31) % 256)
+               END AS g,
+               CASE v
+                 WHEN 0 THEN list_transform(range(0, width*height),
+                     p -> (media_id*11 + p*5)*29 % 256)
+                 WHEN 1 THEN list_transform(range(0, width*height),
+                     p -> ((media_id + p*5) % 16) * 73 % 256)
+                 ELSE list_transform(range(0, width*height),
+                     p -> ((media_id*7 + p*3 + 2)*31) % 256)
+               END AS b
+        FROM dims
+    )
+    SELECT media_id, width, height,
+           ROUND(list_sum(r) / CAST(width*height AS DOUBLE), 6) AS mean_r,
+           ROUND(list_sum(g) / CAST(width*height AS DOUBLE), 6) AS mean_g,
+           ROUND(list_sum(b) / CAST(width*height AS DOUBLE), 6) AS mean_b,
+           CAST(list_extract(r, 1) AS INT) AS corner_r,
+           CAST(list_extract(g, 1) AS INT) AS corner_g,
+           CAST(list_extract(b, 1) AS INT) AS corner_b
+    FROM px
+    """,
+)
+def q_multimodal_png_variants_roundtrip(spark, sf_dir):
+    """PNG across the REAL-corpus variant surface, oracle-checked:
+    each document synthesizes one of grayscale (color type 0), 4-bit
+    palette (type 3, MSB-first nibbles + PLTE), or Adam7-INTERLACED
+    truecolor (seven independently-filtered sub-images), and the one
+    real decoder reads them all back (operators/multimodal.py
+    decode_png). PNG is lossless, so per-channel means and the
+    corner pixel hash EXACTLY against the closed-form fields — a
+    nibble-order, pass-geometry, or palette-lookup bug moves the
+    hash. Upgrades round 8's variant unit tests to driver-checked
+    oracle rows."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_image_features,
+        synthesize_png_variant_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features(synthesize_png_variant_media(docs))
+
+
+@query(
     "multimodal_gif_roundtrip",
     f"""
     WITH dims AS (
