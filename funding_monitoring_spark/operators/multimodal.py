@@ -1037,10 +1037,25 @@ def decode_wav(payload: bytes):
         )
 
         return decode_adpcm_wav(payload)
+    if tag_code == 3 and bits == 32:
+        # IEEE-float PCM: scale to the int16 contract (round-half-
+        # away like every fixed-point converter), clip at full scale
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        scaled = f * 32767.0
+        pcm = np.clip(
+            np.trunc(scaled + np.where(scaled >= 0, 0.5, -0.5)),
+            -32768,
+            32767,
+        ).astype(np.int16)
+        return pcm.reshape(-1, ch), rate
+    if tag_code == 1 and bits == 8:
+        # 8-bit PCM is UNSIGNED per the WAV spec: recentre and widen
+        u = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+        return ((u - 128) << 8).reshape(-1, ch), rate
     if tag_code != 1 or bits != 16:
         raise NotImplementedError(
-            f"only 16-bit PCM and IMA ADPCM WAV supported "
-            f"(format={tag_code}, bits={bits})"
+            f"only 8/16-bit PCM, float32 PCM and IMA ADPCM WAV "
+            f"supported (format={tag_code}, bits={bits})"
         )
     pcm = np.frombuffer(data, dtype="<i2")
     return pcm.reshape(-1, ch), rate

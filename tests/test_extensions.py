@@ -1147,3 +1147,37 @@ def test_bmp_32bit_decode():
 
     for comp in (0, 3):
         assert np.array_equal(decode_bmp(build(comp)), px), comp
+
+
+def test_wav_8bit_and_float32_decode():
+    """8-bit PCM is unsigned per spec (recentred, widened to the
+    int16 contract); float32 PCM scales by 32767 with half-away
+    rounding. Streams hand-built with the correct fmt fields."""
+    import struct
+
+    import numpy as np
+
+    from funding_monitoring_spark.operators.multimodal import decode_wav
+
+    def wav(fmt_tag, bits, data, ch=1, rate=8000):
+        block = ch * bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, ch, rate, rate * block, block, bits
+        )
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            body += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    u8 = np.array([0, 128, 255, 200], dtype=np.uint8)
+    pcm, rate = decode_wav(wav(1, 8, u8.tobytes()))
+    assert rate == 8000
+    assert pcm[:, 0].tolist() == [
+        (v - 128) << 8 for v in u8.tolist()
+    ]
+
+    f32 = np.array([0.0, 1.0, -1.0, 0.5, -0.25, 2.0], dtype="<f4")
+    pcm, _ = decode_wav(wav(3, 32, f32.tobytes()))
+    # symmetric 32767 scaling: -1.0 -> -32767; out-of-range clips
+    assert pcm[:, 0].tolist() == [0, 32767, -32767, 16384, -8192, 32767]
