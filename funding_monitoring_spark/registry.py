@@ -165,8 +165,24 @@ def query(name: str, sql: str | None):
 #:       and the PQ family run over similarity.py code that changed
 #:       in r8 (IVF_CENT_CAP + argmin repartition), so the r4/r5
 #:       rows over that file lead their cohorts; (c) remaining slots
-#:       (50 - 5 - 38 = 7) to the oldest r5 rows in registration
-#:       order. Registration FREEZES once the r9 window fills.
+#:       (50 - 6 - 38 = 6; the original note said 7 — an arithmetic
+#:       slip, there are 6 post-freeze registrations, so 6 slots
+#:       remain) to the oldest r5 rows, the three similarity_suite
+#:       rows first per the lead-their-cohort rule above
+#:       (ann_cosine_topk_ivf, embedding_near_dup,
+#:       ann_cosine_topk_ivf_kmeans), then true registration order
+#:       (funding_rate_anomaly, snapshot_diff_ticks,
+#:       heavy_hitter_users). Registration FREEZES once the r9
+#:       window fills.
+#:   r10 plan (precommitted): (a) any round-9 post-freeze
+#:       registrations first, in registration order (each must ship
+#:       with a green driver-format row in CORRECTNESS_LOCAL_r9.json);
+#:       (b) the 45 r5-row remainder — the oldest rows in the
+#:       registry at r10 (the round-4 post-freeze cohort below minus
+#:       the six r5 rows pulled into the r9 window) in registration
+#:       order; (c) remaining slots to the oldest r6 rows in
+#:       registration order. Registration FREEZES once the r10
+#:       window fills.
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
@@ -188,73 +204,77 @@ def query(name: str, sql: str | None):
 #: multi_touch_attribution, simhash_distance_histogram,
 #: dedup_savings_report, hourly_activity_heatmap, value_histogram.
 _PRIORITY: list[str] = [
-    # (a) round-7 post-freeze registrations, never driver-checked,
-    # in true registration order (15) — each carries a green
-    # driver-format row in CORRECTNESS_LOCAL_r7.json
-    "bloom_prefilter_join",
-    "incremental_minhash_dedup",
-    "snapshot_metadata_count",
-    "merge_on_read_snapshot",
-    "snapshot_version_cdc",
-    "snapshot_bloom_pruned_read",
-    "multimodal_gif_roundtrip",
-    "multimodal_resize_real",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_mjpg_framesample",
-    "multimodal_adpcm_roundtrip",
-    "image_dhash_index",
-    "ann_index_incremental",
-    "stream_merge_on_read",
-    "hashed_ngram_quality_score",
-    # (b) the 23 r3-row remainder — oldest rows in the registry
-    # (age 5 rounds), exactly as precommitted in the r7 docstring (23)
-    "upsert_merge",
-    "scalar_datetime_suite",
-    "scalar_string_suite",
-    "scalar_cast_annualize",
-    "json_extract",
-    "nested_json_explode",
-    "full_outer_reconciliation",
-    "jsonl_quarantine",
-    "salted_join_agg",
-    "pivot_status_by_priority",
-    "unpivot_part_attrs",
-    "cube_revenue",
-    "set_intersect_nations",
-    "set_except_nations",
-    "approx_quantiles_events",
-    "futures_snapshot",
-    "spot_pairs_snapshot",
-    "lending_pipeline",
-    "funding_stats",
-    "sql_funding_stats",
-    "trailing_time_features",
-    "tpch_q8_market_share",
-    "expectation_audit",
-    # (c) 12 oldest r4 rows: the 7-query streaming family first
-    # (streaming/pipelines.py changed in r7 — drawdown run_max
-    # guard), then the 5 oldest non-streaming r4 rows by
-    # registration order (12)
-    "stream_upsert_rates",
-    "stream_tumbling_rollup",
-    "stream_lending_append",
-    "stream_ewma_stateful",
-    "stream_funding_pipeline",
-    "stream_stream_join_attribution",
-    "stream_session_windows",
-    "embedding_covariance",
-    "grouping_sets_revenue",
-    "keep_list_projection",
-    "drop_column",
-    "filter_suffix",
+    # (a) round-8 post-freeze registrations, never driver-checked,
+    # in true registration order (6) — each carries a green
+    # driver-format row in CORRECTNESS_LOCAL_r8.json
+    "snapshot_bloom_pruned_read_str",
+    "multimodal_png_variants_roundtrip",
+    "multimodal_flac_roundtrip",
+    "multimodal_jpeg420_roundtrip",
+    "multimodal_jpeg_progressive_roundtrip",
+    "multimodal_mp3_frame_scan",
+    # (b) the 38 r4-row remainder — oldest rows in the registry
+    # (age 5 rounds at r9), in registration order, exactly as
+    # precommitted in the r8 docstring (38)
+    "filter_equality",
+    "filter_time_range",
+    "group_min",
+    "value_percentiles",
+    "rollup_totals",
+    "distinct_values",
+    "existence_probe",
+    "broadcast_join_dim",
+    "semi_join_universe",
+    "sort_limit",
+    "topk_per_group",
+    "union_append",
+    "jsonl_file_source",
+    "tsv_file_source",
+    "cdc_materialize",
+    "event_transition_matrix",
+    "cap_per_source",
+    "paged_backfill",
+    "main_dag_parity",
+    "multimodal_wav_roundtrip",
+    "multimodal_avi_framesample",
+    "hash_sample_documents",
+    "stratified_sample_by_lang",
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "ann_cosine_topk_scale",
+    "asof_join_backward",
+    "sessionize_events",
+    "session_window_agg",
+    "interval_join_attribution",
+    "asof_join_forward",
+    "window_distribution_suite",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q11_important_parts",
+    "tpch_q16_supplier_variety",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    # (c) 6 oldest r5 rows: the three similarity_suite rows first
+    # (similarity.py changed in r8 — IVF_CENT_CAP + argmin
+    # repartition), then true registration order (6)
+    "ann_cosine_topk_ivf",
+    "embedding_near_dup",
+    "ann_cosine_topk_ivf_kmeans",
+    "funding_rate_anomaly",
+    "snapshot_diff_ticks",
+    "heavy_hitter_users",
 ]
-# ^ exactly 50 entries. After this round cumulative external coverage
-# is 236/236 — the 15 r7 post-freeze registrations get their first
-# external row. The r4 remainder (38 queries) rolls to r9 per the
-# precommitted plan in the docstring above, and every query NOT in
-# this window gets a same-format local row in
-# CORRECTNESS_LOCAL_r8.json (tools/local_correctness.py), so nothing
-# ships on pytest evidence alone.
+# ^ exactly 50 entries. After this round every query in the registry
+# has had at least one green external row (the 6 round-8 post-freeze
+# registrations were the only never-external rows). The cumulative
+# external-coverage number is GENERATED, never hand-written here:
+# run `python tools/coverage_stats.py` — it unions CORRECTNESS_r*.json
+# and prints ever-green / registry-size per round. The r5 remainder
+# (45 queries) rolls to r10 per the precommitted plan in the
+# docstring above, and every query NOT in this window gets a
+# same-format local row in CORRECTNESS_LOCAL_r9.json
+# (tools/local_correctness.py), so nothing ships on pytest evidence
+# alone.
 
 
 def _ordered(d: dict) -> dict:
