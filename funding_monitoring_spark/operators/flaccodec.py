@@ -290,7 +290,10 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     si += md5
     out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
     rate_code = _RATE_CODES.get(sample_rate, 0x0)
-    for fi in range(0, max(n, 1), _BLOCK):
+    # n == 0 encodes as a frame-less stream (STREAMINFO total=0, no
+    # frames): a zero-sample frame would otherwise write bs-1 = -1 in
+    # the 16-bit block-size field and index x[0] in _encode_subframe.
+    for fi in range(0, n, _BLOCK):
         block = pcm[fi : fi + _BLOCK]
         bs = len(block)
         bw = _BitWriter()

@@ -641,6 +641,13 @@ def _decode_scan(
     # ~4x cheaper than a numpy scalar setitem); one np.array at the end
     coeffs = [[0] * (n_mcu * c["h"] * c["v"] * 64) for c in comps]
     # one entry per block of an MCU: (component index, DC LUT, AC LUT)
+    if any(c["id"] not in scan_sel for c in comps):
+        # a legal SOF0 stream may split components across several SOS
+        # segments (non-interleaved sequential); this decoder reads a
+        # single interleaved scan only — refuse loudly, not KeyError
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) sequential JPEG"
+        )
     units: list[tuple[int, list, list]] = []
     for ci, comp in enumerate(comps):
         td, ta = scan_sel[comp["id"]]
@@ -1016,6 +1023,20 @@ def encode_progressive_jpeg(
         bw = _StuffWriter()
         state = {"eobrun": 0, "corr": []}
         if ss == 0:  # DC scan (interleaved over MCUs)
+            if len(comps_sel) == 1:
+                # a single-component DC scan is non-interleaved: a
+                # decoder iterates the component's own (unpadded)
+                # block grid, while the loops below walk the padded
+                # MCU grid — only identical grids cannot desync.
+                (ci0,) = comps_sel
+                ch0, cv0 = hv[ci0]
+                nbh0 = -(-(-(-h * cv0 // vmax)) // 8)
+                nbw0 = -(-(-(-w * ch0 // hmax)) // 8)
+                if (mcuy * cv0, mcux * ch0) != (nbh0, nbw0):
+                    raise NotImplementedError(
+                        "single-component DC scan over a padded "
+                        "component grid (non-MCU-multiple dims)"
+                    )
             if ah == 0:
                 prev_dc = [0] * len(comps_sel)
                 mcu_n = 0

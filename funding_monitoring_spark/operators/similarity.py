@@ -859,7 +859,13 @@ def cosine_topk_pq(
     # in the pipeline
     q = _prep(queries, id_col, emb_col, "q")
     c = _prep(corpus, id_col, emb_col, "c")
-    rescored = shortlist.join(F.broadcast(q), "q_id").join(c, "c_id")
+    # same explicit shape as cosine_topk_ivf_pq below: the bounded
+    # (n_queries * k * rerank) shortlist+query side is BROADCAST so
+    # the exact rescore probes the corpus scan as a BHJ regardless
+    # of what the size estimator thinks of the ADC subtree.
+    rescored = c.join(
+        F.broadcast(shortlist.join(F.broadcast(q), "q_id")), "c_id"
+    )
     return _score_and_rank(rescored, k)
 
 

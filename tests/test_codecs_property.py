@@ -131,6 +131,16 @@ def test_flac_roundtrip_lossless(n, ch, seed):
     assert np.array_equal(pcm, x.astype(np.int32))
 
 
+def test_flac_empty_pcm_roundtrips_as_frameless_stream():
+    # zero samples -> STREAMINFO-only stream, no frames (the old path
+    # wrote a bogus 16-bit block size of -1 then crashed on x[0])
+    for shape in ((0,), (0, 1), (0, 2)):
+        data = encode_flac(np.zeros(shape, dtype=np.int16), 8000)
+        pcm, rate = decode_flac(data)
+        assert rate == 8000
+        assert pcm.shape[0] == 0
+
+
 def test_flac_compresses_smooth_signals():
     x = (2000 * np.sin(np.linspace(0, 20, 5000))).astype(np.int16)
     data = encode_flac(x, 8000)

@@ -5,6 +5,8 @@ features, and malformed-stream rejection."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -94,6 +96,47 @@ def test_rejects_non_baseline_and_malformed():
         decode_baseline_jpeg(b"\x00\x01")  # no SOI
     with pytest.raises(ValueError):
         decode_baseline_jpeg(b"\xff\xd8\xff\xe0\x00\x00garbage")
+
+
+def test_rejects_multi_scan_sequential():
+    # a legal SOF0 stream may carry per-component (non-interleaved)
+    # scans across several SOS segments; this decoder reads one
+    # interleaved scan — the refusal must be loud, not a KeyError
+    rng = np.random.RandomState(6)
+    px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_baseline_jpeg(px, 95))
+    i = data.find(b"\xff\xda")
+    # SOS body: Ns, (cs, tda) * Ns, ss, se, ahal — rewrite to Ns=1
+    # keeping component 1's selector and the spectral bytes
+    body = data[i + 4 : i + 4 + data[i + 3] - 2]
+    new_body = bytes([1]) + bytes(body[1:3]) + bytes(body[7:10])
+    data[i + 2 : i + 4 + len(body)] = (
+        struct.pack(">H", len(new_body) + 2) + new_body
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_baseline_jpeg(bytes(data))
+
+
+def test_progressive_encoder_rejects_desyncing_dc_scan():
+    # single-component DC scans are non-interleaved: with 4:2:0
+    # subsampling and non-MCU-multiple dims the encoder's padded MCU
+    # walk and a decoder's unpadded component walk would desync
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    scans = [
+        ([0], 0, 0, 0, 1), ([1], 0, 0, 0, 1), ([2], 0, 0, 0, 1),
+        ([0], 0, 0, 1, 0), ([1], 0, 0, 1, 0), ([2], 0, 0, 1, 0),
+        ([0], 1, 63, 0, 0), ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0),
+    ]
+    with pytest.raises(NotImplementedError, match="single-component"):
+        encode_progressive_jpeg(px, 90, subsampling="420", scans=scans)
+    # luma-only DC scan on a non-subsampled frame: grids match, so
+    # the stream encodes and decodes exactly like the baseline path
+    data = encode_progressive_jpeg(px, 90, subsampling="444", scans=scans)
+    base = decode_baseline_jpeg(
+        encode_baseline_jpeg(px, 90, subsampling="444")
+    )
+    assert np.array_equal(decode_baseline_jpeg(data), base)
 
 
 def test_rejects_unsupported_sampling_factors():
