@@ -449,64 +449,97 @@ def streaming_drawdown_stateful(
     store_path: str,
     checkpoint: str,
     available_now: bool = True,
+    buckets: int | None = None,
 ) -> None:
     """Per-symbol maximum drawdown maintained ACROSS micro-batches —
     path-dependent state (running peak + worst trough ratio) that no
     built-in streaming aggregate expresses, the second
-    applyInPandasWithState operator next to the EWMA. State per key =
-    (run_max, max_dd, n); within a batch rows fold in (funding_time,
-    event_id) order, and chunks replay in that order, so the streamed
-    state equals the batch running-max window computation exactly —
-    every division v/run_max happens on the same operands in the same
-    order on both engines, so raw doubles hash (no rounding needed;
-    the min is order-independent). Points where run_max <= 0 are
-    excluded (drawdown requires a positive peak); a key with no
-    positive peak reports NULL max_drawdown."""
+    applyInPandasWithState operator next to the EWMA. State is
+    BUCKETED like the EWMA's (symbols hash into ``buckets`` groups,
+    per-group parallel arrays): the operator's protocol cost is per
+    key GROUP, so per-symbol grouping would pay O(live keys) Arrow +
+    state round trips per micro-batch — see streaming_ewma_stateful.
+    Per symbol the state is (run_max, max_dd, n); within a batch rows
+    fold in (funding_time, event_id) order, and chunks replay in that
+    order, so the streamed state equals the batch running-max window
+    computation exactly — every division v/run_max happens on the
+    same operands in the same order on both engines, so raw doubles
+    hash (no rounding needed; the min is order-independent). Points
+    where run_max <= 0 are excluded (drawdown requires a positive
+    peak); a key with no positive peak reports NULL max_drawdown."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    import numpy as np  # noqa: PLC0415 — worker-side import parity
     import pandas as pd  # noqa: PLC0415 — worker-side import parity
 
+    if buckets is None:
+        buckets = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+
     src = stream_from_chunks(spark, chunks_dir, schema)
-    rates = rates_from_events(src)
+    rates = rates_from_events(src).withColumn(
+        "__bucket", F.pmod(F.xxhash64("symbol"), F.lit(buckets))
+    )
 
     def update(key, pdfs, state):
-        rows = pd.concat(list(pdfs))
-        rows = rows.sort_values(["funding_time", "event_id"])
-        vals = rows["funding_rate"].astype("float64").reset_index(drop=True)
+        frames = [p for p in pdfs if len(p)]
         if state.exists:
-            run_max, max_dd, n = state.get
+            syms, peaks, dds, ns = (list(x) for x in state.get)
         else:
-            run_max, max_dd, n = float("-inf"), 0.0, 0
-        for v in vals:
-            v = float(v)
-            if v > run_max:
-                run_max = v
-            # drawdown only folds from a POSITIVE peak (zero peak
-            # divides by zero, negative peak flips the sign — funding
-            # rates go negative); same CASE guard in the batch twin
-            # and both oracles
-            if run_max > 0:
-                dd = v / run_max - 1.0
-                if dd < max_dd:
-                    max_dd = dd
-        n += len(vals)
-        state.update((run_max, max_dd, n))
-        yield pd.DataFrame(
-            {
-                "symbol": [key[0]],
-                # no positive peak yet -> the statistic is undefined
-                "max_drawdown": [max_dd if run_max > 0 else None],
-                "peak": [run_max],
-                "n": [n],
-            }
+            syms, peaks, dds, ns = [], [], [], []
+        if not frames:
+            state.update((syms, peaks, dds, ns))
+            return
+        rows = pd.concat(frames)
+        order = np.lexsort(
+            (rows["event_id"].to_numpy(), rows["funding_time"].to_numpy())
         )
+        sym = rows["symbol"].to_numpy()[order]
+        so = np.argsort(sym, kind="stable")
+        sym = sym[so]
+        vals = rows["funding_rate"].to_numpy(np.float64)[order][so]
+        uniq, starts = np.unique(sym, return_index=True)
+        ends = np.append(starts[1:], len(sym))
+        pos = {s: i for i, s in enumerate(syms)}
+        out = {"symbol": [], "max_drawdown": [], "peak": [], "n": []}
+        for u, s0, s1 in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+            i = pos.get(u)
+            if i is None:
+                i = len(syms)
+                syms.append(u)
+                peaks.append(float("-inf"))
+                dds.append(0.0)
+                ns.append(0)
+            run_max, max_dd = peaks[i], dds[i]
+            for v in vals[s0:s1].tolist():
+                if v > run_max:
+                    run_max = v
+                # drawdown only folds from a POSITIVE peak (zero peak
+                # divides by zero, negative peak flips the sign —
+                # funding rates go negative); same CASE guard in the
+                # batch twin and both oracles
+                if run_max > 0:
+                    dd = v / run_max - 1.0
+                    if dd < max_dd:
+                        max_dd = dd
+            peaks[i], dds[i] = run_max, max_dd
+            ns[i] += s1 - s0
+            out["symbol"].append(u)
+            # no positive peak yet -> the statistic is undefined
+            out["max_drawdown"].append(max_dd if run_max > 0 else None)
+            out["peak"].append(run_max)
+            out["n"].append(ns[i])
+        state.update((syms, peaks, dds, ns))
+        yield pd.DataFrame(out)
 
-    out = rates.groupBy("symbol").applyInPandasWithState(
+    out = rates.groupBy("__bucket").applyInPandasWithState(
         update,
         outputStructType=(
             "symbol string, max_drawdown double, peak double, n long"
         ),
-        stateStructType="run_max double, max_dd double, n long",
+        stateStructType=(
+            "symbols array<string>, run_max array<double>, "
+            "max_dd array<double>, ns array<long>"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -758,18 +791,31 @@ def streaming_ewma_stateful(
     available_now: bool = True,
     state_ttl_ms: int | None = None,
     watermark: str = WATERMARK_DELAY,
+    buckets: int | None = None,
 ) -> None:
     """Custom stateful streaming operator via applyInPandasWithState:
     a per-symbol exponentially-weighted moving average maintained
-    ACROSS micro-batches (state = (ewma, n) per key), the sanctioned
-    Spark pattern for aggregations that aren't built-in-expressible
-    (recursive, order-dependent).
+    ACROSS micro-batches, the sanctioned Spark pattern for
+    aggregations that aren't built-in-expressible (recursive,
+    order-dependent).
 
-    Within a batch rows fold in (funding_time, event_id) order; chunks
-    replay in the same order, so the streamed state equals one batch
-    fold over the full history — the oracle (DuckDB list_reduce over
-    the ordered value list) checks that exactly, bit-for-bit (alpha
-    and 1-alpha are binary-exact).
+    State is BUCKETED, not per-key: symbols hash into ``buckets``
+    groups (default 2x the state partitioning) and each group's state
+    holds parallel arrays (symbols, ewmas, ns, last_ms). Rationale:
+    applyInPandasWithState pays a fixed Arrow + state round trip PER
+    KEY GROUP (~10 ms measured), so per-symbol grouping costs
+    O(live keys) protocol overhead per micro-batch — 7,500 keys at
+    sf0.1 made the protocol 90% of the wall, and a real deployment
+    with millions of keys would be protocol-bound outright. Bucketing
+    makes invocations O(buckets) while the per-symbol fold runs
+    vectorized inside the bucket; state size and semantics are
+    unchanged (the fold below is per-symbol in the same order).
+
+    Within a batch rows fold in (funding_time, event_id) order per
+    symbol; chunks replay in the same order, so the streamed state
+    equals one batch fold over the full history — the oracle (DuckDB
+    list_reduce over the ordered value list) checks that exactly,
+    bit-for-bit (alpha and 1-alpha are binary-exact).
 
     ``state_ttl_ms`` bounds per-key state under an OPEN key universe:
     when set, the stream declares a watermark with ``watermark`` delay
@@ -777,78 +823,134 @@ def streaming_ewma_stateful(
     timeouts require a watermark, and a zero-delay watermark would
     silently drop every cross-batch out-of-order event before it
     reached the fold, changing results far beyond "idle keys get
-    evicted") and each key arms an event-time timeout at (its newest
-    event + TTL). A key idle past the TTL has its state REMOVED once
-    the watermark — which lags the newest global event by the
-    ``watermark`` delay, so eviction effectively lands TTL + delay
-    after the key's last event — passes the deadline; a later event
-    restarts its fold from scratch. Events later than the delay are
-    dropped pre-update, the standard watermark contract. Default None
-    keeps the reference semantics (state = full history, no
-    watermark, nothing dropped) for the bounded ~O(100)-symbol
-    universe the reference implies; eviction is deterministic
-    (watermark-driven, not wall-clock), so replays stay
-    reproducible."""
+    evicted"). Per-key event-time-timeout semantics are reproduced
+    inside the bucket: each symbol's deadline is (its newest event +
+    TTL); a symbol idle past the deadline is dropped from the bucket
+    arrays when its bucket next runs — on data (only no-data symbols
+    are dropped, matching Spark's rule that a key with data in the
+    triggering batch keeps its state) or on the bucket's event-time
+    timeout, armed at the min deadline across its symbols. A later
+    event restarts the evicted symbol's fold from scratch. Events
+    later than the delay are dropped pre-update, the standard
+    watermark contract. Default None keeps the reference semantics
+    (state = full history, no watermark, nothing dropped) for the
+    bounded ~O(100)-symbol universe the reference implies; eviction
+    is deterministic (watermark-driven, not wall-clock), so replays
+    stay reproducible."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    import numpy as np  # noqa: PLC0415 — worker-side import parity
     import pandas as pd  # noqa: PLC0415 — worker-side import parity
+
+    if buckets is None:
+        buckets = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ttl_on = state_ttl_ms is not None
 
     src = stream_from_chunks(spark, chunks_dir, schema)
     rates = rates_from_events(src)
-    if state_ttl_ms is not None:
+    if ttl_on:
         rates = rates.withWatermark("funding_time", watermark)
+    rates = rates.withColumn(
+        "__bucket", F.pmod(F.xxhash64("symbol"), F.lit(buckets))
+    )
+
+    def _evict(syms, ewmas, ns, lasts, wm, touched):
+        keep = [
+            i
+            for i in range(len(syms))
+            if syms[i] in touched or lasts[i] + state_ttl_ms > wm
+        ]
+        return (
+            [syms[i] for i in keep],
+            [ewmas[i] for i in keep],
+            [ns[i] for i in keep],
+            [lasts[i] for i in keep],
+        )
+
+    def _arm(state, lasts, wm):
+        # the bucket's timer = the earliest symbol deadline; clamp to
+        # wm+1 (Spark rejects event-time timers at/behind the
+        # watermark) — a clamped symbol is simply evicted at the next
+        # firing, same observable store
+        state.setTimeoutTimestamp(
+            max(min(lasts) + state_ttl_ms, wm + 1)
+        )
 
     def update(key, pdfs, state):
-        if state_ttl_ms is not None and state.hasTimedOut:
-            state.remove()
+        if ttl_on and state.hasTimedOut:
+            wm = state.getCurrentWatermarkMs()
+            syms, ewmas, ns, lasts = state.get
+            syms, ewmas, ns, lasts = _evict(
+                list(syms), list(ewmas), list(ns), list(lasts), wm, ()
+            )
+            if not syms:
+                state.remove()
+                return
+            state.update((syms, ewmas, ns, lasts))
+            _arm(state, lasts, wm)
             return
-        rows = pd.concat(list(pdfs))
-        rows = rows.sort_values(["funding_time", "event_id"])
-        vals = rows["funding_rate"].astype("float64").reset_index(drop=True)
+        frames = [p for p in pdfs if len(p)]
         if state.exists:
-            ewma, n = state.get
+            syms, ewmas, ns, lasts = (list(x) for x in state.get)
         else:
-            ewma, n = 0.0, 0
-        if len(vals):
+            syms, ewmas, ns, lasts = [], [], [], []
+        if not frames:
+            state.update((syms, ewmas, ns, lasts))
+            if ttl_on and lasts:
+                _arm(state, lasts, state.getCurrentWatermarkMs())
+            return
+        rows = pd.concat(frames)
+        ft = rows["funding_time"].to_numpy()
+        order = np.lexsort((rows["event_id"].to_numpy(), ft))
+        # stable re-sort by symbol keeps (funding_time, event_id)
+        # order within each symbol — the fold order the oracle pins
+        sym = rows["symbol"].to_numpy()[order]
+        so = np.argsort(sym, kind="stable")
+        sym = sym[so]
+        vals = rows["funding_rate"].to_numpy(np.float64)[order][so]
+        ms = ft[order][so].astype("datetime64[ms]").astype("int64")
+        uniq, starts = np.unique(sym, return_index=True)
+        ends = np.append(starts[1:], len(sym))
+        pos = {s: i for i, s in enumerate(syms)}
+        out_sym, out_ewma, out_n, out_last = [], [], [], []
+        for u, s0, s1 in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+            v = vals[s0:s1]
+            i = pos.get(u)
+            if i is None:
+                i = len(syms)
+                syms.append(u)
+                ewmas.append(0.0)
+                ns.append(0)
+                lasts.append(0)
             # plain sequential fold — semantically exact (NaN inputs
-            # poison the state, same as the list_reduce oracle) and
-            # faster than pandas ewm machinery at realistic per-key
-            # batch sizes (ewm's per-call overhead only amortizes past
-            # ~512 rows/key, and its NaN handling diverges from the
-            # fold — gap-adjusted skip vs propagation — so it is not a
-            # drop-in fast path)
-            it = iter(vals)
-            if n == 0:
-                ewma = float(next(it))
-            for v in it:
-                ewma = ewma * (1 - alpha) + float(v) * alpha
-            n += len(vals)
-        state.update((ewma, n))
-        newest_ms = 0
-        if len(vals):
-            # tz-naive UTC → epoch ms without touching worker-local TZ
-            newest_ms = int(
-                (
-                    rows["funding_time"].max()
-                    - pd.Timestamp("1970-01-01")
-                )
-                // pd.Timedelta(milliseconds=1)
+            # poison the state, same as the list_reduce oracle);
+            # per-batch slices are small, so ewm machinery wouldn't
+            # amortize (and its NaN handling diverges from the fold)
+            e, j = ewmas[i], 0
+            if ns[i] == 0:
+                e, j = float(v[0]), 1
+            for x in v[j:].tolist():
+                e = e * (1 - alpha) + x * alpha
+            ewmas[i] = e
+            ns[i] += s1 - s0
+            lasts[i] = int(ms[s1 - 1])
+            out_sym.append(u)
+            out_ewma.append(e)
+            out_n.append(ns[i])
+            out_last.append(lasts[i])
+        if ttl_on:
+            wm = state.getCurrentWatermarkMs()
+            syms, ewmas, ns, lasts = _evict(
+                syms, ewmas, ns, lasts, wm, set(out_sym)
             )
-        if state_ttl_ms is not None and len(vals):
-            state.setTimeoutTimestamp(newest_ms + state_ttl_ms)
-        if state_ttl_ms is None:
-            yield pd.DataFrame(
-                {"symbol": [key[0]], "ewma": [ewma], "n": [n]}
-            )
+            state.update((syms, ewmas, ns, lasts))
+            _arm(state, lasts, wm)
         else:
-            yield pd.DataFrame(
-                {
-                    "symbol": [key[0]],
-                    "ewma": [ewma],
-                    "n": [n],
-                    "last_ts": [newest_ms],
-                }
-            )
+            state.update((syms, ewmas, ns, lasts))
+        out = {"symbol": out_sym, "ewma": out_ewma, "n": out_n}
+        if ttl_on:
+            out["last_ts"] = out_last
+        yield pd.DataFrame(out)
 
     # Without TTL, per-key n grows monotonically, so ordering the
     # store merge by n doubles as recency and guards against stale
@@ -860,14 +962,16 @@ def streaming_ewma_stateful(
     # bug the disorder regression test caught). The only monotone
     # key for cumulative state is EMISSION order, so the TTL variant
     # merges on the micro-batch id (upsert_writer seq_col).
-    ttl_on = state_ttl_ms is not None
-    out = rates.groupBy("symbol").applyInPandasWithState(
+    out = rates.groupBy("__bucket").applyInPandasWithState(
         update,
         outputStructType=(
             "symbol string, ewma double, n long"
             + (", last_ts long" if ttl_on else "")
         ),
-        stateStructType="ewma double, n long",
+        stateStructType=(
+            "symbols array<string>, ewmas array<double>, "
+            "ns array<long>, last_ms array<long>"
+        ),
         outputMode="update",
         timeoutConf=(
             GroupStateTimeout.EventTimeTimeout
@@ -904,46 +1008,60 @@ def streaming_anomaly_alerts(
     available_now: bool = True,
     state_ttl_ms: int | None = None,
     watermark: str = WATERMARK_DELAY,
+    buckets: int | None = None,
 ) -> None:
     """Streaming twin of operators/anomaly.rolling_zscore: per-symbol
     rolling z-score alerting with the trailing-20 baseline carried
-    ACROSS micro-batches (state = the last n observed values per key,
-    via applyInPandasWithState).
+    ACROSS micro-batches via applyInPandasWithState. State is
+    BUCKETED like the EWMA's (symbols hash into ``buckets`` groups;
+    per-group state = parallel arrays of symbols, flattened trailing
+    buffers + per-symbol lengths, last-event ms): the operator's
+    protocol cost is per key GROUP, so per-symbol grouping pays
+    O(live keys) Arrow + state round trips per micro-batch — see
+    streaming_ewma_stateful for the measured rationale.
 
     ``state_ttl_ms`` (None = reference semantics, keep history
-    forever, no watermark) arms a per-key event-time timeout at
-    (newest event + TTL): an idle key's 20-double baseline is evicted
-    once the watermark passes the deadline, so an open key universe —
-    here the key is (user, event_type), unbounded at 100 TB — cannot
-    grow state without bound. The watermark uses the ``watermark``
-    delay (default 10 minutes, NOT zero: a zero-delay watermark would
-    drop every cross-batch out-of-order event before scoring, not
-    just evict idle keys), so eviction effectively lands TTL + delay
-    after a key's last event and only events later than the delay are
-    dropped. A returning key rebuilds its baseline from min_obs,
-    exactly like a brand-new key; eviction is watermark-driven and
-    therefore replay-deterministic.
+    forever, no watermark) reproduces per-key event-time-timeout
+    eviction inside the bucket: each symbol's deadline is (its newest
+    event + TTL); an idle symbol's 20-double baseline is dropped from
+    the bucket arrays when the bucket next runs — on data (only
+    no-data symbols drop, matching Spark's rule that a key with data
+    in the triggering batch keeps its state) or on the bucket's
+    event-time timeout, armed at the min deadline across its symbols
+    — so an open key universe (the key is (user, event_type),
+    unbounded at 100 TB) cannot grow state without bound. The
+    watermark uses the ``watermark`` delay (default 10 minutes, NOT
+    zero: a zero-delay watermark would drop every cross-batch
+    out-of-order event before scoring, not just evict idle keys), so
+    eviction effectively lands TTL + delay after a key's last event
+    and only events later than the delay are dropped. A returning key
+    rebuilds its baseline from min_obs, exactly like a brand-new key;
+    eviction is watermark-driven and therefore replay-deterministic.
 
     Each observation is scored against strictly-prior history, so a
     score is immutable the moment it is emitted — append output mode,
     and the converged store equals the batch window computation over
     the whole feed (the oracle). Within a batch rows fold in
-    (ts, event_id) order; chunks replay time-ordered, so cross-batch
-    order matches the batch frame exactly. Rounding matches the batch
-    twin (avg 6, z 4; the alert decision reads the ROUNDED score) so
-    stream, batch, and oracle agree bit-for-bit after rounding.
+    (ts, event_id) order per symbol; chunks replay time-ordered, so
+    cross-batch order matches the batch frame exactly. Rounding
+    matches the batch twin (avg 6, z 4; the alert decision reads the
+    ROUNDED score) so stream, batch, and oracle agree bit-for-bit
+    after rounding.
 
     Scale: state is a bounded 20-double ring per key — O(keys) total,
-    no growth with history; per-batch cost is one Arrow round trip per
-    key group (state partitions sized to key count, see
-    REPLAY_STATE_PARTITIONS discussion)."""
+    no growth with history; per-batch cost is one Arrow round trip
+    per BUCKET (protocol O(buckets), not O(keys))."""
     import math
 
+    import numpy as np  # noqa: PLC0415 — worker-side import parity
     import pandas as pd  # noqa: PLC0415 — worker-side import parity
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     n, min_obs, thr = ANOMALY_BASELINE_N, ANOMALY_MIN_OBS, ANOMALY_THRESHOLD
+    if buckets is None:
+        buckets = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ttl_on = state_ttl_ms is not None
 
     src = stream_from_chunks(spark, chunks_dir, schema)
     obs = src.select(
@@ -954,25 +1072,78 @@ def streaming_anomaly_alerts(
         "event_id",
         "value",
     )
-    if state_ttl_ms is not None:
+    if ttl_on:
         obs = obs.withWatermark("ts", watermark)
+    obs = obs.withColumn(
+        "__bucket", F.pmod(F.xxhash64("symbol"), F.lit(buckets))
+    )
+
+    def _unpack(state):
+        # state arrays -> {symbol: (buf list, last_ms)}
+        if not state.exists:
+            return {}
+        syms, flat, lens, lasts = state.get
+        bufs, at = {}, 0
+        for s, ln, last in zip(syms, lens, lasts):
+            bufs[s] = (list(flat[at : at + ln]), last)
+            at += ln
+        return bufs
+
+    def _pack(state, bufs):
+        if not bufs:
+            state.remove()
+            return False
+        syms = list(bufs)
+        state.update(
+            (
+                syms,
+                [x for s in syms for x in bufs[s][0]],
+                [len(bufs[s][0]) for s in syms],
+                [bufs[s][1] for s in syms],
+            )
+        )
+        return True
+
+    def _evict(bufs, wm, touched):
+        return {
+            s: v
+            for s, v in bufs.items()
+            if s in touched or v[1] + state_ttl_ms > wm
+        }
+
+    def _arm(state, bufs, wm):
+        # earliest symbol deadline, clamped past the watermark (Spark
+        # rejects event-time timers at/behind it); a clamped symbol
+        # is evicted at the next firing — same observable store
+        deadline = min(v[1] for v in bufs.values()) + state_ttl_ms
+        state.setTimeoutTimestamp(max(deadline, wm + 1))
 
     def update(key, pdfs, state):
-        if state_ttl_ms is not None and state.hasTimedOut:
-            state.remove()
+        if ttl_on and state.hasTimedOut:
+            wm = state.getCurrentWatermarkMs()
+            bufs = _evict(_unpack(state), wm, ())
+            if _pack(state, bufs):
+                _arm(state, bufs, wm)
             return
         # drop empty Arrow slices before concat (their all-NA dtypes
         # would poison the concat result dtype under pandas >= 2.1)
         frames = [p for p in pdfs if len(p)]
-        buf = list(state.get[0]) if state.exists else []
+        bufs = _unpack(state)
         if not frames:
-            state.update((buf,))
-            if state_ttl_ms is not None:
-                state.setTimeoutTimestamp(
-                    state.getCurrentWatermarkMs() + state_ttl_ms
-                )
+            if _pack(state, bufs) and ttl_on:
+                _arm(state, bufs, state.getCurrentWatermarkMs())
             return
-        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        rows = pd.concat(frames)
+        ts = rows["ts"].to_numpy()
+        order = np.lexsort((rows["event_id"].to_numpy(), ts))
+        sym = rows["symbol"].to_numpy()[order]
+        so = np.argsort(sym, kind="stable")
+        sym = sym[so]
+        eids = rows["event_id"].to_numpy()[order][so]
+        vals = rows["value"].to_numpy(np.float64)[order][so]
+        ms = ts[order][so].astype("datetime64[ms]").astype("int64")
+        uniq, starts = np.unique(sym, return_index=True)
+        ends = np.append(starts[1:], len(sym))
         out = {
             "symbol": [],
             "event_id": [],
@@ -981,50 +1152,55 @@ def streaming_anomaly_alerts(
             "zscore": [],
             "is_anomaly": [],
         }
-        for eid, v in zip(rows["event_id"], rows["value"]):
-            m = len(buf)
-            avg_raw = sum(buf) / m if m else None
-            z = None
-            if m >= min_obs:
-                var = sum((x - avg_raw) ** 2 for x in buf) / (m - 1)
-                if var > 0:
-                    # + 0.0 canonicalizes -0.0, matching the batch twin
-                    z = round(
-                        (float(v) - avg_raw) / math.sqrt(var), 4
-                    ) + 0.0
-            out["symbol"].append(key[0])
-            out["event_id"].append(int(eid))
-            out["baseline_n"].append(m)
-            out["baseline_avg"].append(
-                round(avg_raw, 6) if m else None
-            )
-            out["zscore"].append(z)
-            out["is_anomaly"].append(
-                1 if z is not None and abs(z) > thr else 0
-            )
-            buf.append(float(v))
-            if len(buf) > n:
-                buf.pop(0)
-        state.update((buf,))
-        if state_ttl_ms is not None:
-            newest = (
-                rows["ts"].max() - pd.Timestamp("1970-01-01")
-            ) // pd.Timedelta(milliseconds=1)
-            state.setTimeoutTimestamp(int(newest) + state_ttl_ms)
+        for u, s0, s1 in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+            buf, _last = bufs.get(u, ([], 0))
+            for eid, v in zip(eids[s0:s1].tolist(), vals[s0:s1].tolist()):
+                m = len(buf)
+                avg_raw = sum(buf) / m if m else None
+                z = None
+                if m >= min_obs:
+                    var = sum((x - avg_raw) ** 2 for x in buf) / (m - 1)
+                    if var > 0:
+                        # + 0.0 canonicalizes -0.0, like the batch twin
+                        z = round((v - avg_raw) / math.sqrt(var), 4) + 0.0
+                out["symbol"].append(u)
+                out["event_id"].append(int(eid))
+                out["baseline_n"].append(m)
+                out["baseline_avg"].append(
+                    round(avg_raw, 6) if m else None
+                )
+                out["zscore"].append(z)
+                out["is_anomaly"].append(
+                    1 if z is not None and abs(z) > thr else 0
+                )
+                buf.append(v)
+                if len(buf) > n:
+                    buf.pop(0)
+            bufs[u] = (buf, int(ms[s1 - 1]))
+        if ttl_on:
+            wm = state.getCurrentWatermarkMs()
+            bufs = _evict(bufs, wm, set(uniq.tolist()))
+            if _pack(state, bufs):
+                _arm(state, bufs, wm)
+        else:
+            _pack(state, bufs)
         yield pd.DataFrame(out)
 
-    scored = obs.groupBy("symbol").applyInPandasWithState(
+    scored = obs.groupBy("__bucket").applyInPandasWithState(
         update,
         outputStructType=(
             "symbol string, event_id long, baseline_n long, "
             "baseline_avg double, zscore double, is_anomaly int"
         ),
-        stateStructType="values array<double>",
+        stateStructType=(
+            "symbols array<string>, flat array<double>, "
+            "lens array<long>, last_ms array<long>"
+        ),
         outputMode="append",
         timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if state_ttl_ms is None
-            else GroupStateTimeout.EventTimeTimeout
+            GroupStateTimeout.EventTimeTimeout
+            if ttl_on
+            else GroupStateTimeout.NoTimeout
         ),
     )
 

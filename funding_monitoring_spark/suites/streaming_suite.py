@@ -169,12 +169,13 @@ def q_stream_ewma_stateful(spark, sf_dir):
     batch fold over the ordered history, bit-for-bit (alpha=0.25 is
     binary-exact — no rounding needed)."""
     # applyInPandasWithState pays a per-KEY-GROUP Arrow+state round
-    # trip, so its state partitioning scales with key count (spread
-    # the 750 symbols across all cores) — the opposite sizing from the
-    # watermark-dedupe pipelines, where each partition costs a state
-    # commit per batch and batches are small (measured: 2 parts 98s,
-    # 8 parts 32s, 32 parts 18s at sf0.1).
-    return _replay(spark, sf_dir, "ewma_stateful", state_partitions=32)
+    # trip, so the pipeline BUCKETS symbols (2x state partitions) and
+    # keeps per-symbol state in per-bucket arrays — protocol cost
+    # O(buckets), not O(keys). With that gone, the replay default of
+    # 8 state partitions wins again (before bucketing, 32 partitions
+    # were needed to spread 7,500 per-key round trips: 2 parts 98s /
+    # 8 parts 32s / 32 parts 18s at sf0.1; bucketed: 5.4s at 8).
+    return _replay(spark, sf_dir, "ewma_stateful", state_partitions=8)
 
 
 @query(
@@ -210,9 +211,9 @@ def q_stream_anomaly_alerts(spark, sf_dir):
     append-only as observations arrive. The converged store equals
     the batch window computation — scores are functions of strictly
     prior history, so nothing is ever revised."""
-    # same sizing rationale as ewma_stateful: per-key-group Arrow
-    # round trips dominate, so spread the 750 symbols across cores
-    return _replay(spark, sf_dir, "anomaly_alerts", state_partitions=32)
+    # same shape as ewma_stateful: bucketed state, so protocol cost
+    # is O(buckets) and the replay default partitioning suffices
+    return _replay(spark, sf_dir, "anomaly_alerts", state_partitions=8)
 
 
 @query(
@@ -778,7 +779,7 @@ def q_stream_max_drawdown(spark, sf_dir):
     same operands on both engines and the raw doubles hash with no
     rounding."""
     return _replay(
-        spark, sf_dir, "drawdown_stateful", state_partitions=32
+        spark, sf_dir, "drawdown_stateful", state_partitions=8
     )
 
 
