@@ -1,8 +1,10 @@
 """MPEG audio (MP3) frame-header metadata scanner — no PCM decode.
 
-The dominant compressed-audio format's FULL decode needs normative
-filterbank/window tables this repo will not transcribe from memory
-(policy: loud refusal over faked samples — the PCM path rides the
+The dominant compressed-audio format's FULL-profile decode needs
+normative Huffman/scalefactor-band tables this repo will not
+transcribe from memory (policy: loud refusal over faked samples —
+sample-level decode lives in operators/mp3codec.py for the
+constrained profile it documents, and full-profile streams ride the
 optional soundfile dependency, operators/multimodal.py decode_mp3).
 But a large-scale media pipeline's FIRST pass over an audio corpus
 is not decode — it's metadata profiling: codec, bitrate, sample
@@ -13,16 +15,22 @@ module does it for real:
 
 - ID3v2: 'ID3' magic, version/flags, 4-byte SYNCSAFE size (7 bits
   per byte) — skipped, reported.
-- Frame walk: 11-bit sync, MPEG-1 version, Layer III, bitrate index
-  (32..320 kbps table), sample-rate index (44100/48000/32000),
-  padding bit; frame byte length = 144000*kbps/rate + padding;
-  1152 samples per frame. Every frame's header is validated —
-  a broken offset desyncs immediately and raises.
+- Frame walk: 11-bit sync, MPEG version, Layer III, bitrate index
+  (MPEG-1: 32..320 kbps; MPEG-2/2.5 LSF: 8..160 kbps), sample-rate
+  index (44100/48000/32000, halved for MPEG-2, quartered for 2.5),
+  padding bit; frame byte length = 144000*kbps/rate (MPEG-1, 1152
+  samples/frame) or 72000*kbps/rate (LSF, 576 samples/frame) plus
+  padding. Every frame's header is validated — a broken offset
+  desyncs immediately and raises.
 - VBR detection: bitrate reported as the exact kbps when constant,
   -1 (VBR) when frames disagree.
 
-Free-format (bitrate index 0), Layer I/II, and MPEG-2/2.5 raise
+Free-format (bitrate index 0) and Layer I/II raise
 NotImplementedError with the reason.
+
+Sample-level decode lives in operators/mp3codec.py (dependency-free
+MPEG-1 Layer III in a documented constrained profile; full-profile
+streams ride the optional soundfile path in operators/multimodal.py).
 """
 
 from __future__ import annotations
@@ -33,6 +41,11 @@ _BITRATES = [
 ]
 _RATES = [44100, 48000, 32000]
 _SAMPLES_PER_FRAME = 1152
+
+#: MPEG-2/2.5 (LSF) Layer III bitrates by header index (kbps)
+_BITRATES_LSF = [
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+]
 
 
 def build_mp3_frame(
@@ -90,6 +103,8 @@ def parse_mp3_metadata(payload: bytes) -> dict:
     n_frames = 0
     bitrates: set[int] = set()
     rate = None
+    ver_bits = None
+    spf = 1152
     while pos < len(payload):
         if pos + 4 > len(payload):
             raise ValueError(f"truncated frame header at byte {pos}")
@@ -98,10 +113,8 @@ def parse_mp3_metadata(payload: bytes) -> dict:
             raise ValueError(f"lost MP3 frame sync at byte {pos}")
         version = (hdr >> 19) & 0x3
         layer = (hdr >> 17) & 0x3
-        if version != 0b11:
-            raise NotImplementedError(
-                "MPEG-2/2.5 audio metadata not supported"
-            )
+        if version == 0b01:
+            raise ValueError("reserved MPEG version bits")
         if layer != 0b01:
             raise NotImplementedError(
                 "only Layer III (MP3) frames are scanned"
@@ -112,15 +125,25 @@ def parse_mp3_metadata(payload: bytes) -> dict:
             raise NotImplementedError("free-format bitrate")
         if bi == 0xF or ri == 0x3:
             raise ValueError("invalid bitrate/sample-rate index")
-        kbps = _BITRATES[bi]
-        r = _RATES[ri]
+        if version == 0b11:  # MPEG-1: 1152 samples, 144*k/r frames
+            kbps = _BITRATES[bi]
+            r = _RATES[ri]
+            spf, flen = 1152, 144000 * kbps
+        else:  # MPEG-2 (10) / MPEG-2.5 (00) LSF: 576 samples
+            kbps = _BITRATES_LSF[bi]
+            r = _RATES[ri] // (2 if version == 0b10 else 4)
+            spf, flen = 576, 72000 * kbps
+        if ver_bits is None:
+            ver_bits = version
+        elif ver_bits != version:
+            raise ValueError("MPEG version changes mid-stream")
         if rate is None:
             rate = r
         elif rate != r:
             raise ValueError("sample rate changes mid-stream")
         bitrates.add(kbps)
         pad = (hdr >> 9) & 1
-        pos += 144000 * kbps // r + pad
+        pos += flen // r + pad
         n_frames += 1
     if n_frames == 0:
         raise ValueError("no MP3 frames found")
@@ -128,6 +151,6 @@ def parse_mp3_metadata(payload: bytes) -> dict:
         "n_frames": n_frames,
         "bitrate_kbps": bitrates.pop() if len(bitrates) == 1 else -1,
         "sample_rate": rate,
-        "duration_ms": n_frames * _SAMPLES_PER_FRAME * 1000 // rate,
+        "duration_ms": n_frames * spf * 1000 // rate,
         "id3v2_bytes": id3,
     }

@@ -1461,10 +1461,25 @@ def decode_audio(payload: bytes):
         and payload[0] == 0xFF
         and (payload[1] & 0xE0) == 0xE0
     ):
-        return decode_mp3(payload)
+        # pure Layer III decoder first (dependency-free; accepts
+        # exactly the profile operators/mp3codec.py emits); streams
+        # beyond that profile — or ones the strict walker rejects
+        # that a resyncing full decoder may still read — fall back to
+        # the optional soundfile path where it exists, else re-raise
+        from funding_monitoring_spark.operators.mp3codec import (
+            decode_mp3 as decode_mp3_pure,
+        )
+
+        try:
+            return decode_mp3_pure(payload)
+        except (NotImplementedError, ValueError):
+            if mp3_supported():
+                return decode_mp3(payload)
+            raise
     raise NotImplementedError(
-        "compressed-audio codec not recognized; WAV and FLAC decode "
-        "natively, MP3 rides the optional soundfile dependency"
+        "compressed-audio codec not recognized; WAV, FLAC and "
+        "profile-constrained MP3 decode natively, full MP3 rides the "
+        "optional soundfile dependency"
     )
 
 
@@ -1722,7 +1737,7 @@ def decode_adpcm_features_tolerant(
     )
 
 
-def synthesize_mp3_media(
+def synthesize_mp3_media_libsndfile(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """MP3 payloads from the same closed-form sample field as the WAV
@@ -1764,6 +1779,148 @@ def synthesize_mp3_media(
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
     return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# -- pure-codec MP3 path (operators/mp3codec.py; no dependencies) ----------
+
+MP3_PURE_RATE = 32000  #: MPEG-1 Layer III rate used by the pure path
+
+
+def _mp3_shape(media_id: int) -> tuple[int, int]:
+    """(n_samples, channels) for the pure-MP3 fixture: multi-frame
+    clips (the WAV field's 50-113 samples fit inside one frame's
+    padding and would drown in it)."""
+    return 2000 + (media_id % 16) * 64, 1 + media_id % 2
+
+
+def _mp3_samples(media_id: int, n: int, ch: int):
+    """Closed-form SMOOTH per-channel sine (500 Hz at 32 kHz, phase
+    keyed by media_id and channel) — like the ADPCM fixture, chosen
+    inside the codec's intended regime; the tolerance flags compare
+    decoded vs source PYTHON-side, so the field needs no SQL twin."""
+    import numpy as np
+
+    j = np.arange(n, dtype=np.float64)[:, None]
+    c = np.arange(ch, dtype=np.float64)[None, :]
+    return (
+        8000.0 * np.sin(2.0 * np.pi * (media_id * 13 + j + 7.0 * c) / 64.0)
+    ).astype(np.int16)
+
+
+def synthesize_mp3_pure_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """MP3 payloads via the dependency-free Layer III encoder
+    (operators/mp3codec.py — real MPEG-1 streams in the module's
+    documented profile). 1:1 mapInPandas, no shuffle."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from funding_monitoring_spark.operators.mp3codec import (
+            encode_mp3 as encode_mp3_pure,
+        )
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                n, ch = _mp3_shape(int(mid))
+                payloads.append(
+                    encode_mp3_pure(
+                        _mp3_samples(int(mid), n, ch), MP3_PURE_RATE
+                    )
+                )
+                metas.append(
+                    {
+                        "modality": "audio",
+                        "mime": "audio/mpeg",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": int(n * 1000 / MP3_PURE_RATE),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
+    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_mp3_features_tolerant(media: DataFrame) -> DataFrame:
+    """Reader half for the pure-codec MP3 roundtrip: decode with the
+    real Layer III pipeline and flag the stream against the
+    closed-form source. MP3 has no sample-count field, so length is
+    asserted within one frame-pair (2x1152, padding + filterbank
+    latency); energy within 3 dB and per-channel correlation >= 0.9
+    over the overlap bound the two-level quantizer's error — any
+    misrouted payload, channel swap, or desync breaks them. Exact
+    fields (media_id, channels, sample_rate) hash directly."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm, rate = decode_audio(bytes(payload))
+                n_got, ch = pcm.shape
+                n_src, src_ch = _mp3_shape(int(mid))
+                m = min(n_got, n_src)
+                src = _mp3_samples(int(mid), n_src, src_ch)[:m].astype(
+                    np.float64
+                )
+                got = pcm[:m].astype(np.float64)
+                e_ratio = (
+                    float((got**2).mean()) / float((src**2).mean())
+                    if m and (src**2).mean() > 0
+                    else 0.0
+                )
+                corr = (
+                    min(
+                        float(np.corrcoef(got[:, c], src[:, c])[0, 1])
+                        for c in range(min(ch, src_ch))
+                    )
+                    if m > 1 and ch == src_ch
+                    else 0.0
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "channels": ch,
+                        "sample_rate": rate,
+                        "length_close": int(abs(n_got - n_src) <= 2 * 1152),
+                        "energy_close": int(0.5 <= e_ratio <= 2.0),
+                        "shape_close": int(corr >= 0.9),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, channels int, sample_rate int, "
+            "length_close int, energy_close int, shape_close int"
+        ),
+    )
 
 
 def decode_audio_features_tolerant(media: DataFrame) -> DataFrame:

@@ -728,10 +728,46 @@ def q_image_dhash_index(spark, sf_dir):
     return image_dhash_features(synthesize_bmp_media(docs))
 
 
-# MP3 rides the optional soundfile dependency (and needs an
-# MP3-capable libsndfile underneath — probed with a real tiny
-# roundtrip, not just an import): registered only where the codec
-# actually works, loud NotImplementedError everywhere else.
+@query(
+    "multimodal_mp3_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(32000 AS INT) AS sample_rate,
+           1 AS length_close, 1 AS energy_close, 1 AS shape_close
+    FROM documents
+    """,
+)
+def q_multimodal_mp3_roundtrip(spark, sf_dir):
+    """Sample-level MP3 round trip through the dependency-free Layer
+    III codec (operators/mp3codec.py): encode the closed-form smooth
+    sample field per document as a real MPEG-1 Layer III stream
+    (count1-coded spectrum, zero scalefactors, long blocks — valid
+    MP3 any demuxer parses), decode through the full normative
+    pipeline (count1 Huffman table B, requantize, antialias, IMDCT,
+    frequency inversion; formula-defined PR polyphase — see the
+    module docstring for the one documented table deviation), and
+    assert stream length within one frame-pair, energy within 3 dB
+    and per-channel correlation >= 0.9 against the source; exact
+    channels/rate hash directly. At 100 TB this is the same
+    Arrow-batched 1:1 mapInPandas scan shape as every codec here —
+    no shuffle, no driver data."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_mp3_features_tolerant,
+        synthesize_mp3_pure_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_mp3_features_tolerant(
+        synthesize_mp3_pure_media(docs)
+    )
+
+
+# Full-profile MP3 (scalefactors, bigvalues tables, reservoir) rides
+# the optional soundfile dependency (and needs an MP3-capable
+# libsndfile underneath — probed with a real tiny roundtrip, not just
+# an import): registered only where the codec actually works, loud
+# NotImplementedError everywhere else.
 from funding_monitoring_spark.operators.multimodal import (  # noqa: E402
     mp3_supported,
 )
@@ -739,7 +775,7 @@ from funding_monitoring_spark.operators.multimodal import (  # noqa: E402
 if mp3_supported():
 
     @query(
-        "multimodal_mp3_roundtrip",
+        "multimodal_mp3_roundtrip_libsndfile",
         """
         SELECT doc_id AS media_id,
                CAST(1 + doc_id % 2 AS INT) AS channels,
@@ -748,7 +784,7 @@ if mp3_supported():
         FROM documents
         """,
     )
-    def q_multimodal_mp3_roundtrip(spark, sf_dir):
+    def q_multimodal_mp3_roundtrip_libsndfile(spark, sf_dir):
         """Compressed-audio round trip through the optional soundfile
         MP3 path: encode the closed-form sample field per document,
         decode with the real codec, and assert stream length (within
@@ -756,10 +792,10 @@ if mp3_supported():
         3 dB) against the source — exact channels/rate hash directly."""
         from funding_monitoring_spark.operators.multimodal import (
             decode_audio_features_tolerant,
-            synthesize_mp3_media,
+            synthesize_mp3_media_libsndfile,
         )
 
         docs = load_table(spark, sf_dir, "documents").select("doc_id")
         return decode_audio_features_tolerant(
-            synthesize_mp3_media(docs)
+            synthesize_mp3_media_libsndfile(docs)
         )

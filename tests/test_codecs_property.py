@@ -274,9 +274,41 @@ def test_mp3_metadata_vbr_and_errors():
     with pytest.raises(ValueError, match="truncated"):
         parse_mp3_metadata(build_mp3_frame(128, 44100) + b"\xff\xfb")
     hdr = bytearray(build_mp3_frame(128, 44100))
-    hdr[1] = 0xF3  # MPEG-2 version bits
-    with pytest.raises(NotImplementedError, match="MPEG-2"):
+    hdr[1] = 0xEB  # version bits 01 (reserved), Layer III kept
+    with pytest.raises(ValueError, match="reserved"):
         parse_mp3_metadata(bytes(hdr))
+
+
+def test_mp3_metadata_mpeg2_lsf_frames():
+    # MPEG-2 LSF: 64 kbps @ 22050 Hz -> 72000*64//22050 = 208-byte
+    # frames, 576 samples each; build two by hand
+    hdr = (
+        (0x7FF << 21) | (0b10 << 19) | (0b01 << 17) | (1 << 16)
+        | (8 << 12) | (0 << 10) | (0b11 << 6)
+    )
+    frame = hdr.to_bytes(4, "big") + bytes(72000 * 64 // 22050 - 4)
+    m = parse_mp3_metadata(frame * 3)
+    assert m["n_frames"] == 3
+    assert m["bitrate_kbps"] == 64
+    assert m["sample_rate"] == 22050
+    assert m["duration_ms"] == 3 * 576 * 1000 // 22050
+
+
+def test_mp3_metadata_real_world_mpeg2_file():
+    # a genuine third-party MPEG-2 stream (shipped with gsutil's test
+    # data in this image) must walk frame-exact
+    import os
+
+    path = (
+        "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+        "test_data/test.mp3"
+    )
+    if not os.path.exists(path):
+        pytest.skip("no third-party mp3 on this machine")
+    m = parse_mp3_metadata(open(path, "rb").read())
+    assert m["sample_rate"] == 22050
+    assert m["n_frames"] == 45
+    assert m["id3v2_bytes"] == 32
 
 
 def test_gif_interlaced_decode():

@@ -664,15 +664,39 @@ def test_jpeg_roundtrip_registered_on_both_codec_paths(spark):
         )
 
 
-def test_mp3_optional_dependency_contract(spark):
-    """MP3 is gated on the optional soundfile dependency (probed with
-    a real tiny roundtrip): where the codec works, the roundtrip query
-    registers and flags all-green; where it doesn't, both halves raise
-    the loud NotImplementedError and the query is NOT registered."""
+def test_mp3_roundtrip_registered_unconditionally(spark):
+    """The sample-level MP3 roundtrip registers UNCONDITIONALLY since
+    round 9 via the dependency-free Layer III codec
+    (operators/mp3codec.py) and flags all-green through the
+    registered query path."""
     from funding_monitoring_spark.operators import multimodal as M
     from funding_monitoring_spark.registry import queries
 
-    registered = "multimodal_mp3_roundtrip" in queries()
+    assert "multimodal_mp3_roundtrip" in queries()
+    ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    out = M.decode_mp3_features_tolerant(
+        M.synthesize_mp3_pure_media(ids)
+    ).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r.sample_rate == M.MP3_PURE_RATE
+        assert (r.length_close, r.energy_close, r.shape_close) == (
+            1,
+            1,
+            1,
+        )
+
+
+def test_mp3_full_profile_optional_dependency_contract(spark):
+    """FULL-profile MP3 (scalefactors, bigvalues, reservoir) is gated
+    on the optional soundfile dependency (probed with a real tiny
+    roundtrip): where the codec works, the libsndfile roundtrip query
+    registers and flags all-green; where it doesn't, both halves raise
+    the loud NotImplementedError and that query is NOT registered."""
+    from funding_monitoring_spark.operators import multimodal as M
+    from funding_monitoring_spark.registry import queries
+
+    registered = "multimodal_mp3_roundtrip_libsndfile" in queries()
     if not M.mp3_supported():
         assert not registered
         with pytest.raises(NotImplementedError, match="soundfile"):
@@ -683,7 +707,7 @@ def test_mp3_optional_dependency_contract(spark):
         assert registered
         ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
         out = M.decode_audio_features_tolerant(
-            M.synthesize_mp3_media(ids)
+            M.synthesize_mp3_media_libsndfile(ids)
         ).collect()
         assert len(out) == 8
         for r in out:

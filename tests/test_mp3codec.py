@@ -1,0 +1,136 @@
+"""Pure Layer III codec (operators/mp3codec.py): PR algebra of every
+filterbank stage, end-to-end roundtrip bounds, stream validity
+against the independent metadata scanner, and loud profile refusals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from funding_monitoring_spark.operators import mp3codec as M
+from funding_monitoring_spark.operators.mpegaudio import (
+    parse_mp3_metadata,
+)
+
+
+def test_polyphase_pair_is_perfect_reconstruction():
+    rng = np.random.RandomState(0)
+    x = rng.randn(32 * 40)
+    y = M._synthesis(M._analysis(x))
+    # one block (32 samples) of TDAC latency, then exact
+    assert np.abs(y[32:] - x[:-32]).max() < 1e-10
+
+
+def test_granule_mdct_pair_is_perfect_reconstruction():
+    rng = np.random.RandomState(1)
+    sub = rng.randn(18 * 10, 32)
+    rec = M._imdct_granules(M._mdct_granules(sub))
+    # one granule (18 subband rows) of latency, then exact
+    assert np.abs(rec[18:] - sub[:-18]).max() < 1e-10
+
+
+def test_antialias_butterflies_invert_and_are_rotations():
+    rng = np.random.RandomState(2)
+    s = rng.randn(4, 576)
+    back = M._antialias(M._antialias(s, inverse=True))
+    assert np.abs(back - s).max() < 1e-12
+    # cs^2 + ca^2 = 1 for each normative ci
+    assert np.abs(M._CS**2 + M._CA**2 - 1.0).max() < 1e-12
+
+
+def test_count1_table_b_is_the_nibble_complement():
+    # every quadruple index codes in 4 bits as its one's complement —
+    # trivially prefix-free; encoder and decoder share this table
+    bw = M._BitWriter()
+    q = np.zeros(576, dtype=np.int64)
+    q[0], q[1], q[3] = 1, -1, 1  # quad (1,1,0,1) -> idx 13 -> code 2
+    nbits = M._code_granule(bw, q)
+    assert nbits == 4 + 3  # one codeword + three sign bits
+    assert bw.acc == (2 << 3 | 0b010)  # code 0010, signs +,-,+
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_roundtrip_smooth_tones_within_bounds(ch, seed):
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(1500, 4000))
+    j = np.arange(n, dtype=np.float64)[:, None]
+    c = np.arange(ch, dtype=np.float64)[None, :]
+    src = (
+        8000.0 * np.sin(2.0 * np.pi * (seed * 13 + j + 7 * c) / 64.0)
+    ).astype(np.int16)
+    data = M.encode_mp3(src, 32000)
+    pcm, rate = M.decode_mp3(data)
+    assert rate == 32000 and pcm.shape[1] == ch
+    assert abs(len(pcm) - n) <= 2 * 1152
+    m = min(len(pcm), n)
+    got = pcm[:m].astype(np.float64)
+    ref = src[:m].astype(np.float64)
+    ratio = (got**2).mean() / (ref**2).mean()
+    assert 0.5 <= ratio <= 2.0, ratio
+    for cc in range(ch):
+        assert np.corrcoef(got[:, cc], ref[:, cc])[0, 1] >= 0.9
+
+
+def test_streams_parse_with_the_independent_scanner():
+    src = (6000.0 * np.sin(np.arange(2304) / 5.0)).astype(np.int16)
+    for rate in (32000, 44100, 48000):
+        meta = parse_mp3_metadata(M.encode_mp3(src, rate))
+        assert meta["sample_rate"] == rate
+        assert meta["bitrate_kbps"] == 128
+        assert meta["n_frames"] == 2
+        assert meta["id3v2_bytes"] == 0
+
+
+def test_silence_and_length_edges():
+    pcm, rate = M.decode_mp3(
+        M.encode_mp3(np.zeros(10, dtype=np.int16), 32000)
+    )
+    assert rate == 32000
+    assert np.abs(pcm).max() == 0  # all-zero granules stay zero
+
+
+def test_profile_refusals_are_loud():
+    src = (4000.0 * np.sin(np.arange(1152) / 7.0)).astype(np.int16)
+    data = bytearray(M.encode_mp3(src, 32000))
+    with pytest.raises(ValueError, match="sample rate"):
+        M.encode_mp3(src, 16000)  # MPEG-2 rate
+    # flip count1table_select (last bit of each granule's side info)
+    # to table A: granule 0's side info starts at byte 4+2+... — do it
+    # by re-encoding the side-info block: easier to corrupt the mode
+    # bits to joint stereo and check the refusal path
+    data[3] = (data[3] & 0x3F) | (0b01 << 6)
+    with pytest.raises(NotImplementedError, match="stereo"):
+        M.decode_mp3(bytes(data))
+    # truncated stream
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_mp3(bytes(M.encode_mp3(src, 32000))[:100])
+    # bad sync
+    with pytest.raises(ValueError, match="sync"):
+        M.decode_mp3(b"\x12\x34\x56\x78" * 4)
+
+
+def test_decoder_refuses_bit_reservoir_and_table_a():
+    src = (4000.0 * np.sin(np.arange(1152) / 7.0)).astype(np.int16)
+    data = bytearray(M.encode_mp3(src, 32000))
+    # main_data_begin lives in the first 9 bits after the header
+    data[4] = 0x80
+    with pytest.raises(NotImplementedError, match="reservoir"):
+        M.decode_mp3(bytes(data))
+
+
+def test_real_world_mpeg2_stream_refused_not_garbled():
+    # a genuine third-party MP3 (MPEG-2 LSF) must refuse loudly at
+    # the version check, never produce fake samples
+    import os
+
+    path = (
+        "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+        "test_data/test.mp3"
+    )
+    if not os.path.exists(path):
+        pytest.skip("no third-party mp3 on this machine")
+    payload = open(path, "rb").read()
+    with pytest.raises(NotImplementedError):
+        M.decode_mp3(payload)
