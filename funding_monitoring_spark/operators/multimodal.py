@@ -299,6 +299,49 @@ def encode_png(pixels) -> bytes:
     )
 
 
+def encode_png16(pixels) -> bytes:
+    """Encode an (h, w, 3) uint16 RGB array as a 16-bit truecolor PNG
+    (color type 2, depth 16): big-endian sample pairs, scanline
+    filters operating on BYTES with a 6-byte left distance (the
+    spec's bpp for 16-bit RGB), cycling through all five filter
+    types like encode_png so a roundtrip exercises every unfilter
+    path at the wide depth."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint16)
+    h, w, _ = px.shape
+    bpp = 6
+    zeros = np.zeros(bpp, dtype=np.int16)
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    raw = bytearray()
+    for y in range(h):
+        line = np.frombuffer(
+            px[y].astype(">u2").tobytes(), dtype=np.uint8
+        ).astype(np.int16)
+        left = np.concatenate([zeros, line[:-bpp]])
+        upleft = np.concatenate([zeros, prev[:-bpp]])
+        ftype = y % 5
+        pred = [
+            0,
+            left,
+            prev,
+            (left + prev) // 2,
+            _paeth_predict(left, prev, upleft),
+        ][ftype]
+        raw.append(ftype)
+        raw += ((line - pred) % 256).astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _png_unfilter(
     raw: bytes, offset: int, h: int, stride: int, bpp: int
 ):
@@ -381,6 +424,13 @@ def _png_unpack_samples(rows, w: int, depth: int, channels: int):
     import numpy as np
 
     h = rows.shape[0]
+    if depth == 16:  # big-endian sample pairs -> uint16
+        b = rows.reshape(h, -1)[:, : w * channels * 2].reshape(
+            h, w, channels, 2
+        )
+        return (
+            b[..., 0].astype(np.uint16) << 8
+        ) | b[..., 1].astype(np.uint16)
     if depth == 8:
         return rows.reshape(h, -1)[:, : w * channels].reshape(
             h, w, channels
@@ -402,8 +452,11 @@ def decode_png(payload: bytes):
     truecolor (2), palette (3, at bit depths 1/2/4/8), gray+alpha
     (4) and truecolor+alpha (6), both sequential and Adam7
     INTERLACED (7 independently-filtered sub-images scattered back
-    on the pass grid). Alpha channels are dropped (RGB output
-    contract); 16-bit depths raise loudly."""
+    on the pass grid), plus 16-bit depths for the non-palette color
+    types (big-endian sample pairs, filter distance in BYTES per
+    spec; reduced 16->8 by dropping the low byte, the libpng
+    strip-16 convention). Alpha channels are dropped (RGB output
+    contract)."""
     import zlib
 
     import numpy as np
@@ -427,11 +480,14 @@ def decode_png(payload: bytes):
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
             if channels is None:
                 raise ValueError(f"unknown PNG color type {ctype}")
-            ok_depths = (1, 2, 4, 8) if ctype in (0, 3) else (8,)
+            ok_depths = (
+                (1, 2, 4, 8, 16)
+                if ctype == 0
+                else (1, 2, 4, 8) if ctype == 3 else (8, 16)
+            )
             if depth not in ok_depths:
-                raise NotImplementedError(
-                    f"PNG depth={depth} color_type={ctype} "
-                    "not supported (16-bit needs a wider pipeline)"
+                raise ValueError(
+                    f"illegal PNG depth={depth} for color_type={ctype}"
                 )
             dims = (w, h)
         elif tag == b"PLTE":
@@ -452,7 +508,9 @@ def decode_png(payload: bytes):
     def region_stride(width: int) -> int:
         return -(-width * depth * channels // 8)
 
-    samples = np.zeros((h, w, channels), dtype=np.uint8)
+    samples = np.zeros(
+        (h, w, channels), dtype=np.uint16 if depth == 16 else np.uint8
+    )
     if interlace == 0:
         stride = region_stride(w)
         if len(raw) != h * (stride + 1):
@@ -477,6 +535,11 @@ def decode_png(payload: bytes):
         if offset != len(raw):
             raise ValueError("IDAT longer than Adam7 passes")
 
+    if depth == 16:
+        # 16 -> 8 bits by dropping the low byte (libpng strip-16
+        # convention; scale_16's 255*v/65535 rounding differs by at
+        # most one code and is NOT what default pipelines do)
+        samples = (samples >> 8).astype(np.uint8)
     if ctype == 2:
         return samples
     if ctype == 6:
@@ -848,6 +911,37 @@ def synthesize_png_variant_media(
     paths get oracle rows, not just unit tests."""
     return _synthesize_media(
         ids, id_col, None, "image/png", payload_fn=_png_variant_payload
+    )
+
+
+def _png16_pixels(media_id: int, w: int, h: int):
+    """Closed-form 16-bit pixel field for the wide-depth roundtrip:
+    value(p, c) = (media_id*11 + p*7 + c*5) * 641 % 65536 — integer-
+    exact in the SQL oracle; the decoder's strip-16 reduction makes
+    the expected 8-bit pixel value // 256."""
+    import numpy as np
+
+    p = np.arange(w * h, dtype=np.int64)[:, None]
+    c = np.arange(3, dtype=np.int64)[None, :]
+    return (
+        ((media_id * 11 + p * 7 + c * 5) * 641) % 65536
+    ).astype(np.uint16).reshape(h, w, 3)
+
+
+def synthesize_png16_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit truecolor PNG payloads (big-endian sample pairs,
+    6-byte filter distance) from the closed-form 16-bit field —
+    the wide-depth writer half."""
+    return _synthesize_media(
+        ids,
+        id_col,
+        None,
+        "image/png",
+        payload_fn=lambda mid: encode_png16(
+            _png16_pixels(mid, *_bmp_dims(mid))
+        ),
     )
 
 

@@ -224,6 +224,54 @@ def q_multimodal_png_variants_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_png16_roundtrip",
+    """
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(2 + doc_id % 6 AS INT) AS width,
+               CAST(2 + doc_id % 4 AS INT) AS height
+        FROM documents
+    ),
+    px AS (
+        SELECT media_id, width, height,
+               list_transform(range(0, width*height),
+                   p -> ((media_id*11 + p*7 + 0)*641) % 65536 // 256) AS r,
+               list_transform(range(0, width*height),
+                   p -> ((media_id*11 + p*7 + 5)*641) % 65536 // 256) AS g,
+               list_transform(range(0, width*height),
+                   p -> ((media_id*11 + p*7 + 10)*641) % 65536 // 256) AS b
+        FROM dims
+    )
+    SELECT media_id, width, height,
+           ROUND(list_sum(r) / CAST(width*height AS DOUBLE), 6) AS mean_r,
+           ROUND(list_sum(g) / CAST(width*height AS DOUBLE), 6) AS mean_g,
+           ROUND(list_sum(b) / CAST(width*height AS DOUBLE), 6) AS mean_b,
+           CAST(list_extract(r, 1) AS INT) AS corner_r,
+           CAST(list_extract(g, 1) AS INT) AS corner_g,
+           CAST(list_extract(b, 1) AS INT) AS corner_b
+    FROM px
+    """,
+)
+def q_multimodal_png16_roundtrip(spark, sf_dir):
+    """16-bit (wide-depth) PNG round trip — round 8's one documented
+    image-profile refusal, now decoded for real: each document
+    synthesizes a 16-bit truecolor PNG (big-endian sample pairs,
+    byte-distance filters, all five filter types cycling) from a
+    closed-form 16-bit field, and decode_png reads it back through
+    the real inflate + unfilter + strip-16 pipeline. The reduction
+    16->8 drops the low byte (libpng strip-16), so expected pixels
+    are value // 256 — integer-exact in the oracle, and a
+    byte-order, filter-distance, or scaling bug moves the hash."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_image_features,
+        synthesize_png16_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features(synthesize_png16_media(docs))
+
+
+@query(
     "multimodal_gif_roundtrip",
     f"""
     WITH dims AS (

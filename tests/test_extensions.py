@@ -270,19 +270,58 @@ def test_png_decode_rejects_corruption_and_unsupported():
         decode_png(bytes(good))
     with _pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"nope")
-    # 16-bit depth must still be rejected loudly (grayscale/palette
-    # decode for REAL since round 8 — see test_png_variant_decodes)
+    # 16-bit PALETTE is illegal per spec (16-bit gray/truecolor
+    # decode for REAL since round 9 — see test_png16 cases)
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr))
         + b"IHDR"
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with _pytest.raises(NotImplementedError, match="depth=16"):
+    with _pytest.raises(ValueError, match="depth=16"):
         decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_png16_roundtrip_and_gray16():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from funding_monitoring_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png16,
+    )
+
+    rng = np.random.RandomState(3)
+    for shape in [(1, 1), (2, 2), (7, 5), (13, 9)]:
+        px = rng.randint(0, 65536, size=(*shape, 3)).astype(np.uint16)
+        # lossless down to the strip-16 reduction, every filter type
+        assert np.array_equal(
+            decode_png(encode_png16(px)), (px >> 8).astype(np.uint8)
+        )
+    # hand-built 16-bit grayscale stream, filter type 0
+    h, w = 3, 4
+    g = rng.randint(0, 65536, size=(h, w)).astype(np.uint16)
+    raw = b"".join(
+        b"\x00" + g[y].astype(">u2").tobytes() for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    exp = (g >> 8).astype(np.uint8)
+    assert np.array_equal(
+        decode_png(png), np.stack([exp] * 3, axis=-1)
+    )
 
 
 def test_quantize_int8_error_bounded_by_half_step(spark):
