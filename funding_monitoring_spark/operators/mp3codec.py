@@ -38,10 +38,17 @@ the bit reservoir and hit the explicit NotImplementedErrors below
 long before the filterbank, so the deviation is unreachable from any
 accepted foreign stream.
 
+All three MPEG versions are supported at the container level:
+MPEG-1 (32/44.1/48 kHz, two granules per frame, 17/32-byte side
+info) and MPEG-2 / MPEG-2.5 LSF (16/22.05/24 and 8/11.025/12 kHz,
+one granule per frame, 8-bit main_data_begin, 9-bit
+scalefac_compress, no scfsi/preflag, 9/17-byte side info); the
+spectral pipeline is shared.
+
 Profile refusals (each a hard error, never a guess): bigvalues > 0,
 count1 table A, nonzero scalefac_compress / scfsi, window switching
 (short blocks), joint stereo, main_data_begin != 0 (bit reservoir),
-MPEG-2/2.5, free format, Layer I/II.
+free format, Layer I/II.
 """
 
 from __future__ import annotations
@@ -52,7 +59,13 @@ import numpy as np
 _BITRATES = [
     0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
 ]
+#: MPEG-2/2.5 (LSF) Layer III bitrates by header index (kbps)
+_BITRATES_LSF = [
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+]
 _RATES = [44100, 48000, 32000]
+_RATES_V2 = [22050, 24000, 16000]
+_RATES_V25 = [11025, 12000, 8000]
 _GRANULE = 576
 _SB = 32  #: subbands
 _SSLIMIT = 18  #: spectral lines per subband per granule
@@ -261,17 +274,63 @@ def _code_granule(bw: _BitWriter, q: np.ndarray) -> int:
     return bw.bit_length() - start
 
 
-def _frame_header(bitrate_kbps: int, sample_rate: int, nch: int) -> int:
+def _version_params(sample_rate: int) -> tuple[int, list[int], int, int]:
+    """(version_bits, bitrate_table, samples_per_frame,
+    frame_length_factor) for the MPEG version this rate belongs to.
+    MPEG-1 frames carry two granules (1152 samples, 144000*kbps/rate
+    bytes); MPEG-2/2.5 LSF frames carry ONE granule (576 samples,
+    72000*kbps/rate bytes)."""
+    if sample_rate in _RATES:
+        return 0b11, _BITRATES, 1152, 144000
+    if sample_rate in _RATES_V2:
+        return 0b10, _BITRATES_LSF, 576, 72000
+    if sample_rate in _RATES_V25:
+        return 0b00, _BITRATES_LSF, 576, 72000
+    raise ValueError(
+        "Layer III sample rate must be one of 32/44.1/48k (MPEG-1), "
+        "16/22.05/24k (MPEG-2) or 8/11.025/12k (MPEG-2.5)"
+    )
+
+
+def _rate_index(sample_rate: int, version: int) -> int:
+    table = {0b11: _RATES, 0b10: _RATES_V2, 0b00: _RATES_V25}[version]
+    return table.index(sample_rate)
+
+
+def _frame_header(
+    bitrate_kbps: int, sample_rate: int, nch: int
+) -> int:
+    version, btable, _, _ = _version_params(sample_rate)
     return (
         (0x7FF << 21)
-        | (0b11 << 19)  # MPEG-1
+        | (version << 19)
         | (0b01 << 17)  # Layer III
         | (1 << 16)  # no CRC
-        | (_BITRATES.index(bitrate_kbps) << 12)
-        | (_RATES.index(sample_rate) << 10)
+        | (btable.index(bitrate_kbps) << 12)
+        | (_rate_index(sample_rate, version) << 10)
         | (0 << 9)  # no padding
         | ((0b11 if nch == 1 else 0b00) << 6)  # mono / stereo
     )
+
+
+def _write_granule_side(
+    side: _BitWriter, ln: int, gg: int, lsf: bool
+) -> None:
+    side.write(ln, 12)  # part2_3_length (0 scalefactor bits)
+    side.write(0, 9)  # big_values = 0: count1-only spectrum
+    side.write(gg, 8)  # global_gain
+    # scalefac_compress: 4 bits (MPEG-1) / 9 bits (LSF); 0 -> zero
+    # scalefactor bits under either version's slen mapping
+    side.write(0, 9 if lsf else 4)
+    side.write(0, 1)  # window_switching_flag (long blocks)
+    side.write(0, 15)  # table_select x3 (unused: bigvalues=0)
+    side.write(0, 4)  # region0_count
+    side.write(0, 3)  # region1_count
+    if not lsf:
+        side.write(0, 1)  # preflag (MPEG-1 only; LSF folds it
+        # into the scalefac_compress semantics)
+    side.write(0, 1)  # scalefac_scale
+    side.write(1, 1)  # count1table_select = 1 (table B)
 
 
 def encode_mp3(
@@ -279,20 +338,25 @@ def encode_mp3(
     sample_rate: int = 32000,
     bitrate_kbps: int = 128,
 ) -> bytes:
-    """(n,) or (n, ch<=2) int16 PCM -> MPEG-1 Layer III bytes in this
-    module's profile (long blocks, zero scalefactors, count1-only
-    spectrum, no bit reservoir). The stream is syntactically valid
-    MP3; decode_mp3 inverts it to PCM whose error is bounded by the
-    two-level quantizer (see tests for the measured bounds)."""
-    if sample_rate not in _RATES:
-        raise ValueError("MPEG-1 Layer III sample rate must be 32/44.1/48k")
+    """(n,) or (n, ch<=2) int16 PCM -> MPEG-1 or MPEG-2/2.5 (LSF)
+    Layer III bytes in this module's profile (long blocks, zero
+    scalefactors, count1-only spectrum, no bit reservoir). The stream
+    is syntactically valid MP3; decode_mp3 inverts it to PCM whose
+    error is bounded by the two-level quantizer (see tests for the
+    measured bounds)."""
+    version, btable, frame_len, flen_factor = _version_params(
+        sample_rate
+    )
+    lsf = version != 0b11
+    if bitrate_kbps not in btable or bitrate_kbps == 0:
+        raise ValueError(f"illegal bitrate for this MPEG version: "
+                         f"{bitrate_kbps} kbps")
     pcm = np.asarray(samples, dtype=np.int16)
     if pcm.ndim == 1:
         pcm = pcm[:, None]
     n, nch = pcm.shape
     if nch > 2:
         raise ValueError("encode_mp3 supports 1-2 channels")
-    frame_len = 1152
     nfrm = max(1, -(-n // frame_len))
     padded = np.zeros((nfrm * frame_len, nch))
     padded[:n] = pcm.astype(np.float64) / 32768.0
@@ -303,38 +367,35 @@ def encode_mp3(
     for c in range(nch):
         sub = _freq_invert(_analysis(padded[:, c]))
         spec.append(_antialias(_mdct_granules(sub), inverse=True))
-    ngr = nfrm * 2
+    gr_per_frame = frame_len // _GRANULE
 
     out = bytearray()
     hdr = _frame_header(bitrate_kbps, sample_rate, nch)
-    frame_bytes = 144000 * bitrate_kbps // sample_rate
-    side_bytes = 17 if nch == 1 else 32
+    frame_bytes = flen_factor * bitrate_kbps // sample_rate
+    if lsf:
+        side_bytes = 9 if nch == 1 else 17
+    else:
+        side_bytes = 17 if nch == 1 else 32
     for f in range(nfrm):
         main = _BitWriter()
         lens, gains = [], []
-        for g in (2 * f, 2 * f + 1):
+        for g in range(gr_per_frame * f, gr_per_frame * (f + 1)):
             for c in range(nch):
                 gg, q = _quantize_granule(spec[c][g])
                 lens.append(_code_granule(main, q))
                 gains.append(gg)
         main.pad_to_byte()
         side = _BitWriter()
-        side.write(0, 9)  # main_data_begin = 0: no bit reservoir
-        side.write(0, 5 if nch == 1 else 3)  # private_bits
-        for _ in range(nch):
-            side.write(0, 4)  # scfsi: scalefactors never shared
+        # main_data_begin: 9 bits (MPEG-1) / 8 bits (LSF); always 0
+        side.write(0, 8 if lsf else 9)
+        if lsf:
+            side.write(0, 1 if nch == 1 else 2)  # private_bits
+        else:
+            side.write(0, 5 if nch == 1 else 3)  # private_bits
+            for _ in range(nch):
+                side.write(0, 4)  # scfsi: scalefactors never shared
         for ln, gg in zip(lens, gains):
-            side.write(ln, 12)  # part2_3_length (0 scalefactor bits)
-            side.write(0, 9)  # big_values = 0: count1-only spectrum
-            side.write(gg, 8)  # global_gain
-            side.write(0, 4)  # scalefac_compress
-            side.write(0, 1)  # window_switching_flag (long blocks)
-            side.write(0, 15)  # table_select x3 (unused: bigvalues=0)
-            side.write(0, 4)  # region0_count
-            side.write(0, 3)  # region1_count
-            side.write(0, 1)  # preflag
-            side.write(0, 1)  # scalefac_scale
-            side.write(1, 1)  # count1table_select = 1 (table B)
+            _write_granule_side(side, ln, gg, lsf)
         body = bytes(side.buf) + bytes(main.buf)
         if side_bytes + len(main.buf) + 4 > frame_bytes:
             raise ValueError(
@@ -351,26 +412,29 @@ def encode_mp3(
 # ---------------------------------------------------------------------------
 
 
-def _parse_side_info(data: bytes, nch: int) -> list[dict]:
+def _parse_side_info(data: bytes, nch: int, lsf: bool) -> list[dict]:
     br = _BitReader(data)
-    if br.read(9) != 0:
+    if br.read(8 if lsf else 9) != 0:
         raise NotImplementedError(
             "main_data_begin != 0: the bit reservoir is outside this "
             "decoder's profile"
         )
-    br.read(5 if nch == 1 else 3)
-    for _ in range(nch):
-        if br.read(4) != 0:
-            raise NotImplementedError(
-                "nonzero scfsi (shared scalefactors) unsupported"
-            )
+    if lsf:
+        br.read(1 if nch == 1 else 2)
+    else:
+        br.read(5 if nch == 1 else 3)
+        for _ in range(nch):
+            if br.read(4) != 0:
+                raise NotImplementedError(
+                    "nonzero scfsi (shared scalefactors) unsupported"
+                )
     grs = []
-    for _ in range(2 * nch):
+    for _ in range((1 if lsf else 2) * nch):
         g = {
             "part2_3_length": br.read(12),
             "big_values": br.read(9),
             "global_gain": br.read(8),
-            "scalefac_compress": br.read(4),
+            "scalefac_compress": br.read(9 if lsf else 4),
             "window_switching": br.read(1),
         }
         if g["window_switching"]:
@@ -381,7 +445,7 @@ def _parse_side_info(data: bytes, nch: int) -> list[dict]:
         g["table_select"] = (br.read(5), br.read(5), br.read(5))
         g["region0_count"] = br.read(4)
         g["region1_count"] = br.read(3)
-        g["preflag"] = br.read(1)
+        g["preflag"] = 0 if lsf else br.read(1)
         g["scalefac_scale"] = br.read(1)
         g["count1table_select"] = br.read(1)
         if g["big_values"]:
@@ -427,12 +491,12 @@ def _decode_granule(br: _BitReader, g: dict) -> np.ndarray:
 
 
 def decode_mp3(payload: bytes) -> tuple[np.ndarray, int]:
-    """MPEG-1 Layer III bytes (this module's profile; see refusals in
-    _parse_side_info) -> ((n, ch) int16 PCM, sample_rate). The
-    filterbank latency (32 samples polyphase + 576 granule MDCT) is
-    trimmed so sample 0 of the output aligns with sample 0 of the
-    encoder's input; the trailing partial frame stays padded, as in
-    any MP3 (no sample-count field in the format)."""
+    """MPEG-1 or MPEG-2/2.5 Layer III bytes (this module's profile;
+    see refusals in _parse_side_info) -> ((n, ch) int16 PCM,
+    sample_rate). The filterbank latency (32 samples polyphase + 576
+    granule MDCT) is trimmed so sample 0 of the output aligns with
+    sample 0 of the encoder's input; the trailing partial frame stays
+    padded, as in any MP3 (no sample-count field in the format)."""
     pos = 0
     if payload[:3] == b"ID3":
         size = sum(
@@ -442,17 +506,22 @@ def decode_mp3(payload: bytes) -> tuple[np.ndarray, int]:
     spec: list[list[np.ndarray]] = []
     rate = None
     nch = None
+    ver = None
     while pos + 4 <= len(payload):
         if payload[pos] == 0 and not payload[pos:].strip(b"\x00"):
             break  # trailing zero fill
         hdr = int.from_bytes(payload[pos : pos + 4], "big")
         if hdr >> 21 != 0x7FF:
             raise ValueError("lost MP3 frame sync")
-        if (hdr >> 19) & 3 != 0b11 or (hdr >> 17) & 3 != 0b01:
+        f_ver = (hdr >> 19) & 3
+        if f_ver == 0b01:
+            raise ValueError("reserved MPEG version bits")
+        if (hdr >> 17) & 3 != 0b01:
             raise NotImplementedError(
-                "not MPEG-1 Layer III (see mpegaudio.parse_mp3_metadata "
-                "for MPEG-2/2.5 metadata-level support)"
+                "only Layer III is decoded (Layer I/II need their own "
+                "subband quantizer tables)"
             )
+        lsf = f_ver != 0b11
         bi, ri = (hdr >> 12) & 0xF, (hdr >> 10) & 3
         if bi == 0 or bi == 15 or ri == 3:
             raise NotImplementedError("free-format/invalid header")
@@ -464,18 +533,25 @@ def decode_mp3(payload: bytes) -> tuple[np.ndarray, int]:
                 "joint/dual stereo unsupported; mono or plain stereo"
             )
         f_nch = 1 if mode == 3 else 2
-        f_rate = _RATES[ri]
+        f_rate = {
+            0b11: _RATES, 0b10: _RATES_V2, 0b00: _RATES_V25
+        }[f_ver][ri]
         if rate is None:
-            rate, nch = f_rate, f_nch
+            rate, nch, ver = f_rate, f_nch, f_ver
             spec = [[] for _ in range(nch)]
-        elif (f_rate, f_nch) != (rate, nch):
+        elif (f_rate, f_nch, f_ver) != (rate, nch, ver):
             raise ValueError("frame parameter change mid-stream")
-        flen = 144000 * _BITRATES[bi] // f_rate + ((hdr >> 9) & 1)
-        side_bytes = 17 if nch == 1 else 32
+        kbps = (_BITRATES if not lsf else _BITRATES_LSF)[bi]
+        flen = (144000 if not lsf else 72000) * kbps // f_rate
+        flen += (hdr >> 9) & 1
+        if lsf:
+            side_bytes = 9 if nch == 1 else 17
+        else:
+            side_bytes = 17 if nch == 1 else 32
         frame = payload[pos : pos + flen]
         if len(frame) < flen:
             raise ValueError("truncated MP3 frame")
-        grs = _parse_side_info(frame[4 : 4 + side_bytes], nch)
+        grs = _parse_side_info(frame[4 : 4 + side_bytes], nch, lsf)
         br = _BitReader(frame, 8 * (4 + side_bytes))
         for gi, g in enumerate(grs):
             spec[gi % nch].append(_decode_granule(br, g))

@@ -174,9 +174,11 @@ def query(name: str, sql: str | None):
 #:       (funding_rate_anomaly, snapshot_diff_ticks,
 #:       heavy_hitter_users). Registration FREEZES once the r9
 #:       window fills.
-#:   r10 plan (precommitted): (a) any round-9 post-freeze
-#:       registrations first, in registration order (each must ship
-#:       with a green driver-format row in CORRECTNESS_LOCAL_r9.json);
+#:   r10 plan (precommitted): (a) the round-9 post-freeze
+#:       registrations first, in registration order (each ships
+#:       with a green driver-format row in CORRECTNESS_LOCAL_r9.json)
+#:       — multimodal_mp3_roundtrip (pure Layer III codec),
+#:       multimodal_png16_roundtrip (wide-depth PNG);
 #:       (b) the 45 r5-row remainder — the oldest rows in the
 #:       registry at r10 (the round-4 post-freeze cohort below minus
 #:       the six r5 rows pulled into the r9 window) in registration

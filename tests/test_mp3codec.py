@@ -83,6 +83,31 @@ def test_streams_parse_with_the_independent_scanner():
         assert meta["id3v2_bytes"] == 0
 
 
+@pytest.mark.parametrize(
+    "rate,kbps",
+    [(16000, 128), (22050, 128), (24000, 128),
+     (8000, 64), (11025, 64), (12000, 64)],
+)
+def test_lsf_roundtrip_all_rates(rate, kbps):
+    # MPEG-2 / MPEG-2.5 LSF: one granule per frame, 8/9-bit side-info
+    # fields; the spectral pipeline is shared with MPEG-1
+    n = 3000
+    src = (
+        8000.0 * np.sin(2.0 * np.pi * np.arange(n) * 437.0 / rate)
+    ).astype(np.int16)
+    data = M.encode_mp3(src, rate, bitrate_kbps=kbps)
+    meta = parse_mp3_metadata(data)
+    assert meta["sample_rate"] == rate
+    assert meta["bitrate_kbps"] == kbps
+    pcm, r2 = M.decode_mp3(data)
+    assert r2 == rate
+    m = min(len(pcm), n)
+    g = pcm[:m, 0].astype(np.float64)
+    s = src[:m].astype(np.float64)
+    assert 0.5 <= (g**2).mean() / (s**2).mean() <= 2.0
+    assert np.corrcoef(g, s)[0, 1] >= 0.8
+
+
 def test_silence_and_length_edges():
     pcm, rate = M.decode_mp3(
         M.encode_mp3(np.zeros(10, dtype=np.int16), 32000)
@@ -95,7 +120,9 @@ def test_profile_refusals_are_loud():
     src = (4000.0 * np.sin(np.arange(1152) / 7.0)).astype(np.int16)
     data = bytearray(M.encode_mp3(src, 32000))
     with pytest.raises(ValueError, match="sample rate"):
-        M.encode_mp3(src, 16000)  # MPEG-2 rate
+        M.encode_mp3(src, 21000)  # not a Layer III rate at any version
+    with pytest.raises(ValueError, match="bitrate"):
+        M.encode_mp3(src, 16000, bitrate_kbps=320)  # MPEG-1-only rate
     # flip count1table_select (last bit of each granule's side info)
     # to table A: granule 0's side info starts at byte 4+2+... — do it
     # by re-encoding the side-info block: easier to corrupt the mode
