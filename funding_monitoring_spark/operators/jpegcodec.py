@@ -22,10 +22,10 @@ spec reduced to its sequential-DCT core:
   vectorized: (run, size) tokens are built with numpy index algebra
   across every block at once and bit-packed via np.packbits — no
   per-coefficient Python loop.
-- Decode: full marker parse (DQT/DHT/SOF0/SOF2/DRI/SOS, APPn/COM
-  skipped), arbitrary DHT tables via a cached 16-bit prefix LUT (one
-  list index resolves any code), arbitrary sampling factors with
-  integer ratios (1/2/4 — covers 4:4:4, 4:2:2, 4:2:0), restart
+- Decode: full marker parse (DQT/DHT/SOF0/SOF1/SOF2/DRI/SOS,
+  APPn/COM skipped), arbitrary DHT tables via a cached 16-bit prefix
+  LUT (one list index resolves any code), arbitrary sampling factors
+  with integer ratios (1/2/4 — covers 4:4:4, 4:2:2, 4:2:0), restart
   markers, then dequantize -> IDCT -> level shift -> chroma
   replication upsample -> YCbCr -> RGB. PROGRESSIVE (SOF2) streams
   decode for real too — the full Annex-G scan machinery: spectral
@@ -34,9 +34,12 @@ spec reduced to its sequential-DCT core:
   scans (this file also carries a progressive ENCODER emitting the
   standard 10-scan script, so the roundtrip is exactly testable:
   progressive is a reordering of the same quantized coefficients,
-  and its decode equals the baseline decode bit-for-bit). 12-bit,
-  arithmetic coding, hierarchical, and fractional sampling ratios
-  raise NotImplementedError with the reason — honest partial
+  and its decode equals the baseline decode bit-for-bit). 12-BIT
+  precision decodes via SOF1 (extended sequential): 16-bit DQT
+  entries, 2048 level shift, /16 reduction to the 8-bit output
+  contract — with encode_jpeg12 as the writer half. Arithmetic
+  coding, hierarchical, 12-bit progressive, and fractional sampling
+  ratios raise NotImplementedError with the reason — honest partial
   coverage, never garbage pixels.
 
 The codec is deterministic (no library-version dependence), so the
@@ -153,17 +156,36 @@ def _fixed_table(symbols: list[int], length: int) -> dict[int, tuple[int, int]]:
 _ENC_DC = _fixed_table(_DC_SYMBOLS, 4)
 _ENC_AC = _fixed_table(_AC_SYMBOLS, 8)
 
+#: extended-sequential (SOF1, 12-bit) tables: DC categories reach 13
+#: and AC sizes 14 at 12-bit amplitudes, beyond the baseline symbol
+#: sets — same canonical fixed-length construction, own DHT payloads
+_DC_SYMBOLS_12 = list(range(16))  # categories 0..15, 5-bit codes
+_AC_SYMBOLS_12 = (
+    [0x00]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+    + [0xF0]
+)  # EOB + 224 (run,size) + ZRL = 226 symbols, 8-bit codes
+_ENC_DC_12 = _fixed_table(_DC_SYMBOLS_12, 5)
+_ENC_AC_12 = _fixed_table(_AC_SYMBOLS_12, 8)
+
 #: numpy views of the fixed tables for the vectorized token builder
 _DC_CODES = np.array([_ENC_DC[s][0] for s in range(12)], dtype=np.int64)
 _AC_CODES = np.zeros(256, dtype=np.int64)
 for _sym, (_code, _ln) in _ENC_AC.items():
     _AC_CODES[_sym] = _code
 _EOB_CODE, _ZRL_CODE = _ENC_AC[0x00][0], _ENC_AC[0xF0][0]
+_DC_CODES_12 = np.array(
+    [_ENC_DC_12[s][0] for s in range(16)], dtype=np.int64
+)
+_AC_CODES_12 = np.zeros(256, dtype=np.int64)
+for _sym, (_code, _ln) in _ENC_AC_12.items():
+    _AC_CODES_12[_sym] = _code
 
-#: |value| -> size category (bit_length); DC differentials of 8-bit
-#: baseline are bounded by 2048, AC by 1024 — 4096 covers both.
-_SIZE_LUT = np.zeros(4096, dtype=np.int64)
-for _i in range(1, 4096):
+#: |value| -> size category (bit_length); 8-bit baseline DC
+#: differentials are bounded by 2048 and AC by 1024; 12-bit extended
+#: (quant tables clipped >= 4) by 8192 / 4096 — 16384 covers all.
+_SIZE_LUT = np.zeros(16384, dtype=np.int64)
+for _i in range(1, 16384):
     _SIZE_LUT[_i] = _i.bit_length()
 
 
@@ -197,13 +219,13 @@ _SUBSAMPLING_HV = {
 # --- encode -----------------------------------------------------------
 
 
-def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+def _rgb_to_ycbcr(px: np.ndarray, offset: float = 128.0) -> np.ndarray:
     r = px[..., 0].astype(np.float64)
     g = px[..., 1].astype(np.float64)
     b = px[..., 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + offset
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + offset
     return np.stack([y, cb, cr], axis=-1)
 
 
@@ -237,7 +259,13 @@ def _mcu_order_blocks(
 
 
 def _entropy_tokens(
-    zz: np.ndarray, dc_diff: np.ndarray, bids: np.ndarray
+    zz: np.ndarray,
+    dc_diff: np.ndarray,
+    bids: np.ndarray,
+    dc_codes: np.ndarray = _DC_CODES,
+    dc_len: int = 4,
+    ac_codes: np.ndarray = _AC_CODES,
+    ac_len: int = 8,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized (code, bit-length) token stream for a set of
     blocks. ``zz`` is (M, 64) quantized zigzag coefficients,
@@ -245,14 +273,15 @@ def _entropy_tokens(
     global scan position. Returns (codes, lengths, bids_per_token)
     sorted to scan order. The encoder's DC/AC code tables are
     identical for both table ids, so tokens don't depend on the
-    component."""
+    component; the table arguments select the baseline (default) or
+    the 12-bit extended fixed-length tables."""
     m = zz.shape[0]
     s_dc = _SIZE_LUT[np.abs(dc_diff)]
     amp_dc = np.where(dc_diff >= 0, dc_diff, dc_diff + (1 << s_dc) - 1)
     tok_b = [bids, bids]
     tok_k = [np.zeros(m, np.int64), np.ones(m, np.int64)]
-    tok_c = [_DC_CODES[s_dc], amp_dc]
-    tok_l = [np.full(m, 4, np.int64), s_dc]
+    tok_c = [dc_codes[s_dc], amp_dc]
+    tok_l = [np.full(m, dc_len, np.int64), s_dc]
 
     ac = zz[:, 1:]
     bi, kj = np.nonzero(ac)
@@ -272,11 +301,15 @@ def _entropy_tokens(
         tok_b += [bids[zb], bids[bi], bids[bi]]
         tok_k += [zk, 3 * ki + 1, 3 * ki + 2]
         tok_c += [
-            np.full(len(zb), _ZRL_CODE, np.int64),
-            _AC_CODES[(rem << 4) | s],
+            np.full(len(zb), ac_codes[0xF0], np.int64),
+            ac_codes[(rem << 4) | s],
             amp,
         ]
-        tok_l += [np.full(len(zb), 8, np.int64), np.full(len(bi), 8, np.int64), s]
+        tok_l += [
+            np.full(len(zb), ac_len, np.int64),
+            np.full(len(bi), ac_len, np.int64),
+            s,
+        ]
         last_nz = np.zeros(m, dtype=np.int64)
         np.maximum.at(last_nz, bi, ki)
     else:
@@ -284,8 +317,8 @@ def _entropy_tokens(
     eob = np.flatnonzero(last_nz < 63)
     tok_b.append(bids[eob])
     tok_k.append(np.full(len(eob), 3 * 64 + 2, np.int64))
-    tok_c.append(np.full(len(eob), _EOB_CODE, np.int64))
-    tok_l.append(np.full(len(eob), 8, np.int64))
+    tok_c.append(np.full(len(eob), ac_codes[0x00], np.int64))
+    tok_l.append(np.full(len(eob), ac_len, np.int64))
 
     b = np.concatenate(tok_b)
     k = np.concatenate(tok_k)
@@ -423,6 +456,90 @@ def encode_baseline_jpeg(
     return bytes(out)
 
 
+def encode_jpeg12(
+    pixels: np.ndarray, quality: int = 95
+) -> bytes:
+    """(h, w, 3) uint16 RGB with 12-bit samples (0..4095) ->
+    extended-sequential (SOF1) JFIF bytes at 12-bit precision:
+    16-bit quantization tables (DQT Pq=1, the Annex-K tables scaled
+    x16 so quality is comparable to the 8-bit encoder, clipped to a
+    minimum of 4 which bounds quantized DC differentials under 2^13
+    and AC sizes under 14 — inside the extended fixed-length Huffman
+    tables), 2048 level shift, 4:4:4 chroma. T.81 restricts BASELINE
+    (SOF0) to 8-bit samples; 12-bit rides SOF1 with Huffman coding,
+    which is exactly this wire format."""
+    px = np.asarray(pixels, dtype=np.uint16)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg12 expects (h, w, 3) RGB")
+    if int(px.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    h, w = px.shape[:2]
+    mcuy, mcux = -(-h // 8), -(-w // 8)
+    qy8, qc8 = _quality_tables(quality)
+    qy = np.clip(qy8.astype(np.int64) * 16, 4, 65535)
+    qc = np.clip(qc8.astype(np.int64) * 16, 4, 65535)
+    ycc = _rgb_to_ycbcr(px, offset=2048.0)
+
+    all_zz, all_diff, all_bids = [], [], []
+    for ci in range(3):
+        blocks = _mcu_order_blocks(
+            ycc[..., ci] - 2048.0, mcuy, mcux, 1, 1
+        )
+        coef = _DCT @ blocks @ _DCT.T
+        q = (qy if ci == 0 else qc).reshape(8, 8)
+        zz = (
+            np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, _ZIGZAG]
+        )
+        dc = zz[:, 0]
+        j = np.arange(len(dc))
+        diff = np.empty_like(dc)
+        diff[0] = dc[0]
+        if len(dc) > 1:
+            diff[1:] = dc[1:] - dc[:-1]
+        all_zz.append(zz)
+        all_diff.append(diff)
+        all_bids.append(3 * j + ci)
+
+    codes, lengths, _bids = _entropy_tokens(
+        np.concatenate(all_zz),
+        np.concatenate(all_diff),
+        np.concatenate(all_bids),
+        dc_codes=_DC_CODES_12,
+        dc_len=5,
+        ac_codes=_AC_CODES_12,
+        ac_len=8,
+    )
+    entropy = _pack_tokens(codes, lengths)
+
+    def seg_(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt16(tq: int, t: np.ndarray) -> bytes:
+        return bytes([(1 << 4) | tq]) + t[_ZIGZAG].astype(
+            ">u2"
+        ).tobytes()
+
+    out = bytearray(b"\xff\xd8")
+    out += seg_(
+        0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += seg_(0xFFDB, dqt16(0, qy))
+    out += seg_(0xFFDB, dqt16(1, qc))
+    sof = struct.pack(">BHHB", 12, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    out += seg_(0xFFC1, sof)  # SOF1: extended sequential, Huffman
+    out += seg_(0xFFC4, _dht_payload(0, 0, _ENC_DC_12))
+    out += seg_(0xFFC4, _dht_payload(1, 0, _ENC_AC_12))
+    out += seg_(0xFFC4, _dht_payload(0, 1, _ENC_DC_12))
+    out += seg_(0xFFC4, _dht_payload(1, 1, _ENC_AC_12))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg_(0xFFDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decode -----------------------------------------------------------
 
 
@@ -498,12 +615,13 @@ def _split_entropy(payload: bytes, pos: int):
 
 
 def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
-    """Sequential (SOF0) or progressive (SOF2) JFIF bytes ->
-    (h, w, 3) uint8 RGB. Handles arbitrary DHT tables, restart
-    markers, integer-ratio sampling factors (4:4:4 / 4:2:2 / 4:2:0),
-    and for progressive streams the full Annex-G scan machinery
-    (spectral selection, successive approximation, EOB runs). Raises
-    NotImplementedError for 12-bit / arithmetic / hierarchical /
+    """Sequential (SOF0/SOF1, 8- or 12-bit) or progressive (SOF2)
+    JFIF bytes -> (h, w, 3) uint8 RGB. Handles arbitrary DHT tables,
+    restart markers, integer-ratio sampling factors (4:4:4 / 4:2:2 /
+    4:2:0), 16-bit DQT entries, and for progressive streams the full
+    Annex-G scan machinery (spectral selection, successive
+    approximation, EOB runs). Raises NotImplementedError for
+    arithmetic / hierarchical / 12-bit-progressive /
     fractional-ratio streams and ValueError for malformed ones."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -537,14 +655,18 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
             o = 0
             while o < len(body):
                 pq, tq = body[o] >> 4, body[o] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit DQT")
                 t = np.zeros(64, dtype=np.int32)
-                t[_ZIGZAG] = np.frombuffer(
-                    body[o + 1 : o + 65], dtype=np.uint8
-                )
+                if pq:  # 16-bit entries (12-bit precision streams)
+                    t[_ZIGZAG] = np.frombuffer(
+                        body[o + 1 : o + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    o += 129
+                else:
+                    t[_ZIGZAG] = np.frombuffer(
+                        body[o + 1 : o + 65], dtype=np.uint8
+                    )
+                    o += 65
                 qtables[tq] = t
-                o += 65
         elif marker == 0xC4:  # DHT (possibly several tables)
             o = 0
             while o < len(body):
@@ -554,10 +676,21 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 vals = bytes(body[o + 17 : o + 17 + n])
                 htables[(tc, th)] = _lut_from_dht(bits, vals)
                 o += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive — all Huffman DCT frames
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit JPEG")
+            if marker == 0xC0 and prec != 8:
+                raise ValueError(
+                    "baseline (SOF0) frames are 8-bit by definition"
+                )
+            if marker == 0xC1 and prec not in (8, 12):
+                raise ValueError(f"illegal SOF1 precision {prec}")
+            if marker == 0xC2 and prec != 8:
+                raise NotImplementedError(
+                    "12-bit progressive JPEG (the successive-"
+                    "approximation state is 8-bit-tuned here)"
+                )
             comps = []
             for i in range(nc):
                 cid, hvb, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -582,8 +715,9 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 "w": fw,
                 "comps": comps,
                 "progressive": marker == 0xC2,
+                "prec": prec,
             }
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) "
@@ -764,7 +898,13 @@ def _decode_scan(
         )
         comp_h = -(-h * cv // vmax)
         comp_w = -(-w * ch_ // hmax)
-        plane = plane[:comp_h, :comp_w] + 128.0
+        prec = frame.get("prec", 8)
+        # level shift at the frame precision, then reduce 12-bit
+        # samples to the 8-bit output contract (/16, matching the
+        # encoder's x16-scaled quantization tables)
+        plane = plane[:comp_h, :comp_w] + (2048.0 if prec == 12 else 128.0)
+        if prec == 12:
+            plane = plane / 16.0
         fy, fx = vmax // cv, hmax // ch_
         if fy > 1 or fx > 1:  # chroma replication upsample
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)

@@ -2529,6 +2529,27 @@ def synthesize_jpeg420_media(
     return _synthesize_media(ids, id_col, _encode_jpeg420, "image/jpeg")
 
 
+def synthesize_jpeg12_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """12-bit extended-sequential (SOF1) JPEG payloads: the 8-bit
+    closed-form pixel field promoted to 12-bit samples (x16), so the
+    decoder's strip-to-8-bit output is directly comparable to the
+    field under the usual lossy tolerance — a precision, level-shift,
+    or /16 scaling bug lands a full factor off."""
+
+    def enc12(px8):
+        import numpy as np
+
+        from funding_monitoring_spark.operators.jpegcodec import (
+            encode_jpeg12,
+        )
+
+        return encode_jpeg12(px8.astype(np.uint16) * 16, 95)
+
+    return _synthesize_media(ids, id_col, enc12, "image/jpeg")
+
+
 def decode_image_features_tolerant(
     media: DataFrame, tol: float = 16.0
 ) -> DataFrame:

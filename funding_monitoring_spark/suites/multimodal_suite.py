@@ -508,6 +508,37 @@ def q_multimodal_avi_framesample(spark, sf_dir):
 # error ~0.5 against the +-16 tolerance.
 
 @query(
+    "multimodal_jpeg12_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 6 AS INT) AS width,
+           CAST(2 + doc_id % 4 AS INT) AS height,
+           1 AS mean_close_r, 1 AS mean_close_g, 1 AS mean_close_b
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg12_roundtrip(spark, sf_dir):
+    """12-bit (extended sequential, SOF1) JPEG round trip — another
+    round-8 documented refusal now decoded for real: per-document
+    12-bit streams (16-bit DQT, 2048 level shift, extended
+    fixed-length Huffman tables declared in DHT) from the closed-form
+    field promoted x16, decoded through the shared Huffman/dequant/
+    IDCT pipeline and reduced back to 8-bit; per-channel means land
+    within the same quantization tolerance as the 8-bit roundtrip,
+    and a precision, level-shift, or scaling bug lands a factor of
+    16 outside it."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_image_features_tolerant,
+        synthesize_jpeg12_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features_tolerant(
+        synthesize_jpeg12_media(docs)
+    )
+
+
+@query(
     "multimodal_jpeg_roundtrip",
     """
     SELECT doc_id AS media_id,

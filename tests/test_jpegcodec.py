@@ -15,6 +15,7 @@ from funding_monitoring_spark.operators.jpegcodec import (
     _zigzag_order,
     decode_baseline_jpeg,
     encode_baseline_jpeg,
+    encode_jpeg12,
 )
 
 
@@ -137,6 +138,45 @@ def test_progressive_encoder_rejects_desyncing_dc_scan():
         encode_baseline_jpeg(px, 90, subsampling="444")
     )
     assert np.array_equal(decode_baseline_jpeg(data), base)
+
+
+def test_jpeg12_roundtrip_within_quantization_error():
+    # extended sequential (SOF1) at 12-bit precision: smooth content
+    # reconstructs within a few 8-bit codes after the /16 reduction
+    for shape in [(8, 8), (16, 16), (17, 23)]:
+        h, w = shape
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        base = 2048 + 1500 * np.sin(yy / 6.0) + 1200 * np.cos(xx / 7.0)
+        px = np.clip(
+            np.stack([base, base * 0.8 + 300, base * 0.6 + 800], -1),
+            0,
+            4095,
+        ).astype(np.uint16)
+        out = decode_baseline_jpeg(encode_jpeg12(px, 95))
+        err = np.abs(out.astype(np.float64) - px / 16.0)
+        assert err.max() <= 8.0, (shape, err.max())
+
+
+def test_jpeg12_structure_and_refusals():
+    px = np.full((8, 8, 3), 2048, dtype=np.uint16)
+    data = encode_jpeg12(px)
+    assert b"\xff\xc1" in data  # SOF1, not SOF0
+    i = data.find(b"\xff\xdb")
+    assert data[i + 4] >> 4 == 1  # DQT Pq=1: 16-bit entries
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg12(np.full((8, 8, 3), 5000, dtype=np.uint16))
+    # SOF0 must stay 8-bit by definition
+    d8 = bytearray(encode_baseline_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    j = d8.find(b"\xff\xc0")
+    d8[j + 4] = 12
+    with pytest.raises(ValueError, match="8-bit by definition"):
+        decode_baseline_jpeg(bytes(d8))
+    # 12-bit progressive stays a loud refusal
+    d12 = bytearray(data)
+    k = d12.find(b"\xff\xc1")
+    d12[k + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="12-bit progressive"):
+        decode_baseline_jpeg(bytes(d12))
 
 
 def test_rejects_unsupported_sampling_factors():
