@@ -240,7 +240,17 @@ def _quantize_granule(x: np.ndarray) -> tuple[int, np.ndarray]:
     best = None
     e_src = float((x * x).sum())
     a34 = np.abs(x) ** 0.75
-    for gg in range(0, 256):
+    # skip provably-infeasible gg: |is| <= 1 needs
+    # (amax/step)^(3/4) < 1.5 + 0.0946, i.e. step > amax/1.5946^(4/3)
+    # and gg = 210 + 4 log2(step) — start two below the bound (a safe
+    # UNDERestimate: the q.max() guard below still rejects, so the
+    # first feasible gg — and therefore the result — is unchanged;
+    # scanning from 0 wasted ~190 full-array iterations per granule)
+    gg_min = max(
+        0,
+        int(np.floor(210.0 + 4.0 * np.log2(amax / 1.8629))) - 2,
+    )
+    for gg in range(gg_min, 256):
         step = 2.0 ** ((gg - 210) / 4.0)
         q = np.rint(a34 / step**0.75 - 0.0946)
         if q.max() > 1:
