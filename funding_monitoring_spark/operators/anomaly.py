@@ -194,9 +194,17 @@ def rolling_mad_score(
         return let(_array_median(a), with_med)
 
     stats = let(arr, body)
-    out = df.withColumn("__mad_stats", stats)
+    # replace-in-place like the old withColumn shape: drop any
+    # pre-existing output columns (re-scoring an already-scored frame
+    # must not produce ambiguous duplicates)
+    keep = [
+        c
+        for c in df.columns
+        if c not in ("baseline_n", "baseline_median", score_col)
+    ]
+    out = df.select(*keep).withColumn("__mad_stats", stats)
     return out.select(
-        *df.columns,
+        *keep,
         F.col("__mad_stats")["n"].alias("baseline_n"),
         F.col("__mad_stats")["med"].alias("baseline_median"),
         F.col("__mad_stats")["score"].alias(score_col),

@@ -55,17 +55,23 @@ from __future__ import annotations
 
 import numpy as np
 
-#: MPEG-1 Layer III bitrate table (kbps), by header index; 0 = free
-_BITRATES = [
-    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
-]
-#: MPEG-2/2.5 (LSF) Layer III bitrates by header index (kbps)
-_BITRATES_LSF = [
-    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
-]
-_RATES = [44100, 48000, 32000]
-_RATES_V2 = [22050, 24000, 16000]
-_RATES_V25 = [11025, 12000, 8000]
+#: normative bitrate/rate tables are shared with the independent
+#: metadata scanner — ONE definition, so codec and scanner can never
+#: disagree on frame geometry
+from funding_monitoring_spark.operators.mpegaudio import (  # noqa: E402
+    _BITRATES,
+    _BITRATES_LSF,
+    _RATES,
+)
+
+_RATES_V2 = [r // 2 for r in _RATES]  # MPEG-2: 22050/24000/16000
+_RATES_V25 = [r // 4 for r in _RATES]  # MPEG-2.5: 11025/12000/8000
+_RATES_BY_VERSION = {0b11: _RATES, 0b10: _RATES_V2, 0b00: _RATES_V25}
+
+#: total analysis->synthesis latency in samples: one granule (inner
+#: MDCT overlap) + one polyphase block; the encoder emits enough
+#: trailing flush frames to push every REAL sample past the trim
+_CODEC_DELAY = 576 + 32
 _GRANULE = 576
 _SB = 32  #: subbands
 _SSLIMIT = 18  #: spectral lines per subband per granule
@@ -256,12 +262,17 @@ def _quantize_granule(x: np.ndarray) -> tuple[int, np.ndarray]:
         if q.max() > 1:
             continue
         nz = q > 0
-        e_dec = float(nz.sum()) * step * step
-        err = abs(e_dec - e_src)
+        n_nz = int(nz.sum())
+        err = abs(n_nz * step * step - e_src)
         if best is None or err < best[0]:
             best = (err, gg, nz)
-        if e_dec < e_src * 0.25 and best is not None:
-            break  # steps growing, energy only shrinks from here
+        if n_nz == 0:
+            # every larger gg also quantizes to all-zero — nothing
+            # further can change. (e_dec = count*step^2 is NOT
+            # monotone in gg: count falls stepwise while step^2
+            # grows, so an energy-threshold early exit would stop
+            # before the true minimizer on top-heavy spectra.)
+            break
     _, gg, nz = best
     return gg, np.where(nz, np.sign(x), 0.0).astype(np.int64)
 
@@ -303,8 +314,7 @@ def _version_params(sample_rate: int) -> tuple[int, list[int], int, int]:
 
 
 def _rate_index(sample_rate: int, version: int) -> int:
-    table = {0b11: _RATES, 0b10: _RATES_V2, 0b00: _RATES_V25}[version]
-    return table.index(sample_rate)
+    return _RATES_BY_VERSION[version].index(sample_rate)
 
 
 def _frame_header(
@@ -367,7 +377,11 @@ def encode_mp3(
     n, nch = pcm.shape
     if nch > 2:
         raise ValueError("encode_mp3 supports 1-2 channels")
-    nfrm = max(1, -(-n // frame_len))
+    # pad past the filterbank latency: the decoder trims its first
+    # _CODEC_DELAY output samples (analysis+synthesis latency), so
+    # without flush room the LAST 608 real samples would never leave
+    # the overlap state — a single-granule clip would decode EMPTY
+    nfrm = max(1, -(-(n + _CODEC_DELAY) // frame_len))
     padded = np.zeros((nfrm * frame_len, nch))
     padded[:n] = pcm.astype(np.float64) / 32768.0
     # analysis chain per channel: polyphase -> freq-invert ->
@@ -481,6 +495,10 @@ def _parse_side_info(data: bytes, nch: int, lsf: bool) -> list[dict]:
 def _decode_granule(br: _BitReader, g: dict) -> np.ndarray:
     """count1-region Huffman decode -> requantized spectral lines."""
     end = br.pos + g["part2_3_length"]
+    if end > 8 * len(br.data):
+        raise ValueError(
+            "part2_3_length runs past the frame's main data"
+        )
     q = np.zeros(_GRANULE, dtype=np.float64)
     line = 0
     while br.pos + 4 <= end and line + 4 <= _GRANULE:
@@ -503,10 +521,12 @@ def _decode_granule(br: _BitReader, g: dict) -> np.ndarray:
 def decode_mp3(payload: bytes) -> tuple[np.ndarray, int]:
     """MPEG-1 or MPEG-2/2.5 Layer III bytes (this module's profile;
     see refusals in _parse_side_info) -> ((n, ch) int16 PCM,
-    sample_rate). The filterbank latency (32 samples polyphase + 576
-    granule MDCT) is trimmed so sample 0 of the output aligns with
-    sample 0 of the encoder's input; the trailing partial frame stays
-    padded, as in any MP3 (no sample-count field in the format)."""
+    sample_rate). The filterbank latency (_CODEC_DELAY = 32 samples
+    polyphase + 576 granule MDCT) is trimmed so sample 0 of the
+    output aligns with sample 0 of the encoder's input; the encoder
+    pads past that latency with flush frames, so EVERY real sample
+    survives the trim and only trailing padding remains, as in any
+    MP3 (no sample-count field in the format)."""
     pos = 0
     if payload[:3] == b"ID3":
         size = sum(
@@ -543,9 +563,7 @@ def decode_mp3(payload: bytes) -> tuple[np.ndarray, int]:
                 "joint/dual stereo unsupported; mono or plain stereo"
             )
         f_nch = 1 if mode == 3 else 2
-        f_rate = {
-            0b11: _RATES, 0b10: _RATES_V2, 0b00: _RATES_V25
-        }[f_ver][ri]
+        f_rate = _RATES_BY_VERSION[f_ver][ri]
         if rate is None:
             rate, nch, ver = f_rate, f_nch, f_ver
             spec = [[] for _ in range(nch)]
@@ -574,9 +592,6 @@ def decode_mp3(payload: bytes) -> tuple[np.ndarray, int]:
         sub = _freq_invert(_imdct_granules(lines))
         chans.append(_synthesis(sub))
     pcm = np.stack(chans, axis=1)
-    # total analysis->synthesis latency: one granule (576, inner MDCT
-    # overlap) + one block (32, polyphase TDAC)
-    delay = _GRANULE + _SB
-    pcm = pcm[delay:]
+    pcm = pcm[_CODEC_DELAY:]
     pcm = np.clip(np.rint(pcm * 32768.0), -32768, 32767)
     return pcm.astype(np.int16), rate

@@ -781,6 +781,27 @@ def streaming_click_attribution(
 EWMA_ALPHA = 0.25
 
 
+def _bucket_ttl_keep(
+    last_ms: int, ttl_ms: int, wm: int, touched, key
+) -> bool:
+    """Spark's per-key event-time-timeout rule, reproduced per symbol
+    inside a bucketed state group: a key WITH data in the triggering
+    batch keeps its state regardless of its deadline; an idle key
+    drops once the watermark passes (newest event + TTL). Shared by
+    every bucketed TTL pipeline so the eviction rule cannot drift
+    between them."""
+    return key in touched or last_ms + ttl_ms > wm
+
+
+def _arm_bucket_timer(state, min_last_ms: int, ttl_ms: int, wm: int):
+    """Bucket timer = the earliest symbol deadline, clamped past the
+    watermark (Spark rejects event-time timers at/behind it); a
+    clamped symbol is simply evicted at the next firing — same
+    observable store. Shared clamp logic for every bucketed TTL
+    pipeline."""
+    state.setTimeoutTimestamp(max(min_last_ms + ttl_ms, wm + 1))
+
+
 def streaming_ewma_stateful(
     spark: SparkSession,
     chunks_dir: str,
@@ -858,7 +879,7 @@ def streaming_ewma_stateful(
         keep = [
             i
             for i in range(len(syms))
-            if syms[i] in touched or lasts[i] + state_ttl_ms > wm
+            if _bucket_ttl_keep(lasts[i], state_ttl_ms, wm, touched, syms[i])
         ]
         return (
             [syms[i] for i in keep],
@@ -868,13 +889,7 @@ def streaming_ewma_stateful(
         )
 
     def _arm(state, lasts, wm):
-        # the bucket's timer = the earliest symbol deadline; clamp to
-        # wm+1 (Spark rejects event-time timers at/behind the
-        # watermark) — a clamped symbol is simply evicted at the next
-        # firing, same observable store
-        state.setTimeoutTimestamp(
-            max(min(lasts) + state_ttl_ms, wm + 1)
-        )
+        _arm_bucket_timer(state, min(lasts), state_ttl_ms, wm)
 
     def update(key, pdfs, state):
         if ttl_on and state.hasTimedOut:
@@ -1108,15 +1123,13 @@ def streaming_anomaly_alerts(
         return {
             s: v
             for s, v in bufs.items()
-            if s in touched or v[1] + state_ttl_ms > wm
+            if _bucket_ttl_keep(v[1], state_ttl_ms, wm, touched, s)
         }
 
     def _arm(state, bufs, wm):
-        # earliest symbol deadline, clamped past the watermark (Spark
-        # rejects event-time timers at/behind it); a clamped symbol
-        # is evicted at the next firing — same observable store
-        deadline = min(v[1] for v in bufs.values()) + state_ttl_ms
-        state.setTimeoutTimestamp(max(deadline, wm + 1))
+        _arm_bucket_timer(
+            state, min(v[1] for v in bufs.values()), state_ttl_ms, wm
+        )
 
     def update(key, pdfs, state):
         if ttl_on and state.hasTimedOut:

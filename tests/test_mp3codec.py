@@ -79,7 +79,8 @@ def test_streams_parse_with_the_independent_scanner():
         meta = parse_mp3_metadata(M.encode_mp3(src, rate))
         assert meta["sample_rate"] == rate
         assert meta["bitrate_kbps"] == 128
-        assert meta["n_frames"] == 2
+        # 2304 samples + the 608-sample flush pad -> 3 MPEG-1 frames
+        assert meta["n_frames"] == 3
         assert meta["id3v2_bytes"] == 0
 
 
@@ -106,6 +107,53 @@ def test_lsf_roundtrip_all_rates(rate, kbps):
     s = src[:m].astype(np.float64)
     assert 0.5 <= (g**2).mean() / (s**2).mean() <= 2.0
     assert np.corrcoef(g, s)[0, 1] >= 0.8
+
+
+def test_no_tail_loss_every_real_sample_survives_the_trim():
+    # regression (round-9 review): the decoder trims its 608-sample
+    # filterbank latency, so the encoder must pad past it with flush
+    # frames — a single-granule LSF clip used to decode to ZERO
+    # samples, and exact-multiple clips lost their last 608 samples
+    for rate, n in [(16000, 576), (32000, 1152), (16000, 100)]:
+        src = (
+            8000.0 * np.sin(2.0 * np.pi * np.arange(n) * 437.0 / rate)
+        ).astype(np.int16)
+        pcm, _ = M.decode_mp3(M.encode_mp3(src, rate))
+        assert len(pcm) >= n, (rate, n, len(pcm))
+        g = pcm[:n, 0].astype(np.float64)
+        s = src.astype(np.float64)
+        assert np.corrcoef(g, s)[0, 1] >= 0.8  # tail included, aligned
+
+
+def test_quantizer_scans_past_nonmonotone_energy():
+    # regression (round-9 review): e_dec = count*step^2 is NOT
+    # monotone in gg, so an energy-threshold early exit stopped
+    # before the true minimizer on top-heavy spectra (one dominant
+    # line + many sub-threshold lines decoded ~8 dB quiet)
+    x = np.zeros(576)
+    x[0] = 1.0
+    x[1:21] = 0.26
+    gg, q = M._quantize_granule(x)
+    step = 2.0 ** ((gg - 210) / 4.0)
+    e_dec = float((q != 0).sum()) * step * step
+    e_src = float((x * x).sum())
+    assert 0.5 <= e_dec / e_src <= 2.0, (gg, e_dec / e_src)
+
+
+def test_overlong_part2_3_length_is_a_loud_value_error():
+    # a 36-byte 8 kbps MPEG-2.5-rate... use MPEG-2 16k @ 8 kbps: the
+    # frame is 36 bytes, so a part2_3_length of 4095 bits provably
+    # overruns it — must be ValueError, never a raw IndexError (the
+    # dispatch fallback in multimodal.decode_audio catches ValueError)
+    data = bytearray(
+        M.encode_mp3(np.zeros(576, dtype=np.int16), 16000, bitrate_kbps=8)
+    )
+    # LSF mono side info at byte 4: main_data_begin(8), private(1),
+    # then part2_3_length(12); keep big_values' bits zero
+    data[5] = (data[5] & 0x80) | 0x7F  # p23 bits 11..5 = 1111111
+    data[6] = 0xF8  # p23 bits 4..0 = 11111, big_values[8:6] = 000
+    with pytest.raises(ValueError, match="part2_3_length"):
+        M.decode_mp3(bytes(data))
 
 
 def test_silence_and_length_edges():
