@@ -960,6 +960,49 @@ def q_orc_file_source(spark, sf_dir):
     )
 
 
+@query("xml_file_source", _FILE_SOURCE_ORACLE)
+def q_xml_file_source(spark, sf_dir):
+    """XML round trip through Spark 4's NATIVE xml data source (the
+    donated spark-xml reader, now built in): distributed write with a
+    row tag, schema-first distributed read — the enterprise-feed
+    interchange format (vendor exports, sitemap-style corpora) that a
+    crawl-ingest pipeline hits constantly. The same three-aggregate
+    oracle as every other file source proves the markup serialization
+    (escaping, empty elements, float formatting) loses nothing."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    path = tempfile.mkdtemp(prefix="fm_xml_src_") + "/events"
+    events.write.mode("overwrite").format("xml").option(
+        "rowTag", "event"
+    ).save(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "event")
+        .load(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_users"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 @query("tsv_file_source", _FILE_SOURCE_ORACLE)
 def q_tsv_file_source(spark, sf_dir):
     """K5 as a driver-visible round trip: the headerless
