@@ -1146,13 +1146,115 @@ def decode_wav(payload: bytes):
         # 8-bit PCM is UNSIGNED per the WAV spec: recentre and widen
         u = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
         return ((u - 128) << 8).reshape(-1, ch), rate
+    if tag_code == 7 and bits == 8:  # G.711 mu-law (telephony)
+        return _ulaw_to_linear(
+            np.frombuffer(data, dtype=np.uint8)
+        ).reshape(-1, ch), rate
+    if tag_code == 6 and bits == 8:  # G.711 A-law (telephony)
+        return _alaw_to_linear(
+            np.frombuffer(data, dtype=np.uint8)
+        ).reshape(-1, ch), rate
     if tag_code != 1 or bits != 16:
         raise NotImplementedError(
-            f"only 8/16-bit PCM, float32 PCM and IMA ADPCM WAV "
-            f"supported (format={tag_code}, bits={bits})"
+            f"only 8/16-bit PCM, float32 PCM, G.711 mu-law/A-law and "
+            f"IMA ADPCM WAV supported (format={tag_code}, bits={bits})"
         )
     pcm = np.frombuffer(data, dtype="<i2")
     return pcm.reshape(-1, ch), rate
+
+
+# -- G.711 companding (closed-form segment algebra; ITU G.711) -------------
+
+
+def _ulaw_to_linear(b):
+    """mu-law bytes -> int16 (the classic bit algebra: complement,
+    4-bit mantissa biased by 0x84, 3-bit segment shift, sign)."""
+    import numpy as np
+
+    u = (~b.astype(np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _linear_to_ulaw(x):
+    """int16 -> mu-law bytes (exact inverse search of the segment
+    algebra: bias, find the segment from the magnitude's top bit,
+    take the 4 mantissa bits under it)."""
+    import numpy as np
+
+    v = x.astype(np.int64)
+    sign = v < 0
+    mag = np.minimum(np.where(sign, -v, v) + 0x84, 0x7FFF)
+    # segment = position of the magnitude's top bit above bit 7
+    seg = (63 - _np_clz64(mag) - 7).clip(0, 7)
+    m = (mag >> (seg + 3)) & 0x0F
+    u = (np.where(sign, 0x80, 0) | (seg << 4) | m) & 0xFF
+    return (~u & 0xFF).astype(np.uint8)
+
+
+def _np_clz64(v):
+    """Count of leading zero bits of each positive int64 (via the
+    float64 exponent — exact for values < 2^53, far above the 16-bit
+    magnitudes used here)."""
+    import numpy as np
+
+    return 63 - np.floor(np.log2(np.maximum(v, 1))).astype(np.int64)
+
+
+def _alaw_to_linear(b):
+    """A-law bytes -> int16 (XOR 0x55 toggle, 4-bit mantissa, 3-bit
+    segment; sign bit SET means positive in this convention)."""
+    import numpy as np
+
+    a = b.astype(np.int64) ^ 0x55
+    m = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(
+        seg == 0,
+        m + 8,
+        np.where(seg == 1, m + 0x108, (m + 0x108) << (seg - 1).clip(0)),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _linear_to_alaw(x):
+    """int16 -> A-law bytes (segment search inverse)."""
+    import numpy as np
+
+    v = x.astype(np.int64)
+    sign = v >= 0
+    mag = np.minimum(np.where(sign, v, -v - 1), 0x7FFF)
+    seg = (63 - _np_clz64(mag) - 7).clip(0, 7)
+    m = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    a = (np.where(sign, 0x80, 0) | (seg << 4) | m) & 0xFF
+    return (a ^ 0x55).astype(np.uint8)
+
+
+def encode_g711_wav(samples, sample_rate: int = 8000, law: str = "ulaw"):
+    """(n,) or (n, ch) int16 -> G.711 WAV bytes (format tag 7 mu-law
+    or 6 A-law, 8 bits per sample) — the telephony corpus format."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    flat = pcm.reshape(-1)
+    if law == "ulaw":
+        data, tag = _linear_to_ulaw(flat).tobytes(), 7
+    elif law == "alaw":
+        data, tag = _linear_to_alaw(flat).tobytes(), 6
+    else:
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    fmt = struct.pack(
+        "<HHIIHH", tag, ch, sample_rate, sample_rate * ch, ch, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _wav_shape(media_id: int) -> tuple[int, int]:
@@ -1811,6 +1913,104 @@ def decode_adpcm_features_tolerant(
                 mae = float(
                     np.abs(pcm.astype(np.float64) - src).mean()
                 ) if n_got else 0.0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_samples": n_got,
+                        "channels": ch,
+                        "sample_rate": rate,
+                        "mean_close": int(mae <= tol),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, n_samples int, channels int, "
+            "sample_rate int, mean_close int"
+        ),
+    )
+
+
+def synthesize_g711_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """G.711 WAV payloads (mu-law for even ids, A-law for odd) from
+    the smooth ADPCM sample field — telephony-corpus audio. 1:1
+    mapInPandas, no shuffle."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                n = 400 + int(mid) % 128
+                law = "ulaw" if int(mid) % 2 == 0 else "alaw"
+                payloads.append(
+                    encode_g711_wav(
+                        _adpcm_samples(int(mid), n), 8000, law
+                    )
+                )
+                metas.append(
+                    {
+                        "modality": "audio",
+                        "mime": "audio/basic",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": int(n * 1000 / 8000),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
+    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_g711_features_tolerant(
+    media: DataFrame, tol: float = 300.0
+) -> DataFrame:
+    """Reader half for the G.711 roundtrip: decode through the WAV
+    dispatch (format tags 7/6) and flag mean absolute error against
+    the closed-form source — companding error on the 8000-amplitude
+    sine stays well under the tolerance, a misrouted payload or a
+    law/sign/segment bug lands far outside. Shape fields are exact."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm, rate = decode_audio(bytes(payload))
+                n_got, ch = pcm.shape
+                src = _adpcm_samples(int(mid), n_got).astype(np.float64)
+                mae = (
+                    float(np.abs(pcm.astype(np.float64) - src).mean())
+                    if n_got
+                    else 0.0
+                )
                 rows.append(
                     {
                         "media_id": mid,

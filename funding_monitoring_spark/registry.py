@@ -180,7 +180,8 @@ def query(name: str, sql: str | None):
 #:       — multimodal_mp3_roundtrip (pure Layer III codec),
 #:       multimodal_png16_roundtrip (wide-depth PNG),
 #:       multimodal_jpeg12_roundtrip (extended-sequential SOF1),
-#:       xml_file_source (Spark-4 native xml data source);
+#:       xml_file_source (Spark-4 native xml data source),
+#:       multimodal_g711_roundtrip (mu-law/A-law telephony WAV);
 #:       (b) the 45 r5-row remainder — the oldest rows in the
 #:       registry at r10 (the round-4 post-freeze cohort below minus
 #:       the six r5 rows pulled into the r9 window) in registration

@@ -705,6 +705,35 @@ def q_multimodal_mp3_frame_scan(spark, sf_dir):
 
 
 @query(
+    "multimodal_g711_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CAST(400 + doc_id % 128 AS INT) AS n_samples,
+           1 AS channels,
+           CAST(8000 AS INT) AS sample_rate,
+           1 AS mean_close
+    FROM documents
+    """,
+)
+def q_multimodal_g711_roundtrip(spark, sf_dir):
+    """G.711 mu-law/A-law telephony audio round trip (WAV format
+    tags 7/6, 8 bits per sample): the companding laws are pure
+    closed-form segment algebra (decode verified against the classic
+    reference for all 256 codes of both laws; A-law is code-
+    idempotent, mu-law up to the canonical dual zero), so the decoder
+    needs no tables and no dependency. Even documents encode mu-law,
+    odd A-law; decoded PCM must sit within companding error of the
+    smooth closed-form source, and exact shape fields hash directly."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_g711_features_tolerant,
+        synthesize_g711_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_g711_features_tolerant(synthesize_g711_media(docs))
+
+
+@query(
     "multimodal_adpcm_roundtrip",
     """
     SELECT doc_id AS media_id,

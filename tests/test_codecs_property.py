@@ -346,3 +346,56 @@ def test_gif_local_color_table_overrides_global():
     rgb, back = decode_gif(bytes(data))
     assert np.array_equal(back, idx)
     assert np.array_equal(rgb, l_pal[idx])
+
+
+# --- G.711 companding (operators/multimodal.py) -----------------------
+
+from funding_monitoring_spark.operators.multimodal import (  # noqa: E402
+    _alaw_to_linear,
+    _linear_to_alaw,
+    _linear_to_ulaw,
+    _ulaw_to_linear,
+    decode_wav,
+    encode_g711_wav,
+)
+
+
+def test_g711_decode_anchors_and_idempotence():
+    codes = np.arange(256, dtype=np.uint8)
+    du = _ulaw_to_linear(codes)
+    da = _alaw_to_linear(codes)
+    # classic anchors: mu-law 0xFF is +0, 0x7F is -0; A-law 0x55 = -8
+    assert int(du[0xFF]) == 0 and int(du[0x7F]) == 0
+    assert int(da[0x55]) == -8
+    # encode(decode(code)) returns every code — A-law exactly, mu-law
+    # up to the canonical dual zero (0x7F normalizes to 0xFF)
+    ra = _linear_to_alaw(da.astype(np.int16))
+    assert np.array_equal(ra, codes)
+    ru = _linear_to_ulaw(du.astype(np.int16))
+    mism = np.flatnonzero(ru != codes)
+    assert mism.tolist() == [0x7F] and ru[0x7F] == 0xFF
+
+
+def test_g711_roundtrip_error_bounded_by_segment_step():
+    xs = np.arange(-32768, 32768, dtype=np.int16)
+    for enc, dec in (
+        (_linear_to_ulaw, _ulaw_to_linear),
+        (_linear_to_alaw, _alaw_to_linear),
+    ):
+        err = np.abs(
+            dec(enc(xs)).astype(np.int64) - xs.astype(np.int64)
+        )
+        # top segment step is 1024 (A-law) / includes the mu-law bias
+        # clip at full scale; half-step plus clip stays under 650
+        assert err.max() <= 650, err.max()
+
+
+def test_g711_wav_roundtrip_both_laws():
+    pcm = (
+        8000.0 * np.sin(np.arange(600, dtype=np.float64) / 9.0)
+    ).astype(np.int16).reshape(-1, 2)
+    for law in ("ulaw", "alaw"):
+        out, rate = decode_wav(encode_g711_wav(pcm, 8000, law))
+        assert rate == 8000 and out.shape == pcm.shape
+        mae = np.abs(out.astype(np.float64) - pcm).mean()
+        assert mae <= 150, (law, mae)
