@@ -182,12 +182,14 @@ def query(name: str, sql: str | None):
 #:       multimodal_jpeg12_roundtrip (extended-sequential SOF1),
 #:       xml_file_source (Spark-4 native xml data source),
 #:       multimodal_g711_roundtrip (mu-law/A-law telephony WAV);
-#:       (b) the 45 r5-row remainder — the oldest rows in the
-#:       registry at r10 (the round-4 post-freeze cohort below minus
-#:       the six r5 rows pulled into the r9 window) in registration
-#:       order; (c) remaining slots to the oldest r6 rows in
-#:       registration order. Registration FREEZES once the r10
-#:       window fills.
+#:       (b) the 42 r5-row remainder — the oldest rows in the
+#:       registry at r10 (the 48-query r5 cohort minus the six rows
+#:       pulled into the r9 window) in registration order; (c) the
+#:       remaining 3 slots (50 - 5 - 42) to the oldest r6 rows in
+#:       registration order. The window is FULL, so round-9
+#:       registration is FROZEN as of the g711 entry (any r10
+#:       registration queues for r11 with a local row, per the
+#:       standing post-freeze rule).
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
