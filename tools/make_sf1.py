@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(REPO, "testdata_sf1"))
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset of the replicable tables",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -37,18 +41,43 @@ def main() -> None:
     spark = get_spark(app_name="fm_make_sf1")
     os.makedirs(args.out, exist_ok=True)
 
+    # fact tables replicate with shifted primary keys; orders and
+    # lineitem shift o_orderkey/l_orderkey by the SAME offset so the
+    # FK stays intact (custkey/partkey/suppkey keep their values —
+    # dimension tables stay at sf0.1, dims are dims)
     keys = {
-        "events": "event_id",
-        "documents": "doc_id",
-        "embeddings": "vec_id",
+        "events": ["event_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "orders": ["o_orderkey"],
+        "lineitem": ["l_orderkey"],
     }
-    for table, key in keys.items():
+    shift_base = {}
+    if args.tables:
+        wanted = set(args.tables.split(","))
+        keys = {t: k for t, k in keys.items() if t in wanted}
+    # orderkey shift must be computed from ORDERS and reused for
+    # lineitem, whatever order the tables are written in
+    if "orders" in keys or "lineitem" in keys:
+        omax = (
+            load_table(spark, args.src, "orders")
+            .agg(F.max("o_orderkey"))
+            .first()[0]
+            + 1
+        )
+        shift_base["o_orderkey"] = omax
+        shift_base["l_orderkey"] = omax
+    for table, key_cols in keys.items():
         df = load_table(spark, args.src, table)
-        top = df.agg(F.max(key)).first()[0] + 1
-        parts = [
-            df.withColumn(key, F.col(key) + F.lit(k * top))
-            for k in range(args.copies)
-        ]
+        parts = []
+        for k in range(args.copies):
+            p = df
+            for key in key_cols:
+                top = shift_base.get(key) or (
+                    df.agg(F.max(key)).first()[0] + 1
+                )
+                p = p.withColumn(key, F.col(key) + F.lit(k * top))
+            parts.append(p)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
