@@ -194,9 +194,17 @@ def rolling_mad_score(
         return let(_array_median(a), with_med)
 
     stats = let(arr, body)
-    # replace-in-place like the old withColumn shape: drop any
-    # pre-existing output columns (re-scoring an already-scored frame
-    # must not produce ambiguous duplicates)
+    # replace-in-place, the withColumn convention this operator has
+    # always had: pre-existing baseline_n / baseline_median /
+    # score_col columns are REPLACED (silently, like withColumn
+    # itself) — chain a rename first if an upstream operator's
+    # baseline columns must survive. Inputs that would make the
+    # replacement self-contradictory are rejected.
+    if value_col in ("baseline_n", "baseline_median", score_col):
+        raise ValueError(
+            "value_col collides with an output column of "
+            "rolling_mad_score"
+        )
     keep = [
         c
         for c in df.columns

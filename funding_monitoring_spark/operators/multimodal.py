@@ -1238,7 +1238,7 @@ def encode_g711_wav(samples, sample_rate: int = 8000, law: str = "ulaw"):
     pcm = np.asarray(samples, dtype=np.int16)
     if pcm.ndim == 1:
         pcm = pcm[:, None]
-    n, ch = pcm.shape
+    ch = pcm.shape[1]
     flat = pcm.reshape(-1)
     if law == "ulaw":
         data, tag = _linear_to_ulaw(flat).tobytes(), 7
@@ -1249,10 +1249,13 @@ def encode_g711_wav(samples, sample_rate: int = 8000, law: str = "ulaw"):
     fmt = struct.pack(
         "<HHIIHH", tag, ch, sample_rate, sample_rate * ch, ch, 8
     )
+    # RIFF chunks are word-aligned: an odd-length data chunk carries
+    # a pad byte NOT counted in its size field
+    pad = b"\x00" * (len(data) & 1)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
+        + b"data" + struct.pack("<I", len(data)) + data + pad
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -1962,7 +1965,7 @@ def synthesize_g711_media(
                 metas.append(
                     {
                         "modality": "audio",
-                        "mime": "audio/basic",
+                        "mime": "audio/wav",
                         "width": None,
                         "height": None,
                         "duration_ms": int(n * 1000 / 8000),

@@ -781,25 +781,32 @@ def streaming_click_attribution(
 EWMA_ALPHA = 0.25
 
 
-def _bucket_ttl_keep(
-    last_ms: int, ttl_ms: int, wm: int, touched, key
-) -> bool:
-    """Spark's per-key event-time-timeout rule, reproduced per symbol
-    inside a bucketed state group: a key WITH data in the triggering
-    batch keeps its state regardless of its deadline; an idle key
-    drops once the watermark passes (newest event + TTL). Shared by
-    every bucketed TTL pipeline so the eviction rule cannot drift
-    between them."""
-    return key in touched or last_ms + ttl_ms > wm
+def _bucket_ttl_tools(ttl_ms: int):
+    """ONE definition of the bucketed-TTL eviction rule + timer clamp
+    shared by every bucketed stateful pipeline (so the semantics
+    cannot drift between them), returned as NESTED functions so the
+    worker-side update closures capture them BY VALUE — a
+    module-level helper would pickle by reference and require this
+    package on executor PYTHONPATHs, which the driver contract does
+    not guarantee.
 
+    keep(last_ms, wm, touched, key): Spark's per-key event-time-
+    timeout rule per symbol — a key WITH data in the triggering batch
+    keeps its state regardless of its deadline; an idle key drops
+    once the watermark passes (newest event + TTL).
 
-def _arm_bucket_timer(state, min_last_ms: int, ttl_ms: int, wm: int):
-    """Bucket timer = the earliest symbol deadline, clamped past the
-    watermark (Spark rejects event-time timers at/behind it); a
-    clamped symbol is simply evicted at the next firing — same
-    observable store. Shared clamp logic for every bucketed TTL
-    pipeline."""
-    state.setTimeoutTimestamp(max(min_last_ms + ttl_ms, wm + 1))
+    arm(state, min_last_ms, wm): bucket timer = the earliest symbol
+    deadline, clamped past the watermark (Spark rejects event-time
+    timers at/behind it); a clamped symbol is simply evicted at the
+    next firing — same observable store."""
+
+    def keep(last_ms, wm, touched, key):
+        return key in touched or last_ms + ttl_ms > wm
+
+    def arm(state, min_last_ms, wm):
+        state.setTimeoutTimestamp(max(min_last_ms + ttl_ms, wm + 1))
+
+    return keep, arm
 
 
 def streaming_ewma_stateful(
@@ -875,11 +882,13 @@ def streaming_ewma_stateful(
         "__bucket", F.pmod(F.xxhash64("symbol"), F.lit(buckets))
     )
 
+    ttl_keep, ttl_arm = _bucket_ttl_tools(state_ttl_ms or 0)
+
     def _evict(syms, ewmas, ns, lasts, wm, touched):
         keep = [
             i
             for i in range(len(syms))
-            if _bucket_ttl_keep(lasts[i], state_ttl_ms, wm, touched, syms[i])
+            if ttl_keep(lasts[i], wm, touched, syms[i])
         ]
         return (
             [syms[i] for i in keep],
@@ -889,7 +898,7 @@ def streaming_ewma_stateful(
         )
 
     def _arm(state, lasts, wm):
-        _arm_bucket_timer(state, min(lasts), state_ttl_ms, wm)
+        ttl_arm(state, min(lasts), wm)
 
     def update(key, pdfs, state):
         if ttl_on and state.hasTimedOut:
@@ -1119,17 +1128,17 @@ def streaming_anomaly_alerts(
         )
         return True
 
+    ttl_keep, ttl_arm = _bucket_ttl_tools(state_ttl_ms or 0)
+
     def _evict(bufs, wm, touched):
         return {
             s: v
             for s, v in bufs.items()
-            if _bucket_ttl_keep(v[1], state_ttl_ms, wm, touched, s)
+            if ttl_keep(v[1], wm, touched, s)
         }
 
     def _arm(state, bufs, wm):
-        _arm_bucket_timer(
-            state, min(v[1] for v in bufs.values()), state_ttl_ms, wm
-        )
+        ttl_arm(state, min(v[1] for v in bufs.values()), wm)
 
     def update(key, pdfs, state):
         if ttl_on and state.hasTimedOut:

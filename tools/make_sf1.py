@@ -1,15 +1,18 @@
 """Generate sf1 fixtures (10x sf0.1) for the heavy-hitter scale sweep.
 
 The judge-facing scale story is argued from plans; this tool makes it
-empirical for the flagship + dedup/ANN paths: events / documents /
-embeddings are replicated 10x with shifted primary keys (event_id /
-doc_id / vec_id move to disjoint ranges; foreign keys like user_id
-keep their skew profile so group cardinalities scale realistically),
-written as 16-file parquet directories under testdata_sf1/
-(gitignored). TPC-H tables are NOT scaled — the sweep covers queries
-whose inputs are exactly these three tables.
+empirical: events / documents / embeddings are replicated 10x with
+shifted primary keys (event_id / doc_id / vec_id move to disjoint
+ranges; foreign keys like user_id keep their skew profile so group
+cardinalities scale realistically), and the TPC-H FACT tables
+(orders, lineitem) replicate with SYNCHRONIZED o_orderkey/l_orderkey
+shifts so the FK stays intact — dimension tables stay symlinked at
+sf0.1, like any star schema. Everything is written as 16-file
+parquet directories under testdata_sf1/ (gitignored).
 
-Usage: python tools/make_sf1.py [--src /root/testdata/sf0.1] [--out testdata_sf1]
+Usage:
+    python tools/make_sf1.py [--src DIR] [--out DIR] [--copies N]
+                             [--tables events,orders,...]
 """
 
 from __future__ import annotations
@@ -69,14 +72,18 @@ def main() -> None:
         shift_base["l_orderkey"] = omax
     for table, key_cols in keys.items():
         df = load_table(spark, args.src, table)
+        tops = {
+            key: shift_base.get(key)
+            or (df.agg(F.max(key)).first()[0] + 1)
+            for key in key_cols
+        }
         parts = []
         for k in range(args.copies):
             p = df
             for key in key_cols:
-                top = shift_base.get(key) or (
-                    df.agg(F.max(key)).first()[0] + 1
+                p = p.withColumn(
+                    key, F.col(key) + F.lit(k * tops[key])
                 )
-                p = p.withColumn(key, F.col(key) + F.lit(k * top))
             parts.append(p)
         out = parts[0]
         for p in parts[1:]:
