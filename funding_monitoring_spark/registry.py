@@ -190,6 +190,33 @@ def query(name: str, sql: str | None):
 #:       registration is FROZEN as of the g711 entry (any r10
 #:       registration queues for r11 with a local row, per the
 #:       standing post-freeze rule).
+#:   r10 window (this list — GENERATED, not hand-counted): as of r10
+#:       the window is produced by `python tools/window_plan.py`
+#:       (VERDICT r9 next-item #9 — two consecutive rounds contained
+#:       a hand-arithmetic slip in the cohort counts). The tool
+#:       encodes the standing rule: never-external queries first,
+#:       then everything else by round of most-recent external row
+#:       (oldest first), ties broken by registration order; take 50.
+#:       For r10 that yields exactly the precommitted plan: the 5
+#:       round-9 post-freeze queries (xml_file_source,
+#:       multimodal_png16/jpeg12/g711/mp3_roundtrip), the 42-query
+#:       cohort whose last external row is r5, and the 3 oldest
+#:       rows whose last external row is r6 (winsorized_stats,
+#:       repetition_filter, tfidf_top_terms). Done right, this is the
+#:       first round with 247/247 cumulative external coverage.
+#:       tests/test_registry_window.py asserts _PRIORITY ==
+#:       compute_plan(max_round=9)["window"] so the list can never
+#:       drift from the rule it claims to follow. Registration is
+#:       FROZEN for r10 as of this list: any round-10 registration
+#:       ships with a green local row and queues for r11.
+#:   r11 plan (precommitted): run `python tools/window_plan.py`
+#:       after CORRECTNESS_r10.json lands — the rule gives (a) any
+#:       round-10 post-freeze registrations first, (b) the 47-query
+#:       r6-row remainder (50 r6 rows minus the 3 pulled into this
+#:       window), (c) remaining slots to the oldest r7 rows in
+#:       registration order. No hand counting: the tool's output IS
+#:       the plan; update the max_round pin in
+#:       tests/test_registry_window.py to 10 when rotating.
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
@@ -211,65 +238,59 @@ def query(name: str, sql: str | None):
 #: multi_touch_attribution, simhash_distance_histogram,
 #: dedup_savings_report, hourly_activity_heatmap, value_histogram.
 _PRIORITY: list[str] = [
-    # (a) round-8 post-freeze registrations, never driver-checked,
-    # in true registration order (6) — each carries a green
-    # driver-format row in CORRECTNESS_LOCAL_r8.json
-    "snapshot_bloom_pruned_read_str",
-    "multimodal_png_variants_roundtrip",
-    "multimodal_flac_roundtrip",
-    "multimodal_jpeg420_roundtrip",
-    "multimodal_jpeg_progressive_roundtrip",
-    "multimodal_mp3_frame_scan",
-    # (b) the 38 r4-row remainder — oldest rows in the registry
-    # (age 5 rounds at r9), in registration order, exactly as
-    # precommitted in the r8 docstring (38)
-    "filter_equality",
-    "filter_time_range",
-    "group_min",
-    "value_percentiles",
-    "rollup_totals",
-    "distinct_values",
-    "existence_probe",
-    "broadcast_join_dim",
-    "semi_join_universe",
-    "sort_limit",
-    "topk_per_group",
-    "union_append",
-    "jsonl_file_source",
-    "tsv_file_source",
-    "cdc_materialize",
-    "event_transition_matrix",
-    "cap_per_source",
-    "paged_backfill",
-    "main_dag_parity",
-    "multimodal_wav_roundtrip",
-    "multimodal_avi_framesample",
-    "hash_sample_documents",
-    "stratified_sample_by_lang",
-    "ann_cosine_topk",
-    "ann_cosine_topk_lsh",
-    "ann_cosine_topk_scale",
-    "asof_join_backward",
-    "sessionize_events",
-    "session_window_agg",
-    "interval_join_attribution",
-    "asof_join_forward",
-    "window_distribution_suite",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_profit_by_nation_year",
-    "tpch_q11_important_parts",
-    "tpch_q16_supplier_variety",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    # (c) 6 oldest r5 rows: the three similarity_suite rows first
-    # (similarity.py changed in r8 — IVF_CENT_CAP + argmin
-    # repartition), then true registration order (6)
-    "ann_cosine_topk_ivf",
-    "embedding_near_dup",
-    "ann_cosine_topk_ivf_kmeans",
-    "funding_rate_anomaly",
-    "snapshot_diff_ticks",
-    "heavy_hitter_users",
+    # r10 window — generated by `python tools/window_plan.py`
+    # (max_round=9); see the rotation docstring above and
+    # tests/test_registry_window.py which pins this list to the rule.
+    "xml_file_source",
+    "multimodal_png16_roundtrip",
+    "multimodal_jpeg12_roundtrip",
+    "multimodal_g711_roundtrip",
+    "multimodal_mp3_roundtrip",
+    "event_type_correlation",
+    "reservoir_sample_by_source",
+    "dataset_mixture_plan",
+    "bpe_train_merges",
+    "bpe_pair_counts",
+    "ohlc_bars",
+    "cohort_retention",
+    "event_funnel",
+    "triangle_count",
+    "zorder_cluster_keys",
+    "frequent_tokens_sketch",
+    "rolling_beta",
+    "source_divergence_kl",
+    "rollup_cascade",
+    "quality_filter_ablation",
+    "unigram_logprob_score",
+    "funnel_latency_quantiles",
+    "vocab_coverage_curve",
+    "missing_ticks_report",
+    "robust_anomaly_mad",
+    "embedding_top_component",
+    "trend_regression",
+    "skew_diagnostics",
+    "table_profile",
+    "ks_two_sample",
+    "weekly_churn",
+    "multi_touch_attribution",
+    "dedup_savings_report",
+    "hourly_activity_heatmap",
+    "value_histogram",
+    "incremental_dedup",
+    "simhash_distance_histogram",
+    "csv_file_source",
+    "orc_file_source",
+    "doc_chunking",
+    "truncate_bulk_load",
+    "scd2_history",
+    "gap_fill_hourly",
+    "stream_anomaly_alerts",
+    "stream_ohlc_bars",
+    "stream_heavy_hitters",
+    "stream_window_distinct_users",
+    "winsorized_stats",
+    "repetition_filter",
+    "tfidf_top_terms",
 ]
 # ^ exactly 50 entries. After this round every query in the registry
 # has had at least one green external row (the 6 round-8 post-freeze

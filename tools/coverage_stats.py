@@ -24,10 +24,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _green(row: dict) -> bool:
+    """A row is green only if err is absent AND every match key is
+    present and literally True — a partial or malformed artifact row
+    must not inflate the coverage number (ADVICE r9)."""
     if row.get("err") is not None:
         return False
     for key in ("rows_match", "schema_match", "hash_match"):
-        if row.get(key) is False:
+        if row.get(key) is not True:
             return False
     return True
 
