@@ -195,28 +195,45 @@ def rolling_mad_score(
 
     stats = let(arr, body)
     # replace-in-place, the withColumn convention this operator has
-    # always had: pre-existing baseline_n / baseline_median /
-    # score_col columns are REPLACED (silently, like withColumn
-    # itself) — chain a rename first if an upstream operator's
-    # baseline columns must survive. Inputs that would make the
-    # replacement self-contradictory are rejected.
-    if value_col in ("baseline_n", "baseline_median", score_col):
+    # always had: a pre-existing baseline_n / baseline_median /
+    # score_col column is REPLACED (silently, like withColumn itself)
+    # AND keeps its original position; genuinely new output columns
+    # append at the end in (baseline_n, baseline_median, score)
+    # order. Chain a rename first if an upstream operator's baseline
+    # columns must survive. Inputs that would make the replacement
+    # self-contradictory are rejected: the value column or a
+    # partition key sharing an output name would be overwritten by
+    # the very statistic computed from it. (order_by takes Column
+    # expressions whose names are not introspectable — order on a
+    # column that shares an output name via F.col BEFORE calling
+    # this, or rename it; the expression is resolved against the
+    # input, so ordering itself stays correct.)
+    out_names = ("baseline_n", "baseline_median", score_col)
+    if value_col in out_names:
         raise ValueError(
             "value_col collides with an output column of "
             "rolling_mad_score"
         )
-    keep = [
-        c
-        for c in df.columns
-        if c not in ("baseline_n", "baseline_median", score_col)
-    ]
+    clashing = [c for c in partition_cols if c in out_names]
+    if clashing:
+        raise ValueError(
+            "partition_cols collide with output columns of "
+            f"rolling_mad_score: {clashing}"
+        )
+    keep = [c for c in df.columns if c not in out_names]
     out = df.select(*keep).withColumn("__mad_stats", stats)
-    return out.select(
-        *keep,
-        F.col("__mad_stats")["n"].alias("baseline_n"),
-        F.col("__mad_stats")["med"].alias("baseline_median"),
-        F.col("__mad_stats")["score"].alias(score_col),
-    )
+    fields = {
+        "baseline_n": F.col("__mad_stats")["n"].alias("baseline_n"),
+        "baseline_median": F.col("__mad_stats")["med"].alias(
+            "baseline_median"
+        ),
+        score_col: F.col("__mad_stats")["score"].alias(score_col),
+    }
+    proj = [
+        fields.pop(c) if c in fields else F.col(c) for c in df.columns
+    ]
+    proj += [fields[c] for c in out_names if c in fields]
+    return out.select(*proj)
 
 
 def flag_anomalies(

@@ -533,6 +533,11 @@ def decode_mp3(payload: bytes) -> tuple[np.ndarray, int]:
             (payload[6 + i] & 0x7F) << (7 * (3 - i)) for i in range(4)
         )
         pos = 10 + size
+        if payload[5] & 0x10:
+            # ID3v2.4 footer flag: a 10-byte footer follows the tag
+            # and is NOT counted in the syncsafe size — without this
+            # the scan desyncs 10 bytes early (ADVICE r9)
+            pos += 10
     spec: list[list[np.ndarray]] = []
     rate = None
     nch = None

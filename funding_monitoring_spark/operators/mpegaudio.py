@@ -99,6 +99,10 @@ def parse_mp3_metadata(payload: bytes) -> dict:
         id3 = 10 + (
             (ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3]
         )
+        if payload[5] & 0x10:
+            # ID3v2.4 footer flag: 10 extra bytes after the tag,
+            # excluded from the syncsafe size (ADVICE r9)
+            id3 += 10
         pos = id3
     n_frames = 0
     bitrates: set[int] = set()

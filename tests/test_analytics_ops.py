@@ -841,3 +841,47 @@ def test_count_min_null_fingerprints(spark):
     )
     with pytest.raises(Exception, match="NULL query fingerprint"):
         bad.collect()
+
+
+def test_rolling_mad_score_replaces_in_place_and_guards(spark):
+    """withColumn semantics for the MAD outputs (ADVICE r9): a
+    pre-existing baseline_median keeps its ORIGINAL column position
+    when replaced, new outputs append at the end; and a partition key
+    named like an output is rejected, not silently overwritten."""
+    import pytest as _pytest
+
+    from funding_monitoring_spark.operators.anomaly import (
+        rolling_mad_score,
+    )
+
+    rows = [("a", i, float(i % 7), -1.0) for i in range(25)]
+    df = spark.createDataFrame(
+        rows, "k string, t int, value double, baseline_median double"
+    )
+    out = rolling_mad_score(
+        df, ["k"], [F.col("t")], "value", n=10, min_obs=5
+    )
+    # replaced column stays at position 3; new outputs append in order
+    assert out.columns == [
+        "k", "t", "value", "baseline_median", "baseline_n", "mad_score"
+    ]
+    got = out.where(F.col("t") == 24).select("baseline_median").first()
+    assert got[0] is not None and got[0] != -1.0  # genuinely replaced
+
+    plain = df.drop("baseline_median")
+    out2 = rolling_mad_score(
+        plain, ["k"], [F.col("t")], "value", n=10, min_obs=5
+    )
+    assert out2.columns == [
+        "k", "t", "value", "baseline_n", "baseline_median", "mad_score"
+    ]
+
+    with _pytest.raises(ValueError, match="partition_cols"):
+        rolling_mad_score(
+            df.withColumnRenamed("k", "baseline_n"),
+            ["baseline_n"],
+            [F.col("t")],
+            "value",
+        )
+    with _pytest.raises(ValueError, match="value_col"):
+        rolling_mad_score(df, ["k"], [F.col("t")], "baseline_median")

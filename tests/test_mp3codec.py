@@ -209,3 +209,32 @@ def test_real_world_mpeg2_stream_refused_not_garbled():
     payload = open(path, "rb").read()
     with pytest.raises(NotImplementedError):
         M.decode_mp3(payload)
+
+
+def test_id3v24_footer_flag_skips_ten_extra_bytes():
+    # ID3v2.4 footer flag (header byte 5 bit 4): a 10-byte footer
+    # follows the tag body and is NOT counted in the syncsafe size.
+    # Both the decoder and the independent scanner must skip it, or
+    # the frame-sync scan desyncs 10 bytes early (ADVICE r9).
+    src = (6000.0 * np.sin(np.arange(2304) / 5.0)).astype(np.int16)
+    mp3 = M.encode_mp3(src, 32000)
+    body = bytes(64)
+    ss = bytes([(64 >> 21) & 0x7F, (64 >> 14) & 0x7F, (64 >> 7) & 0x7F, 64 & 0x7F])
+    tag = b"ID3\x04\x00\x10" + ss + body + b"3DI\x04\x00\x10" + ss
+    tagged = tag + mp3
+
+    meta = parse_mp3_metadata(tagged)
+    assert meta["id3v2_bytes"] == len(tag)
+    assert meta["n_frames"] == 3
+    assert meta["sample_rate"] == 32000
+
+    pcm, rate = M.decode_mp3(tagged)
+    ref, _ = M.decode_mp3(mp3)
+    assert rate == 32000
+    np.testing.assert_array_equal(pcm, ref)
+
+    # footer flag ABSENT: the old path must be unchanged
+    tag23 = b"ID3\x03\x00\x00" + ss + body
+    meta23 = parse_mp3_metadata(tag23 + mp3)
+    assert meta23["id3v2_bytes"] == len(tag23)
+    assert meta23["n_frames"] == 3

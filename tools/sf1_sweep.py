@@ -34,11 +34,29 @@ def run_bench(sf_dir: str, names: list[str]) -> dict[str, float]:
         text=True,
         check=True,
     )
-    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
-    detail = json.loads(lines[1])
-    if detail.get("n_errors"):
-        raise SystemExit(f"bench errors at {sf_dir}: {detail}")
-    return detail["queries"]
+    # Key-tag the contract line instead of trusting stdout position:
+    # bench.py prints a detail object then the driver-contract summary
+    # ({"metric", "queries", ...}); any extra JSON-looking log line
+    # used to silently shift lines[1] to the wrong object (ADVICE r9).
+    # Take the LAST line that parses and carries the contract keys.
+    summary = None
+    for ln in out.stdout.splitlines():
+        if not ln.startswith("{"):
+            continue
+        try:
+            obj = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj and "queries" in obj:
+            summary = obj
+    if summary is None:
+        raise SystemExit(
+            f"bench at {sf_dir} printed no contract line "
+            "({'metric', 'queries'}):\n" + out.stdout[-2000:]
+        )
+    if summary.get("n_errors"):
+        raise SystemExit(f"bench errors at {sf_dir}: {summary}")
+    return summary["queries"]
 
 
 def main() -> int:
