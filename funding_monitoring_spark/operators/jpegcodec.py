@@ -456,6 +456,111 @@ def encode_baseline_jpeg(
     return bytes(out)
 
 
+def encode_multiscan_jpeg(
+    pixels: np.ndarray,
+    quality: int = 95,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> NON-INTERLEAVED (multi-scan) sequential
+    baseline JFIF bytes: the same SOF0 frame as encode_baseline_jpeg
+    but with one SOS segment per component (Ns = 1), each coding the
+    component's blocks in raster order over its OWN 8x8 block grid
+    (T.81 B.2.3 — no MCU padding, per-scan DC predictors). This is a
+    legal sequential shape real scraped corpora contain (encoders
+    with custom scan scripts emit it), and it exercises the decoder's
+    cross-scan coefficient accumulator.
+
+    Every block intersecting the visible image carries exactly the
+    same quantized coefficients as the interleaved encoding at the
+    same quality/subsampling (per-block DCT + quantization are scan-
+    order independent; only the DC differentials re-baseline), so
+    decode(multiscan) == decode(baseline) pixel-for-pixel — the
+    tolerance-free fixture contract, same pattern as progressive."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_multiscan_jpeg expects (h, w, 3) RGB")
+    if subsampling not in _SUBSAMPLING_HV:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hv = _SUBSAMPLING_HV[subsampling]
+    hmax = max(c[0] for c in hv)
+    vmax = max(c[1] for c in hv)
+    h, w = px.shape[:2]
+    qy, qc = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(px)
+
+    scans = []
+    for ci in range(3):
+        ch_, cv = hv[ci]
+        plane = _downsample(
+            ycc[..., ci] - 128.0, vmax // cv, hmax // ch_
+        )
+        cbh, cbw = -(-plane.shape[0] // 8), -(-plane.shape[1] // 8)
+        p = np.pad(
+            plane,
+            ((0, cbh * 8 - plane.shape[0]), (0, cbw * 8 - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = (
+            p.reshape(cbh, 8, cbw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coef = _DCT @ blocks @ _DCT.T
+        q = (qy if ci == 0 else qc).reshape(8, 8)
+        zz = (
+            np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, _ZIGZAG]
+        )
+        dc = zz[:, 0]
+        diff = np.empty_like(dc)
+        diff[0] = dc[0]
+        if len(dc) > 1:
+            diff[1:] = dc[1:] - dc[:-1]
+        j = np.arange(len(dc), dtype=np.int64)
+        if restart_interval:
+            # restart groups are DATA UNITS in a non-interleaved
+            # scan: absolute DC at each segment start
+            seg = j // restart_interval
+            seg_start = np.r_[True, seg[1:] != seg[:-1]]
+            diff[seg_start] = dc[seg_start]
+        codes, lengths, bids = _entropy_tokens(zz, diff, j)
+        if restart_interval:
+            n_seg = (len(dc) - 1) // restart_interval + 1
+            bounds = np.searchsorted(
+                bids // restart_interval, np.arange(1, n_seg), "left"
+            )
+            parts = np.split(np.arange(len(codes)), bounds)
+            body = bytearray()
+            for si, part in enumerate(parts):
+                if si:
+                    body += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+                body += _pack_tokens(codes[part], lengths[part])
+            scans.append(bytes(body))
+        else:
+            scans.append(_pack_tokens(codes, lengths))
+
+    def seg_(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg_(
+        0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )  # APP0
+    out += seg_(0xFFDB, bytes([0]) + bytes(qy[_ZIGZAG].tolist()))
+    out += seg_(0xFFDB, bytes([1]) + bytes(qc[_ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        sof += bytes([cid, (hv[ci][0] << 4) | hv[ci][1], tq])
+    out += seg_(0xFFC0, sof)
+    for payload_dht in _DHT_PAYLOADS:
+        out += seg_(0xFFC4, payload_dht)
+    if restart_interval:
+        out += seg_(0xFFDD, struct.pack(">H", restart_interval))
+    for ci, (cid, tda) in enumerate(((1, 0x00), (2, 0x11), (3, 0x11))):
+        out += seg_(0xFFDA, bytes([1, cid, tda, 0, 63, 0]))
+        out += scans[ci]
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def encode_jpeg12(
     pixels: np.ndarray, quality: int = 95
 ) -> bytes:
@@ -630,6 +735,7 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], list] = {}
     frame = None
     pstate = None  # progressive coefficient state across scans
+    sstate = None  # multi-scan sequential coefficient state
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -737,10 +843,26 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 scan_comps.append(cs)
             data, rst_breaks, pos = _split_entropy(payload, pos)
             if not frame["progressive"]:
-                return _decode_scan(
-                    frame, scan_sel, qtables, htables, data,
-                    rst_breaks, restart_interval,
+                if sstate is None and len(scan_comps) == len(
+                    frame["comps"]
+                ):
+                    # the dominant single-interleaved-scan shape:
+                    # decode with the inlined fast path and return
+                    return _decode_scan(
+                        frame, scan_sel, qtables, htables, data,
+                        rst_breaks, restart_interval,
+                    )
+                # multi-scan (non-interleaved) sequential: a legal
+                # SOF0/SOF1 stream may split components across
+                # several SOS segments — accumulate per-component
+                # coefficients across scans, reconstruct at EOI
+                if sstate is None:
+                    sstate = _seq_state(frame)
+                _sequential_scan(
+                    frame, scan_comps, scan_sel, htables, data,
+                    rst_breaks, restart_interval, sstate,
                 )
+                continue
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             if pstate is None:
@@ -753,6 +875,18 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
         # else: APPn / COM / others — skipped
     if frame is not None and frame.get("progressive") and pstate:
         return _reassemble_progressive(frame, pstate, qtables)
+    if sstate is not None:
+        missing = [
+            frame["comps"][ci]["id"]
+            for ci, ok in enumerate(sstate["coded"])
+            if not ok
+        ]
+        if missing:
+            raise ValueError(
+                f"sequential frame incomplete: components {missing} "
+                "never coded by any scan"
+            )
+        return _reassemble_sequential(frame, sstate["coeffs"], qtables)
     raise ValueError("no SOS scan found")
 
 
@@ -876,25 +1010,56 @@ def _decode_scan(
     if pos > dlen + 2:
         raise EOFError("entropy data exhausted")
 
+    # convert MCU-interleaved block order to per-component raster
+    # block order and share the reconstruction with the multi-scan
+    # path (cost is one O(blocks) transpose, dwarfed by the entropy
+    # decode above)
+    raster = []
+    for ci, comp in enumerate(comps):
+        cv, ch_ = comp["v"], comp["h"]
+        raster.append(
+            np.array(coeffs[ci], dtype=np.int64)
+            .reshape(mcuy, mcux, cv, ch_, 64)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(-1, 64)
+        )
+    return _reassemble_sequential(frame, raster, qtables)
+
+
+def _reassemble_sequential(
+    frame: dict, raster_coeffs: list[np.ndarray], qtables: dict
+) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color-convert per-component
+    zigzag coefficients given in RASTER block order over the padded
+    MCU grid (rows = mcuy*v, cols = mcux*h blocks). Shared by the
+    single-interleaved-scan fast path and the multi-scan accumulator."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    nc = len(comps)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcuy, mcux = -(-h // (8 * vmax)), -(-w // (8 * hmax))
     planes = []
     for ci, comp in enumerate(comps):
         q = qtables.get(comp["tq"])
         if q is None:
             raise ValueError("component references undefined DQT")
         cv, ch_ = comp["v"], comp["h"]
+        rows_b, cols_b = mcuy * cv, mcux * ch_
         # coeffs are zigzag-ordered; q was un-zigzagged at DQT parse,
         # so permute the coefficients to row-major and multiply by
         # the row-major table
-        cf = np.array(coeffs[ci], dtype=np.int64).reshape(-1, 64)
+        cf = np.asarray(raster_coeffs[ci], dtype=np.int64).reshape(
+            -1, 64
+        )
         deq = (cf[:, _UNZIGZAG] * q).reshape(-1, 8, 8).astype(
             np.float64
         )
         # IDCT: f = D.T @ F @ D  ->  f[x,y] = sum D[u,x] F[u,v] D[v,y]
         spatial = _DCT.T @ deq @ _DCT
         plane = (
-            spatial.reshape(mcuy, mcux, cv, ch_, 8, 8)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(mcuy * cv * 8, mcux * ch_ * 8)
+            spatial.reshape(rows_b, cols_b, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows_b * 8, cols_b * 8)
         )
         comp_h = -(-h * cv // vmax)
         comp_w = -(-w * ch_ // hmax)
@@ -915,6 +1080,142 @@ def _decode_scan(
         g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
     raise NotImplementedError(f"{nc}-component JPEG")
+
+
+def _seq_state(frame: dict) -> dict:
+    """Cross-scan coefficient accumulator for multi-scan sequential
+    frames: per component, a zigzag coefficient array in raster block
+    order over the padded MCU grid (blocks outside a non-interleaved
+    scan's component grid stay zero and are cropped away), plus a
+    coded flag so an incomplete frame fails loudly at EOI."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcuy = -(-frame["h"] // (8 * vmax))
+    mcux = -(-frame["w"] // (8 * hmax))
+    return {
+        "coeffs": [
+            np.zeros((mcuy * c["v"] * mcux * c["h"], 64), np.int64)
+            for c in comps
+        ],
+        "coded": [False] * len(comps),
+    }
+
+
+def _sequential_scan(
+    frame: dict,
+    scan_comps: list[int],
+    scan_sel: dict,
+    htables: dict,
+    data: bytes,
+    rst_breaks: list[int],
+    restart_interval: int,
+    sstate: dict,
+) -> None:
+    """Decode ONE scan of a multi-scan sequential (SOF0/SOF1) frame
+    into the cross-scan accumulator. T.81 B.2.3: with Ns == 1 the
+    data units are the component's blocks in raster order over ITS
+    OWN block grid (ceil(comp_h/8) x ceil(comp_w/8) — no MCU
+    padding); with Ns > 1 the scan is interleaved over the frame's
+    MCU grid, h x v blocks per component per MCU. Restart intervals
+    count data units (Ns == 1) or MCUs (Ns > 1). DC predictors are
+    per scan. Uses the clarity-first bit reader — real corpora put
+    the bulk of their bytes in single-scan streams, which keep the
+    inlined fast path in _decode_scan."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcuy, mcux = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    id2ci = {c["id"]: i for i, c in enumerate(comps)}
+    try:
+        cis = [id2ci[cs] for cs in scan_comps]
+    except KeyError as exc:
+        raise ValueError(f"scan references unknown component {exc}")
+
+    luts = {}
+    for ci in cis:
+        td, ta = scan_sel[comps[ci]["id"]]
+        dct = htables.get((0, td))
+        act = htables.get((1, ta))
+        if dct is None or act is None:
+            raise ValueError("scan references undefined DHT table")
+        luts[ci] = (dct, act)
+        if sstate["coded"][ci]:
+            raise ValueError(
+                "component coded twice in a sequential frame"
+            )
+        sstate["coded"][ci] = True
+
+    # one restart group = one MCU (interleaved) or one data unit
+    # (non-interleaved); each group is [(comp index, raster block
+    # index), ...]
+    groups: list[list[tuple[int, int]]] = []
+    if len(cis) == 1:
+        ci = cis[0]
+        comp = comps[ci]
+        cols_b = mcux * comp["h"]
+        comp_h = -(-h * comp["v"] // vmax)
+        comp_w = -(-w * comp["h"] // hmax)
+        cbh, cbw = -(-comp_h // 8), -(-comp_w // 8)
+        groups = [
+            [(ci, br_ * cols_b + bc)]
+            for br_ in range(cbh)
+            for bc in range(cbw)
+        ]
+    else:
+        per_mcu = []
+        for ci in cis:
+            comp = comps[ci]
+            cols_b = mcux * comp["h"]
+            per_mcu.append((ci, comp["h"], comp["v"], cols_b))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                g = []
+                for ci, ch_, cv, cols_b in per_mcu:
+                    for by in range(cv):
+                        for bx in range(ch_):
+                            g.append(
+                                (
+                                    ci,
+                                    (my * cv + by) * cols_b
+                                    + mx * ch_ + bx,
+                                )
+                            )
+                groups.append(g)
+
+    br = _PBitReader(data)
+    prev_dc = dict.fromkeys(cis, 0)
+    seg = 0
+    for gi, group in enumerate(groups):
+        if restart_interval and gi and gi % restart_interval == 0:
+            seg += 1
+            if seg <= len(rst_breaks):
+                br.reset(rst_breaks[seg - 1])
+            prev_dc = dict.fromkeys(cis, 0)
+        for ci, bidx in group:
+            dct, act = luts[ci]
+            zz = sstate["coeffs"][ci]
+            s = br.huff(dct)
+            if s:
+                prev_dc[ci] += _extend(br.bits(s), s)
+            zz[bidx, 0] = prev_dc[ci]
+            k = 1
+            while k <= 63:
+                rs = br.huff(act)
+                s = rs & 0xF
+                if s == 0:
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[bidx, k] = _extend(br.bits(s), s)
+                k += 1
+    if br.pos > len(data) + 2:
+        raise EOFError("entropy data exhausted")
 
 
 # --- progressive JPEG (SOF2: spectral selection + successive

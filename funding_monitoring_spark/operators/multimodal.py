@@ -2732,6 +2732,28 @@ def synthesize_jpeg420_media(
     return _synthesize_media(ids, id_col, _encode_jpeg420, "image/jpeg")
 
 
+def _encode_jpeg_multiscan(px) -> bytes:
+    from funding_monitoring_spark.operators.jpegcodec import (
+        encode_multiscan_jpeg,
+    )
+
+    return encode_multiscan_jpeg(px, quality=95, subsampling="420")
+
+
+def synthesize_jpeg_multiscan_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Multi-scan (NON-INTERLEAVED) sequential 4:2:0 JPEG payloads:
+    one SOS per component, blocks in per-component raster order —
+    the legal SOF0 shape custom-scan-script encoders emit that the
+    r9 decoder refused loudly (jpegcodec.py encode_multiscan_jpeg /
+    _sequential_scan close that gap). Same closed-form pixel field
+    as every other image profile."""
+    return _synthesize_media(
+        ids, id_col, _encode_jpeg_multiscan, "image/jpeg"
+    )
+
+
 def synthesize_jpeg12_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

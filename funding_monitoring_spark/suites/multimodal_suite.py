@@ -626,6 +626,38 @@ def q_multimodal_jpeg_progressive_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_multiscan_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 6 AS INT) AS width,
+           CAST(2 + doc_id % 4 AS INT) AS height,
+           1 AS mean_close_r, 1 AS mean_close_g, 1 AS mean_close_b
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg_multiscan_roundtrip(spark, sf_dir):
+    """Multi-scan (non-interleaved) sequential 4:2:0 JPEG round
+    trip: one SOS per component, per-component raster block order,
+    per-scan DC predictors (T.81 B.2.3) — a legal SOF0 shape real
+    scraped corpora contain that the r9 decoder refused. The decoder
+    accumulates coefficients across scans and reconstructs at EOI
+    (jpegcodec.py _sequential_scan/_seq_state); non-interleaved is a
+    reordering of the same quantized coefficients, so its decode is
+    pixel-identical to the interleaved decode (asserted exactly in
+    tests/test_jpegcodec.py) and the same lossy-tolerance oracle
+    applies. Closes VERDICT r9 next-item #2."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_image_features_tolerant,
+        synthesize_jpeg_multiscan_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features_tolerant(
+        synthesize_jpeg_multiscan_media(docs)
+    )
+
+
+@query(
     "multimodal_mjpg_framesample",
     """
     WITH dims AS (

@@ -16,6 +16,7 @@ from funding_monitoring_spark.operators.jpegcodec import (
     decode_baseline_jpeg,
     encode_baseline_jpeg,
     encode_jpeg12,
+    encode_multiscan_jpeg,
 )
 
 
@@ -99,23 +100,116 @@ def test_rejects_non_baseline_and_malformed():
         decode_baseline_jpeg(b"\xff\xd8\xff\xe0\x00\x00garbage")
 
 
-def test_rejects_multi_scan_sequential():
-    # a legal SOF0 stream may carry per-component (non-interleaved)
-    # scans across several SOS segments; this decoder reads one
-    # interleaved scan — the refusal must be loud, not a KeyError
-    rng = np.random.RandomState(6)
-    px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
-    data = bytearray(encode_baseline_jpeg(px, 95))
-    i = data.find(b"\xff\xda")
-    # SOS body: Ns, (cs, tda) * Ns, ss, se, ahal — rewrite to Ns=1
-    # keeping component 1's selector and the spectral bytes
-    body = data[i + 4 : i + 4 + data[i + 3] - 2]
-    new_body = bytes([1]) + bytes(body[1:3]) + bytes(body[7:10])
-    data[i + 2 : i + 4 + len(body)] = (
-        struct.pack(">H", len(new_body) + 2) + new_body
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+@pytest.mark.parametrize("shape", [(8, 8), (33, 47), (17, 9), (40, 24)])
+def test_multiscan_decode_equals_baseline(sub, shape):
+    # non-interleaved sequential is a REORDERING of the same
+    # quantized coefficients (only the DC differentials re-baseline
+    # per scan), so the strongest roundtrip test is exact pixel
+    # equality with the interleaved decode — no tolerance
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(*shape, 3), dtype=np.uint8)
+    inter = decode_baseline_jpeg(encode_baseline_jpeg(px, 85, subsampling=sub))
+    multi = decode_baseline_jpeg(
+        encode_multiscan_jpeg(px, 85, subsampling=sub)
     )
-    with pytest.raises(NotImplementedError, match="multi-scan"):
-        decode_baseline_jpeg(bytes(data))
+    np.testing.assert_array_equal(inter, multi)
+
+
+@pytest.mark.parametrize("interval", [1, 3, 7])
+def test_multiscan_restart_markers_roundtrip(interval):
+    # restart groups are DATA UNITS in a non-interleaved scan (T.81
+    # B.2.3) — per-scan DC predictor resets + byte-aligned RSTn
+    rng = np.random.RandomState(12)
+    px = rng.randint(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    plain = decode_baseline_jpeg(encode_multiscan_jpeg(px, 85))
+    rst = encode_multiscan_jpeg(px, 85, restart_interval=interval)
+    assert b"\xff\xd0" in rst or b"\xff\xd1" in rst
+    np.testing.assert_array_equal(plain, decode_baseline_jpeg(rst))
+
+
+def test_partial_interleaved_scan_decodes():
+    # Ns=2 subset-interleaved scan (Cb+Cr together, Y alone): legal
+    # per T.81 B.2.3 — hand-assembled from the encoder's own token
+    # machinery, must decode identically to the all-interleaved form
+    from funding_monitoring_spark.operators.jpegcodec import (
+        _DCT,
+        _ZIGZAG,
+        _entropy_tokens,
+        _pack_tokens,
+        _rgb_to_ycbcr,
+    )
+
+    rng = np.random.RandomState(13)
+    h, w = 24, 16
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ref_stream = encode_baseline_jpeg(px, 85)  # 444 interleaved
+    qy, qc = _quality_tables(85)
+    ycc = _rgb_to_ycbcr(px)
+    cbh, cbw = h // 8, w // 8
+
+    def comp_zz(ci):
+        plane = ycc[..., ci] - 128.0
+        blocks = (
+            plane.reshape(cbh, 8, cbw, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coef = _DCT @ blocks @ _DCT.T
+        q = (qy if ci == 0 else qc).reshape(8, 8)
+        return np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, _ZIGZAG]
+
+    def chained_diff(dc):
+        d = np.empty_like(dc)
+        d[0] = dc[0]
+        d[1:] = dc[1:] - dc[:-1]
+        return d
+
+    zzs = [comp_zz(ci) for ci in range(3)]
+    nb = cbh * cbw
+    # scan 1: Y alone, raster order
+    c1, l1, _ = _entropy_tokens(
+        zzs[0], chained_diff(zzs[0][:, 0]), np.arange(nb)
+    )
+    # scan 2: Cb+Cr interleaved per frame MCU (444: one block each)
+    zz2 = np.concatenate([zzs[1], zzs[2]])
+    diff2 = np.concatenate(
+        [chained_diff(zzs[1][:, 0]), chained_diff(zzs[2][:, 0])]
+    )
+    bids2 = np.concatenate([2 * np.arange(nb), 2 * np.arange(nb) + 1])
+    c2, l2, _ = _entropy_tokens(zz2, diff2, bids2)
+
+    # splice: reuse the reference stream's headers up to its SOS
+    i = ref_stream.find(b"\xff\xda")
+    out = bytearray(ref_stream[:i])
+    out += struct.pack(">HH", 0xFFDA, 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    out += _pack_tokens(c1, l1)
+    out += struct.pack(">HH", 0xFFDA, 10) + bytes(
+        [2, 2, 0x11, 3, 0x11, 0, 63, 0]
+    )
+    out += _pack_tokens(c2, l2)
+    out += b"\xff\xd9"
+    np.testing.assert_array_equal(
+        decode_baseline_jpeg(bytes(out)), decode_baseline_jpeg(ref_stream)
+    )
+
+
+def test_multiscan_incomplete_frame_is_loud():
+    # a stream whose scans never cover all frame components must
+    # fail with a named ValueError at EOI, not return garbage
+    rng = np.random.RandomState(14)
+    px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    data = encode_multiscan_jpeg(px, 85)
+    # keep only the first SOS (Y): cut at the second SOS marker
+    first = data.find(b"\xff\xda")
+    second = data.find(b"\xff\xda", first + 2)
+    truncated = data[:second] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="never coded"):
+        decode_baseline_jpeg(truncated)
+    # and a component coded twice is rejected too
+    dup = data[:second] + data[first:second] + data[second:]
+    with pytest.raises(ValueError, match="coded twice"):
+        decode_baseline_jpeg(dup)
 
 
 def test_progressive_encoder_rejects_desyncing_dc_scan():

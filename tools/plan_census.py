@@ -24,10 +24,14 @@ Flags (the judge-facing 'explain and iterate' contract):
     scale twins, IVF cell assignment against the tiny centroid frame)
   - any python_eval anywhere (the repo bans row-at-a-time UDFs)
 
-stream_* queries execute their replay at BUILD time, so the census
-runs them at the smallest fixture; their plan is the final store
-read, which is not the interesting part — they are swept for the
-python_eval/cartesian flags only.
+Multi-job queries (iterative operators like bpe_train_merges, the
+stream_* replays, main_dag_parity) execute Spark jobs at BUILD time;
+their final DataFrame's plan alone under-reports (exchanges: 0 was
+the r9 census blind spot). The census therefore also harvests every
+SQL execution the build registered in the session's SQLAppStatusStore
+(the same store the SQL UI reads), censuses each execution's FINAL
+adaptive plan tree, and folds the counts into the query's row with a
+`build_jobs` count — so no multi-job query is silently unaudited.
 
 Usage:
     python tools/plan_census.py [--sf-dir DIR] [--out PLANS.json]
@@ -78,6 +82,38 @@ UNPLANNED = {
 }
 
 
+def _final_tree(desc: str) -> str:
+    """The tree section of a physicalPlanDescription, final adaptive
+    plan only: the description carries BOTH '== Final Plan ==' and
+    '== Initial Plan ==' trees plus per-node detail blocks — counting
+    the raw string would double- or triple-count every Exchange."""
+    body = desc.split("\n\n", 1)[0]
+    if "== Final Plan ==" in body:
+        body = body.split("== Final Plan ==", 1)[1]
+        body = body.split("== Initial Plan ==", 1)[0]
+    return body
+
+
+def _executions_after(store, last_id: int) -> list[str]:
+    """Final plan trees of every SQL execution with id > last_id in
+    the session status store (eviction-safe: keyed by execution id,
+    not list position)."""
+    plans = []
+    lst = store.executionsList()
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() > last_id:
+            plans.append(_final_tree(e.physicalPlanDescription()))
+    return plans
+
+
+def _max_execution_id(store) -> int:
+    lst = store.executionsList()
+    if lst.size() == 0:
+        return -1
+    return lst.apply(lst.size() - 1).executionId()
+
+
 def census(plan: str) -> dict:
     return {
         "exchanges": plan.count("Exchange"),
@@ -118,7 +154,9 @@ def main() -> None:
     flags: list[str] = []
     unplanned = {n: UNPLANNED[n] for n in names if n in UNPLANNED}
     names = [n for n in names if n not in UNPLANNED]
+    store = spark._jsparkSession.sharedState().statusStore()
     for name in names:
+        last_id = _max_execution_id(store)
         try:
             df = qs[name](spark, args.sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -126,6 +164,14 @@ def main() -> None:
             out[name] = {"err": f"{type(exc).__name__}: {exc}"[:200]}
             continue
         c = census(plan)
+        # fold in every Spark job the BUILD itself executed
+        # (iterative rounds, streaming micro-batches, DAG stages) —
+        # the r9 blind spot: these queries reported exchanges: 0
+        build_plans = _executions_after(store, last_id)
+        if build_plans:
+            bc = census("\n".join(build_plans))
+            c = {k: c[k] + bc[k] for k in c}
+            c["build_jobs"] = len(build_plans)
         out[name] = c
         if c["python_eval"]:
             flags.append(f"{name}: python_eval={c['python_eval']}")
