@@ -285,3 +285,60 @@ def edit_distance_join(
         F.col("_idb").alias(f"{id_col}_b"),
         F.col("_dist").cast("bigint").alias("dist"),
     )
+
+
+def edit_distance_cluster_edges(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    str_col: str,
+    d: int,
+    q: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """A SPANNING edge set of the within-group edit-distance-<=d graph
+    in cluster-representative (star) form — the scale path for
+    CLUSTERING consumers, which need connectivity, not every pair.
+
+    Exact-duplicate collapse first: identical (group, string) values
+    enter the fuzzy candidate space ONCE via their min-id
+    representative, and the other copies attach by star edges
+    (representative -> member). A viral duplicate group of k copies
+    therefore costs k star rows plus one node in the quadratic
+    candidate space instead of C(k, 2) verified pairs — the r9 sf1
+    sweep measured 2,948x pair growth at 10x data (79 -> 232,900
+    pairs) on exactly this shape, wall tracking pair count by
+    construction in the all-pairs form (VERDICT r9 next-item #4).
+
+    Connectivity is IDENTICAL to edit_distance_join's full pair set:
+    copies are distance 0 from their representative (<= d), and any
+    cross-copy pair's distance equals its representatives' distance,
+    so a path exists in the star form iff one exists in the pair
+    form. Connected components over these edges yield the same
+    clusters; only the (deliberately unmaterialized) pair multiset
+    differs. Returns (group, id_a, id_b, dist) with dist = 0 on star
+    edges and the verified distance on representative pairs."""
+    # ONE shuffle tags every row with its value-representative (a
+    # groupBy + re-join would shuffle twice); the slim tagged frame
+    # is checkpointed because both outputs filter it and Catalyst
+    # re-executes unshared subplans per consumer
+    w = Window.partitionBy(group_col, str_col)
+    tagged = (
+        df.select(id_col, group_col, str_col)
+        .filter(F.col(str_col).isNotNull())
+        .withColumn("_rep", F.min(id_col).over(w))
+        .localCheckpoint(eager=True)
+    )
+    star = tagged.filter(F.col(id_col) != F.col("_rep")).select(
+        F.col(group_col),
+        F.col("_rep").alias(f"{id_col}_a"),
+        F.col(id_col).alias(f"{id_col}_b"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    rep_rows = tagged.filter(F.col(id_col) == F.col("_rep")).select(
+        id_col, group_col, str_col
+    )
+    rep_pairs = edit_distance_join(
+        rep_rows, id_col, group_col, str_col, d, q, max_bucket
+    )
+    return rep_pairs.unionByName(star)

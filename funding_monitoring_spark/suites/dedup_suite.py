@@ -495,7 +495,7 @@ def q_fuzzy_title_clusters(spark, sf_dir):
         dedup_cluster_assignment,
     )
     from funding_monitoring_spark.operators.fuzzyjoin import (
-        edit_distance_join,
+        edit_distance_cluster_edges,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -506,11 +506,18 @@ def q_fuzzy_title_clusters(spark, sf_dir):
             "title"
         ),
     )
-    pairs = edit_distance_join(
+    # r10 scale shape: exact-duplicate titles collapse to their
+    # min-id representative BEFORE the fuzzy candidate space, members
+    # attaching by star edges — a viral duplicate group of k copies
+    # costs k star rows + one fuzzy node instead of C(k, 2) verified
+    # pairs (the r9 sf1 sweep measured 2,948x pair growth at 10x data
+    # on the all-pairs form). Connectivity — hence the clustering and
+    # this oracle — is identical.
+    edges = edit_distance_cluster_edges(
         titles, "doc_id", "lang", "title", _FUZZY_D, q=3
     )
     return dedup_cluster_assignment(
-        docs, pairs, src="doc_id_a", dst="doc_id_b"
+        docs, edges, src="doc_id_a", dst="doc_id_b"
     ).select("doc_id", "cluster_id", "is_canonical")
 
 

@@ -190,3 +190,57 @@ def test_qgram_set_edges(spark):
     ).select(qgram_set(F.col("s"), 3).alias("g"))
     got = [r.g for r in df.collect()]
     assert got == [["abc", "bcd"], ["ab"], [""]]
+
+
+def test_cluster_edges_same_components_as_pairs(spark):
+    """edit_distance_cluster_edges is a SPANNING edge set of the pair
+    graph: connected components over it must equal components over
+    the full pair set, on a corpus with viral exact-duplicate groups,
+    fuzzy chains across them, and singletons — while materializing
+    far fewer edges than the C(k,2) pair form."""
+    from funding_monitoring_spark.operators.components import (
+        connected_components,
+    )
+    from funding_monitoring_spark.operators.fuzzyjoin import (
+        edit_distance_cluster_edges,
+    )
+
+    rows = []
+    # viral group: 30 exact copies + a distance-2 mutant chained in
+    rows += [(i, "g", "funding rates monitor") for i in range(30)]
+    rows += [(100, "g", "funding rates monitorXY")]
+    # second viral group, NOT within distance of the first
+    rows += [(200 + i, "g", "totally different title") for i in range(20)]
+    # fuzzy chain bridging nothing: a~b~c each within d, ends 4 apart
+    rows += [(300, "g", "abcdefgh"), (301, "g", "abcdefgXY"),
+             (302, "g", "abcdeXYZW")]
+    # other group key: same strings must NOT join across groups
+    rows += [(400, "h", "funding rates monitor")]
+    # singleton
+    rows += [(500, "g", "zzzz unique zzzz")]
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+
+    def comps(edges_df):
+        cc = connected_components(edges_df, src="id_a", dst="id_b")
+        return {
+            tuple(sorted(g))
+            for g in cc.groupBy("cluster_id")
+            .agg(F.collect_set("id").alias("m"))
+            .select("m")
+            .toPandas()["m"]
+        }
+
+    d = 3
+    pair_df = edit_distance_join(df, "id", "g", "s", d, q=3)
+    star_df = edit_distance_cluster_edges(df, "id", "g", "s", d, q=3)
+    assert comps(star_df) == comps(pair_df)
+    # the star form materializes O(members) rows for the viral
+    # groups, the pair form O(members^2)
+    n_pairs = pair_df.count()
+    n_star = star_df.count()
+    assert n_pairs > 30 * 29 / 2  # the viral group alone
+    assert n_star < n_pairs / 3
+    # star edges are real rows of the output contract: dist 0 on
+    # member edges, verified distance on representative pairs
+    dists = {r.dist for r in star_df.collect()}
+    assert 0 in dists and max(dists) <= d

@@ -4,11 +4,18 @@ The driver checks only the FIRST 50 registry entries externally each
 round, so registry._PRIORITY rotates which queries lead. The standing
 rotation rule (registry.py docstring, precommitted since r4):
 
-  1. never-external queries first (post-freeze registrations that only
-     have local rows), in registration order;
+  1. never-external queries first (PRIOR-round post-freeze
+     registrations — they have a local row from an earlier round but
+     no external row), in registration order;
   2. then every other query ordered by the round of its MOST RECENT
      external row (oldest first), ties broken by registration order;
   3. take the first 50.
+
+Queries registered in the CURRENT round (no external row AND no local
+row in any artifact <= max_round) are post-freeze registrations: they
+ship with a local row this round and queue for the NEXT window, so
+the tool excludes them — the committed window stays frozen while the
+round adds queries.
 
 This tool computes that plan from the driver's CORRECTNESS_r*.json
 artifacts and the live registry, so the window list and its cohort
@@ -49,23 +56,35 @@ def compute_plan(max_round: int | None = None) -> dict:
     reg_order = list(registry._QUERIES)  # dict preserves registration order
     reg_index = {q: i for i, q in enumerate(reg_order)}
 
+    def _rounds(pattern: str) -> list[str]:
+        paths = sorted(
+            glob.glob(os.path.join(REPO, pattern)),
+            key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        )
+        return [
+            p
+            for p in paths
+            if max_round is None
+            or int(re.search(r"_r(\d+)", p).group(1)) <= max_round
+        ]
+
     last_external: dict[str, int] = {}
-    paths = sorted(
-        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
-    )
-    paths = [
-        p
-        for p in paths
-        if max_round is None
-        or int(re.search(r"_r(\d+)", p).group(1)) <= max_round
-    ]
+    paths = _rounds("CORRECTNESS_r*.json")
     for path in paths:
         rnd = int(re.search(r"_r(\d+)", path).group(1))
         for q in json.load(open(path)):
             last_external[q] = rnd
 
-    never = [q for q in reg_order if q not in last_external]
+    # a query with SOME artifact row (local or external) <= max_round
+    # existed before this round's freeze; one with none is a
+    # current-round post-freeze registration and queues for next round
+    known: set[str] = set(last_external)
+    for path in _rounds("CORRECTNESS_LOCAL_r*.json"):
+        known.update(json.load(open(path)))
+
+    never = [
+        q for q in reg_order if q not in last_external and q in known
+    ]
     aged = sorted(
         (q for q in reg_order if q in last_external),
         key=lambda q: (last_external[q], reg_index[q]),
@@ -86,6 +105,7 @@ def compute_plan(max_round: int | None = None) -> dict:
         "cohort_sizes": {k: len(v) for k, v in cohorts.items()},
         "cohorts": cohorts,
         "overflow": len(ordered) - WINDOW,
+        "queued_post_freeze": [q for q in reg_order if q not in known],
     }
 
 
