@@ -442,6 +442,23 @@ def main() -> None:
             "scan-stage filters, or bounded codec roundtrips"
         ),
     }
+    notes["avi_framesample_r9_regression_attributed_r10"] = (
+        "multimodal_avi_framesample 0.8 -> 1.4 s in BENCH_LOCAL_r9 was "
+        "run-position variance, not code: measured r10 in a warm "
+        "session (python workers pre-warmed by another media query), "
+        "3 consecutive runs land 0.84-0.96 s — identical to r8's "
+        "0.83 s; a cold single-query run attributes ~2 s of python-"
+        "worker startup to whichever mapInPandas query goes first"
+    )
+    notes["fuzzy_clusters_star_form_r10"] = (
+        "fuzzy_title_clusters rebuilt on edit_distance_cluster_edges "
+        "(exact-duplicate collapse to min-id representatives + star "
+        "edges; only distinct titles enter the fuzzy candidate "
+        "space): sf1 wall 152 -> 11.9 s, scale factor at 10x data "
+        "20.9x -> 1.09x, identical recursive-closure oracle; "
+        "fuzzy_title_pairs keeps the all-pairs OUTPUT contract and "
+        "remains pair-count-bound by construction"
+    )
     notes["lsh_multiprobe_tradeoff_r6"] = (
         "near_dup_recall_report / ann LSH queries run ~1.5x longer "
         "than round 5: the probing side now fans out to each table's "
