@@ -371,18 +371,26 @@ def streaming_funding_pipeline(
             funding_stats_from_rates(store, lookback_days), stats_path
         )
 
+    # No in-stream dropDuplicatesWithinWatermark here: the LWW merge
+    # below already suppresses exact resends idempotently (same key +
+    # same order key -> same stored row), so the stateful dedup would
+    # only duplicate that guarantee while adding a state-store shuffle
+    # per tick AND an extra end-of-replay micro-batch (availableNow
+    # runs one final empty batch per stateful operator purely to
+    # advance the watermark and evict state). The watermark-dedup
+    # ingestion shape itself is demonstrated by streaming_upsert_rates
+    # above, which keeps it.
     src = stream_from_chunks(spark, chunks_dir, schema)
-    rates = (
-        rates_from_events(src)
-        .withWatermark("funding_time", watermark)
-        .dropDuplicatesWithinWatermark()
-    )
+    rates = rates_from_events(src)
     writer = rates.writeStream.foreachBatch(
         upsert_writer(
             rates_path,
             RATE_KEYS,
             RATE_ORDER,
             on_batch_complete=recompute_stats,
+            # stateless upstream: availableNow never emits an empty
+            # flush batch here, so skip the per-batch emptiness probe
+            check_empty=False,
         )
     )
     q = _run(writer, available_now, checkpoint)

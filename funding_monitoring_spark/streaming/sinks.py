@@ -115,6 +115,7 @@ def upsert_writer(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     on_batch_complete: Callable[[DataFrame], None] | None = None,
     seq_col: str | None = None,
+    check_empty: bool = True,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer: dedupe the batch on key_cols (max order_cols
     wins), then order-aware merge into the parquet store — order_cols
@@ -135,6 +136,13 @@ def upsert_writer(
     transform: optional shaping applied to the raw micro-batch first.
     on_batch_complete: hook called with the post-merge store DataFrame
     (used by the funding pipeline to recompute its per-tick snapshot).
+    check_empty: probe each micro-batch for emptiness and skip the
+    merge + hook when it carries no rows — availableNow runs one final
+    EMPTY batch per stateful upstream operator (watermark dedup,
+    session windows) purely to advance the watermark, and an empty
+    merge is a no-op on an initialized store. The probe is one tiny
+    job per batch; a caller whose upstream is STATELESS (every batch
+    carries rows by construction) passes False to skip it.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -144,16 +152,34 @@ def upsert_writer(
 
         t0 = time.perf_counter()
         spark = batch_df.sparkSession
+        # A stateful upstream (watermark dedup, session windows) makes
+        # availableNow run one final batch with NO input rows purely to
+        # advance the watermark and evict state; an already-initialized
+        # store is unchanged by an empty merge, so skip the two jobs.
+        if check_empty and os.path.exists(store_path) and batch_df.isEmpty():
+            metrics.record(
+                store=store_path, batch_id=batch_id, empty_skip=True,
+                merge_sec=round(time.perf_counter() - t0, 3), hook_sec=0.0,
+            )
+            return
         batch = transform(batch_df) if transform is not None else batch_df
         if seq_col is not None:
             batch = batch.withColumn(seq_col, F.lit(batch_id))
-        batch = dedupe_batch(batch, key_cols, order_cols)
-        if os.path.exists(store_path):
-            existing = spark.read.parquet(store_path)
-            merged = upsert(existing, batch, key_cols, order_cols=order_cols)
-        else:
-            merged = batch
-        atomic_overwrite(merged, store_path)
+        # the deduped batch is scanned three times by the ordered merge
+        # (broadcast key build, semi-join probe, union arm); without a
+        # persist each scan replays the source-read + dedupe shuffle
+        batch = dedupe_batch(batch, key_cols, order_cols).persist()
+        try:
+            if os.path.exists(store_path):
+                existing = spark.read.parquet(store_path)
+                merged = upsert(
+                    existing, batch, key_cols, order_cols=order_cols
+                )
+            else:
+                merged = batch
+            atomic_overwrite(merged, store_path)
+        finally:
+            batch.unpersist()
         t1 = time.perf_counter()
         if on_batch_complete is not None:
             on_batch_complete(spark.read.parquet(store_path))
