@@ -88,8 +88,10 @@ def _pil_image_module():
 
 
 def decode_image(payload: bytes) -> object:
-    """Image decode dispatch by magic bytes. Uncompressed 24-bit BMP
-    and PNG (gray/truecolor/palette/alpha, Adam7) decode HERE, for
+    """Image decode dispatch by magic bytes. Uncompressed 24-bit BMP,
+    PNG (gray/truecolor/palette/alpha, Adam7) and baseline TIFF
+    (II/MM, strips, none/LZW/PackBits, predictor 2 —
+    operators/tiffcodec.py) decode HERE, for
     real (pure numpy/struct +
     stdlib zlib — no imaging library needed). JPEG decodes through
     Pillow when installed (probed at call time so executors resolve
@@ -124,6 +126,12 @@ def decode_image(payload: bytes) -> object:
         )
 
         return decode_gif(payload)[0]
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from funding_monitoring_spark.operators.tiffcodec import (
+            decode_tiff,
+        )
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         "compressed-image codec not available in this "
         "environment; swap in PIL/torchvision here"
@@ -943,6 +951,68 @@ def synthesize_png16_media(
             _png16_pixels(mid, *_bmp_dims(mid))
         ),
     )
+
+
+def _tiff_dims(media_id: int) -> tuple[int, int]:
+    """Larger than _bmp_dims so the strip walk, the LZW width ladder
+    and the predictor see real row runs (up to 16x11 = 176 px)."""
+    return 6 + media_id % 11, 5 + media_id % 7
+
+
+def synthesize_tiff_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real baseline-TIFF payloads from the closed-form pixel field
+    (operators/tiffcodec.py). Each id cycles through the codec's
+    variant space so every decode path is exercised across a fixture:
+    byte order II/MM (id%2), compression none/LZW/PackBits (id%3),
+    horizontal-differencing predictor on the LZW rows (id%2 within
+    compression 5), and strip heights 1/2/3/full (id%4). 1:1
+    Arrow-batched mapInPandas, no shuffle."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from funding_monitoring_spark.operators.tiffcodec import encode_tiff
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = _tiff_dims(mid)
+                comp = (1, 5, 32773)[mid % 3]
+                payloads.append(
+                    encode_tiff(
+                        _bmp_pixels(mid, w, h),
+                        byte_order="<" if mid % 2 == 0 else ">",
+                        compression=comp,
+                        predictor=2 if comp == 5 and mid % 2 == 0 else 1,
+                        rows_per_strip=(1, 2, 3, None)[mid % 4],
+                    )
+                )
+                metas.append(
+                    {
+                        "modality": "image",
+                        "mime": "image/tiff",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
+    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def _spread_ids(media_ids: DataFrame) -> DataFrame:

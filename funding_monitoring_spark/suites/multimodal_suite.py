@@ -658,6 +658,46 @@ def q_multimodal_jpeg_multiscan_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_tiff_roundtrip",
+    f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(6 + doc_id % 11 AS INT) AS width,
+               CAST(5 + doc_id % 7 AS INT) AS height
+        FROM documents
+    )
+    SELECT media_id, width, height,
+           {_bmp_mean_sql(0)} AS mean_r,
+           {_bmp_mean_sql(1)} AS mean_g,
+           {_bmp_mean_sql(2)} AS mean_b,
+           CAST(((media_id*7 + 0)*31) % 256 AS INT) AS corner_r,
+           CAST(((media_id*7 + 1)*31) % 256 AS INT) AS corner_g,
+           CAST(((media_id*7 + 2)*31) % 256 AS INT) AS corner_b
+    FROM dims
+    """,
+)
+def q_multimodal_tiff_roundtrip(spark, sf_dir):
+    """Baseline-TIFF round trip, pure struct/numpy, no imaging
+    library (operators/tiffcodec.py): per document the encoder cycles
+    byte order (II/MM), compression (none / TIFF LZW with the spec's
+    early-change width ladder / per-row PackBits), the horizontal-
+    differencing predictor, and strip heights 1/2/3/full; the decoder
+    walks the IFD, decompresses every strip and undoes the predictor.
+    TIFF is lossless, so the oracle is the BMP oracle's exact
+    closed-form pixel statistics over the (larger) TIFF dims — any
+    IFD-arithmetic, bit-order, width-ladder or predictor bug breaks
+    the hash bit-for-bit. Tiled/planar/deep streams refuse loudly
+    (tests/test_tiffcodec.py)."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_image_features,
+        synthesize_tiff_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features(synthesize_tiff_media(docs))
+
+
+@query(
     "multimodal_mjpg_framesample",
     """
     WITH dims AS (

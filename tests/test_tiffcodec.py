@@ -1,0 +1,184 @@
+"""Pure-codec tests for the baseline TIFF implementation
+(operators/tiffcodec.py): PackBits hand vectors, TIFF-LZW width-ladder
+and table-reset roundtrips, container roundtrips across the full
+variant space (byte order x compression x predictor x strip height),
+and loud refusals for out-of-profile shapes."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from funding_monitoring_spark.operators.tiffcodec import (
+    decode_tiff,
+    encode_tiff,
+    lzw_decode,
+    lzw_encode,
+    packbits_decode,
+    packbits_encode,
+)
+
+
+def test_packbits_hand_vectors():
+    # header 0xFE = -2 -> repeat next byte 3x; header 2 -> 3 literals
+    assert packbits_decode(b"\xfe\xaa", 3) == b"\xaa\xaa\xaa"
+    assert packbits_decode(b"\x02abc", 3) == b"abc"
+    # 0x80 is a no-op header
+    assert packbits_decode(b"\x80\x00a", 1) == b"a"
+    assert packbits_encode(b"\xaa\xaa\xaa") == b"\xfe\xaa"
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 3, 127, 128, 129, 300, 1000])
+def test_packbits_roundtrip(n):
+    rng = np.random.RandomState(n)
+    runs = bytes(rng.randint(0, 4, n).astype(np.uint8))
+    assert packbits_decode(packbits_encode(runs), n) == runs
+    noise = bytes(rng.randint(0, 256, n).astype(np.uint8))
+    assert packbits_decode(packbits_encode(noise), n) == noise
+
+
+def test_packbits_truncation_is_loud():
+    with pytest.raises(ValueError):
+        packbits_decode(b"\x05ab", 6)
+    with pytest.raises(ValueError):
+        packbits_decode(b"\xfe", 3)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 255, 256, 300, 5000, 20000])
+def test_lzw_roundtrip(n):
+    rng = np.random.RandomState(n)
+    # low-alphabet data grows the table fast across the 511/1023
+    # early-change boundaries; full-alphabet checks literal paths
+    d = bytes(rng.randint(0, 7, n).astype(np.uint8))
+    assert lzw_decode(lzw_encode(d)) == d
+    d2 = bytes(rng.randint(0, 256, n).astype(np.uint8))
+    assert lzw_decode(lzw_encode(d2)) == d2
+
+
+def test_lzw_table_reset_territory():
+    # an all-same megabyte walks the table to the 4094 reset many times
+    d = b"\x42" * 1_000_000
+    assert lzw_decode(lzw_encode(d)) == d
+
+
+def test_lzw_starts_with_clear_ends_with_eoi():
+    enc = lzw_encode(b"abc")
+    # first 9 bits MSB-first must be the ClearCode (256 = 0x100)
+    first = (enc[0] << 1) | (enc[1] >> 7)
+    assert first == 256
+
+
+def test_lzw_truncation_is_loud():
+    enc = lzw_encode(bytes(range(100)))
+    with pytest.raises(ValueError):
+        lzw_decode(enc[: len(enc) // 2])
+
+
+@pytest.mark.parametrize("byte_order", ["<", ">"])
+@pytest.mark.parametrize("compression", [1, 5, 32773])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("rows_per_strip", [None, 1, 2, 4])
+def test_container_roundtrip_rgb(byte_order, compression, predictor,
+                                 rows_per_strip):
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (11, 16, 3)).astype(np.uint8)
+    t = encode_tiff(px, byte_order=byte_order, compression=compression,
+                    predictor=predictor, rows_per_strip=rows_per_strip)
+    assert (decode_tiff(t) == px).all()
+
+
+@pytest.mark.parametrize("byte_order", ["<", ">"])
+@pytest.mark.parametrize("compression", [1, 5, 32773])
+def test_container_roundtrip_gray_replicates_channels(byte_order,
+                                                      compression):
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 256, (7, 5)).astype(np.uint8)
+    t = encode_tiff(g, byte_order=byte_order, compression=compression,
+                    rows_per_strip=2)
+    assert (decode_tiff(t) == np.repeat(g[:, :, None], 3, axis=2)).all()
+
+
+def test_single_pixel_and_single_row():
+    for shape in [(1, 1, 3), (1, 9, 3), (9, 1, 3)]:
+        px = np.arange(np.prod(shape), dtype=np.uint8).reshape(shape)
+        for comp in (1, 5, 32773):
+            assert (decode_tiff(encode_tiff(px, compression=comp)) == px).all()
+
+
+def _retag(payload: bytes, tag: int, new_inline_short: int) -> bytes:
+    """Rewrite an inline SHORT tag value in a little-endian TIFF."""
+    (n,) = struct.unpack("<H", payload[8:10])
+    out = bytearray(payload)
+    for i in range(n):
+        pos = 10 + 12 * i
+        t = struct.unpack("<H", payload[pos : pos + 2])[0]
+        if t == tag:
+            out[pos + 8 : pos + 10] = struct.pack("<H", new_inline_short)
+            return bytes(out)
+    raise AssertionError(f"tag {tag} not present")
+
+
+def test_refusals_are_loud():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    t = encode_tiff(px)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(_retag(t, 284, 2))  # planar configuration 2
+    with pytest.raises(NotImplementedError):
+        decode_tiff(_retag(t, 259, 7))  # JPEG compression
+    with pytest.raises(NotImplementedError):
+        decode_tiff(_retag(t, 262, 5))  # CMYK photometric
+    g = encode_tiff(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(NotImplementedError):
+        decode_tiff(_retag(g, 258, 16))  # 16-bit depth
+    # a tile tag anywhere in the IFD refuses before pixel work
+    (n,) = struct.unpack("<H", t[8:10])
+    tiled = bytearray(t)
+    pos = 10  # overwrite the first entry's tag id with TileWidth
+    tiled[pos : pos + 2] = struct.pack("<H", 322)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(tiled))
+
+
+def test_not_a_tiff_is_loud():
+    with pytest.raises(ValueError):
+        decode_tiff(b"II+\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        decode_tiff(b"BM123456")
+
+
+def test_strip_truncation_is_loud():
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    t = encode_tiff(px, compression=1)
+    with pytest.raises(ValueError):
+        decode_tiff(t[:-5])
+
+
+def test_dispatch_through_decode_image():
+    from funding_monitoring_spark.operators.multimodal import decode_image
+
+    px = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    for bo in "<>":
+        assert (decode_image(encode_tiff(px, byte_order=bo)) == px).all()
+
+
+def test_fixture_field_matches_bmp_codec():
+    """The TIFF synth uses the same closed-form field as BMP — the
+    lossless decode must agree with the field exactly (the SQL oracle
+    replays it)."""
+    from funding_monitoring_spark.operators.multimodal import (
+        _bmp_pixels,
+        _tiff_dims,
+    )
+
+    for mid in [0, 1, 2, 3, 5, 12, 999]:
+        w, h = _tiff_dims(mid)
+        px = _bmp_pixels(mid, w, h)
+        comp = (1, 5, 32773)[mid % 3]
+        t = encode_tiff(
+            px,
+            byte_order="<" if mid % 2 == 0 else ">",
+            compression=comp,
+            predictor=2 if comp == 5 and mid % 2 == 0 else 1,
+            rows_per_strip=(1, 2, 3, None)[mid % 4],
+        )
+        assert (decode_tiff(t) == px).all()
