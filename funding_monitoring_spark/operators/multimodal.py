@@ -1428,6 +1428,211 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
 
 
+# -- AIFF / AIFF-C (big-endian PCM; Apple/SGI audio interchange) ------------
+
+
+def _f80_encode(value: int) -> bytes:
+    """Integer -> 80-bit IEEE 754 extended float (1 sign, 15 exponent
+    bits biased 16383, 64 mantissa bits with an EXPLICIT leading 1) —
+    the sampleRate field of the AIFF COMM chunk. Formula-defined, no
+    tables."""
+    if value == 0:
+        return b"\x00" * 10
+    if value < 0:
+        raise ValueError("negative sample rate")
+    e = value.bit_length() - 1
+    return struct.pack(">HQ", 16383 + e, value << (63 - e))
+
+
+def _f80_decode(b: bytes) -> int:
+    exp, mant = struct.unpack(">HQ", b[:10])
+    sign = -1 if exp & 0x8000 else 1
+    exp &= 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0
+    shift = exp - 16383 - 63
+    val = float(mant) * 2.0 ** shift
+    return sign * int(val + 0.5)
+
+
+def encode_aiff(samples, sample_rate: int = 8000, form: bytes = b"AIFF",
+                little_endian: bool = False) -> bytes:
+    """Encode an (n_samples, channels) int16 array as AIFF (plain,
+    big-endian PCM) or AIFF-C (form=b'AIFC': 'NONE' big-endian or
+    'sowt' little-endian PCM — the two uncompressed AIFC profiles
+    real Mac-era corpora carry). Chunk layout per the public AIFF-1.3
+    / AIFF-C specs: FORM container, COMM (channels, frames, bits,
+    80-bit extended-float rate), SSND (offset/blockSize + frames)."""
+    import numpy as np
+
+    if form not in (b"AIFF", b"AIFC"):
+        raise ValueError(f"unknown FORM type {form!r}")
+    if little_endian and form != b"AIFC":
+        raise ValueError("little-endian PCM requires AIFC ('sowt')")
+    pcm = np.asarray(samples, dtype=np.int16)
+    n, ch = pcm.shape
+    data = pcm.astype("<i2" if little_endian else ">i2").tobytes()
+
+    comm = struct.pack(">hLh", ch, n, 16) + _f80_encode(sample_rate)
+    if form == b"AIFC":
+        ctype = b"sowt" if little_endian else b"NONE"
+        cname = b"not compressed"
+        pstr = bytes([len(cname)]) + cname
+        if len(pstr) % 2:
+            pstr += b"\x00"
+        comm += ctype + pstr
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        out = tag + struct.pack(">L", len(body)) + body
+        return out + (b"\x00" if len(body) % 2 else b"")
+
+    body = form
+    if form == b"AIFC":
+        body += chunk(b"FVER", struct.pack(">L", 0xA2805140))
+    body += chunk(b"COMM", comm)
+    body += chunk(b"SSND", struct.pack(">LL", 0, 0) + data)
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+def decode_aiff(payload: bytes):
+    """Decode AIFF / AIFF-C into ((n_samples, channels) int16,
+    sample_rate). Chunk walk with word-aligned sizes; 16-bit PCM
+    ('NONE'/plain big-endian, 'sowt' little-endian) and signed 8-bit
+    PCM (widened <<8, the AIFF twin of the unsigned-8 WAV recentre)
+    decode; compressed AIFC profiles (ulaw/ima4/...) refuse loudly."""
+    import numpy as np
+
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF/AIFC payload")
+    form = payload[8:12]
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from(">L", payload, pos + 4)
+        if tag == b"COMM":
+            comm = payload[pos + 8 : pos + 8 + ln]
+        elif tag == b"SSND":
+            ssnd = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("missing COMM or SSND chunk")
+    ch, n_frames, bits = struct.unpack(">hLh", comm[:8])
+    rate = _f80_decode(comm[8:18])
+    little = False
+    if form == b"AIFC":
+        ctype = comm[18:22]
+        if ctype == b"sowt":
+            little = True
+        elif ctype != b"NONE":
+            raise NotImplementedError(
+                f"compressed AIFC profile {ctype!r} not supported"
+            )
+    offset, _block = struct.unpack(">LL", ssnd[:8])
+    data = ssnd[8 + offset :]
+    if bits == 16:
+        dt = "<i2" if little else ">i2"
+        pcm = np.frombuffer(
+            data[: n_frames * ch * 2], dtype=dt
+        ).astype(np.int16)
+    elif bits == 8:
+        # AIFF 8-bit PCM is SIGNED (unlike WAV); widen to the int16
+        # contract
+        pcm = np.frombuffer(
+            data[: n_frames * ch], dtype=np.int8
+        ).astype(np.int16) << 8
+    else:
+        raise NotImplementedError(f"AIFF sample size {bits} unsupported")
+    if pcm.size != n_frames * ch:
+        raise ValueError("SSND shorter than COMM frame count")
+    return pcm.reshape(n_frames, ch), rate
+
+
+def synthesize_aiff_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real AIFF payloads from the SAME closed-form sample field as
+    the WAV writer, cycling the three uncompressed wire profiles by
+    id: plain AIFF, AIFC 'NONE' (big-endian) and AIFC 'sowt'
+    (little-endian). All lossless 16-bit PCM, so the roundtrip oracle
+    is the WAV oracle verbatim."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n, ch = _wav_shape(mid)
+                form = (b"AIFF", b"AIFC", b"AIFC")[mid % 3]
+                payloads.append(
+                    encode_aiff(
+                        _wav_samples(mid, n, ch),
+                        WAV_RATE,
+                        form=form,
+                        little_endian=(mid % 3 == 2),
+                    )
+                )
+                metas.append(
+                    {
+                        "modality": "audio",
+                        "mime": "audio/aiff",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": int(n * 1000 / WAV_RATE),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
+    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_aiff_features(media: DataFrame) -> DataFrame:
+    """Reader half for the AIFF roundtrip — same integer-exact
+    amplitude statistics as decode_wav_features, through the
+    decode_audio magic-byte dispatch."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm, rate = decode_audio(bytes(payload))
+                n, ch = pcm.shape
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_samples": n,
+                        "channels": ch,
+                        "sample_rate": rate,
+                        "sum_amplitude": int(pcm.sum(dtype="int64")),
+                        "min_amplitude": int(pcm.min()),
+                        "max_amplitude": int(pcm.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+
+
 # -- compressed audio: FLAC via the pure codec (no dependency) -------------
 
 
@@ -1719,6 +1924,8 @@ def decode_audio(payload: bytes):
     optional-dependency MP3 path; anything else is rejected loudly."""
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(payload)
     if payload[:4] == b"fLaC":
         from funding_monitoring_spark.operators.flaccodec import (
             decode_flac,

@@ -453,6 +453,52 @@ def q_multimodal_flac_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_aiff_roundtrip",
+    """
+    WITH shape AS (
+        SELECT doc_id AS media_id,
+               CAST(50 + doc_id % 64 AS INT) AS n_samples,
+               CAST(1 + doc_id % 2 AS INT) AS channels
+        FROM documents
+    ),
+    amps AS (
+        SELECT media_id, n_samples, channels,
+               list_transform(
+                   range(0, n_samples * channels),
+                   j -> (media_id * 13 + j) * 97 % 65536 - 32768
+               ) AS a
+        FROM shape
+    )
+    SELECT media_id, n_samples, channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(list_sum(a) AS BIGINT) AS sum_amplitude,
+           CAST(list_min(a) AS INT) AS min_amplitude,
+           CAST(list_max(a) AS INT) AS max_amplitude
+    FROM amps
+    """,
+)
+def q_multimodal_aiff_roundtrip(spark, sf_dir):
+    """AIFF / AIFF-C round trip (the big-endian PCM interchange
+    format Mac-era corpora carry), pure struct/numpy
+    (operators/multimodal.py encode_aiff/decode_aiff): FORM chunk
+    walk, COMM with the 80-bit IEEE extended-float sample rate
+    (formula-defined — sign/15-bit biased exponent/explicit-leading-1
+    mantissa), SSND offset handling; ids cycle plain AIFF, AIFC
+    'NONE' (big-endian) and AIFC 'sowt' (little-endian) profiles.
+    Lossless 16-bit PCM from the SAME closed-form field as the WAV
+    roundtrip, so the oracle is the WAV oracle verbatim — endianness,
+    f80 or chunk-walk bugs break the hash bit-for-bit; compressed
+    AIFC profiles refuse loudly."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_aiff_features,
+        synthesize_aiff_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_aiff_features(synthesize_aiff_media(docs))
+
+
+@query(
     "multimodal_avi_framesample",
     """
     WITH dims AS (
