@@ -963,7 +963,7 @@ def synthesize_tiff_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Real baseline-TIFF payloads from the closed-form pixel field
     (operators/tiffcodec.py). Each id cycles through the codec's
     variant space so every decode path is exercised across a fixture:
-    byte order II/MM (id%2), compression none/LZW/PackBits (id%3),
+    byte order II/MM (id%2), compression none/LZW/Deflate/PackBits (id%4),
     horizontal-differencing predictor on the LZW rows (id%2 within
     compression 5), and strip heights 1/2/3/full (id%4). 1:1
     Arrow-batched mapInPandas, no shuffle."""
@@ -984,7 +984,7 @@ def synthesize_tiff_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 w, h = _tiff_dims(mid)
-                comp = (1, 5, 32773)[mid % 3]
+                comp = (1, 5, 8, 32773)[mid % 4]
                 payloads.append(
                     encode_tiff(
                         _bmp_pixels(mid, w, h),

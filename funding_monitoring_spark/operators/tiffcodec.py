@@ -3,8 +3,8 @@
 Covers the shapes that dominate scanned/archival corpora: strip-based
 8-bit grayscale (PhotometricInterpretation 1) and RGB (2), chunky
 planar layout, BOTH byte orders ("II" little / "MM" big), and the
-three classic baseline compressions — none (1), LZW (5) and PackBits
-(32773) — plus the horizontal-differencing Predictor (2) that usually
+four compressions real archives carry — none (1), LZW (5), Adobe
+Deflate (8, stdlib zlib) and PackBits (32773) — plus the horizontal-differencing Predictor (2) that usually
 accompanies LZW. Everything here is algorithm-defined by the public
 TIFF 6.0 specification (no normative numeric tables): the IFD walk is
 struct parsing, PackBits is a two-case run-length scheme, and TIFF LZW
@@ -14,7 +14,7 @@ strictly requires — at next-code 511/1023/2047 for 9/10/11 bits).
 
 Out-of-scope shapes refuse loudly (NotImplementedError) instead of
 faking pixels: tiled layout, planar configuration 2, bit depths other
-than 8, palette/CMYK/YCbCr photometrics, CCITT/JPEG/Deflate
+than 8, palette/CMYK/YCbCr photometrics, CCITT/JPEG
 compressions, floating-point predictors. Reference parity: the
 reference pipeline (funding_rates_etl.py) has no media surface; this
 extends the north-star LLM-corpus toolkit the same way the BMP/PNG/
@@ -271,7 +271,7 @@ def encode_tiff(
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
     strip-based baseline TIFF. byte_order "<" writes II (little
-    endian), ">" writes MM (big endian); compression 1/5/32773;
+    endian), ">" writes MM (big endian); compression 1/5/8/32773;
     predictor 2 applies horizontal differencing before compression
     (valid with any compression per spec, pointless with none)."""
     import numpy as np
@@ -287,7 +287,7 @@ def encode_tiff(
         raise ValueError(f"unsupported pixel shape {px.shape}")
     if byte_order not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
@@ -303,6 +303,10 @@ def encode_tiff(
         raw = rows.tobytes()
         if compression == 5:
             strips.append(lzw_encode(raw))
+        elif compression == 8:
+            import zlib
+
+            strips.append(zlib.compress(raw))
         elif compression == 32773:
             # PackBits compresses per ROW per spec §9 note
             strips.append(b"".join(packbits_encode(r.tobytes())
@@ -472,7 +476,7 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(
             f"grayscale TIFF with {samples} samples unsupported"
         )
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773):
         raise NotImplementedError(
             f"TIFF compression {compression} not supported"
         )
@@ -493,6 +497,10 @@ def decode_tiff(payload: bytes):
         expected = n_rows * row_bytes
         if compression == 5:
             data = lzw_decode(raw)
+        elif compression == 8:
+            import zlib
+
+            data = zlib.decompress(raw)
         elif compression == 32773:
             data = packbits_decode(raw, expected)
         else:

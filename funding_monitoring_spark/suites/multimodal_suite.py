@@ -726,7 +726,7 @@ def q_multimodal_tiff_roundtrip(spark, sf_dir):
     """Baseline-TIFF round trip, pure struct/numpy, no imaging
     library (operators/tiffcodec.py): per document the encoder cycles
     byte order (II/MM), compression (none / TIFF LZW with the spec's
-    early-change width ladder / per-row PackBits), the horizontal-
+    early-change width ladder / Adobe Deflate / per-row PackBits), the horizontal-
     differencing predictor, and strip heights 1/2/3/full; the decoder
     walks the IFD, decompresses every strip and undoes the predictor.
     TIFF is lossless, so the oracle is the BMP oracle's exact

@@ -75,7 +75,7 @@ def test_lzw_truncation_is_loud():
 
 
 @pytest.mark.parametrize("byte_order", ["<", ">"])
-@pytest.mark.parametrize("compression", [1, 5, 32773])
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
 @pytest.mark.parametrize("predictor", [1, 2])
 @pytest.mark.parametrize("rows_per_strip", [None, 1, 2, 4])
 def test_container_roundtrip_rgb(byte_order, compression, predictor,
@@ -88,7 +88,7 @@ def test_container_roundtrip_rgb(byte_order, compression, predictor,
 
 
 @pytest.mark.parametrize("byte_order", ["<", ">"])
-@pytest.mark.parametrize("compression", [1, 5, 32773])
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
 def test_container_roundtrip_gray_replicates_channels(byte_order,
                                                       compression):
     rng = np.random.RandomState(3)
@@ -101,7 +101,7 @@ def test_container_roundtrip_gray_replicates_channels(byte_order,
 def test_single_pixel_and_single_row():
     for shape in [(1, 1, 3), (1, 9, 3), (9, 1, 3)]:
         px = np.arange(np.prod(shape), dtype=np.uint8).reshape(shape)
-        for comp in (1, 5, 32773):
+        for comp in (1, 5, 8, 32773):
             assert (decode_tiff(encode_tiff(px, compression=comp)) == px).all()
 
 
@@ -173,7 +173,7 @@ def test_fixture_field_matches_bmp_codec():
     for mid in [0, 1, 2, 3, 5, 12, 999]:
         w, h = _tiff_dims(mid)
         px = _bmp_pixels(mid, w, h)
-        comp = (1, 5, 32773)[mid % 3]
+        comp = (1, 5, 8, 32773)[mid % 4]
         t = encode_tiff(
             px,
             byte_order="<" if mid % 2 == 0 else ">",
