@@ -373,3 +373,88 @@ def collocation_pmi(
         .filter(F.col("rank") <= top_n)
         .select("w1", "w2", "n_pair", "pmi", "rank")
     )
+
+
+# -- Gopher-style document quality rules ------------------------------------
+
+#: the published Gopher rule stop list (Rae et al. 2021, public):
+#: a document must contain at least 2 of these to pass the stop rule
+GOPHER_STOPS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPS = 2
+
+#: hash marks and ellipses per the symbol-to-word rule
+_SYMBOL_RE = r"#|\.\.\.|…"
+
+
+def gopher_report(col: Column | str) -> Column:
+    """Gopher-style quality rules as ONE struct column (single
+    tokenization per row via let; the struct-emission discipline from
+    the r9 MAD lesson). Fields: the measured statistics plus one 0/1
+    flag per rule and the conjunction:
+
+    - word count within [50, 100000]
+    - mean word length within [3, 10]
+    - symbol-to-word ratio (#, ellipsis) <= 0.1
+    - >= 80% of words contain an alphabetic character
+    - >= 2 stop words from the 8-word Gopher list
+
+    Thresholds compare UNROUNDED doubles (IEEE-identical in any
+    engine); the reported ratios are rounded to 6 digits for the
+    oracle hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_symbols = F.size(F.regexp_extract_all(c, F.lit(_SYMBOL_RE), 0))
+
+    def body(t: Column) -> Column:
+        n = F.size(t)
+        total_len = F.aggregate(
+            t, F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+        mean_len = F.when(
+            n > 0, total_len.cast("double") / n
+        ).otherwise(F.lit(0.0))
+        n_stops = F.size(
+            F.filter(t, lambda x: F.lower(x).isin(*GOPHER_STOPS))
+        )
+        n_alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+        frac_alpha = F.when(
+            n > 0, n_alpha.cast("double") / n
+        ).otherwise(F.lit(0.0))
+        sym_ratio = F.when(
+            n > 0, n_symbols.cast("double") / n
+        ).otherwise(F.lit(0.0))
+        p_words = (
+            (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+        ).cast("int")
+        p_len = (
+            (mean_len >= GOPHER_MIN_MEAN_LEN)
+            & (mean_len <= GOPHER_MAX_MEAN_LEN)
+        ).cast("int")
+        p_sym = (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO).cast("int")
+        p_alpha = (frac_alpha >= GOPHER_MIN_ALPHA_FRAC).cast("int")
+        p_stops = (n_stops >= GOPHER_MIN_STOPS).cast("int")
+        return F.struct(
+            n.alias("n_words"),
+            F.round(mean_len, 6).alias("mean_word_len"),
+            F.round(sym_ratio, 6).alias("symbol_ratio"),
+            F.round(frac_alpha, 6).alias("frac_alpha_words"),
+            n_stops.alias("n_stop_hits"),
+            p_words.alias("pass_word_count"),
+            p_len.alias("pass_mean_word_len"),
+            p_sym.alias("pass_symbol_ratio"),
+            p_alpha.alias("pass_alpha_words"),
+            p_stops.alias("pass_stop_words"),
+            (p_words * p_len * p_sym * p_alpha * p_stops).alias(
+                "pass_gopher"
+            ),
+        )
+
+    return let(tokens(c), body)

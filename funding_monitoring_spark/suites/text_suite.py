@@ -447,3 +447,72 @@ def q_hashed_ngram_quality_score(spark, sf_dir):
         score.alias("score"),
         (score >= 0).cast("int").alias("kept"),
     )
+
+
+def _sql_gopher() -> str:
+    stops = ", ".join(f"'{w}'" for w in X.GOPHER_STOPS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t,
+               len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_symbols
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, len(t) AS n_words,
+               CASE WHEN len(t) > 0 THEN
+                   list_sum(list_transform(t, x -> length(x)))
+                   / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS mean_len,
+               CASE WHEN len(t) > 0 THEN
+                   n_symbols / CAST(len(t) AS DOUBLE)
+                   ELSE 0.0 END AS sym_ratio,
+               CASE WHEN len(t) > 0 THEN
+                   len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                   / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS frac_alpha,
+               len(list_filter(t,
+                   x -> list_contains([{stops}], lower(x))))
+                   AS n_stop_hits
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           ROUND(mean_len, 6) AS mean_word_len,
+           ROUND(sym_ratio, 6) AS symbol_ratio,
+           ROUND(frac_alpha, 6) AS frac_alpha_words,
+           CAST(n_stop_hits AS INT) AS n_stop_hits,
+           CAST(n_words BETWEEN {X.GOPHER_MIN_WORDS}
+                AND {X.GOPHER_MAX_WORDS} AS INT) AS pass_word_count,
+           CAST(mean_len BETWEEN {X.GOPHER_MIN_MEAN_LEN}
+                AND {X.GOPHER_MAX_MEAN_LEN} AS INT) AS pass_mean_word_len,
+           CAST(sym_ratio <= {X.GOPHER_MAX_SYMBOL_RATIO} AS INT)
+                AS pass_symbol_ratio,
+           CAST(frac_alpha >= {X.GOPHER_MIN_ALPHA_FRAC} AS INT)
+                AS pass_alpha_words,
+           CAST(n_stop_hits >= {X.GOPHER_MIN_STOPS} AS INT)
+                AS pass_stop_words,
+           CAST(n_words BETWEEN {X.GOPHER_MIN_WORDS}
+                    AND {X.GOPHER_MAX_WORDS} AS INT)
+           * CAST(mean_len BETWEEN {X.GOPHER_MIN_MEAN_LEN}
+                    AND {X.GOPHER_MAX_MEAN_LEN} AS INT)
+           * CAST(sym_ratio <= {X.GOPHER_MAX_SYMBOL_RATIO} AS INT)
+           * CAST(frac_alpha >= {X.GOPHER_MIN_ALPHA_FRAC} AS INT)
+           * CAST(n_stop_hits >= {X.GOPHER_MIN_STOPS} AS INT)
+                AS pass_gopher
+    FROM m
+    """
+
+
+@query("gopher_quality_rules", _sql_gopher())
+def q_gopher_quality_rules(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021 — the
+    standard pre-training repetition/shape filter set): word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, alphabetic
+    word fraction, minimum stop-word hits, plus the conjunction flag a
+    curation pipeline filters on. One tokenization per row (let-bound,
+    single-struct emission), all JVM-side HOFs — the whole report is
+    one narrow projection over a pruned 2-column scan, embarrassingly
+    parallel at any corpus size. Thresholds compare unrounded doubles
+    identically in both engines; the oracle replays every rule."""
+    rep = X.gopher_report("text")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", rep.alias("g")
+    ).select("doc_id", "g.*")

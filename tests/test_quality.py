@@ -181,3 +181,36 @@ def test_contract_counts_match_model(rows, lo, width, spark):
     assert got[f"range(v,[{lo},{hi}])"] == exp_range
     assert got["accepted_values(cat)"] == exp_accept
     assert got["unique(id)"] == exp_unique
+
+
+def test_gopher_report_rule_edges(spark):
+    from funding_monitoring_spark.operators import textstats as X
+
+    good = " ".join(
+        ["the", "be", "of"] + ["word"] * 47
+    )  # 50 words, mean len in [3,10], 3 stop hits, all alpha
+    short = "the be word"  # fails word count only
+    symbols = " ".join(["the", "be"] + ["#"] * 48)  # symbol-heavy
+    longwords = " ".join(
+        ["the", "be"] + ["x" * 20] * 48
+    )  # mean word length > 10
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, symbols), (3, longwords)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", X.gopher_report("text").alias("g")
+        ).select("doc_id", "g.*").collect()
+    }
+    assert rows[0]["pass_gopher"] == 1
+    assert rows[0]["n_words"] == 50 and rows[0]["n_stop_hits"] == 3
+    assert rows[1]["pass_word_count"] == 0
+    assert rows[1]["pass_stop_words"] == 1  # the + be
+    # '#' tokens: counted as words AND as symbols -> ratio ~0.96,
+    # and they are non-alphabetic -> alpha fraction 2/50
+    assert rows[2]["pass_symbol_ratio"] == 0
+    assert rows[2]["pass_alpha_words"] == 0
+    assert rows[3]["pass_mean_word_len"] == 0
+    assert rows[3]["pass_gopher"] == 0
