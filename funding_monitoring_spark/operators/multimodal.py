@@ -1132,6 +1132,127 @@ def decode_image_features(media: DataFrame) -> DataFrame:
 decode_bmp_features = decode_image_features
 
 
+# -- structured documents: classic-xref PDF (operators/pdfcodec.py) --------
+
+PDF_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("pdf_version", T.StringType()),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("n_objects", T.IntegerType()),
+        T.StructField("flate_streams", T.IntegerType()),
+        T.StructField("n_text_chars", T.IntegerType()),
+        T.StructField("fingerprint", T.LongType()),
+    ]
+)
+
+
+def _pdf_pages(text: str, n_pages: int) -> list:
+    """Split text into n_pages character slices whose concatenation
+    is EXACTLY the text (cut points floor(len*k/n) — the same floor
+    convention as the resize oracle)."""
+    n = len(text)
+    cuts = [(n * k) // n_pages for k in range(n_pages + 1)]
+    return [text[cuts[k] : cuts[k + 1]] for k in range(n_pages)]
+
+
+def synthesize_pdf_media(docs: DataFrame) -> DataFrame:
+    """Real classic-xref PDFs from the documents fixture: each doc's
+    text split across 1 + doc_id%3 pages (one content stream per
+    page), FlateDecode on even ids. 1:1 Arrow-batched mapInPandas."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from funding_monitoring_spark.operators.pdfcodec import encode_pdf
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                mid = int(mid)
+                payloads.append(
+                    encode_pdf(
+                        _pdf_pages(str(text), 1 + mid % 3),
+                        compress=(mid % 2 == 0),
+                    )
+                )
+                metas.append(
+                    {
+                        "modality": "document",
+                        "mime": "application/pdf",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    ids = _spread_ids(
+        docs.select(F.col("doc_id").alias("media_id"), "text")
+    )
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_pdf_features(media: DataFrame) -> DataFrame:
+    """Reader half: structural parse (version, xref object count,
+    /Pages tree page count, Flate stream count) plus native-text
+    recovery; the recovered text is fingerprinted with the SAME
+    rolling polynomial as doc_fingerprint, so the oracle recomputes
+    it from the original text — any xref, tree-walk, inflate or
+    string-unescape bug breaks the hash."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from funding_monitoring_spark.operators.pdfcodec import parse_pdf
+        from funding_monitoring_spark.operators.textstats import (
+            POLY_INIT,
+            POLY_MOD,
+            POLY_MULT,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_pdf(bytes(payload))
+                text = info.text
+                fp = POLY_INIT
+                for b in text.encode("latin-1"):
+                    fp = (fp * POLY_MULT + b) % POLY_MOD
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "pdf_version": info.version,
+                        "n_pages": info.n_pages,
+                        "n_objects": info.n_objects,
+                        "flate_streams": info.flate_streams,
+                        "n_text_chars": len(text),
+                        "fingerprint": fp,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=PDF_FEATURE_SCHEMA)
+
+
 # -- real audio codec: uncompressed PCM WAV (RIFF) -------------------------
 
 WAV_FEATURE_SCHEMA = T.StructType(

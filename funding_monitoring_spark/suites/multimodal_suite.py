@@ -452,6 +452,55 @@ def q_multimodal_flac_roundtrip(spark, sf_dir):
     return decode_flac_features(synthesize_flac_media(docs))
 
 
+def _pdf_oracle_sql() -> str:
+    from funding_monitoring_spark.operators.textstats import (
+        POLY_INIT,
+        POLY_MOD,
+        POLY_MULT,
+    )
+
+    return f"""
+    SELECT doc_id AS media_id,
+           '1.4' AS pdf_version,
+           CAST(1 + doc_id % 3 AS INT) AS n_pages,
+           CAST(3 + 2 * (1 + doc_id % 3) AS INT) AS n_objects,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3
+                     ELSE 0 END AS INT) AS flate_streams,
+           CAST(length(text) AS INT) AS n_text_chars,
+           list_reduce(
+               list_prepend(CAST({POLY_INIT} AS BIGINT),
+                   list_transform(string_split(text, ''),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * {POLY_MULT} + x) % {POLY_MOD}
+           ) AS fingerprint
+    FROM documents
+    """
+
+
+@query("multimodal_pdf_textscan", _pdf_oracle_sql())
+def q_multimodal_pdf_textscan(spark, sf_dir):
+    """Structural PDF scan + native text recovery — the profiling
+    pass a 100 TB crawl runs over its PDF mass before spending
+    OCR/layout CPU (operators/pdfcodec.py, pure Python + stdlib
+    zlib). Each document becomes a real classic-xref PDF (text split
+    across 1+id%3 pages, one content stream each, FlateDecode on even
+    ids); the parser re-walks the xref table, counts objects, walks
+    the /Pages tree, inflates the streams and recovers the Tj text
+    with full PDF string unescaping. The recovered text is
+    fingerprinted with the SAME rolling polynomial as
+    doc_fingerprint, recomputed by the oracle from the original text
+    — so page-split, xref-offset, inflate and unescape bugs all break
+    the hash. Encrypted PDFs, xref/object streams and non-Flate
+    filters refuse loudly (tests/test_pdfcodec.py)."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_pdf_features,
+        synthesize_pdf_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_pdf_features(synthesize_pdf_media(docs))
+
+
 @query(
     "multimodal_aiff_roundtrip",
     """
