@@ -1,0 +1,340 @@
+"""Pure-Python archive/crawl container codecs: WARC, ZIP, ustar TAR.
+
+A 100 TB corpus does not arrive as loose text files — it arrives as
+WARC crawls, ZIP-family documents (docx/epub/jars) and tarballs. The
+profiling pass a pipeline runs BEFORE extraction is structural: record
+and member counts, types/methods, sizes, checksum validity, and the
+payload bytes themselves for fingerprinting. All three formats are
+algorithm-defined by public specifications and need nothing beyond
+struct + stdlib zlib:
+
+- WARC 1.0 (ISO 28500): version line + MIME-style headers +
+  Content-Length framing + CRLF CRLF record separator; the standard
+  .warc.gz shape is per-record CONCATENATED gzip members (decoded
+  member-by-member via zlib's unused_data).
+- ZIP (PKWARE APPNOTE): end-of-central-directory scan from the tail,
+  central-directory walk, local-header extraction, methods stored(0)
+  and deflate(8, raw -15 window), CRC-32 verification per member.
+- TAR (POSIX ustar): 512-byte octal-field headers with the
+  space-normalized header checksum, content padded to block size;
+  tar.gz is one whole-stream gzip member.
+
+Every parser REFUSES loudly on shapes outside its profile (zip64,
+encrypted or non-deflate zip members, non-ustar tar magic, bad
+checksums/CRCs, malformed framing) rather than guessing.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+__all__ = [
+    "encode_warc", "parse_warc",
+    "encode_zip", "parse_zip",
+    "encode_tar", "parse_tar",
+    "gzip_bytes", "gunzip_members",
+]
+
+
+# -- gzip helpers (stdlib zlib with the gzip wrapper) ------------------------
+
+
+def gzip_bytes(data: bytes) -> bytes:
+    """One gzip member (zlib wbits=31 adds the RFC 1952 wrapper;
+    mtime and OS fields are whatever zlib emits — parsers must not
+    care)."""
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
+
+
+def gunzip_members(data: bytes) -> list[bytes]:
+    """Decode CONCATENATED gzip members (the .warc.gz layout: one
+    member per record, so a reader can split work at member
+    boundaries without decompressing the whole file)."""
+    out = []
+    rest = data
+    while rest:
+        dec = zlib.decompressobj(31)
+        out.append(dec.decompress(rest))
+        out[-1] += dec.flush()
+        if not dec.eof:
+            raise ValueError("truncated gzip member")
+        rest = dec.unused_data
+    return out
+
+
+# -- WARC 1.0 ----------------------------------------------------------------
+
+_CRLF = b"\r\n"
+
+
+def encode_warc(records: list[tuple[str, dict, bytes]],
+                per_record_gzip: bool = False) -> bytes:
+    """records: [(warc_type, extra_headers, payload)]. Writes WARC/1.0
+    records with Content-Length framing; per_record_gzip=True emits
+    the standard .warc.gz concatenated-member layout."""
+    chunks = []
+    for i, (wtype, extra, payload) in enumerate(records):
+        headers = {
+            "WARC-Type": wtype,
+            "WARC-Record-ID": f"<urn:uuid:rec-{i}>",
+            "WARC-Date": "2026-01-01T00:00:00Z",
+            "Content-Length": str(len(payload)),
+        }
+        headers.update(extra or {})
+        head = b"WARC/1.0" + _CRLF + b"".join(
+            f"{k}: {v}".encode("latin-1") + _CRLF
+            for k, v in headers.items()
+        ) + _CRLF
+        rec = head + payload + _CRLF + _CRLF
+        chunks.append(gzip_bytes(rec) if per_record_gzip else rec)
+    return b"".join(chunks)
+
+
+def parse_warc(payload: bytes) -> list[tuple[str, dict, bytes]]:
+    """Parse a WARC (plain or per-record-gzip) into
+    [(warc_type, headers, payload)]. Framing is strict: version line,
+    headers to the blank line, exactly Content-Length payload bytes,
+    CRLF CRLF separator."""
+    if payload[:2] == b"\x1f\x8b":
+        data = b"".join(gunzip_members(payload))
+    else:
+        data = payload
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 5] != b"WARC/":
+            raise ValueError(
+                f"WARC record at byte {pos} missing version line"
+            )
+        eol = data.index(_CRLF, pos)
+        version = data[pos + 5 : eol].decode("latin-1")
+        if not version.startswith("1."):
+            raise NotImplementedError(f"WARC version {version}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while data[pos : pos + 2] != _CRLF:
+            eol = data.index(_CRLF, pos)
+            line = data[pos:eol].decode("latin-1")
+            if ":" not in line:
+                raise ValueError(f"malformed WARC header {line!r}")
+            k, v = line.split(":", 1)
+            headers[k.strip()] = v.strip()
+            pos = eol + 2
+        pos += 2
+        try:
+            length = int(headers["Content-Length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record missing Content-Length")
+        body = data[pos : pos + length]
+        if len(body) != length:
+            raise ValueError("WARC payload truncated")
+        pos += length
+        if data[pos : pos + 4] != _CRLF + _CRLF:
+            raise ValueError("WARC record separator missing")
+        pos += 4
+        records.append((headers.get("WARC-Type", ""), headers, body))
+    return records
+
+
+# -- ZIP ----------------------------------------------------------------------
+
+_ZIP_LOCAL = 0x04034B50
+_ZIP_CENTRAL = 0x02014B50
+_ZIP_EOCD = 0x06054B50
+
+
+def encode_zip(members: list[tuple[str, bytes, bool]]) -> bytes:
+    """members: [(name, data, deflate?)]. Writes local headers +
+    data, then the central directory + EOCD — real wire layout,
+    no stdlib zipfile."""
+    out = bytearray()
+    central = bytearray()
+    for name, data, deflate in members:
+        nm = name.encode("utf-8")
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if deflate:
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            stored = co.compress(data) + co.flush()
+            method = 8
+        else:
+            stored = data
+            method = 0
+        offset = len(out)
+        common = struct.pack(
+            "<HHHHHIII", 20, 0, method, 0, 0,
+            crc, len(stored), len(data),
+        )
+        out += struct.pack("<I", _ZIP_LOCAL) + common + struct.pack(
+            "<HH", len(nm), 0
+        ) + nm + stored
+        # central entry laid out explicitly (46-byte fixed part)
+        central_entry = struct.pack(
+            "<IHHHHHHIIIHHHHHII",
+            _ZIP_CENTRAL,
+            20,      # version made by
+            20,      # version needed
+            0,       # flags
+            method,
+            0, 0,    # mod time/date
+            crc,
+            len(stored),
+            len(data),
+            len(nm),
+            0,       # extra len
+            0,       # comment len
+            0,       # disk number
+            0,       # internal attrs
+            0,       # external attrs
+            offset,
+        )
+        central += central_entry + nm
+    cd_at = len(out)
+    out += central
+    out += struct.pack(
+        "<IHHHHIIH",
+        _ZIP_EOCD, 0, 0,
+        len(members), len(members),
+        len(central), cd_at, 0,
+    )
+    return bytes(out)
+
+
+def parse_zip(payload: bytes) -> list[dict]:
+    """Walk the central directory and extract + CRC-verify every
+    member. Returns [{name, method, size, compressed_size, crc_ok,
+    data}]. Refuses zip64, encryption, and methods other than
+    stored/deflate."""
+    # EOCD: scan backward for the signature (comment can pad the tail)
+    tail = payload[-(65536 + 22):]
+    at = tail.rfind(struct.pack("<I", _ZIP_EOCD))
+    if at < 0:
+        raise ValueError("ZIP end-of-central-directory not found")
+    eocd = tail[at:]
+    (_, disk, cd_disk, n_here, n_total, cd_size, cd_at, _clen) = (
+        struct.unpack("<IHHHHIIH", eocd[:22])
+    )
+    if disk != 0 or cd_disk != 0:
+        raise NotImplementedError("multi-disk ZIP not supported")
+    if n_total == 0xFFFF or cd_at == 0xFFFFFFFF:
+        raise NotImplementedError("zip64 not supported")
+    out = []
+    pos = cd_at
+    for _ in range(n_total):
+        fixed = payload[pos : pos + 46]
+        if struct.unpack_from("<I", fixed)[0] != _ZIP_CENTRAL:
+            raise ValueError("central directory entry corrupt")
+        (
+            _sig, _made, _need, flags, method, _t, _d, crc,
+            csize, usize, nlen, elen, clen, _dn, _ia, _ea, offset,
+        ) = struct.unpack("<IHHHHHHIIIHHHHHII", fixed)
+        if flags & 0x1:
+            raise NotImplementedError("encrypted ZIP member")
+        if method not in (0, 8):
+            raise NotImplementedError(f"ZIP method {method} unsupported")
+        name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        pos += 46 + nlen + elen + clen
+        # local header framing for the data
+        lfixed = payload[offset : offset + 30]
+        if struct.unpack_from("<I", lfixed)[0] != _ZIP_LOCAL:
+            raise ValueError(f"local header missing for {name!r}")
+        lnlen, lelen = struct.unpack_from("<HH", lfixed, 26)
+        data_at = offset + 30 + lnlen + lelen
+        raw = payload[data_at : data_at + csize]
+        if len(raw) != csize:
+            raise ValueError(f"ZIP member {name!r} truncated")
+        data = (
+            zlib.decompress(raw, -15) if method == 8 else raw
+        )
+        if len(data) != usize:
+            raise ValueError(f"ZIP member {name!r} size mismatch")
+        out.append(
+            {
+                "name": name,
+                "method": method,
+                "size": usize,
+                "compressed_size": csize,
+                "crc_ok": (zlib.crc32(data) & 0xFFFFFFFF) == crc,
+                "data": data,
+            }
+        )
+    return out
+
+
+# -- ustar TAR -----------------------------------------------------------------
+
+_TAR_BLOCK = 512
+
+
+def _octal(value: int, width: int) -> bytes:
+    return (f"{value:0{width - 1}o}").encode() + b"\x00"
+
+
+def encode_tar(members: list[tuple[str, bytes]],
+               gzip_whole: bool = False) -> bytes:
+    """members: [(name, data)] as regular files. POSIX ustar headers
+    with correct checksums, two zero-block terminator; gzip_whole
+    wraps the stream as .tar.gz."""
+    out = bytearray()
+    for name, data in members:
+        nm = name.encode("utf-8")
+        if len(nm) > 100:
+            raise ValueError("tar member name longer than 100 bytes")
+        header = bytearray(_TAR_BLOCK)
+        header[0 : len(nm)] = nm
+        header[100:108] = _octal(0o644, 8)    # mode
+        header[108:116] = _octal(0, 8)        # uid
+        header[116:124] = _octal(0, 8)        # gid
+        header[124:136] = _octal(len(data), 12)
+        header[136:148] = _octal(0, 12)       # mtime
+        header[148:156] = b" " * 8            # checksum placeholder
+        header[156] = ord("0")                # regular file
+        header[257:263] = b"ustar\x00"
+        header[263:265] = b"00"
+        chks = sum(header)
+        header[148:156] = f"{chks:06o}".encode() + b"\x00 "
+        out += header + data
+        pad = (-len(data)) % _TAR_BLOCK
+        out += b"\x00" * pad
+    out += b"\x00" * (2 * _TAR_BLOCK)
+    return gzip_bytes(bytes(out)) if gzip_whole else bytes(out)
+
+
+def parse_tar(payload: bytes) -> list[dict]:
+    """Walk ustar headers: name, size, validated checksum, file data.
+    Gzip input is accepted (single whole-stream member). Non-ustar
+    magic, link/dir types and bad checksums refuse loudly."""
+    if payload[:2] == b"\x1f\x8b":
+        members = gunzip_members(payload)
+        if len(members) != 1:
+            raise ValueError("tar.gz must be one gzip member")
+        payload = members[0]
+    out = []
+    pos = 0
+    n = len(payload)
+    while pos + _TAR_BLOCK <= n:
+        header = payload[pos : pos + _TAR_BLOCK]
+        if header == b"\x00" * _TAR_BLOCK:
+            break  # terminator
+        if header[257:262] != b"ustar":
+            raise NotImplementedError("non-ustar tar header")
+        stated = int(header[148:156].rstrip(b"\x00 ") or b"0", 8)
+        normalized = bytearray(header)
+        normalized[148:156] = b" " * 8
+        if sum(normalized) != stated:
+            raise ValueError("tar header checksum mismatch")
+        typeflag = chr(header[156])
+        if typeflag not in ("0", "\x00"):
+            raise NotImplementedError(
+                f"tar member type {typeflag!r} not supported"
+            )
+        name = header[:100].split(b"\x00", 1)[0].decode("utf-8")
+        size = int(header[124:136].rstrip(b"\x00 "), 8)
+        data = payload[pos + _TAR_BLOCK : pos + _TAR_BLOCK + size]
+        if len(data) != size:
+            raise ValueError(f"tar member {name!r} truncated")
+        out.append({"name": name, "size": size, "data": data})
+        pos += _TAR_BLOCK + size + ((-size) % _TAR_BLOCK)
+    return out

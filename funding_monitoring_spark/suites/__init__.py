@@ -5,6 +5,7 @@ from funding_monitoring_spark.suites import (  # noqa: F401
     analytics_suite,
     batch_ops,
     behavior_suite,
+    container_suite,
     curation_suite,
     dedup_suite,
     graph_suite,

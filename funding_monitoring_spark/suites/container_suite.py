@@ -1,0 +1,352 @@
+"""Archive/crawl container queries (operators/containers.py): WARC,
+ZIP and ustar TAR round trips over the documents fixture. Each query
+synthesizes REAL wire-format containers per document in one
+Arrow-batched mapInPandas, re-parses them with the pure struct parser
+in a second mapInPandas (payloads cross the Arrow boundary as binary
+columns — the same plumbing contract as the media codecs), and emits
+integer-exact structural statistics plus the rolling-polynomial
+fingerprint of the EXTRACTED document text, which the DuckDB oracle
+recomputes from the original text column. The ZIP/TAR parsers are
+additionally cross-validated against stdlib zipfile/tarfile in
+tests/test_containers.py (both directions), so the wire layout is
+pinned by an independent implementation, not just our own twin."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    _spread_ids,
+)
+from funding_monitoring_spark.operators.textstats import (
+    POLY_INIT,
+    POLY_MOD,
+    POLY_MULT,
+)
+from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.sources.tables import load_table
+
+import pyspark.sql.types as T
+
+
+def _poly_fp(data: bytes) -> int:
+    fp = POLY_INIT
+    for b in data:
+        fp = (fp * POLY_MULT + b) % POLY_MOD
+    return fp
+
+
+def _register_by_value():
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+
+_FP_SQL = f"""list_reduce(
+               list_prepend(CAST({POLY_INIT} AS BIGINT),
+                   list_transform(string_split(text, ''),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * {POLY_MULT} + x) % {POLY_MOD}
+           )"""
+
+
+def _doc_media(docs: DataFrame, build) -> DataFrame:
+    """Shared writer half: build(media_id, text, lang, source) ->
+    payload bytes, emitted through MEDIA_SCHEMA."""
+    _register_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid, text, lang, source in zip(
+                pdf["media_id"], pdf["text"], pdf["lang"], pdf["source"]
+            ):
+                payloads.append(
+                    build(int(mid), str(text), str(lang), str(source))
+                )
+                metas.append(
+                    {
+                        "modality": "archive",
+                        "mime": "application/octet-stream",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    ids = _spread_ids(
+        docs.select(
+            F.col("doc_id").alias("media_id"), "text", "lang", "source"
+        )
+    )
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def _features(media: DataFrame, extract, schema) -> DataFrame:
+    """Shared reader half: extract(media_id, payload) -> row dict."""
+    _register_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                extract(int(mid), bytes(payload))
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def _meta_line(mid: int, lang: str, source: str) -> str:
+    return f"{mid}\t{lang}\t{source}\n"
+
+
+_META_LEN_SQL = (
+    "length(CAST(doc_id AS VARCHAR)) + length(lang) "
+    "+ length(source) + 3"
+)
+
+
+# -- WARC ---------------------------------------------------------------------
+
+_WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_records", T.IntegerType()),
+        T.StructField("n_response", T.IntegerType()),
+        T.StructField("gzipped", T.IntegerType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("body_chars", T.IntegerType()),
+        T.StructField("body_fingerprint", T.LongType()),
+    ]
+)
+
+_HTTP_HEAD = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+
+
+@query(
+    "warc_record_scan",
+    f"""
+    SELECT doc_id AS media_id,
+           2 AS n_records,
+           1 AS n_response,
+           CAST(doc_id % 2 AS INT) AS gzipped,
+           200 AS http_status,
+           'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
+               AS target_uri,
+           CAST(length(text) AS INT) AS body_chars,
+           {_FP_SQL} AS body_fingerprint
+    FROM documents
+    """,
+)
+def q_warc_record_scan(spark, sf_dir):
+    """WARC 1.0 crawl-record scan (ISO 28500) — the FIRST structural
+    pass any 100 TB web corpus runs: each document becomes a real
+    two-record WARC (warcinfo + response with an HTTP payload), odd
+    ids in the standard per-record-gzip .warc.gz layout (concatenated
+    members split via zlib unused_data). The parser re-walks the
+    version line / header block / Content-Length framing, splits the
+    HTTP head from the body and fingerprints the body with the
+    doc_fingerprint polynomial — framing, gzip-member or header bugs
+    break the hash. Per-payload work is embarrassingly parallel
+    mapInPandas; no shuffle."""
+    from funding_monitoring_spark.operators.containers import (
+        encode_warc,
+        parse_warc,
+    )
+
+    def build(mid, text, lang, source):
+        uri = f"http://corpus.example/doc/{mid}"
+        http = _HTTP_HEAD.encode("latin-1") + text.encode("latin-1")
+        return encode_warc(
+            [
+                ("warcinfo",
+                 {"Content-Type": "application/warc-fields"},
+                 f"software: corpus-writer\nsource: {source}\n"
+                 .encode("latin-1")),
+                ("response",
+                 {"WARC-Target-URI": uri,
+                  "Content-Type":
+                      "application/http;msgtype=response"},
+                 http),
+            ],
+            per_record_gzip=(mid % 2 == 1),
+        )
+
+    def extract(mid, payload):
+        gz = payload[:2] == b"\x1f\x8b"
+        records = parse_warc(payload)
+        responses = [
+            (h, p) for t, h, p in records if t == "response"
+        ]
+        (headers, http), = responses
+        head, body = http.split(b"\r\n\r\n", 1)
+        status = int(head.split(b" ", 2)[1])
+        return {
+            "media_id": mid,
+            "n_records": len(records),
+            "n_response": len(responses),
+            "gzipped": int(gz),
+            "http_status": status,
+            "target_uri": headers.get("WARC-Target-URI", ""),
+            "body_chars": len(body),
+            "body_fingerprint": _poly_fp(body),
+        }
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _features(_doc_media(docs, build), extract, _WARC_SCHEMA)
+
+
+# -- ZIP ------------------------------------------------------------------------
+
+_ZIP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_members", T.IntegerType()),
+        T.StructField("n_deflated", T.IntegerType()),
+        T.StructField("all_crc_ok", T.IntegerType()),
+        T.StructField("doc_bytes", T.IntegerType()),
+        T.StructField("meta_bytes", T.IntegerType()),
+        T.StructField("doc_fingerprint", T.LongType()),
+    ]
+)
+
+
+@query(
+    "zip_manifest_scan",
+    f"""
+    SELECT doc_id AS media_id,
+           2 AS n_members,
+           1 AS n_deflated,
+           1 AS all_crc_ok,
+           CAST(length(text) AS INT) AS doc_bytes,
+           CAST({_META_LEN_SQL} AS INT) AS meta_bytes,
+           {_FP_SQL} AS doc_fingerprint
+    FROM documents
+    """,
+)
+def q_zip_manifest_scan(spark, sf_dir):
+    """ZIP central-directory scan + member extraction (the docx/epub/
+    jar container family): each document becomes a real two-member
+    ZIP (doc.txt deflated, meta.tsv stored) written with raw local
+    headers / central directory / EOCD — no stdlib zipfile — and
+    re-parsed by the pure struct walker with per-member CRC-32
+    verification. The all_crc_ok flag plus the extracted-text
+    fingerprint pin both the directory arithmetic and the raw-deflate
+    path; stdlib zipfile cross-validates the wire layout in both
+    directions in tests. zip64/encrypted/multi-disk refuse loudly."""
+    from funding_monitoring_spark.operators.containers import (
+        encode_zip,
+        parse_zip,
+    )
+
+    def build(mid, text, lang, source):
+        return encode_zip(
+            [
+                ("doc.txt", text.encode("latin-1"), True),
+                ("meta.tsv",
+                 _meta_line(mid, lang, source).encode("latin-1"),
+                 False),
+            ]
+        )
+
+    def extract(mid, payload):
+        members = {m["name"]: m for m in parse_zip(payload)}
+        doc = members["doc.txt"]
+        meta = members["meta.tsv"]
+        return {
+            "media_id": mid,
+            "n_members": len(members),
+            "n_deflated": sum(
+                1 for m in members.values() if m["method"] == 8
+            ),
+            "all_crc_ok": int(
+                all(m["crc_ok"] for m in members.values())
+            ),
+            "doc_bytes": doc["size"],
+            "meta_bytes": meta["size"],
+            "doc_fingerprint": _poly_fp(doc["data"]),
+        }
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _features(_doc_media(docs, build), extract, _ZIP_SCHEMA)
+
+
+# -- TAR ------------------------------------------------------------------------
+
+_TAR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_members", T.IntegerType()),
+        T.StructField("total_bytes", T.IntegerType()),
+        T.StructField("gzipped", T.IntegerType()),
+        T.StructField("doc_fingerprint", T.LongType()),
+    ]
+)
+
+
+@query(
+    "tar_manifest_scan",
+    f"""
+    SELECT doc_id AS media_id,
+           2 AS n_members,
+           CAST(length(text) + {_META_LEN_SQL} AS INT) AS total_bytes,
+           CAST(doc_id % 2 AS INT) AS gzipped,
+           {_FP_SQL} AS doc_fingerprint
+    FROM documents
+    """,
+)
+def q_tar_manifest_scan(spark, sf_dir):
+    """POSIX ustar walk (the dataset-dump format): each document
+    becomes a real two-member tar (doc.txt + meta.tsv), odd ids
+    gzip-wrapped (.tar.gz); the parser validates every 512-byte
+    header's space-normalized checksum, honors block padding and
+    refuses non-ustar magic or link/dir types. Sizes and the
+    extracted-text fingerprint are oracle-recomputed; stdlib tarfile
+    cross-validates the layout in both directions in tests."""
+    from funding_monitoring_spark.operators.containers import (
+        encode_tar,
+        parse_tar,
+    )
+
+    def build(mid, text, lang, source):
+        return encode_tar(
+            [
+                ("doc.txt", text.encode("latin-1")),
+                ("meta.tsv",
+                 _meta_line(mid, lang, source).encode("latin-1")),
+            ],
+            gzip_whole=(mid % 2 == 1),
+        )
+
+    def extract(mid, payload):
+        gz = payload[:2] == b"\x1f\x8b"
+        members = {m["name"]: m for m in parse_tar(payload)}
+        return {
+            "media_id": mid,
+            "n_members": len(members),
+            "total_bytes": sum(m["size"] for m in members.values()),
+            "gzipped": int(gz),
+            "doc_fingerprint": _poly_fp(members["doc.txt"]["data"]),
+        }
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _features(_doc_media(docs, build), extract, _TAR_SCHEMA)

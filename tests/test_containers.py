@@ -1,0 +1,191 @@
+"""Container codec tests (operators/containers.py): WARC framing,
+ZIP central-directory walk and ustar headers — each roundtripped AND
+cross-validated against an independent implementation (stdlib
+zipfile/tarfile, both directions), plus loud refusals."""
+
+import io
+import struct
+import tarfile
+import zipfile
+import zlib
+
+import pytest
+
+from funding_monitoring_spark.operators.containers import (
+    encode_tar,
+    encode_warc,
+    encode_zip,
+    gunzip_members,
+    gzip_bytes,
+    parse_tar,
+    parse_warc,
+    parse_zip,
+)
+
+
+# -- gzip members -------------------------------------------------------------
+
+
+def test_gunzip_concatenated_members():
+    a, b = gzip_bytes(b"alpha"), gzip_bytes(b"beta")
+    assert gunzip_members(a + b) == [b"alpha", b"beta"]
+    with pytest.raises(ValueError):
+        gunzip_members(a[:-2])
+
+
+# -- WARC ----------------------------------------------------------------------
+
+_RECS = [
+    ("warcinfo", {"Content-Type": "application/warc-fields"},
+     b"software: x\r\n"),
+    ("response", {"WARC-Target-URI": "http://a/b"},
+     b"HTTP/1.1 200 OK\r\n\r\nbody bytes"),
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip(gz):
+    back = parse_warc(encode_warc(_RECS, per_record_gzip=gz))
+    assert [(t, p) for t, _, p in back] == [(t, p) for t, _, p in _RECS]
+    assert back[1][1]["WARC-Target-URI"] == "http://a/b"
+
+
+def test_warc_payload_may_contain_crlf_crlf():
+    recs = [("resource", {}, b"a\r\n\r\nb\r\n\r\nc")]
+    back = parse_warc(encode_warc(recs))
+    assert back[0][2] == b"a\r\n\r\nb\r\n\r\nc"
+
+
+def test_warc_framing_refusals():
+    good = encode_warc(_RECS)
+    with pytest.raises(ValueError):
+        parse_warc(good[:-3])  # separator clipped
+    with pytest.raises(ValueError):
+        parse_warc(b"NOT-A-WARC\r\n")
+    with pytest.raises(NotImplementedError):
+        parse_warc(good.replace(b"WARC/1.0", b"WARC/0.9", 1))
+    # Content-Length is mandatory framing
+    doctored = good.replace(b"Content-Length", b"Content-Lies", 1)
+    with pytest.raises(ValueError):
+        parse_warc(doctored)
+
+
+# -- ZIP -----------------------------------------------------------------------
+
+_MEMBERS = [
+    ("doc.txt", b"hello world" * 30, True),
+    ("meta.json", b'{"a":1}', False),
+    ("empty.bin", b"", True),
+]
+
+
+def test_zip_roundtrip_and_crc():
+    back = parse_zip(encode_zip(_MEMBERS))
+    assert [(m["name"], m["data"], m["method"]) for m in back] == [
+        ("doc.txt", b"hello world" * 30, 8),
+        ("meta.json", b'{"a":1}', 0),
+        ("empty.bin", b"", 8),
+    ]
+    assert all(m["crc_ok"] for m in back)
+
+
+def test_zip_stdlib_reads_ours():
+    zf = zipfile.ZipFile(io.BytesIO(encode_zip(_MEMBERS)))
+    assert zf.testzip() is None
+    assert zf.read("doc.txt") == b"hello world" * 30
+    assert zf.read("meta.json") == b'{"a":1}'
+
+
+def test_zip_we_read_stdlibs():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("x/a.txt", b"alpha" * 100)
+        zf.writestr("b.bin", bytes(range(256)))
+    back = parse_zip(buf.getvalue())
+    assert back[0]["name"] == "x/a.txt"
+    assert back[0]["data"] == b"alpha" * 100
+    assert back[1]["data"] == bytes(range(256))
+    assert all(m["crc_ok"] for m in back)
+
+
+def test_zip_crc_corruption_detected():
+    z = bytearray(encode_zip([("a", b"payload-bytes", False)]))
+    at = z.index(b"payload-bytes")
+    z[at] ^= 0xFF
+    back = parse_zip(bytes(z))
+    assert back[0]["crc_ok"] is False
+
+
+def test_zip_refusals():
+    with pytest.raises(ValueError):
+        parse_zip(b"PK\x03\x04 but no directory")
+    z = bytearray(encode_zip([("a", b"xy", True)]))
+    # flip the central-directory method to 99 (unsupported)
+    at = z.index(struct.pack("<I", 0x02014B50))
+    method_at = at + 10
+    z[method_at : method_at + 2] = struct.pack("<H", 99)
+    with pytest.raises(NotImplementedError):
+        parse_zip(bytes(z))
+    # set the encryption flag
+    z = bytearray(encode_zip([("a", b"xy", True)]))
+    at = z.index(struct.pack("<I", 0x02014B50))
+    z[at + 8 : at + 10] = struct.pack("<H", 1)
+    with pytest.raises(NotImplementedError):
+        parse_zip(bytes(z))
+
+
+# -- TAR -----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_tar_roundtrip(gz):
+    t = encode_tar(
+        [("a.txt", b"AAA"), ("big.bin", bytes(1000))], gzip_whole=gz
+    )
+    back = parse_tar(t)
+    assert [(m["name"], m["data"]) for m in back] == [
+        ("a.txt", b"AAA"), ("big.bin", bytes(1000))
+    ]
+
+
+def test_tar_stdlib_reads_ours():
+    tf = tarfile.open(fileobj=io.BytesIO(encode_tar([("a.txt", b"AAA")])))
+    assert tf.extractfile("a.txt").read() == b"AAA"
+
+
+def test_tar_we_read_stdlibs():
+    buf = io.BytesIO()
+    data = b"ZZZZ" * 200
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        ti = tarfile.TarInfo("z.txt")
+        ti.size = len(data)
+        tf.addfile(ti, io.BytesIO(data))
+    back = parse_tar(buf.getvalue())
+    assert back[0]["name"] == "z.txt" and back[0]["data"] == data
+
+
+def test_tar_checksum_and_magic_refusals():
+    t = bytearray(encode_tar([("a.txt", b"AAA")]))
+    t[0] ^= 0x01  # name byte flips -> checksum mismatch
+    with pytest.raises(ValueError):
+        parse_tar(bytes(t))
+    t2 = bytearray(encode_tar([("a.txt", b"AAA")]))
+    t2[257:262] = b"wrong"
+    with pytest.raises(NotImplementedError):
+        parse_tar(bytes(t2))
+    # symlink type refuses
+    t3 = bytearray(encode_tar([("a.txt", b"AAA")]))
+    t3[156] = ord("2")
+    # re-stamp the checksum so the type flag is what refuses
+    hdr = bytearray(t3[:512])
+    hdr[148:156] = b" " * 8
+    t3[148:156] = f"{sum(hdr):06o}".encode() + b"\x00 "
+    with pytest.raises(NotImplementedError):
+        parse_tar(bytes(t3))
+
+
+def test_tar_gz_must_be_single_member():
+    two = gzip_bytes(b"a") + gzip_bytes(b"b")
+    with pytest.raises(ValueError):
+        parse_tar(two)
