@@ -516,3 +516,141 @@ def q_gopher_quality_rules(spark, sf_dir):
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", rep.alias("g")
     ).select("doc_id", "g.*")
+
+
+_HTML_PRE = "<html><head><title>Doc "
+_HTML_MID = ("</title></head><body>"
+             "<nav><a href=\"/\">home</a> | <a href=\"/about\">about"
+             "</a></nav><article>")
+_HTML_POST = ("</article><footer>&copy; corpus &amp; co.</footer>"
+              "</body></html>")
+
+
+@query(
+    "html_text_extract",
+    f"""
+    WITH page AS (
+        SELECT doc_id,
+               '{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_HTML_MID}'
+                   || text || '{_HTML_POST}' AS html,
+               text AS article
+        FROM documents
+    )
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT)
+               AS n_tags,
+           CAST(length(article) AS INT) AS article_chars,
+           list_reduce(
+               list_prepend(CAST({X.POLY_INIT} AS BIGINT),
+                   list_transform(string_split(article, ''),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * {X.POLY_MULT} + x) % {X.POLY_MOD}
+           ) AS article_fingerprint,
+           CAST(length(regexp_replace(
+                   replace(replace(replace(html,
+                       '&amp;', '&'), '&copy;', '(c)'), '&nbsp;', ' '),
+                   '<[^>]*>', '', 'g')) AS INT) AS stripped_chars
+    FROM page
+    """,
+)
+def q_html_text_extract(spark, sf_dir):
+    """HTML boilerplate strip / main-content extraction — the first
+    text-cleaning stage of any web corpus, expressed ENTIRELY in
+    JVM-side codegen (concat → regexp_extract → regexp_replace →
+    HOF fingerprint; no Python worker anywhere): each document is
+    wrapped in a deterministic page shell (title, nav, article,
+    entity-bearing footer), then the title and <article> body are
+    regexp-extracted, tags counted, entities unescaped and the whole
+    page tag-stripped. The recovered article text is fingerprinted
+    with the doc_fingerprint polynomial, recomputed by the oracle
+    from the original text — an extraction off-by-one or greedy-regex
+    bug breaks the hash. The fixture text contains no '<', so the
+    tag regex is exact, not heuristic, on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("text"),
+        F.lit(_HTML_POST),
+    )
+    page = docs.select("doc_id", html.alias("html"))
+    article = F.regexp_extract("html", "<article>(.*)</article>", 1)
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("html", "&amp;", "&"),
+            "&copy;", "(c)",
+        ),
+        "&nbsp;", " ",
+    )
+    return page.select(
+        "doc_id",
+        F.regexp_extract("html", "<title>(.*)</title>", 1).alias(
+            "title"
+        ),
+        F.size(F.regexp_extract_all("html", F.lit("<[^>]*>"), 0))
+        .alias("n_tags"),
+        F.length(article).alias("article_chars"),
+        X.poly_fingerprint(article).alias("article_fingerprint"),
+        F.length(
+            F.regexp_replace(unescaped, "<[^>]*>", "")
+        ).alias("stripped_chars"),
+    )
+
+
+@query(
+    "url_canonicalize_dedup",
+    """
+    SELECT doc_id,
+           3 AS n_raw,
+           3 AS n_distinct_raw,
+           1 AS n_canonical,
+           'http://www.example.com/a/c/page' || CAST(doc_id AS VARCHAR)
+               || '?a=1&b=2' AS canonical_url
+    FROM documents
+    """,
+)
+def q_url_canonicalize_dedup(spark, sf_dir):
+    """URL canonicalization dedup — the zeroth stage of web-corpus
+    dedup, entirely JVM-side (operators/urltools.py: regexp split,
+    lowercase scheme/host, default-port strip, RFC 3986 dot-segment
+    removal as an aggregate fold with an ARRAY accumulator, query-
+    param sort, fragment drop; no Python worker). Each document
+    fans out to three messy aliases of one logical URL (case + port
+    variants, ./.. path segments, shuffled params, a fragment); the
+    canonicalizer must collapse exactly 3 distinct raw strings to 1
+    canonical form whose exact text the oracle states closed-form —
+    any normalization bug changes n_canonical or the string hash."""
+    from funding_monitoring_spark.operators.urltools import (
+        canonicalize_url,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    variants = F.array(
+        F.concat(
+            F.lit("HTTP://WWW.Example.COM:80/a/b/../c/./page"),
+            did,
+            F.lit("?b=2&a=1#frag"),
+        ),
+        F.concat(
+            F.lit("http://www.example.com/a/c/page"),
+            did,
+            F.lit("?a=1&b=2"),
+        ),
+        F.concat(
+            F.lit("http://www.example.com:80/a//c/page"),
+            did,
+            F.lit("?b=2&a=1"),
+        ),
+    )
+    raw = docs.select(
+        "doc_id", F.explode(variants).alias("raw_url")
+    ).withColumn("canonical", canonicalize_url("raw_url"))
+    return raw.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_raw"),
+        F.countDistinct("raw_url").cast("int").alias("n_distinct_raw"),
+        F.countDistinct("canonical").cast("int").alias("n_canonical"),
+        F.min("canonical").alias("canonical_url"),
+    )

@@ -371,3 +371,34 @@ def test_sharded_packing_matches_unsharded_per_stream(spark, sf_dir):
     )
     assert sharded.exceptAll(manual).count() == 0
     assert manual.exceptAll(sharded).count() == 0
+
+
+def test_canonicalize_url_edges(spark):
+    from funding_monitoring_spark.operators.urltools import (
+        canonicalize_url,
+    )
+
+    cases = [
+        ("HTTP://Host.COM:80/x", "http://host.com/x"),
+        ("https://h:443/x", "https://h/x"),
+        ("https://h:8443/x", "https://h:8443/x"),
+        ("http://h/a/b/../../c", "http://h/c"),
+        ("http://h/a/./b//c", "http://h/a/b/c"),
+        # '..' past the root clamps at the root
+        ("http://h/../../x", "http://h/x"),
+        ("http://h", "http://h/"),
+        ("http://h/p?z=1&a=2#frag", "http://h/p?a=2&z=1"),
+        ("http://h/p#only-frag", "http://h/p"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)],
+        "i long, raw string",
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url("raw").alias("c")
+        ).collect()
+    }
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, (raw, got[i], want)
