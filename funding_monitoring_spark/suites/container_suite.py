@@ -350,3 +350,70 @@ def q_tar_manifest_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return _features(_doc_media(docs, build), extract, _TAR_SCHEMA)
+
+
+# -- robots exclusion ------------------------------------------------------------
+
+_ROBOTS_TXT = (
+    "User-agent: *\n"
+    "Disallow: /private\n"
+    "Allow: /private/pub\n"
+    "Disallow: /tmp\n"
+)
+
+
+@query(
+    "robots_txt_filter",
+    """
+    SELECT doc_id,
+           source AS host,
+           CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN '/private/pub/x' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+               ELSE '/pages/x' || CAST(doc_id AS VARCHAR)
+           END AS path,
+           CASE WHEN doc_id % 4 IN (0, 3) THEN 1 ELSE 0 END AS allowed,
+           CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN '/private/pub'
+               WHEN 1 THEN '/private'
+               WHEN 2 THEN '/tmp'
+               ELSE ''
+           END AS matched_rule
+    FROM documents
+    """,
+)
+def q_robots_txt_filter(spark, sf_dir):
+    """Robots-exclusion re-evaluation at corpus scale (RFC 9309) —
+    retroactive disallow sweeps run over petabytes long after the
+    fetch. Per-host robots.txt files parse to (verb, prefix) rules
+    (operators/robots.py; only the '*' group and literal prefixes —
+    wildcard patterns refuse loudly via row-level raise_error), fold
+    to ONE array row per host, BROADCAST onto the URLs, and each URL
+    resolves its verdict with a higher-order fold over matching
+    prefixes (longest wins, Allow beats Disallow on ties) — zero
+    shuffle of the corpus side. The fixture exercises all four
+    verdict shapes: allow-by-more-specific-Allow, disallowed,
+    disallowed-second-rule, and no-match-allowed."""
+    from funding_monitoring_spark.operators.robots import (
+        evaluate_robots,
+        parse_robots_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    robots = docs.select(F.col("source").alias("host")).distinct() \
+        .withColumn("robots_txt", F.lit(_ROBOTS_TXT))
+    rules = parse_robots_rules(robots)
+    did = F.col("doc_id").cast("string")
+    urls = docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/private/pub/x"), did))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("/private/x"), did))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/tmp/x"), did))
+        .otherwise(F.concat(F.lit("/pages/x"), did))
+        .alias("path"),
+    )
+    return evaluate_robots(urls, rules)
