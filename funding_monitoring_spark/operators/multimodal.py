@@ -1132,6 +1132,58 @@ def decode_image_features(media: DataFrame) -> DataFrame:
 decode_bmp_features = decode_image_features
 
 
+# -- EXIF in JPEG APP1 (TIFF IFD machinery from operators/tiffcodec.py) ----
+
+EXIF_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("taken_at", T.StringType()),
+        T.StructField("pixel_x", T.IntegerType()),
+        T.StructField("pixel_y", T.IntegerType()),
+        T.StructField("big_endian", T.IntegerType()),
+    ]
+)
+
+
+def inject_jpeg_exif(jpeg: bytes, exif_tiff: bytes) -> bytes:
+    """Insert an APP1 Exif segment right after SOI — where every
+    camera writes it."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    payload = b"Exif\x00\x00" + exif_tiff
+    if len(payload) + 2 > 0xFFFF:
+        raise ValueError("EXIF payload exceeds one APP1 segment")
+    seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def extract_jpeg_exif(jpeg: bytes) -> bytes | None:
+    """Walk the JPEG marker stream up to SOS and return the TIFF
+    block of the first APP1 Exif segment, or None. Standalone
+    markers (RSTn/TEM) cannot appear before SOS; a malformed segment
+    length raises rather than resyncing."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    n = len(jpeg)
+    while pos + 4 <= n:
+        if jpeg[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at byte {pos}")
+        marker = jpeg[pos + 1]
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no more APPn
+            return None
+        (size,) = struct.unpack(">H", jpeg[pos + 2 : pos + 4])
+        if size < 2 or pos + 2 + size > n:
+            raise ValueError("JPEG segment overruns payload")
+        if marker == 0xE1 and jpeg[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return jpeg[pos + 10 : pos + 2 + size]
+        pos += 2 + size
+    return None
+
+
 # -- structured documents: classic-xref PDF (operators/pdfcodec.py) --------
 
 PDF_FEATURE_SCHEMA = T.StructType(

@@ -407,7 +407,7 @@ def _read_tag_values(bo, payload, typ, cnt, val_bytes):
         return list(struct.unpack(bo + f"{cnt}H", raw))
     if typ == 4:
         return list(struct.unpack(bo + f"{cnt}I", raw))
-    if typ == 1:
+    if typ in (1, 2):  # BYTE / ASCII: caller interprets the bytes
         return list(raw)
     raise NotImplementedError(f"TIFF tag type {typ} unsupported here")
 
@@ -520,3 +520,136 @@ def decode_tiff(payload: bytes):
     if samples == 1:
         return np.repeat(img.reshape(h, w, 1), 3, axis=2)
     return img.reshape(h, w, 3)
+
+
+# -- EXIF (a TIFF IFD embedded in JPEG APP1; Exif 2.x / TIFF 6.0) -------------
+
+EXIF_MAKE = 271
+EXIF_MODEL = 272
+EXIF_ORIENTATION = 274
+EXIF_DATETIME = 306
+EXIF_IFD_POINTER = 34665
+EXIF_PIXEL_X = 40962
+EXIF_PIXEL_Y = 40963
+
+
+def _pack_ifd(bo: str, entries, ifd_at: int) -> bytes:
+    """Pack one IFD (count + tag-ascending 12-byte entries + zero
+    next-IFD pointer + out-of-line data blob) for placement at
+    absolute offset ifd_at. entries: [(tag, typ, raw_bytes, count)].
+    The block length is independent of ifd_at (offsets only change
+    4-byte values), which build_exif relies on to pre-compute the
+    sub-IFD position."""
+    n = len(entries)
+    data_at = ifd_at + 2 + 12 * n + 4
+    ifd = struct.pack(bo + "H", n)
+    blob = b""
+    for tag, typ, raw, cnt in sorted(entries):
+        if len(raw) <= 4:
+            val = raw + b"\x00" * (4 - len(raw))
+        else:
+            val = struct.pack(bo + "I", data_at + len(blob))
+            blob += raw + (b"\x00" if len(raw) % 2 else b"")
+        ifd += struct.pack(bo + "HHI", tag, typ, cnt) + val
+    return ifd + struct.pack(bo + "I", 0) + blob
+
+
+def build_exif(
+    orientation: int,
+    make: str,
+    model: str,
+    datetime_s: str,
+    pixel_x: int,
+    pixel_y: int,
+    byte_order: str = "<",
+) -> bytes:
+    """Build the TIFF block of an EXIF APP1 payload: IFD0 with
+    Make/Model/Orientation/DateTime and the Exif-IFD pointer, then
+    the Exif sub-IFD with PixelXDimension/PixelYDimension."""
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+
+    def ascii_(tag, s):
+        b = s.encode("ascii") + b"\x00"
+        return (tag, 2, b, len(b))
+
+    def short(tag, v):
+        return (tag, 3, struct.pack(bo + "H", v), 1)
+
+    def long_(tag, v):
+        return (tag, 4, struct.pack(bo + "I", v), 1)
+
+    ifd0_base = [
+        ascii_(EXIF_MAKE, make),
+        ascii_(EXIF_MODEL, model),
+        short(EXIF_ORIENTATION, orientation),
+        ascii_(EXIF_DATETIME, datetime_s),
+    ]
+    ifd0_at = 8
+    probe = _pack_ifd(bo, ifd0_base + [long_(EXIF_IFD_POINTER, 0)],
+                      ifd0_at)
+    sub_at = ifd0_at + len(probe)
+    ifd0 = _pack_ifd(
+        bo, ifd0_base + [long_(EXIF_IFD_POINTER, sub_at)], ifd0_at
+    )
+    sub = _pack_ifd(
+        bo,
+        [long_(EXIF_PIXEL_X, pixel_x), long_(EXIF_PIXEL_Y, pixel_y)],
+        sub_at,
+    )
+    header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM",
+                         42, 8)
+    return header + ifd0 + sub
+
+
+def _ifd_tags(payload: bytes, bo: str, ifd_off: int) -> dict:
+    """{tag: (typ, cnt, val_bytes)} of the IFD at ifd_off."""
+    if ifd_off + 2 > len(payload):
+        raise ValueError("IFD offset beyond block")
+    (n,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    tags = {}
+    pos = ifd_off + 2
+    for _ in range(n):
+        tag, typ, cnt = struct.unpack(bo + "HHI", payload[pos : pos + 8])
+        tags[tag] = (typ, cnt, payload[pos + 8 : pos + 12])
+        pos += 12
+    return tags
+
+
+def parse_exif(block: bytes) -> dict:
+    """Parse an EXIF TIFF block (as carried after 'Exif\\x00\\x00' in
+    JPEG APP1): IFD0 fields + the Exif sub-IFD pixel dimensions.
+    Missing fields come back None; a malformed block raises."""
+    if block[:4] == b"II*\x00":
+        bo = "<"
+    elif block[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF/EXIF block")
+    (ifd_off,) = struct.unpack(bo + "I", block[4:8])
+    tags = _ifd_tags(block, bo, ifd_off)
+
+    def val(tags_, tag):
+        if tag not in tags_:
+            return None
+        typ, cnt, vb = tags_[tag]
+        got = _read_tag_values(bo, block, typ, cnt, vb)
+        if typ == 2:
+            return bytes(got).split(b"\x00", 1)[0].decode("ascii")
+        return got[0] if got else None
+
+    out = {
+        "make": val(tags, EXIF_MAKE),
+        "model": val(tags, EXIF_MODEL),
+        "orientation": val(tags, EXIF_ORIENTATION),
+        "datetime": val(tags, EXIF_DATETIME),
+        "pixel_x": None,
+        "pixel_y": None,
+    }
+    ptr = val(tags, EXIF_IFD_POINTER)
+    if ptr is not None:
+        sub = _ifd_tags(block, bo, int(ptr))
+        out["pixel_x"] = val(sub, EXIF_PIXEL_X)
+        out["pixel_y"] = val(sub, EXIF_PIXEL_Y)
+    return out

@@ -793,6 +793,124 @@ def q_multimodal_tiff_roundtrip(spark, sf_dir):
 
 
 @query(
+    "jpeg_exif_scan",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           'CorpusCam' AS make,
+           'M' || CAST(doc_id % 5 AS VARCHAR) AS model,
+           printf('2026:01:%02d 00:00:%02d',
+                  CAST(1 + doc_id % 28 AS INT),
+                  CAST(doc_id % 60 AS INT)) AS taken_at,
+           CAST(2 + doc_id % 6 AS INT) AS pixel_x,
+           CAST(2 + doc_id % 4 AS INT) AS pixel_y,
+           CAST(doc_id % 2 AS INT) AS big_endian
+    FROM documents
+    """,
+)
+def q_jpeg_exif_scan(spark, sf_dir):
+    """EXIF metadata scan over JPEG payloads — the camera-metadata
+    pass (orientation for correct decode, timestamps/device for
+    dedup and filtering) a corpus runs WITHOUT decoding pixels. Each
+    document becomes a real baseline JPEG with an APP1 Exif segment
+    injected after SOI (operators/multimodal.py inject_jpeg_exif;
+    the TIFF block is built and re-parsed by the tiffcodec IFD
+    machinery — build_exif/parse_exif — in both byte orders, with an
+    Exif sub-IFD holding the pixel dimensions). The scanner walks
+    the marker stream only as far as SOS: no entropy decode, so the
+    per-payload cost is a few hundred bytes regardless of image
+    size — the shape that makes metadata profiling of a 100 TB image
+    corpus cheap. All fields are closed-form in the oracle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.operators.jpegcodec import (
+        encode_baseline_jpeg,
+    )
+    from funding_monitoring_spark.operators.multimodal import (
+        EXIF_FEATURE_SCHEMA,
+        _bmp_dims,
+        _bmp_pixels,
+        _spread_ids,
+        MEDIA_SCHEMA,
+        extract_jpeg_exif,
+        inject_jpeg_exif,
+    )
+    from funding_monitoring_spark.operators.tiffcodec import (
+        build_exif,
+        parse_exif,
+    )
+
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def synth(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = _bmp_dims(mid)
+                jpeg = encode_baseline_jpeg(_bmp_pixels(mid, w, h))
+                exif = build_exif(
+                    1 + mid % 8,
+                    "CorpusCam",
+                    f"M{mid % 5}",
+                    f"2026:01:{1 + mid % 28:02d} 00:00:{mid % 60:02d}",
+                    w,
+                    h,
+                    byte_order=">" if mid % 2 else "<",
+                )
+                payloads.append(inject_jpeg_exif(jpeg, exif))
+                metas.append(
+                    {
+                        "modality": "image",
+                        "mime": "image/jpeg",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                block = extract_jpeg_exif(bytes(payload))
+                info = parse_exif(block)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "orientation": info["orientation"],
+                        "make": info["make"],
+                        "model": info["model"],
+                        "taken_at": info["datetime"],
+                        "pixel_x": info["pixel_x"],
+                        "pixel_y": info["pixel_y"],
+                        "big_endian": int(block[:2] == b"MM"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = _spread_ids(docs.select(F.col("doc_id").alias("media_id")))
+    media = ids.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return media.mapInPandas(scan, schema=EXIF_FEATURE_SCHEMA)
+
+
+@query(
     "multimodal_mjpg_framesample",
     """
     WITH dims AS (

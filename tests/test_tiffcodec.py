@@ -182,3 +182,68 @@ def test_fixture_field_matches_bmp_codec():
             rows_per_strip=(1, 2, 3, None)[mid % 4],
         )
         assert (decode_tiff(t) == px).all()
+
+
+def test_exif_build_parse_roundtrip_both_orders():
+    from funding_monitoring_spark.operators.tiffcodec import (
+        build_exif,
+        parse_exif,
+    )
+
+    for bo in "<>":
+        blk = build_exif(6, "CorpusCam", "M3", "2026:01:05 00:00:42",
+                         640, 480, byte_order=bo)
+        assert parse_exif(blk) == {
+            "make": "CorpusCam", "model": "M3", "orientation": 6,
+            "datetime": "2026:01:05 00:00:42",
+            "pixel_x": 640, "pixel_y": 480,
+        }
+    with pytest.raises(ValueError):
+        parse_exif(b"JFIF0000")
+
+
+def test_exif_missing_sub_ifd_fields_are_none():
+    from funding_monitoring_spark.operators.tiffcodec import (
+        _pack_ifd,
+        parse_exif,
+    )
+
+    # IFD0 with only Orientation, no Exif pointer
+    ifd0 = _pack_ifd("<", [(274, 3, struct.pack("<H", 3), 1)], 8)
+    blk = struct.pack("<2sHI", b"II", 42, 8) + ifd0
+    got = parse_exif(blk)
+    assert got["orientation"] == 3
+    assert got["make"] is None and got["pixel_x"] is None
+
+
+def test_jpeg_app1_inject_extract():
+    from funding_monitoring_spark.operators.jpegcodec import (
+        encode_baseline_jpeg,
+    )
+    from funding_monitoring_spark.operators.multimodal import (
+        extract_jpeg_exif,
+        inject_jpeg_exif,
+    )
+    from funding_monitoring_spark.operators.tiffcodec import (
+        build_exif,
+        decode_tiff,
+        parse_exif,
+    )
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    jpeg = encode_baseline_jpeg(px)
+    assert extract_jpeg_exif(jpeg) is None  # no APP1 yet
+    exif = build_exif(1, "A", "B", "2026:01:01 00:00:00", 4, 4)
+    tagged = inject_jpeg_exif(jpeg, exif)
+    blk = extract_jpeg_exif(tagged)
+    assert blk == exif and parse_exif(blk)["make"] == "A"
+    # the tagged JPEG still decodes (APP1 is skippable metadata)
+    from funding_monitoring_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+    )
+
+    assert decode_baseline_jpeg(tagged).shape == (4, 4, 3)
+    with pytest.raises(ValueError):
+        inject_jpeg_exif(b"PK\x03\x04", exif)
+    with pytest.raises(ValueError):
+        extract_jpeg_exif(tagged[:2] + b"\xff\xe1\x00\x01")
