@@ -459,6 +459,28 @@ def main() -> None:
         "fuzzy_title_pairs keeps the all-pairs OUTPUT contract and "
         "remains pair-count-bound by construction"
     )
+    notes["new_query_attribution_r10"] = {
+        "stream_funding_pipeline": (
+            "9.7 -> ~5.5 s warm: persisted the deduped micro-batch "
+            "across the ordered merge's three scans, skipped "
+            "availableNow's empty flush batch, dropped the redundant "
+            "in-stream watermark dedup (the LWW merge already "
+            "suppresses exact resends; same oracle)"
+        ),
+        "multimodal_tiff/aiff/pdf + warc/zip/tar + jpeg_exif_scan": (
+            "new codec/container roundtrips, each a 1:1 mapInPandas "
+            "pair over spread ids (encode -> Arrow binary -> parse), "
+            "~1-5 s at sf0.1 — embarrassingly parallel, no shuffle; "
+            "they join the overflow set, not the headline"
+        ),
+        "gopher_quality_rules / html_text_extract / "
+        "url_canonicalize_dedup / robots_txt_filter": (
+            "pure JVM codegen (HOF folds, regexp, broadcast rule "
+            "array) — sub-second to ~3 s at sf0.1; url/robots pay "
+            "one tiny dim-side shuffle (explode/groupBy of 3 rows "
+            "per doc resp. rules per host), corpus side map-only"
+        ),
+    }
     notes["lsh_multiprobe_tradeoff_r6"] = (
         "near_dup_recall_report / ann LSH queries run ~1.5x longer "
         "than round 5: the probing side now fans out to each table's "

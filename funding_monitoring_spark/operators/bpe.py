@@ -266,15 +266,23 @@ def batch_candidates(
     2. Walk the ranked prefix CONTIGUOUSLY and stop at the first pair
        that (a) shares any symbol — or its concatenated merged
        string — with an earlier prefix pair (merging would change the
-       later pair's count, breaking the ranking), or (b) whose merged
+       later pair's count, breaking the ranking), (b) whose merged
        string already exists in the vocab (the merge would create new
        occurrences of existing pairs, which could out-rank a later
-       prefix pair).
+       prefix pair), or (c) FOLLOWS a self-pair (pair_a == pair_b) in
+       the prefix: a self-pair merge over a run ('aaa' under (a,a))
+       creates pairs like (aa, a) whose pre-merge witness is the
+       selected pair ITSELF — not some blocked candidate — so the
+       boundary bound in step 3 does not cover them and a created
+       pair can tie (and out-tie-break) a later prefix pair. A
+       self-pair therefore always ends its batch.
     3. Require every selected count to STRICTLY exceed the first
-       excluded pair's count: any pair a merge can create has count
-       <= some unselected pair's count <= that boundary, so at
-       sequential step j every competitor still loses to prefix pair
-       j without tie-break ambiguity. Rank 1 is always kept (a
+       excluded pair's count: any pair a NON-SELF merge can create
+       has a pre-merge witness sharing a symbol with the creating
+       pair, so the witness is either a blocked candidate or below
+       the candidate list — either way count <= that boundary — and
+       at sequential step j every competitor still loses to prefix
+       pair j without tie-break ambiguity. Rank 1 is always kept (a
        single merge is literally the sequential step).
 
     Runs entirely on a <= cap+1-row frame: a row_number window, a
@@ -328,6 +336,13 @@ def batch_candidates(
             F.array().cast("array<array<string>>"),
         )
     )
+    after_self = F.coalesce(
+        F.max(
+            F.when(F.col("pair_a") == F.col("pair_b"), F.lit(1))
+        ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+        == 1,
+        F.lit(False),
+    )
     flagged = (
         cand.withColumn("merged", F.concat("pair_a", "pair_b"))
         .join(F.broadcast(vocab), "merged", "left")
@@ -335,7 +350,8 @@ def batch_candidates(
         .withColumn(
             "blocked",
             F.arrays_overlap(toks, prev)
-            | F.coalesce(F.col("in_vocab"), F.lit(False)),
+            | F.coalesce(F.col("in_vocab"), F.lit(False))
+            | after_self,
         )
     )
     wall = Window.rowsBetween(

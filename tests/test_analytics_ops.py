@@ -885,3 +885,26 @@ def test_rolling_mad_score_replaces_in_place_and_guards(spark):
         )
     with _pytest.raises(ValueError, match="value_col"):
         rolling_mad_score(df, ["k"], [F.col("t")], "baseline_median")
+
+
+def test_bpe_batched_self_pair_ends_batch(spark):
+    """Pinned falsifying example (r10): with corpus ['bb', 'aaa'] the
+    step-1 merge (a,a) CREATES pair (aa,a) whose count ties (b,b) at
+    n=1 and wins the sequential tie-break ('aa' < 'b') — so (b,b) must
+    NOT be batched with (a,a). A self-pair ends its batch."""
+    from funding_monitoring_spark.operators.bpe import bpe_train_batched
+
+    docs = spark.createDataFrame(
+        [(0, "bb"), (1, "aaa")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["step"], r["pair_a"], r["pair_b"], r["n"])
+        for r in bpe_train_batched(
+            docs, n_merges=4, max_batch=3
+        ).collect()
+    )
+    assert got == [
+        (1, "a", "a", 2),
+        (2, "aa", "a", 1),
+        (3, "b", "b", 1),
+    ]
