@@ -91,6 +91,21 @@ def main() -> None:
         dest = os.path.join(args.out, f"{table}.parquet")
         out.repartition(16).write.mode("overwrite").parquet(dest)
         print(f"{table}: {args.copies}x -> {dest}")
+
+    # dimension tables stay at sf0.1 — symlink everything not
+    # replicated so the output dir is a COMPLETE fixture (r9 created
+    # these links by hand; the gitignored dir lost them on rebuild)
+    all_tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for table in all_tables:
+        dest = os.path.join(args.out, f"{table}.parquet")
+        if os.path.exists(dest):
+            continue
+        src = os.path.join(args.src, f"{table}.parquet")
+        os.symlink(src, dest)
+        print(f"{table}: symlinked sf0.1 -> {dest}")
     spark.stop()
 
 
