@@ -428,3 +428,55 @@ def test_pq_topk_scan_side_joins_all_broadcast(spark, sf_dir):
     plan = plan_str(S.cosine_topk_pq(queries, emb, k=5))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_robots_filter_broadcasts_rules_no_corpus_shuffle(spark, sf_dir):
+    """robots_txt_filter: the per-host rule array must reach the URL
+    corpus through a broadcast join — a SortMergeJoin here would
+    shuffle the corpus on host, the exact thing the operator exists
+    to avoid. (The rule-side explode/groupBy exchanges are dim-sized
+    and fine.)"""
+    plan = plan_str(ALL["robots_txt_filter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_html_extract_is_pure_projection(spark, sf_dir):
+    """html_text_extract: concat/regexp/HOF-fingerprint over one scan
+    — the plan must contain NO exchange and NO Python eval node; the
+    whole cleaning stage stays in one codegen pass per partition."""
+    plan = plan_str(ALL["html_text_extract"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the star notation marks whole-stage-codegen spans
+    assert "*(1)" in plan, plan
+
+
+def test_codec_roundtrips_have_no_join_or_agg_shuffle(spark, sf_dir):
+    """The r10 codec/container roundtrips are 1:1 mapInPandas pairs
+    over round-robin-spread ids: exactly ONE exchange (the id spread
+    repartition), zero joins."""
+    for name in (
+        "multimodal_tiff_roundtrip",
+        "multimodal_aiff_roundtrip",
+        "warc_record_scan",
+        "zip_manifest_scan",
+        "tar_manifest_scan",
+        "jpeg_exif_scan",
+        "multimodal_pdf_textscan",
+    ):
+        plan = plan_str(ALL[name](spark, sf_dir))
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert "MapInPandas" in plan, (name, plan)
+
+
+def test_gopher_rules_single_tokenization(spark, sf_dir):
+    """gopher_quality_rules: one scan, no exchange, and the token
+    array must be let-bound — the TOKENIZER regexp appears exactly
+    once in the plan, not once per output column (the cheap symbol
+    regex may legitimately repeat inside the struct lambda)."""
+    plan = plan_str(ALL["gopher_quality_rules"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert plan.count(r"(\S+)") == 1, plan
