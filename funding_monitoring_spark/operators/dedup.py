@@ -469,3 +469,70 @@ def simhash_near_dup(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+
+
+def hex_signature_near_dup(
+    sigs: DataFrame,
+    id_col: str = "id",
+    hex_col: str = "sig",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded near-dup pairs over a 64-bit HEX-string signature column
+    (16 lowercase hex chars — the image dHash serialization): the
+    simhash_near_dup machinery generalized to any precomputed
+    fingerprint. Bands are 16/bands-hex-char substrings, candidates
+    must share >= 1 exact band (pigeonhole EXACT while
+    max_hamming < bands), and survivors verify Hamming <= t with
+    hi/lo 32-bit xor+bit_count (a 64-bit unsigned hex does not fit a
+    signed conv() long). Shuffle key is a band, never a pair."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banding is only pigeonhole-exact for max_hamming < bands "
+            f"({max_hamming} >= {bands})"
+        )
+    if 16 % bands:
+        raise ValueError(f"bands={bands} must divide 16 hex chars")
+    width = 16 // bands
+    sigs = sigs.select(
+        F.col(id_col).alias("id"), F.col(hex_col).alias("sig")
+    ).persist()
+    banded = sigs.withColumn(
+        "band_key",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.substring("sig", 1 + b * width, width),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ),
+    )
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_key"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_key"
+    )
+
+    def half(col, lo):
+        return F.conv(
+            F.substring(col, 1 + (0 if not lo else 8), 8), 16, 10
+        ).cast("long")
+
+    hamming = (
+        F.bit_count(half("sig_a", 0).bitwiseXOR(half("sig_b", 0)))
+        + F.bit_count(half("sig_a", 1).bitwiseXOR(half("sig_b", 1)))
+    )
+    return (
+        left.join(right, on="band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
+    )

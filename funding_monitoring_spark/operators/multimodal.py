@@ -1132,6 +1132,65 @@ def decode_image_features(media: DataFrame) -> DataFrame:
 decode_bmp_features = decode_image_features
 
 
+#: twin ids live in a disjoint range so pair output is unambiguous
+IMAGE_TWIN_OFFSET = 10_000_000
+
+
+def synthesize_image_scale_twins(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-format, cross-resolution near-duplicate image corpus:
+    per id, the original BMP at (w, h) AND a PNG twin nearest-neighbor
+    UPSCALED 2x (id + IMAGE_TWIN_OFFSET). The floor-convention dHash
+    resample makes an integer upscale hash-invariant —
+    floor(floor(9i*kw/9)/k) == floor(9i*w/9) — so every twin is a
+    provable Hamming-0 duplicate of its original across BOTH a format
+    change and a resolution change, the canonical perceptual-dedup
+    case. 1:2 mapInPandas fan-out, no shuffle."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_ids, payloads, metas = [], [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = _bmp_dims(mid)
+                px = _bmp_pixels(mid, w, h)
+                up = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+                for out_id, payload, ww, hh in (
+                    (mid, encode_bmp(px), w, h),
+                    (mid + IMAGE_TWIN_OFFSET, encode_png(up),
+                     2 * w, 2 * h),
+                ):
+                    out_ids.append(out_id)
+                    payloads.append(payload)
+                    metas.append(
+                        {
+                            "modality": "image",
+                            "mime": "image/bmp" if out_id == mid
+                            else "image/png",
+                            "width": ww,
+                            "height": hh,
+                            "duration_ms": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                {"media_id": out_ids, "payload": payloads, "meta": metas}
+            )
+
+    media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
+    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 # -- EXIF in JPEG APP1 (TIFF IFD machinery from operators/tiffcodec.py) ----
 
 EXIF_FEATURE_SCHEMA = T.StructType(

@@ -1122,6 +1122,74 @@ def q_image_dhash_index(spark, sf_dir):
 
 
 @query(
+    "image_dhash_near_dup",
+    f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(2 + doc_id % 6 AS INT) AS width,
+               CAST(2 + doc_id % 4 AS INT) AS height
+        FROM documents
+    ),
+    d AS (
+        SELECT media_id,
+               list_reduce(
+                   list_transform(range(0, 16), q -> {_dh_nibble("q")}),
+                   (a, b) -> a || b) AS dhash
+        FROM dims
+    ),
+    u AS (
+        SELECT media_id, dhash FROM d
+        UNION ALL
+        SELECT media_id + 10000000, dhash FROM d
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(list_sum(list_transform(range(1, 17), i ->
+               bit_count(xor(
+                   strpos('0123456789abcdef', substr(a.dhash, i, 1)) - 1,
+                   strpos('0123456789abcdef', substr(b.dhash, i, 1)) - 1
+               )))) AS INT) AS hamming
+    FROM u a JOIN u b ON a.media_id < b.media_id
+    WHERE list_sum(list_transform(range(1, 17), i ->
+               bit_count(xor(
+                   strpos('0123456789abcdef', substr(a.dhash, i, 1)) - 1,
+                   strpos('0123456789abcdef', substr(b.dhash, i, 1)) - 1
+               )))) <= 3
+    """,
+)
+def q_image_dhash_near_dup(spark, sf_dir):
+    """Cross-format, cross-resolution image near-dup — the perceptual
+    dedup pass of a multimodal pipeline, end to end: the corpus holds
+    each image TWICE (BMP at (w,h) and a PNG twin nearest-neighbor
+    upscaled 2x — provably dHash-invariant under the floor-convention
+    resample), both decode through the real codecs, hash to 64-bit
+    dHashes, and pair through the banded machinery
+    (operators/dedup.py hex_signature_near_dup: 4 bands x 4 hex
+    chars, pigeonhole-EXACT at Hamming <= 3, shuffle key a band,
+    never a pair). The oracle recomputes every dHash closed-form from
+    the pixel field and takes ALL Hamming<=3 pairs by brute force —
+    so the Spark side must find every twin pair AND every accidental
+    near-collision between small images, and banding recall is
+    verified exact, not sampled. At 100 TB the hash is a scan-stage
+    map and the join runs on 16-char strings, never pixels."""
+    from funding_monitoring_spark.operators.dedup import (
+        hex_signature_near_dup,
+    )
+    from funding_monitoring_spark.operators.multimodal import (
+        image_dhash_features,
+        synthesize_image_scale_twins,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sigs = image_dhash_features(
+        synthesize_image_scale_twins(docs)
+    ).select("media_id", "dhash")
+    return hex_signature_near_dup(
+        sigs, id_col="media_id", hex_col="dhash",
+        bands=4, max_hamming=3,
+    )
+
+
+@query(
     "multimodal_mp3_roundtrip",
     """
     SELECT doc_id AS media_id,

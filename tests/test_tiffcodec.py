@@ -247,3 +247,44 @@ def test_jpeg_app1_inject_extract():
         inject_jpeg_exif(b"PK\x03\x04", exif)
     with pytest.raises(ValueError):
         extract_jpeg_exif(tagged[:2] + b"\xff\xe1\x00\x01")
+
+
+def test_dhash_invariant_under_integer_upscale():
+    """The floor-convention dHash resample makes an exact-integer
+    nearest-neighbor upscale hash-invariant:
+    floor(floor(9*i*k*w/9)/k) == floor(9*i*w/9). The scale-twin
+    corpus (image_dhash_near_dup) relies on this being EXACT."""
+    import numpy as np
+
+    from funding_monitoring_spark.operators.multimodal import (
+        _bmp_dims,
+        _bmp_pixels,
+    )
+
+    def dhash(px):
+        px = px.astype(np.int64)
+        h_src, w_src, _ = px.shape
+        xs = (np.arange(9) * w_src) // 9
+        ys = (np.arange(8) * h_src) // 8
+        small = px[np.ix_(ys, xs)]
+        gray = (
+            299 * small[..., 0]
+            + 587 * small[..., 1]
+            + 114 * small[..., 2]
+        ) // 1000
+        bits = 0
+        for y in range(8):
+            for x in range(8):
+                bits = (bits << 1) | int(gray[y, x] > gray[y, x + 1])
+        return bits
+
+    rng = np.random.RandomState(5)
+    for mid in range(40):
+        w, h = _bmp_dims(mid)
+        px = _bmp_pixels(mid, w, h)
+        for k in (2, 3, 5):
+            up = np.repeat(np.repeat(px, k, axis=0), k, axis=1)
+            assert dhash(up) == dhash(px), (mid, k)
+        noise = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        up = np.repeat(np.repeat(noise, 2, axis=0), 2, axis=1)
+        assert dhash(up) == dhash(noise)
