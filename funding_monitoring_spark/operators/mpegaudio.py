@@ -158,3 +158,108 @@ def parse_mp3_metadata(payload: bytes) -> dict:
         "duration_ms": n_frames * spf * 1000 // rate,
         "id3v2_bytes": id3,
     }
+
+
+# -- ID3v2 text frames (id3.org informal standard, v2.3/v2.4) ---------------
+
+#: text-information frame encodings (frame byte 0)
+_ID3_ENCODINGS = {
+    0: "latin-1",
+    1: "utf-16",     # with BOM
+    2: "utf-16-be",  # v2.4, no BOM
+    3: "utf-8",      # v2.4
+}
+
+
+def build_id3v2_frames(frames: dict[str, str], version: int = 3,
+                       encoding: int = 0) -> bytes:
+    """An ID3v2.3/2.4 tag carrying text-information frames
+    ({frame_id: text}, e.g. {'TIT2': title}): 10-byte header with the
+    syncsafe tag size, then one frame per entry — 4-char id, 4-byte
+    size (PLAIN 32-bit in v2.3, SYNCSAFE in v2.4 — the classic
+    divergence), 2 flag bytes, encoding byte, encoded text."""
+    if version not in (3, 4):
+        raise ValueError("only ID3v2.3/2.4 supported")
+    body = b""
+    for fid, text in frames.items():
+        if len(fid) != 4:
+            raise ValueError(f"bad frame id {fid!r}")
+        enc = _ID3_ENCODINGS[encoding]
+        data = bytes([encoding]) + text.encode(enc)
+        size = len(data)
+        if version == 4:
+            sz = bytes(
+                [(size >> s) & 0x7F for s in (21, 14, 7, 0)]
+            )
+        else:
+            sz = size.to_bytes(4, "big")
+        body += fid.encode("latin-1") + sz + b"\x00\x00" + data
+    if len(body) >= 1 << 28:
+        raise ValueError("ID3v2 size out of syncsafe range")
+    ss = bytes([(len(body) >> s) & 0x7F for s in (21, 14, 7, 0)])
+    return b"ID3" + bytes([version, 0, 0]) + ss + body
+
+
+def parse_id3v2_frames(payload: bytes) -> dict[str, str]:
+    """Extract the text-information frames (T***) of a leading ID3v2
+    tag: {frame_id: decoded text}. Honors the v2.3 plain / v2.4
+    syncsafe frame-size divergence and the footer flag; text
+    encodings 0/1/2/3 decode (latin-1, UTF-16 BOM, UTF-16BE, UTF-8);
+    non-text frames are skipped structurally; no tag -> {}."""
+    if payload[:3] != b"ID3":
+        return {}
+    if len(payload) < 10:
+        raise ValueError("truncated ID3v2 header")
+    version = payload[3]
+    if version not in (2, 3, 4):
+        raise ValueError(f"ID3v2.{version} unsupported")
+    if version == 2:
+        raise NotImplementedError(
+            "ID3v2.2 three-char frames not supported"
+        )
+    if any(b & 0x80 for b in payload[6:10]):
+        raise ValueError("non-syncsafe ID3v2 size")
+    tag_size = (
+        (payload[6] << 21) | (payload[7] << 14)
+        | (payload[8] << 7) | payload[9]
+    )
+    end = 10 + tag_size
+    pos = 10
+    if payload[5] & 0x40:  # extended header: skip by its own size
+        if version == 4:
+            ext = (
+                (payload[10] << 21) | (payload[11] << 14)
+                | (payload[12] << 7) | payload[13]
+            )
+        else:
+            ext = int.from_bytes(payload[10:14], "big") + 4
+        pos += ext
+    out: dict[str, str] = {}
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw_sz = payload[pos + 4 : pos + 8]
+        if version == 4:
+            if any(b & 0x80 for b in raw_sz):
+                raise ValueError("non-syncsafe v2.4 frame size")
+            size = (
+                (raw_sz[0] << 21) | (raw_sz[1] << 14)
+                | (raw_sz[2] << 7) | raw_sz[3]
+            )
+        else:
+            size = int.from_bytes(raw_sz, "big")
+        data = payload[pos + 10 : pos + 10 + size]
+        if len(data) != size:
+            raise ValueError("ID3v2 frame overruns tag")
+        pos += 10 + size
+        if not (fid[:1] == b"T" and fid.isalnum()):
+            continue  # non-text frame: skipped structurally
+        if not data:
+            continue
+        enc = _ID3_ENCODINGS.get(data[0])
+        if enc is None:
+            raise ValueError(f"unknown ID3 text encoding {data[0]}")
+        text = data[1:].decode(enc).rstrip("\x00")
+        out[fid.decode("latin-1")] = text
+    return out

@@ -1224,6 +1224,139 @@ def q_multimodal_mp3_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "mp3_id3_scan",
+    """
+    SELECT doc_id AS media_id,
+           CAST(3 + doc_id % 2 AS INT) AS id3_version,
+           'Track ' || CAST(doc_id AS VARCHAR) AS title,
+           'Artist ' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+           'Corpus Vol. ' || CAST(doc_id % 3 AS VARCHAR) AS album,
+           CAST(1 + doc_id % 12 AS VARCHAR) || '/12' AS track,
+           '2026' AS year,
+           1 AS stream_ok
+    FROM documents
+    """,
+)
+def q_mp3_id3_scan(spark, sf_dir):
+    """ID3v2 text-frame extraction over tagged MP3s — the metadata
+    pass an audio corpus runs before any decode (dedup by
+    title/artist, per-album stats, rights filtering). Each document
+    becomes a tagged stream: an ID3v2.3 (even ids, latin-1 or UTF-16
+    text) or ID3v2.4 (odd ids, latin-1 or UTF-8) tag carrying
+    TIT2/TPE1/TALB/TRCK/TYER frames, then real MPEG-1 Layer III
+    frames. The scanner honors the v2.3 plain / v2.4 SYNCSAFE
+    frame-size divergence, all four text encodings and frame padding,
+    and the structural walker must still count the audio frames
+    correctly PAST the tag (stream_ok) — every field closed-form in
+    the oracle (operators/mpegaudio.py build_id3v2_frames /
+    parse_id3v2_frames)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    import pyspark.sql.types as T
+
+    from funding_monitoring_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _spread_ids,
+    )
+
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("id3_version", T.IntegerType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("artist", T.StringType()),
+            T.StructField("album", T.StringType()),
+            T.StructField("track", T.StringType()),
+            T.StructField("year", T.StringType()),
+            T.StructField("stream_ok", T.IntegerType()),
+        ]
+    )
+
+    def synth(batches):
+        from funding_monitoring_spark.operators.mpegaudio import (
+            build_id3v2_frames,
+            build_mp3_frame,
+        )
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                version = 3 + mid % 2
+                encoding = (0, 1, 0, 3)[mid % 4]  # enc 1 v2.3, 3 v2.4
+                tag = build_id3v2_frames(
+                    {
+                        "TIT2": f"Track {mid}",
+                        "TPE1": f"Artist {mid % 7}",
+                        "TALB": f"Corpus Vol. {mid % 3}",
+                        "TRCK": f"{1 + mid % 12}/12",
+                        "TYER": "2026",
+                    },
+                    version=version,
+                    encoding=encoding,
+                )
+                payloads.append(
+                    tag + 3 * build_mp3_frame(128, 44100)
+                )
+                metas.append(
+                    {
+                        "modality": "audio",
+                        "mime": "audio/mpeg",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    def scan(batches):
+        from funding_monitoring_spark.operators.mpegaudio import (
+            parse_id3v2_frames,
+            parse_mp3_metadata,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                tags = parse_id3v2_frames(payload)
+                meta = parse_mp3_metadata(payload)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "id3_version": payload[3],
+                        "title": tags.get("TIT2"),
+                        "artist": tags.get("TPE1"),
+                        "album": tags.get("TALB"),
+                        "track": tags.get("TRCK"),
+                        "year": tags.get("TYER"),
+                        "stream_ok": int(meta["n_frames"] == 3),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = _spread_ids(docs.select(F.col("doc_id").alias("media_id")))
+    media = ids.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return media.mapInPandas(scan, schema=schema)
+
+
 # Full-profile MP3 (scalefactors, bigvalues tables, reservoir) rides
 # the optional soundfile dependency (and needs an MP3-capable
 # libsndfile underneath — probed with a real tiny roundtrip, not just

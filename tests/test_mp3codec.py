@@ -238,3 +238,68 @@ def test_id3v24_footer_flag_skips_ten_extra_bytes():
     meta23 = parse_mp3_metadata(tag23 + mp3)
     assert meta23["id3v2_bytes"] == len(tag23)
     assert meta23["n_frames"] == 3
+
+
+def test_id3v2_frame_roundtrip_versions_and_encodings():
+    from funding_monitoring_spark.operators.mpegaudio import (
+        build_id3v2_frames,
+        build_mp3_frame,
+        parse_id3v2_frames,
+        parse_mp3_metadata,
+    )
+
+    frames = {"TIT2": "Song", "TPE1": "Artist", "TRCK": "7/12"}
+    for version, encoding in ((3, 0), (3, 1), (4, 0), (4, 1), (4, 3)):
+        tag = build_id3v2_frames(frames, version=version,
+                                 encoding=encoding)
+        stream = tag + 2 * build_mp3_frame(128, 44100)
+        assert parse_id3v2_frames(stream) == frames, (version, encoding)
+        # the structural walker still counts frames past the tag
+        assert parse_mp3_metadata(stream)["n_frames"] == 2
+
+
+def test_id3v2_unicode_and_padding_and_nontext():
+    import struct
+
+    from funding_monitoring_spark.operators.mpegaudio import (
+        build_id3v2_frames,
+        parse_id3v2_frames,
+    )
+
+    tag = build_id3v2_frames({"TIT2": "Ärtïst — ünïcode"}, version=4,
+                             encoding=3)
+    assert parse_id3v2_frames(tag)["TIT2"] == "Ärtïst — ünïcode"
+    # inject a non-text frame (APIC-like) before a text frame: it
+    # must be skipped structurally, not decoded
+    apic = b"APIC" + struct.pack(">I", 5) + b"\x00\x00" + b"\x00imgs"
+    body_at = 10
+    doctored = bytearray(build_id3v2_frames({"TIT2": "x"}, version=3))
+    inner = bytes(doctored[body_at:])
+    new_body = apic + inner
+    ss = bytes([(len(new_body) >> s) & 0x7F for s in (21, 14, 7, 0)])
+    rebuilt = b"ID3\x03\x00\x00" + ss + new_body
+    assert parse_id3v2_frames(rebuilt) == {"TIT2": "x"}
+    # trailing padding terminates the walk cleanly
+    padded = rebuilt[:6] + bytes(
+        [(len(new_body) + 16 >> s) & 0x7F for s in (21, 14, 7, 0)]
+    ) + new_body + bytes(16)
+    assert parse_id3v2_frames(padded) == {"TIT2": "x"}
+
+
+def test_id3v2_refusals_are_loud():
+    import pytest
+
+    from funding_monitoring_spark.operators.mpegaudio import (
+        build_id3v2_frames,
+        parse_id3v2_frames,
+    )
+
+    assert parse_id3v2_frames(b"\xff\xfbnotag") == {}
+    with pytest.raises(NotImplementedError):
+        parse_id3v2_frames(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        parse_id3v2_frames(b"ID3\x05\x00\x00\x00\x00\x00\x00")
+    tag = bytearray(build_id3v2_frames({"TIT2": "x"}, version=4))
+    tag[14] |= 0x80  # corrupt the v2.4 frame size to non-syncsafe
+    with pytest.raises(ValueError):
+        parse_id3v2_frames(bytes(tag))
