@@ -480,6 +480,17 @@ def main() -> None:
             "one tiny dim-side shuffle (explode/groupBy of 3 rows "
             "per doc resp. rules per host), corpus side map-only"
         ),
+        "image_dhash_near_dup": (
+            "sf1 20.3x at 10x data is OUTPUT-bound, same story as "
+            "fuzzy_title_pairs: the 2-7 px fixture images land in a "
+            "tiny effective dHash space, so TRUE Hamming<=3 pair "
+            "mass grows ~quadratically with corpus size and the "
+            "pair-exact oracle contract materializes all of it — "
+            "wall grows 5x SLOWER than the pair count; real image "
+            "corpora (large images, sparse collisions) stay "
+            "band-bounded, and the banding itself never shuffles "
+            "more than (band_key, id) rows"
+        ),
     }
     notes["lsh_multiprobe_tradeoff_r6"] = (
         "near_dup_recall_report / ann LSH queries run ~1.5x longer "
