@@ -399,6 +399,45 @@ def streaming_funding_pipeline(
     return {"rates": rates_path, "stats": stats_path}
 
 
+def streaming_media_ingest(
+    spark: SparkSession,
+    chunks_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> None:
+    """Streaming MULTIMODAL ingestion: binary media payloads arrive
+    as a file stream (the shape of a crawl dropping WARC/media
+    batches into object storage) and each micro-batch runs the real
+    audio codec in Arrow-batched mapInPandas, appending its features
+    idempotently (per-batch partition overwrite, the lending-append
+    discipline — a retried batch rewrites its own rows). The
+    converged feature store equals the batch decode of the whole
+    corpus, so the WAV oracle applies verbatim; per-payload decode
+    stays embarrassingly parallel inside each tick."""
+    from funding_monitoring_spark.operators.multimodal import (
+        decode_wav_features,
+    )
+
+    src = stream_from_chunks(spark, chunks_dir, schema)
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        feats = decode_wav_features(
+            batch.select(
+                F.col("event_id").alias("media_id"), "payload"
+            )
+        )
+        feats.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+
+    writer = src.writeStream.foreachBatch(on_batch)
+    q = _run(writer, available_now, checkpoint)
+    if available_now:
+        q.awaitTermination()
+
+
 def streaming_lending_append(
     spark: SparkSession,
     chunks_dir: str,
@@ -1322,6 +1361,12 @@ def _dispatch_pipeline(
             spark, chunks_dir, schema, os.path.join(workdir, "store"), checkpoint
         )
         return spark.read.parquet(stores["stats"])
+    if pipeline == "media_ingest":
+        store = os.path.join(workdir, "media_features")
+        streaming_media_ingest(
+            spark, chunks_dir, schema, store, checkpoint
+        )
+        return spark.read.parquet(store).drop("batch_id")
     if pipeline == "lending_append":
         store = os.path.join(workdir, "lending")
         streaming_lending_append(

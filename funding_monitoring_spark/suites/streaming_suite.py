@@ -971,3 +971,57 @@ def q_stream_late_event_audit(spark, sf_dir):
         "late_n",
         "max_ts",
     )
+
+
+@query(
+    "stream_media_ingest",
+    """
+    WITH shape AS (
+        SELECT doc_id AS media_id,
+               CAST(50 + doc_id % 64 AS INT) AS n_samples,
+               CAST(1 + doc_id % 2 AS INT) AS channels
+        FROM documents
+    ),
+    amps AS (
+        SELECT media_id, n_samples, channels,
+               list_transform(
+                   range(0, n_samples * channels),
+                   j -> (media_id * 13 + j) * 97 % 65536 - 32768
+               ) AS a
+        FROM shape
+    )
+    SELECT media_id, n_samples, channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(list_sum(a) AS BIGINT) AS sum_amplitude,
+           CAST(list_min(a) AS INT) AS min_amplitude,
+           CAST(list_max(a) AS INT) AS max_amplitude
+    FROM amps
+    """,
+)
+def q_stream_media_ingest(spark, sf_dir):
+    """Streaming multimodal ingestion — binary WAV payloads arriving
+    as a file stream (a crawl dropping media batches into object
+    storage), each micro-batch decoded with the REAL codec in
+    Arrow-batched mapInPandas and appended idempotently (per-batch
+    partition overwrite). The converged feature store equals the
+    batch decode of the whole corpus, so the oracle is the WAV
+    roundtrip oracle verbatim — the streaming x multimodal
+    composition the suite previously only demonstrated separately."""
+    from pyspark.sql import functions as F
+
+    from funding_monitoring_spark.operators.multimodal import (
+        synthesize_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_wav_media(docs).select(
+        F.timestamp_seconds(
+            F.lit(1_000_000_000) + F.col("media_id")
+        ).alias("ts"),
+        F.col("media_id").alias("event_id"),
+        "payload",
+    )
+    return _replay(
+        spark, sf_dir, "media_ingest",
+        variant="media_wav", events=media,
+    )
