@@ -76,13 +76,18 @@ def encode_warc(records: list[tuple[str, dict, bytes]],
     the standard .warc.gz concatenated-member layout."""
     chunks = []
     for i, (wtype, extra, payload) in enumerate(records):
-        headers = {
-            "WARC-Type": wtype,
-            "WARC-Record-ID": f"<urn:uuid:rec-{i}>",
-            "WARC-Date": "2026-01-01T00:00:00Z",
-            "Content-Length": str(len(payload)),
-        }
-        headers.update(extra or {})
+        # caller extras first; the FRAMING fields always win — a
+        # caller-supplied Content-Length would silently corrupt the
+        # record stream
+        headers = dict(extra or {})
+        headers.update(
+            {
+                "WARC-Type": wtype,
+                "WARC-Record-ID": f"<urn:uuid:rec-{i}>",
+                "WARC-Date": "2026-01-01T00:00:00Z",
+                "Content-Length": str(len(payload)),
+            }
+        )
         head = b"WARC/1.0" + _CRLF + b"".join(
             f"{k}: {v}".encode("latin-1") + _CRLF
             for k, v in headers.items()

@@ -217,6 +217,13 @@ def parse_id3v2_frames(payload: bytes) -> dict[str, str]:
         raise NotImplementedError(
             "ID3v2.2 three-char frames not supported"
         )
+    if payload[5] & 0x80:
+        # unsynchronisation stuffs 0x00 after every 0xFF — frame
+        # sizes and text would mis-read without de-stuffing; refuse
+        # rather than guess
+        raise NotImplementedError(
+            "ID3v2 unsynchronisation not supported"
+        )
     if any(b & 0x80 for b in payload[6:10]):
         raise ValueError("non-syncsafe ID3v2 size")
     tag_size = (
@@ -249,9 +256,10 @@ def parse_id3v2_frames(payload: bytes) -> dict[str, str]:
             )
         else:
             size = int.from_bytes(raw_sz, "big")
-        data = payload[pos + 10 : pos + 10 + size]
-        if len(data) != size:
+        if pos + 10 + size > end:  # the TAG boundary, not the file —
+            # otherwise audio bytes silently decode as tag text
             raise ValueError("ID3v2 frame overruns tag")
+        data = payload[pos + 10 : pos + 10 + size]
         pos += 10 + size
         if not (fid[:1] == b"T" and fid.isalnum()):
             continue  # non-text frame: skipped structurally

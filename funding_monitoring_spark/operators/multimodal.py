@@ -75,6 +75,21 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def register_module_by_value(module_name: str = __name__) -> None:
+    """cloudpickle the named module BY VALUE so mapInPandas closures
+    defined in it ship to executors without an installed package —
+    the shared form of the try-block every codec wrapper needs (one
+    place to change the exception policy, not thirty)."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[module_name])
+    except Exception:
+        pass
+
+
 def _pil_image_module():
     """The optional imaging dependency, or None. JPEG support rides
     on Pillow when it is installed; everything else in this module is
@@ -608,14 +623,7 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     # driver contract only guarantees the entry module is importable
     # driver-side). Pickle the UDF and its module references by value
     # so the closure is self-contained on the wire.
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -653,14 +661,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     the metadata struct — a narrow 1:1 mapInPandas, no shuffle; output
     keeps MEDIA_SCHEMA so resize composes with any downstream media op.
     """
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -704,14 +705,7 @@ def sample_frames(
     than it receives — the Spark-side shape (explode-like fan-out with
     binary payloads, batch-bounded memory) is exactly the production
     pattern."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -762,14 +756,7 @@ def resize_images(
     is identical, only the pixels are now real, which is what lets
     the resize land in an oracle (the SQL recomputes the resampled
     field from the closed form)."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -967,14 +954,7 @@ def synthesize_tiff_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     horizontal-differencing predictor on the LZW rows (id%2 within
     compression 5), and strip heights 1/2/3/full (id%4). 1:1
     Arrow-batched mapInPandas, no shuffle."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from funding_monitoring_spark.operators.tiffcodec import encode_tiff
@@ -1035,14 +1015,7 @@ def _synthesize_media(
     from the id instead of encoder(pixel field) — for variants whose
     source field differs per id (the PNG-variant round trip).
     1:1 mapInPandas, no shuffle."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1094,14 +1067,7 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     by magic bytes) and emit per-channel means plus the top-left
     pixel — the corner pixel is the orientation proof (a row-flip or
     channel-swap bug moves it, a mean would not notice)."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1147,14 +1113,7 @@ def synthesize_image_scale_twins(
     provable Hamming-0 duplicate of its original across BOTH a format
     change and a resolution change, the canonical perceptual-dedup
     case. 1:2 mapInPandas fan-out, no shuffle."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1271,14 +1230,7 @@ def synthesize_pdf_media(docs: DataFrame) -> DataFrame:
     """Real classic-xref PDFs from the documents fixture: each doc's
     text split across 1 + doc_id%3 pages (one content stream per
     page), FlateDecode on even ids. 1:1 Arrow-batched mapInPandas."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from funding_monitoring_spark.operators.pdfcodec import encode_pdf
@@ -1323,14 +1275,7 @@ def decode_pdf_features(media: DataFrame) -> DataFrame:
     rolling polynomial as doc_fingerprint, so the oracle recomputes
     it from the original text — any xref, tree-walk, inflate or
     string-unescape bug breaks the hash."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from funding_monitoring_spark.operators.pdfcodec import parse_pdf
@@ -1586,14 +1531,7 @@ def _wav_samples(media_id: int, n: int, ch: int):
 def synthesize_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Real PCM-WAV payloads from the closed-form sample field — the
     audio writer half. 1:1 mapInPandas, no shuffle."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1629,14 +1567,7 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
     (RIFF chunk walk, fmt validation, PCM16 deinterleave) and emit
     integer-exact amplitude statistics the SQL oracle can recompute
     from the sample formula."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1785,14 +1716,7 @@ def synthesize_aiff_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     id: plain AIFF, AIFC 'NONE' (big-endian) and AIFC 'sowt'
     (little-endian). All lossless 16-bit PCM, so the roundtrip oracle
     is the WAV oracle verbatim."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1834,14 +1758,7 @@ def decode_aiff_features(media: DataFrame) -> DataFrame:
     """Reader half for the AIFF roundtrip — same integer-exact
     amplitude statistics as decode_wav_features, through the
     decode_audio magic-byte dispatch."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1876,14 +1793,7 @@ def synthesize_flac_media(
     codec, no optional dependency). Because FLAC is lossless the
     roundtrip oracle is the WAV oracle verbatim: integer-exact
     amplitude statistics, no tolerance flags."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from funding_monitoring_spark.operators.flaccodec import (
@@ -1923,14 +1833,7 @@ def decode_flac_features(media: DataFrame) -> DataFrame:
     decode_audio magic-byte dispatch (so the query exercises the
     same entry point a mixed audio column would) and emit the exact
     amplitude statistics of decode_wav_features."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1966,14 +1869,7 @@ def synthesize_mp3meta_media(
     these are metadata-scan fixtures, never claimed decodable; the
     scanner under test walks exactly the structure a real MP3
     carries (operators/mpegaudio.py)."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from funding_monitoring_spark.operators.mpegaudio import (
@@ -2024,14 +1920,7 @@ def mp3_metadata_features(media: DataFrame) -> DataFrame:
     walk with per-frame header validation — the routing/profiling
     pass a media pipeline runs BEFORE spending decode CPU. Exact
     integers, so the oracle recomputes them from the closed form."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from funding_monitoring_spark.operators.mpegaudio import (
@@ -2203,14 +2092,7 @@ def image_dhash_features(media: DataFrame) -> DataFrame:
     pixels; here the hash itself is the oracle-checked artifact
     (every stage is integer-exact and closed-form on the fixture
     field). 1:1 Arrow-batched mapInPandas, no shuffle."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2283,14 +2165,7 @@ def synthesize_gif_media(
     """Real GIF87a payloads (indexed color + LZW) from the closed-form
     index field — lossless, so the reader half is the exact
     decode_image_features path. 1:1 mapInPandas, no shuffle."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     from funding_monitoring_spark.operators.gifcodec import encode_gif
 
@@ -2331,14 +2206,7 @@ def synthesize_adpcm_media(
     field as the WAV writer — the compressed-audio writer half that
     needs NO optional dependency (operators/adpcmcodec.py). 1:1
     mapInPandas, no shuffle."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     from funding_monitoring_spark.operators.adpcmcodec import (
         encode_adpcm_wav,
@@ -2404,14 +2272,7 @@ def decode_adpcm_features_tolerant(
     tolerance (sine-field codec error <= ~400, misrouted payloads
     ~5900, garbage far beyond) is what makes 'decoded approximately
     the right stream' an exact, hashable assertion."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2451,14 +2312,7 @@ def synthesize_g711_media(
     """G.711 WAV payloads (mu-law for even ids, A-law for odd) from
     the smooth ADPCM sample field — telephony-corpus audio. 1:1
     mapInPandas, no shuffle."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2500,14 +2354,7 @@ def decode_g711_features_tolerant(
     the closed-form source — companding error on the 8000-amplitude
     sine stays well under the tolerance, a misrouted payload or a
     law/sign/segment bug lands far outside. Shape fields are exact."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2549,14 +2396,7 @@ def synthesize_mp3_media_libsndfile(
     """MP3 payloads from the same closed-form sample field as the WAV
     writer, via the optional soundfile codec (raises loudly without
     it). 1:1 mapInPandas, no shuffle."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2619,14 +2459,7 @@ def synthesize_mp3_pure_media(
     """MP3 payloads via the dependency-free Layer III encoder
     (operators/mp3codec.py — real MPEG-1 streams in the module's
     documented profile). 1:1 mapInPandas, no shuffle."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from funding_monitoring_spark.operators.mp3codec import (
@@ -2672,14 +2505,7 @@ def decode_mp3_features_tolerant(media: DataFrame) -> DataFrame:
     over the overlap bound the two-level quantizer's error — any
     misrouted payload, channel swap, or desync breaks them. Exact
     fields (media_id, channels, sample_rate) hash directly."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2738,14 +2564,7 @@ def decode_audio_features_tolerant(media: DataFrame) -> DataFrame:
     (2) the decoded energy is within 3 dB of the source energy —
     bounds any real codec meets and any channel/garbage bug breaks.
     Exact fields (media_id, channels, sample_rate) hash directly."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2988,14 +2807,7 @@ def synthesize_avi_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Real uncompressed-AVI payloads (one per id, 2-5 raw-DIB frames
     from the closed-form field) — the video writer half. 1:1
     mapInPandas, no shuffle."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3051,14 +2863,7 @@ def decode_avi_frames(media: DataFrame) -> DataFrame:
     keyframe-iterator shape) — red-channel mean plus the top-left
     pixel per frame; a frame-order, row-flip, or channel-order bug
     moves them."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3091,14 +2896,7 @@ def synthesize_mjpg_avi_media(
     pixel field as the raw-DIB writer — container ours, per-frame
     codec via the optional Pillow dependency (raises loudly without
     it). 1:1 mapInPandas, no shuffle."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3146,14 +2944,7 @@ def decode_avi_frames_tolerant(
     per-frame codec, but the flags (plus exact fps and frame fan-out)
     make the roundtrip hashable: a frame-order, channel-order, or
     garbage-decode bug lands far outside quantization loss."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3295,14 +3086,7 @@ def decode_image_features_tolerant(
     image' into an exact, hashable assertion (a channel swap,
     row flip, or garbage decode pushes the mean error far past any
     quantization loss)."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -315,6 +315,8 @@ def _parse_xref_tables(data: bytes, start: int):
     """Walk the classic xref table chain (startxref -> /Prev ...).
     Returns ({obj_num: offset}, trailer_of_newest_table)."""
     offsets: dict[int, int] = {}
+    decided: set[int] = set()  # objects settled by a NEWER table —
+    # including FREED ones, so a /Prev chain cannot resurrect them
     trailer_out = None
     seen = set()
     pos = start
@@ -350,8 +352,13 @@ def _parse_xref_tables(data: bytes, start: int):
             for k in range(count):
                 entry = data[i : i + 20]
                 off, gen, kind = entry[:10], entry[11:16], entry[17:18]
-                if kind == b"n" and (first + k) not in offsets:
-                    offsets[first + k] = int(off)
+                num = first + k
+                if num not in decided:
+                    decided.add(num)
+                    if kind == b"n":
+                        offsets[num] = int(off)
+                    # kind 'f': freed by this (newer) revision —
+                    # decided with NO offset, stays unresolvable
                 i += 20
         lex = _Lexer(data, i + 7)
         trailer = lex.parse()
@@ -405,6 +412,30 @@ def _content_text(content: bytes) -> str:
             kind, s = lex._string()
             pending.append(s)
             i = lex.pos
+        elif c == 0x3C and content[i : i + 2] != b"<<":
+            # <...> hex string — the common form for font-encoded
+            # text; decode it instead of silently dropping the operand
+            lex = _Lexer(content, i)
+            lex.pos = i
+            _, s = lex._hex_string()
+            pending.append(s)
+            i = lex.pos
+        elif content[i : i + 2] == b"<<":
+            # inline dict operand (BDC/DP property lists): skip to the
+            # matching >> and clear — dict-consuming ops are not Tj
+            depth = 0
+            while i + 1 < n:
+                if content[i : i + 2] == b"<<":
+                    depth += 1
+                    i += 2
+                elif content[i : i + 2] == b">>":
+                    depth -= 1
+                    i += 2
+                    if depth == 0:
+                        break
+                else:
+                    i += 1
+            pending = []
         elif c == 0x5B:  # [ — array operand: remember its strings
             # lex strings inside until the matching ]
             i += 1
@@ -413,6 +444,11 @@ def _content_text(content: bytes) -> str:
                 if content[i] == 0x28:
                     lex = _Lexer(content, i)
                     _, s = lex._string()
+                    arr.append(s)
+                    i = lex.pos
+                elif content[i] == 0x3C:
+                    lex = _Lexer(content, i)
+                    _, s = lex._hex_string()
                     arr.append(s)
                     i = lex.pos
                 else:

@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 
 __all__ = ["parse_robots_rules", "evaluate_robots"]
 
-_RULE_RE = r"^(Allow|Disallow)\s*:\s*(\S*)\s*$"
+# RFC 9309 field names are case-insensitive ('User-Agent',
+# 'disallow' are legal wild spellings); verbs normalize via lower()
+_RULE_RE = r"(?i)^(Allow|Disallow)\s*:\s*(\S*)\s*$"
+_AGENT_RE = r"(?i)^User-agent\s*:\s*(\S+)\s*$"
 
 
 def parse_robots_rules(robots: DataFrame, host_col: str = "host",
@@ -39,7 +42,7 @@ def parse_robots_rules(robots: DataFrame, host_col: str = "host",
             "line_no", "line"
         ),
     ).withColumn("line", F.trim("line"))
-    agent = F.regexp_extract("line", r"^User-agent\s*:\s*(\S+)\s*$", 1)
+    agent = F.regexp_extract("line", _AGENT_RE, 1)
     checked = lines.withColumn(
         "line",
         F.when(
@@ -55,7 +58,9 @@ def parse_robots_rules(robots: DataFrame, host_col: str = "host",
     )
     rules = checked.select(
         host_col,
-        F.regexp_extract("line", _RULE_RE, 1).alias("verb"),
+        F.initcap(
+            F.lower(F.regexp_extract("line", _RULE_RE, 1))
+        ).alias("verb"),
         F.regexp_extract("line", _RULE_RE, 2).alias("path_prefix"),
     ).filter((F.col("verb") != "") & (F.col("path_prefix") != ""))
     return rules.withColumn(

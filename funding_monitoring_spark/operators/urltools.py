@@ -25,7 +25,9 @@ __all__ = ["canonicalize_url"]
 _SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTHORITY = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY = r"\?([^#]*)"
+# anchored through the pre-fragment prefix: a '?' INSIDE the fragment
+# (legal per RFC 3986) must not be read as a query string
+_QUERY = r"^[^#?]*\?([^#]*)"
 
 
 def _resolve_dots(path: Column) -> Column:

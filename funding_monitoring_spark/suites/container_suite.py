@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from funding_monitoring_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     _spread_ids,
+    register_module_by_value,
 )
 from funding_monitoring_spark.operators.textstats import (
     POLY_INIT,
@@ -42,14 +43,7 @@ def _poly_fp(data: bytes) -> int:
 
 
 def _register_by_value():
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value(__name__)
 
 
 _FP_SQL = f"""list_reduce(

@@ -835,20 +835,14 @@ def q_jpeg_exif_scan(spark, sf_dir):
         MEDIA_SCHEMA,
         extract_jpeg_exif,
         inject_jpeg_exif,
+        register_module_by_value,
     )
     from funding_monitoring_spark.operators.tiffcodec import (
         build_exif,
         parse_exif,
     )
 
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value(__name__)
 
     def synth(batches):
         for pdf in batches:
@@ -1258,16 +1252,10 @@ def q_mp3_id3_scan(spark, sf_dir):
     from funding_monitoring_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         _spread_ids,
+        register_module_by_value,
     )
 
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle as _cp
-
-        _cp.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    register_module_by_value(__name__)
 
     schema = T.StructType(
         [

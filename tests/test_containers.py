@@ -189,3 +189,12 @@ def test_tar_gz_must_be_single_member():
     two = gzip_bytes(b"a") + gzip_bytes(b"b")
     with pytest.raises(ValueError):
         parse_tar(two)
+
+
+def test_warc_framing_fields_win_over_extras():
+    """A caller-supplied Content-Length must not corrupt the framing
+    (review r10): the computed value wins."""
+    recs = [("response", {"Content-Length": "10"}, b"twenty byte payload!")]
+    back = parse_warc(encode_warc(recs))
+    assert back[0][2] == b"twenty byte payload!"
+    assert back[0][1]["Content-Length"] == "20"

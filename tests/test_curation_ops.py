@@ -402,3 +402,19 @@ def test_canonicalize_url_edges(spark):
     }
     for i, (raw, want) in enumerate(cases):
         assert got[i] == want, (raw, got[i], want)
+
+
+def test_canonicalize_url_fragment_question_mark(spark):
+    """A '?' INSIDE the fragment is not a query string (review r10)."""
+    from funding_monitoring_spark.operators.urltools import (
+        canonicalize_url,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "http://h/p#frag?x=1"), (1, "http://h/p#other"),
+         (2, "http://h/p?z=1#frag?y=2")],
+        "i long, raw string",
+    )
+    got = [r["c"] for r in df.select(
+        canonicalize_url("raw").alias("c")).collect()]
+    assert got == ["http://h/p", "http://h/p", "http://h/p?z=1"]

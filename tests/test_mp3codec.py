@@ -303,3 +303,37 @@ def test_id3v2_refusals_are_loud():
     tag[14] |= 0x80  # corrupt the v2.4 frame size to non-syncsafe
     with pytest.raises(ValueError):
         parse_id3v2_frames(bytes(tag))
+
+
+def test_id3v2_frame_overrunning_tag_is_loud():
+    """A frame size that overruns the TAG (but not the file) must
+    raise, not decode audio bytes as tag text (review r10)."""
+    import struct
+
+    import pytest
+
+    from funding_monitoring_spark.operators.mpegaudio import (
+        build_mp3_frame,
+        parse_id3v2_frames,
+    )
+
+    frame = b"TIT2" + struct.pack(">I", 40) + b"\x00\x00" + b"\x00hi"
+    body = frame  # declared 40, tag holds ~13
+    ss = bytes([(len(body) >> s) & 0x7F for s in (21, 14, 7, 0)])
+    tag = b"ID3\x03\x00\x00" + ss + body
+    with pytest.raises(ValueError):
+        parse_id3v2_frames(tag + build_mp3_frame(128, 44100))
+
+
+def test_id3v2_unsynchronisation_refuses():
+    import pytest
+
+    from funding_monitoring_spark.operators.mpegaudio import (
+        build_id3v2_frames,
+        parse_id3v2_frames,
+    )
+
+    tag = bytearray(build_id3v2_frames({"TIT2": "x"}))
+    tag[5] |= 0x80
+    with pytest.raises(NotImplementedError):
+        parse_id3v2_frames(bytes(tag))

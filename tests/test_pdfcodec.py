@@ -213,3 +213,77 @@ def test_fixture_split_concatenates_exactly():
         for p in (1, 2, 3):
             parts = _pdf_pages(text, p)
             assert len(parts) == p and "".join(parts) == text
+
+
+def test_freed_object_does_not_resurrect():
+    """An incremental update that FREES an object must shadow the
+    older table's in-use entry (review r10): the freed object stays
+    unresolvable and n_objects drops. Object 4 here is unreferenced,
+    so the parse itself succeeds."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R >>",
+        4: _stream_obj(b"BT (orphan) Tj ET"),
+    }
+    base = _assemble(objs)
+    first_xref = base.rindex(b"\nxref\n") + 1
+    out = bytearray(base)
+    second_xref = len(out)
+    out += b"xref\n4 1\n" + b"0000000000 65536 f \n"
+    out += (
+        b"trailer\n<< /Size 5 /Root 1 0 R /Prev "
+        + str(first_xref).encode()
+        + b" >>\nstartxref\n" + str(second_xref).encode() + b"\n%%EOF\n"
+    )
+    info = parse_pdf(bytes(out))
+    assert info.n_objects == 3  # object 4 freed, not resurrected
+    assert info.page_texts == [""]
+
+
+def test_freed_contents_reference_is_loud():
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: _stream_obj(b"BT (old) Tj ET"),
+    }
+    base = _assemble(objs)
+    first_xref = base.rindex(b"\nxref\n") + 1
+    out = bytearray(base)
+    second_xref = len(out)
+    out += b"xref\n4 1\n" + b"0000000000 65536 f \n"
+    out += (
+        b"trailer\n<< /Size 5 /Root 1 0 R /Prev "
+        + str(first_xref).encode()
+        + b" >>\nstartxref\n" + str(second_xref).encode() + b"\n%%EOF\n"
+    )
+    with pytest.raises(ValueError):
+        parse_pdf(bytes(out)).page_texts
+
+
+def test_hex_string_tj_recovers_text():
+    """Hex-string Tj/TJ operands (the common font-encoded form) must
+    recover, not silently drop (review r10)."""
+    content = b"BT <48656c6c6f> Tj [ <41> (b) <43> ] TJ ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: _stream_obj(content),
+    }
+    info = parse_pdf(_assemble(objs))
+    assert info.page_texts == ["HelloAbC"]
+
+
+def test_inline_dict_operand_is_skipped():
+    content = (
+        b"/Span << /MCID 0 >> BDC BT (kept) Tj ET EMC"
+    )
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: _stream_obj(content),
+    }
+    assert parse_pdf(_assemble(objs)).page_texts == ["kept"]

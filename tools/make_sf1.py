@@ -103,7 +103,9 @@ def main() -> None:
         dest = os.path.join(args.out, f"{table}.parquet")
         if os.path.exists(dest):
             continue
-        src = os.path.join(args.src, f"{table}.parquet")
+        # absolute target: a relative --src would resolve against the
+        # LINK's directory, not the invocation CWD
+        src = os.path.abspath(os.path.join(args.src, f"{table}.parquet"))
         os.symlink(src, dest)
         print(f"{table}: symlinked sf0.1 -> {dest}")
     spark.stop()
