@@ -1,0 +1,215 @@
+"""Pure-Python Avro Object Container File codec (a flat-record
+profile), no spark-avro package.
+
+Avro OCF is the other ubiquitous data-engineering wire format next to
+parquet, and Spark only reads it through an EXTERNAL package this
+environment does not ship — so the engine carries its own reader for
+the profile ETL dumps actually use: a flat record schema of
+long / double / string / boolean / null-union fields, null or
+deflate codec. Everything is formula-defined by the public Avro 1.11
+spec: zigzag-varint longs, little-endian IEEE doubles, length-
+prefixed UTF-8 strings, union branch indices, and the container
+framing (magic 'Obj\\x01', metadata map with the schema JSON and
+codec, 16-byte sync marker, blocks of <count, byte-size, payload,
+sync>).
+
+Out-of-profile shapes refuse loudly: non-record top-level schemas,
+nested records/arrays/maps/enums/fixed/bytes fields, unions other
+than [null, T], codecs other than null/deflate, sync-marker
+mismatches (truncation/corruption).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+__all__ = ["encode_avro", "decode_avro"]
+
+_MAGIC = b"Obj\x01"
+_SYNC = bytes(range(16))  # deterministic writer sync marker
+
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(data: bytes, pos: int) -> tuple[int, int]:
+    shift = u = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("Avro varint truncated")
+        b = data[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError("Avro varint too long")
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _field_writer(ftype):
+    if ftype == "long" or ftype == "int":
+        return lambda v: _zigzag_encode(int(v))
+    if ftype == "double":
+        return lambda v: struct.pack("<d", float(v))
+    if ftype == "string":
+        def w(v):
+            b = str(v).encode("utf-8")
+            return _zigzag_encode(len(b)) + b
+        return w
+    if ftype == "boolean":
+        return lambda v: b"\x01" if v else b"\x00"
+    if isinstance(ftype, list) and len(ftype) == 2 and ftype[0] == "null":
+        inner = _field_writer(ftype[1])
+
+        def wu(v):
+            if v is None:
+                return _zigzag_encode(0)
+            return _zigzag_encode(1) + inner(v)
+
+        return wu
+    raise NotImplementedError(f"Avro field type {ftype!r} out of profile")
+
+
+def _field_reader(ftype):
+    if ftype == "long" or ftype == "int":
+        return _zigzag_decode
+    if ftype == "double":
+        def rd(data, pos):
+            if pos + 8 > len(data):
+                raise ValueError("Avro double truncated")
+            return struct.unpack_from("<d", data, pos)[0], pos + 8
+        return rd
+    if ftype == "string":
+        def rs(data, pos):
+            n, pos = _zigzag_decode(data, pos)
+            if n < 0 or pos + n > len(data):
+                raise ValueError("Avro string truncated")
+            return data[pos : pos + n].decode("utf-8"), pos + n
+        return rs
+    if ftype == "boolean":
+        def rb(data, pos):
+            if pos >= len(data):
+                raise ValueError("Avro boolean truncated")
+            return data[pos] != 0, pos + 1
+        return rb
+    if isinstance(ftype, list) and len(ftype) == 2 and ftype[0] == "null":
+        inner = _field_reader(ftype[1])
+
+        def ru(data, pos):
+            branch, pos = _zigzag_decode(data, pos)
+            if branch == 0:
+                return None, pos
+            if branch != 1:
+                raise ValueError(f"Avro union branch {branch} invalid")
+            return inner(data, pos)
+
+        return ru
+    raise NotImplementedError(f"Avro field type {ftype!r} out of profile")
+
+
+def encode_avro(schema: dict, records: list[dict],
+                codec: str = "null", block_size: int = 100) -> bytes:
+    """Write an Avro OCF: the flat-record schema JSON in the metadata
+    map, records in blocks of <= block_size, null or deflate codec."""
+    if schema.get("type") != "record":
+        raise NotImplementedError("only record top-level schemas")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"Avro codec {codec!r} unsupported")
+    writers = [
+        (f["name"], _field_writer(f["type"])) for f in schema["fields"]
+    ]
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": codec.encode(),
+    }
+    out = bytearray(_MAGIC)
+    out += _zigzag_encode(len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        out += _zigzag_encode(len(kb)) + kb
+        out += _zigzag_encode(len(v)) + v
+    out += _zigzag_encode(0)  # end of metadata map
+    out += _SYNC
+    for at in range(0, len(records), block_size):
+        block = records[at : at + block_size]
+        body = b"".join(
+            b"".join(w(rec[name]) for name, w in writers)
+            for rec in block
+        )
+        if codec == "deflate":
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            body = co.compress(body) + co.flush()
+        out += _zigzag_encode(len(block))
+        out += _zigzag_encode(len(body))
+        out += body
+        out += _SYNC
+    return bytes(out)
+
+
+def decode_avro(payload: bytes) -> tuple[dict, list[dict]]:
+    """Read an Avro OCF: returns (schema, records). Refuses loudly on
+    out-of-profile schemas/codecs and on sync-marker mismatches."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _zigzag_decode(payload, pos)
+        if n == 0:
+            break
+        if n < 0:  # negative count prefixes a byte-size (spec); rare
+            raise NotImplementedError("negative-count Avro map blocks")
+        for _ in range(n):
+            kl, pos = _zigzag_decode(payload, pos)
+            key = payload[pos : pos + kl].decode()
+            pos += kl
+            vl, pos = _zigzag_decode(payload, pos)
+            meta[key] = payload[pos : pos + vl]
+            pos += vl
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"Avro codec {codec!r} unsupported")
+    if schema.get("type") != "record":
+        raise NotImplementedError("only record top-level schemas")
+    readers = [
+        (f["name"], _field_reader(f["type"])) for f in schema["fields"]
+    ]
+    sync = payload[pos : pos + 16]
+    pos += 16
+    records: list[dict] = []
+    while pos < len(payload):
+        count, pos = _zigzag_decode(payload, pos)
+        size, pos = _zigzag_decode(payload, pos)
+        body = payload[pos : pos + size]
+        if len(body) != size:
+            raise ValueError("Avro block truncated")
+        pos += size
+        if payload[pos : pos + 16] != sync:
+            raise ValueError("Avro sync marker mismatch")
+        pos += 16
+        if codec == "deflate":
+            body = zlib.decompress(body, -15)
+        bpos = 0
+        for _ in range(count):
+            rec = {}
+            for name, rd in readers:
+                rec[name], bpos = rd(body, bpos)
+            records.append(rec)
+        if bpos != len(body):
+            raise ValueError("Avro block has trailing bytes")
+    return schema, records

@@ -1119,3 +1119,103 @@ def q_data_contract_report(spark, sf_dir):
         predicate("quantity_le_30", F.col("l_quantity") > 30),
     ]
     return check_constraints(lineitem, rules)
+
+
+@query("avro_file_source", _FILE_SOURCE_ORACLE)
+def q_avro_file_source(spark, sf_dir):
+    """Avro Object Container File round trip WITHOUT the external
+    spark-avro package (operators/avrocodec.py — pure zigzag-varint /
+    IEEE / sync-marker framing, null + deflate codecs): each input
+    partition writes one OCF part file (distributed write, deflate on
+    odd parts), the part paths parallelize back out, and each file
+    decodes to rows in Arrow-batched mapInPandas (distributed read —
+    OCF sync markers make real readers block-splittable; per-file
+    parallelism is the honest local equivalent). The same
+    three-aggregate oracle as every file source proves the container
+    carries identical values to the parquet twin."""
+    import os
+    import tempfile
+    from typing import Iterator
+
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from funding_monitoring_spark.operators.multimodal import (
+        register_module_by_value,
+    )
+
+    register_module_by_value(__name__)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    out_dir = tempfile.mkdtemp(prefix="fm_avro_src_")
+    schema_json = {
+        "type": "record",
+        "name": "event",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "user_id", "type": "long"},
+            {"name": "value", "type": "double"},
+        ],
+    }
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from funding_monitoring_spark.operators.avrocodec import (
+            encode_avro,
+        )
+
+        pid = TaskContext.get().partitionId()
+        recs = []
+        for pdf in batches:
+            recs.extend(pdf.to_dict("records"))
+        path = os.path.join(out_dir, f"part-{pid:05d}.avro")
+        with open(path, "wb") as fh:
+            fh.write(
+                encode_avro(
+                    schema_json, recs,
+                    codec="deflate" if pid % 2 else "null",
+                )
+            )
+        yield pd.DataFrame({"path": [path], "n": [len(recs)]})
+
+    manifest = events.mapInPandas(
+        write_part, schema="path string, n long"
+    ).collect()  # bounded: one row per partition (a file manifest)
+
+    paths = spark.createDataFrame(
+        [(r["path"],) for r in manifest], "path string"
+    ).repartition(len(manifest) or 1)
+
+    read_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def read_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from funding_monitoring_spark.operators.avrocodec import (
+            decode_avro,
+        )
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                with open(path, "rb") as fh:
+                    _, recs = decode_avro(fh.read())
+                if recs:
+                    yield pd.DataFrame(recs)
+
+    back = paths.mapInPandas(read_part, schema=read_schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_users"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

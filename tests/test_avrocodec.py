@@ -1,0 +1,92 @@
+"""Avro OCF codec tests (operators/avrocodec.py): zigzag edges,
+both codecs, union nulls, block framing, and loud refusals."""
+
+import pytest
+
+from funding_monitoring_spark.operators.avrocodec import (
+    decode_avro,
+    encode_avro,
+)
+
+_SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "keep", "type": "boolean"},
+        {"name": "lang", "type": ["null", "string"]},
+    ],
+}
+
+
+def _recs(n):
+    return [
+        {
+            "doc_id": i,
+            "text": f"t{i}" * (i % 9),
+            "score": i / 7.0,
+            "keep": i % 2 == 0,
+            "lang": None if i % 3 == 0 else f"l{i % 5}",
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("n,block", [(0, 10), (1, 10), (257, 50),
+                                     (100, 100), (101, 100)])
+def test_roundtrip(codec, n, block):
+    recs = _recs(n)
+    schema, back = decode_avro(
+        encode_avro(_SCHEMA, recs, codec=codec, block_size=block)
+    )
+    assert schema == _SCHEMA and back == recs
+
+
+def test_zigzag_long_edges():
+    recs = [
+        {"doc_id": v, "text": "", "score": 0.0, "keep": False,
+         "lang": None}
+        for v in (0, -1, 1, 63, -64, 2**62, -(2**62), 2**63 - 1,
+                  -(2**63))
+    ]
+    assert decode_avro(encode_avro(_SCHEMA, recs))[1] == recs
+
+
+def test_unicode_strings_roundtrip():
+    recs = [{"doc_id": 0, "text": "héllo — wörld ✓", "score": 1.5,
+             "keep": True, "lang": "ünïcode"}]
+    assert decode_avro(encode_avro(_SCHEMA, recs))[1] == recs
+
+
+def test_refusals_are_loud():
+    with pytest.raises(NotImplementedError):
+        encode_avro({"type": "array"}, [])
+    with pytest.raises(NotImplementedError):
+        encode_avro(
+            {"type": "record", "name": "x",
+             "fields": [{"name": "m", "type": {"type": "map"}}]},
+            [],
+        )
+    with pytest.raises(NotImplementedError):
+        encode_avro(_SCHEMA, [], codec="snappy")
+    with pytest.raises(ValueError):
+        decode_avro(b"NotAvroAtAll")
+    good = encode_avro(_SCHEMA, _recs(5))
+    doctored = bytearray(good)
+    doctored[-1] ^= 0xFF  # corrupt the trailing sync marker
+    with pytest.raises(ValueError):
+        decode_avro(bytes(doctored))
+    with pytest.raises(ValueError):
+        decode_avro(good[:-8])  # truncated block
+
+
+def test_unknown_codec_in_file_refuses():
+    good = bytearray(encode_avro(_SCHEMA, _recs(3)))
+    # rewrite the metadata codec value 'null' -> 'xxxx'
+    at = bytes(good).index(b"null", 4)
+    good[at : at + 4] = b"xxxx"
+    with pytest.raises(NotImplementedError):
+        decode_avro(bytes(good))
