@@ -209,14 +209,24 @@ def query(name: str, sql: str | None):
 #:       drift from the rule it claims to follow. Registration is
 #:       FROZEN for r10 as of this list: any round-10 registration
 #:       ships with a green local row and queues for r11.
-#:   r11 plan (precommitted): run `python tools/window_plan.py`
-#:       after CORRECTNESS_r10.json lands — the rule gives (a) any
-#:       round-10 post-freeze registrations first, (b) the 47-query
-#:       r6-row remainder (50 r6 rows minus the 3 pulled into this
-#:       window), (c) remaining slots to the oldest r7 rows in
-#:       registration order. No hand counting: the tool's output IS
-#:       the plan; update the max_round pin in
-#:       tests/test_registry_window.py to 10 when rotating.
+#:   r11 window (this list — executes the precommitted r11 plan,
+#:       generated by `python tools/window_plan.py` at max_round=10):
+#:       (a) the 16 round-10 post-freeze registrations, never
+#:       external (TIFF/AIFF/PDF/EXIF/ID3/multiscan-JPEG,
+#:       WARC/ZIP/TAR, Avro, HTML/URL/robots/Gopher, image near-dup,
+#:       stream_media_ingest); (b) the 34 oldest last-r6 rows in
+#:       registration order. Done right, this is the first round
+#:       with 263/263 cumulative external coverage. Registration is
+#:       FROZEN for r11 as of this list: any round-11 registration
+#:       ships with a green local row (CORRECTNESS_LOCAL_r11.json)
+#:       and queues for r12.
+#:   r12 plan (precommitted): run `python tools/window_plan.py`
+#:       after CORRECTNESS_r11.json lands — the rule gives (a) any
+#:       round-11 post-freeze registrations first, (b) the 16-query
+#:       last-r6 remainder, (c) remaining slots to the oldest r7
+#:       rows in registration order. No hand counting: the tool's
+#:       output IS the plan; bump the max_round pin in
+#:       tests/test_registry_window.py to 11 when rotating.
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
@@ -238,71 +248,72 @@ def query(name: str, sql: str | None):
 #: multi_touch_attribution, simhash_distance_histogram,
 #: dedup_savings_report, hourly_activity_heatmap, value_histogram.
 _PRIORITY: list[str] = [
-    # r10 window — generated by `python tools/window_plan.py`
-    # (max_round=9); see the rotation docstring above and
+    # r11 window — generated by `python tools/window_plan.py`
+    # (max_round=10); see the rotation docstring above and
     # tests/test_registry_window.py which pins this list to the rule.
-    "xml_file_source",
-    "multimodal_png16_roundtrip",
-    "multimodal_jpeg12_roundtrip",
-    "multimodal_g711_roundtrip",
-    "multimodal_mp3_roundtrip",
-    "event_type_correlation",
-    "reservoir_sample_by_source",
-    "dataset_mixture_plan",
-    "bpe_train_merges",
-    "bpe_pair_counts",
-    "ohlc_bars",
-    "cohort_retention",
-    "event_funnel",
-    "triangle_count",
-    "zorder_cluster_keys",
-    "frequent_tokens_sketch",
-    "rolling_beta",
-    "source_divergence_kl",
-    "rollup_cascade",
-    "quality_filter_ablation",
-    "unigram_logprob_score",
-    "funnel_latency_quantiles",
-    "vocab_coverage_curve",
-    "missing_ticks_report",
-    "robust_anomaly_mad",
-    "embedding_top_component",
-    "trend_regression",
-    "skew_diagnostics",
-    "table_profile",
-    "ks_two_sample",
-    "weekly_churn",
-    "multi_touch_attribution",
-    "dedup_savings_report",
-    "hourly_activity_heatmap",
-    "value_histogram",
-    "incremental_dedup",
-    "simhash_distance_histogram",
-    "csv_file_source",
-    "orc_file_source",
-    "doc_chunking",
-    "truncate_bulk_load",
-    "scd2_history",
-    "gap_fill_hourly",
-    "stream_anomaly_alerts",
-    "stream_ohlc_bars",
-    "stream_heavy_hitters",
-    "stream_window_distinct_users",
-    "winsorized_stats",
-    "repetition_filter",
-    "tfidf_top_terms",
+    # Cohorts: the 16 round-10 post-freeze registrations first
+    # (never-external), then the 34 oldest last-r6 rows.
+    "avro_file_source",
+    "warc_record_scan",
+    "zip_manifest_scan",
+    "tar_manifest_scan",
+    "robots_txt_filter",
+    "multimodal_pdf_textscan",
+    "multimodal_aiff_roundtrip",
+    "multimodal_jpeg_multiscan_roundtrip",
+    "multimodal_tiff_roundtrip",
+    "jpeg_exif_scan",
+    "image_dhash_near_dup",
+    "mp3_id3_scan",
+    "stream_media_ingest",
+    "gopher_quality_rules",
+    "html_text_extract",
+    "url_canonicalize_dedup",
+    "test_set_contamination",
+    "pii_redaction",
+    "corpus_balance_report",
+    "term_posting_lists",
+    "ngram_novelty",
+    "sequence_packing_plan",
+    "sequence_packing_sharded",
+    "token_id_encoding",
+    "packed_training_batches",
+    "pruned_time_range_stats",
+    "pruned_daily_rollup",
+    "bucketed_join_revenue",
+    "store_compaction_report",
+    "schema_evolution_read",
+    "multimodal_features",
+    "multimodal_resize_pipeline",
+    "multimodal_bmp_roundtrip",
+    "multimodal_png_roundtrip",
+    "train_test_split_stats",
+    "embedding_near_dup_exact",
+    "ann_recall_report",
+    "near_dup_recall_report",
+    "stream_cdc_materialize",
+    "window_functions_suite",
+    "hopping_window_rollup",
+    "stream_hopping_rollup",
+    "token_count",
+    "doc_fingerprint",
+    "text_quality",
+    "lang_id",
+    "curation_pipeline",
+    "curation_pipeline_full",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
 ]
 # ^ exactly 50 entries. After this round every query in the registry
-# has had at least one green external row (the 6 round-8 post-freeze
+# has had at least one green external row (the 16 round-10 post-freeze
 # registrations were the only never-external rows). The cumulative
 # external-coverage number is GENERATED, never hand-written here:
 # run `python tools/coverage_stats.py` — it unions CORRECTNESS_r*.json
-# and prints ever-green / registry-size per round. The r5 remainder
-# (45 queries) rolls to r10 per the precommitted plan in the
-# docstring above, and every query NOT in this window gets a
-# same-format local row in CORRECTNESS_LOCAL_r9.json
-# (tools/local_correctness.py), so nothing ships on pytest evidence
-# alone.
+# and prints ever-green / registry-size per round. The remaining
+# last-r6 rows roll to r12 per the rotation rule in the docstring
+# above, and every query NOT in this window gets a same-format local
+# row in CORRECTNESS_LOCAL_r11.json (tools/local_correctness.py), so
+# nothing ships on pytest evidence alone.
 
 
 def _ordered(d: dict) -> dict:
