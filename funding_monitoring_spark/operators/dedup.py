@@ -15,7 +15,7 @@ probabilistic pipeline is oracle-checkable exactly.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from funding_monitoring_spark.functions.scalars import let
@@ -420,12 +420,16 @@ def simhash_near_dup(
     """SimHash near-dup pairs: band the signature into byte blocks
     (equi-join candidates must share ≥1 exact block — pigeonhole holds
     when max_hamming < SIMHASH_BANDS·1), then verify Hamming ≤ t."""
-    # persist: the signature computation is the expensive part; the
-    # band self-join would otherwise evaluate it twice
+    # localCheckpoint: the signature computation is the expensive
+    # part; the band self-join would otherwise evaluate it twice
+    # (Catalyst does not reuse aliased self-join subplans), and the
+    # repo-standard eager checkpoint owns its own block lifetime —
+    # a bare .persist() here leaked cached partitions for the
+    # session when called repeatedly (ADVICE r10).
     sigs = (
         simhash_signatures_df(df, text_col, id_col)
         .select(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     banded = sigs.withColumn(
         "band_key",
@@ -477,6 +481,7 @@ def hex_signature_near_dup(
     hex_col: str = "sig",
     bands: int = 4,
     max_hamming: int = 3,
+    max_band_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Banded near-dup pairs over a 64-bit HEX-string signature column
     (16 lowercase hex chars — the image dHash serialization): the
@@ -485,7 +490,16 @@ def hex_signature_near_dup(
     must share >= 1 exact band (pigeonhole EXACT while
     max_hamming < bands), and survivors verify Hamming <= t with
     hi/lo 32-bit xor+bit_count (a 64-bit unsigned hex does not fit a
-    signed conv() long). Shuffle key is a band, never a pair."""
+    signed conv() long). Shuffle key is a band, never a pair.
+
+    ``max_band_bucket`` is the loud pair-mass guard (the fuzzyjoin
+    hot-bucket pattern): the candidate space — and on a
+    duplicate-heavy corpus the OUTPUT pair set itself — is quadratic
+    in the largest band bucket, so a viral duplicate group (k copies
+    of one image hash → C(k, 2) true pairs) fails loudly instead of
+    materializing O(k²) rows. The scale-safe consumer shape is
+    hex_signature_cluster_edges (star form), which collapses exact
+    duplicates before banding and never pays the quadratic output."""
     if max_hamming >= bands:
         raise ValueError(
             f"banding is only pigeonhole-exact for max_hamming < bands "
@@ -494,9 +508,12 @@ def hex_signature_near_dup(
     if 16 % bands:
         raise ValueError(f"bands={bands} must divide 16 hex chars")
     width = 16 // bands
+    # eager checkpoint (not a bare persist): both the guard probe and
+    # the self-join's two sides consume sigs; a .persist() with no
+    # owner leaked cached partitions across repeated calls (ADVICE r10)
     sigs = sigs.select(
         F.col(id_col).alias("id"), F.col(hex_col).alias("sig")
-    ).persist()
+    ).localCheckpoint(eager=True)
     banded = sigs.withColumn(
         "band_key",
         F.explode(
@@ -512,6 +529,31 @@ def hex_signature_near_dup(
             )
         ),
     )
+    if max_band_bucket is not None:
+        # loud pair-mass guard (fuzzyjoin hot-bucket pattern): the
+        # band self-join is quadratic per band bucket, and a bucket
+        # dominated by one exact signature means the OUTPUT pair set
+        # itself is quadratic — refuse with the scale-safe alternative
+        # named instead of materializing it. One cheap count pass over
+        # the checkpointed sigs (16 chars/row), .limit(1) probe only.
+        hot = (
+            banded.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_bucket)
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            r = hot[0]
+            raise ValueError(
+                f"hex_signature_near_dup band bucket "
+                f"{r.band_key!r} holds {r._n} signatures > "
+                f"max_band_bucket={max_band_bucket}: the candidate "
+                "(and likely output) pair set is quadratic in that "
+                "bucket — use hex_signature_cluster_edges (star-form "
+                "output) for duplicate-heavy corpora, or raise the "
+                "bound deliberately"
+            )
     left = banded.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_key"
     )
@@ -536,3 +578,67 @@ def hex_signature_near_dup(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+
+
+def hex_signature_cluster_edges(
+    sigs: DataFrame,
+    id_col: str = "id",
+    hex_col: str = "sig",
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_band_bucket: int | None = 10_000,
+) -> DataFrame:
+    """A SPANNING edge set of the Hamming-<=t graph over 64-bit hex
+    signatures in cluster-representative (star) form — the scale path
+    for CLUSTERING consumers of image near-dup, which need
+    connectivity, not every pair (the same contract as
+    fuzzyjoin.edit_distance_cluster_edges, lifted to signatures).
+
+    Exact-duplicate collapse first: identical signatures enter the
+    banded candidate space ONCE via their min-id representative, the
+    other copies attaching by star edges (representative -> member,
+    hamming 0 — identical signatures ARE Hamming 0). A viral duplicate
+    group of k copies therefore costs k star rows plus ONE node in the
+    band join instead of C(k, 2) verified pairs — the r10 sf1 sweep
+    measured the all-pairs form at 20.3x wall at 10x data on exactly
+    this shape (pair mass, not compute, was the growth).
+
+    Connectivity is IDENTICAL to hex_signature_near_dup's full pair
+    set: copies are Hamming 0 from their representative (<= t), and
+    any cross-copy pair's distance equals its representatives'
+    distance (same signatures), so a path exists in the star form iff
+    one exists in the pair form; connected components yield the same
+    clusters. Only the (deliberately unmaterialized) pair multiset
+    differs. Returns (id_a, id_b, hamming): hamming 0 on star edges,
+    the verified distance on representative pairs.
+
+    The band bucket after collapse holds at most one row per DISTINCT
+    signature, so ``max_band_bucket`` now guards genuine near-collision
+    density, not duplicate mass — it only trips when > max_band_bucket
+    distinct signatures share a band value."""
+    # ONE window pass tags every signature row with its min-id
+    # representative (a groupBy + re-join would shuffle twice); the
+    # slim tagged frame is checkpointed because both outputs filter it
+    # and Catalyst re-executes unshared subplans per consumer
+    w = Window.partitionBy("sig")
+    tagged = (
+        sigs.select(F.col(id_col).alias("id"), F.col(hex_col).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .withColumn("_rep", F.min("id").over(w))
+        .localCheckpoint(eager=True)
+    )
+    star = tagged.filter(F.col("id") != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.lit(0).cast("integer").alias("hamming"),
+    )
+    reps = tagged.filter(F.col("id") == F.col("_rep")).select("id", "sig")
+    rep_pairs = hex_signature_near_dup(
+        reps,
+        id_col="id",
+        hex_col="sig",
+        bands=bands,
+        max_hamming=max_hamming,
+        max_band_bucket=max_band_bucket,
+    ).select("id_a", "id_b", F.col("hamming").cast("integer").alias("hamming"))
+    return rep_pairs.unionByName(star)

@@ -461,9 +461,12 @@ def _pdf_oracle_sql() -> str:
 
     return f"""
     SELECT doc_id AS media_id,
-           '1.4' AS pdf_version,
+           CASE WHEN doc_id % 3 = 1 THEN '1.5' ELSE '1.4' END
+               AS pdf_version,
            CAST(1 + doc_id % 3 AS INT) AS n_pages,
-           CAST(3 + 2 * (1 + doc_id % 3) AS INT) AS n_objects,
+           CAST(3 + 2 * (1 + doc_id % 3)
+                + CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 0 END
+               AS INT) AS n_objects,
            CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3
                      ELSE 0 END AS INT) AS flate_streams,
            CAST(length(text) AS INT) AS n_text_chars,
@@ -482,16 +485,21 @@ def q_multimodal_pdf_textscan(spark, sf_dir):
     """Structural PDF scan + native text recovery — the profiling
     pass a 100 TB crawl runs over its PDF mass before spending
     OCR/layout CPU (operators/pdfcodec.py, pure Python + stdlib
-    zlib). Each document becomes a real classic-xref PDF (text split
-    across 1+id%3 pages, one content stream each, FlateDecode on even
-    ids); the parser re-walks the xref table, counts objects, walks
-    the /Pages tree, inflates the streams and recovers the Tj text
-    with full PDF string unescaping. The recovered text is
-    fingerprinted with the SAME rolling polynomial as
-    doc_fingerprint, recomputed by the oracle from the original text
-    — so page-split, xref-offset, inflate and unescape bugs all break
-    the hash. Encrypted PDFs, xref/object streams and non-Flate
-    filters refuse loudly (tests/test_pdfcodec.py)."""
+    zlib). The fixture is a MIXED-generation corpus like a crawl's:
+    ids with id%3==1 become PDF 1.5 (page tree packed in an /ObjStm,
+    PNG-Up-predicted cross-reference stream — the majority modern
+    shape), the rest classic-xref 1.4; text split across 1+id%3
+    pages, FlateDecode on even ids. The parser walks either xref
+    form (tables incl. hybrid /XRefStm, streams incl. /Prev chains),
+    resolves objects out of object streams, counts objects, walks
+    the /Pages tree, inflates (and un-predicts) the streams and
+    recovers the Tj text with full PDF string unescaping. The
+    recovered text is fingerprinted with the SAME rolling polynomial
+    as doc_fingerprint, recomputed by the oracle from the original
+    text — so page-split, xref-offset, predictor, inflate and
+    unescape bugs all break the hash. Encrypted PDFs, non-Flate
+    filters and non-PNG predictors refuse loudly
+    (tests/test_pdfcodec.py)."""
     from funding_monitoring_spark.operators.multimodal import (
         decode_pdf_features,
         synthesize_pdf_media,
@@ -1181,6 +1189,94 @@ def q_image_dhash_near_dup(spark, sf_dir):
         sigs, id_col="media_id", hex_col="dhash",
         bands=4, max_hamming=3,
     )
+
+
+_DH_HAMMING = """CAST(list_sum(list_transform(range(1, 17), i ->
+               bit_count(xor(
+                   strpos('0123456789abcdef', substr({a}, i, 1)) - 1,
+                   strpos('0123456789abcdef', substr({b}, i, 1)) - 1
+               )))) AS INT)"""
+
+
+@query(
+    "image_dhash_clusters",
+    f"""
+    WITH RECURSIVE dims AS (
+        SELECT doc_id AS media_id,
+               CAST(2 + doc_id % 6 AS INT) AS width,
+               CAST(2 + doc_id % 4 AS INT) AS height
+        FROM documents
+    ),
+    d0 AS (
+        SELECT media_id,
+               list_reduce(
+                   list_transform(range(0, 16), q -> {_dh_nibble("q")}),
+                   (a, b) -> a || b) AS dhash
+        FROM dims
+    ),
+    d AS (
+        SELECT media_id, dhash FROM d0
+        UNION ALL
+        SELECT media_id + 10000000, dhash FROM d0
+    ),
+    g AS (SELECT dhash, MIN(media_id) AS rep FROM d GROUP BY dhash),
+    hp AS (
+        SELECT a.dhash AS ha, b.dhash AS hb
+        FROM g a JOIN g b ON a.dhash <> b.dhash
+        WHERE {_DH_HAMMING.format(a="a.dhash", b="b.dhash")} <= 3
+    ),
+    reach(h, lbl) AS (
+        SELECT dhash, rep FROM g
+        UNION
+        SELECT hp.hb, r.lbl FROM reach r JOIN hp ON hp.ha = r.h
+    ),
+    comp AS (SELECT h AS dhash, MIN(lbl) AS cluster_id FROM reach GROUP BY h)
+    SELECT d.media_id, c.cluster_id,
+           d.media_id = c.cluster_id AS is_canonical
+    FROM d JOIN comp c USING (dhash)
+    """,
+)
+def q_image_dhash_clusters(spark, sf_dir):
+    """Image near-dup CLUSTERING in star form — the scale path the
+    all-pairs contract above cannot take: every media maps to its
+    canonical cluster representative (min media_id survivor rule)
+    without ever materializing within-cluster pairs. Exact-duplicate
+    dHashes collapse to a min-id representative BEFORE the banded
+    join (operators/dedup.hex_signature_cluster_edges), members
+    attach by star edges, and connected components run over the
+    spanning edge set — a viral duplicate group of k copies costs k
+    star rows + one band node instead of C(k, 2) pairs (the r10 sf1
+    sweep measured the pair form at 20.3x wall at 10x data; this
+    form's edge count is linear in corpus size). Connectivity — and
+    so this membership — is provably identical to the full pair set;
+    the oracle recomputes every dHash closed-form, takes the
+    brute-force Hamming<=3 closure over DISTINCT hashes, and checks
+    the per-media assignment exactly. At 100 TB: hash at ingest,
+    collapse by equality (one shuffle), band only distinct
+    signatures, CC over a spanning forest."""
+    from funding_monitoring_spark.operators.components import (
+        dedup_cluster_assignment,
+    )
+    from funding_monitoring_spark.operators.dedup import (
+        hex_signature_cluster_edges,
+    )
+    from funding_monitoring_spark.operators.multimodal import (
+        image_dhash_features,
+        synthesize_image_scale_twins,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sigs = image_dhash_features(
+        synthesize_image_scale_twins(docs)
+    ).select("media_id", "dhash")
+    edges = hex_signature_cluster_edges(
+        sigs, id_col="media_id", hex_col="dhash",
+        bands=4, max_hamming=3,
+    )
+    return dedup_cluster_assignment(
+        sigs.select("media_id"), edges,
+        id_col="media_id", src="id_a", dst="id_b",
+    ).select("media_id", "cluster_id", "is_canonical")
 
 
 @query(

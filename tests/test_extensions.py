@@ -1253,3 +1253,52 @@ def test_wav_8bit_and_float32_decode():
     pcm, _ = decode_wav(wav(3, 32, f32.tobytes()))
     # symmetric 32767 scaling: -1.0 -> -32767; out-of-range clips
     assert pcm[:, 0].tolist() == [0, 32767, -32767, 16384, -8192, 32767]
+
+
+def test_hex_near_dup_band_bucket_guard(spark):
+    """A viral exact-duplicate group (many copies of one signature)
+    must fail LOUDLY in the all-pairs contract — its output pair set
+    is C(k, 2) — and the error must name the scale-safe star form."""
+    rows = [(i, "a" * 16) for i in range(30)] + [(100, "b" * 16)]
+    sigs = spark.createDataFrame(rows, "id long, sig string")
+    with pytest.raises(ValueError, match="hex_signature_cluster_edges"):
+        D.hex_signature_near_dup(sigs, max_band_bucket=10)
+    # the star form handles the identical corpus without tripping the
+    # guard: after exact-dup collapse each band bucket holds at most
+    # one row per DISTINCT signature (2 here)
+    edges = D.hex_signature_cluster_edges(
+        sigs, max_band_bucket=10
+    ).collect()
+    assert len(edges) == 29  # 29 star rows, no rep pair (a^16 vs b^16)
+    assert all(e.id_a == 0 and e.hamming == 0 for e in edges)
+
+
+def test_hex_cluster_edges_connectivity_matches_pairs(spark):
+    """Star-form edges must induce EXACTLY the clusters of the full
+    pair set: exact copies collapse, near signatures (Hamming <= 3)
+    bridge through representatives, and singletons stay alone."""
+    from funding_monitoring_spark.operators.components import (
+        dedup_cluster_assignment,
+    )
+
+    rows = [
+        (1, "00000000000000ff"),
+        (2, "00000000000000ff"),  # exact dup of 1
+        (3, "00000000000000fe"),  # hamming 1 from the ff group
+        (4, "0000000000000055"),  # far: hamming 4 to ff, 5 to fe
+        (5, "ffffffffffffffff"),  # singleton
+    ]
+    sigs = spark.createDataFrame(rows, "id long, sig string")
+    ids = sigs.select(F.col("id").alias("media_id"))
+
+    def clusters(edges):
+        got = dedup_cluster_assignment(
+            ids, edges, id_col="media_id", src="id_a", dst="id_b"
+        ).collect()
+        return {r.media_id: r.cluster_id for r in got}
+
+    pair_form = clusters(
+        D.hex_signature_near_dup(sigs, max_band_bucket=None)
+    )
+    star_form = clusters(D.hex_signature_cluster_edges(sigs))
+    assert star_form == pair_form == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
