@@ -1227,20 +1227,28 @@ def _pdf_pages(text: str, n_pages: int) -> list:
 
 
 def synthesize_pdf_media(docs: DataFrame) -> DataFrame:
-    """Real classic-xref PDFs from the documents fixture: each doc's
-    text split across 1 + doc_id%3 pages (one content stream per
-    page), FlateDecode on even ids. 1:1 Arrow-batched mapInPandas."""
+    """Real PDFs from the documents fixture, a MIXED-generation
+    corpus like a crawl's: each doc's text split across 1 + doc_id%3
+    pages (one content stream per page), FlateDecode on even ids;
+    ids with doc_id%3 == 1 are written as PDF 1.5 (object stream +
+    PNG-Up-predicted cross-reference stream — the majority modern
+    shape), the rest as classic-xref 1.4. 1:1 Arrow-batched
+    mapInPandas."""
     register_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from funding_monitoring_spark.operators.pdfcodec import encode_pdf
+        from funding_monitoring_spark.operators.pdfcodec import (
+            encode_pdf,
+            encode_pdf15,
+        )
 
         for pdf in batches:
             payloads, metas = [], []
             for mid, text in zip(pdf["media_id"], pdf["text"]):
                 mid = int(mid)
+                writer = encode_pdf15 if mid % 3 == 1 else encode_pdf
                 payloads.append(
-                    encode_pdf(
+                    writer(
                         _pdf_pages(str(text), 1 + mid % 3),
                         compress=(mid % 2 == 0),
                     )

@@ -1,19 +1,29 @@
-"""Pure-Python structural PDF parser + writer (classic PDF 1.4).
+"""Pure-Python structural PDF parser + writer (classic PDF 1.4 and
+PDF 1.5 cross-reference / object streams).
 
 What a 100 TB crawl needs from PDFs BEFORE spending OCR/layout CPU is
 structural profiling and native text recovery: version, object count,
 page count (the real /Pages tree walk, not a regex), and the text a
 content stream carries in Tj/TJ operators. All of that is
-algorithm-defined by the public PDF 1.4 reference: the classic xref
-table is fixed-width records, objects are a small recursive grammar
+algorithm-defined by the public PDF reference: the classic xref
+table is fixed-width records, a 1.5 cross-reference stream is a
+Flate(+PNG-predictor)-filtered table of /W-sized big-endian fields,
+an object stream (/ObjStm) is an offset-indexed container of
+non-stream objects, objects are a small recursive grammar
 (dict/array/name/number/string/ref), streams are delimited by
 stream/endstream with /Length, and FlateDecode is stdlib zlib.
 
 Scope, honestly bounded (NotImplementedError, never fake output):
-- classic xref TABLES (incl. /Prev chains and multiple subsections);
-  PDF 1.5+ cross-reference STREAMS and object streams (/ObjStm) refuse
-- /Filter: none or FlateDecode (single or [/FlateDecode]); others
-  (DCT, LZW, ASCII85, CCITT...) refuse at the stream that uses them
+- classic xref TABLES (incl. /Prev chains, multiple subsections, and
+  hybrid-reference /XRefStm bridges) AND PDF 1.5+ cross-reference
+  STREAMS (/Type /XRef, /W field widths, /Index subsections, /Prev
+  chains) with objects resolved out of object streams (/ObjStm —
+  the dominant modern-PDF shape; a crawl's PDF mass is majority 1.5+)
+- /Filter: none or FlateDecode (single or [/FlateDecode]) with
+  /DecodeParms absent, /Predictor 1, or PNG predictors 10-15
+  (row-filtered exactly as in PNG: None/Sub/Up/Average/Paeth);
+  TIFF Predictor 2 and other filters (DCT, LZW, ASCII85, CCITT...)
+  refuse at the stream that uses them
 - encrypted documents (/Encrypt in trailer) refuse up front
 - text recovery reads Tj and TJ string arguments in content-stream
   order with full PDF string unescaping (\\(, \\), \\\\, \\n, \\r,
@@ -21,10 +31,12 @@ Scope, honestly bounded (NotImplementedError, never fake output):
   operators are ignored, which is exactly the "native text layer"
   contract of a corpus profiler (reading order, not layout).
 
-The writer emits the same profile (catalog / pages tree / page +
-content-stream pairs / one Type1 font, optional FlateDecode, classic
-xref + trailer), so decode(encode(text)) == text exactly and every
-offset in the xref is real and verified by the parser's strict mode.
+The writers emit the same profiles (classic: catalog / pages tree /
+page + content-stream pairs / one Type1 font, optional FlateDecode,
+classic xref + trailer; 1.5: the page-tree dictionaries packed in an
+/ObjStm and a PNG-Up-predicted cross-reference stream), so
+decode(encode(text)) == text exactly and every offset/index in the
+xref is real and verified by the parser's strict mode.
 """
 
 from __future__ import annotations
@@ -131,6 +143,129 @@ def encode_pdf(pages: list[str], compress: bool = False) -> bytes:
         f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
+    return bytes(out)
+
+
+def _png_predict_up(data: bytes, row_len: int) -> bytes:
+    """Apply the PNG Up filter (type 2) rowwise — the predictor real
+    xref streams ship with; the parser's _png_unpredict reverses it."""
+    if len(data) % row_len:
+        raise ValueError("data is not a whole number of rows")
+    out = bytearray()
+    prev = bytes(row_len)
+    for at in range(0, len(data), row_len):
+        row = data[at : at + row_len]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(row_len))
+        prev = row
+    return bytes(out)
+
+
+def encode_pdf15(pages: list[str], compress: bool = False) -> bytes:
+    """Write a PDF 1.5 with the modern layout the majority of a
+    crawl's PDF mass uses: the page-tree dictionaries (catalog /
+    pages node / font / page objects) packed into ONE object stream
+    (/ObjStm), content streams as direct objects (streams cannot live
+    in an ObjStm), and a cross-reference STREAM (/Type /XRef,
+    W=[1,4,2], FlateDecode + PNG Up predictor) instead of a classic
+    table. Same text profile as encode_pdf, so
+    parse_pdf(encode_pdf15(pages)).text == "".join(pages)."""
+    n = len(pages)
+    if n == 0:
+        raise ValueError("a PDF needs at least one page")
+    # numbering mirrors encode_pdf (1 catalog, 2 pages, 3 font,
+    # 4+2i page, 5+2i content), then 2n+4 ObjStm, 2n+5 XRef stream
+    objstm_num, xref_num = 2 * n + 4, 2 * n + 5
+    packed: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (
+            2,
+            (
+                "<< /Type /Pages /Kids [ "
+                + " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+                + f" ] /Count {n} >>"
+            ).encode(),
+        ),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    direct: dict[int, bytes] = {}
+    for i, text in enumerate(pages):
+        page_no, content_no = 4 + 2 * i, 5 + 2 * i
+        packed.append(
+            (
+                page_no,
+                (
+                    f"<< /Type /Page /Parent 2 0 R "
+                    f"/MediaBox [ 0 0 612 792 ] "
+                    f"/Resources << /Font << /F1 3 0 R >> >> "
+                    f"/Contents {content_no} 0 R >>"
+                ).encode(),
+            )
+        )
+        body = (
+            b"BT /F1 12 Tf 72 720 Td ("
+            + _escape_string(text)
+            + b") Tj ET"
+        )
+        if compress:
+            body = zlib.compress(body)
+            head = (
+                f"<< /Length {len(body)} /Filter /FlateDecode >>"
+            ).encode()
+        else:
+            head = f"<< /Length {len(body)} >>".encode()
+        direct[content_no] = head + b"\nstream\n" + body + b"\nendstream"
+
+    # object stream: header of (num, offset) pairs, then the bodies
+    bodies = b""
+    header_parts = []
+    stm_index: dict[int, int] = {}
+    for idx, (num, body) in enumerate(packed):
+        header_parts.append(f"{num} {len(bodies)}")
+        stm_index[num] = idx
+        bodies += body + b"\n"
+    header = (" ".join(header_parts) + "\n").encode()
+    stm_body = zlib.compress(header + bodies)
+    direct[objstm_num] = (
+        f"<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+        f"/Length {len(stm_body)} /Filter /FlateDecode >>".encode()
+        + b"\nstream\n"
+        + stm_body
+        + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(direct):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + direct[num] + b"\nendobj\n"
+
+    # cross-reference stream rows, W = [1, 4, 2]
+    size = xref_num + 1
+    xref_at = len(out)
+    rows = bytearray()
+
+    def row(ftype: int, f2: int, f3: int):
+        rows.append(ftype)
+        rows.extend(f2.to_bytes(4, "big"))
+        rows.extend(f3.to_bytes(2, "big"))
+
+    row(0, 0, 65535)  # object 0: free-list head
+    for num in range(1, xref_num):
+        if num in stm_index:
+            row(2, objstm_num, stm_index[num])
+        else:
+            row(1, offsets[num], 0)
+    row(1, xref_at, 0)  # the xref stream itself
+    xref_body = zlib.compress(_png_predict_up(bytes(rows), 7))
+    out += f"{xref_num} 0 obj\n".encode()
+    out += (
+        f"<< /Type /XRef /Size {size} /W [ 1 4 2 ] /Root 1 0 R "
+        f"/Length {len(xref_body)} /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 7 >> >>"
+    ).encode()
+    out += b"\nstream\n" + xref_body + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
 
 
@@ -305,67 +440,235 @@ class _Lexer:
         return ("str", bytes.fromhex(hx.decode()))
 
 
+# -- PNG predictor (FlateDecode /DecodeParms) -------------------------------
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """Reverse PNG row filters over a Flate-inflated stream: each row
+    is 1 filter byte + columns*colors*bpc/8 data bytes; filters are
+    the five PNG types (None/Sub/Up/Average/Paeth) applied bytewise
+    with pixel width bpp = max(1, colors*bpc//8). This is the
+    /Predictor >= 10 profile every xref stream in the wild uses."""
+    bpp = max(1, colors * bpc // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    if row_len <= 0:
+        raise ValueError("PNG predictor with non-positive row length")
+    if len(data) % (row_len + 1):
+        raise ValueError(
+            f"PNG-predicted stream length {len(data)} is not a "
+            f"multiple of row size {row_len + 1}"
+        )
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    while pos < len(data):
+        ftype = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + row_len])
+        pos += 1 + row_len
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, row_len):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_len):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_len):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 # -- document walk ----------------------------------------------------------
 
 
 _OBJ_HEAD = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
-def _parse_xref_tables(data: bytes, start: int):
-    """Walk the classic xref table chain (startxref -> /Prev ...).
-    Returns ({obj_num: offset}, trailer_of_newest_table)."""
-    offsets: dict[int, int] = {}
-    decided: set[int] = set()  # objects settled by a NEWER table —
+def _read_classic_section(data: bytes, pos: int):
+    """Parse ONE classic xref table + its trailer at pos. Returns
+    (entries, trailer): entries is [(num, entry_or_None)] in table
+    order, entry ("at", offset) for in-use rows, None for freed."""
+    lex = _Lexer(data, pos)
+    lex._skip_ws()
+    if data[lex.pos : lex.pos + 4] != b"xref":
+        raise ValueError("position does not hold an xref table")
+    i = lex.pos + 4
+    entries: list[tuple[int, tuple | None]] = []
+    while True:
+        lex = _Lexer(data, i)
+        lex._skip_ws()
+        i = lex.pos
+        if data[i : i + 7] == b"trailer":
+            break
+        m = re.match(rb"(\d+)\s+(\d+)", data[i:])
+        if not m:
+            raise ValueError("malformed xref subsection header")
+        first, count = int(m.group(1)), int(m.group(2))
+        i += m.end()
+        # entries start on the next line, 20 bytes each
+        while data[i] in b"\r\n \t":
+            i += 1
+        for k in range(count):
+            entry = data[i : i + 20]
+            off, gen, kind = entry[:10], entry[11:16], entry[17:18]
+            num = first + k
+            if kind == b"n":
+                entries.append((num, ("at", int(off))))
+            else:  # 'f': freed by this revision — decided, no offset
+                entries.append((num, None))
+            i += 20
+    lex = _Lexer(data, i + 7)
+    trailer = lex.parse()
+    return entries, trailer
+
+
+def _read_xref_stream_section(data: bytes, pos: int):
+    """Parse ONE PDF 1.5 cross-reference STREAM object at pos.
+    Returns (entries, stream_dict): entries as in
+    _read_classic_section plus ("objstm", stm_num, idx) rows for
+    type-2 records; the stream dict doubles as the trailer."""
+    lex = _Lexer(data, pos)
+    lex._skip_ws()
+    mh = _OBJ_HEAD.match(data, lex.pos)
+    if not mh:
+        raise ValueError("position does not hold an xref stream object")
+    lex.pos = mh.end()
+    d = lex.parse()
+    if not isinstance(d, dict):
+        raise ValueError("xref stream object is not a dictionary")
+    dtype = d.get("Type")
+    if not (isinstance(dtype, tuple) and dtype[1] == "XRef"):
+        raise ValueError("startxref object is not /Type /XRef")
+    # the spec REQUIRES direct values in the xref stream dict (the
+    # reader has no xref yet to resolve references with)
+    body = _stream_of(data, d, lex.pos, _direct_only)
+    w = [_direct_only(x) for x in d.get("W", [])]
+    if len(w) != 3 or not all(isinstance(x, int) and x >= 0 for x in w):
+        raise ValueError(f"xref stream /W {w!r} is not 3 widths")
+    size = _direct_only(d.get("Size"))
+    index = [_direct_only(x) for x in d.get("Index", [0, size])]
+    if len(index) % 2:
+        raise ValueError("xref stream /Index has odd length")
+    row_len = sum(w)
+    if row_len == 0:
+        raise ValueError("xref stream /W is all-zero")
+    n_rows = sum(index[1::2])
+    if len(body) < n_rows * row_len:
+        raise ValueError(
+            f"xref stream holds {len(body)} bytes < "
+            f"{n_rows} rows x {row_len}"
+        )
+    entries: list[tuple[int, tuple | None]] = []
+    at = 0
+
+    def field(width: int, default: int) -> int:
+        nonlocal at
+        if width == 0:
+            return default
+        v = int.from_bytes(body[at : at + width], "big")
+        at += width
+        return v
+
+    for s in range(0, len(index), 2):
+        first, count = index[s], index[s + 1]
+        for k in range(count):
+            ftype = field(w[0], 1)  # w1=0 -> type 1 per spec
+            f2 = field(w[1], 0)
+            f3 = field(w[2], 0)
+            num = first + k
+            if ftype == 0:
+                entries.append((num, None))
+            elif ftype == 1:
+                entries.append((num, ("at", f2)))
+            elif ftype == 2:
+                entries.append((num, ("objstm", f2, f3)))
+            else:
+                # spec: unknown types shall be treated as null/free
+                entries.append((num, None))
+    return entries, d
+
+
+def _direct_only(x):
+    """Resolver for contexts where the spec requires direct values
+    (the xref stream dict): an indirect reference is malformed."""
+    if isinstance(x, tuple) and x[0] == "ref":
+        raise ValueError(
+            "indirect reference where the PDF spec requires a direct "
+            "value (cross-reference stream dictionary)"
+        )
+    return x
+
+
+def _parse_xref(data: bytes, start: int):
+    """Walk the cross-reference chain (startxref -> /Prev ...),
+    classic tables and 1.5 xref streams both, including hybrid
+    /XRefStm bridges (the stream takes precedence over its revision's
+    table, per the spec's reading order). Returns
+    ({obj_num: ("at", offset) | ("objstm", stm, idx)},
+    trailer_of_newest_revision)."""
+    offsets: dict[int, tuple] = {}
+    decided: set[int] = set()  # objects settled by a NEWER revision —
     # including FREED ones, so a /Prev chain cannot resurrect them
     trailer_out = None
     seen = set()
     pos = start
+
+    def commit(entries):
+        for num, entry in entries:
+            if num in decided:
+                continue
+            decided.add(num)
+            if entry is not None:
+                offsets[num] = entry
+
     while True:
         if pos in seen:
             raise ValueError("circular xref /Prev chain")
         seen.add(pos)
         lex = _Lexer(data, pos)
         lex._skip_ws()
-        if data[lex.pos : lex.pos + 4] != b"xref":
-            # a cross-reference STREAM starts with "N 0 obj" instead
-            if _OBJ_HEAD.match(data, lex.pos):
-                raise NotImplementedError(
-                    "PDF 1.5 cross-reference streams not supported "
-                    "(classic xref tables only)"
+        if data[lex.pos : lex.pos + 4] == b"xref":
+            entries, trailer = _read_classic_section(data, lex.pos)
+            if "XRefStm" in trailer:
+                # hybrid-reference file: the xref stream is read
+                # BEFORE the table of the same revision
+                s_entries, _ = _read_xref_stream_section(
+                    data, int(_direct_only(trailer["XRefStm"]))
                 )
-            raise ValueError("startxref does not point at an xref table")
-        i = lex.pos + 4
-        while True:
-            lex = _Lexer(data, i)
-            lex._skip_ws()
-            i = lex.pos
-            if data[i : i + 7] == b"trailer":
-                break
-            m = re.match(rb"(\d+)\s+(\d+)", data[i:])
-            if not m:
-                raise ValueError("malformed xref subsection header")
-            first, count = int(m.group(1)), int(m.group(2))
-            i += m.end()
-            # entries start on the next line, 20 bytes each
-            while data[i] in b"\r\n \t":
-                i += 1
-            for k in range(count):
-                entry = data[i : i + 20]
-                off, gen, kind = entry[:10], entry[11:16], entry[17:18]
-                num = first + k
-                if num not in decided:
-                    decided.add(num)
-                    if kind == b"n":
-                        offsets[num] = int(off)
-                    # kind 'f': freed by this (newer) revision —
-                    # decided with NO offset, stays unresolvable
-                i += 20
-        lex = _Lexer(data, i + 7)
-        trailer = lex.parse()
+                commit(s_entries)
+            commit(entries)
+        elif _OBJ_HEAD.match(data, lex.pos):
+            entries, trailer = _read_xref_stream_section(data, lex.pos)
+            commit(entries)
+        else:
+            raise ValueError(
+                "startxref does not point at an xref table or stream"
+            )
         if trailer_out is None:
             trailer_out = trailer
         if "Prev" in trailer:
-            pos = int(trailer["Prev"])
+            pos = int(_direct_only(trailer["Prev"]))
         else:
             return offsets, trailer_out
 
@@ -389,11 +692,28 @@ def _stream_of(data: bytes, obj_dict, body_at: int, resolve):
     names = [f[1] for f in filt
              if isinstance(f, tuple) and f[0] == "name"]
     if names == ["FlateDecode"]:
-        if "DecodeParms" in obj_dict and obj_dict["DecodeParms"]:
-            raise NotImplementedError(
-                "FlateDecode predictors (DecodeParms) not supported"
+        inflated = zlib.decompress(raw)
+        parms = resolve(obj_dict.get("DecodeParms"))
+        if isinstance(parms, list):  # parallel to the 1-filter array
+            parms = resolve(parms[0]) if parms else None
+        if not parms:
+            return inflated
+        if not isinstance(parms, dict):
+            raise ValueError("/DecodeParms is not a dictionary")
+        predictor = resolve(parms.get("Predictor", 1))
+        if predictor == 1:
+            return inflated
+        if isinstance(predictor, int) and predictor >= 10:
+            return _png_unpredict(
+                inflated,
+                columns=resolve(parms.get("Columns", 1)),
+                colors=resolve(parms.get("Colors", 1)),
+                bpc=resolve(parms.get("BitsPerComponent", 8)),
             )
-        return zlib.decompress(raw)
+        raise NotImplementedError(
+            f"FlateDecode /Predictor {predictor!r} not supported "
+            "(PNG predictors 10-15 only)"
+        )
     raise NotImplementedError(f"PDF stream filters {names} not supported")
 
 
@@ -483,11 +803,12 @@ def _content_text(content: bytes) -> str:
 
 
 def parse_pdf(payload: bytes, strict: bool = True) -> PdfInfo:
-    """Structural parse of a classic-xref PDF: version, object count
-    (xref in-use entries), page count via the real /Pages tree walk,
-    and per-page native text (Tj/TJ recovery, FlateDecode inflated).
-    Encrypted documents, xref/object streams and non-Flate filters
-    refuse loudly."""
+    """Structural parse of a PDF: version, object count (xref in-use
+    entries), page count via the real /Pages tree walk, and per-page
+    native text (Tj/TJ recovery, FlateDecode inflated). Classic xref
+    tables, 1.5 xref streams, hybrid /XRefStm files and object
+    streams all parse; encrypted documents, non-Flate filters and
+    non-PNG predictors refuse loudly."""
     m = re.match(rb"%PDF-(\d+\.\d+)", payload)
     if not m:
         raise ValueError("not a PDF payload (missing %PDF- header)")
@@ -499,16 +820,81 @@ def parse_pdf(payload: bytes, strict: bool = True) -> PdfInfo:
     m2 = re.search(rb"startxref\s+(\d+)", tail[sx:])
     if not m2:
         raise ValueError("malformed startxref")
-    offsets, trailer = _parse_xref_tables(payload, int(m2.group(1)))
+    offsets, trailer = _parse_xref(payload, int(m2.group(1)))
     if "Encrypt" in trailer:
         raise NotImplementedError("encrypted PDFs not supported")
+
+    objstm_cache: dict[int, dict[int, object]] = {}
+
+    def _objstm_objects(stm_num: int) -> dict[int, object]:
+        """Parse (and cache) every object an /ObjStm carries: N pairs
+        of (obj_num, offset) in the header, bodies at /First + off."""
+        if stm_num in objstm_cache:
+            return objstm_cache[stm_num]
+        entry = offsets.get(stm_num)
+        if entry is None or entry[0] != "at":
+            raise ValueError(
+                f"object stream {stm_num} has no direct xref entry"
+            )
+        lex = _Lexer(payload, entry[1])
+        lex._skip_ws()
+        mh = _OBJ_HEAD.match(payload, lex.pos)
+        if not mh:
+            raise ValueError(
+                f"xref offset for object stream {stm_num} does not "
+                "point at an object"
+            )
+        if strict and int(mh.group(1)) != stm_num:
+            raise ValueError(
+                f"xref offset for object stream {stm_num} points at "
+                f"object {int(mh.group(1))}"
+            )
+        lex.pos = mh.end()
+        d = lex.parse()
+        if not isinstance(d, dict):
+            raise ValueError("object stream is not a stream dict")
+        dtype = d.get("Type")
+        if not (isinstance(dtype, tuple) and dtype[1] == "ObjStm"):
+            raise ValueError(
+                f"type-2 xref entry points into a non-/ObjStm object"
+            )
+        body = _stream_of(payload, d, lex.pos, resolve_val)
+        n = resolve_val(d.get("N"))
+        first = resolve_val(d.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise ValueError("/ObjStm /N or /First is not an integer")
+        head = _Lexer(body, 0)
+        pairs = []
+        for _ in range(n):
+            onum = head.parse()
+            ooff = head.parse()
+            if not isinstance(onum, int) or not isinstance(ooff, int):
+                raise ValueError("/ObjStm header is not integer pairs")
+            pairs.append((onum, ooff))
+        parsed: dict[int, object] = {}
+        for onum, ooff in pairs:
+            obj_lex = _Lexer(body, first + ooff)
+            parsed[onum] = obj_lex.parse()
+        objstm_cache[stm_num] = parsed
+        return parsed
 
     def resolve(x):
         if isinstance(x, tuple) and x[0] == "ref":
             num = x[1]
-            if num not in offsets:
+            entry = offsets.get(num)
+            if entry is None:
                 raise ValueError(f"dangling reference to object {num}")
-            lex = _Lexer(payload, offsets[num])
+            if entry[0] == "objstm":
+                objs = _objstm_objects(entry[1])
+                if num not in objs:
+                    raise ValueError(
+                        f"object {num} missing from object stream "
+                        f"{entry[1]}"
+                    )
+                # objects inside an /ObjStm cannot carry streams, so
+                # there is no body position to return
+                return objs[num], None
+            lex = _Lexer(payload, entry[1])
             lex._skip_ws()
             mh = _OBJ_HEAD.match(payload, lex.pos)
             if not mh:
@@ -560,6 +946,11 @@ def parse_pdf(payload: bytes, strict: bool = True) -> PdfInfo:
             if not (isinstance(ref, tuple) and ref[0] == "ref"):
                 raise ValueError("/Contents is not a reference")
             obj, end_pos = resolve(ref)
+            if end_pos is None:
+                raise ValueError(
+                    "content stream resolved inside an object stream "
+                    "— streams cannot live in an /ObjStm"
+                )
             if not isinstance(obj, dict):
                 raise ValueError("content object is not a stream dict")
             data = _stream_of(payload, obj, end_pos, resolve_val)

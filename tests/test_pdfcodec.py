@@ -1,15 +1,20 @@
 """Structural PDF parser tests (operators/pdfcodec.py): writer
-roundtrips, hand-assembled foreign shapes the writer does not emit
-(nested Pages tree, array /Contents, TJ arrays, multi-subsection and
-incremental xref, indirect /Length, hex strings), and loud refusals
-(xref streams, non-Flate filters, predictors, encryption)."""
+roundtrips (classic 1.4 AND 1.5 xref/object streams), hand-assembled
+foreign shapes the writer does not emit (nested Pages tree, array
+/Contents, TJ arrays, multi-subsection and incremental xref, indirect
+/Length, hex strings, hybrid /XRefStm, xref-stream /Prev chains), and
+loud refusals narrowed to non-Flate filters, non-PNG predictors and
+encryption."""
 
 import zlib
 
 import pytest
 
 from funding_monitoring_spark.operators.pdfcodec import (
+    _png_predict_up,
+    _png_unpredict,
     encode_pdf,
+    encode_pdf15,
     parse_pdf,
 )
 
@@ -135,18 +140,18 @@ def test_incremental_update_prev_chain():
     assert info.page_texts == ["new"]
 
 
-def test_xref_stream_refuses():
+def test_startxref_at_non_xref_object_is_loud():
     objs = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids [ ] /Count 0 >>",
     }
     pdf = _assemble(objs)
-    # point startxref at object 1 instead of the table
+    # point startxref at object 1: not a table, and not /Type /XRef
     off1 = pdf.index(b"1 0 obj")
     doctored = pdf[: pdf.rindex(b"startxref")] + (
         b"startxref\n" + str(off1).encode() + b"\n%%EOF\n"
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="XRef"):
         parse_pdf(doctored)
 
 
@@ -161,13 +166,14 @@ def test_filter_and_parms_refuse():
     objs[4] = _stream_obj(b"abc", extra=b"/Filter /ASCII85Decode ")
     with pytest.raises(NotImplementedError):
         parse_pdf(_assemble(objs))
+    # TIFF Predictor 2 stays out of profile (PNG 10-15 now decode)
     objs = dict(base)
     objs[4] = _stream_obj(
         body,
         extra=b"/Filter /FlateDecode "
-              b"/DecodeParms << /Predictor 12 >> ",
+              b"/DecodeParms << /Predictor 2 >> ",
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="Predictor"):
         parse_pdf(_assemble(objs))
 
 
@@ -287,3 +293,193 @@ def test_inline_dict_operand_is_skipped():
         4: _stream_obj(content),
     }
     assert parse_pdf(_assemble(objs)).page_texts == ["kept"]
+
+
+# -- PDF 1.5: xref streams, object streams, predictors --------------------
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_roundtrip_pdf15(compress):
+    pages = ["modern (xref) stream", "", "page \\3 " + "y" * 300]
+    info = parse_pdf(encode_pdf15(pages, compress=compress))
+    assert info.version == "1.5"
+    assert info.n_pages == len(pages)
+    assert info.page_texts == pages
+    # 3 tree objects + 2 per page + the ObjStm + the XRef stream
+    assert info.n_objects == 3 + 2 * len(pages) + 2
+    assert info.flate_streams == (len(pages) if compress else 0)
+    assert info.text == "".join(pages)
+
+
+def test_png_unpredict_inverts_every_filter():
+    """Apply each PNG forward filter by hand and check the parser's
+    unfilter restores the exact rows (bpp=1, the xref-stream shape)."""
+    rows = [bytes([7, 200, 13, 0, 255]), bytes([9, 1, 128, 64, 250]),
+            bytes([0, 0, 17, 99, 3])]
+    row_len = 5
+
+    def forward(ftype, row, prev):
+        out = bytearray([ftype])
+        for i, b in enumerate(row):
+            a = row[i - 1] if i else 0
+            up = prev[i]
+            c = prev[i - 1] if i else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (a + up) >> 1
+            else:  # Paeth
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (
+                    up if pb <= pc else c)
+            out.append((b - pred) & 0xFF)
+        return bytes(out)
+
+    for ftype in range(5):
+        prev = bytes(row_len)
+        filtered = bytearray()
+        for row in rows:
+            filtered += forward(ftype, row, prev)
+            prev = row
+        got = _png_unpredict(bytes(filtered), columns=row_len)
+        assert got == b"".join(rows), f"filter {ftype}"
+    # the writer's Up filter round-trips through the same path
+    data = b"".join(rows)
+    assert _png_unpredict(_png_predict_up(data, row_len),
+                          columns=row_len) == data
+    with pytest.raises(ValueError, match="filter type"):
+        _png_unpredict(bytes([9]) + bytes(row_len), columns=row_len)
+    with pytest.raises(ValueError, match="multiple"):
+        _png_unpredict(b"\x00abc", columns=row_len)
+
+
+def _xref_stream_obj(num, entries, size, at, prev=None, extra=b""):
+    """Serialize an UNFILTERED xref stream object (W=[1,4,2]):
+    entries is [(first, [row...])] with row (type, f2, f3); `at` is
+    the byte offset the object will land at (unused in the body but
+    kept for call-site clarity)."""
+    rows = bytearray()
+    index = []
+    for first, sub in entries:
+        index += [first, len(sub)]
+        for t, f2, f3 in sub:
+            rows.append(t)
+            rows.extend(f2.to_bytes(4, "big"))
+            rows.extend(f3.to_bytes(2, "big"))
+    head = (
+        f"<< /Type /XRef /Size {size} /W [ 1 4 2 ] "
+        f"/Index [ {' '.join(map(str, index))} ] /Root 1 0 R "
+        + (f"/Prev {prev} " if prev is not None else "")
+        + extra.decode()
+        + f"/Length {len(rows)} >>"
+    ).encode()
+    return (
+        f"{num} 0 obj\n".encode() + head
+        + b"\nstream\n" + bytes(rows) + b"\nendstream\nendobj\n"
+    )
+
+
+def test_hybrid_xrefstm_takes_precedence_over_table():
+    """A hybrid-reference file: the classic table's entries for the
+    page/content objects are WRONG (bogus offset / freed), the
+    /XRefStm carries the real ones — the spec's reading order (stream
+    before table) is the only way this file parses."""
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: _stream_obj(b"BT (hy) Tj ET")[0:0]  # placeholder
+    }
+    bodies[4] = _stream_obj(b"BT (hy) Tj ET")
+    for n in sorted(bodies):
+        offsets[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + bodies[n] + b"\nendobj\n"
+    stm_at = len(out)
+    out += _xref_stream_obj(
+        5,
+        [(3, [(1, offsets[3], 0), (1, offsets[4], 0)])],
+        size=6,
+        at=stm_at,
+    )
+    xref_at = len(out)
+    out += b"xref\n0 6\n"
+    out += b"0000000000 65535 f \n"
+    out += f"{offsets[1]:010d} 00000 n \n".encode()
+    out += f"{offsets[2]:010d} 00000 n \n".encode()
+    # WRONG: offset of object 3 points at object 4's header
+    out += f"{offsets[4]:010d} 00000 n \n".encode()
+    # WRONG: object 4 freed
+    out += b"0000000000 65535 f \n"
+    out += f"{stm_at:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size 6 /Root 1 0 R /XRefStm {stm_at} >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    info = parse_pdf(bytes(out))
+    assert info.text == "hy"
+    assert info.n_pages == 1
+
+
+def test_xref_stream_incremental_update_prev_chain():
+    """Incremental update of a 1.5 file: a new revision's xref STREAM
+    redefines one content object and chains to the original via
+    /Prev; the newer entry must win and the text must change."""
+    base = bytearray(encode_pdf15(["old", "two"]))
+    import re as _re
+
+    m = _re.search(rb"startxref\s+(\d+)\s*%%EOF\s*$", bytes(base))
+    old_xref_at = int(m.group(1))
+    # page 0's content object is 5 (writer numbering)
+    new_body = b"BT (NEW) Tj ET"
+    new_obj = (
+        b"5 0 obj\n<< /Length " + str(len(new_body)).encode()
+        + b" >>\nstream\n" + new_body + b"\nendstream\nendobj\n"
+    )
+    off5 = len(base)
+    base += new_obj
+    stm_at = len(base)
+    base += _xref_stream_obj(
+        10,
+        [(5, [(1, off5, 0)]), (10, [(1, stm_at, 0)])],
+        size=11,
+        at=stm_at,
+        prev=old_xref_at,
+    )
+    base += f"startxref\n{stm_at}\n%%EOF\n".encode()
+    info = parse_pdf(bytes(base))
+    assert info.page_texts == ["NEW", "two"]
+    assert info.n_objects == 10  # 9 original in-use + the new xref stream
+
+
+def test_objstm_type_mismatch_is_loud():
+    """A type-2 xref entry pointing into an object that is not an
+    /ObjStm must refuse, not fake-resolve."""
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        # object 2 is CLAIMED to live in "object stream 3", but 3 is
+        # a plain dict
+        3: b"<< /NotAnObjStm true >>",
+    }
+    for n in sorted(bodies):
+        offsets[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + bodies[n] + b"\nendobj\n"
+    stm_at = len(out)
+    out += _xref_stream_obj(
+        4,
+        [(1, [(1, offsets[1], 0), (2, 3, 0), (1, offsets[3], 0),
+              (1, stm_at, 0)])],
+        size=5,
+        at=stm_at,
+    )
+    out += f"startxref\n{stm_at}\n%%EOF\n".encode()
+    with pytest.raises(ValueError, match="ObjStm"):
+        parse_pdf(bytes(out))
