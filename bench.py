@@ -20,6 +20,12 @@ projection-only work), no driver-side result transfer. Usage:
     python bench.py               # headline set
     python bench.py --all         # every registered query
     python bench.py q1 q2 ...     # named subset
+    python bench.py --repeat 2    # N full passes; per-query best-of-N,
+                                  # wall_runs + spread in the artifact
+
+Every run stamps a contention probe (loadavg + a fixed
+single-threaded calibration loop) into the summary so a contended
+box can never masquerade as a code regression.
 """
 
 from __future__ import annotations
@@ -204,11 +210,39 @@ HEADLINE = [
 ]
 
 
+def _calibrate(rounds: int = 3) -> dict[str, float]:
+    """Fixed single-threaded CPU probe: time a constant pure-Python
+    loop a few times. On an idle box the min and max agree within a
+    few percent; under contention the spread (and the absolute
+    number) inflates — giving every BENCH artifact its own error bar
+    so a contended run can never masquerade as a code regression
+    (r10's +9% driver delta was pure box noise: four runs on
+    identical code spanned 201-273 s)."""
+    samples = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(5_000_000):
+            x += i
+        samples.append(time.perf_counter() - t0)
+    lo, hi = min(samples), max(samples)
+    return {
+        "calib_min_sec": round(lo, 4),
+        "calib_max_sec": round(hi, 4),
+        "calib_spread_pct": round(100.0 * (hi - lo) / lo, 1),
+    }
+
+
 def main() -> None:
     from funding_monitoring_spark import registry
     from funding_monitoring_spark.session import get_spark
 
     args = sys.argv[1:]
+    repeat = 1
+    if "--repeat" in args:
+        at = args.index("--repeat")
+        repeat = max(1, int(args[at + 1]))
+        del args[at : at + 2]
     all_queries = registry.queries()
     overflow: list[str] = []
     if "--all" in args:
@@ -268,38 +302,54 @@ def main() -> None:
 
     metrics.ENABLED = True  # per-tick attribution for stream_* sinks
 
+    load_start = os.getloadavg()[0]
+    calib = _calibrate()
+
     timings: dict[str, float] = {}
     notes: dict[str, object] = {}
     errors: dict[str, str] = {}
-    t_suite = time.perf_counter()
+    wall_runs: list[float] = []
+    run_timings: list[dict[str, float]] = []
+    for run in range(repeat):
+        this_run: dict[str, float] = {}
+        t_suite = time.perf_counter()
+        for name in names:
+            t0 = time.perf_counter()
+            # Per-query guard: an environment-sensitive query
+            # (optional codec, missing fixture) must cost one entry,
+            # not the whole artifact — without it the headline wall
+            # itself is lost.
+            try:
+                df = all_queries[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — recorded
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                metrics.drain()
+                continue
+            this_run[name] = round(time.perf_counter() - t0, 3)
+            ticks = metrics.drain()
+            if ticks and run == 0:
+                # attribute the streaming wall: micro-batch work
+                # (merge + snapshot hook) vs trigger/checkpoint
+                # machinery (rest)
+                merge = sum(t.get("merge_sec", 0.0) for t in ticks)
+                hook = sum(t.get("hook_sec", 0.0) for t in ticks)
+                notes[name] = {
+                    "n_ticks": len(ticks),
+                    "merge_write_sec": round(merge, 3),
+                    "stats_recompute_sec": round(hook, 3),
+                    "trigger_checkpoint_overhead_sec": round(
+                        this_run[name] - merge - hook, 3
+                    ),
+                }
+        wall_runs.append(round(time.perf_counter() - t_suite, 3))
+        run_timings.append(this_run)
+    # per-query best-of-N: the least contention-polluted sample
     for name in names:
-        t0 = time.perf_counter()
-        # Per-query guard: an environment-sensitive query (optional
-        # codec, missing fixture) must cost one entry, not the whole
-        # artifact — without it the headline wall itself is lost.
-        try:
-            df = all_queries[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001 — recorded, not hidden
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            metrics.drain()
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        ticks = metrics.drain()
-        if ticks:
-            # attribute the streaming wall: micro-batch work (merge +
-            # snapshot hook) vs trigger/checkpoint machinery (rest)
-            merge = sum(t.get("merge_sec", 0.0) for t in ticks)
-            hook = sum(t.get("hook_sec", 0.0) for t in ticks)
-            notes[name] = {
-                "n_ticks": len(ticks),
-                "merge_write_sec": round(merge, 3),
-                "stats_recompute_sec": round(hook, 3),
-                "trigger_checkpoint_overhead_sec": round(
-                    timings[name] - merge - hook, 3
-                ),
-            }
-    wall = round(time.perf_counter() - t_suite, 3)
+        samples = [r[name] for r in run_timings if name in r]
+        if samples:
+            timings[name] = min(samples)
+    wall = min(wall_runs)
 
     overflow_timings: dict[str, float] = {}
     t_over = time.perf_counter()
@@ -324,6 +374,11 @@ def main() -> None:
     # only the tail of stdout (BENCH_r03-r06 artifacts were truncated
     # to a 2000-char tail, losing the headline metric inside the big
     # per-query dict) always preserves the parseable one-liner.
+    contention = {
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        **calib,
+    }
     summary = {
         "metric": "suite_wall_sec",
         "value": wall,
@@ -331,7 +386,13 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        **contention,
     }
+    if repeat > 1:
+        summary["wall_runs"] = wall_runs
+        summary["wall_spread_pct"] = round(
+            100.0 * (max(wall_runs) - min(wall_runs)) / min(wall_runs), 1
+        )
     if overflow:
         summary["all_registry_wall_sec"] = round(wall + overflow_wall, 3)
         summary["n_overflow"] = len(overflow_timings)
@@ -343,7 +404,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "contention_probe": contention,
     }
+    if repeat > 1:
+        out["wall_runs"] = wall_runs
+        out["wall_spread_pct"] = summary["wall_spread_pct"]
+        out["query_runs"] = run_timings
     if overflow:
         out["all_registry_wall_sec"] = round(wall + overflow_wall, 3)
         out["overflow_queries"] = overflow_timings
@@ -386,6 +452,18 @@ def main() -> None:
             "let-bound medians keep it in codegen (>300s without)"
         ),
     }
+    notes["ann_recall_report_r9_r10_delta"] = (
+        "4.4 s (r9) -> 10.1 s (r10) with similarity.py and the suite "
+        "query byte-identical between the two artifact runs "
+        "(git-verified against the r9 artifact commit). Idle-box r11 "
+        "measurement: 5.5 s warm in-suite, 7.5-7.9 s solo (3 runs "
+        "each) — the r10 number was box contention during the "
+        "04:53 artifact refresh, not a regression; the residual "
+        "4.4 -> 5.5 warm delta is within the per-query suite-position "
+        "variance band (see perf_drift_r2_r3). The contention_probe "
+        "fields now stamp every artifact so this attribution is "
+        "mechanical next time."
+    )
     notes["new_query_attribution_r6"] = {
         "semantic_dedup_clusters": (
             "~6 s = the full multi-probe LSH near-dup pipeline "
