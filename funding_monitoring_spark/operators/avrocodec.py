@@ -13,10 +13,13 @@ framing (magic 'Obj\\x01', metadata map with the schema JSON and
 codec, 16-byte sync marker, blocks of <count, byte-size, payload,
 sync>).
 
-Out-of-profile shapes refuse loudly: non-record top-level schemas,
-nested records/arrays/maps/enums/fixed/bytes fields, unions other
-than [null, T], codecs other than null/deflate, sync-marker
-mismatches (truncation/corruption).
+Arrays and maps of in-profile types read and write with real Avro
+block framing (including the negative-count + byte-size skip form on
+read). Out-of-profile shapes refuse loudly: non-record top-level
+schemas, nested records/enums/fixed/bytes fields, unions other than
+[null, T], codecs other than null/deflate, sync-marker mismatches,
+and truncated headers/blocks (every length is bounds-checked before
+slicing).
 """
 
 from __future__ import annotations
@@ -81,6 +84,39 @@ def _field_writer(ftype):
             return _zigzag_encode(1) + inner(v)
 
         return wu
+    if isinstance(ftype, dict) and ftype.get("type") == "array":
+        if "items" not in ftype:
+            raise NotImplementedError("Avro array without /items/")
+        item = _field_writer(ftype["items"])
+
+        def wa(v):
+            v = list(v)
+            out = bytearray()
+            if v:
+                out += _zigzag_encode(len(v))
+                for x in v:
+                    out += item(x)
+            out += _zigzag_encode(0)  # end of array blocks
+            return bytes(out)
+
+        return wa
+    if isinstance(ftype, dict) and ftype.get("type") == "map":
+        if "values" not in ftype:
+            raise NotImplementedError("Avro map without /values/")
+        val = _field_writer(ftype["values"])
+
+        def wm(v):
+            out = bytearray()
+            if v:
+                out += _zigzag_encode(len(v))
+                for k, x in v.items():
+                    kb = str(k).encode("utf-8")
+                    out += _zigzag_encode(len(kb)) + kb
+                    out += val(x)
+            out += _zigzag_encode(0)  # end of map blocks
+            return bytes(out)
+
+        return wm
     raise NotImplementedError(f"Avro field type {ftype!r} out of profile")
 
 
@@ -118,6 +154,47 @@ def _field_reader(ftype):
             return inner(data, pos)
 
         return ru
+    if isinstance(ftype, dict) and ftype.get("type") == "array":
+        if "items" not in ftype:
+            raise NotImplementedError("Avro array without /items/")
+        item = _field_reader(ftype["items"])
+
+        def ra(data, pos):
+            out = []
+            while True:
+                n, pos = _zigzag_decode(data, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    # spec: a negative count prefixes the block's
+                    # byte size (for skipping); items follow normally
+                    _, pos = _zigzag_decode(data, pos)
+                    n = -n
+                for _ in range(n):
+                    v, pos = item(data, pos)
+                    out.append(v)
+
+        return ra
+    if isinstance(ftype, dict) and ftype.get("type") == "map":
+        if "values" not in ftype:
+            raise NotImplementedError("Avro map without /values/")
+        val = _field_reader(ftype["values"])
+        key_rd = _field_reader("string")
+
+        def rm(data, pos):
+            out = {}
+            while True:
+                n, pos = _zigzag_decode(data, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    _, pos = _zigzag_decode(data, pos)
+                    n = -n
+                for _ in range(n):
+                    k, pos = key_rd(data, pos)
+                    out[k], pos = val(data, pos)
+
+        return rm
     raise NotImplementedError(f"Avro field type {ftype!r} out of profile")
 
 
@@ -175,9 +252,15 @@ def decode_avro(payload: bytes) -> tuple[dict, list[dict]]:
             raise NotImplementedError("negative-count Avro map blocks")
         for _ in range(n):
             kl, pos = _zigzag_decode(payload, pos)
+            if kl < 0 or pos + kl > len(payload):
+                raise ValueError("Avro header truncated (metadata key)")
             key = payload[pos : pos + kl].decode()
             pos += kl
             vl, pos = _zigzag_decode(payload, pos)
+            if vl < 0 or pos + vl > len(payload):
+                raise ValueError(
+                    "Avro header truncated (metadata value)"
+                )
             meta[key] = payload[pos : pos + vl]
             pos += vl
     schema = json.loads(meta["avro.schema"])
@@ -194,7 +277,14 @@ def decode_avro(payload: bytes) -> tuple[dict, list[dict]]:
     records: list[dict] = []
     while pos < len(payload):
         count, pos = _zigzag_decode(payload, pos)
+        if count < 0:
+            raise NotImplementedError(
+                "negative data-block record counts (OCF does not "
+                "define them; a container claiming one is malformed)"
+            )
         size, pos = _zigzag_decode(payload, pos)
+        if size < 0:
+            raise ValueError("Avro block size negative")
         body = payload[pos : pos + size]
         if len(body) != size:
             raise ValueError("Avro block truncated")

@@ -149,12 +149,18 @@ def parse_warc(payload: bytes) -> list[tuple[str, dict, bytes]]:
 _ZIP_LOCAL = 0x04034B50
 _ZIP_CENTRAL = 0x02014B50
 _ZIP_EOCD = 0x06054B50
+_ZIP_EOCD64 = 0x06064B50
+_ZIP_EOCD64_LOC = 0x07064B50
 
 
-def encode_zip(members: list[tuple[str, bytes, bool]]) -> bytes:
+def encode_zip(members: list[tuple[str, bytes, bool]],
+               force_zip64: bool = False) -> bytes:
     """members: [(name, data, deflate?)]. Writes local headers +
     data, then the central directory + EOCD — real wire layout,
-    no stdlib zipfile."""
+    no stdlib zipfile. ``force_zip64`` writes the zip64 layout
+    (0xFFFFFFFF sentinels + 0x0001 extras per entry, EOCD64 record +
+    locator) even for small archives — the same structures a >4 GiB
+    crawl dump carries, testable without 4 GiB of bytes."""
     out = bytearray()
     central = bytearray()
     for name, data, deflate in members:
@@ -175,56 +181,125 @@ def encode_zip(members: list[tuple[str, bytes, bool]]) -> bytes:
         out += struct.pack("<I", _ZIP_LOCAL) + common + struct.pack(
             "<HH", len(nm), 0
         ) + nm + stored
-        # central entry laid out explicitly (46-byte fixed part)
+        # central entry laid out explicitly (46-byte fixed part);
+        # zip64 entries park the 32-bit size/offset fields at the
+        # 0xFFFFFFFF sentinel and carry the real 64-bit values in a
+        # 0x0001 extra field (usize, csize, offset — spec order)
+        if force_zip64:
+            extra = struct.pack(
+                "<HHQQQ", 0x0001, 24, len(data), len(stored), offset
+            )
+            csz = usz = off32 = 0xFFFFFFFF
+        else:
+            extra = b""
+            csz, usz, off32 = len(stored), len(data), offset
         central_entry = struct.pack(
             "<IHHHHHHIIIHHHHHII",
             _ZIP_CENTRAL,
-            20,      # version made by
-            20,      # version needed
+            45 if force_zip64 else 20,  # version made by
+            45 if force_zip64 else 20,  # version needed
             0,       # flags
             method,
             0, 0,    # mod time/date
             crc,
-            len(stored),
-            len(data),
+            csz,
+            usz,
             len(nm),
-            0,       # extra len
+            len(extra),
             0,       # comment len
             0,       # disk number
             0,       # internal attrs
             0,       # external attrs
-            offset,
+            off32,
         )
-        central += central_entry + nm
+        central += central_entry + nm + extra
     cd_at = len(out)
     out += central
-    out += struct.pack(
-        "<IHHHHIIH",
-        _ZIP_EOCD, 0, 0,
-        len(members), len(members),
-        len(central), cd_at, 0,
-    )
+    if force_zip64:
+        eocd64_at = len(out)
+        out += struct.pack(
+            "<IQHHIIQQQQ",
+            _ZIP_EOCD64,
+            44,          # size of the remainder of this record
+            45, 45,      # version made by / needed
+            0, 0,        # this disk / cd disk
+            len(members), len(members),
+            len(central), cd_at,
+        )
+        out += struct.pack(
+            "<IIQI", _ZIP_EOCD64_LOC, 0, eocd64_at, 1
+        )
+        out += struct.pack(
+            "<IHHHHIIH",
+            _ZIP_EOCD, 0, 0,
+            0xFFFF, 0xFFFF,
+            0xFFFFFFFF, 0xFFFFFFFF, 0,
+        )
+    else:
+        out += struct.pack(
+            "<IHHHHIIH",
+            _ZIP_EOCD, 0, 0,
+            len(members), len(members),
+            len(central), cd_at, 0,
+        )
     return bytes(out)
+
+
+def _find_eocd(payload: bytes) -> int:
+    """Locate the end-of-central-directory record: scan backward and
+    accept a signature match only when its stated comment length
+    reaches EXACTLY end-of-file (the standard EOCD validation) — a
+    trailing comment that happens to contain the 4-byte signature can
+    no longer mis-anchor the parse (ADVICE r10)."""
+    sig = struct.pack("<I", _ZIP_EOCD)
+    floor = max(0, len(payload) - (65536 + 22))
+    at = payload.rfind(sig, floor)
+    while at >= 0:
+        if at + 22 <= len(payload):
+            (clen,) = struct.unpack_from("<H", payload, at + 20)
+            if at + 22 + clen == len(payload):
+                return at
+        at = payload.rfind(sig, floor, at)
+    raise ValueError("ZIP end-of-central-directory not found")
 
 
 def parse_zip(payload: bytes) -> list[dict]:
     """Walk the central directory and extract + CRC-verify every
     member. Returns [{name, method, size, compressed_size, crc_ok,
-    data}]. Refuses zip64, encryption, and methods other than
-    stored/deflate."""
-    # EOCD: scan backward for the signature (comment can pad the tail)
-    tail = payload[-(65536 + 22):]
-    at = tail.rfind(struct.pack("<I", _ZIP_EOCD))
-    if at < 0:
-        raise ValueError("ZIP end-of-central-directory not found")
-    eocd = tail[at:]
+    data}]. zip64 archives (EOCD64 record + locator, 0x0001 extras)
+    parse; encryption and methods other than stored/deflate refuse."""
+    eocd_at = _find_eocd(payload)
     (_, disk, cd_disk, n_here, n_total, cd_size, cd_at, _clen) = (
-        struct.unpack("<IHHHHIIH", eocd[:22])
+        struct.unpack_from("<IHHHHIIH", payload, eocd_at)
     )
     if disk != 0 or cd_disk != 0:
         raise NotImplementedError("multi-disk ZIP not supported")
-    if n_total == 0xFFFF or cd_at == 0xFFFFFFFF:
-        raise NotImplementedError("zip64 not supported")
+    if (
+        n_total == 0xFFFF
+        or cd_at == 0xFFFFFFFF
+        or cd_size == 0xFFFFFFFF
+    ):
+        # zip64: the locator sits immediately before the EOCD
+        loc_at = eocd_at - 20
+        if loc_at < 0 or struct.unpack_from(
+            "<I", payload, loc_at
+        )[0] != _ZIP_EOCD64_LOC:
+            raise ValueError(
+                "zip64 sentinel without an EOCD64 locator"
+            )
+        _lsig, loc_disk, eocd64_at, n_disks = struct.unpack_from(
+            "<IIQI", payload, loc_at
+        )
+        if loc_disk != 0 or n_disks != 1:
+            raise NotImplementedError("multi-disk zip64 not supported")
+        (
+            sig64, _rsz, _vm, _vn, d64, cdd64,
+            _n_here64, n_total, cd_size, cd_at,
+        ) = struct.unpack_from("<IQHHIIQQQQ", payload, eocd64_at)
+        if sig64 != _ZIP_EOCD64:
+            raise ValueError("EOCD64 locator points at a non-EOCD64")
+        if d64 != 0 or cdd64 != 0:
+            raise NotImplementedError("multi-disk zip64 not supported")
     out = []
     pos = cd_at
     for _ in range(n_total):
@@ -240,6 +315,35 @@ def parse_zip(payload: bytes) -> list[dict]:
         if method not in (0, 8):
             raise NotImplementedError(f"ZIP method {method} unsupported")
         name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        if 0xFFFFFFFF in (csize, usize, offset):
+            # the 0x0001 extra carries the 64-bit values, in spec
+            # order, ONLY for the fields parked at the sentinel
+            extra = payload[
+                pos + 46 + nlen : pos + 46 + nlen + elen
+            ]
+            z64 = None
+            e = 0
+            while e + 4 <= len(extra):
+                eid, esz = struct.unpack_from("<HH", extra, e)
+                if eid == 0x0001:
+                    z64 = extra[e + 4 : e + 4 + esz]
+                    break
+                e += 4 + esz
+            if z64 is None:
+                raise ValueError(
+                    f"ZIP member {name!r} has zip64 sentinels but "
+                    "no 0x0001 extra field"
+                )
+            z = 0
+            if usize == 0xFFFFFFFF:
+                (usize,) = struct.unpack_from("<Q", z64, z)
+                z += 8
+            if csize == 0xFFFFFFFF:
+                (csize,) = struct.unpack_from("<Q", z64, z)
+                z += 8
+            if offset == 0xFFFFFFFF:
+                (offset,) = struct.unpack_from("<Q", z64, z)
+                z += 8
         pos += 46 + nlen + elen + clen
         # local header framing for the data
         lfixed = payload[offset : offset + 30]

@@ -56,6 +56,24 @@ def parse_robots_rules(robots: DataFrame, host_col: str = "host",
             ),
         ).otherwise(F.col("line")),
     )
+    # a line that STARTS like a rule but fails the anchored grammar
+    # (embedded space, trailing tokens: 'Disallow: /a b') must refuse,
+    # not silently drop — a dropped disallow flips verdicts to
+    # 'allowed' (ADVICE r10); mirrors the wildcard check below
+    checked = checked.withColumn(
+        "line",
+        F.when(
+            F.col("line").rlike(r"(?i)^(allow|disallow)\s*:")
+            & ~F.col("line").rlike(_RULE_RE),
+            F.raise_error(
+                F.concat(
+                    F.lit("malformed robots rule line (not "
+                          "verb: single-token-path): "),
+                    F.col("line"),
+                )
+            ),
+        ).otherwise(F.col("line")),
+    )
     rules = checked.select(
         host_col,
         F.initcap(

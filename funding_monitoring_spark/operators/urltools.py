@@ -9,11 +9,15 @@ accumulator for RFC 3986 dot-segment removal (Catalyst allows a
 different accumulator type than the element type, so the segment
 stack stays in codegen), array_sort for query params.
 
-Normal form: lowercase scheme and host, default ports stripped
-(http:80 / https:443), path dot-segments resolved ('.' dropped, '..'
-pops, leading '/' preserved, empty path becomes '/'), query params
-sorted lexicographically ('?' dropped when empty), fragment dropped.
-"""
+Normal form: lowercase scheme and host, userinfo stripped
+(user:pass@host identifies the same resource as host), default ports
+stripped (http:80 / https:443), path dot-segments resolved ('.'
+dropped, '..' pops, leading '/' preserved, empty path becomes '/'),
+query params sorted lexicographically ('?' dropped when empty),
+fragment dropped. IPv6 literal authorities ('[::1]:8080') are OUT OF
+PROFILE and refuse loudly row-level via raise_error — the bracket
+syntax needs its own host grammar, and silently mis-splitting it
+would collapse distinct resources."""
 
 from __future__ import annotations
 
@@ -57,8 +61,24 @@ def canonicalize_url(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     scheme = F.lower(F.regexp_extract(c, _SCHEME, 1))
     authority = F.lower(F.regexp_extract(c, _AUTHORITY, 1))
-    host = F.regexp_extract(authority, r"^([^:]*)", 1)
-    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    # userinfo ('user:pass@') folds away — same resource; stripping it
+    # BEFORE the host/port split also keeps 'user:pass@host' from
+    # mis-parsing as host='user' port-less (ADVICE r10)
+    bare = F.regexp_replace(authority, r"^[^@]*@", "")
+    # IPv6 literals need the bracket grammar; refuse loudly row-level
+    # (raise_error inside when/otherwise — not pruned, no extra scan)
+    bare = F.when(
+        bare.startswith("["),
+        F.raise_error(
+            F.concat(
+                F.lit("canonicalize_url: IPv6 literal authority "
+                      "out of profile: "),
+                bare,
+            )
+        ),
+    ).otherwise(bare)
+    host = F.regexp_extract(bare, r"^([^:]*)", 1)
+    port = F.regexp_extract(bare, r":(\d+)$", 1)
     default_port = (
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))

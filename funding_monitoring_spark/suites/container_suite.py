@@ -246,7 +246,10 @@ def q_zip_manifest_scan(spark, sf_dir):
     verification. The all_crc_ok flag plus the extracted-text
     fingerprint pin both the directory arithmetic and the raw-deflate
     path; stdlib zipfile cross-validates the wire layout in both
-    directions in tests. zip64/encrypted/multi-disk refuse loudly."""
+    directions in tests. Odd ids write the zip64 layout (EOCD64
+    record + locator, 0x0001 extras — the >4 GiB crawl-dump shape,
+    exercised structurally without 4 GiB of bytes); encrypted and
+    multi-disk archives refuse loudly."""
     from funding_monitoring_spark.operators.containers import (
         encode_zip,
         parse_zip,
@@ -259,7 +262,8 @@ def q_zip_manifest_scan(spark, sf_dir):
                 ("meta.tsv",
                  _meta_line(mid, lang, source).encode("latin-1"),
                  False),
-            ]
+            ],
+            force_zip64=bool(mid % 2),
         )
 
     def extract(mid, payload):

@@ -90,3 +90,59 @@ def test_unknown_codec_in_file_refuses():
     good[at : at + 4] = b"xxxx"
     with pytest.raises(NotImplementedError):
         decode_avro(bytes(good))
+
+
+def test_array_and_map_fields_roundtrip():
+    """Arrays and maps of primitives use real Avro block framing;
+    the negative-count (size-prefixed) block form also reads."""
+    schema = {
+        "type": "record", "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tags", "type": {"type": "array",
+                                      "items": "string"}},
+            {"name": "scores", "type": {"type": "map",
+                                        "values": "double"}},
+        ],
+    }
+    recs = [
+        {"id": 1, "tags": ["a", "b", "c"], "scores": {"x": 1.5}},
+        {"id": 2, "tags": [], "scores": {}},
+        {"id": 3, "tags": ["z"], "scores": {"p": -0.25, "q": 8.0}},
+    ]
+    for codec in ("null", "deflate"):
+        got_schema, got = decode_avro(
+            encode_avro(schema, recs, codec=codec)
+        )
+        assert got == recs
+    # negative-count block form: [-2, byte_size, "a", "b", 0]
+    from funding_monitoring_spark.operators.avrocodec import (
+        _field_reader,
+        _zigzag_encode,
+    )
+
+    items = b"\x02a\x02b"  # two 1-char strings
+    framed = (
+        _zigzag_encode(-2) + _zigzag_encode(len(items)) + items
+        + _zigzag_encode(0)
+    )
+    rd = _field_reader({"type": "array", "items": "string"})
+    got, pos = rd(framed, 0)
+    assert got == ["a", "b"] and pos == len(framed)
+
+
+def test_truncated_header_and_negative_block_count_are_loud():
+    good = encode_avro(_SCHEMA, _recs(4))
+    # chop inside the metadata map: the schema value length now runs
+    # past the end -> loud header truncation, not a silent short read
+    at = good.index(b"avro.schema")
+    with pytest.raises(ValueError, match="header truncated"):
+        decode_avro(good[: at + 20])
+    # nested record stays out of profile
+    with pytest.raises(NotImplementedError):
+        encode_avro(
+            {"type": "record", "name": "x", "fields": [
+                {"name": "r", "type": {"type": "record", "name": "y",
+                                       "fields": []}}]},
+            [],
+        )

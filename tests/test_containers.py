@@ -134,6 +134,46 @@ def test_zip_refusals():
         parse_zip(bytes(z))
 
 
+def test_zip64_roundtrip_and_stdlib_interop():
+    """force_zip64 writes real zip64 structures (EOCD64 + locator,
+    0x0001 extras) in a small archive; our parser and the stdlib both
+    read it, and the members round-trip exactly."""
+    import io
+    import zipfile
+
+    members = [("a.txt", b"hello zip64", False),
+               ("b/c.bin", bytes(range(256)) * 10, True)]
+    z = encode_zip(members, force_zip64=True)
+    got = parse_zip(z)
+    assert [(m["name"], m["data"]) for m in got] == [
+        (n, d) for n, d, _ in members
+    ]
+    assert all(m["crc_ok"] for m in got)
+    with zipfile.ZipFile(io.BytesIO(z)) as zf:
+        assert zf.read("a.txt") == b"hello zip64"
+        assert zf.read("b/c.bin") == bytes(range(256)) * 10
+    # zip64 sentinels WITHOUT the locator refuse loudly
+    eocd_at = z.rindex(struct.pack("<I", 0x06054B50))
+    doctored = z[:eocd_at - 20] + z[eocd_at:]
+    with pytest.raises(ValueError, match="locator"):
+        parse_zip(doctored)
+
+
+def test_zip_eocd_comment_containing_signature():
+    """A trailing archive comment that embeds the 4-byte EOCD
+    signature must not mis-anchor the parse: only a candidate whose
+    comment length reaches exactly end-of-file is the real record."""
+    z = bytearray(encode_zip([("a", b"payload", False)]))
+    # append a comment containing a fake EOCD signature + junk that
+    # would parse as garbage counts if picked
+    comment = b"xx" + struct.pack("<I", 0x06054B50) + b"\x00" * 16
+    z[-2:] = struct.pack("<H", len(comment))
+    z += comment
+    got = parse_zip(bytes(z))
+    assert [m["name"] for m in got] == ["a"]
+    assert got[0]["data"] == b"payload"
+
+
 # -- TAR -----------------------------------------------------------------------
 
 
