@@ -31,6 +31,8 @@ from funding_monitoring_spark.streaming.replay import (
 from funding_monitoring_spark.streaming.sinks import (
     atomic_overwrite,
     cdc_writer,
+    delta_append_writer,
+    read_merged_store,
     upsert_writer,
 )
 
@@ -132,11 +134,13 @@ def streaming_tumbling_rollup(
         )
 
     writer = agg.writeStream.outputMode("update").foreachBatch(
-        upsert_writer(
+        # update mode re-emits the complete aggregate each time a
+        # window changes; the latest emission per key wins — resolved
+        # at READ time (merge-on-read deltas), so each tick writes
+        # O(batch) rows instead of rewriting the whole store
+        delta_append_writer(
             store_path,
             key_cols=["window_start", "event_type"],
-            # update mode re-emits the complete aggregate each time a
-            # window changes; the latest emission per key wins
             order_cols=["n_events"],
             transform=flatten,
         )
@@ -192,7 +196,7 @@ def streaming_ohlc_bars(
         )
 
     writer = agg.writeStream.outputMode("update").foreachBatch(
-        upsert_writer(
+        delta_append_writer(
             store_path,
             key_cols=["symbol", "bar_ts"],
             order_cols=["n_ticks"],
@@ -249,7 +253,9 @@ def streaming_window_distinct_users(
         )
 
     writer = agg.writeStream.outputMode("append").foreachBatch(
-        upsert_writer(
+        # append mode emits each window exactly once; the delta sink
+        # makes the tick O(batch) and stays idempotent under retry
+        delta_append_writer(
             store_path,
             key_cols=["window_start"],
             order_cols=["n_users"],
@@ -283,7 +289,7 @@ def streaming_heavy_hitters(
         F.count(F.lit(1)).alias("n")
     )
     writer = counts.writeStream.outputMode("update").foreachBatch(
-        upsert_writer(
+        delta_append_writer(
             store_path,
             key_cols=["event_type", "user_id"],
             order_cols=["n"],
@@ -334,7 +340,7 @@ def streaming_hopping_rollup(
         )
 
     writer = agg.writeStream.outputMode("update").foreachBatch(
-        upsert_writer(
+        delta_append_writer(
             store_path,
             key_cols=["window_start", "event_type"],
             order_cols=["n_events"],
@@ -728,7 +734,7 @@ def streaming_session_windows(
         )
 
     writer = agg.writeStream.outputMode("append").foreachBatch(
-        upsert_writer(
+        delta_append_writer(
             store_path,
             key_cols=["user_id", "session_start"],
             order_cols=["n_events"],
@@ -1355,7 +1361,9 @@ def _dispatch_pipeline(
         streaming_tumbling_rollup(
             spark, chunks_dir, schema, store, checkpoint
         )
-        return spark.read.parquet(store)
+        return read_merged_store(
+            spark, store, ["window_start", "event_type"], ["n_events"]
+        )
     if pipeline == "funding_pipeline":
         stores = streaming_funding_pipeline(
             spark, chunks_dir, schema, os.path.join(workdir, "store"), checkpoint
@@ -1378,7 +1386,9 @@ def _dispatch_pipeline(
         streaming_session_windows(
             spark, chunks_dir, schema, store, checkpoint
         )
-        return spark.read.parquet(store)
+        return read_merged_store(
+            spark, store, ["user_id", "session_start"], ["n_events"]
+        )
     if pipeline == "click_attribution":
         store = os.path.join(workdir, "attribution")
         streaming_click_attribution(
@@ -1402,17 +1412,23 @@ def _dispatch_pipeline(
         streaming_window_distinct_users(
             spark, chunks_dir, schema, store, checkpoint
         )
-        return spark.read.parquet(store)
+        return read_merged_store(
+            spark, store, ["window_start"], ["n_users"]
+        )
     if pipeline == "heavy_hitters":
         store = os.path.join(workdir, "hitters")
         streaming_heavy_hitters(
             spark, chunks_dir, schema, store, checkpoint
         )
-        return spark.read.parquet(store)
+        return read_merged_store(
+            spark, store, ["event_type", "user_id"], ["n"]
+        )
     if pipeline == "ohlc_bars":
         store = os.path.join(workdir, "ohlc")
         streaming_ohlc_bars(spark, chunks_dir, schema, store, checkpoint)
-        return spark.read.parquet(store)
+        return read_merged_store(
+            spark, store, ["symbol", "bar_ts"], ["n_ticks"]
+        )
     if pipeline == "anomaly_alerts":
         store = os.path.join(workdir, "anomaly")
         streaming_anomaly_alerts(
@@ -1424,7 +1440,9 @@ def _dispatch_pipeline(
         streaming_hopping_rollup(
             spark, chunks_dir, schema, store, checkpoint
         )
-        return spark.read.parquet(store)
+        return read_merged_store(
+            spark, store, ["window_start", "event_type"], ["n_events"]
+        )
     if pipeline == "late_audit":
         store = os.path.join(workdir, "late_ledger")
         streaming_late_audit(spark, chunks_dir, schema, store, checkpoint)

@@ -193,6 +193,75 @@ def upsert_writer(
     return write
 
 
+def delta_append_writer(
+    store_path: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    check_empty: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer for MERGE-ON-READ stores: each micro-batch
+    writes ONLY its own (within-batch deduped) rows into an
+    idempotent ``batch_id=N`` partition directory — a retried batch
+    overwrites the same directory with the same rows — and conflict
+    resolution is deferred to read_merged_store. Per-tick cost is
+    O(batch), never O(store): the upsert_writer shape re-reads and
+    atomically rewrites the WHOLE store every tick, which at 100 TB
+    (or a 16k-row hopping store at sf0.1) makes tick cost grow with
+    history; windowed rollups whose emissions per key are monotone in
+    batch order don't need the store materialized per tick, only
+    converged at read time (exactly what the suite oracles compare).
+    This is the Delta/Iceberg merge-on-read shape with parquet
+    partition dirs as the delta log."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        from funding_monitoring_spark.streaming import metrics
+
+        t0 = time.perf_counter()
+        # stateful upstreams make availableNow run one final EMPTY
+        # batch purely to advance the watermark — nothing to append
+        if check_empty and batch_df.isEmpty():
+            metrics.record(
+                store=store_path, batch_id=batch_id, empty_skip=True,
+                merge_sec=round(time.perf_counter() - t0, 3),
+                hook_sec=0.0,
+            )
+            return
+        batch = transform(batch_df) if transform is not None else batch_df
+        batch = dedupe_batch(batch, key_cols, order_cols)
+        batch.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+        metrics.record(
+            store=store_path,
+            batch_id=batch_id,
+            merge_sec=round(time.perf_counter() - t0, 3),
+            hook_sec=0.0,
+        )
+
+    return write
+
+
+def read_merged_store(
+    spark,
+    store_path: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Reader half of delta_append_writer: resolve cross-batch
+    conflicts with the SAME total order the sequential upsert fold
+    used — max (order_cols, batch_id) wins per key, so the merged
+    frame is row-identical to a store that had been per-tick-merged
+    with upsert(order_cols=..., tie to the newer batch). One max_by
+    aggregation (map-side partials), no window shuffle."""
+    df = spark.read.parquet(store_path)
+    return dedupe_batch(
+        df, key_cols, [*order_cols, "batch_id"]
+    ).drop("batch_id")
+
+
 def snapshot_writer(
     store_path: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,

@@ -227,7 +227,9 @@ def test_rollup_drops_late_beyond_watermark(spark, tmp_path):
     )
     got = {
         (r.window_start, r.event_type): (r.n_events, r.sum_value)
-        for r in spark.read.parquet(store).collect()
+        for r in _merged(
+            spark, store, ["window_start", "event_type"], ["n_events"]
+        ).collect()
     }
     # the late event_id=4 (value 100.0) must NOT appear in window [0,5)
     assert got[(_ts(0), "a")] == (1, 1.0)
@@ -269,6 +271,27 @@ def test_stream_source_is_unbounded_plan(spark, tmp_path):
     _write_chunk(df, chunks, 0)
     src = stream_from_chunks(spark, chunks, df.schema)
     assert src.isStreaming
+
+
+def _merged(spark, store, keys, order):
+    from funding_monitoring_spark.streaming.sinks import read_merged_store
+
+    return read_merged_store(spark, store, keys, order)
+
+
+def _poll_merged(spark, store, keys, order, row_fn):
+    if not os.path.exists(store):
+        return {}
+    try:
+        return {
+            k: v
+            for k, v in (
+                row_fn(r) for r in _merged(spark, store, keys, order).collect()
+            )
+        }
+    except Exception:
+        # polling observer racing a partition-dir write — poll again
+        return {}
 
 
 def _poll_store(spark, store, row_fn):
@@ -362,9 +385,11 @@ def test_processing_time_trigger_live_hopping(spark, tmp_path):
         trigger_interval="1 second",
     )
     try:
-        rows = lambda: _poll_store(  # noqa: E731
+        rows = lambda: _poll_merged(  # noqa: E731
             spark,
             store,
+            ["window_start", "event_type"],
+            ["n_events"],
             lambda r: (
                 (r.window_start, r.event_type),
                 (r.n_events, r.sum_value),
@@ -455,7 +480,7 @@ def test_ohlc_late_within_watermark_updates_bar(spark, tmp_path):
         os.path.join(tmp, "ckpt"),
         interval="1 hour",
     )
-    rows = spark.read.parquet(store).collect()
+    rows = _merged(spark, store, ["symbol", "bar_ts"], ["n_ticks"]).collect()
     assert len(rows) == 1  # one bar, not a duplicate per emission
     bar = rows[0]
     assert bar.open == 20.0  # revised by the late tick
@@ -485,7 +510,9 @@ def test_heavy_hitters_restart_accumulates_counts_once(spark, tmp_path):
     streaming_heavy_hitters(spark, chunks, b0.schema, store, ckpt)
     got = {
         (r.event_type, r.user_id): r.n
-        for r in spark.read.parquet(store).collect()
+        for r in _merged(
+            spark, store, ["event_type", "user_id"], ["n"]
+        ).collect()
     }
     assert got == {("a", 7): 3, ("a", 8): 1}
 
@@ -497,7 +524,9 @@ def test_heavy_hitters_restart_accumulates_counts_once(spark, tmp_path):
     streaming_heavy_hitters(spark, chunks, b0.schema, store, ckpt)
     got = {
         (r.event_type, r.user_id): r.n
-        for r in spark.read.parquet(store).collect()
+        for r in _merged(
+            spark, store, ["event_type", "user_id"], ["n"]
+        ).collect()
     }
     # 3 + 2, not 3 + 2 + (re-applied 3) — state carried, not replayed
     assert got == {("a", 7): 5, ("a", 8): 1}
@@ -538,7 +567,9 @@ def test_window_distinct_users_dedups_across_batches(spark, tmp_path):
     )
     got = {
         r.window_start: r.n_users
-        for r in spark.read.parquet(store).collect()
+        for r in _merged(
+            spark, store, ["window_start"], ["n_users"]
+        ).collect()
         if r.window_start < _ts(600)
     }
     assert got == {_ts(0): 2, _ts(60): 1}
@@ -576,7 +607,9 @@ def test_window_distinct_users_non_hour_interval(spark, tmp_path):
     )
     got = {
         r.window_start: r.n_users
-        for r in spark.read.parquet(store).collect()
+        for r in _merged(
+            spark, store, ["window_start"], ["n_users"]
+        ).collect()
         if r.window_start < _ts(600)
     }
     assert got == {_ts(0): 1, _ts(30): 1}
