@@ -381,40 +381,89 @@ def _octal(value: int, width: int) -> bytes:
     return (f"{value:0{width - 1}o}").encode() + b"\x00"
 
 
+def _tar_header(name_bytes: bytes, size: int, typeflag: str) -> bytes:
+    header = bytearray(_TAR_BLOCK)
+    header[0 : len(name_bytes)] = name_bytes
+    header[100:108] = _octal(0o644, 8)    # mode
+    header[108:116] = _octal(0, 8)        # uid
+    header[116:124] = _octal(0, 8)        # gid
+    header[124:136] = _octal(size, 12)
+    header[136:148] = _octal(0, 12)       # mtime
+    header[148:156] = b" " * 8            # checksum placeholder
+    header[156] = ord(typeflag)
+    header[257:263] = b"ustar\x00"
+    header[263:265] = b"00"
+    chks = sum(header)
+    header[148:156] = f"{chks:06o}".encode() + b"\x00 "
+    return bytes(header)
+
+
 def encode_tar(members: list[tuple[str, bytes]],
                gzip_whole: bool = False) -> bytes:
     """members: [(name, data)] as regular files. POSIX ustar headers
     with correct checksums, two zero-block terminator; gzip_whole
-    wraps the stream as .tar.gz."""
+    wraps the stream as .tar.gz. A name longer than 100 bytes emits a
+    pax extended header ('x' record carrying ``path``) before the
+    member, exactly as POSIX.1-2001 tar does."""
     out = bytearray()
     for name, data in members:
         nm = name.encode("utf-8")
         if len(nm) > 100:
-            raise ValueError("tar member name longer than 100 bytes")
-        header = bytearray(_TAR_BLOCK)
-        header[0 : len(nm)] = nm
-        header[100:108] = _octal(0o644, 8)    # mode
-        header[108:116] = _octal(0, 8)        # uid
-        header[116:124] = _octal(0, 8)        # gid
-        header[124:136] = _octal(len(data), 12)
-        header[136:148] = _octal(0, 12)       # mtime
-        header[148:156] = b" " * 8            # checksum placeholder
-        header[156] = ord("0")                # regular file
-        header[257:263] = b"ustar\x00"
-        header[263:265] = b"00"
-        chks = sum(header)
-        header[148:156] = f"{chks:06o}".encode() + b"\x00 "
-        out += header + data
+            # pax: "<len> path=<name>\n" where <len> counts ITSELF —
+            # a fixed point of ln = digits(ln) + len(rest)
+            body = f" path={name}\n".encode("utf-8")
+            ln = len(body) + 1
+            while len(str(ln)) + len(body) != ln:
+                ln = len(str(ln)) + len(body)
+            rec = str(ln).encode() + body
+            out += _tar_header(b"./PaxHeaders/" + nm[:80], len(rec), "x")
+            out += rec + b"\x00" * ((-len(rec)) % _TAR_BLOCK)
+            nm = nm[:100]
+        out += _tar_header(nm, len(data), "0")
+        out += data
         pad = (-len(data)) % _TAR_BLOCK
         out += b"\x00" * pad
     out += b"\x00" * (2 * _TAR_BLOCK)
     return gzip_bytes(bytes(out)) if gzip_whole else bytes(out)
 
 
+def _tar_size(field: bytes) -> int:
+    """Size field: octal text, or GNU base-256 (high bit of byte 0
+    set) for members past the 8 GiB octal ceiling."""
+    if field[0] & 0x80:
+        v = field[0] & 0x7F
+        for b in field[1:]:
+            v = (v << 8) | b
+        return v
+    return int(field.rstrip(b"\x00 ") or b"0", 8)
+
+
+def _pax_records(body: bytes) -> dict[str, str]:
+    """Parse pax extended-header records: '<len> key=value\\n' where
+    len counts the whole record including itself."""
+    out: dict[str, str] = {}
+    pos = 0
+    while pos < len(body):
+        sp = body.index(b" ", pos)
+        ln = int(body[pos:sp])
+        rec = body[pos : pos + ln]
+        if not rec.endswith(b"\n"):
+            raise ValueError("pax record does not end in newline")
+        k, v = rec[sp - pos + 1 : -1].decode("utf-8").split("=", 1)
+        out[k] = v
+        pos += ln
+    return out
+
+
 def parse_tar(payload: bytes) -> list[dict]:
-    """Walk ustar headers: name, size, validated checksum, file data.
-    Gzip input is accepted (single whole-stream member). Non-ustar
-    magic, link/dir types and bad checksums refuse loudly."""
+    """Walk tar headers: name, size, validated checksum, file data.
+    Gzip input is accepted (single whole-stream member). Handles the
+    real crawl-dump surface beyond plain ustar: pax extended headers
+    ('x' per-member and 'g' global — path/size overrides), GNU
+    longname records ('L', ././@LongLink), the ustar prefix field for
+    long paths, GNU base-256 sizes (> 8 GiB members), and directory
+    entries (skipped, as extraction does). Link/device/other member
+    types and bad checksums refuse loudly."""
     if payload[:2] == b"\x1f\x8b":
         members = gunzip_members(payload)
         if len(members) != 1:
@@ -423,6 +472,8 @@ def parse_tar(payload: bytes) -> list[dict]:
     out = []
     pos = 0
     n = len(payload)
+    global_over: dict[str, str] = {}
+    next_over: dict[str, str] = {}
     while pos + _TAR_BLOCK <= n:
         header = payload[pos : pos + _TAR_BLOCK]
         if header == b"\x00" * _TAR_BLOCK:
@@ -435,15 +486,42 @@ def parse_tar(payload: bytes) -> list[dict]:
         if sum(normalized) != stated:
             raise ValueError("tar header checksum mismatch")
         typeflag = chr(header[156])
+        size = _tar_size(header[124:136])
+        data = payload[pos + _TAR_BLOCK : pos + _TAR_BLOCK + size]
+        if len(data) != size:
+            raise ValueError("tar member truncated")
+        pos += _TAR_BLOCK + size + ((-size) % _TAR_BLOCK)
+        if typeflag == "x":  # pax: overrides for the NEXT member
+            next_over.update(_pax_records(data))
+            continue
+        if typeflag == "g":  # pax: global overrides from here on
+            global_over.update(_pax_records(data))
+            continue
+        if typeflag == "L":  # GNU longname for the NEXT member
+            next_over["path"] = data.rstrip(b"\x00").decode("utf-8")
+            continue
+        if typeflag == "5":  # directory: no data, skip as extraction does
+            next_over = {}
+            continue
         if typeflag not in ("0", "\x00"):
             raise NotImplementedError(
                 f"tar member type {typeflag!r} not supported"
             )
         name = header[:100].split(b"\x00", 1)[0].decode("utf-8")
-        size = int(header[124:136].rstrip(b"\x00 "), 8)
-        data = payload[pos + _TAR_BLOCK : pos + _TAR_BLOCK + size]
-        if len(data) != size:
-            raise ValueError(f"tar member {name!r} truncated")
+        prefix = header[345:500].split(b"\x00", 1)[0].decode("utf-8")
+        if prefix:
+            name = f"{prefix}/{name}"
+        over = {**global_over, **next_over}
+        next_over = {}
+        if "path" in over:
+            name = over["path"]
+        if "size" in over:
+            # a pax size override re-frames the data we already read
+            true_size = int(over["size"])
+            if true_size != size:
+                raise ValueError(
+                    "pax size override disagrees with header size "
+                    f"({true_size} != {size}) — unsupported framing"
+                )
         out.append({"name": name, "size": size, "data": data})
-        pos += _TAR_BLOCK + size + ((-size) % _TAR_BLOCK)
     return out

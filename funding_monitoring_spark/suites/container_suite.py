@@ -313,22 +313,32 @@ _TAR_SCHEMA = T.StructType(
     """,
 )
 def q_tar_manifest_scan(spark, sf_dir):
-    """POSIX ustar walk (the dataset-dump format): each document
+    """POSIX tar walk (the dataset-dump format): each document
     becomes a real two-member tar (doc.txt + meta.tsv), odd ids
-    gzip-wrapped (.tar.gz); the parser validates every 512-byte
-    header's space-normalized checksum, honors block padding and
-    refuses non-ustar magic or link/dir types. Sizes and the
-    extracted-text fingerprint are oracle-recomputed; stdlib tarfile
-    cross-validates the layout in both directions in tests."""
+    gzip-wrapped (.tar.gz), and ids with mid % 3 == 0 carry the doc
+    under a 120-byte directory path — which travels as a pax 'x'
+    extended header exactly as POSIX.1-2001 writes it, so the pax
+    path machinery runs on the distributed path, not only in tests.
+    The parser validates every 512-byte header's space-normalized
+    checksum, honors block padding, applies pax/GNU-longname/prefix
+    names, skips directory entries and refuses link types. Sizes and
+    the extracted-text fingerprint are oracle-recomputed; stdlib
+    tarfile cross-validates the layout in both directions in
+    tests."""
     from funding_monitoring_spark.operators.containers import (
         encode_tar,
         parse_tar,
     )
 
+    _LONG_DIR = "corpus/" * 16  # 112 bytes: forces the pax path record
+
     def build(mid, text, lang, source):
+        doc_name = (
+            f"{_LONG_DIR}doc.txt" if mid % 3 == 0 else "doc.txt"
+        )
         return encode_tar(
             [
-                ("doc.txt", text.encode("latin-1")),
+                (doc_name, text.encode("latin-1")),
                 ("meta.tsv",
                  _meta_line(mid, lang, source).encode("latin-1")),
             ],
@@ -337,7 +347,9 @@ def q_tar_manifest_scan(spark, sf_dir):
 
     def extract(mid, payload):
         gz = payload[:2] == b"\x1f\x8b"
-        members = {m["name"]: m for m in parse_tar(payload)}
+        members = {
+            m["name"].rsplit("/", 1)[-1]: m for m in parse_tar(payload)
+        }
         return {
             "media_id": mid,
             "n_members": len(members),

@@ -238,3 +238,102 @@ def test_warc_framing_fields_win_over_extras():
     back = parse_warc(encode_warc(recs))
     assert back[0][2] == b"twenty byte payload!"
     assert back[0][1]["Content-Length"] == "20"
+
+
+def test_tar_pax_long_names_roundtrip_and_stdlib_interop():
+    """Names past 100 bytes travel as pax 'x' records: our writer
+    emits them, our parser applies them, and stdlib tarfile agrees in
+    both directions."""
+    import io
+    import tarfile
+
+    from funding_monitoring_spark.operators.containers import (
+        encode_tar,
+        parse_tar,
+    )
+
+    long_name = "deep/" * 30 + "file.txt"  # 158 bytes
+    members = [(long_name, b"long-name payload"), ("short", b"s")]
+    t = encode_tar(members)
+    got = parse_tar(t)
+    assert [(m["name"], m["data"]) for m in got] == members
+    with tarfile.open(fileobj=io.BytesIO(t)) as tf:
+        assert tf.extractfile(long_name).read() == b"long-name payload"
+
+    # stdlib pax output parses back (includes an 'x' record per file)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.PAX_FORMAT) as tf:
+        info = tarfile.TarInfo(long_name)
+        data = b"stdlib pax body"
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    got = parse_tar(buf.getvalue())
+    assert got == [{"name": long_name, "size": len(data), "data": data}]
+
+
+def test_tar_gnu_longname_prefix_dirs_and_base256():
+    """Hand-built foreign shapes: GNU 'L' longname records, the ustar
+    prefix field, directory entries (skipped), and a base-256 size
+    field all parse; link types still refuse."""
+    import io
+    import tarfile
+
+    from funding_monitoring_spark.operators.containers import (
+        _tar_header,
+        parse_tar,
+    )
+
+    # GNU longname via stdlib GNU format
+    long_name = "gnu/" * 40 + "x.bin"
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.GNU_FORMAT) as tf:
+        info = tarfile.TarInfo(long_name)
+        info.size = 3
+        tf.addfile(info, io.BytesIO(b"abc"))
+        d = tarfile.TarInfo("some/dir")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        short = tarfile.TarInfo("plain")
+        short.size = 2
+        tf.addfile(short, io.BytesIO(b"hi"))
+    got = parse_tar(buf.getvalue())
+    assert [(m["name"], m["data"]) for m in got] == [
+        (long_name, b"abc"), ("plain", b"hi")
+    ]
+
+    # ustar prefix field: stdlib USTAR format splits long paths
+    buf = io.BytesIO()
+    split_name = "p" * 120 + "/leaf"
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        info = tarfile.TarInfo(split_name)
+        info.size = 1
+        tf.addfile(info, io.BytesIO(b"z"))
+    got = parse_tar(buf.getvalue())
+    assert got[0]["name"] == split_name and got[0]["data"] == b"z"
+
+    # base-256 size field (GNU binary form) on a small member
+    header = bytearray(_tar_header(b"b256", 0, "0"))
+    size_field = bytearray(12)
+    size_field[0] = 0x80
+    size_field[-1] = 5
+    header[124:136] = size_field
+    header[148:156] = b" " * 8
+    chks = sum(header)
+    header[148:156] = f"{chks:06o}".encode() + b"\x00 "
+    raw = bytes(header) + b"12345" + b"\x00" * 507 + b"\x00" * 1024
+    got = parse_tar(raw)
+    assert got == [{"name": "b256", "size": 5, "data": b"12345"}]
+
+    # symlink type still refuses
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        ln = tarfile.TarInfo("a-link")
+        ln.type = tarfile.SYMTYPE
+        ln.linkname = "target"
+        tf.addfile(ln)
+    with pytest.raises(NotImplementedError, match="type"):
+        parse_tar(buf.getvalue())
