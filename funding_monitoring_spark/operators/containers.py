@@ -457,7 +457,8 @@ def _pax_records(body: bytes) -> dict[str, str]:
 
 def parse_tar(payload: bytes) -> list[dict]:
     """Walk tar headers: name, size, validated checksum, file data.
-    Gzip input is accepted (single whole-stream member). Handles the
+    Whole-stream gzip, bz2 and xz wrappers are accepted (.tar.gz /
+    .tar.bz2 / .tar.xz — stdlib codecs). Handles the
     real crawl-dump surface beyond plain ustar: pax extended headers
     ('x' per-member and 'g' global — path/size overrides), GNU
     longname records ('L', ././@LongLink), the ustar prefix field for
@@ -469,6 +470,14 @@ def parse_tar(payload: bytes) -> list[dict]:
         if len(members) != 1:
             raise ValueError("tar.gz must be one gzip member")
         payload = members[0]
+    elif payload[:3] == b"BZh":  # .tar.bz2
+        import bz2
+
+        payload = bz2.decompress(payload)
+    elif payload[:6] == b"\xfd7zXZ\x00":  # .tar.xz
+        import lzma
+
+        payload = lzma.decompress(payload)
     out = []
     pos = 0
     n = len(payload)

@@ -1266,9 +1266,15 @@ def q_image_dhash_clusters(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    sigs = image_dhash_features(
-        synthesize_image_scale_twins(docs)
-    ).select("media_id", "dhash")
+    # one eager checkpoint: BOTH consumers (the edge builder and the
+    # membership universe) would otherwise re-run the full synth +
+    # codec-decode + hash pipeline — Catalyst does not reuse unshared
+    # subplans (measured: 15.8 s -> ~half at sf0.1)
+    sigs = (
+        image_dhash_features(synthesize_image_scale_twins(docs))
+        .select("media_id", "dhash")
+        .localCheckpoint(eager=True)
+    )
     edges = hex_signature_cluster_edges(
         sigs, id_col="media_id", hex_col="dhash",
         bands=4, max_hamming=3,

@@ -337,3 +337,21 @@ def test_tar_gnu_longname_prefix_dirs_and_base256():
         tf.addfile(ln)
     with pytest.raises(NotImplementedError, match="type"):
         parse_tar(buf.getvalue())
+
+
+def test_tar_bz2_and_xz_wrappers():
+    """Whole-stream bz2 and xz tar wrappers (the .tar.bz2/.tar.xz
+    dump flavors) decode through the same walker."""
+    import bz2
+    import lzma
+
+    from funding_monitoring_spark.operators.containers import (
+        encode_tar,
+        parse_tar,
+    )
+
+    t = encode_tar([("a.txt", b"alpha"), ("b.txt", b"beta")])
+    want = [("a.txt", b"alpha"), ("b.txt", b"beta")]
+    for wrapped in (bz2.compress(t), lzma.compress(t)):
+        got = parse_tar(wrapped)
+        assert [(m["name"], m["data"]) for m in got] == want
