@@ -63,6 +63,30 @@ def word_bigrams(col: Column | str) -> Column:
     return let(tokens(col), body)
 
 
+def word_trigrams(col: Column | str) -> Column:
+    """All consecutive token trigrams (NOT distinct — LM counting
+    needs the multiset). A document with <3 tokens yields an empty
+    array."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        first_pairs = F.zip_with(
+            F.slice(toks, 1, n - 2),
+            F.slice(toks, 2, n - 2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        tris = F.zip_with(
+            first_pairs,
+            F.slice(toks, 3, n - 2),
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        )
+        return F.when(n >= 3, tris).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(tokens(col), body)
+
+
 def distinct_token_ratio(col: Column | str) -> Column:
     """Vocabulary diversity: |distinct tokens| / |tokens|; 1.0 for an
     empty document (vacuously diverse — nothing repeats)."""

@@ -1983,6 +1983,131 @@ def q_bigram_logprob_score(spark, sf_dir):
     )
 
 
+KN_TRIGRAM_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+        FROM documents
+    ),
+    tris AS (
+        SELECT doc_id,
+               list_extract(ts, i) AS w1,
+               list_extract(ts, i + 1) AS w2,
+               list_extract(ts, i + 2) AS w3
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+              FROM toks)
+    ),
+    tc AS (SELECT w1, w2, w3, CAST(COUNT(*) AS DOUBLE) AS c3
+           FROM tris GROUP BY 1, 2, 3),
+    bc AS (SELECT w1, w2, CAST(SUM(c3) AS DOUBLE) AS c2,
+                  CAST(COUNT(*) AS DOUBLE) AS f3
+           FROM tc GROUP BY 1, 2),
+    cont3 AS (SELECT w2, w3, CAST(COUNT(*) AS DOUBLE) AS n3
+              FROM tc GROUP BY 1, 2),
+    mid AS (SELECT w2, CAST(SUM(n3) AS DOUBLE) AS m,
+                   CAST(COUNT(*) AS DOUBLE) AS f2
+            FROM cont3 GROUP BY 1),
+    contu AS (SELECT w3, CAST(COUNT(*) AS DOUBLE) AS u
+              FROM cont3 GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM cont3)
+    SELECT tris.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(-SUM(ln(
+               (c3 - 0.75 + 0.75 * f3 *
+                   ((n3 - 0.75 + 0.75 * f2 * (u / t)) / m)) / c2
+           )) / COUNT(*), 6) AS avg_neg_logprob
+    FROM tris
+    JOIN tc USING (w1, w2, w3)
+    JOIN bc USING (w1, w2)
+    JOIN cont3 USING (w2, w3)
+    JOIN mid USING (w2)
+    JOIN contu USING (w3)
+    CROSS JOIN tot
+    GROUP BY tris.doc_id
+"""
+
+
+@query("kn_trigram_logprob_score", KN_TRIGRAM_ORACLE)
+def q_kn_trigram_logprob_score(spark, sf_dir):
+    """Perplexity-proxy curation signal, third in the LM-scoring
+    ladder (unigram_logprob_score -> bigram_logprob_score -> this):
+    each document's mean negative log-probability under an
+    interpolated KNESER-NEY trigram LM (absolute discount D=0.75)
+    built from the corpus itself — the smoothing every serious n-gram
+    quality filter uses, because add-k over-penalizes rare-but-valid
+    continuations while KN backs off by CONTINUATION counts
+    (how many contexts a word completes, not how often it occurs).
+    All count tables derive from one trigram count: c(w1w2w3);
+    context totals and N1+ continuation counts are re-aggregations of
+    it, so the model is exactly reproducible in SQL and every scored
+    trigram has a positive denominator (it came from the corpus).
+    P(w3|w1w2) = (c3 - D + D·N1+(w1w2·)·P2(w3|w2)) / c(w1w2·),
+    P2(w3|w2) = (N1+(·w2w3) - D + D·N1+(w2·)·N1+(·w3)/N1+(··))
+                / N1+(·w2·).
+    Shape at 100 TB: one map-side-combined trigram count feeding
+    three re-aggregations (all tiny relative to the corpus), then
+    equi-joins back onto the trigram stream — count tables scale with
+    distinct n-grams, so the joins shuffle on n-gram keys rather than
+    assuming broadcastability; AQE picks BHJ when a side fits. The
+    identical arithmetic expression tree on both engines keeps raw
+    doubles bit-comparable before the 6-digit round."""
+    from funding_monitoring_spark.operators.textstats import (
+        word_trigrams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tris = docs.select(
+        "doc_id",
+        F.explode(word_trigrams(F.lower(F.col("text")))).alias("tg"),
+    ).select(
+        "doc_id",
+        F.split(F.col("tg"), " ").getItem(0).alias("w1"),
+        F.split(F.col("tg"), " ").getItem(1).alias("w2"),
+        F.split(F.col("tg"), " ").getItem(2).alias("w3"),
+    )
+    tc = (
+        tris.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("double").alias("c3"))
+        .localCheckpoint(eager=True)  # feeds bc, cont3 AND the join
+    )
+    bc = tc.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2"),
+        F.count(F.lit(1)).cast("double").alias("f3"),
+    )
+    cont3 = (
+        tc.groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).cast("double").alias("n3"))
+        .localCheckpoint(eager=True)  # feeds mid, contu, tot, join
+    )
+    mid = cont3.groupBy("w2").agg(
+        F.sum("n3").alias("m"),
+        F.count(F.lit(1)).cast("double").alias("f2"),
+    )
+    contu = cont3.groupBy("w3").agg(
+        F.count(F.lit(1)).cast("double").alias("u")
+    )
+    tot = cont3.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    p2 = (
+        F.col("n3") - 0.75 + 0.75 * F.col("f2")
+        * (F.col("u") / F.col("t"))
+    ) / F.col("m")
+    p3 = (F.col("c3") - 0.75 + 0.75 * F.col("f3") * p2) / F.col("c2")
+    return (
+        tris.join(tc, ["w1", "w2", "w3"])
+        .join(bc, ["w1", "w2"])
+        .join(cont3, ["w2", "w3"])
+        .join(mid, ["w2"])
+        .join(contu, ["w3"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                -F.sum(F.log(p3)) / F.count(F.lit(1)), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
 ACF_ORACLE = """
     WITH s AS (
         SELECT event_type, value,

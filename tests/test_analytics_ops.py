@@ -908,3 +908,49 @@ def test_bpe_batched_self_pair_ends_batch(spark):
         (2, "aa", "a", 1),
         (3, "b", "b", 1),
     ]
+
+
+def test_word_trigrams_multiset_and_short_docs(spark):
+    from funding_monitoring_spark.operators.textstats import (
+        word_trigrams,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "a b c d a b c"), (1, "x y"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.tg
+        for r in df.select(
+            "doc_id", word_trigrams(F.col("text")).alias("tg")
+        ).collect()
+    }
+    assert got[0] == ["a b c", "b c d", "c d a", "d a b", "a b c"]
+    assert got[1] == [] and got[2] == []
+
+
+def test_kn_trigram_score_prefers_fluent_order(spark):
+    """The KN trigram scorer must (a) produce probabilities in (0,1]
+    — positive avg neg-logprob — and (b) score a document whose
+    trigrams repeat corpus-frequent phrases LOWER (more probable)
+    than one using the same vocabulary in a rare order."""
+    from funding_monitoring_spark.suites.analytics_suite import (
+        q_kn_trigram_logprob_score,
+    )
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    rows.append((100, "the quick brown fox jumps over the lazy dog"))
+    rows.append((101, "dog the lazy fox quick over brown jumps the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import funding_monitoring_spark.suites.analytics_suite as A
+    from unittest.mock import patch
+
+    with patch.object(A, "load_table", lambda s, d, t: docs):
+        got = {
+            r.doc_id: (r.n_trigrams, r.avg_neg_logprob)
+            for r in q_kn_trigram_logprob_score(spark, "unused").collect()
+        }
+    assert got[100][0] == 7 and got[101][0] == 7
+    assert 0 < got[100][1] < got[101][1]
