@@ -642,3 +642,59 @@ def hex_signature_cluster_edges(
         max_band_bucket=max_band_bucket,
     ).select("id_a", "id_b", F.col("hamming").cast("integer").alias("hamming"))
     return rep_pairs.unionByName(star)
+
+
+def hex_signature_clusters(
+    sigs: DataFrame,
+    id_col: str = "id",
+    hex_col: str = "sig",
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_band_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Cluster membership (id, cluster_id, is_canonical) over 64-bit
+    hex signatures — the end-to-end scale path: exact-duplicate
+    collapse, banded near-dup over DISTINCT signatures only, and
+    connected components over the QUOTIENT graph (representatives
+    only). Star edges never enter the iterative CC — they cannot
+    change connectivity between representatives, so the label
+    propagation runs on O(distinct signatures) nodes instead of
+    O(corpus), and members inherit their representative's final label
+    with one broadcast-sized join. cluster_id is the min id in the
+    component (the deterministic survivor rule); signatures in no
+    near-dup pair form singleton clusters under their own
+    representative."""
+    from funding_monitoring_spark.operators.components import (
+        connected_components,
+    )
+
+    w = Window.partitionBy("sig")
+    tagged = (
+        sigs.select(F.col(id_col).alias("id"), F.col(hex_col).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .withColumn("_rep", F.min("id").over(w))
+        .localCheckpoint(eager=True)
+    )
+    reps = tagged.filter(F.col("id") == F.col("_rep")).select("id", "sig")
+    rep_pairs = hex_signature_near_dup(
+        reps,
+        id_col="id",
+        hex_col="sig",
+        bands=bands,
+        max_hamming=max_hamming,
+        max_band_bucket=max_band_bucket,
+    )
+    comp = connected_components(rep_pairs).withColumnRenamed(
+        "id", "_rep"
+    )
+    return (
+        tagged.join(F.broadcast(comp), "_rep", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("_rep"))
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )

@@ -1254,11 +1254,8 @@ def q_image_dhash_clusters(spark, sf_dir):
     the per-media assignment exactly. At 100 TB: hash at ingest,
     collapse by equality (one shuffle), band only distinct
     signatures, CC over a spanning forest."""
-    from funding_monitoring_spark.operators.components import (
-        dedup_cluster_assignment,
-    )
     from funding_monitoring_spark.operators.dedup import (
-        hex_signature_cluster_edges,
+        hex_signature_clusters,
     )
     from funding_monitoring_spark.operators.multimodal import (
         image_dhash_features,
@@ -1266,22 +1263,12 @@ def q_image_dhash_clusters(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # one eager checkpoint: BOTH consumers (the edge builder and the
-    # membership universe) would otherwise re-run the full synth +
-    # codec-decode + hash pipeline — Catalyst does not reuse unshared
-    # subplans (measured: 15.8 s -> ~half at sf0.1)
-    sigs = (
-        image_dhash_features(synthesize_image_scale_twins(docs))
-        .select("media_id", "dhash")
-        .localCheckpoint(eager=True)
-    )
-    edges = hex_signature_cluster_edges(
+    sigs = image_dhash_features(
+        synthesize_image_scale_twins(docs)
+    ).select("media_id", "dhash")
+    return hex_signature_clusters(
         sigs, id_col="media_id", hex_col="dhash",
         bands=4, max_hamming=3,
-    )
-    return dedup_cluster_assignment(
-        sigs.select("media_id"), edges,
-        id_col="media_id", src="id_a", dst="id_b",
     ).select("media_id", "cluster_id", "is_canonical")
 
 

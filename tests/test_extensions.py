@@ -1302,3 +1302,38 @@ def test_hex_cluster_edges_connectivity_matches_pairs(spark):
     )
     star_form = clusters(D.hex_signature_cluster_edges(sigs))
     assert star_form == pair_form == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_hex_signature_clusters_matches_edge_form(spark):
+    """The quotient-graph membership (CC over representatives only)
+    must equal connected components over the FULL star edge set —
+    star edges cannot change connectivity between representatives."""
+    from funding_monitoring_spark.operators.components import (
+        dedup_cluster_assignment,
+    )
+
+    rows = [
+        (1, "00000000000000ff"),
+        (2, "00000000000000ff"),
+        (3, "00000000000000fe"),  # bridges to the ff group (hamming 1)
+        (4, "0000000000000055"),  # far from everything
+        (5, "ffffffffffffffff"),  # singleton
+        (6, "00000000000000fe"),  # exact dup of 3
+    ]
+    sigs = spark.createDataFrame(rows, "id long, sig string")
+    quotient = {
+        (r.id, r.cluster_id, r.is_canonical)
+        for r in D.hex_signature_clusters(sigs).collect()
+    }
+    edge_form = {
+        (r.media_id, r.cluster_id, r.is_canonical)
+        for r in dedup_cluster_assignment(
+            sigs.select(F.col("id").alias("media_id")),
+            D.hex_signature_cluster_edges(sigs),
+            id_col="media_id",
+        ).collect()
+    }
+    assert quotient == edge_form == {
+        (1, 1, True), (2, 1, False), (3, 1, False),
+        (4, 4, True), (5, 5, True), (6, 1, False),
+    }
