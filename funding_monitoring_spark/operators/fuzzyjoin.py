@@ -342,3 +342,64 @@ def edit_distance_cluster_edges(
         rep_rows, id_col, group_col, str_col, d, q, max_bucket
     )
     return rep_pairs.unionByName(star)
+
+
+def edit_distance_clusters(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    str_col: str,
+    d: int,
+    q: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Cluster membership (id, cluster_id, is_canonical) for EVERY row
+    of ``df`` under the within-group edit-distance-<=d relation — the
+    end-to-end scale path: exact-duplicate collapse, fuzzy pairing
+    over distinct (group, string) representatives only, and connected
+    components over the QUOTIENT graph (representatives only). Star
+    edges never enter the iterative label propagation — they cannot
+    change connectivity between representatives — so CC runs on
+    O(distinct strings) nodes instead of O(corpus), and members
+    inherit their representative's final label with one broadcast
+    join. Rows with a NULL string (no fuzzy identity) are their own
+    singleton clusters, matching dedup_cluster_assignment over the
+    edge form exactly. cluster_id is the min id in the component (the
+    deterministic survivor rule)."""
+    from funding_monitoring_spark.operators.components import (
+        connected_components,
+    )
+
+    # ONE window pass, checkpointed: both the membership map and the
+    # representative rows slice it (Catalyst re-executes unshared
+    # subplans per consumer)
+    w = Window.partitionBy(group_col, str_col)
+    tagged = (
+        df.select(id_col, group_col, str_col)
+        .filter(F.col(str_col).isNotNull())
+        .withColumn("_rep", F.min(id_col).over(w))
+        .localCheckpoint(eager=True)
+    )
+    rep_rows = tagged.filter(F.col(id_col) == F.col("_rep")).select(
+        id_col, group_col, str_col
+    )
+    rep_pairs = edit_distance_join(
+        rep_rows, id_col, group_col, str_col, d, q, max_bucket
+    )
+    comp = connected_components(
+        rep_pairs, src=f"{id_col}_a", dst=f"{id_col}_b"
+    ).withColumnRenamed("id", "_rep")
+    return (
+        df.select(id_col)
+        .join(tagged.select(id_col, "_rep"), id_col, "left")
+        .join(F.broadcast(comp), "_rep", "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("cluster_id"), F.col("_rep"), F.col(id_col)),
+        )
+        .select(
+            id_col,
+            "cluster_id",
+            (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )

@@ -491,11 +491,8 @@ def q_fuzzy_title_clusters(spark, sf_dir):
     distance 3 may sit 6 apart, and a record-linkage pipeline must
     still merge them; the recursive-CTE oracle value-checks the
     closure per document."""
-    from funding_monitoring_spark.operators.components import (
-        dedup_cluster_assignment,
-    )
     from funding_monitoring_spark.operators.fuzzyjoin import (
-        edit_distance_cluster_edges,
+        edit_distance_clusters,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -507,17 +504,17 @@ def q_fuzzy_title_clusters(spark, sf_dir):
         ),
     )
     # r10 scale shape: exact-duplicate titles collapse to their
-    # min-id representative BEFORE the fuzzy candidate space, members
-    # attaching by star edges — a viral duplicate group of k copies
-    # costs k star rows + one fuzzy node instead of C(k, 2) verified
-    # pairs (the r9 sf1 sweep measured 2,948x pair growth at 10x data
-    # on the all-pairs form). Connectivity — hence the clustering and
-    # this oracle — is identical.
-    edges = edit_distance_cluster_edges(
+    # min-id representative BEFORE the fuzzy candidate space — a
+    # viral duplicate group of k copies costs k membership rows + one
+    # fuzzy node instead of C(k, 2) verified pairs (the r9 sf1 sweep
+    # measured 2,948x pair growth at 10x data on the all-pairs form).
+    # r11: connected components run over the QUOTIENT graph only
+    # (representative pairs; members inherit by one broadcast join),
+    # so the iterative CC never touches O(corpus) star edges.
+    # Connectivity — hence the clustering and this oracle — is
+    # identical.
+    return edit_distance_clusters(
         titles, "doc_id", "lang", "title", _FUZZY_D, q=3
-    )
-    return dedup_cluster_assignment(
-        docs, edges, src="doc_id_a", dst="doc_id_b"
     ).select("doc_id", "cluster_id", "is_canonical")
 
 

@@ -244,3 +244,43 @@ def test_cluster_edges_same_components_as_pairs(spark):
     # member edges, verified distance on representative pairs
     dists = {r.dist for r in star_df.collect()}
     assert 0 in dists and max(dists) <= d
+
+
+def test_edit_distance_clusters_matches_edge_form(spark):
+    """Quotient-graph membership (CC over representatives only) must
+    equal dedup_cluster_assignment over the full star edge set,
+    including NULL-string singletons and transitive bridges."""
+    from funding_monitoring_spark.operators.components import (
+        dedup_cluster_assignment,
+    )
+    from funding_monitoring_spark.operators.fuzzyjoin import (
+        edit_distance_cluster_edges,
+        edit_distance_clusters,
+    )
+
+    rows = [
+        (1, "g", "alpha bravo"),
+        (2, "g", "alpha bravo"),   # exact dup of 1
+        (3, "g", "alpha bravp"),   # dist 1 from the group
+        (4, "g", "alpha bsavq"),   # dist 2 from 3, 3 from 1: bridge
+        (5, "g", "zzzz qqqq ffff"), # far
+        (6, "h", "alpha bravo"),   # same string, other group
+        (7, "g", None),            # no fuzzy identity: singleton
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+    quotient = {
+        (r.id, r.cluster_id, r.is_canonical)
+        for r in edit_distance_clusters(df, "id", "g", "s", 2).collect()
+    }
+    edge_form = {
+        (r.id, r.cluster_id, r.is_canonical)
+        for r in dedup_cluster_assignment(
+            df.select("id"),
+            edit_distance_cluster_edges(df, "id", "g", "s", 2),
+            id_col="id", src="id_a", dst="id_b",
+        ).collect()
+    }
+    assert quotient == edge_form == {
+        (1, 1, True), (2, 1, False), (3, 1, False), (4, 1, False),
+        (5, 5, True), (6, 6, True), (7, 7, True),
+    }
