@@ -427,3 +427,143 @@ def q_robots_txt_filter(spark, sf_dir):
         .alias("path"),
     )
     return evaluate_robots(urls, rules)
+
+
+# -- DOCX (OOXML: ZIP + XML, both machineries composed) ---------------------
+
+_DOCX_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_members", T.IntegerType()),
+        T.StructField("n_paragraphs", T.IntegerType()),
+        T.StructField("n_text_chars", T.IntegerType()),
+        T.StructField("doc_fingerprint", T.LongType()),
+    ]
+)
+
+_DOCX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.'
+    'openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.wordprocessingml.document.main'
+    '+xml"/></Types>'
+)
+
+_DOCX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+    '2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/officeDocument" '
+    'Target="word/document.xml"/></Relationships>'
+)
+
+_W_NS = (
+    "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+)
+
+
+def build_docx(text: str) -> bytes:
+    """Minimal real OOXML word document: [Content_Types].xml +
+    package rels + word/document.xml, one <w:p><w:r><w:t> per text
+    line (the canonical paragraph mapping), zipped with the repo's
+    own ZIP writer. Reads in Word-compatible tooling; here it is the
+    fixture for the ZIP x XML composition."""
+    from xml.sax.saxutils import escape
+
+    from funding_monitoring_spark.operators.containers import encode_zip
+
+    paras = "".join(
+        f'<w:p><w:r><w:t xml:space="preserve">{escape(line)}</w:t>'
+        "</w:r></w:p>"
+        for line in text.split("\n")
+    )
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{_W_NS}"><w:body>{paras}</w:body>'
+        "</w:document>"
+    )
+    return encode_zip(
+        [
+            ("[Content_Types].xml", _DOCX_CONTENT_TYPES.encode(), False),
+            ("_rels/.rels", _DOCX_RELS.encode(), False),
+            ("word/document.xml", document.encode("utf-8"), True),
+        ]
+    )
+
+
+def extract_docx_text(payload: bytes) -> tuple[int, list[str]]:
+    """(n_zip_members, paragraph texts): unzip with the repo ZIP
+    walker, parse word/document.xml with a REAL XML parser (stdlib
+    ElementTree — entity unescape, namespace handling), and read each
+    paragraph's <w:t> runs in document order. Missing document part
+    or malformed XML refuse loudly."""
+    import xml.etree.ElementTree as ET
+
+    from funding_monitoring_spark.operators.containers import parse_zip
+
+    members = {m["name"]: m for m in parse_zip(payload)}
+    if "word/document.xml" not in members:
+        raise ValueError("DOCX has no word/document.xml part")
+    root = ET.fromstring(
+        members["word/document.xml"]["data"].decode("utf-8")
+    )
+    ns = {"w": _W_NS}
+    paras = []
+    for p in root.iter(f"{{{_W_NS}}}p"):
+        paras.append(
+            "".join(t.text or "" for t in p.findall(".//w:t", ns))
+        )
+    return len(members), paras
+
+
+@query(
+    "docx_text_extract",
+    f"""
+    SELECT doc_id AS media_id,
+           3 AS n_members,
+           CAST(1 + length(text)
+                - length(replace(text, chr(10), '')) AS INT)
+               AS n_paragraphs,
+           CAST(length(text) AS INT) AS n_text_chars,
+           {_FP_SQL} AS doc_fingerprint
+    FROM documents
+    """,
+)
+def q_docx_text_extract(spark, sf_dir):
+    """Office-document text recovery — the DOCX mass of a crawl,
+    handled by COMPOSING two machineries this engine already carries:
+    each document becomes a minimal REAL OOXML package (three-part
+    ZIP: content types, package rels, word/document.xml with one
+    <w:p><w:r><w:t> per text line) written by the repo's own ZIP
+    writer, then re-opened by the ZIP walker and parsed with a real
+    XML parser — entity unescape and namespaces included — to recover
+    the paragraph runs in document order. The recovered text
+    (paragraphs re-joined with newlines) is fingerprinted with the
+    rolling polynomial the oracle recomputes from the original
+    column, so zip framing, deflate, XML escaping and paragraph-walk
+    bugs all break the hash. At 100 TB this is one scan-stage
+    mapInPandas pair per payload — embarrassingly parallel, no
+    shuffle."""
+    _register_by_value()
+
+    def build(mid, text, lang, source):
+        return build_docx(text)
+
+    def extract(mid, payload):
+        n_members, paras = extract_docx_text(payload)
+        recovered = "\n".join(paras)
+        return {
+            "media_id": mid,
+            "n_members": n_members,
+            "n_paragraphs": len(paras),
+            "n_text_chars": len(recovered),
+            "doc_fingerprint": _poly_fp(recovered.encode("latin-1")),
+        }
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _features(_doc_media(docs, build), extract, _DOCX_SCHEMA)

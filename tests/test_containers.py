@@ -355,3 +355,33 @@ def test_tar_bz2_and_xz_wrappers():
     for wrapped in (bz2.compress(t), lzma.compress(t)):
         got = parse_tar(wrapped)
         assert [(m["name"], m["data"]) for m in got] == want
+
+
+def test_docx_build_and_extract_escaping_edges():
+    """The DOCX composition must survive XML-hostile text (&, <, >,
+    quotes), preserve paragraph splits exactly, and produce a package
+    stdlib zipfile can open with a parseable document part."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from funding_monitoring_spark.suites.container_suite import (
+        build_docx,
+        extract_docx_text,
+    )
+
+    text = 'a & b < c > "d"\nsecond <tag> line\n\ntail'
+    payload = build_docx(text)
+    n_members, paras = extract_docx_text(payload)
+    assert n_members == 3
+    assert "\n".join(paras) == text
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        doc = zf.read("word/document.xml")
+    ET.fromstring(doc.decode("utf-8"))  # well-formed XML
+
+    with pytest.raises(ValueError, match="document.xml"):
+        from funding_monitoring_spark.operators.containers import (
+            encode_zip,
+        )
+
+        extract_docx_text(encode_zip([("other.txt", b"x", False)]))
