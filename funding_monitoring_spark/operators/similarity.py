@@ -783,6 +783,26 @@ def _argmin_codes(subs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def build_pq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(cents, codes), both eagerly checkpointed — the PQ index as a
+    reusable artifact. At 100 TB the encode is a once-per-ingest cost
+    amortized over every query; callers serving several PQ queries in
+    one session (the bench suite, a notebook) build this once and
+    pass it to cosine_topk_pq(index=...) instead of re-encoding the
+    corpus per query."""
+    cents = pq_codebook(corpus, id_col, emb_col).localCheckpoint(
+        eager=True
+    )
+    codes = pq_encode(corpus, cents, id_col, emb_col).localCheckpoint(
+        eager=True
+    )
+    return cents, codes
+
+
 def cosine_topk_pq(
     queries: DataFrame,
     corpus: DataFrame,
@@ -790,6 +810,7 @@ def cosine_topk_pq(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     rerank: int = PQ_RERANK,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k via product quantization with asymmetric
     distance computation (ADC) plus exact re-ranking: the corpus
@@ -810,12 +831,15 @@ def cosine_topk_pq(
     its probed cells' codes — IVF-PQ, the standard composition. The
     codebook is sample-seeded like IVF's (k-means refinement via
     kmeans_refined_centroids changes recall, not shape)."""
-    cents = pq_codebook(corpus, id_col, emb_col)
-    # the tiny codebook feeds BOTH the encode and the query LUT;
-    # localCheckpoint so Catalyst doesn't recompute the sample scan
-    # per consumer (aliased subplans are never reused)
-    cents = cents.localCheckpoint(eager=True)
-    codes = pq_encode(corpus, cents, id_col, emb_col)
+    if index is not None:
+        cents, codes = index
+    else:
+        cents = pq_codebook(corpus, id_col, emb_col)
+        # the tiny codebook feeds BOTH the encode and the query LUT;
+        # localCheckpoint so Catalyst doesn't recompute the sample
+        # scan per consumer (aliased subplans are never reused)
+        cents = cents.localCheckpoint(eager=True)
+        codes = pq_encode(corpus, cents, id_col, emb_col)
     qsubs = _pq_subspaces(queries, id_col, emb_col, "q")
     lut = (
         qsubs.join(F.broadcast(cents), "m")
@@ -889,6 +913,90 @@ def _adc_scores(pairs: DataFrame) -> DataFrame:
     return pairs.groupBy("q_id", "c_id").agg(score.alias("adc_score"))
 
 
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(c_cells, pq_cents, codes), all eagerly checkpointed — the
+    corpus side of the IVF-PQ index (cell assignments, residual
+    codebook, residual codes) as a reusable artifact. At 100 TB these
+    are once-per-ingest builds amortized over every query; callers
+    serving several IVF-PQ queries in one session build this once and
+    pass it to cosine_topk_ivf_pq(index=...)."""
+    c_cells, rsubs, pq_cents = _ivf_pq_corpus(corpus, id_col, emb_col)
+    codes = _argmin_codes(rsubs, pq_cents).localCheckpoint(eager=True)
+    return c_cells, pq_cents, codes
+
+
+def _ivf_pq_corpus(
+    corpus: DataFrame, id_col: str, emb_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Corpus-side IVF-PQ frames: hard cell assignments (one
+    crossJoin, checkpointed), residual subspace rows (checkpointed —
+    they feed both the codebook sample and the encode argmin), and
+    the residual codebook (checkpointed)."""
+    cents = _prep(
+        corpus.filter(
+            ((F.col(id_col) % IVF_CENTROID_MOD) == 0)
+            & (F.col(id_col) < IVF_CENT_CAP)
+        ),
+        id_col,
+        emb_col,
+        "cent",
+    )
+    c = _prep(corpus, id_col, emb_col, "c")
+    c_cells = (
+        _cell_assignments(
+            c.select(
+                F.col("c_id").alias("v_id"),
+                F.col("c_emb").alias("v_emb"),
+                F.col("c_norm").alias("v_norm"),
+            ),
+            cents,
+            keep=1,
+        )
+        .select(F.col("v_id").alias("c_id"), "cent_id")
+        .localCheckpoint(eager=True)
+    )
+    # residual encoding: r = v_n - cent_n (both unit-normalized,
+    # element-wise — the residual itself is NOT renormalized)
+    ncent = cents.select(
+        "cent_id",
+        F.transform(
+            "cent_emb", lambda x: x / F.col("cent_norm")
+        ).alias("ncent"),
+    )
+    resid = (
+        c.select(
+            "c_id",
+            F.transform(
+                "c_emb", lambda x: x / F.col("c_norm")
+            ).alias("ncemb"),
+        )
+        .join(c_cells, "c_id")
+        .join(F.broadcast(ncent), "cent_id")
+        .select(
+            "c_id",
+            F.zip_with(
+                "ncemb", "ncent", lambda a, b: a - b
+            ).alias("remb"),
+        )
+    )
+    rsubs = _subspace_split(
+        resid, "c_id", F.col("remb"), "c"
+    ).localCheckpoint(eager=True)
+    pq_cents = (
+        rsubs.filter(
+            ((F.col("c_id") % PQ_CENT_MOD) == 0)
+            & (F.col("c_id") < PQ_CENT_CAP)
+        )
+        .select("m", F.col("c_id").alias("j"), F.col("sub").alias("csub"))
+        .localCheckpoint(eager=True)
+    )
+    return c_cells, rsubs, pq_cents
+
+
 def cosine_topk_ivf_pq(
     queries: DataFrame,
     corpus: DataFrame,
@@ -897,6 +1005,7 @@ def cosine_topk_ivf_pq(
     emb_col: str = "embedding",
     nprobe: int = IVF_NPROBE,
     rerank: int = IVF_PQ_RERANK,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding: the composed 100 TB ANN path.
     The IVF index routes — the corpus is hard-assigned to
@@ -925,24 +1034,18 @@ def cosine_topk_ivf_pq(
         emb_col,
         "cent",
     )
-    c = _prep(corpus, id_col, emb_col, "c")
     q = _prep(queries, id_col, emb_col, "q")
-    # hard assignments feed THREE consumers (candidate join, residual
-    # computation, the m=0 centroid term) — checkpoint the slim
-    # (c_id, cent_id) frame so the assignment crossJoin runs once
-    c_cells = (
-        _cell_assignments(
-            c.select(
-                F.col("c_id").alias("v_id"),
-                F.col("c_emb").alias("v_emb"),
-                F.col("c_norm").alias("v_norm"),
-            ),
-            cents,
-            keep=1,
+    c = _prep(corpus, id_col, emb_col, "c")  # exact-rescore side
+    # corpus-side index: cell assignments (the crossJoin), residual
+    # codebook, residual codes — prebuilt and shared when the caller
+    # passes index=..., else built here (codes stay lazy: one consumer)
+    if index is not None:
+        c_cells, pq_cents, codes = index
+    else:
+        c_cells, rsubs, pq_cents = _ivf_pq_corpus(
+            corpus, id_col, emb_col
         )
-        .select(F.col("v_id").alias("c_id"), "cent_id")
-        .localCheckpoint(eager=True)
-    )
+        codes = _argmin_codes(rsubs, pq_cents)
     q_cells = _cell_assignments(
         q.select(
             F.col("q_id").alias("v_id"),
@@ -958,44 +1061,12 @@ def cosine_topk_ivf_pq(
         .distinct()
         .filter(F.col("q_id") != F.col("c_id"))
     )
-    # residual encoding: r = v_n - cent_n (both unit-normalized,
-    # element-wise — the residual itself is NOT renormalized)
     ncent = cents.select(
         "cent_id",
         F.transform(
             "cent_emb", lambda x: x / F.col("cent_norm")
         ).alias("ncent"),
     )
-    resid = (
-        c.select(
-            "c_id",
-            F.transform(
-                "c_emb", lambda x: x / F.col("c_norm")
-            ).alias("ncemb"),
-        )
-        .join(c_cells, "c_id")
-        .join(F.broadcast(ncent), "cent_id")
-        .select(
-            "c_id",
-            F.zip_with(
-                "ncemb", "ncent", lambda a, b: a - b
-            ).alias("remb"),
-        )
-    )
-    # residual subspace rows feed BOTH the codebook sample and the
-    # encode argmin; checkpoint so the residual join runs once
-    rsubs = _subspace_split(
-        resid, "c_id", F.col("remb"), "c"
-    ).localCheckpoint(eager=True)
-    pq_cents = (
-        rsubs.filter(
-            ((F.col("c_id") % PQ_CENT_MOD) == 0)
-            & (F.col("c_id") < PQ_CENT_CAP)
-        )
-        .select("m", F.col("c_id").alias("j"), F.col("sub").alias("csub"))
-        .localCheckpoint(eager=True)
-    )
-    codes = _argmin_codes(rsubs, pq_cents)
     qsubs = _pq_subspaces(queries, id_col, emb_col, "q")
     lut = qsubs.join(F.broadcast(pq_cents), "m").select(
         "q_id",
