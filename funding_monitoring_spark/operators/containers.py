@@ -466,10 +466,10 @@ def parse_tar(payload: bytes) -> list[dict]:
     entries (skipped, as extraction does). Link/device/other member
     types and bad checksums refuse loudly."""
     if payload[:2] == b"\x1f\x8b":
-        members = gunzip_members(payload)
-        if len(members) != 1:
-            raise ValueError("tar.gz must be one gzip member")
-        payload = members[0]
+        # RFC 1952 members concatenate to one stream; parallel
+        # compressors (pigz) legitimately emit several members per
+        # .tar.gz, so join rather than demand exactly one
+        payload = b"".join(gunzip_members(payload))
     elif payload[:3] == b"BZh":  # .tar.bz2
         import bz2
 
@@ -483,9 +483,11 @@ def parse_tar(payload: bytes) -> list[dict]:
     n = len(payload)
     global_over: dict[str, str] = {}
     next_over: dict[str, str] = {}
+    saw_terminator = False
     while pos + _TAR_BLOCK <= n:
         header = payload[pos : pos + _TAR_BLOCK]
         if header == b"\x00" * _TAR_BLOCK:
+            saw_terminator = True
             break  # terminator
         if header[257:262] != b"ustar":
             raise NotImplementedError("non-ustar tar header")
@@ -533,4 +535,9 @@ def parse_tar(payload: bytes) -> list[dict]:
                     f"({true_size} != {size}) — unsupported framing"
                 )
         out.append({"name": name, "size": size, "data": data})
+    if payload and not out and not saw_terminator:
+        # a stream with no members AND no terminator block is not a
+        # tar at all (e.g. joined garbage gzip members) — refuse
+        # rather than silently return an empty manifest
+        raise ValueError("not a tar stream (no headers, no terminator)")
     return out

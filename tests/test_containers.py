@@ -225,9 +225,11 @@ def test_tar_checksum_and_magic_refusals():
         parse_tar(bytes(t3))
 
 
-def test_tar_gz_must_be_single_member():
+def test_tar_gz_garbage_members_still_fail_loudly():
+    """Multi-member gzip now CONCATENATES (pigz-style archives), so
+    garbage members must fail at the tar layer, not silently parse."""
     two = gzip_bytes(b"a") + gzip_bytes(b"b")
-    with pytest.raises(ValueError):
+    with pytest.raises((ValueError, NotImplementedError)):
         parse_tar(two)
 
 
@@ -385,3 +387,22 @@ def test_docx_build_and_extract_escaping_edges():
         )
 
         extract_docx_text(encode_zip([("other.txt", b"x", False)]))
+
+
+def test_tar_gz_multi_member_concatenates():
+    """pigz-style .tar.gz splits the stream across several gzip
+    members; RFC 1952 says members concatenate, so the walker must
+    join them rather than refuse."""
+    from funding_monitoring_spark.operators.containers import (
+        encode_tar,
+        gzip_bytes,
+        parse_tar,
+    )
+
+    t = encode_tar([("a", b"one"), ("b", b"two")])
+    mid = len(t) // 2
+    multi = gzip_bytes(t[:mid]) + gzip_bytes(t[mid:])
+    got = parse_tar(multi)
+    assert [(m["name"], m["data"]) for m in got] == [
+        ("a", b"one"), ("b", b"two")
+    ]
