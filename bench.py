@@ -464,6 +464,39 @@ def main() -> None:
         "fields now stamp every artifact so this attribution is "
         "mechanical next time."
     )
+    notes["perf_changes_r11"] = {
+        "stream_* windowed rollups": (
+            "six pipelines (tumbling/hopping, ohlc, heavy hitters, "
+            "window-distinct, sessions) now write merge-on-read "
+            "deltas (O(batch) per tick, one idempotent batch_id "
+            "partition) and resolve conflicts at read time with one "
+            "max_by over (order_cols, batch_id) — headline stream "
+            "family 33.2 -> 23.8 s best-of-2; oracles unchanged"
+        ),
+        "ann_*pq* family": (
+            "the corpus-side index (PQ codebook+codes; IVF-PQ cell "
+            "assignments, residual codebook+codes) is now built once "
+            "per session and shared across the four queries "
+            "(build_pq_index / build_ivf_pq_index, checkpointed) — "
+            "the once-per-ingest cost amortization the r6 note "
+            "promised; steady-state family ~24 -> ~10 s, the first "
+            "query of each pair absorbs the build"
+        ),
+        "image_dhash_clusters / fuzzy_title_clusters": (
+            "connected components run over the QUOTIENT graph "
+            "(representatives only) — star edges never enter the "
+            "iterative label propagation; image clusters 15.8 -> "
+            "11.2 s at sf0.1 (codec floor ~8.4 s) and 1.08x at 10x "
+            "data"
+        ),
+        "image_dhash_near_dup at sf1": (
+            "now REFUSES by design (max_band_bucket guard, verified "
+            "live: band bucket '3:0808' holds 15,102 signatures) — "
+            "the pair-materializing contract fails loudly on "
+            "duplicate-heavy corpora instead of going quadratic; "
+            "image_dhash_clusters is the scale path"
+        ),
+    }
     notes["new_query_attribution_r6"] = {
         "semantic_dedup_clusters": (
             "~6 s = the full multi-probe LSH near-dup pipeline "
