@@ -228,6 +228,11 @@ def query(name: str, sql: str | None):
 #:       output IS the plan; bump the max_round pin in
 #:       tests/test_registry_window.py to 11 when rotating.
 #:
+#: Round-11 post-freeze registrations (window already full → each
+#: ships with a driver-format row in CORRECTNESS_LOCAL_r11.json and
+#: queues for the r12 window): image_dhash_clusters,
+#: kn_trigram_logprob_score, docx_text_extract, parquet_footer_scan.
+#:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
 #: queues for the r5 window): truncate_bulk_load, doc_chunking,
