@@ -420,16 +420,20 @@ def simhash_near_dup(
     """SimHash near-dup pairs: band the signature into byte blocks
     (equi-join candidates must share ≥1 exact block — pigeonhole holds
     when max_hamming < SIMHASH_BANDS·1), then verify Hamming ≤ t."""
-    # localCheckpoint: the signature computation is the expensive
-    # part; the band self-join would otherwise evaluate it twice
-    # (Catalyst does not reuse aliased self-join subplans), and the
-    # repo-standard eager checkpoint owns its own block lifetime —
-    # a bare .persist() here leaked cached partitions for the
-    # session when called repeatedly (ADVICE r10).
+    # persist (NOT localCheckpoint): the signature computation is the
+    # expensive part and the band self-join consumes it twice, but a
+    # checkpoint erases the relation's statistics (LogicalRDD defaults
+    # to a huge sizeInBytes), flipping the band equi-join to a
+    # SortMergeJoin — measured 4x slower on the histogram variant at
+    # sf0.1. CALLERS OWN THE CACHE LIFETIME (ADVICE r10's documented
+    # alternative): the cached frame is signature-sized (id + one
+    # long per doc) and a long-lived session issuing many near-dup
+    # calls should unpersist via spark.catalog.clearCache() between
+    # corpora.
     sigs = (
         simhash_signatures_df(df, text_col, id_col)
         .select(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     banded = sigs.withColumn(
         "band_key",
@@ -508,12 +512,14 @@ def hex_signature_near_dup(
     if 16 % bands:
         raise ValueError(f"bands={bands} must divide 16 hex chars")
     width = 16 // bands
-    # eager checkpoint (not a bare persist): both the guard probe and
-    # the self-join's two sides consume sigs; a .persist() with no
-    # owner leaked cached partitions across repeated calls (ADVICE r10)
+    # persist: the guard probe and the self-join's two sides consume
+    # sigs; a checkpoint here would erase relation statistics and flip
+    # the band equi-join to SortMergeJoin (see simhash_near_dup).
+    # Callers own the cache lifetime — the frame is 16 hex chars + an
+    # id per signature.
     sigs = sigs.select(
         F.col(id_col).alias("id"), F.col(hex_col).alias("sig")
-    ).localCheckpoint(eager=True)
+    ).persist()
     banded = sigs.withColumn(
         "band_key",
         F.explode(
