@@ -1067,6 +1067,104 @@ def q_parquet_footer_scan(spark, sf_dir):
     )
 
 
+@query(
+    "orc_footer_scan",
+    """
+    SELECT 8 AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           4 AS n_columns,
+           'SNAPPY' AS compression,
+           1 AS rows_match_stripes
+    FROM events
+    """,
+)
+def q_orc_footer_scan(spark, sf_dir):
+    """ORC estate audit WITHOUT an ORC reader library — the columnar
+    twin of parquet_footer_scan: Spark writes the events table as an
+    8-file snappy ORC directory, and each file's tail parses with the
+    pure protobuf walker (operators/orcmeta.py — generic
+    {field_no: [values]} messages, packed repeated fields, the ORC
+    postscript/footer layout, 3-byte compression-chunk framing, and a
+    PURE-PYTHON SNAPPY DECOMPRESSOR for the footer blocks). The audit
+    cross-checks footer row counts against per-stripe sums and sums
+    rows across files; the oracle proves the hand-parsed metadata
+    equals the table Spark wrote. Spark's own ORC reader
+    cross-validates the parser in tests across all three supported
+    compression kinds."""
+    import os
+    import tempfile
+    from typing import Iterator
+
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from funding_monitoring_spark.operators.multimodal import (
+        register_module_by_value,
+    )
+
+    register_module_by_value(__name__)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    path = tempfile.mkdtemp(prefix="fm_orcmeta_") + "/events"
+    events.repartition(8).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).orc(path)
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".orc")
+    )
+    paths = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(len(files))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from funding_monitoring_spark.operators.orcmeta import (
+            parse_orc_footer,
+        )
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                with open(p, "rb") as fh:
+                    info = parse_orc_footer(fh.read())
+                stripe_rows = sum(
+                    s["num_rows"] for s in info["stripes"]
+                )
+                rows.append(
+                    {
+                        "num_rows": info["num_rows"],
+                        "n_columns": len(info["columns"]),
+                        "compression": info["compression"],
+                        "rows_match": int(
+                            stripe_rows == info["num_rows"]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    per_file = paths.mapInPandas(
+        scan,
+        schema=T.StructType(
+            [
+                T.StructField("num_rows", T.LongType()),
+                T.StructField("n_columns", T.IntegerType()),
+                T.StructField("compression", T.StringType()),
+                T.StructField("rows_match", T.IntegerType()),
+            ]
+        ),
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum("num_rows").alias("total_rows"),
+        F.max("n_columns").alias("n_columns"),
+        F.max("compression").alias("compression"),
+        F.min("rows_match").alias("rows_match_stripes"),
+    )
+
+
 @query("xml_file_source", _FILE_SOURCE_ORACLE)
 def q_xml_file_source(spark, sf_dir):
     """XML round trip through Spark 4's NATIVE xml data source (the
