@@ -5,8 +5,9 @@ Avro OCF is the other ubiquitous data-engineering wire format next to
 parquet, and Spark only reads it through an EXTERNAL package this
 environment does not ship — so the engine carries its own reader for
 the profile ETL dumps actually use: a flat record schema of
-long / double / string / boolean / null-union fields, null or
-deflate codec. Everything is formula-defined by the public Avro 1.11
+long / double / string / boolean / null-union fields, null, deflate
+or snappy codec (snappy via the pure-Python decoder + literal-only
+encoder in operators/orcmeta.py, CRC32-checked per the Avro spec). Everything is formula-defined by the public Avro 1.11
 spec: zigzag-varint longs, little-endian IEEE doubles, length-
 prefixed UTF-8 strings, union branch indices, and the container
 framing (magic 'Obj\\x01', metadata map with the schema JSON and
@@ -204,7 +205,7 @@ def encode_avro(schema: dict, records: list[dict],
     map, records in blocks of <= block_size, null or deflate codec."""
     if schema.get("type") != "record":
         raise NotImplementedError("only record top-level schemas")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"Avro codec {codec!r} unsupported")
     writers = [
         (f["name"], _field_writer(f["type"])) for f in schema["fields"]
@@ -230,6 +231,16 @@ def encode_avro(schema: dict, records: list[dict],
         if codec == "deflate":
             co = zlib.compressobj(9, zlib.DEFLATED, -15)
             body = co.compress(body) + co.flush()
+        elif codec == "snappy":
+            # Avro snappy: raw snappy block + 4-byte BIG-endian CRC32
+            # of the UNCOMPRESSED data (Avro spec); written via the
+            # literal-only pure-Python encoder
+            from funding_monitoring_spark.operators.orcmeta import (
+                snappy_compress_stored,
+            )
+
+            crc = zlib.crc32(body) & 0xFFFFFFFF
+            body = snappy_compress_stored(body) + crc.to_bytes(4, "big")
         out += _zigzag_encode(len(block))
         out += _zigzag_encode(len(body))
         out += body
@@ -265,7 +276,7 @@ def decode_avro(payload: bytes) -> tuple[dict, list[dict]]:
             pos += vl
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"Avro codec {codec!r} unsupported")
     if schema.get("type") != "record":
         raise NotImplementedError("only record top-level schemas")
@@ -294,6 +305,17 @@ def decode_avro(payload: bytes) -> tuple[dict, list[dict]]:
         pos += 16
         if codec == "deflate":
             body = zlib.decompress(body, -15)
+        elif codec == "snappy":
+            from funding_monitoring_spark.operators.orcmeta import (
+                snappy_decompress,
+            )
+
+            if len(body) < 4:
+                raise ValueError("Avro snappy block missing CRC")
+            raw, crc = body[:-4], int.from_bytes(body[-4:], "big")
+            body = snappy_decompress(raw)
+            if (zlib.crc32(body) & 0xFFFFFFFF) != crc:
+                raise ValueError("Avro snappy block CRC mismatch")
         bpos = 0
         for _ in range(count):
             rec = {}

@@ -177,6 +177,44 @@ def snappy_decompress(data: bytes) -> bytes:
     return bytes(out)
 
 
+def snappy_compress_stored(data: bytes) -> bytes:
+    """A VALID snappy stream that stores its input as literal blocks
+    (no back-references — the format permits it, compressors just
+    prefer copies). Enough to WRITE formats whose spec mandates
+    snappy framing (Avro's snappy codec) without a C codec; readers
+    including snappy_decompress and the reference implementations
+    accept it."""
+    out = bytearray()
+    n = len(data)
+    k = n
+    while True:  # varint uncompressed length
+        b = k & 0x7F
+        k >>= 7
+        if k:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+    pos = 0
+    while pos < n:
+        chunk = data[pos : pos + 65536]
+        ln = len(chunk) - 1
+        if ln < 60:
+            out.append(ln << 2)
+        elif ln < 1 << 8:
+            out.append(60 << 2)
+            out.append(ln)
+        elif ln < 1 << 16:
+            out.append(61 << 2)
+            out += ln.to_bytes(2, "little")
+        else:
+            out.append(62 << 2)
+            out += ln.to_bytes(3, "little")
+        out += chunk
+        pos += len(chunk)
+    return bytes(out)
+
+
 def _decompress_stream(data: bytes, kind: str) -> bytes:
     """Un-frame an ORC compressed stream: 3-byte little-endian chunk
     headers (length << 1 | is_original), each chunk raw-deflated /

@@ -1331,8 +1331,8 @@ def q_avro_file_source(spark, sf_dir):
     """Avro Object Container File round trip WITHOUT the external
     spark-avro package (operators/avrocodec.py — pure zigzag-varint /
     IEEE / sync-marker framing, null + deflate codecs): each input
-    partition writes one OCF part file (distributed write, deflate on
-    odd parts), the part paths parallelize back out, and each file
+    partition writes one OCF part file (distributed write, the codec
+    cycling null/deflate/snappy by part), the part paths parallelize back out, and each file
     decodes to rows in Arrow-batched mapInPandas (distributed read —
     OCF sync markers make real readers block-splittable; per-file
     parallelism is the honest local equivalent). The same
@@ -1382,7 +1382,7 @@ def q_avro_file_source(spark, sf_dir):
             fh.write(
                 encode_avro(
                     schema_json, recs,
-                    codec="deflate" if pid % 2 else "null",
+                    codec=("null", "deflate", "snappy")[pid % 3],
                 )
             )
         yield pd.DataFrame({"path": [path], "n": [len(recs)]})

@@ -71,7 +71,7 @@ def test_refusals_are_loud():
             [],
         )
     with pytest.raises(NotImplementedError):
-        encode_avro(_SCHEMA, [], codec="snappy")
+        encode_avro(_SCHEMA, [], codec="zstandard")  # snappy now decodes
     with pytest.raises(ValueError):
         decode_avro(b"NotAvroAtAll")
     good = encode_avro(_SCHEMA, _recs(5))
@@ -146,3 +146,19 @@ def test_truncated_header_and_negative_block_count_are_loud():
                                        "fields": []}}]},
             [],
         )
+
+
+def test_snappy_codec_roundtrip_and_crc():
+    """Avro's snappy codec (raw snappy + big-endian CRC32 of the
+    uncompressed block) round-trips through the pure-Python snappy
+    pair; a corrupted block fails the CRC loudly."""
+    recs = _recs(7)
+    payload = encode_avro(_SCHEMA, recs, codec="snappy")
+    schema, got = decode_avro(payload)
+    assert got == recs
+    # flip one byte INSIDE a data block (past the header/sync)
+    doctored = bytearray(payload)
+    at = len(payload) - 30
+    doctored[at] ^= 0x01
+    with pytest.raises(ValueError):
+        decode_avro(bytes(doctored))
