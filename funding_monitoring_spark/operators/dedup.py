@@ -674,14 +674,27 @@ def hex_signature_clusters(
         connected_components,
     )
 
+    # ONE pass over sigs, checkpointed: the input may be an expensive
+    # pipeline (codec decode + hash), and the membership universe and
+    # the representative rows both slice this frame. NULL-signature
+    # rows have no near-dup identity and stay their own singleton
+    # clusters (_rep = id — the window would otherwise collapse ALL
+    # null sigs into one bogus group), the same contract as
+    # fuzzyjoin.edit_distance_clusters.
     w = Window.partitionBy("sig")
     tagged = (
         sigs.select(F.col(id_col).alias("id"), F.col(hex_col).alias("sig"))
-        .filter(F.col("sig").isNotNull())
-        .withColumn("_rep", F.min("id").over(w))
+        .withColumn(
+            "_rep",
+            F.when(
+                F.col("sig").isNotNull(), F.min("id").over(w)
+            ).otherwise(F.col("id")),
+        )
         .localCheckpoint(eager=True)
     )
-    reps = tagged.filter(F.col("id") == F.col("_rep")).select("id", "sig")
+    reps = tagged.filter(
+        F.col("sig").isNotNull() & (F.col("id") == F.col("_rep"))
+    ).select("id", "sig")
     rep_pairs = hex_signature_near_dup(
         reps,
         id_col="id",

@@ -1319,6 +1319,7 @@ def test_hex_signature_clusters_matches_edge_form(spark):
         (4, "0000000000000055"),  # far from everything
         (5, "ffffffffffffffff"),  # singleton
         (6, "00000000000000fe"),  # exact dup of 3
+        (7, None),                # no signature: singleton cluster
     ]
     sigs = spark.createDataFrame(rows, "id long, sig string")
     quotient = {
@@ -1336,4 +1337,5 @@ def test_hex_signature_clusters_matches_edge_form(spark):
     assert quotient == edge_form == {
         (1, 1, True), (2, 1, False), (3, 1, False),
         (4, 4, True), (5, 5, True), (6, 1, False),
+        (7, 7, True),
     }
