@@ -2067,7 +2067,9 @@ def q_kn_trigram_logprob_score(spark, sf_dir):
     tc = (
         tris.groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).cast("double").alias("c3"))
-        .localCheckpoint(eager=True)  # feeds bc, cont3 AND the join
+        .persist()  # feeds bc, cont3 AND the join; persist (not
+        # checkpoint) keeps relation statistics so the n-gram joins
+        # stay broadcast-eligible at fixture scale (see dedup.py)
     )
     bc = tc.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c2"),
@@ -2076,7 +2078,7 @@ def q_kn_trigram_logprob_score(spark, sf_dir):
     cont3 = (
         tc.groupBy("w2", "w3")
         .agg(F.count(F.lit(1)).cast("double").alias("n3"))
-        .localCheckpoint(eager=True)  # feeds mid, contu, tot, join
+        .persist()  # feeds mid, contu, tot, join
     )
     mid = cont3.groupBy("w2").agg(
         F.sum("n3").alias("m"),
