@@ -231,7 +231,8 @@ def query(name: str, sql: str | None):
 #: Round-11 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r11.json and
 #: queues for the r12 window): image_dhash_clusters,
-#: kn_trigram_logprob_score, docx_text_extract, parquet_footer_scan.
+#: kn_trigram_logprob_score, docx_text_extract, parquet_footer_scan,
+#: orc_footer_scan.
 #:
 #: Round-4 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r4.json, and
