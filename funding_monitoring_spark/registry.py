@@ -220,13 +220,24 @@ def query(name: str, sql: str | None):
 #:       FROZEN for r11 as of this list: any round-11 registration
 #:       ships with a green local row (CORRECTNESS_LOCAL_r11.json)
 #:       and queues for r12.
-#:   r12 plan (precommitted): run `python tools/window_plan.py`
-#:       after CORRECTNESS_r11.json lands — the rule gives (a) any
-#:       round-11 post-freeze registrations first, (b) the 16-query
-#:       last-r6 remainder, (c) remaining slots to the oldest r7
-#:       rows in registration order. No hand counting: the tool's
-#:       output IS the plan; bump the max_round pin in
-#:       tests/test_registry_window.py to 11 when rotating.
+#:   r12 window (this list — executes the precommitted r12 plan,
+#:       generated by `python tools/window_plan.py` at max_round=11):
+#:       (a) the 5 round-11 post-freeze registrations, never external
+#:       (kn_trigram_logprob_score, parquet_footer_scan,
+#:       orc_footer_scan, docx_text_extract, image_dhash_clusters);
+#:       (b) the 13 remaining last-r6 rows; (c) the 32 oldest
+#:       last-r7 rows, all in registration order. Done right, this
+#:       is the first round with 268/268 cumulative external
+#:       coverage. Registration is FROZEN for r12 as of this list:
+#:       any round-12 registration ships with a green local row
+#:       (CORRECTNESS_LOCAL_r12.json) and queues for r13.
+#:   r13 plan (precommitted): run `python tools/window_plan.py`
+#:       after CORRECTNESS_r12.json lands — the rule gives (a) any
+#:       round-12 post-freeze registrations first, (b) the last-r7
+#:       remainder, (c) remaining slots to the oldest r8 rows in
+#:       registration order. No hand counting: the tool's output IS
+#:       the plan; bump the max_round pin in
+#:       tests/test_registry_window.py to 12 when rotating.
 #:
 #: Round-11 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r11.json and
@@ -254,71 +265,72 @@ def query(name: str, sql: str | None):
 #: multi_touch_attribution, simhash_distance_histogram,
 #: dedup_savings_report, hourly_activity_heatmap, value_histogram.
 _PRIORITY: list[str] = [
-    # r11 window — generated by `python tools/window_plan.py`
-    # (max_round=10); see the rotation docstring above and
+    # r12 window — generated by `python tools/window_plan.py`
+    # (max_round=11); see the rotation docstring above and
     # tests/test_registry_window.py which pins this list to the rule.
-    # Cohorts: the 16 round-10 post-freeze registrations first
-    # (never-external), then the 34 oldest last-r6 rows.
-    "avro_file_source",
-    "warc_record_scan",
-    "zip_manifest_scan",
-    "tar_manifest_scan",
-    "robots_txt_filter",
-    "multimodal_pdf_textscan",
-    "multimodal_aiff_roundtrip",
-    "multimodal_jpeg_multiscan_roundtrip",
-    "multimodal_tiff_roundtrip",
-    "jpeg_exif_scan",
-    "image_dhash_near_dup",
-    "mp3_id3_scan",
-    "stream_media_ingest",
-    "gopher_quality_rules",
-    "html_text_extract",
-    "url_canonicalize_dedup",
-    "test_set_contamination",
-    "pii_redaction",
-    "corpus_balance_report",
-    "term_posting_lists",
-    "ngram_novelty",
-    "sequence_packing_plan",
-    "sequence_packing_sharded",
-    "token_id_encoding",
-    "packed_training_batches",
-    "pruned_time_range_stats",
-    "pruned_daily_rollup",
-    "bucketed_join_revenue",
-    "store_compaction_report",
-    "schema_evolution_read",
-    "multimodal_features",
-    "multimodal_resize_pipeline",
-    "multimodal_bmp_roundtrip",
-    "multimodal_png_roundtrip",
-    "train_test_split_stats",
-    "embedding_near_dup_exact",
-    "ann_recall_report",
-    "near_dup_recall_report",
-    "stream_cdc_materialize",
-    "window_functions_suite",
-    "hopping_window_rollup",
-    "stream_hopping_rollup",
-    "token_count",
-    "doc_fingerprint",
-    "text_quality",
-    "lang_id",
-    "curation_pipeline",
-    "curation_pipeline_full",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
+    # Cohorts: the 5 round-11 post-freeze registrations first
+    # (never-external), then the 13 remaining last-r6 rows, then
+    # the 32 oldest last-r7 rows.
+    "kn_trigram_logprob_score",
+    "parquet_footer_scan",
+    "orc_footer_scan",
+    "docx_text_extract",
+    "image_dhash_clusters",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q4_order_priority",
+    "tpch_q12_priority_classes",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_dormant_customers",
+    "tpch_q7_nation_volume",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "embedding_centroids",
+    "bigram_logprob_score",
+    "acf_by_type",
+    "max_drawdown_by_type",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
+    "simhash_signatures",
+    "simhash_near_dup",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "fuzzy_title_pairs",
+    "fuzzy_title_clusters",
+    "count_min_freq_report",
+    "cusum_change_points",
+    "snake_case_rename",
+    "salted_group_agg",
+    "approx_distinct_users",
+    "hll_sketch_merge_rollup",
+    "group_count_guard",
+    "latest_per_group",
+    "dedup_keys",
+    "data_contract_report",
+    "span_dedup_cleaned_docs",
+    "dataset_overlap_kmv",
+    "pagerank_trading_graph",
+    "snapshot_time_travel_read",
+    "snapshot_rollback_expire",
+    "snapshot_incremental_read",
+    "snapshot_pruned_read",
+    "snapshot_optimize_read",
+    "file_provenance_report",
 ]
 # ^ exactly 50 entries. After this round every query in the registry
-# has had at least one green external row (the 16 round-10 post-freeze
+# has had at least one green external row (the 5 round-11 post-freeze
 # registrations were the only never-external rows). The cumulative
 # external-coverage number is GENERATED, never hand-written here:
 # run `python tools/coverage_stats.py` — it unions CORRECTNESS_r*.json
 # and prints ever-green / registry-size per round. The remaining
-# last-r6 rows roll to r12 per the rotation rule in the docstring
+# last-r7 rows roll to r13 per the rotation rule in the docstring
 # above, and every query NOT in this window gets a same-format local
-# row in CORRECTNESS_LOCAL_r11.json (tools/local_correctness.py), so
+# row in CORRECTNESS_LOCAL_r12.json (tools/local_correctness.py), so
 # nothing ships on pytest evidence alone.
 
 
