@@ -344,11 +344,15 @@ def main() -> None:
                 }
         wall_runs.append(round(time.perf_counter() - t_suite, 3))
         run_timings.append(this_run)
-    # per-query best-of-N: the least contention-polluted sample
+    # per-query best-of-N: the least contention-polluted sample.
+    # A query that errored in one pass but succeeded in another is a
+    # timing, not an error — drop its stale error record so the
+    # n_errors/n_queries totals never double-count a flaky query.
     for name in names:
         samples = [r[name] for r in run_timings if name in r]
         if samples:
             timings[name] = min(samples)
+            errors.pop(name, None)
     wall = min(wall_runs)
 
     overflow_timings: dict[str, float] = {}

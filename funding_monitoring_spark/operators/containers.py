@@ -518,14 +518,20 @@ def parse_tar(payload: bytes) -> list[dict]:
             raise NotImplementedError(
                 f"tar member type {typeflag!r} not supported"
             )
-        name = header[:100].split(b"\x00", 1)[0].decode("utf-8")
-        prefix = header[345:500].split(b"\x00", 1)[0].decode("utf-8")
-        if prefix:
-            name = f"{prefix}/{name}"
         over = {**global_over, **next_over}
         next_over = {}
         if "path" in over:
+            # a pax/longname override supersedes the header name
+            # entirely — and the header's 100-byte field may hold a
+            # name TRUNCATED mid-multibyte-char (encode_tar writes
+            # nm[:100] when a pax record carries the real path), so
+            # strict-decoding it first would raise spuriously.
             name = over["path"]
+        else:
+            name = header[:100].split(b"\x00", 1)[0].decode("utf-8")
+            prefix = header[345:500].split(b"\x00", 1)[0].decode("utf-8")
+            if prefix:
+                name = f"{prefix}/{name}"
         if "size" in over:
             # a pax size override re-frames the data we already read
             true_size = int(over["size"])

@@ -485,7 +485,7 @@ def hex_signature_near_dup(
     hex_col: str = "sig",
     bands: int = 4,
     max_hamming: int = 3,
-    max_band_bucket: int | None = 10_000,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Banded near-dup pairs over a 64-bit HEX-string signature column
     (16 lowercase hex chars — the image dHash serialization): the
@@ -501,9 +501,15 @@ def hex_signature_near_dup(
     duplicate-heavy corpus the OUTPUT pair set itself — is quadratic
     in the largest band bucket, so a viral duplicate group (k copies
     of one image hash → C(k, 2) true pairs) fails loudly instead of
-    materializing O(k²) rows. The scale-safe consumer shape is
-    hex_signature_cluster_edges (star form), which collapses exact
-    duplicates before banding and never pays the quadratic output."""
+    materializing O(k²) rows. The guard is OPT-IN here (default
+    ``None`` — the raw operator keeps its original slow-but-correct
+    contract and adds no eager probe job at construction); scale-path
+    call sites (the registered `image_dhash_near_dup` query, the
+    star-form cluster builders, which collapse to DISTINCT
+    representative signatures first) pass an explicit bound. The
+    scale-safe consumer shape is hex_signature_cluster_edges (star
+    form), which collapses exact duplicates before banding and never
+    pays the quadratic output."""
     if max_hamming >= bands:
         raise ValueError(
             f"banding is only pigeonhole-exact for max_hamming < bands "

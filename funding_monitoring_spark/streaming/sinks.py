@@ -255,7 +255,21 @@ def read_merged_store(
     used — max (order_cols, batch_id) wins per key, so the merged
     frame is row-identical to a store that had been per-tick-merged
     with upsert(order_cols=..., tie to the newer batch). One max_by
-    aggregation (map-side partials), no window shuffle."""
+    aggregation (map-side partials), no window shuffle.
+
+    A store whose every micro-batch was empty (delta_append_writer
+    skips empty batches, so the directory is never created) raises a
+    clear error naming the store rather than Spark's generic
+    path-not-found."""
+    import os
+
+    if not os.path.isdir(store_path):
+        raise FileNotFoundError(
+            f"merged store {store_path!r} does not exist — no "
+            "micro-batch ever wrote a delta (delta_append_writer "
+            "skips empty batches); run the stream first or check "
+            "the store path"
+        )
     df = spark.read.parquet(store_path)
     return dedupe_batch(
         df, key_cols, [*order_cols, "batch_id"]

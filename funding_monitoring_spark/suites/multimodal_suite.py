@@ -1188,6 +1188,12 @@ def q_image_dhash_near_dup(spark, sf_dir):
     return hex_signature_near_dup(
         sigs, id_col="media_id", hex_col="dhash",
         bands=4, max_hamming=3,
+        # explicit pair-mass guard: this registered query has the
+        # all-pairs OUTPUT contract, so on a duplicate-dense corpus it
+        # refuses loudly (naming image_dhash_clusters as the scale
+        # path) instead of materializing a quadratic pair set — the
+        # guard is opt-in on the raw operator.
+        max_band_bucket=10_000,
     )
 
 

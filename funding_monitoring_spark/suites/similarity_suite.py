@@ -16,20 +16,32 @@ N_QUERIES = 20
 NEAR_DUP_LIMIT = 300
 NEAR_DUP_THRESHOLD = 0.4
 
-#: per-session ANN index cache, keyed by (fixture dir, index kind).
-#: The PQ/IVF-PQ corpus-side artifacts (codebooks, cell assignments,
-#: residual codes) are once-per-ingest builds at 100 TB; the four PQ
-#: queries sharing one session re-encode the same corpus otherwise
-#: (same amortization precedent as the streaming chunk cache). Frames
-#: are eagerly checkpointed by the builders, so cached entries own
-#: materialized blocks, not lineage.
-_ANN_INDEX_CACHE: dict[tuple[str, str], tuple] = {}
+#: per-session ANN index cache, keyed by (session id, fixture dir,
+#: index kind). The PQ/IVF-PQ corpus-side artifacts (codebooks, cell
+#: assignments, residual codes) are once-per-ingest builds at 100 TB;
+#: the four PQ queries sharing one session re-encode the same corpus
+#: otherwise (same amortization precedent as the streaming chunk
+#: cache). Frames are eagerly checkpointed by the builders, so cached
+#: entries own materialized blocks, not lineage — which is exactly why
+#: the key MUST carry the session identity: a checkpointed frame from
+#: a stopped SparkSession references dead blocks, and a same-process
+#: session restart (pytest, bench reruns) would otherwise hit the
+#: stale entry and fail opaquely.
+_ANN_INDEX_CACHE: dict[tuple[str, str, str], tuple] = {}
+
+
+def _index_key(spark, sf_dir: str, kind: str) -> tuple[str, str, str]:
+    import os
+
+    return (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        kind,
+    )
 
 
 def _pq_index(spark, sf_dir):
-    import os
-
-    key = (os.path.abspath(sf_dir), "pq")
+    key = _index_key(spark, sf_dir, "pq")
     if key not in _ANN_INDEX_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         _ANN_INDEX_CACHE[key] = S.build_pq_index(emb)
@@ -37,9 +49,7 @@ def _pq_index(spark, sf_dir):
 
 
 def _ivf_pq_index(spark, sf_dir):
-    import os
-
-    key = (os.path.abspath(sf_dir), "ivf_pq")
+    key = _index_key(spark, sf_dir, "ivf_pq")
     if key not in _ANN_INDEX_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         _ANN_INDEX_CACHE[key] = S.build_ivf_pq_index(emb)

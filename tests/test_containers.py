@@ -406,3 +406,22 @@ def test_tar_gz_multi_member_concatenates():
     assert [(m["name"], m["data"]) for m in got] == [
         ("a", b"one"), ("b", b"two")
     ]
+
+
+def test_tar_pax_name_truncated_mid_multibyte_char():
+    """A >100-byte UTF-8 name whose 100-byte header truncation falls
+    MID-multibyte-char must still parse: the pax 'path' override
+    carries the real name, so the parser must not strict-decode the
+    truncated header field first (it is not valid UTF-8 on its own)."""
+    from funding_monitoring_spark.operators.containers import (
+        encode_tar,
+        parse_tar,
+    )
+
+    # 99 ASCII chars then a 2-byte char: nm[:100] ends with the lead
+    # byte of 'é' — invalid standalone UTF-8.
+    name = "a" * 99 + "é" + "tail.txt"
+    assert len(name.encode("utf-8")) > 100
+    t = encode_tar([(name, b"payload")])
+    got = parse_tar(t)
+    assert [(m["name"], m["data"]) for m in got] == [(name, b"payload")]

@@ -836,3 +836,16 @@ def test_ewma_ttl_keeps_late_but_valid_events(spark, tmp_path):
     # + 2.0*0.25 = 4.25 (arrival order; alpha=0.25 binary-exact)
     assert got["7-fr-A"].n == 3
     assert got["7-fr-A"].ewma == 4.25
+
+
+def test_read_merged_store_missing_path_is_clear(spark, tmp_path):
+    """A store whose every micro-batch was empty-skipped never exists
+    on disk; the reader must name the store in a clear error instead
+    of surfacing Spark's generic path-not-found."""
+    import pytest
+
+    from funding_monitoring_spark.streaming.sinks import read_merged_store
+
+    missing = os.path.join(str(tmp_path), "never_written")
+    with pytest.raises(FileNotFoundError, match="never_written"):
+        read_merged_store(spark, missing, ["k"], ["ts"])
