@@ -723,3 +723,127 @@ def hex_signature_clusters(
             (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
         )
     )
+
+
+def duplicated_span_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_gram: int = 8,
+) -> DataFrame:
+    """Offset-robust exact-substring duplication report — the
+    suffix-array-style dedup family (anchor n-grams + span
+    coalescing) that fixed-grid span dedup cannot express: a
+    boilerplate passage repeated at ARBITRARY word offsets across
+    (or within) documents is found exactly, because every token
+    position anchors a ``min_gram``-word shingle, not just positions
+    on a segment grid.
+
+    Semantics (the public corpus-dedup definition): a position i in a
+    document is *duplicated* iff the exact ``min_gram``-word sequence
+    starting at i occurs >= 2 times corpus-wide (within-document
+    repetition counts, as in suffix-array exact-substring dedup).
+    Overlapping/adjacent duplicated windows coalesce into maximal
+    spans; the report gives per document the duplicated-anchor count,
+    the number of maximal spans, the union token mass they cover, and
+    its ratio to the document length.
+
+    Scale shape (100 TB): the ONLY data-sized shuffle keys are the
+    anchor gram (one count-over-partition window — linear, never a
+    pair join: a viral gram just has a large count, there is no
+    quadratic candidate set to guard) and doc_id (island coalescing +
+    the final report aggregation share one partitioning). Total rows
+    are O(total tokens); at full scale the gram string would be
+    xxhash64-folded to 8 bytes before the shuffle — kept as the exact
+    string here so the DuckDB oracle replays it verbatim.
+
+    Returns (id, n_tokens, dup_gram_starts, n_dup_spans, dup_tokens,
+    dup_ratio) for EVERY input document (zero rows for docs shorter
+    than ``min_gram`` or with no duplicated anchor)."""
+    L = int(min_gram)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"(\S+)"), 1
+        ).alias("l"),
+    ).select("doc_id", F.size("l").alias("n_tokens"), "l")
+    grams = (
+        toks.filter(F.col("n_tokens") >= L)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_tokens") - L)
+            ).alias("pos"),
+            "l",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pos",
+            F.array_join(
+                F.slice("l", F.col("pos") + 1, L), " "
+            ).alias("gram"),
+        )
+    )
+    dup = grams.withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    ).filter(F.col("_cnt") >= 2)
+    # gaps-and-islands over anchor positions: intervals [pos, pos+L-1]
+    # merge when overlapping or adjacent, so islands are the maximal
+    # contiguous duplicated regions and their length is the exact
+    # union coverage.
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "_new",
+        (
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + (L - 1)).over(w_doc),
+                F.lit(-(L + 2)),
+            )
+            + 1
+        ).cast("int"),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_island = flagged.groupBy("doc_id", "n_tokens", "_isl").agg(
+        F.count(F.lit(1)).alias("_starts"),
+        (F.max("pos") - F.min("pos") + L).alias("_covered"),
+    )
+    per_doc = per_island.groupBy("doc_id", "n_tokens").agg(
+        F.sum("_starts").alias("dup_gram_starts"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("_covered").alias("dup_tokens"),
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(per_doc.drop("n_tokens"), "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_gram_starts", F.lit(0))
+            .cast("long")
+            .alias("dup_gram_starts"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

@@ -239,6 +239,10 @@ def query(name: str, sql: str | None):
 #:       the plan; bump the max_round pin in
 #:       tests/test_registry_window.py to 12 when rotating.
 #:
+#: Round-12 post-freeze registrations (window already full → each
+#: ships with a driver-format row in CORRECTNESS_LOCAL_r12.json and
+#: queues for the r13 window): substring_dedup_spans.
+#:
 #: Round-11 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r11.json and
 #: queues for the r12 window): image_dhash_clusters,

@@ -891,6 +891,92 @@ def q_span_dedup_cleaned_docs(spark, sf_dir):
     )
 
 
+# -- offset-robust exact-substring dedup -----------------------------------
+
+SUBSTR_GRAM = 8
+
+SUBSTRING_DEDUP_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS l
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(l) AS n_tokens, CAST(i AS BIGINT) AS pos,
+               array_to_string(
+                   l[i + 1 : i + {SUBSTR_GRAM}], ' '
+               ) AS gram
+        FROM toks, unnest(range(0, len(l) - {SUBSTR_GRAM} + 1)) AS u(i)
+        WHERE len(l) >= {SUBSTR_GRAM}
+    ),
+    dup AS (
+        SELECT doc_id, n_tokens, pos FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g
+        ) WHERE cnt >= 2
+    ),
+    flagged AS (
+        SELECT doc_id, n_tokens, pos,
+               CASE WHEN pos > COALESCE(MAX(pos + {SUBSTR_GRAM} - 1)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), -{SUBSTR_GRAM} - 2) + 1
+               THEN 1 ELSE 0 END AS new_island
+        FROM dup
+    ),
+    islands AS (
+        SELECT *, SUM(new_island) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS isl
+        FROM flagged
+    ),
+    per_island AS (
+        SELECT doc_id, n_tokens, isl, COUNT(*) AS n_starts,
+               MAX(pos) - MIN(pos) + {SUBSTR_GRAM} AS covered
+        FROM islands GROUP BY doc_id, n_tokens, isl
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(n_starts) AS BIGINT) AS dup_gram_starts,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+               CAST(SUM(covered) AS BIGINT) AS dup_tokens
+        FROM per_island GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.l) AS BIGINT) AS n_tokens,
+           COALESCE(p.dup_gram_starts, 0) AS dup_gram_starts,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           ROUND(COALESCE(p.dup_tokens, 0) /
+                 GREATEST(len(t.l), 1), 6) AS dup_ratio
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("substring_dedup_spans", SUBSTRING_DEDUP_ORACLE)
+def q_substring_dedup_spans(spark, sf_dir):
+    """Offset-robust exact-substring duplication report — the
+    suffix-array dedup family (anchor n-gram + span coalescing) over
+    the documents corpus: a position is duplicated iff its exact
+    {SUBSTR_GRAM}-word window occurs >= 2 times corpus-wide (ANY
+    offset — the case span_dedup_cleaned_docs' fixed 10-word grid
+    misses when boilerplate shifts by even one word), and overlapping
+    windows coalesce to maximal spans. Per doc: duplicated-anchor
+    count, maximal-span count, exact union token coverage, ratio.
+    Scale shape: shuffle keys are the anchor gram (one linear
+    count-over-partition — never a pair join, so a viral gram cannot
+    go quadratic) and doc_id (islands + report share a partitioning);
+    rows are O(total tokens). The oracle replays the identical
+    anchor/count/coalesce algebra in SQL."""
+    from funding_monitoring_spark.operators.dedup import (
+        duplicated_span_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_report(
+        docs, id_col="doc_id", text_col="text", min_gram=SUBSTR_GRAM
+    )
+
+
 # -- KMV dataset-overlap report ------------------------------------------
 
 from funding_monitoring_spark.operators.dedup import (

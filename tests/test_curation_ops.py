@@ -472,3 +472,87 @@ def test_robots_malformed_rule_line_refuses(spark):
     )
     with pytest.raises(SparkRuntimeException, match="malformed"):
         parse_robots_rules(bad).collect()
+
+
+# -- offset-robust exact-substring dedup ------------------------------------
+
+
+def _span_report(spark, rows, min_gram=4):
+    from funding_monitoring_spark.operators.dedup import (
+        duplicated_span_report,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_span_report(df, min_gram=min_gram)
+    return {r.doc_id: r.asDict() for r in out.collect()}
+
+
+def test_substring_dedup_finds_shifted_boilerplate(spark):
+    """The core case the fixed segment grid misses: doc 2 repeats
+    doc 1's 6-word passage shifted by ONE word — anchor grams find it
+    at the exact offsets."""
+    passage = "the quick brown fox jumps high"
+    rows = [
+        (1, f"{passage} alpha beta gamma delta"),
+        (2, f"zzz {passage} one two three four"),
+    ]
+    got = _span_report(spark, rows, min_gram=4)
+    # passage = 6 words -> 3 anchor starts of length-4 grams, one
+    # maximal span covering exactly the 6 passage tokens in each doc
+    for doc in (1, 2):
+        assert got[doc]["dup_gram_starts"] == 3
+        assert got[doc]["n_dup_spans"] == 1
+        assert got[doc]["dup_tokens"] == 6
+
+
+def test_substring_dedup_within_doc_repetition_counts(spark):
+    """Suffix-array semantics: a passage repeated twice INSIDE one
+    document is duplicated (two maximal spans)."""
+    rows = [(1, "a b c d xxx yyy a b c d")]
+    got = _span_report(spark, rows, min_gram=4)
+    assert got[1]["n_dup_spans"] == 2
+    assert got[1]["dup_tokens"] == 8
+
+
+def test_substring_dedup_overlapping_windows_coalesce(spark):
+    """A 7-word shared passage yields 4 overlapping 4-gram anchors
+    that must merge into ONE span of exactly 7 covered tokens —
+    not 4 * 4 = 16."""
+    passage = "one two three four five six seven"
+    rows = [(1, f"{passage} tail0 tail1"), (2, f"pre0 pre1 {passage}")]
+    got = _span_report(spark, rows, min_gram=4)
+    assert got[1]["dup_gram_starts"] == 4
+    assert got[1]["n_dup_spans"] == 1
+    assert got[1]["dup_tokens"] == 7
+    assert got[2]["dup_tokens"] == 7
+
+
+def test_substring_dedup_short_and_clean_docs_zero(spark):
+    """Docs shorter than the gram, and docs sharing nothing, report
+    zeros but still appear in the output."""
+    rows = [(1, "a b"), (2, "p q r s t u v w"), (3, "h i j k l m n o")]
+    got = _span_report(spark, rows, min_gram=4)
+    assert set(got) == {1, 2, 3}
+    for d in (1, 2, 3):
+        assert got[d]["dup_tokens"] == 0
+        assert got[d]["n_dup_spans"] == 0
+    assert got[1]["n_tokens"] == 2
+
+
+def test_substring_dedup_grid_blindspot_is_covered(spark):
+    """Regression pin for WHY this operator exists: the same shifted
+    passage produces ZERO removed segments under the fixed 10-word
+    grid (span_dedup semantics) yet a full span here."""
+    passage = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, f"{passage} x0 x1 x2 x3 x4 x5 x6 x7 x8"),
+        (2, f"shift {passage} y0 y1 y2 y3 y4 y5 y6 y7"),
+    ]
+    # fixed grid: doc 2's 10-word segments are offset by one word, so
+    # no segment text matches doc 1's
+    seg1 = passage
+    seg2_first = "shift " + " ".join(f"w{i}" for i in range(9))
+    assert seg1 != seg2_first
+    got = _span_report(spark, rows, min_gram=8)
+    assert got[1]["dup_tokens"] == 10
+    assert got[2]["dup_tokens"] == 10
