@@ -1232,7 +1232,11 @@ def synthesize_pdf_media(docs: DataFrame) -> DataFrame:
     pages (one content stream per page), FlateDecode on even ids;
     ids with doc_id%3 == 1 are written as PDF 1.5 (object stream +
     PNG-Up-predicted cross-reference stream — the majority modern
-    shape), the rest as classic-xref 1.4. 1:1 Arrow-batched
+    shape), the rest as classic-xref 1.4. Odd classic ids carry the
+    widened non-Flate filter surface — LZWDecode (id%6==3) and
+    RunLengthDecode / [ASCIIHexDecode LZWDecode] chains (id%6==5) —
+    so the registered query exercises every supported /Filter without
+    touching the flate_streams oracle. 1:1 Arrow-batched
     mapInPandas."""
     register_module_by_value()
 
@@ -1246,13 +1250,27 @@ def synthesize_pdf_media(docs: DataFrame) -> DataFrame:
             payloads, metas = [], []
             for mid, text in zip(pdf["media_id"], pdf["text"]):
                 mid = int(mid)
-                writer = encode_pdf15 if mid % 3 == 1 else encode_pdf
-                payloads.append(
-                    writer(
-                        _pdf_pages(str(text), 1 + mid % 3),
-                        compress=(mid % 2 == 0),
+                pages = _pdf_pages(str(text), 1 + mid % 3)
+                if mid % 3 == 1:
+                    payload = encode_pdf15(pages, compress=(mid % 2 == 0))
+                elif mid % 2 == 0:
+                    payload = encode_pdf(pages, compress=True)
+                elif mid % 6 == 3:
+                    # odd classic ids carry the widened non-Flate
+                    # filter surface (flate_streams stays 0 for them,
+                    # so the oracle is untouched): LZWDecode...
+                    payload = encode_pdf(
+                        pages, page_filters=[["LZWDecode"]]
                     )
-                )
+                else:  # mid % 6 == 5: RunLength + an ASCII/LZW chain
+                    payload = encode_pdf(
+                        pages,
+                        page_filters=[
+                            ["RunLengthDecode"],
+                            ["ASCIIHexDecode", "LZWDecode"],
+                        ],
+                    )
+                payloads.append(payload)
                 metas.append(
                     {
                         "modality": "document",

@@ -19,11 +19,15 @@ Scope, honestly bounded (NotImplementedError, never fake output):
   STREAMS (/Type /XRef, /W field widths, /Index subsections, /Prev
   chains) with objects resolved out of object streams (/ObjStm —
   the dominant modern-PDF shape; a crawl's PDF mass is majority 1.5+)
-- /Filter: none or FlateDecode (single or [/FlateDecode]) with
-  /DecodeParms absent, /Predictor 1, or PNG predictors 10-15
-  (row-filtered exactly as in PNG: None/Sub/Up/Average/Paeth);
-  TIFF Predictor 2 and other filters (DCT, LZW, ASCII85, CCITT...)
-  refuse at the stream that uses them
+- /Filter: none, or any decode-order CHAIN of FlateDecode, LZWDecode
+  (tiffcodec's TIFF-flavor LZW — identical to PDF LZW at the default
+  /EarlyChange 1), RunLengthDecode (PackBits' twin with byte 128 as
+  EOD), ASCIIHexDecode, ASCII85Decode, and DCTDecode (the embedded
+  JPEG routed through jpegcodec, returning raw samples); /DecodeParms
+  on Flate/LZW: absent, /Predictor 1, or PNG predictors 10-15
+  (row-filtered exactly as in PNG: None/Sub/Up/Average/Paeth).
+  TIFF Predictor 2, /EarlyChange 0, and the remaining filters
+  (CCITTFax, JBIG2, JPX, Crypt) refuse at the stream that uses them
 - encrypted documents (/Encrypt in trailer) refuse up front
 - text recovery reads Tj and TJ string arguments in content-stream
   order with full PDF string unescaping (\\(, \\), \\\\, \\n, \\r,
@@ -82,14 +86,61 @@ def _escape_string(s: str) -> bytes:
     return bytes(out)
 
 
-def encode_pdf(pages: list[str], compress: bool = False) -> bytes:
+#: encoder side of every /Filter the parser decodes (DCTDecode is
+#: image-only and has its own writer in jpegcodec)
+_FILTER_ENCODERS = {
+    "FlateDecode": lambda b: zlib.compress(b),
+    "LZWDecode": None,  # bound lazily to tiffcodec.lzw_encode
+    "RunLengthDecode": lambda b: _runlength_encode(b),
+    "ASCIIHexDecode": lambda b: b.hex().encode("ascii") + b">",
+    "ASCII85Decode": lambda b: __import__("base64").a85encode(
+        b, adobe=True
+    )[2:],  # strip the leading '<~'; the trailing '~>' stays
+}
+
+
+def _encode_stream(body: bytes, filters: list[str]) -> tuple[bytes, str]:
+    """Apply a decode-order /Filter chain in ENCODE order (reversed)
+    and return (encoded body, the dict fragment declaring it)."""
+    for name in reversed(filters):
+        enc = _FILTER_ENCODERS.get(name)
+        if name == "LZWDecode":
+            from funding_monitoring_spark.operators.tiffcodec import (
+                lzw_encode,
+            )
+
+            enc = lzw_encode
+        if enc is None:
+            raise NotImplementedError(
+                f"no writer for PDF stream filter {name}"
+            )
+        body = enc(body)
+    if not filters:
+        return body, ""
+    if len(filters) == 1:
+        return body, f"/Filter /{filters[0]} "
+    return body, "/Filter [ " + " ".join(f"/{n}" for n in filters) + " ] "
+
+
+def encode_pdf(
+    pages: list[str],
+    compress: bool = False,
+    page_filters: list[list[str]] | None = None,
+) -> bytes:
     """Write a classic PDF 1.4: one content stream per page with a
     single BT/Tf/Td/(text) Tj/ET block, a real /Pages tree, one
     shared Type1 font, optional FlateDecode on every content stream,
     and a correct classic xref table + trailer. Text must be
     latin-1-representable (the profile a Type1/WinAnsi font carries);
     anything else belongs to a font-embedding profile this writer
-    does not claim."""
+    does not claim.
+
+    ``page_filters`` (overrides ``compress``) gives each page's
+    content stream its own decode-order /Filter chain from the
+    supported set (FlateDecode, LZWDecode, RunLengthDecode,
+    ASCIIHexDecode, ASCII85Decode) — the writer twin of the parser's
+    chained filter pipeline, so mixed-filter fixtures are
+    self-verifying."""
     n = len(pages)
     if n == 0:
         raise ValueError("a PDF needs at least one page")
@@ -117,13 +168,14 @@ def encode_pdf(pages: list[str], compress: bool = False) -> bytes:
             + _escape_string(text)
             + b") Tj ET"
         )
-        if compress:
-            body = zlib.compress(body)
-            head = (
-                f"<< /Length {len(body)} /Filter /FlateDecode >>"
-            ).encode()
+        if page_filters is not None:
+            filters = page_filters[i % len(page_filters)]
+        elif compress:
+            filters = ["FlateDecode"]
         else:
-            head = f"<< /Length {len(body)} >>".encode()
+            filters = []
+        body, filt_frag = _encode_stream(body, filters)
+        head = f"<< /Length {len(body)} {filt_frag}>>".encode()
         objs[content_no] = (
             head + b"\nstream\n" + body + b"\nendstream"
         )
@@ -691,30 +743,140 @@ def _stream_of(data: bytes, obj_dict, body_at: int, resolve):
         return raw
     names = [f[1] for f in filt
              if isinstance(f, tuple) and f[0] == "name"]
-    if names == ["FlateDecode"]:
-        inflated = zlib.decompress(raw)
-        parms = resolve(obj_dict.get("DecodeParms"))
-        if isinstance(parms, list):  # parallel to the 1-filter array
-            parms = resolve(parms[0]) if parms else None
-        if not parms:
-            return inflated
-        if not isinstance(parms, dict):
-            raise ValueError("/DecodeParms is not a dictionary")
-        predictor = resolve(parms.get("Predictor", 1))
-        if predictor == 1:
-            return inflated
-        if isinstance(predictor, int) and predictor >= 10:
-            return _png_unpredict(
-                inflated,
-                columns=resolve(parms.get("Columns", 1)),
-                colors=resolve(parms.get("Colors", 1)),
-                bpc=resolve(parms.get("BitsPerComponent", 8)),
-            )
-        raise NotImplementedError(
-            f"FlateDecode /Predictor {predictor!r} not supported "
-            "(PNG predictors 10-15 only)"
+    parms = resolve(obj_dict.get("DecodeParms"))
+    if not isinstance(parms, list):
+        parms_list = [parms] + [None] * (len(names) - 1)
+    else:
+        parms_list = [resolve(p) for p in parms]
+        parms_list += [None] * (len(names) - len(parms_list))
+    out = raw
+    for name, p in zip(names, parms_list):
+        out = _apply_stream_filter(name, out, p, resolve)
+    return out
+
+
+def _maybe_unpredict(data: bytes, parms, resolve) -> bytes:
+    """Shared /DecodeParms predictor handling for FlateDecode and
+    LZWDecode (the two filters the spec gives a Predictor to)."""
+    if not parms:
+        return data
+    if not isinstance(parms, dict):
+        raise ValueError("/DecodeParms is not a dictionary")
+    predictor = resolve(parms.get("Predictor", 1))
+    if predictor == 1:
+        return data
+    if isinstance(predictor, int) and predictor >= 10:
+        return _png_unpredict(
+            data,
+            columns=resolve(parms.get("Columns", 1)),
+            colors=resolve(parms.get("Colors", 1)),
+            bpc=resolve(parms.get("BitsPerComponent", 8)),
         )
-    raise NotImplementedError(f"PDF stream filters {names} not supported")
+    raise NotImplementedError(
+        f"/Predictor {predictor!r} not supported "
+        "(PNG predictors 10-15 only)"
+    )
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode (PDF 32000-1 §7.4.5) — PackBits' twin with
+    one spec difference: length byte 128 is EOD, not a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h == 128:  # EOD
+            return bytes(out)
+        if h < 128:
+            if i + h + 1 > n:
+                raise ValueError("RunLengthDecode literal overruns data")
+            out.extend(data[i : i + h + 1])
+            i += h + 1
+        else:
+            if i >= n:
+                raise ValueError("RunLengthDecode run overruns data")
+            out.extend(bytes([data[i]]) * (257 - h))
+            i += 1
+    raise ValueError("RunLengthDecode data ended without EOD marker")
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    """Writer twin: PackBits' encoder never emits header 128, so its
+    output + the EOD byte is valid RunLengthDecode input."""
+    from funding_monitoring_spark.operators.tiffcodec import (
+        packbits_encode,
+    )
+
+    return packbits_encode(data) + b"\x80"
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode: hex pairs, whitespace ignored, '>' is EOD, an
+    odd trailing digit implies a final 0 nibble."""
+    digits = []
+    for b in data:
+        ch = chr(b)
+        if ch == ">":
+            break
+        if ch in " \t\r\n\f\x00":
+            continue
+        if ch not in "0123456789abcdefABCDEF":
+            raise ValueError(f"ASCIIHexDecode: invalid character {ch!r}")
+        digits.append(ch)
+    else:
+        raise ValueError("ASCIIHexDecode data ended without '>' EOD")
+    if len(digits) % 2:
+        digits.append("0")
+    return bytes.fromhex("".join(digits))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode: Adobe base-85 ('z' zero-group shortcut, '~>'
+    EOD, whitespace ignored, partial final group) via the stdlib
+    decoder — the stream carries only the trailing frame, so the
+    leading '<~' is supplied here."""
+    import base64
+
+    end = data.find(b"~")
+    if end < 0:
+        raise ValueError("ASCII85Decode data ended without '~>' EOD")
+    return base64.a85decode(b"<~" + data[:end] + b"~>", adobe=True)
+
+
+def _apply_stream_filter(name: str, data: bytes, parms, resolve) -> bytes:
+    """One step of a (possibly chained) /Filter pipeline. LZWDecode
+    reuses tiffcodec's TIFF-flavor LZW (identical to PDF LZW at the
+    default /EarlyChange 1), RunLengthDecode is PackBits' twin,
+    DCTDecode routes the embedded JPEG through jpegcodec and returns
+    the raw interleaved samples. CCITTFax/JBIG2/JPX/Crypt refuse."""
+    if name == "FlateDecode":
+        return _maybe_unpredict(zlib.decompress(data), parms, resolve)
+    if name == "LZWDecode":
+        from funding_monitoring_spark.operators.tiffcodec import (
+            lzw_decode,
+        )
+
+        if parms and isinstance(parms, dict):
+            early = resolve(parms.get("EarlyChange", 1))
+            if early != 1:
+                raise NotImplementedError(
+                    "LZWDecode /EarlyChange 0 not supported"
+                )
+        return _maybe_unpredict(lzw_decode(data), parms, resolve)
+    if name == "RunLengthDecode":
+        return _runlength_decode(data)
+    if name == "ASCIIHexDecode":
+        return _asciihex_decode(data)
+    if name == "ASCII85Decode":
+        return _ascii85_decode(data)
+    if name == "DCTDecode":
+        from funding_monitoring_spark.operators.jpegcodec import (
+            decode_baseline_jpeg,
+        )
+
+        return decode_baseline_jpeg(data).tobytes()
+    raise NotImplementedError(f"PDF stream filter {name} not supported")
 
 
 def _content_text(content: bytes) -> str:
@@ -955,7 +1117,13 @@ def parse_pdf(payload: bytes, strict: bool = True) -> PdfInfo:
                 raise ValueError("content object is not a stream dict")
             data = _stream_of(payload, obj, end_pos, resolve_val)
             f = obj.get("Filter")
-            if f is not None:
+            if isinstance(f, tuple) and f[0] == "name":
+                f = [f]
+            if f is not None and any(
+                isinstance(x, tuple) and x[0] == "name"
+                and x[1] == "FlateDecode"
+                for x in f
+            ):
                 flate += 1
             parts.append(_content_text(data))
         page_texts.append("".join(parts))

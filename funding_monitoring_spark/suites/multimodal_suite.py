@@ -489,17 +489,20 @@ def q_multimodal_pdf_textscan(spark, sf_dir):
     ids with id%3==1 become PDF 1.5 (page tree packed in an /ObjStm,
     PNG-Up-predicted cross-reference stream — the majority modern
     shape), the rest classic-xref 1.4; text split across 1+id%3
-    pages, FlateDecode on even ids. The parser walks either xref
-    form (tables incl. hybrid /XRefStm, streams incl. /Prev chains),
-    resolves objects out of object streams, counts objects, walks
-    the /Pages tree, inflates (and un-predicts) the streams and
-    recovers the Tj text with full PDF string unescaping. The
-    recovered text is fingerprinted with the SAME rolling polynomial
-    as doc_fingerprint, recomputed by the oracle from the original
-    text — so page-split, xref-offset, predictor, inflate and
-    unescape bugs all break the hash. Encrypted PDFs, non-Flate
-    filters and non-PNG predictors refuse loudly
-    (tests/test_pdfcodec.py)."""
+    pages, FlateDecode on even ids, and the widened filter surface on
+    odd classic ids (LZWDecode on id%6==3; RunLengthDecode and an
+    [ASCIIHexDecode LZWDecode] chain on id%6==5 — LZW composed from
+    tiffcodec, RunLength the PackBits twin). The parser walks either
+    xref form (tables incl. hybrid /XRefStm, streams incl. /Prev
+    chains), resolves objects out of object streams, counts objects,
+    walks the /Pages tree, decodes each stream's (possibly chained)
+    filters and recovers the Tj text with full PDF string unescaping.
+    The recovered text is fingerprinted with the SAME rolling
+    polynomial as doc_fingerprint, recomputed by the oracle from the
+    original text — so page-split, xref-offset, predictor, any
+    filter-decode and unescape bugs all break the hash. Encrypted
+    PDFs, CCITTFax/JBIG2/JPX/Crypt filters, non-PNG predictors and
+    LZW /EarlyChange 0 refuse loudly (tests/test_pdfcodec.py)."""
     from funding_monitoring_spark.operators.multimodal import (
         decode_pdf_features,
         synthesize_pdf_media,
