@@ -16,11 +16,14 @@ sync>).
 
 Arrays and maps of in-profile types read and write with real Avro
 block framing (including the negative-count + byte-size skip form on
-read). Out-of-profile shapes refuse loudly: non-record top-level
-schemas, nested records/enums/fixed/bytes fields, unions other than
-[null, T], codecs other than null/deflate, sync-marker mismatches,
-and truncated headers/blocks (every length is bounds-checked before
-slicing).
+read); NESTED RECORDS recurse through the same varint walk (any
+depth, composing with arrays/maps/unions), enums are symbol-table
+index varints, fixed is a sized read, bytes a length-prefixed read.
+Out-of-profile shapes refuse loudly: non-record top-level schemas,
+named-type REFERENCES (a record/enum/fixed used by name after its
+definition), unions other than [null, T], codecs other than
+null/deflate/snappy, sync-marker mismatches, and truncated
+headers/blocks (every length is bounds-checked before slicing).
 """
 
 from __future__ import annotations
@@ -118,6 +121,51 @@ def _field_writer(ftype):
             return bytes(out)
 
         return wm
+    if isinstance(ftype, dict) and ftype.get("type") == "record":
+        # nested record: the same varint walk, recursed per field —
+        # field order is the schema's, values come from a dict
+        subs = [
+            (f["name"], _field_writer(f["type"]))
+            for f in ftype.get("fields", [])
+        ]
+
+        def wr(v):
+            return b"".join(w(v[name]) for name, w in subs)
+
+        return wr
+    if isinstance(ftype, dict) and ftype.get("type") == "enum":
+        symbols = list(ftype.get("symbols", []))
+        if not symbols:
+            raise NotImplementedError("Avro enum without symbols")
+        index = {s: i for i, s in enumerate(symbols)}
+
+        def we(v):
+            if v not in index:
+                raise ValueError(
+                    f"enum value {v!r} not in symbols {symbols}"
+                )
+            return _zigzag_encode(index[v])
+
+        return we
+    if isinstance(ftype, dict) and ftype.get("type") == "fixed":
+        size = ftype.get("size")
+        if not isinstance(size, int) or size < 0:
+            raise NotImplementedError("Avro fixed without a valid size")
+
+        def wf(v):
+            b = bytes(v)
+            if len(b) != size:
+                raise ValueError(
+                    f"fixed value of {len(b)} bytes, schema says {size}"
+                )
+            return b
+
+        return wf
+    if ftype == "bytes":
+        def wb(v):
+            b = bytes(v)
+            return _zigzag_encode(len(b)) + b
+        return wb
     raise NotImplementedError(f"Avro field type {ftype!r} out of profile")
 
 
@@ -196,6 +244,52 @@ def _field_reader(ftype):
                     out[k], pos = val(data, pos)
 
         return rm
+    if isinstance(ftype, dict) and ftype.get("type") == "record":
+        subs = [
+            (f["name"], _field_reader(f["type"]))
+            for f in ftype.get("fields", [])
+        ]
+
+        def rr(data, pos):
+            rec = {}
+            for name, r in subs:
+                rec[name], pos = r(data, pos)
+            return rec, pos
+
+        return rr
+    if isinstance(ftype, dict) and ftype.get("type") == "enum":
+        symbols = list(ftype.get("symbols", []))
+        if not symbols:
+            raise NotImplementedError("Avro enum without symbols")
+
+        def re_(data, pos):
+            i, pos = _zigzag_decode(data, pos)
+            if not 0 <= i < len(symbols):
+                raise ValueError(
+                    f"enum index {i} out of range for {len(symbols)} "
+                    "symbols"
+                )
+            return symbols[i], pos
+
+        return re_
+    if isinstance(ftype, dict) and ftype.get("type") == "fixed":
+        size = ftype.get("size")
+        if not isinstance(size, int) or size < 0:
+            raise NotImplementedError("Avro fixed without a valid size")
+
+        def rf(data, pos):
+            if pos + size > len(data):
+                raise ValueError("Avro fixed truncated")
+            return data[pos : pos + size], pos + size
+
+        return rf
+    if ftype == "bytes":
+        def rby(data, pos):
+            n, pos = _zigzag_decode(data, pos)
+            if n < 0 or pos + n > len(data):
+                raise ValueError("Avro bytes truncated")
+            return data[pos : pos + n], pos + n
+        return rby
     raise NotImplementedError(f"Avro field type {ftype!r} out of profile")
 
 

@@ -1330,14 +1330,17 @@ def q_data_contract_report(spark, sf_dir):
 def q_avro_file_source(spark, sf_dir):
     """Avro Object Container File round trip WITHOUT the external
     spark-avro package (operators/avrocodec.py — pure zigzag-varint /
-    IEEE / sync-marker framing, null + deflate codecs): each input
-    partition writes one OCF part file (distributed write, the codec
-    cycling null/deflate/snappy by part), the part paths parallelize back out, and each file
-    decodes to rows in Arrow-batched mapInPandas (distributed read —
-    OCF sync markers make real readers block-splittable; per-file
-    parallelism is the honest local equivalent). The same
-    three-aggregate oracle as every file source proves the container
-    carries identical values to the parquet twin."""
+    IEEE / sync-marker framing; null/deflate/snappy codecs cycling by
+    part file): each input partition writes one OCF part file
+    (distributed write), the part paths parallelize back out, and each
+    file decodes to rows in Arrow-batched mapInPandas (distributed
+    read — OCF sync markers make real readers block-splittable;
+    per-file parallelism is the honest local equivalent). The wire
+    schema exercises the r12 widened profile: event_type travels as an
+    Avro ENUM and (user_id, value) as a NESTED RECORD, flattened back
+    on read — so the same three-aggregate oracle as every file source
+    proves the nested container carries identical values to the
+    parquet twin."""
     import os
     import tempfile
     from typing import Iterator
@@ -1355,14 +1358,36 @@ def q_avro_file_source(spark, sf_dir):
         "event_id", "event_type", "user_id", "value"
     )
     out_dir = tempfile.mkdtemp(prefix="fm_avro_src_")
+    # real lake schemas nest: event_type rides as an Avro ENUM (the
+    # fixture's closed symbol set) and (user_id, value) as a NESTED
+    # RECORD — the wire shape r11's flat profile refused; the reader
+    # flattens back, so the oracle is untouched
     schema_json = {
         "type": "record",
         "name": "event",
         "fields": [
             {"name": "event_id", "type": "long"},
-            {"name": "event_type", "type": "string"},
-            {"name": "user_id", "type": "long"},
-            {"name": "value", "type": "double"},
+            {
+                "name": "event_type",
+                "type": {
+                    "type": "enum",
+                    "name": "event_type_t",
+                    "symbols": [
+                        "click", "error", "purchase", "signup", "view"
+                    ],
+                },
+            },
+            {
+                "name": "who",
+                "type": {
+                    "type": "record",
+                    "name": "who_t",
+                    "fields": [
+                        {"name": "user_id", "type": "long"},
+                        {"name": "value", "type": "double"},
+                    ],
+                },
+            },
         ],
     }
 
@@ -1376,7 +1401,17 @@ def q_avro_file_source(spark, sf_dir):
         pid = TaskContext.get().partitionId()
         recs = []
         for pdf in batches:
-            recs.extend(pdf.to_dict("records"))
+            for r in pdf.to_dict("records"):
+                recs.append(
+                    {
+                        "event_id": r["event_id"],
+                        "event_type": r["event_type"],
+                        "who": {
+                            "user_id": r["user_id"],
+                            "value": r["value"],
+                        },
+                    }
+                )
         path = os.path.join(out_dir, f"part-{pid:05d}.avro")
         with open(path, "wb") as fh:
             fh.write(
@@ -1414,7 +1449,18 @@ def q_avro_file_source(spark, sf_dir):
                 with open(path, "rb") as fh:
                     _, recs = decode_avro(fh.read())
                 if recs:
-                    yield pd.DataFrame(recs)
+                    yield pd.DataFrame(
+                        {
+                            "event_id": [r["event_id"] for r in recs],
+                            "event_type": [
+                                r["event_type"] for r in recs
+                            ],
+                            "user_id": [
+                                r["who"]["user_id"] for r in recs
+                            ],
+                            "value": [r["who"]["value"] for r in recs],
+                        }
+                    )
 
     back = paths.mapInPandas(read_part, schema=read_schema)
     return back.groupBy("event_type").agg(

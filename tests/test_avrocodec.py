@@ -138,12 +138,12 @@ def test_truncated_header_and_negative_block_count_are_loud():
     at = good.index(b"avro.schema")
     with pytest.raises(ValueError, match="header truncated"):
         decode_avro(good[: at + 20])
-    # nested record stays out of profile
+    # a named-type REFERENCE (string that is not a primitive) stays
+    # out of profile — nested record DEFINITIONS now decode
     with pytest.raises(NotImplementedError):
         encode_avro(
             {"type": "record", "name": "x", "fields": [
-                {"name": "r", "type": {"type": "record", "name": "y",
-                                       "fields": []}}]},
+                {"name": "r", "type": "y"}]},
             [],
         )
 
@@ -162,3 +162,71 @@ def test_snappy_codec_roundtrip_and_crc():
     doctored[at] ^= 0x01
     with pytest.raises(ValueError):
         decode_avro(bytes(doctored))
+
+
+def test_nested_record_enum_fixed_bytes_roundtrip():
+    """The r12 widened profile: record-in-record (two deep, composed
+    with an array and a null union), enum symbol indices, fixed sized
+    reads and length-prefixed bytes all round-trip."""
+    schema = {
+        "type": "record",
+        "name": "envelope",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "kind", "type": {
+                "type": "enum", "name": "kind_t",
+                "symbols": ["alpha", "beta", "gamma"]}},
+            {"name": "sig", "type": {
+                "type": "fixed", "name": "sig_t", "size": 4}},
+            {"name": "blob", "type": "bytes"},
+            {"name": "inner", "type": {
+                "type": "record", "name": "inner_t",
+                "fields": [
+                    {"name": "score", "type": "double"},
+                    {"name": "tags", "type": {
+                        "type": "array", "items": "string"}},
+                    {"name": "deep", "type": {
+                        "type": "record", "name": "deep_t",
+                        "fields": [
+                            {"name": "note",
+                             "type": ["null", "string"]}]}},
+                ]}},
+        ],
+    }
+    recs = [
+        {"id": 1, "kind": "beta", "sig": b"\x01\x02\x03\x04",
+         "blob": b"", "inner": {"score": 0.5, "tags": ["a", "b"],
+                                "deep": {"note": "hi"}}},
+        {"id": 2, "kind": "alpha", "sig": b"\xff\x00\xff\x00",
+         "blob": b"payload", "inner": {"score": -1.25, "tags": [],
+                                       "deep": {"note": None}}},
+    ]
+    for codec in ("null", "deflate", "snappy"):
+        _, got = decode_avro(encode_avro(schema, recs, codec=codec))
+        assert got == recs
+
+
+def test_enum_and_fixed_validation_is_loud():
+    enum_schema = {
+        "type": "record", "name": "e", "fields": [
+            {"name": "k", "type": {"type": "enum", "name": "k_t",
+                                   "symbols": ["x", "y"]}}]}
+    with pytest.raises(ValueError, match="enum"):
+        encode_avro(enum_schema, [{"k": "zzz"}])
+    # out-of-range index on read
+    good = encode_avro(enum_schema, [{"k": "y"}])
+    from funding_monitoring_spark.operators.avrocodec import (
+        _zigzag_encode,
+    )
+
+    bad_index = _zigzag_encode(7)
+    doctored = good.replace(_zigzag_encode(1) + bytes(range(16)),
+                            bad_index + bytes(range(16)), 1)
+    with pytest.raises(ValueError, match="enum index"):
+        decode_avro(doctored)
+    fixed_schema = {
+        "type": "record", "name": "f", "fields": [
+            {"name": "s", "type": {"type": "fixed", "name": "s_t",
+                                   "size": 3}}]}
+    with pytest.raises(ValueError, match="fixed"):
+        encode_avro(fixed_schema, [{"s": b"toolong"}])
