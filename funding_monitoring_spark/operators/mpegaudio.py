@@ -171,22 +171,55 @@ _ID3_ENCODINGS = {
 }
 
 
+#: v2.2 three-char text frames → their canonical v2.3+ four-char ids
+#: (the upgrade mapping every tag library applies); unknown v2.2 text
+#: frames surface under their own 3-char id
+_ID3V22_TO_V23 = {
+    "TT2": "TIT2",  # title
+    "TP1": "TPE1",  # artist
+    "TAL": "TALB",  # album
+    "TRK": "TRCK",  # track
+    "TYE": "TYER",  # year
+    "TCO": "TCON",  # genre
+    "TEN": "TENC",  # encoder
+    "TCM": "TCOM",  # composer
+}
+_ID3V23_TO_V22 = {v: k for k, v in _ID3V22_TO_V23.items()}
+
+
 def build_id3v2_frames(frames: dict[str, str], version: int = 3,
                        encoding: int = 0) -> bytes:
-    """An ID3v2.3/2.4 tag carrying text-information frames
+    """An ID3v2.2/2.3/2.4 tag carrying text-information frames
     ({frame_id: text}, e.g. {'TIT2': title}): 10-byte header with the
-    syncsafe tag size, then one frame per entry — 4-char id, 4-byte
-    size (PLAIN 32-bit in v2.3, SYNCSAFE in v2.4 — the classic
-    divergence), 2 flag bytes, encoding byte, encoded text."""
-    if version not in (3, 4):
-        raise ValueError("only ID3v2.3/2.4 supported")
+    syncsafe tag size, then one frame per entry — v2.3/2.4: 4-char
+    id, 4-byte size (PLAIN 32-bit in v2.3, SYNCSAFE in v2.4 — the
+    classic divergence), 2 flag bytes; v2.2: 3-char id, 3-byte plain
+    size, NO flag bytes (a 4-char id is down-mapped where a v2.2
+    equivalent exists). Then the encoding byte + encoded text
+    (v2.2 knows encodings 0/1 only)."""
+    if version not in (2, 3, 4):
+        raise ValueError("only ID3v2.2/2.3/2.4 supported")
+    if version == 2 and encoding not in (0, 1):
+        raise ValueError("ID3v2.2 text encodings are 0/1 only")
     body = b""
     for fid, text in frames.items():
-        if len(fid) != 4:
+        if version == 2:
+            if len(fid) == 4:
+                fid = _ID3V23_TO_V22.get(fid)
+                if fid is None:
+                    raise ValueError(
+                        f"no ID3v2.2 equivalent for frame {fid!r}"
+                    )
+            if len(fid) != 3:
+                raise ValueError(f"bad v2.2 frame id {fid!r}")
+        elif len(fid) != 4:
             raise ValueError(f"bad frame id {fid!r}")
         enc = _ID3_ENCODINGS[encoding]
         data = bytes([encoding]) + text.encode(enc)
         size = len(data)
+        if version == 2:
+            body += fid.encode("latin-1") + size.to_bytes(3, "big") + data
+            continue
         if version == 4:
             sz = bytes(
                 [(size >> s) & 0x7F for s in (21, 14, 7, 0)]
@@ -202,10 +235,13 @@ def build_id3v2_frames(frames: dict[str, str], version: int = 3,
 
 def parse_id3v2_frames(payload: bytes) -> dict[str, str]:
     """Extract the text-information frames (T***) of a leading ID3v2
-    tag: {frame_id: decoded text}. Honors the v2.3 plain / v2.4
-    syncsafe frame-size divergence and the footer flag; text
-    encodings 0/1/2/3 decode (latin-1, UTF-16 BOM, UTF-16BE, UTF-8);
-    non-text frames are skipped structurally; no tag -> {}."""
+    tag: {frame_id: decoded text}. Honors the v2.2 6-byte / v2.3
+    10-byte frame-header divergence, the v2.3 plain / v2.4 syncsafe
+    frame-size divergence and the footer flag; text encodings 0/1/2/3
+    decode (latin-1, UTF-16 BOM, UTF-16BE, UTF-8 — v2.2 validates
+    0/1 only); v2.2 three-char ids surface under their canonical
+    v2.3+ ids; non-text frames are skipped structurally;
+    no tag -> {}."""
     if payload[:3] != b"ID3":
         return {}
     if len(payload) < 10:
@@ -213,9 +249,11 @@ def parse_id3v2_frames(payload: bytes) -> dict[str, str]:
     version = payload[3]
     if version not in (2, 3, 4):
         raise ValueError(f"ID3v2.{version} unsupported")
-    if version == 2:
+    if version == 2 and payload[5] & 0x40:
+        # v2.2's bit 6 is the COMPRESSION flag (not an extended
+        # header) — no scheme is defined by the informal standard
         raise NotImplementedError(
-            "ID3v2.2 three-char frames not supported"
+            "ID3v2.2 compression flag not supported"
         )
     if payload[5] & 0x80:
         # unsynchronisation stuffs 0x00 after every 0xFF — frame
@@ -242,11 +280,15 @@ def parse_id3v2_frames(payload: bytes) -> dict[str, str]:
             ext = int.from_bytes(payload[10:14], "big") + 4
         pos += ext
     out: dict[str, str] = {}
-    while pos + 10 <= end:
-        fid = payload[pos : pos + 4]
-        if fid == b"\x00\x00\x00\x00":
+    # v2.2 frame headers are 6 bytes (3-char id + 3-byte plain size,
+    # no flags); v2.3/2.4 are 10 (4-char id + 4-byte size + 2 flags)
+    id_len = 3 if version == 2 else 4
+    head_len = 6 if version == 2 else 10
+    while pos + head_len <= end:
+        fid = payload[pos : pos + id_len]
+        if fid == b"\x00" * id_len:
             break  # padding
-        raw_sz = payload[pos + 4 : pos + 8]
+        raw_sz = payload[pos + id_len : pos + head_len - (0 if version == 2 else 2)]
         if version == 4:
             if any(b & 0x80 for b in raw_sz):
                 raise ValueError("non-syncsafe v2.4 frame size")
@@ -256,11 +298,11 @@ def parse_id3v2_frames(payload: bytes) -> dict[str, str]:
             )
         else:
             size = int.from_bytes(raw_sz, "big")
-        if pos + 10 + size > end:  # the TAG boundary, not the file —
-            # otherwise audio bytes silently decode as tag text
+        if pos + head_len + size > end:  # the TAG boundary, not the
+            # file — otherwise audio bytes silently decode as tag text
             raise ValueError("ID3v2 frame overruns tag")
-        data = payload[pos + 10 : pos + 10 + size]
-        pos += 10 + size
+        data = payload[pos + head_len : pos + head_len + size]
+        pos += head_len + size
         if not (fid[:1] == b"T" and fid.isalnum()):
             continue  # non-text frame: skipped structurally
         if not data:
@@ -268,6 +310,14 @@ def parse_id3v2_frames(payload: bytes) -> dict[str, str]:
         enc = _ID3_ENCODINGS.get(data[0])
         if enc is None:
             raise ValueError(f"unknown ID3 text encoding {data[0]}")
+        if version == 2 and data[0] not in (0, 1):
+            raise ValueError(
+                f"ID3v2.2 text encoding {data[0]} invalid (0/1 only)"
+            )
         text = data[1:].decode(enc).rstrip("\x00")
-        out[fid.decode("latin-1")] = text
+        key = fid.decode("latin-1")
+        if version == 2:
+            # surface under the canonical v2.3+ id where one exists
+            key = _ID3V22_TO_V23.get(key, key)
+        out[key] = text
     return out

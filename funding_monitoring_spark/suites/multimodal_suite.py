@@ -1320,7 +1320,7 @@ def q_multimodal_mp3_roundtrip(spark, sf_dir):
     "mp3_id3_scan",
     """
     SELECT doc_id AS media_id,
-           CAST(3 + doc_id % 2 AS INT) AS id3_version,
+           CAST(2 + doc_id % 3 AS INT) AS id3_version,
            'Track ' || CAST(doc_id AS VARCHAR) AS title,
            'Artist ' || CAST(doc_id % 7 AS VARCHAR) AS artist,
            'Corpus Vol. ' || CAST(doc_id % 3 AS VARCHAR) AS album,
@@ -1334,14 +1334,18 @@ def q_mp3_id3_scan(spark, sf_dir):
     """ID3v2 text-frame extraction over tagged MP3s — the metadata
     pass an audio corpus runs before any decode (dedup by
     title/artist, per-album stats, rights filtering). Each document
-    becomes a tagged stream: an ID3v2.3 (even ids, latin-1 or UTF-16
-    text) or ID3v2.4 (odd ids, latin-1 or UTF-8) tag carrying
-    TIT2/TPE1/TALB/TRCK/TYER frames, then real MPEG-1 Layer III
-    frames. The scanner honors the v2.3 plain / v2.4 SYNCSAFE
-    frame-size divergence, all four text encodings and frame padding,
-    and the structural walker must still count the audio frames
-    correctly PAST the tag (stream_ok) — every field closed-form in
-    the oracle (operators/mpegaudio.py build_id3v2_frames /
+    becomes a tagged stream cycling ALL THREE tag generations by id:
+    ID3v2.2 (id%3==0 — 3-char frame ids, 3-byte plain sizes, 6-byte
+    headers, the legacy-MP3 mass shape), v2.3 (id%3==1) or v2.4
+    (id%3==2), carrying title/artist/album/track/year frames
+    (TT2/TP1/TAL/TRK/TYE in v2.2, surfaced under the canonical
+    TIT2/TPE1/TALB/TRCK/TYER ids), then real MPEG-1 Layer III frames.
+    The scanner honors the v2.2 6-byte / v2.3+ 10-byte header
+    divergence, the v2.3 plain / v2.4 SYNCSAFE frame-size divergence,
+    all four text encodings and frame padding, and the structural
+    walker must still count the audio frames correctly PAST the tag
+    (stream_ok) — every field closed-form in the oracle
+    (operators/mpegaudio.py build_id3v2_frames /
     parse_id3v2_frames)."""
     import pandas as pd
     from pyspark.sql import functions as F
@@ -1378,8 +1382,13 @@ def q_mp3_id3_scan(spark, sf_dir):
             payloads, metas = [], []
             for mid in pdf["media_id"]:
                 mid = int(mid)
-                version = 3 + mid % 2
-                encoding = (0, 1, 0, 3)[mid % 4]  # enc 1 v2.3, 3 v2.4
+                version = 2 + mid % 3
+                if version == 2:
+                    encoding = (0, 1)[(mid // 3) % 2]  # v2.2: 0/1 only
+                elif version == 3:
+                    encoding = (0, 1)[(mid // 3) % 2]
+                else:
+                    encoding = (2, 3)[(mid // 3) % 2]  # v2.4 extras
                 tag = build_id3v2_frames(
                     {
                         "TIT2": f"Track {mid}",

@@ -249,7 +249,8 @@ def test_id3v2_frame_roundtrip_versions_and_encodings():
     )
 
     frames = {"TIT2": "Song", "TPE1": "Artist", "TRCK": "7/12"}
-    for version, encoding in ((3, 0), (3, 1), (4, 0), (4, 1), (4, 3)):
+    for version, encoding in ((2, 0), (2, 1), (3, 0), (3, 1), (4, 0),
+                              (4, 1), (4, 3)):
         tag = build_id3v2_frames(frames, version=version,
                                  encoding=encoding)
         stream = tag + 2 * build_mp3_frame(128, 44100)
@@ -295,8 +296,14 @@ def test_id3v2_refusals_are_loud():
     )
 
     assert parse_id3v2_frames(b"\xff\xfbnotag") == {}
+    # v2.2 COMPRESSION flag (bit 6) refuses; plain v2.2 now parses
     with pytest.raises(NotImplementedError):
-        parse_id3v2_frames(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+        parse_id3v2_frames(
+            b"ID3\x02\x00\x40\x00\x00\x00\x00"
+        )
+    # v2.2 knows text encodings 0/1 only
+    with pytest.raises(ValueError):
+        build_id3v2_frames({"TIT2": "x"}, version=2, encoding=3)
     with pytest.raises(ValueError):
         parse_id3v2_frames(b"ID3\x05\x00\x00\x00\x00\x00\x00")
     tag = bytearray(build_id3v2_frames({"TIT2": "x"}, version=4))
@@ -337,3 +344,28 @@ def test_id3v2_unsynchronisation_refuses():
     tag[5] |= 0x80
     with pytest.raises(NotImplementedError):
         parse_id3v2_frames(bytes(tag))
+
+
+def test_id3v22_three_char_frames_map_to_canonical_ids():
+    """A v2.2 tag (3-char ids, 3-byte sizes, 6-byte headers) parses
+    and surfaces TT2/TP1/TAL/TRK/TYE under the canonical v2.3+ ids;
+    the structural walker still counts audio frames past it."""
+    from funding_monitoring_spark.operators.mpegaudio import (
+        build_id3v2_frames,
+        build_mp3_frame,
+        parse_id3v2_frames,
+        parse_mp3_metadata,
+    )
+
+    # 4-char input ids down-map on write, up-map on read
+    frames = {"TIT2": "Song", "TPE1": "Artist", "TALB": "Album",
+              "TRCK": "3/9", "TYER": "1999"}
+    tag = build_id3v2_frames(frames, version=2, encoding=1)
+    # the wire carries 3-char ids and no flag bytes
+    assert b"TT2" in tag and b"TIT2" not in tag
+    stream = tag + 2 * build_mp3_frame(128, 44100)
+    assert parse_id3v2_frames(stream) == frames
+    assert parse_mp3_metadata(stream)["n_frames"] == 2
+    # an unmapped v2.2 text frame surfaces under its own 3-char id
+    tag2 = build_id3v2_frames({"TXX": "misc"}, version=2)
+    assert parse_id3v2_frames(tag2) == {"TXX": "misc"}
