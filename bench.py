@@ -235,6 +235,9 @@ def _calibrate(rounds: int = 3) -> dict[str, float]:
 
 def main() -> None:
     from funding_monitoring_spark import registry
+    from funding_monitoring_spark.operators.cachescope import (
+        release_scoped_caches,
+    )
     from funding_monitoring_spark.session import get_spark
 
     args = sys.argv[1:]
@@ -325,8 +328,13 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — recorded
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 metrics.drain()
+                release_scoped_caches()
                 continue
             this_run[name] = round(time.perf_counter() - t0, 3)
+            # query-scoped persists release once the result is
+            # materialized (outside the timed span) — a full-registry
+            # run leaves no session-lifetime cached partitions
+            release_scoped_caches()
             ticks = metrics.drain()
             if ticks and run == 0:
                 # attribute the streaming wall: micro-batch work
@@ -366,6 +374,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — recorded, not hidden
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         metrics.drain()
+        release_scoped_caches()
     overflow_wall = round(time.perf_counter() - t_over, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from funding_monitoring_spark.functions.scalars import let
+from funding_monitoring_spark.operators.cachescope import scoped_persist
 from funding_monitoring_spark.operators.textstats import (
     POLY_INIT,
     POLY_MOD,
@@ -184,7 +185,7 @@ def minhash_signature_table(
         .select(
             "id", "fps", minhash_signature(F.col("fps")).alias("sig")
         )
-        .persist()
+        .transform(scoped_persist)
     )
 
 
@@ -433,7 +434,7 @@ def simhash_near_dup(
     sigs = (
         simhash_signatures_df(df, text_col, id_col)
         .select(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
-        .persist()
+        .transform(scoped_persist)
     )
     banded = sigs.withColumn(
         "band_key",
@@ -523,9 +524,9 @@ def hex_signature_near_dup(
     # the band equi-join to SortMergeJoin (see simhash_near_dup).
     # Callers own the cache lifetime — the frame is 16 hex chars + an
     # id per signature.
-    sigs = sigs.select(
-        F.col(id_col).alias("id"), F.col(hex_col).alias("sig")
-    ).persist()
+    sigs = scoped_persist(
+        sigs.select(F.col(id_col).alias("id"), F.col(hex_col).alias("sig"))
+    )
     banded = sigs.withColumn(
         "band_key",
         F.explode(

@@ -28,6 +28,9 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from funding_monitoring_spark.operators.cachescope import (
+    scoped_persist,
+)
 
 N_PLANES = 4  # planes (bits) per hash table
 N_TABLES = 3  # independent hash tables (multi-probe recall dial)
@@ -502,7 +505,7 @@ def cosine_topk_ivf_kmeans(
     # the refined centroid table is the (tiny) index; persist it so the
     # Lloyd chain — which scans the corpus once per iteration — is not
     # re-evaluated by each of the two search branches that consume it
-    cents = kmeans_refined_centroids(c, init, n_iters).persist()
+    cents = kmeans_refined_centroids(c, init, n_iters).transform(scoped_persist)
     return _ivf_search(q, c, cents, k, nprobe)
 
 
@@ -537,7 +540,7 @@ def embedding_near_dup(
         "buckets", bucket_keys(F.col("q_emb"))
     ).withColumn(
         "probes", probe_bucket_keys(F.col("q_emb"))
-    ).persist()
+    ).transform(scoped_persist)
 
     probe_side = vecs.select(
         F.col("q_id").alias("id_a"), F.explode("probes").alias("bucket")

@@ -40,6 +40,9 @@ from funding_monitoring_spark.operators.sampling import (
 from funding_monitoring_spark.operators.textstats import char_pairs
 from funding_monitoring_spark.operators.topk import heavy_hitters
 from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.operators.cachescope import (
+    scoped_persist,
+)
 from funding_monitoring_spark.sources.tables import load_table
 
 ANOMALY_ORACLE = """
@@ -2067,7 +2070,7 @@ def q_kn_trigram_logprob_score(spark, sf_dir):
     tc = (
         tris.groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).cast("double").alias("c3"))
-        .persist()  # feeds bc, cont3 AND the join; persist (not
+        .transform(scoped_persist)  # feeds bc, cont3 AND the join; persist (not
         # checkpoint) keeps relation statistics so the n-gram joins
         # stay broadcast-eligible at fixture scale (see dedup.py)
     )
@@ -2078,7 +2081,7 @@ def q_kn_trigram_logprob_score(spark, sf_dir):
     cont3 = (
         tc.groupBy("w2", "w3")
         .agg(F.count(F.lit(1)).cast("double").alias("n3"))
-        .persist()  # feeds mid, contu, tot, join
+        .transform(scoped_persist)  # feeds mid, contu, tot, join
     )
     mid = cont3.groupBy("w2").agg(
         F.sum("n3").alias("m"),

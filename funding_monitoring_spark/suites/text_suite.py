@@ -7,6 +7,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from funding_monitoring_spark.operators import textstats as X
+from funding_monitoring_spark.operators.cachescope import (
+    scoped_persist,
+)
 from funding_monitoring_spark.registry import query
 from funding_monitoring_spark.sources.tables import load_table
 
@@ -288,7 +291,7 @@ def q_curation_pipeline_full(spark, sf_dir):
         (F.col("n_tokens") >= MIN_TOKENS)
         & (F.col("quality") >= MIN_QUALITY)
         & (F.col("detected_lang") == "en")
-    ).persist()  # the survivor set feeds the pair stage, the cluster
+    ).transform(scoped_persist)  # the survivor set feeds the pair stage, the cluster
     # assignment join, and the final projection — compute the (heavy,
     # interpreted) quality/lang enrichment once, not once per consumer
     pairs = D.minhash_lsh_pairs(filtered, threshold=THRESHOLD)

@@ -20,6 +20,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from funding_monitoring_spark.registry import query
+from funding_monitoring_spark.operators.cachescope import (
+    scoped_persist,
+)
 from funding_monitoring_spark.sources.tables import load_table
 
 Q1_CUTOFF = "1999-01-01"
@@ -688,7 +691,7 @@ def q_tpch_q15(spark, sf_dir):
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
             ).alias("total_revenue")
         )
-        .persist()
+        .transform(scoped_persist)
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
@@ -727,7 +730,7 @@ def q_tpch_q17(spark, sf_dir):
     ).select("p_partkey")
     li_brand = li.join(
         F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi"
-    ).persist()
+    ).transform(scoped_persist)
     thresholds = li_brand.groupBy(
         F.col("l_partkey").alias("t_partkey")
     ).agg((F.avg("l_quantity") * 0.2).alias("qty_threshold"))

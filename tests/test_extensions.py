@@ -1339,3 +1339,41 @@ def test_hex_signature_clusters_matches_edge_form(spark):
         (4, 4, True), (5, 5, True), (6, 1, False),
         (7, 7, True),
     }
+
+
+def test_scoped_persist_releases_after_materialize(spark, sf_dir):
+    """The query-scoped cache registry closes the ADVICE r10/r11
+    persist leak: after materializing the cache-heavy dedup queries
+    and releasing the scope, no MEMORY-persisted partitions from the
+    persist path remain registered (localCheckpoint blocks are a
+    separate, deliberate materialization and are excluded by taking a
+    before-snapshot)."""
+    from funding_monitoring_spark.operators.cachescope import (
+        release_scoped_caches,
+    )
+    from funding_monitoring_spark.registry import queries
+
+    release_scoped_caches()  # clean slate from earlier tests
+
+    def persisted_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return set(jmap.keySet().toArray())
+
+    qs = queries()
+    for name in ("simhash_near_dup", "minhash_lsh_dedup"):
+        before = persisted_ids()
+        qs[name](spark, sf_dir).count()
+        assert persisted_ids() - before, (
+            f"{name} no longer persists — update the test targets"
+        )
+        released = release_scoped_caches()
+        assert released > 0
+        # unpersist is async; poll briefly for the blocks to drop
+        import time as _t
+
+        for _ in range(50):
+            if not (persisted_ids() - before):
+                break
+            _t.sleep(0.1)
+        leaked = persisted_ids() - before
+        assert not leaked, f"{name} leaked persisted RDDs: {leaked}"

@@ -113,6 +113,12 @@ def main() -> int:
                 rec["hash_match"] = None
         except Exception as ex:  # noqa: BLE001 — recorded, not raised
             rec["err"] = f"{type(ex).__name__}: {ex}"[:500]
+        finally:
+            from funding_monitoring_spark.operators.cachescope import (
+                release_scoped_caches,
+            )
+
+            release_scoped_caches()
         ok = (
             rec["err"] is None
             and rec["rows_match"]
