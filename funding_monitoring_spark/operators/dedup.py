@@ -848,3 +848,109 @@ def duplicated_span_report(
             ).alias("dup_ratio"),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_gram: int = 8,
+) -> DataFrame:
+    """The APPLY half of offset-robust exact-substring dedup
+    (duplicated_span_report is the measure half): keep the FIRST
+    corpus-wide occurrence of every duplicated ``min_gram``-token
+    window (ordered by (doc_id, position) — deterministic) and remove
+    the tokens every LATER occurrence covers, reassembling each
+    document from its surviving tokens. This is the
+    public-corpus-pipeline exact-substring dedup contract
+    (keep-one-copy), robust to arbitrary word offsets — unlike a
+    fixed segment grid.
+
+    Scale shape: one window shuffle on the anchor gram (rank the
+    occurrences — linear, never a pair join), then covered positions
+    explode at a bounded x``min_gram`` factor and everything else
+    shuffles on doc_id (anti-join of token positions against covered
+    positions + ordered reassembly share the key). Rows stay
+    O(total tokens x min_gram) worst case, O(duplicated anchors x
+    min_gram) after the rank filter in practice.
+
+    Returns (id, n_tokens, n_removed, cleaned_text); cleaned_text is
+    NULL when nothing survives (matching SQL string_agg over an empty
+    group)."""
+    L = int(min_gram)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"(\S+)"), 1
+        ).alias("l"),
+    ).select("doc_id", F.size("l").alias("n_tokens"), "l")
+    grams = (
+        toks.filter(F.col("n_tokens") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_tokens") - L)
+            ).alias("pos"),
+            "l",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(
+                F.slice("l", F.col("pos") + 1, L), " "
+            ).alias("gram"),
+        )
+    )
+    w_gram = Window.partitionBy("gram")
+    ranked = grams.withColumn(
+        "_cnt", F.count(F.lit(1)).over(w_gram)
+    ).withColumn(
+        "_rn",
+        F.row_number().over(w_gram.orderBy("doc_id", "pos")),
+    )
+    # later occurrences of a duplicated window: their covered token
+    # positions are removed (bounded xL explode)
+    covered = (
+        ranked.filter((F.col("_cnt") >= 2) & (F.col("_rn") >= 2))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (L - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    words = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode("l").alias("pos", "word"),
+    )
+    kept = words.join(
+        covered,
+        (words.doc_id == covered.doc_id) & (words.pos == covered.cpos),
+        "left_anti",
+    )
+    cleaned = kept.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("_joined"),
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(cleaned.drop("n_tokens"), "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce("_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.when(
+                F.coalesce("_kept", F.lit(0)) > 0, F.col("_joined")
+            ).alias("cleaned_text"),
+        )
+    )

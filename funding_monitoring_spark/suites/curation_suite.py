@@ -977,6 +977,81 @@ def q_substring_dedup_spans(spark, sf_dir):
     )
 
 
+SUBSTRING_CLEAN_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS l
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(
+                   l[i + 1 : i + {SUBSTR_GRAM}], ' '
+               ) AS gram
+        FROM toks, unnest(range(0, len(l) - {SUBSTR_GRAM} + 1)) AS u(i)
+        WHERE len(l) >= {SUBSTR_GRAM}
+    ),
+    ranked AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY gram) AS cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY gram ORDER BY doc_id, pos
+               ) AS rn
+        FROM g
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, CAST(c AS BIGINT) AS cpos
+        FROM ranked, unnest(range(pos, pos + {SUBSTR_GRAM})) AS u(c)
+        WHERE cnt >= 2 AND rn >= 2
+    ),
+    words AS (
+        SELECT doc_id, unnest(range(0, len(l))) AS pos,
+               unnest(l) AS word
+        FROM toks
+    ),
+    kept AS (
+        SELECT w.doc_id, w.pos, w.word
+        FROM words w
+        LEFT JOIN covered c
+          ON w.doc_id = c.doc_id AND w.pos = c.cpos
+        WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS kept_n,
+               string_agg(word, ' ' ORDER BY pos) AS joined
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.l) AS BIGINT) AS n_tokens,
+           CAST(len(t.l) - COALESCE(a.kept_n, 0) AS BIGINT)
+               AS n_removed,
+           a.joined AS cleaned_text
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("substring_dedup_cleaned_docs", SUBSTRING_CLEAN_ORACLE)
+def q_substring_dedup_cleaned_docs(spark, sf_dir):
+    """The APPLY half of offset-robust exact-substring dedup: keep
+    the FIRST corpus-wide occurrence (by doc_id, position) of every
+    duplicated {SUBSTR_GRAM}-word window, remove the tokens every
+    later occurrence covers, and reassemble each document from its
+    surviving tokens — the keep-one-copy cleaned-corpus contract of
+    the public exact-substring dedup pipelines, robust to arbitrary
+    word offsets. The cleaned TEXT itself is value-hashed against the
+    oracle's identical rank/cover/reassemble replay, not just the
+    counts. Scale shape: one gram-keyed window (rank — linear, no
+    pair join), a bounded x{SUBSTR_GRAM} covered-position explode,
+    then doc_id-keyed anti-join + ordered reassembly."""
+    from funding_monitoring_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(
+        docs, id_col="doc_id", text_col="text", min_gram=SUBSTR_GRAM
+    )
+
+
 # -- KMV dataset-overlap report ------------------------------------------
 
 from funding_monitoring_spark.operators.dedup import (

@@ -556,3 +556,52 @@ def test_substring_dedup_grid_blindspot_is_covered(spark):
     got = _span_report(spark, rows, min_gram=8)
     assert got[1]["dup_tokens"] == 10
     assert got[2]["dup_tokens"] == 10
+
+
+def _cleaned(spark, rows, min_gram=4):
+    from funding_monitoring_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_duplicated_spans(df, min_gram=min_gram)
+    return {r.doc_id: r.asDict() for r in out.collect()}
+
+
+def test_substring_clean_keeps_first_occurrence(spark):
+    """Keep-one-copy: the first (doc_id, pos) occurrence survives;
+    the shifted later copy is removed from its document."""
+    passage = "the quick brown fox jumps high"
+    rows = [
+        (1, f"{passage} alpha beta gamma delta"),
+        (2, f"zzz {passage} one two three four"),
+    ]
+    got = _cleaned(spark, rows, min_gram=4)
+    assert got[1]["n_removed"] == 0
+    assert got[1]["cleaned_text"] == rows[0][1]
+    assert got[2]["n_removed"] == 6
+    assert got[2]["cleaned_text"] == "zzz one two three four"
+
+
+def test_substring_clean_within_doc_and_full_removal(spark):
+    """Within-doc repetition keeps the first copy; a document that is
+    a pure later-copy of another empties to NULL."""
+    rows = [
+        (1, "a b c d xxx a b c d"),
+        (2, "p q r s t u v w"),
+        (3, "p q r s t u v w"),
+    ]
+    got = _cleaned(spark, rows, min_gram=4)
+    assert got[1]["cleaned_text"] == "a b c d xxx"
+    assert got[1]["n_removed"] == 4
+    assert got[2]["cleaned_text"] == rows[1][1]
+    assert got[3]["cleaned_text"] is None
+    assert got[3]["n_removed"] == 8
+
+
+def test_substring_clean_short_docs_pass_through(spark):
+    rows = [(1, "a b"), (2, "x y z")]
+    got = _cleaned(spark, rows, min_gram=4)
+    for d, text in ((1, "a b"), (2, "x y z")):
+        assert got[d]["cleaned_text"] == text
+        assert got[d]["n_removed"] == 0

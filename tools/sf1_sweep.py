@@ -9,7 +9,17 @@ were not re-run. The artifact is the empirical backing for the
 at 10x data is data-bound (fine); superlinear growth or a flat-but-
 huge constant flags a hidden driver-side or per-tick cost.
 
-Usage: python tools/sf1_sweep.py [--note TEXT] name [name ...]
+For ALL-PAIRS OUTPUT-CONTRACT queries (fuzzy_title_pairs — wall is
+dominated by materializing the true pair set, which grows ~k^2 with
+duplicate-group size on the replicated fixture), pass them via
+``--pairs``: the sweep then ALSO counts the query's output rows at
+both scales and records sec-per-1k-rows plus an output-normalized
+scale factor, so the artifact separates engine scaling from output
+mass instead of letting a pair dump masquerade as a scaling number
+(VERDICT r11 "what's wrong" #1).
+
+Usage: python tools/sf1_sweep.py [--note TEXT] [--pairs NAME]...
+       name [name ...]
 """
 
 from __future__ import annotations
@@ -59,16 +69,50 @@ def run_bench(sf_dir: str, names: list[str]) -> dict[str, float]:
     return summary["queries"]
 
 
+def count_rows(sf_dir: str, names: list[str]) -> dict[str, int]:
+    """Count each named query's output rows at sf_dir in a fresh
+    subprocess session (bench times walls; this measures the OUTPUT
+    mass an all-pairs contract materializes)."""
+    prog = (
+        "import json, sys; sys.path.insert(0, %r); "
+        "from funding_monitoring_spark.session import get_spark; "
+        "from funding_monitoring_spark import registry; "
+        "spark = get_spark(); qs = registry.queries(); "
+        "print(json.dumps({n: qs[n](spark, %r).count() for n in %r}))"
+    ) % (REPO, sf_dir, names)
+    out = subprocess.run(
+        [sys.executable, "-c", prog],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    for ln in reversed(out.stdout.splitlines()):
+        if ln.startswith("{"):
+            return json.loads(ln)
+    raise SystemExit(f"row count at {sf_dir} printed no JSON:\n"
+                     + out.stdout[-2000:])
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="+")
     ap.add_argument("--note", action="append", default=[])
+    ap.add_argument(
+        "--pairs", action="append", default=[],
+        help="all-pairs output-contract queries: also record output "
+             "rows + sec-per-1k-rows + an output-normalized factor",
+    )
     ap.add_argument("--sf01", default="/root/testdata/sf0.1")
     ap.add_argument("--sf1", default=os.path.join(REPO, "testdata_sf1"))
     args = ap.parse_args()
 
-    t01 = run_bench(args.sf01, args.names)
-    t1 = run_bench(args.sf1, args.names)
+    names = list(dict.fromkeys(args.names + args.pairs))
+    args.names = names
+    t01 = run_bench(args.sf01, names)
+    t1 = run_bench(args.sf1, names)
+    rows01 = count_rows(args.sf01, args.pairs) if args.pairs else {}
+    rows1 = count_rows(args.sf1, args.pairs) if args.pairs else {}
 
     art = (
         json.load(open(ARTIFACT))
@@ -81,6 +125,31 @@ def main() -> int:
             "sf01_sec": round(t01[n], 3),
             "scale_factor_10x": round(t1[n] / max(t01[n], 1e-9), 2),
         }
+        if n in args.pairs:
+            r01, r1 = rows01[n], rows1[n]
+            per01 = 1000.0 * t01[n] / max(r01, 1)
+            per1 = 1000.0 * t1[n] / max(r1, 1)
+            art["queries"][n].update(
+                {
+                    "sf01_rows": r01,
+                    "sf1_rows": r1,
+                    "sf01_sec_per_1k_rows": round(per01, 3),
+                    "sf1_sec_per_1k_rows": round(per1, 3),
+                    "output_growth_10x": round(r1 / max(r01, 1), 1),
+                    "scale_factor_10x_output_normalized": round(
+                        per1 / max(per01, 1e-9), 4
+                    ),
+                    "note": (
+                        "all-pairs OUTPUT contract: raw wall tracks "
+                        "the true pair mass the fixture creates "
+                        f"({r01} -> {r1} pairs at 10x data); wall "
+                        "growth below output growth = sublinear in "
+                        "its true output; sec-per-1k-rows is the "
+                        "engine-side unit cost (the sf0.1 figure is "
+                        "fixed-cost dominated at tiny output)"
+                    ),
+                }
+            )
     art["metric"] = "sf1_spot_sweep_wall_sec"
     art["value"] = round(sum(q["sf1_sec"] for q in art["queries"].values()), 3)
     art["unit"] = "sec"
