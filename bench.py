@@ -207,6 +207,9 @@ HEADLINE = [
     "stream_merge_on_read",
     "image_dhash_index",
     "snapshot_metadata_count",
+    # new in round 12
+    "substring_dedup_spans",
+    "substring_dedup_cleaned_docs",
 ]
 
 
