@@ -522,8 +522,9 @@ def hex_signature_near_dup(
     # persist: the guard probe and the self-join's two sides consume
     # sigs; a checkpoint here would erase relation statistics and flip
     # the band equi-join to SortMergeJoin (see simhash_near_dup).
-    # Callers own the cache lifetime — the frame is 16 hex chars + an
-    # id per signature.
+    # The frame is 16 hex chars + an id per signature; the scoped
+    # cache registry releases it once the consuming query
+    # materializes (operators/cachescope.py).
     sigs = scoped_persist(
         sigs.select(F.col(id_col).alias("id"), F.col(hex_col).alias("sig"))
     )
