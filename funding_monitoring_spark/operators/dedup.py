@@ -460,14 +460,33 @@ def simhash_near_dup(
     right = banded.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_key"
     )
-    # Hamming verification runs BEFORE the pair dedupe: the bit ops are
-    # free (codegen'd, no shuffle) while dropDuplicates shuffles every
-    # surviving row — verifying first cuts the dedupe exchange to only
-    # true near-dups (25× fewer rows than raw band candidates at sf0.1,
-    # and band collisions only grow with corpus size).
+
+    # FIRST-SHARED-BAND dedup (r12): a pair colliding in k bands comes
+    # out of the band join k times; it is kept ONLY in its minimal
+    # shared band, decided from the two sigs already on the joined row
+    # — pure codegen, replacing the dropDuplicates that shuffled the
+    # ENTIRE raw candidate pair mass (quadratic in band-bucket size;
+    # the r12 sf1 sweep OOM'd the unfiltered histogram variant on
+    # exactly that exchange).
+    def _band_val(col, b):
+        return F.shiftright(F.col(col), b * SIMHASH_BAND_BITS).bitwiseAND(
+            F.lit((1 << SIMHASH_BAND_BITS) - 1)
+        )
+
+    first_shared = F.array_position(
+        F.array(
+            *[
+                _band_val("sig_a", b) == _band_val("sig_b", b)
+                for b in range(SIMHASH_BANDS)
+            ]
+        ),
+        F.lit(True),
+    )
+    band_idx = F.split(F.col("band_key"), ":").getItem(0).cast("int")
     return (
         left.join(right, on="band_key")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(band_idx + 1 == first_shared)
         .withColumn(
             "hamming",
             F.bit_count(
@@ -475,7 +494,6 @@ def simhash_near_dup(
             ),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -584,12 +602,27 @@ def hex_signature_near_dup(
         F.bit_count(half("sig_a", 0).bitwiseXOR(half("sig_b", 0)))
         + F.bit_count(half("sig_a", 1).bitwiseXOR(half("sig_b", 1)))
     )
+    # first-shared-band dedup (r12, same trick as simhash_near_dup):
+    # keep each pair only in its minimal shared band — decided from
+    # the hex substrings already on the joined row, replacing the
+    # dropDuplicates that shuffled the whole raw candidate pair mass
+    first_shared = F.array_position(
+        F.array(
+            *[
+                F.substring("sig_a", 1 + b * width, width)
+                == F.substring("sig_b", 1 + b * width, width)
+                for b in range(bands)
+            ]
+        ),
+        F.lit(True),
+    )
+    band_idx = F.split(F.col("band_key"), ":").getItem(0).cast("int")
     return (
         left.join(right, on="band_key")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(band_idx + 1 == first_shared)
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
