@@ -436,9 +436,13 @@ def simhash_near_dup(
         .select(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
         .transform(scoped_persist)
     )
-    banded = sigs.withColumn(
-        "band_key",
-        F.explode(
+    # posexplode so the probe side carries the band INDEX as an int —
+    # the first-shared-band filter below never parses the key string
+    # on the (huge) joined stream
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
             F.array(
                 *[
                     F.concat_ws(
@@ -452,10 +456,13 @@ def simhash_near_dup(
                     for b in range(SIMHASH_BANDS)
                 ]
             )
-        ),
+        ).alias("_band_idx", "band_key"),
     )
     left = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_key"
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "band_key",
+        "_band_idx",
     )
     right = banded.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_key"
@@ -467,7 +474,8 @@ def simhash_near_dup(
     # — pure codegen, replacing the dropDuplicates that shuffled the
     # ENTIRE raw candidate pair mass (quadratic in band-bucket size;
     # the r12 sf1 sweep OOM'd the unfiltered histogram variant on
-    # exactly that exchange).
+    # exactly that exchange). The cheap bit-op hamming filter runs
+    # FIRST so the band-equality array only evaluates on survivors.
     def _band_val(col, b):
         return F.shiftright(F.col(col), b * SIMHASH_BAND_BITS).bitwiseAND(
             F.lit((1 << SIMHASH_BAND_BITS) - 1)
@@ -482,11 +490,9 @@ def simhash_near_dup(
         ),
         F.lit(True),
     )
-    band_idx = F.split(F.col("band_key"), ":").getItem(0).cast("int")
     return (
         left.join(right, on="band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(band_idx + 1 == first_shared)
         .withColumn(
             "hamming",
             F.bit_count(
@@ -494,6 +500,7 @@ def simhash_near_dup(
             ),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("_band_idx") + 1 == first_shared)
         .select("id_a", "id_b", "hamming")
     )
 
@@ -546,9 +553,12 @@ def hex_signature_near_dup(
     sigs = scoped_persist(
         sigs.select(F.col(id_col).alias("id"), F.col(hex_col).alias("sig"))
     )
-    banded = sigs.withColumn(
-        "band_key",
-        F.explode(
+    # posexplode: the band INDEX rides as an int so the
+    # first-shared-band filter never parses the key string
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
             F.array(
                 *[
                     F.concat_ws(
@@ -559,7 +569,7 @@ def hex_signature_near_dup(
                     for b in range(bands)
                 ]
             )
-        ),
+        ).alias("_band_idx", "band_key"),
     )
     if max_band_bucket is not None:
         # loud pair-mass guard (fuzzyjoin hot-bucket pattern): the
@@ -587,7 +597,10 @@ def hex_signature_near_dup(
                 "bound deliberately"
             )
     left = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_key"
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "band_key",
+        "_band_idx",
     )
     right = banded.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_key"
@@ -605,7 +618,9 @@ def hex_signature_near_dup(
     # first-shared-band dedup (r12, same trick as simhash_near_dup):
     # keep each pair only in its minimal shared band — decided from
     # the hex substrings already on the joined row, replacing the
-    # dropDuplicates that shuffled the whole raw candidate pair mass
+    # dropDuplicates that shuffled the whole raw candidate pair mass;
+    # the cheap hamming filter runs first so the band-equality array
+    # only evaluates on survivors
     first_shared = F.array_position(
         F.array(
             *[
@@ -616,13 +631,12 @@ def hex_signature_near_dup(
         ),
         F.lit(True),
     )
-    band_idx = F.split(F.col("band_key"), ":").getItem(0).cast("int")
     return (
         left.join(right, on="band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(band_idx + 1 == first_shared)
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("_band_idx") + 1 == first_shared)
         .select("id_a", "id_b", "hamming")
     )
 
