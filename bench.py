@@ -210,6 +210,7 @@ HEADLINE = [
     # new in round 12
     "substring_dedup_spans",
     "substring_dedup_cleaned_docs",
+    "incremental_substring_dedup",
 ]
 
 

@@ -973,9 +973,16 @@ def remove_duplicated_spans(
         "n_tokens",
         F.posexplode("l").alias("pos", "word"),
     )
+    # explicit disambiguation: words and covered share lineage, so a
+    # direct attribute comparison would be the ambiguous-self-join
+    # shape Spark has to heuristically repair
+    covered = covered.select(
+        F.col("doc_id").alias("_cdoc"), "cpos"
+    )
     kept = words.join(
         covered,
-        (words.doc_id == covered.doc_id) & (words.pos == covered.cpos),
+        (F.col("doc_id") == F.col("_cdoc"))
+        & (F.col("pos") == F.col("cpos")),
         "left_anti",
     )
     cleaned = kept.groupBy("doc_id", "n_tokens").agg(
@@ -1000,5 +1007,113 @@ def remove_duplicated_spans(
             F.when(
                 F.coalesce("_kept", F.lit(0)) > 0, F.col("_joined")
             ).alias("cleaned_text"),
+        )
+    )
+
+
+def incremental_duplicated_spans(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_gram: int = 8,
+) -> DataFrame:
+    """Steady-state offset-robust substring dedup: report how much of
+    each ARRIVING document is covered by exact ``min_gram``-word
+    windows that already exist in the historical corpus — without
+    ever re-pairing history against itself (the incremental_dedup /
+    incremental_minhash_dedup contract, lifted to substrings). The
+    store side reduces to its DISTINCT gram set (at 100 TB this is
+    the persisted anchor-gram index, bucketed by gram; history never
+    re-shuffles per batch), the batch side anchors every position,
+    and one left-semi join on the gram marks covered anchors; spans
+    coalesce exactly as in duplicated_span_report.
+
+    Returns (id, n_tokens, dup_gram_starts, n_dup_spans, dup_tokens,
+    dup_ratio) for every batch document."""
+    L = int(min_gram)
+
+    def _grams(docs: DataFrame) -> DataFrame:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"(\S+)"), 1
+            ).alias("l"),
+        ).select("doc_id", F.size("l").alias("n_tokens"), "l")
+        return toks, (
+            toks.filter(F.col("n_tokens") >= L)
+            .select(
+                "doc_id",
+                "n_tokens",
+                F.explode(
+                    F.sequence(F.lit(0), F.col("n_tokens") - L)
+                ).alias("pos"),
+                "l",
+            )
+            .select(
+                "doc_id",
+                "n_tokens",
+                "pos",
+                F.array_join(
+                    F.slice("l", F.col("pos") + 1, L), " "
+                ).alias("gram"),
+            )
+        )
+    _, store_grams = _grams(store)
+    store_index = store_grams.select("gram").distinct()
+    batch_toks, batch_grams = _grams(batch)
+    dup = batch_grams.join(store_index, "gram", "left_semi")
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "_new",
+        (
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + (L - 1)).over(w_doc),
+                F.lit(-(L + 2)),
+            )
+            + 1
+        ).cast("int"),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_island = flagged.groupBy("doc_id", "n_tokens", "_isl").agg(
+        F.count(F.lit(1)).alias("_starts"),
+        (F.max("pos") - F.min("pos") + L).alias("_covered"),
+    )
+    per_doc = per_island.groupBy("doc_id", "n_tokens").agg(
+        F.sum("_starts").alias("dup_gram_starts"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("_covered").alias("dup_tokens"),
+    )
+    return (
+        batch_toks.select("doc_id", "n_tokens")
+        .join(per_doc.drop("n_tokens"), "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_gram_starts", F.lit(0))
+            .cast("long")
+            .alias("dup_gram_starts"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
         )
     )

@@ -1052,6 +1052,97 @@ def q_substring_dedup_cleaned_docs(spark, sf_dir):
     )
 
 
+INCR_SUBSTR_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS l
+        FROM documents
+    ),
+    store_grams AS (
+        SELECT DISTINCT array_to_string(
+                   l[i + 1 : i + {SUBSTR_GRAM}], ' '
+               ) AS gram
+        FROM toks, unnest(range(0, len(l) - {SUBSTR_GRAM} + 1)) AS u(i)
+        WHERE len(l) >= {SUBSTR_GRAM} AND doc_id % 3 != 0
+    ),
+    batch_grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(
+                   l[i + 1 : i + {SUBSTR_GRAM}], ' '
+               ) AS gram
+        FROM toks, unnest(range(0, len(l) - {SUBSTR_GRAM} + 1)) AS u(i)
+        WHERE len(l) >= {SUBSTR_GRAM} AND doc_id % 3 = 0
+    ),
+    dup AS (
+        SELECT doc_id, pos FROM batch_grams
+        WHERE gram IN (SELECT gram FROM store_grams)
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(MAX(pos + {SUBSTR_GRAM} - 1)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), -{SUBSTR_GRAM} - 2) + 1
+               THEN 1 ELSE 0 END AS new_island
+        FROM dup
+    ),
+    islands AS (
+        SELECT *, SUM(new_island) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS isl
+        FROM flagged
+    ),
+    per_island AS (
+        SELECT doc_id, isl, COUNT(*) AS n_starts,
+               MAX(pos) - MIN(pos) + {SUBSTR_GRAM} AS covered
+        FROM islands GROUP BY doc_id, isl
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(n_starts) AS BIGINT) AS dup_gram_starts,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+               CAST(SUM(covered) AS BIGINT) AS dup_tokens
+        FROM per_island GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.l) AS BIGINT) AS n_tokens,
+           COALESCE(p.dup_gram_starts, 0) AS dup_gram_starts,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           ROUND(COALESCE(p.dup_tokens, 0) /
+                 GREATEST(len(t.l), 1), 6) AS dup_ratio
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    WHERE t.doc_id % 3 = 0
+"""
+
+
+@query("incremental_substring_dedup", INCR_SUBSTR_ORACLE)
+def q_incremental_substring_dedup(spark, sf_dir):
+    """Steady-state offset-robust substring dedup — the third member
+    of the incremental family (incremental_dedup = whole-document
+    fingerprints, incremental_minhash_dedup = near-dup signatures,
+    this = exact substrings): an arriving batch (doc_id %% 3 == 0)
+    reports how much of each document is covered by {SUBSTR_GRAM}-word
+    windows that already exist in the historical corpus (%% 3 != 0),
+    WITHOUT re-pairing history against itself. The store reduces to
+    its DISTINCT gram set — at 100 TB the persisted anchor-gram index,
+    bucketed by gram, that history never re-shuffles per batch — and
+    one left-semi join marks covered batch anchors; spans coalesce
+    exactly as in substring_dedup_spans."""
+    from funding_monitoring_spark.operators.dedup import (
+        incremental_duplicated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_duplicated_spans(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        id_col="doc_id",
+        text_col="text",
+        min_gram=SUBSTR_GRAM,
+    )
+
+
 # -- KMV dataset-overlap report ------------------------------------------
 
 from funding_monitoring_spark.operators.dedup import (

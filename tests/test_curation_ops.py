@@ -605,3 +605,35 @@ def test_substring_clean_short_docs_pass_through(spark):
     for d, text in ((1, "a b"), (2, "x y z")):
         assert got[d]["cleaned_text"] == text
         assert got[d]["n_removed"] == 0
+
+
+def test_incremental_substring_dedup_never_pairs_history(spark):
+    """The incremental contract: batch docs report coverage vs the
+    STORE's grams only — within-batch duplication is NOT counted, and
+    history is never checked against itself."""
+    from funding_monitoring_spark.operators.dedup import (
+        incremental_duplicated_spans,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    store = spark.createDataFrame(
+        [(100, f"{passage} old tail words here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # covered by the store at a shifted offset
+            (1, f"pre {passage} post words"),
+            # duplicated WITHIN the batch but absent from the store:
+            # must report zero (the batch is not its own history)
+            (2, "one two three four five six seven eight"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_duplicated_spans(batch, store, min_gram=4)
+    got = {r.doc_id: r.asDict() for r in out.collect()}
+    assert got[1]["dup_tokens"] == 6
+    assert got[1]["n_dup_spans"] == 1
+    assert got[2]["dup_tokens"] == 0
+    assert got[3]["dup_tokens"] == 0
