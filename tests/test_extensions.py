@@ -1377,3 +1377,64 @@ def test_scoped_persist_releases_after_materialize(spark, sf_dir):
             _t.sleep(0.1)
         leaked = persisted_ids() - before
         assert not leaked, f"{name} leaked persisted RDDs: {leaked}"
+
+
+def test_first_shared_band_equals_bruteforce_hypothesis(spark):
+    """Property pin for the r12 first-shared-band dedup: on random
+    64-bit signatures (with forced duplicates and near-misses), the
+    banded pair set equals the brute-force ground truth — every
+    unordered pair within Hamming <= t sharing >= 1 exact band,
+    exactly once."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from funding_monitoring_spark.operators import dedup as D
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 64) - 1),
+            min_size=2,
+            max_size=14,
+        ),
+        st.randoms(use_true_random=False),
+    )
+    def check(base_sigs, rnd):
+        # force duplicate and near-duplicate structure: append copies
+        # and 1-3-bit perturbations of random base signatures
+        sigs = list(base_sigs)
+        for s in base_sigs[: len(base_sigs) // 2]:
+            sigs.append(s)  # exact duplicate
+            flip = s
+            for _ in range(rnd.randint(1, 3)):
+                flip ^= 1 << rnd.randrange(64)
+            sigs.append(flip)
+        rows = [(i, format(s, "016x")) for i, s in enumerate(sigs)]
+        df = spark.createDataFrame(rows, "id long, sig string")
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in D.hex_signature_near_dup(
+                df, bands=4, max_hamming=3
+            ).collect()
+        }
+        width = 4  # 16 hex chars / 4 bands
+        want = set()
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                h = bin(sigs[i] ^ sigs[j]).count("1")
+                if h > 3:
+                    continue
+                ha, hb = rows[i][1], rows[j][1]
+                if any(
+                    ha[b * width : (b + 1) * width]
+                    == hb[b * width : (b + 1) * width]
+                    for b in range(4)
+                ):
+                    want.add((i, j, h))
+        assert got == want
+
+    check()
