@@ -211,6 +211,7 @@ HEADLINE = [
     "substring_dedup_spans",
     "substring_dedup_cleaned_docs",
     "incremental_substring_dedup",
+    "charset_detection_scan",
 ]
 
 

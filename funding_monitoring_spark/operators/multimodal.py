@@ -3145,3 +3145,113 @@ def decode_image_features_tolerant(
             "mean_close_r int, mean_close_g int, mean_close_b int"
         ),
     )
+
+
+# -- charset detection (the sniffing pass a text crawl runs before any
+# decode — raw bytes arrive in whatever encoding the origin served) ---------
+
+CHARSET_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("detected", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("n_non_ascii", T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
+    ]
+)
+
+
+def _charset_text(text: str) -> str:
+    """Deterministic non-ASCII injection so every encoding is
+    distinguishable on the wire: 'a' -> 'ä', 'e' -> 'é' (both Latin-1
+    + BMP, both length-preserving)."""
+    return text.replace("a", "ä").replace("e", "é")
+
+
+def synthesize_charset_media(docs: DataFrame) -> DataFrame:
+    """Byte payloads in the three encodings a crawl actually sees,
+    cycling by id: UTF-8 (id%3==0), UTF-16 with BOM (id%3==1),
+    Latin-1 (id%3==2). 1:1 Arrow-batched mapInPandas."""
+    register_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                enc = ("utf-8", "utf-16", "latin-1")[int(mid) % 3]
+                payloads.append(_charset_text(str(text)).encode(enc))
+                metas.append(
+                    {
+                        "modality": "document",
+                        "mime": "text/plain",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    ids = _spread_ids(
+        docs.select(F.col("doc_id").alias("media_id"), "text")
+    )
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def detect_charset_features(media: DataFrame) -> DataFrame:
+    """Charset sniffing over raw byte payloads, the standard ladder:
+    a UTF-16 BOM wins outright; else a STRICT UTF-8 decode attempt
+    (any pure-ASCII stream lands here — ASCII IS valid UTF-8, the
+    honest answer); else Latin-1, which never fails (every byte maps).
+    The decoded text is fingerprinted with the same rolling polynomial
+    as doc_fingerprint so the oracle (which knows the original text
+    and the id-cycled encoding) verifies the DECODE, not just the
+    label. 1:1 Arrow-batched mapInPandas — at 100 TB this is a
+    scan-stage map over payload bytes, embarrassingly parallel."""
+    register_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from funding_monitoring_spark.operators.textstats import (
+            POLY_INIT,
+            POLY_MOD,
+            POLY_MULT,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                    detected = "utf-16"
+                    text = raw.decode("utf-16")
+                else:
+                    try:
+                        text = raw.decode("utf-8", errors="strict")
+                        detected = "utf-8"
+                    except UnicodeDecodeError:
+                        text = raw.decode("latin-1")
+                        detected = "latin-1"
+                fp = POLY_INIT
+                for ch in text:
+                    fp = (fp * POLY_MULT + ord(ch)) % POLY_MOD
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "detected": detected,
+                        "n_bytes": len(raw),
+                        "n_chars": len(text),
+                        "n_non_ascii": sum(
+                            1 for ch in text if ord(ch) > 127
+                        ),
+                        "fingerprint": fp,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=CHARSET_FEATURE_SCHEMA)

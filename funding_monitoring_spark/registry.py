@@ -242,7 +242,8 @@ def query(name: str, sql: str | None):
 #: Round-12 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r12.json and
 #: queues for the r13 window): substring_dedup_spans,
-#: substring_dedup_cleaned_docs, incremental_substring_dedup.
+#: substring_dedup_cleaned_docs, incremental_substring_dedup,
+#: charset_detection_scan.
 #:
 #: Round-11 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r11.json and

@@ -452,6 +452,68 @@ def q_multimodal_flac_roundtrip(spark, sf_dir):
     return decode_flac_features(synthesize_flac_media(docs))
 
 
+def _charset_oracle_sql() -> str:
+    from funding_monitoring_spark.operators.textstats import (
+        POLY_INIT,
+        POLY_MOD,
+        POLY_MULT,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               replace(replace(text, 'a', 'ä'), 'e', 'é') AS t,
+               length(text) AS n,
+               length(text) -
+                   length(replace(replace(text, 'a', ''), 'e', ''))
+                   AS n_ae
+        FROM documents
+    )
+    SELECT media_id,
+           CASE WHEN media_id % 3 = 0 THEN 'utf-8'
+                WHEN media_id % 3 = 1 THEN 'utf-16'
+                WHEN n_ae = 0 THEN 'utf-8'
+                ELSE 'latin-1' END AS detected,
+           CAST(CASE WHEN media_id % 3 = 0 THEN n + n_ae
+                     WHEN media_id % 3 = 1 THEN 2 + 2 * n
+                     ELSE n END AS BIGINT) AS n_bytes,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(n_ae AS BIGINT) AS n_non_ascii,
+           list_reduce(
+               list_prepend(CAST({POLY_INIT} AS BIGINT),
+                   list_transform(string_split(t, ''),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * {POLY_MULT} + x) % {POLY_MOD}
+           ) AS fingerprint
+    FROM base
+    """
+
+
+@query("charset_detection_scan", _charset_oracle_sql())
+def q_charset_detection_scan(spark, sf_dir):
+    """Charset sniffing over raw byte payloads — the pass a text
+    crawl runs before ANY decode (origins serve whatever encoding
+    they like). The fixture cycles the three encodings crawls
+    actually see by id — UTF-8, UTF-16 with BOM, Latin-1 — over text
+    with deterministic non-ASCII injection ('a'->'ä', 'e'->'é'), and
+    the detector runs the standard ladder: BOM wins outright, else a
+    STRICT UTF-8 attempt (pure-ASCII Latin-1 honestly lands here —
+    ASCII IS valid UTF-8; the oracle encodes exactly that case), else
+    the never-failing Latin-1 fallback. The DECODED text is
+    fingerprinted with the doc_fingerprint polynomial, recomputed by
+    the oracle from the original text + the id-cycled encoding — so
+    byte counts, BOM handling, multibyte boundaries and the decode
+    itself all hash. 1:1 Arrow-batched mapInPandas, scan-stage at any
+    scale (operators/multimodal.py detect_charset_features)."""
+    from funding_monitoring_spark.operators.multimodal import (
+        detect_charset_features,
+        synthesize_charset_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return detect_charset_features(synthesize_charset_media(docs))
+
+
 def _pdf_oracle_sql() -> str:
     from funding_monitoring_spark.operators.textstats import (
         POLY_INIT,

@@ -1438,3 +1438,51 @@ def test_first_shared_band_equals_bruteforce_hypothesis(spark):
         assert got == want
 
     check()
+
+
+def test_charset_detection_ladder(spark):
+    """Edge cases of the sniffing ladder the fixture's id-cycling
+    cannot reach: a BIG-endian BOM, pure-ASCII bytes (honest 'utf-8'
+    whatever the origin encoding was), and an invalid-UTF-8 byte
+    falling through to the Latin-1 floor."""
+    import pandas as pd
+
+    from funding_monitoring_spark.operators.multimodal import (
+        CHARSET_FEATURE_SCHEMA,
+        detect_charset_features,
+    )
+
+    payloads = [
+        # big-endian BOM + UTF-16BE body
+        (1, b"\xfe\xff" + "héllo".encode("utf-16-be")),
+        (2, b"plain ascii"),
+        (3, b"bad \xe4 byte"),  # 0xE4 + non-continuation: not UTF-8
+        (4, "héllo".encode("utf-8")),
+    ]
+    rows = [(mid, p, {"modality": "document", "mime": "text/plain",
+                      "width": None, "height": None,
+                      "duration_ms": None}) for mid, p in payloads]
+    import pyspark.sql.types as T
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("modality", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.IntegerType()),
+        ])),
+    ])
+    media = spark.createDataFrame(rows, media_schema)
+    got = {r.media_id: r.asDict()
+           for r in detect_charset_features(media).collect()}
+    assert got[1]["detected"] == "utf-16"
+    assert got[1]["n_chars"] == 5  # BOM consumed, not counted
+    assert got[2]["detected"] == "utf-8"
+    assert got[2]["n_non_ascii"] == 0
+    assert got[3]["detected"] == "latin-1"
+    assert got[3]["n_chars"] == len(b"bad \xe4 byte")
+    assert got[4]["detected"] == "utf-8"
+    assert got[4]["n_non_ascii"] == 1
