@@ -426,11 +426,10 @@ def simhash_near_dup(
     # checkpoint erases the relation's statistics (LogicalRDD defaults
     # to a huge sizeInBytes), flipping the band equi-join to a
     # SortMergeJoin — measured 4x slower on the histogram variant at
-    # sf0.1. CALLERS OWN THE CACHE LIFETIME (ADVICE r10's documented
-    # alternative): the cached frame is signature-sized (id + one
-    # long per doc) and a long-lived session issuing many near-dup
-    # calls should unpersist via spark.catalog.clearCache() between
-    # corpora.
+    # sf0.1. The frame is signature-sized (id + one long per doc);
+    # the scoped cache registry releases it once the consuming query
+    # materializes (operators/cachescope.py —
+    # release_scoped_caches()).
     sigs = (
         simhash_signatures_df(df, text_col, id_col)
         .select(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))

@@ -205,11 +205,12 @@ def build_id3v2_frames(frames: dict[str, str], version: int = 3,
     for fid, text in frames.items():
         if version == 2:
             if len(fid) == 4:
-                fid = _ID3V23_TO_V22.get(fid)
-                if fid is None:
+                mapped = _ID3V23_TO_V22.get(fid)
+                if mapped is None:
                     raise ValueError(
                         f"no ID3v2.2 equivalent for frame {fid!r}"
                     )
+                fid = mapped
             if len(fid) != 3:
                 raise ValueError(f"bad v2.2 frame id {fid!r}")
         elif len(fid) != 4:

@@ -736,13 +736,24 @@ def _stream_of(data: bytes, obj_dict, body_at: int, resolve):
     if not isinstance(length, int):
         raise ValueError("stream /Length is not an integer")
     raw = data[start : start + length]
-    filt = obj_dict.get("Filter")
-    if isinstance(filt, tuple) and filt[0] == "name":
-        filt = [filt]
+    filt = resolve(obj_dict.get("Filter"))
     if filt is None:
         return raw
-    names = [f[1] for f in filt
-             if isinstance(f, tuple) and f[0] == "name"]
+    if isinstance(filt, tuple) and filt[0] == "name":
+        filt = [filt]
+    if not isinstance(filt, list):
+        raise NotImplementedError(
+            f"/Filter value {filt!r} is neither a name nor an array "
+            "of names"
+        )
+    names = []
+    for entry in filt:
+        entry = resolve(entry)
+        if not (isinstance(entry, tuple) and entry[0] == "name"):
+            raise NotImplementedError(
+                f"/Filter array entry {entry!r} is not a name"
+            )
+        names.append(entry[1])
     parms = resolve(obj_dict.get("DecodeParms"))
     if not isinstance(parms, list):
         parms_list = [parms] + [None] * (len(names) - 1)
@@ -1116,12 +1127,13 @@ def parse_pdf(payload: bytes, strict: bool = True) -> PdfInfo:
             if not isinstance(obj, dict):
                 raise ValueError("content object is not a stream dict")
             data = _stream_of(payload, obj, end_pos, resolve_val)
-            f = obj.get("Filter")
+            f = resolve_val(obj.get("Filter"))
             if isinstance(f, tuple) and f[0] == "name":
                 f = [f]
             if f is not None and any(
-                isinstance(x, tuple) and x[0] == "name"
-                and x[1] == "FlateDecode"
+                (rx := resolve_val(x)) is not None
+                and isinstance(rx, tuple) and rx[0] == "name"
+                and rx[1] == "FlateDecode"
                 for x in f
             ):
                 flate += 1

@@ -238,6 +238,23 @@ def query(name: str, sql: str | None):
 #:       registration order. No hand counting: the tool's output IS
 #:       the plan; bump the max_round pin in
 #:       tests/test_registry_window.py to 12 when rotating.
+#:   r13 window (this list — executes the precommitted r13 plan,
+#:       generated by `python tools/window_plan.py` at max_round=12):
+#:       (a) the 4 round-12 post-freeze registrations, never external
+#:       (substring_dedup_spans, substring_dedup_cleaned_docs,
+#:       incremental_substring_dedup, charset_detection_scan);
+#:       (b) the 18 remaining last-r7 rows; (c) the 28 oldest
+#:       last-r8 rows, all in registration order. Done right, this
+#:       is the first round where cumulative external coverage equals
+#:       the full registry. Registration is FROZEN for r13 as of this
+#:       list: any round-13 registration ships with a green local row
+#:       (CORRECTNESS_LOCAL_r13.json) and queues for r14.
+#:   r14 plan (precommitted): run `python tools/window_plan.py`
+#:       after CORRECTNESS_r13.json lands — the rule gives (a) any
+#:       round-13 post-freeze registrations first, (b) the last-r8
+#:       remainder, (c) remaining slots to the oldest r9 rows in
+#:       registration order. Bump the max_round pin in
+#:       tests/test_registry_window.py to 13 when rotating.
 #:
 #: Round-12 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r12.json and
@@ -271,72 +288,73 @@ def query(name: str, sql: str | None):
 #: multi_touch_attribution, simhash_distance_histogram,
 #: dedup_savings_report, hourly_activity_heatmap, value_histogram.
 _PRIORITY: list[str] = [
-    # r12 window — generated by `python tools/window_plan.py`
-    # (max_round=11); see the rotation docstring above and
+    # r13 window — generated by `python tools/window_plan.py`
+    # (max_round=12); see the rotation docstring above and
     # tests/test_registry_window.py which pins this list to the rule.
-    # Cohorts: the 5 round-11 post-freeze registrations first
-    # (never-external), then the 13 remaining last-r6 rows, then
-    # the 32 oldest last-r7 rows.
-    "kn_trigram_logprob_score",
-    "parquet_footer_scan",
-    "orc_footer_scan",
-    "docx_text_extract",
-    "image_dhash_clusters",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q4_order_priority",
-    "tpch_q12_priority_classes",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_dormant_customers",
-    "tpch_q7_nation_volume",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "embedding_centroids",
-    "bigram_logprob_score",
-    "acf_by_type",
-    "max_drawdown_by_type",
-    "exact_dedup",
-    "minhash_lsh_dedup",
-    "ngram_jaccard_dedup",
-    "simhash_signatures",
-    "simhash_near_dup",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "fuzzy_title_pairs",
-    "fuzzy_title_clusters",
-    "count_min_freq_report",
-    "cusum_change_points",
-    "snake_case_rename",
-    "salted_group_agg",
-    "approx_distinct_users",
-    "hll_sketch_merge_rollup",
-    "group_count_guard",
-    "latest_per_group",
-    "dedup_keys",
-    "data_contract_report",
-    "span_dedup_cleaned_docs",
-    "dataset_overlap_kmv",
-    "pagerank_trading_graph",
-    "snapshot_time_travel_read",
-    "snapshot_rollback_expire",
-    "snapshot_incremental_read",
-    "snapshot_pruned_read",
-    "snapshot_optimize_read",
-    "file_provenance_report",
+    # Cohorts: the 4 round-12 post-freeze registrations first
+    # (never-external), then the 18 remaining last-r7 rows, then
+    # the 28 oldest last-r8 rows.
+    "substring_dedup_spans",
+    "substring_dedup_cleaned_docs",
+    "incremental_substring_dedup",
+    "charset_detection_scan",
+    "incremental_rollup_maintenance",
+    "grouped_split_leakage_report",
+    "kfold_split_stats",
+    "weighted_sample_priority",
+    "embedding_quantize_int8",
+    "semantic_dedup_clusters",
+    "ann_cosine_topk_pq",
+    "ann_pq_recall_report",
+    "ann_cosine_topk_ivf_pq",
+    "ann_ivf_pq_recall_report",
+    "stream_append_compaction",
+    "stream_snapshot_commits",
+    "stream_sketch_rollup",
+    "stream_contract_ledger",
+    "stream_max_drawdown",
+    "stream_count_min_rollup",
+    "stream_late_event_audit",
+    "collocation_pmi",
+    "pivot_status_by_priority",
+    "unpivot_part_attrs",
+    "cube_revenue",
+    "set_intersect_nations",
+    "set_except_nations",
+    "approx_quantiles_events",
+    "embedding_covariance",
+    "grouping_sets_revenue",
+    "bloom_prefilter_join",
+    "incremental_minhash_dedup",
+    "keep_list_projection",
+    "drop_column",
+    "filter_suffix",
+    "salted_join_agg",
+    "upsert_merge",
+    "scalar_datetime_suite",
+    "scalar_string_suite",
+    "scalar_cast_annualize",
+    "json_extract",
+    "nested_json_explode",
+    "full_outer_reconciliation",
+    "jsonl_quarantine",
+    "expectation_audit",
+    "snapshot_metadata_count",
+    "merge_on_read_snapshot",
+    "snapshot_version_cdc",
+    "snapshot_bloom_pruned_read",
+    "futures_snapshot",
 ]
 # ^ exactly 50 entries. After this round every query in the registry
-# has had at least one green external row (the 5 round-11 post-freeze
-# registrations were the only never-external rows). The cumulative
-# external-coverage number is GENERATED, never hand-written here:
-# run `python tools/coverage_stats.py` — it unions CORRECTNESS_r*.json
+# has had at least one green external row (the 4 round-12 post-freeze
+# registrations were the only never-external rows) — cumulative
+# external coverage reaches the full registry. The number is
+# GENERATED, never hand-written here: run
+# `python tools/coverage_stats.py` — it unions CORRECTNESS_r*.json
 # and prints ever-green / registry-size per round. The remaining
-# last-r7 rows roll to r13 per the rotation rule in the docstring
+# last-r8 rows roll to r14 per the rotation rule in the docstring
 # above, and every query NOT in this window gets a same-format local
-# row in CORRECTNESS_LOCAL_r12.json (tools/local_correctness.py), so
+# row in CORRECTNESS_LOCAL_r13.json (tools/local_correctness.py), so
 # nothing ships on pytest evidence alone.
 
 

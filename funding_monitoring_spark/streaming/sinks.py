@@ -262,8 +262,15 @@ def read_merged_store(
     clear error naming the store rather than Spark's generic
     path-not-found."""
     import os
+    import re as _re
 
-    if not os.path.isdir(store_path):
+    # the friendly missing-store guard only applies to schemeless
+    # (local-filesystem) paths: an hdfs://, s3a://, ... store URI
+    # goes straight to spark.read, which resolves it through the
+    # Hadoop filesystem layer (an os.path probe would false-negative
+    # on a store that exists remotely).
+    has_scheme = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", store_path)
+    if not has_scheme and not os.path.isdir(store_path):
         raise FileNotFoundError(
             f"merged store {store_path!r} does not exist — no "
             "micro-batch ever wrote a delta (delta_append_writer "

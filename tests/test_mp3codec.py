@@ -304,6 +304,10 @@ def test_id3v2_refusals_are_loud():
     # v2.2 knows text encodings 0/1 only
     with pytest.raises(ValueError):
         build_id3v2_frames({"TIT2": "x"}, version=2, encoding=3)
+    # an unmappable v2.3 frame id must be NAMED in the error
+    # (ADVICE r12: the message used to interpolate None)
+    with pytest.raises(ValueError, match="ZZZZ"):
+        build_id3v2_frames({"ZZZZ": "x"}, version=2)
     with pytest.raises(ValueError):
         parse_id3v2_frames(b"ID3\x05\x00\x00\x00\x00\x00\x00")
     tag = bytearray(build_id3v2_frames({"TIT2": "x"}, version=4))

@@ -616,3 +616,38 @@ def test_dctdecode_routes_to_jpegcodec():
         dtype=np.uint8,
     ).reshape(want.shape)
     assert np.array_equal(got, want)
+
+
+def test_indirect_filter_reference_resolves():
+    """/Filter supplied as an indirect reference (legal PDF) must be
+    resolved, not silently ignored (ADVICE r12: the ignore path
+    returned still-encoded bytes as decoded content)."""
+    body = zlib.compress(b"BT (ind) Tj ET")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length " + str(len(body)).encode()
+           + b" /Filter 5 0 R >>\nstream\n" + body + b"\nendstream",
+        5: b"/FlateDecode",
+    }
+    info = parse_pdf(_assemble(objs))
+    assert info.page_texts == ["ind"] and info.flate_streams == 1
+
+
+def test_non_name_filter_entry_is_loud():
+    """A /Filter whose value (or array element) is not a name must
+    refuse loudly, never fall through to returning raw bytes."""
+    base = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+    }
+    objs = dict(base)
+    objs[4] = _stream_obj(b"abc", extra=b"/Filter 7 ")
+    with pytest.raises(NotImplementedError, match="Filter"):
+        parse_pdf(_assemble(objs))
+    objs = dict(base)
+    objs[4] = _stream_obj(b"abc", extra=b"/Filter [ /FlateDecode 7 ] ")
+    with pytest.raises(NotImplementedError, match="Filter"):
+        parse_pdf(_assemble(objs))

@@ -849,3 +849,20 @@ def test_read_merged_store_missing_path_is_clear(spark, tmp_path):
     missing = os.path.join(str(tmp_path), "never_written")
     with pytest.raises(FileNotFoundError, match="never_written"):
         read_merged_store(spark, missing, ["k"], ["ts"])
+
+
+def test_read_merged_store_scheme_uri_skips_local_guard(spark):
+    """A store URI with a filesystem scheme (hdfs://, s3a://, ...)
+    must bypass the local os.path guard and resolve through Spark's
+    Hadoop filesystem layer (ADVICE r12: the guard false-negatived on
+    any non-local deployment path). file:// on a missing path still
+    errors — but from Spark, not our FileNotFoundError."""
+    import pytest
+
+    from funding_monitoring_spark.streaming.sinks import read_merged_store
+
+    with pytest.raises(Exception) as exc:
+        read_merged_store(
+            spark, "file:///nonexistent/store/path", ["k"], ["ts"]
+        )
+    assert not isinstance(exc.value, FileNotFoundError)
