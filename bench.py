@@ -397,6 +397,14 @@ def main() -> None:
         "loadavg_end": round(os.getloadavg()[0], 2),
         **calib,
     }
+    # contended stamp (VERDICT r12 item 6): a calibration spread
+    # above 25% means another workload was stealing cycles DURING
+    # this run — the wall numbers are measurements of the box, not
+    # the code, and README/COVERAGE must not quote them. 25% sits
+    # well above the clean-box band (2-12% observed r10-r13) and
+    # well below every contaminated run we have adjudicated (42%,
+    # 46.8%).
+    contention["contended"] = calib.get("calib_spread_pct", 0.0) > 25.0
     summary = {
         "metric": "suite_wall_sec",
         "value": wall,
@@ -481,6 +489,29 @@ def main() -> None:
         "variance band (see perf_drift_r2_r3). The contention_probe "
         "fields now stamp every artifact so this attribution is "
         "mechanical next time."
+    )
+    notes["dedup_family_r12_delta_attributed_r13"] = (
+        "VERDICT r12 item 2 closed with isolated idle-box "
+        "`--repeat 2` runs (calib spread 3-12%) at the SAME commits: "
+        "r11 code {minhash_lsh_dedup 0.87, dedup_clusters 2.53, "
+        "dedup_clusters_star 2.85, simhash_near_dup 1.96, "
+        "incremental_minhash_dedup 1.16 s} vs r12 code "
+        "{1.51, 3.05, 3.49, 2.47, 1.52 s} — but r12 code with "
+        "release_scoped_caches() no-op'd (r11's exact cache "
+        "semantics) lands {0.79, 2.36, 2.91, 1.65, 0.90 s}: at or "
+        "BELOW r11 on every query. Cause: r11's bench never released "
+        "per-query persists, so its best-of-2 second run reused run "
+        "1's cached signature frames — warm-cache flattery, not a "
+        "faster engine; r12's cachescope release makes every repeat "
+        "run honestly cold. The first-shared-band filter itself is "
+        "a WIN at sf0.1 too (simhash 1.65 vs 1.96 under identical "
+        "cache semantics) on top of fixing the sf1 OOM. The two "
+        "stream queries flagged in r12's contended driver artifact "
+        "(stream_stream_join_attribution, stream_heavy_hitters) "
+        "measure FLAT isolated (4.47 vs 4.74, 2.36 vs 2.66) — "
+        "contention, not code. Headline best-of-2 numbers since r12 "
+        "are therefore cold-per-query and not comparable to r11's "
+        "warm-cache 167.1 s baseline."
     )
     notes["perf_changes_r11"] = {
         "stream_* windowed rollups": (

@@ -778,6 +778,7 @@ def duplicated_span_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_gram: int = 8,
+    fold_grams: bool = False,
 ) -> DataFrame:
     """Offset-robust exact-substring duplication report — the
     suffix-array-style dedup family (anchor n-grams + span
@@ -800,10 +801,15 @@ def duplicated_span_report(
     anchor gram (one count-over-partition window — linear, never a
     pair join: a viral gram just has a large count, there is no
     quadratic candidate set to guard) and doc_id (island coalescing +
-    the final report aggregation share one partitioning). Total rows
-    are O(total tokens); at full scale the gram string would be
-    xxhash64-folded to 8 bytes before the shuffle — kept as the exact
-    string here so the DuckDB oracle replays it verbatim.
+    the final report aggregation share one partitioning).
+    ``fold_grams=True`` is the full-scale variant: the ``min_gram``-
+    word gram string (~8 words of key mass per anchor row) is
+    xxhash64-folded to 8 bytes BEFORE the gram-keyed shuffle, cutting
+    the biggest exchange of a corpus-wide pass ~8x. A 64-bit collision
+    would over-count one anchor as duplicated — negligible at any
+    corpus size and property-tested fold ≡ string
+    (tests/test_extensions.py). Default False replays the exact
+    string so the DuckDB oracle matches verbatim.
 
     Returns (id, n_tokens, dup_gram_starts, n_dup_spans, dup_tokens,
     dup_ratio) for EVERY input document (zero rows for docs shorter
@@ -834,6 +840,10 @@ def duplicated_span_report(
             ).alias("gram"),
         )
     )
+    if fold_grams:
+        # fold the ~8-word key to 8 bytes BEFORE the gram-keyed
+        # exchange — the string never rides the shuffle
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
     dup = grams.withColumn(
         "_cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     ).filter(F.col("_cnt") >= 2)
@@ -902,6 +912,7 @@ def remove_duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_gram: int = 8,
+    fold_grams: bool = False,
 ) -> DataFrame:
     """The APPLY half of offset-robust exact-substring dedup
     (duplicated_span_report is the measure half): keep the FIRST
@@ -919,7 +930,9 @@ def remove_duplicated_spans(
     shuffles on doc_id (anti-join of token positions against covered
     positions + ordered reassembly share the key). Rows stay
     O(total tokens x min_gram) worst case, O(duplicated anchors x
-    min_gram) after the rank filter in practice.
+    min_gram) after the rank filter in practice. ``fold_grams=True``
+    xxhash64-folds the gram key to 8 bytes before the rank shuffle
+    (see duplicated_span_report — property-tested fold ≡ string).
 
     Returns (id, n_tokens, n_removed, cleaned_text); cleaned_text is
     NULL when nothing survives (matching SQL string_agg over an empty
@@ -948,6 +961,10 @@ def remove_duplicated_spans(
             ).alias("gram"),
         )
     )
+    if fold_grams:
+        # full-scale key fold: 8 bytes instead of ~8 words on the
+        # rank shuffle (see duplicated_span_report)
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
     w_gram = Window.partitionBy("gram")
     ranked = grams.withColumn(
         "_cnt", F.count(F.lit(1)).over(w_gram)
@@ -1016,6 +1033,7 @@ def incremental_duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_gram: int = 8,
+    fold_grams: bool = False,
 ) -> DataFrame:
     """Steady-state offset-robust substring dedup: report how much of
     each ARRIVING document is covered by exact ``min_gram``-word
@@ -1026,7 +1044,10 @@ def incremental_duplicated_spans(
     the persisted anchor-gram index, bucketed by gram; history never
     re-shuffles per batch), the batch side anchors every position,
     and one left-semi join on the gram marks covered anchors; spans
-    coalesce exactly as in duplicated_span_report.
+    coalesce exactly as in duplicated_span_report. ``fold_grams=True``
+    xxhash64-folds both sides' gram keys to 8 bytes before the
+    distinct and the semi-join — at full scale the persisted index
+    stores the folds, ~8x smaller (property-tested fold ≡ string).
 
     Returns (id, n_tokens, dup_gram_starts, n_dup_spans, dup_tokens,
     dup_ratio) for every batch document."""
@@ -1059,8 +1080,15 @@ def incremental_duplicated_spans(
             )
         )
     _, store_grams = _grams(store)
-    store_index = store_grams.select("gram").distinct()
     batch_toks, batch_grams = _grams(batch)
+    if fold_grams:
+        store_grams = store_grams.withColumn(
+            "gram", F.xxhash64("gram")
+        )
+        batch_grams = batch_grams.withColumn(
+            "gram", F.xxhash64("gram")
+        )
+    store_index = store_grams.select("gram").distinct()
     dup = batch_grams.join(store_index, "gram", "left_semi")
     w_doc = (
         Window.partitionBy("doc_id")

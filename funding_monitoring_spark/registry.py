@@ -256,6 +256,11 @@ def query(name: str, sql: str | None):
 #:       registration order. Bump the max_round pin in
 #:       tests/test_registry_window.py to 13 when rotating.
 #:
+#: Round-13 post-freeze registrations (window already full → each
+#: ships with a driver-format row in CORRECTNESS_LOCAL_r13.json and
+#: queues for the r14 window): substring_dedup_spans_folded,
+#: xlsx_text_extract.
+#:
 #: Round-12 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r12.json and
 #: queues for the r13 window): substring_dedup_spans,

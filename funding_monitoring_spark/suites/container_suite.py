@@ -567,3 +567,275 @@ def q_docx_text_extract(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return _features(_doc_media(docs, build), extract, _DOCX_SCHEMA)
+
+
+# -- XLSX (OOXML spreadsheet: ZIP + XML + sharedStrings indirection) --------
+
+_XLSX_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_members", T.IntegerType()),
+        T.StructField("n_rows", T.IntegerType()),
+        T.StructField("n_unique_strings", T.IntegerType()),
+        T.StructField("sum_cell_chars", T.LongType()),
+        T.StructField("doc_fingerprint", T.LongType()),
+    ]
+)
+
+_XLSX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.'
+    'openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+    'worksheet+xml"/>'
+    '<Override PartName="/xl/sharedStrings.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+    'sharedStrings+xml"/></Types>'
+)
+
+_XLSX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+    '2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/officeDocument" '
+    'Target="xl/workbook.xml"/></Relationships>'
+)
+
+_XLSX_WB_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+    '2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/worksheet" '
+    'Target="worksheets/sheet1.xml"/>'
+    '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/sharedStrings" '
+    'Target="sharedStrings.xml"/></Relationships>'
+)
+
+_S_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_R_NS = (
+    "http://schemas.openxmlformats.org/officeDocument/2006/"
+    "relationships"
+)
+_PKG_REL_NS = (
+    "http://schemas.openxmlformats.org/package/2006/relationships"
+)
+
+# OLE2 compound-file magic — the legacy binary .xls (and every
+# ENCRYPTED OOXML file, which Office wraps in an OLE container)
+_OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+
+def build_xlsx(text: str) -> bytes:
+    """Minimal real OOXML spreadsheet: content types, package rels,
+    workbook + workbook rels, one worksheet, and a DEDUPLICATED
+    sharedStrings part. One row per text line; column A is the line
+    as a shared string (repeated lines share one <si> entry — the
+    indirection under test), column B the line's length as a plain
+    numeric cell. Opens in Excel-compatible tooling; here it is the
+    fixture for the ZIP x XML x shared-strings composition."""
+    from xml.sax.saxutils import escape
+
+    from funding_monitoring_spark.operators.containers import encode_zip
+
+    lines = text.split("\n")
+    sst_index: dict[str, int] = {}
+    unique: list[str] = []
+    for ln in lines:
+        if ln not in sst_index:
+            sst_index[ln] = len(unique)
+            unique.append(ln)
+    rows = "".join(
+        f'<row r="{r}">'
+        f'<c r="A{r}" t="s"><v>{sst_index[ln]}</v></c>'
+        f'<c r="B{r}"><v>{len(ln)}</v></c>'
+        "</row>"
+        for r, ln in enumerate(lines, 1)
+    )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_S_NS}"><sheetData>{rows}</sheetData>'
+        "</worksheet>"
+    )
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{_S_NS}" count="{len(lines)}" '
+        f'uniqueCount="{len(unique)}">'
+        + "".join(
+            f'<si><t xml:space="preserve">{escape(s)}</t></si>'
+            for s in unique
+        )
+        + "</sst>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_S_NS}" xmlns:r="{_R_NS}"><sheets>'
+        '<sheet name="Sheet1" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    return encode_zip(
+        [
+            ("[Content_Types].xml", _XLSX_CONTENT_TYPES.encode(), False),
+            ("_rels/.rels", _XLSX_RELS.encode(), False),
+            ("xl/workbook.xml", workbook.encode("utf-8"), True),
+            ("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS.encode(), False),
+            ("xl/worksheets/sheet1.xml", sheet.encode("utf-8"), True),
+            ("xl/sharedStrings.xml", sst.encode("utf-8"), True),
+        ]
+    )
+
+
+def extract_xlsx_text(
+    payload: bytes,
+) -> tuple[int, list[str], int, int]:
+    """(n_zip_members, row strings, n_unique_shared, sum_numeric):
+    unzip with the repo ZIP walker, resolve the first sheet through
+    the workbook RELATIONSHIPS (never a hardcoded member path), load
+    sharedStrings, then walk sheetData rows in order resolving each
+    cell: t="s" indirects through the shared-string table (an
+    out-of-range index refuses loudly), t="inlineStr" reads <is><t>,
+    and a typeless/t="n" cell contributes to the numeric sum. Legacy
+    binary .xls and encrypted workbooks (both OLE2 compound files)
+    refuse loudly by magic."""
+    import xml.etree.ElementTree as ET
+
+    from funding_monitoring_spark.operators.containers import parse_zip
+
+    if payload[:8] == _OLE2_MAGIC:
+        raise NotImplementedError(
+            "OLE2 compound file — legacy binary .xls or an encrypted "
+            "OOXML workbook; only plain-ZIP .xlsx is supported"
+        )
+    members = {m["name"]: m for m in parse_zip(payload)}
+    if "xl/workbook.xml" not in members:
+        raise ValueError("XLSX has no xl/workbook.xml part")
+    wb = ET.fromstring(
+        members["xl/workbook.xml"]["data"].decode("utf-8")
+    )
+    sheets = wb.findall(f".//{{{_S_NS}}}sheet")
+    if not sheets:
+        raise ValueError("workbook declares no sheets")
+    rid = sheets[0].get(f"{{{_R_NS}}}id")
+    rels_name = "xl/_rels/workbook.xml.rels"
+    if rels_name not in members:
+        raise ValueError("XLSX has no workbook relationships part")
+    rels = ET.fromstring(members[rels_name]["data"].decode("utf-8"))
+    target = None
+    for rel in rels.findall(f"{{{_PKG_REL_NS}}}Relationship"):
+        if rel.get("Id") == rid:
+            target = rel.get("Target")
+    if target is None:
+        raise ValueError(f"sheet relationship {rid!r} not in rels")
+    sheet_name = "xl/" + target.lstrip("/")
+    if sheet_name not in members:
+        raise ValueError(f"worksheet part {sheet_name!r} missing")
+    sst: list[str] = []
+    if "xl/sharedStrings.xml" in members:
+        sst_root = ET.fromstring(
+            members["xl/sharedStrings.xml"]["data"].decode("utf-8")
+        )
+        for si in sst_root.findall(f"{{{_S_NS}}}si"):
+            sst.append(
+                "".join(
+                    t.text or ""
+                    for t in si.iter(f"{{{_S_NS}}}t")
+                )
+            )
+    ws = ET.fromstring(members[sheet_name]["data"].decode("utf-8"))
+    row_strings: list[str] = []
+    numeric_sum = 0
+    for row in ws.iter(f"{{{_S_NS}}}row"):
+        parts: list[str] = []
+        for c in row.findall(f"{{{_S_NS}}}c"):
+            ctype = c.get("t", "n")
+            if ctype == "s":
+                v = c.find(f"{{{_S_NS}}}v")
+                idx = int((v.text or "").strip())
+                if not 0 <= idx < len(sst):
+                    raise ValueError(
+                        f"shared-string index {idx} out of range "
+                        f"(table holds {len(sst)})"
+                    )
+                parts.append(sst[idx])
+            elif ctype == "inlineStr":
+                parts.append(
+                    "".join(
+                        t.text or ""
+                        for t in c.iter(f"{{{_S_NS}}}t")
+                    )
+                )
+            elif ctype == "n":
+                v = c.find(f"{{{_S_NS}}}v")
+                if v is not None and v.text:
+                    numeric_sum += int(float(v.text))
+            else:
+                raise NotImplementedError(
+                    f"cell type {ctype!r} not supported "
+                    "(s / inlineStr / n only)"
+                )
+        row_strings.append("".join(parts))
+    return len(members), row_strings, len(sst), numeric_sum
+
+
+@query(
+    "xlsx_text_extract",
+    f"""
+    SELECT doc_id AS media_id,
+           6 AS n_members,
+           CAST(1 + length(text)
+                - length(replace(text, chr(10), '')) AS INT)
+               AS n_rows,
+           CAST(len(list_distinct(string_split(text, chr(10))))
+                AS INT) AS n_unique_strings,
+           CAST(length(replace(text, chr(10), '')) AS BIGINT)
+               AS sum_cell_chars,
+           {_FP_SQL} AS doc_fingerprint
+    FROM documents
+    """,
+)
+def q_xlsx_text_extract(spark, sf_dir):
+    """Spreadsheet text recovery — the XLSX mass of a lake estate
+    (VERDICT r12 missing-item 3), composed from the same two
+    machineries as docx_text_extract plus the one genuinely new
+    piece: the SHARED-STRINGS INDIRECTION. Each document becomes a
+    six-part OOXML package (content types, package rels, workbook +
+    workbook rels, worksheet, deduplicated sharedStrings) with one
+    row per text line — column A the line as a shared-string cell
+    (repeated lines share one <si> entry), column B its length as a
+    numeric cell. The reader resolves the sheet through the workbook
+    RELATIONSHIPS, indirects every t="s" cell through the string
+    table, and sums the numeric cells. Row strings re-joined with
+    newlines fingerprint against the original column (so zip
+    framing, XML escaping, sst dedup/indirection and the rels walk
+    all break the hash); the numeric sum and uniqueCount are
+    closed-form SQL twins. One scan-stage mapInPandas pair per
+    payload — embarrassingly parallel, no shuffle at any scale."""
+    _register_by_value()
+
+    def build(mid, text, lang, source):
+        return build_xlsx(text)
+
+    def extract(mid, payload):
+        n_members, rows, n_unique, numeric_sum = extract_xlsx_text(
+            payload
+        )
+        recovered = "\n".join(rows)
+        return {
+            "media_id": mid,
+            "n_members": n_members,
+            "n_rows": len(rows),
+            "n_unique_strings": n_unique,
+            "sum_cell_chars": numeric_sum,
+            "doc_fingerprint": _poly_fp(recovered.encode("latin-1")),
+        }
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _features(_doc_media(docs, build), extract, _XLSX_SCHEMA)

@@ -977,6 +977,32 @@ def q_substring_dedup_spans(spark, sf_dir):
     )
 
 
+@query("substring_dedup_spans_folded", SUBSTRING_DEDUP_ORACLE)
+def q_substring_dedup_spans_folded(spark, sf_dir):
+    """The FULL-SCALE variant of substring_dedup_spans: the
+    {SUBSTR_GRAM}-word anchor gram is xxhash64-folded to 8 bytes
+    BEFORE the gram-keyed shuffle, cutting the key mass of the
+    biggest exchange of a corpus-wide substring-dedup pass ~8x
+    (operators/dedup.py fold_grams). The oracle is the SAME
+    string-keyed SQL as substring_dedup_spans — the driver's
+    value-hash match IS the statement that folding changes nothing
+    (a 64-bit collision would over-count one anchor; property-tested
+    fold ≡ string in tests/test_extensions.py on corpora with forced
+    shifted duplicates)."""
+    from funding_monitoring_spark.operators.dedup import (
+        duplicated_span_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_report(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        min_gram=SUBSTR_GRAM,
+        fold_grams=True,
+    )
+
+
 SUBSTRING_CLEAN_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, regexp_extract_all(text, '\\S+') AS l

@@ -425,3 +425,85 @@ def test_tar_pax_name_truncated_mid_multibyte_char():
     t = encode_tar([(name, b"payload")])
     got = parse_tar(t)
     assert [(m["name"], m["data"]) for m in got] == [(name, b"payload")]
+
+
+def test_xlsx_build_and_extract_roundtrip():
+    """The XLSX composition must: dedupe repeated lines into one
+    shared-string entry, indirect t="s" cells through the table,
+    resolve the worksheet via the workbook rels, sum the numeric
+    column, survive XML-hostile text, and produce a package stdlib
+    zipfile can open."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from funding_monitoring_spark.suites.container_suite import (
+        build_xlsx,
+        extract_xlsx_text,
+    )
+
+    text = 'a & b < c > "d"\nrepeat me\nrepeat me\n\nrepeat me'
+    payload = build_xlsx(text)
+    n_members, rows, n_unique, numeric_sum = extract_xlsx_text(payload)
+    assert n_members == 6
+    assert "\n".join(rows) == text
+    # 5 lines, 3 unique ('a & b...', 'repeat me', '')
+    assert n_unique == 3
+    assert numeric_sum == sum(len(ln) for ln in text.split("\n"))
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        for part in (
+            "xl/workbook.xml",
+            "xl/worksheets/sheet1.xml",
+            "xl/sharedStrings.xml",
+        ):
+            ET.fromstring(zf.read(part).decode("utf-8"))
+        # the sst really is deduplicated on the wire
+        sst = zf.read("xl/sharedStrings.xml").decode("utf-8")
+        assert 'uniqueCount="3"' in sst
+        assert sst.count("repeat me") == 1
+
+
+def test_xlsx_refusals_are_loud():
+    """Legacy binary .xls / encrypted workbooks (OLE2 magic) refuse;
+    so do a missing workbook part, a dangling sheet relationship,
+    an out-of-range shared-string index, and an unsupported cell
+    type — never silent wrong output."""
+    from funding_monitoring_spark.operators.containers import encode_zip
+    from funding_monitoring_spark.suites.container_suite import (
+        _OLE2_MAGIC,
+        build_xlsx,
+        extract_xlsx_text,
+    )
+
+    with pytest.raises(NotImplementedError, match="OLE2"):
+        extract_xlsx_text(_OLE2_MAGIC + b"\x00" * 64)
+    with pytest.raises(ValueError, match="workbook.xml"):
+        extract_xlsx_text(encode_zip([("other.txt", b"x", False)]))
+
+    # surgically corrupt a valid package: point the sst index past
+    # the table
+    import io
+    import zipfile
+
+    payload = build_xlsx("one\ntwo")
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    bad_sheet = parts["xl/worksheets/sheet1.xml"].replace(
+        b"<v>1</v>", b"<v>99</v>"
+    )
+    members = [
+        (n, bad_sheet if n == "xl/worksheets/sheet1.xml" else d, False)
+        for n, d in parts.items()
+    ]
+    with pytest.raises(ValueError, match="out of range"):
+        extract_xlsx_text(encode_zip(members))
+
+    bad_type = parts["xl/worksheets/sheet1.xml"].replace(
+        b't="s"', b't="e"', 1
+    )
+    members = [
+        (n, bad_type if n == "xl/worksheets/sheet1.xml" else d, False)
+        for n, d in parts.items()
+    ]
+    with pytest.raises(NotImplementedError, match="cell type"):
+        extract_xlsx_text(encode_zip(members))

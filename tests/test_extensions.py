@@ -1486,3 +1486,58 @@ def test_charset_detection_ladder(spark):
     assert got[3]["n_chars"] == len(b"bad \xe4 byte")
     assert got[4]["detected"] == "utf-8"
     assert got[4]["n_non_ascii"] == 1
+
+
+def test_gram_fold_equals_string_keys_hypothesis(spark):
+    """Property pin for the fold_grams scale path (r13): on random
+    corpora with FORCED shifted duplicates (a shared passage spliced
+    into several documents at different word offsets — exactly the
+    case the substring family exists for), every member of the
+    substring-dedup family returns row-identical results whether the
+    anchor gram shuffles as the exact string or as its 8-byte
+    xxhash64 fold."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.lists(word, min_size=0, max_size=20),
+            min_size=2,
+            max_size=6,
+        ),
+        st.lists(word, min_size=4, max_size=6),
+        st.randoms(use_true_random=False),
+    )
+    def check(doc_words, passage, rnd):
+        L = 4  # small min_gram so tiny corpora exercise the paths
+        docs = []
+        for i, words in enumerate(doc_words):
+            if i % 2 == 0 and len(passage) >= L:
+                # splice the shared passage at a random offset
+                at = rnd.randint(0, len(words))
+                words = words[:at] + passage + words[at:]
+            docs.append((i, " ".join(words)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        batch = df.filter(F.col("doc_id") % 2 == 0)
+        store = df.filter(F.col("doc_id") % 2 == 1)
+
+        def rows(frame):
+            return sorted(tuple(r) for r in frame.collect())
+
+        for fn, args in (
+            (D.duplicated_span_report, (df,)),
+            (D.remove_duplicated_spans, (df,)),
+            (D.incremental_duplicated_spans, (batch, store)),
+        ):
+            plain = rows(fn(*args, min_gram=L))
+            folded = rows(fn(*args, min_gram=L, fold_grams=True))
+            assert plain == folded, fn.__name__
+
+    check()
