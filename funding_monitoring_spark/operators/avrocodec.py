@@ -19,11 +19,15 @@ block framing (including the negative-count + byte-size skip form on
 read); NESTED RECORDS recurse through the same varint walk (any
 depth, composing with arrays/maps/unions), enums are symbol-table
 index varints, fixed is a sized read, bytes a length-prefixed read.
-Out-of-profile shapes refuse loudly: non-record top-level schemas,
-named-type REFERENCES (a record/enum/fixed used by name after its
-definition), unions other than [null, T], codecs other than
-null/deflate/snappy, sync-marker mismatches, and truncated
-headers/blocks (every length is bounds-checked before slicing).
+Named-type REFERENCES resolve: every record/enum/fixed definition
+registers its name (and dotted fullname) in a parse-time registry,
+and a later type string that names one re-uses the definition —
+lazily, so self-referential (recursive) records build and decode the
+finite data. Out-of-profile shapes refuse loudly: non-record
+top-level schemas, references to UNDEFINED names, unions other than
+[null, T], codecs other than null/deflate/snappy, sync-marker
+mismatches, and truncated headers/blocks (every length is
+bounds-checked before slicing).
 """
 
 from __future__ import annotations
@@ -67,7 +71,30 @@ def _zigzag_decode(data: bytes, pos: int) -> tuple[int, int]:
     return (u >> 1) ^ -(u & 1), pos
 
 
-def _field_writer(ftype):
+def _register_named(ftype: dict, names: dict) -> None:
+    """Record a named type (record/enum/fixed) in the parse-time
+    registry so later fields can reference it by name (Avro spec:
+    a type string that is not a primitive names a previously-defined
+    type). Registered under the name as given AND, when a namespace
+    is present, the dotted fullname; a dotted name also registers its
+    bare tail so relative references resolve."""
+    nm = ftype.get("name")
+    if not isinstance(nm, str) or not nm:
+        return
+    names[nm] = ftype
+    ns = ftype.get("namespace")
+    if isinstance(ns, str) and ns:
+        names[f"{ns}.{nm}"] = ftype
+    if "." in nm:
+        names.setdefault(nm.rsplit(".", 1)[1], ftype)
+
+
+_PRIMITIVES = ("long", "int", "double", "string", "boolean", "bytes")
+
+
+def _field_writer(ftype, names=None):
+    if names is None:
+        names = {}
     if ftype == "long" or ftype == "int":
         return lambda v: _zigzag_encode(int(v))
     if ftype == "double":
@@ -80,7 +107,7 @@ def _field_writer(ftype):
     if ftype == "boolean":
         return lambda v: b"\x01" if v else b"\x00"
     if isinstance(ftype, list) and len(ftype) == 2 and ftype[0] == "null":
-        inner = _field_writer(ftype[1])
+        inner = _field_writer(ftype[1], names)
 
         def wu(v):
             if v is None:
@@ -91,7 +118,7 @@ def _field_writer(ftype):
     if isinstance(ftype, dict) and ftype.get("type") == "array":
         if "items" not in ftype:
             raise NotImplementedError("Avro array without /items/")
-        item = _field_writer(ftype["items"])
+        item = _field_writer(ftype["items"], names)
 
         def wa(v):
             v = list(v)
@@ -107,7 +134,7 @@ def _field_writer(ftype):
     if isinstance(ftype, dict) and ftype.get("type") == "map":
         if "values" not in ftype:
             raise NotImplementedError("Avro map without /values/")
-        val = _field_writer(ftype["values"])
+        val = _field_writer(ftype["values"], names)
 
         def wm(v):
             out = bytearray()
@@ -123,9 +150,12 @@ def _field_writer(ftype):
         return wm
     if isinstance(ftype, dict) and ftype.get("type") == "record":
         # nested record: the same varint walk, recursed per field —
-        # field order is the schema's, values come from a dict
+        # field order is the schema's, values come from a dict.
+        # Register BEFORE building sub-writers so self-referential
+        # (recursive) records resolve through the lazy ref path.
+        _register_named(ftype, names)
         subs = [
-            (f["name"], _field_writer(f["type"]))
+            (f["name"], _field_writer(f["type"], names))
             for f in ftype.get("fields", [])
         ]
 
@@ -134,6 +164,7 @@ def _field_writer(ftype):
 
         return wr
     if isinstance(ftype, dict) and ftype.get("type") == "enum":
+        _register_named(ftype, names)
         symbols = list(ftype.get("symbols", []))
         if not symbols:
             raise NotImplementedError("Avro enum without symbols")
@@ -148,6 +179,7 @@ def _field_writer(ftype):
 
         return we
     if isinstance(ftype, dict) and ftype.get("type") == "fixed":
+        _register_named(ftype, names)
         size = ftype.get("size")
         if not isinstance(size, int) or size < 0:
             raise NotImplementedError("Avro fixed without a valid size")
@@ -166,10 +198,31 @@ def _field_writer(ftype):
             b = bytes(v)
             return _zigzag_encode(len(b)) + b
         return wb
+    if isinstance(ftype, str):
+        if ftype in names:
+            # named-type REFERENCE: resolve against the parse-time
+            # registry, lazily + memoized so recursive records
+            # terminate at build time (recursion then follows the
+            # finite data at write time)
+            defn = names[ftype]
+            memo: list = []
+
+            def wref(v):
+                if not memo:
+                    memo.append(_field_writer(defn, names))
+                return memo[0](v)
+
+            return wref
+        raise NotImplementedError(
+            f"Avro named-type reference {ftype!r} does not name any "
+            "previously-defined record/enum/fixed"
+        )
     raise NotImplementedError(f"Avro field type {ftype!r} out of profile")
 
 
-def _field_reader(ftype):
+def _field_reader(ftype, names=None):
+    if names is None:
+        names = {}
     if ftype == "long" or ftype == "int":
         return _zigzag_decode
     if ftype == "double":
@@ -192,7 +245,7 @@ def _field_reader(ftype):
             return data[pos] != 0, pos + 1
         return rb
     if isinstance(ftype, list) and len(ftype) == 2 and ftype[0] == "null":
-        inner = _field_reader(ftype[1])
+        inner = _field_reader(ftype[1], names)
 
         def ru(data, pos):
             branch, pos = _zigzag_decode(data, pos)
@@ -206,7 +259,7 @@ def _field_reader(ftype):
     if isinstance(ftype, dict) and ftype.get("type") == "array":
         if "items" not in ftype:
             raise NotImplementedError("Avro array without /items/")
-        item = _field_reader(ftype["items"])
+        item = _field_reader(ftype["items"], names)
 
         def ra(data, pos):
             out = []
@@ -227,7 +280,7 @@ def _field_reader(ftype):
     if isinstance(ftype, dict) and ftype.get("type") == "map":
         if "values" not in ftype:
             raise NotImplementedError("Avro map without /values/")
-        val = _field_reader(ftype["values"])
+        val = _field_reader(ftype["values"], names)
         key_rd = _field_reader("string")
 
         def rm(data, pos):
@@ -245,8 +298,9 @@ def _field_reader(ftype):
 
         return rm
     if isinstance(ftype, dict) and ftype.get("type") == "record":
+        _register_named(ftype, names)
         subs = [
-            (f["name"], _field_reader(f["type"]))
+            (f["name"], _field_reader(f["type"], names))
             for f in ftype.get("fields", [])
         ]
 
@@ -258,6 +312,7 @@ def _field_reader(ftype):
 
         return rr
     if isinstance(ftype, dict) and ftype.get("type") == "enum":
+        _register_named(ftype, names)
         symbols = list(ftype.get("symbols", []))
         if not symbols:
             raise NotImplementedError("Avro enum without symbols")
@@ -273,6 +328,7 @@ def _field_reader(ftype):
 
         return re_
     if isinstance(ftype, dict) and ftype.get("type") == "fixed":
+        _register_named(ftype, names)
         size = ftype.get("size")
         if not isinstance(size, int) or size < 0:
             raise NotImplementedError("Avro fixed without a valid size")
@@ -290,6 +346,23 @@ def _field_reader(ftype):
                 raise ValueError("Avro bytes truncated")
             return data[pos : pos + n], pos + n
         return rby
+    if isinstance(ftype, str):
+        if ftype in names:
+            # named-type REFERENCE (see _field_writer): lazy +
+            # memoized so recursive records terminate at build time
+            defn = names[ftype]
+            memo: list = []
+
+            def rref(data, pos):
+                if not memo:
+                    memo.append(_field_reader(defn, names))
+                return memo[0](data, pos)
+
+            return rref
+        raise NotImplementedError(
+            f"Avro named-type reference {ftype!r} does not name any "
+            "previously-defined record/enum/fixed"
+        )
     raise NotImplementedError(f"Avro field type {ftype!r} out of profile")
 
 
@@ -301,8 +374,11 @@ def encode_avro(schema: dict, records: list[dict],
         raise NotImplementedError("only record top-level schemas")
     if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"Avro codec {codec!r} unsupported")
+    names: dict = {}
+    _register_named(schema, names)
     writers = [
-        (f["name"], _field_writer(f["type"])) for f in schema["fields"]
+        (f["name"], _field_writer(f["type"], names))
+        for f in schema["fields"]
     ]
     meta = {
         "avro.schema": json.dumps(schema).encode("utf-8"),
@@ -374,8 +450,11 @@ def decode_avro(payload: bytes) -> tuple[dict, list[dict]]:
         raise NotImplementedError(f"Avro codec {codec!r} unsupported")
     if schema.get("type") != "record":
         raise NotImplementedError("only record top-level schemas")
+    names: dict = {}
+    _register_named(schema, names)
     readers = [
-        (f["name"], _field_reader(f["type"])) for f in schema["fields"]
+        (f["name"], _field_reader(f["type"], names))
+        for f in schema["fields"]
     ]
     sync = payload[pos : pos + 16]
     pos += 16

@@ -138,9 +138,9 @@ def test_truncated_header_and_negative_block_count_are_loud():
     at = good.index(b"avro.schema")
     with pytest.raises(ValueError, match="header truncated"):
         decode_avro(good[: at + 20])
-    # a named-type REFERENCE (string that is not a primitive) stays
-    # out of profile — nested record DEFINITIONS now decode
-    with pytest.raises(NotImplementedError):
+    # a reference to an UNDEFINED name refuses (defined names now
+    # resolve — see test_named_type_references_resolve)
+    with pytest.raises(NotImplementedError, match="does not name"):
         encode_avro(
             {"type": "record", "name": "x", "fields": [
                 {"name": "r", "type": "y"}]},
@@ -230,3 +230,90 @@ def test_enum_and_fixed_validation_is_loud():
                                    "size": 3}}]}
     with pytest.raises(ValueError, match="fixed"):
         encode_avro(fixed_schema, [{"s": b"toolong"}])
+
+
+def test_named_type_references_resolve():
+    """Real schemas reuse named types: a record/enum/fixed defined
+    once is referenced by NAME later (ADVICE/VERDICT r12 item 5).
+    The reference must reuse the registered definition — including
+    through the dotted fullname — and roundtrip byte-exactly."""
+    point = {
+        "type": "record",
+        "name": "Point",
+        "namespace": "geo",
+        "fields": [
+            {"name": "x", "type": "double"},
+            {"name": "y", "type": "double"},
+        ],
+    }
+    color = {"type": "enum", "name": "Color",
+             "symbols": ["RED", "GREEN"]}
+    schema = {
+        "type": "record",
+        "name": "Segment",
+        "fields": [
+            {"name": "a", "type": point},       # definition
+            {"name": "b", "type": "Point"},     # bare-name reference
+            {"name": "c", "type": "geo.Point"}, # fullname reference
+            {"name": "tint", "type": color},
+            {"name": "tint2", "type": "Color"},
+            {"name": "pts", "type": {"type": "array",
+                                     "items": "Point"}},
+        ],
+    }
+    recs = [
+        {
+            "a": {"x": 1.0, "y": 2.0},
+            "b": {"x": 3.0, "y": 4.0},
+            "c": {"x": 5.0, "y": 6.0},
+            "tint": "RED",
+            "tint2": "GREEN",
+            "pts": [{"x": 7.0, "y": 8.0}, {"x": 9.0, "y": 0.5}],
+        }
+    ]
+    payload = encode_avro(schema, recs)
+    got_schema, got = decode_avro(payload)
+    assert got == recs and got_schema == schema
+
+
+def test_recursive_named_record_roundtrips():
+    """A self-referential record (linked list via [null, Node]) is
+    legal Avro; the lazy reference path must terminate at build time
+    and follow the finite data at run time."""
+    schema = {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+    recs = [{"v": 1, "next": {"v": 2, "next": {"v": 3, "next": None}}}]
+    payload = encode_avro(schema, recs)
+    _, got = decode_avro(payload)
+    assert got == recs
+
+
+def test_undefined_named_reference_refuses_on_read_too():
+    """The reader must refuse an undefined reference as loudly as the
+    writer (a container written by other tooling can carry one)."""
+    import json as _json
+
+    good = encode_avro(
+        {"type": "record", "name": "R",
+         "fields": [{"name": "v", "type": "long"}]},
+        [{"v": 1}],
+    )
+    # same-length type swap ("long" -> "Ghst") keeps the metadata
+    # map's length varint valid
+    bad_schema = _json.dumps(
+        {"type": "record", "name": "R",
+         "fields": [{"name": "v", "type": "Ghst"}]}
+    ).encode()
+    old = _json.dumps(
+        {"type": "record", "name": "R",
+         "fields": [{"name": "v", "type": "long"}]}
+    ).encode()
+    assert old in good and len(bad_schema) == len(old)
+    with pytest.raises(NotImplementedError, match="Ghst"):
+        decode_avro(good.replace(old, bad_schema))
