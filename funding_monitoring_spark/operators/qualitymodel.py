@@ -1,0 +1,239 @@
+"""Distributed quality-classifier TRAINING — the learned half of
+corpus quality filtering (the rule-based half lives in
+operators/textstats.py and operators/corpus.py; the public pipelines
+train exactly this shape: a linear classifier over hashing-trick
+token features, fasttext-style, used to score every crawl document).
+
+Reference semantics: funding-monitoring has no learned models — this
+is part of the LLM-training-data extension surface (build brief), a
+first-class scale citizen like dedup/ANN.
+
+Shape (100 TB): full-batch logistic regression by gradient descent,
+engineered so each step is ONE map-side-partial aggregation:
+
+- Features are built ONCE into a DENSE per-document array (hashed
+  token frequencies + a bias slot) and persisted (scoped — the
+  registry releases the cache when the consuming query materializes).
+  The hash is the repo's polynomial codepoint hash mod ``dims`` —
+  SQL-replayable, so the DuckDB oracle retrains the identical model.
+- Each step broadcasts the current weight vector INTO THE PLAN as an
+  array literal (D doubles — never a join), computes per-document
+  z = w·x with a FIXED-ORDER F.aggregate fold (deterministic IEEE
+  arithmetic per row), and aggregates the gradient as D independent
+  F.sum aggregates over array slots — one narrow shuffle of D partial
+  sums per executor, no explode, no per-row Python.
+- The driver holds only the D-vector; per-step gradients are rounded
+  (GRAD_ROUND digits) before the update so Spark's and the oracle's
+  different float-summation orders re-synchronize each step
+  (measure-zero boundary risk, the repo's standing technique for
+  irrational aggregates).
+
+Training cost at any corpus size: steps × (one scan of the persisted
+feature frame + a D-double collect). No iteration-dependent lineage
+growth (the frame is persisted once; each step's plan is independent).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from funding_monitoring_spark.operators.cachescope import scoped_persist
+from funding_monitoring_spark.operators.dedup import poly_hash_of
+
+__all__ = [
+    "hashed_features",
+    "train_quality_classifier",
+    "quality_classifier_scores",
+    "GRAD_ROUND",
+]
+
+#: gradient means are rounded to this many digits each step on BOTH
+#: engines, bounding float summation-order divergence to one rounding
+GRAD_ROUND = 9
+
+
+def hashed_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 32,
+    label_min_tokens: int = 50,
+) -> DataFrame:
+    """(id, n_tokens, y, x: array<double> of dims+2) — hashing-trick
+    token frequencies (poly-hash mod dims, value = term count /
+    n_tokens) in a DENSE array, then an engineered length slot
+    (n_tokens / 100 — real quality classifiers mix handcrafted
+    features with the bag of hashed tokens) and a bias slot 1.0. The
+    label is weak supervision: y = 1 when the document has at least
+    ``label_min_tokens`` tokens (a length prior, the standing stand-in
+    for human labels at fixture scale — swap the expression for a real
+    label column in production)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"(\S+)"), 1
+        ).alias("l"),
+    ).select(
+        "doc_id",
+        F.size("l").alias("n_tokens"),
+        (F.size("l") >= label_min_tokens)
+        .cast("double")
+        .alias("y"),
+        "l",
+    )
+    counted = (
+        toks.select(
+            "doc_id",
+            "n_tokens",
+            "y",
+            F.explode_outer("l").alias("tok"),
+        )
+        .withColumn(
+            "dim", F.pmod(poly_hash_of(F.col("tok")), F.lit(dims))
+        )
+        .groupBy("doc_id", "n_tokens", "y", "dim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "n_tokens", "y")
+        .agg(
+            # a token-less doc reaches here as one NULL-dim row
+            # (explode_outer); the when() drops it from the entry
+            # list while the groupBy keeps the doc — its map is
+            # simply empty
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(
+                        F.col("dim").isNotNull(),
+                        F.struct(
+                            "dim",
+                            (
+                                F.col("cnt")
+                                / F.greatest("n_tokens", F.lit(1))
+                            ).alias("x"),
+                        ),
+                    )
+                )
+            ).alias("m")
+        )
+    )
+    # dense slots in FIXED dim order + length + bias; a token-less
+    # document (explode_outer gives it a NULL dim entry) densifies
+    # to zeros
+    return counted.select(
+        "doc_id",
+        "n_tokens",
+        "y",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda i: F.coalesce(
+                    F.col("m")[i.cast("long")], F.lit(0.0)
+                ),
+            ),
+            F.array(
+                F.col("n_tokens") / F.lit(100.0), F.lit(1.0)
+            ),
+        ).alias("x"),
+    )
+
+
+def _dot_fixed(arr: Column, weights: list[float]) -> Column:
+    """w·x as a fixed-order fold — deterministic IEEE arithmetic, the
+    same left-to-right order the oracle's list_reduce replays."""
+    return F.aggregate(
+        F.zip_with(
+            arr,
+            F.lit(weights),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_quality_classifier(
+    feats: DataFrame,
+    dims: int = 32,
+    steps: int = 20,
+    lr: float = 8.0,
+) -> list[float]:
+    """Full-batch logistic-regression GD over the dense feature frame
+    (dims+2 slots incl. length and bias), returning the final weight
+    vector.
+    Each step is one aggregation job: per-row z/residual stay
+    map-side, the gradient is dims+1 independent F.sum slots (one
+    narrow shuffle of partial sums), and the driver collects exactly
+    one row of D doubles."""
+    d = dims + 2
+    feats = scoped_persist(feats)
+    n = feats.count()
+    if n == 0:
+        raise ValueError("cannot train on an empty corpus")
+    w = [0.0] * d
+    for _ in range(steps):
+        resid = feats.select(
+            (
+                1.0
+                / (1.0 + F.exp(-_dot_fixed(F.col("x"), w)))
+                - F.col("y")
+            ).alias("r"),
+            "x",
+        )
+        grad_row = resid.select(
+            *[
+                F.round(
+                    F.sum(F.col("r") * F.col("x")[i]) / F.lit(float(n)),
+                    GRAD_ROUND,
+                ).alias(f"g{i}")
+                for i in range(d)
+            ]
+        ).collect()[0]
+        w = [w[i] - lr * float(grad_row[f"g{i}"]) for i in range(d)]
+    return w
+
+
+def quality_classifier_scores(
+    feats: DataFrame, weights: list[float]
+) -> DataFrame:
+    """Apply a trained weight vector: (doc_id, n_tokens, label,
+    score rounded 6, predicted) per document — the production scoring
+    pass is this one map-side projection at any corpus size."""
+    z = _dot_fixed(F.col("x"), weights)
+    return feats.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("y").cast("long").alias("label"),
+        F.round(1.0 / (1.0 + F.exp(-z)), 6).alias("score"),
+        (1.0 / (1.0 + F.exp(-z)) >= 0.5)
+        .cast("long")
+        .alias("predicted"),
+    )
+
+
+def classifier_report(
+    feats: DataFrame, weights: list[float]
+) -> DataFrame:
+    """One-row confusion/accuracy summary of the trained classifier
+    over its own training corpus (the standard sanity report a
+    pipeline logs next to the weights)."""
+    scores = quality_classifier_scores(feats, weights)
+    return scores.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("label").cast("long").alias("n_positive"),
+        F.sum("predicted").cast("long").alias("n_predicted_positive"),
+        F.sum(
+            (F.col("label") == F.col("predicted")).cast("long")
+        ).alias("n_correct"),
+        F.round(
+            F.avg(
+                (F.col("label") == F.col("predicted")).cast("double")
+            ),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+def _py_sigmoid(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-z))

@@ -657,3 +657,226 @@ def q_url_canonicalize_dedup(spark, sf_dir):
         F.countDistinct("canonical").cast("int").alias("n_canonical"),
         F.min("canonical").alias("canonical_url"),
     )
+
+
+# -- learned quality classifier (hashed-feature logistic regression) --------
+
+from funding_monitoring_spark.operators.qualitymodel import (  # noqa: E402
+    GRAD_ROUND,
+    classifier_report,
+    hashed_features,
+    quality_classifier_scores,
+    train_quality_classifier,
+)
+from funding_monitoring_spark.operators.textstats import (  # noqa: E402
+    POLY_INIT as _QI,
+    POLY_MOD as _QM,
+    POLY_MULT as _QP,
+)
+
+_QC_DIMS = 32
+_QC_STEPS = 20
+_QC_LR = 8.0
+_QC_MIN_TOKENS = 50
+
+
+def _qc_oracle_prefix() -> str:
+    """Shared CTE chain retraining the IDENTICAL classifier in SQL:
+    hashed sparse features (+bias row per doc), then _QC_STEPS
+    unrolled GD steps — each a per-doc FIXED-ORDER dot product (the
+    sparse list ordered by dim folds to the same IEEE sums as Spark's
+    dense fold, because zero slots add exactly nothing) and a per-dim
+    gradient mean rounded at GRAD_ROUND digits (re-synchronizing both
+    engines' float summation orders). MATERIALIZED per the repo's
+    unrolled-CTE lesson (the K=20 BPE oracle)."""
+    d = _QC_DIMS + 2
+    sql = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS l
+        FROM documents
+    ),
+    base AS MATERIALIZED (
+        SELECT doc_id, len(l) AS n_tokens,
+               CASE WHEN len(l) >= {_QC_MIN_TOKENS}
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM toks
+    ),
+    feat AS MATERIALIZED (
+        SELECT doc_id, dim, COUNT(*) / any_value(nt) AS x
+        FROM (
+            SELECT t.doc_id,
+                   list_reduce(
+                       list_prepend(CAST({_QI} AS BIGINT),
+                           list_transform(string_split(t.tok, ''),
+                               ch -> CAST(ascii(ch) AS BIGINT))),
+                       (acc, c) -> (acc * {_QP} + c) % {_QM}
+                   ) % {_QC_DIMS} AS dim,
+                   CAST(b.n_tokens AS DOUBLE) AS nt
+            FROM (SELECT doc_id, unnest(l) AS tok FROM toks) t
+            JOIN base b USING (doc_id)
+        )
+        GROUP BY doc_id, dim
+        UNION ALL
+        SELECT doc_id, {_QC_DIMS} AS dim, n_tokens / 100.0 AS x
+        FROM base
+        UNION ALL
+        SELECT doc_id, {_QC_DIMS} + 1 AS dim, 1.0 AS x FROM base
+    ),
+    n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+    w0 AS (SELECT CAST(i AS BIGINT) AS dim, 0.0 AS w
+           FROM range(0, {d}) t(i))"""
+    for k in range(1, _QC_STEPS + 1):
+        sql += f""",
+    z{k} AS MATERIALIZED (
+        SELECT b.doc_id, b.y,
+               1.0 / (1.0 + exp(-COALESCE(s.z, 0.0))) AS p
+        FROM base b LEFT JOIN (
+            SELECT f.doc_id,
+                   list_reduce(
+                       list_prepend(0.0,
+                           list(f.x * w.w ORDER BY f.dim)),
+                       (acc, v) -> acc + v
+                   ) AS z
+            FROM feat f JOIN w{k - 1} w USING (dim)
+            GROUP BY f.doc_id
+        ) s USING (doc_id)
+    ),
+    g{k} AS MATERIALIZED (
+        SELECT f.dim,
+               ROUND(SUM((z.p - z.y) * f.x)
+                     / (SELECT n FROM n_docs), {GRAD_ROUND}) AS g
+        FROM feat f JOIN z{k} z USING (doc_id)
+        GROUP BY f.dim
+    ),
+    w{k} AS MATERIALIZED (
+        SELECT w.dim, w.w - {_QC_LR} * COALESCE(g.g, 0.0) AS w
+        FROM w{k - 1} w LEFT JOIN g{k} g USING (dim)
+    )"""
+    return sql
+
+
+def _qc_weights_oracle() -> str:
+    return (
+        _qc_oracle_prefix()
+        + f"""
+    SELECT CAST(dim AS BIGINT) AS dim, ROUND(w, 6) AS weight
+    FROM w{_QC_STEPS}
+    """
+    )
+
+
+def _qc_scores_oracle() -> str:
+    return (
+        _qc_oracle_prefix()
+        + f"""
+    , zfin AS (
+        SELECT f.doc_id,
+               list_reduce(
+                   list_prepend(0.0, list(f.x * w.w ORDER BY f.dim)),
+                   (acc, v) -> acc + v
+               ) AS z
+        FROM feat f JOIN w{_QC_STEPS} w USING (dim)
+        GROUP BY f.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.y AS BIGINT) AS label,
+           ROUND(1.0 / (1.0 + exp(-COALESCE(z.z, 0.0))), 6) AS score,
+           CASE WHEN 1.0 / (1.0 + exp(-COALESCE(z.z, 0.0))) >= 0.5
+                THEN 1 ELSE 0 END AS predicted
+    FROM base b LEFT JOIN zfin z USING (doc_id)
+    """
+    )
+
+
+def _qc_report_oracle() -> str:
+    return (
+        _qc_oracle_prefix()
+        + f"""
+    , zfin AS (
+        SELECT f.doc_id,
+               list_reduce(
+                   list_prepend(0.0, list(f.x * w.w ORDER BY f.dim)),
+                   (acc, v) -> acc + v
+               ) AS z
+        FROM feat f JOIN w{_QC_STEPS} w USING (dim)
+        GROUP BY f.doc_id
+    ),
+    scored AS (
+        SELECT CAST(b.y AS BIGINT) AS label,
+               CASE WHEN 1.0 / (1.0 + exp(-COALESCE(z.z, 0.0)))
+                         >= 0.5
+                    THEN 1 ELSE 0 END AS predicted
+        FROM base b LEFT JOIN zfin z USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(label) AS BIGINT) AS n_positive,
+           CAST(SUM(predicted) AS BIGINT) AS n_predicted_positive,
+           CAST(SUM(CASE WHEN label = predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(AVG(CASE WHEN label = predicted
+                          THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM scored
+    """
+    )
+
+
+def _qc_feats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_features(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        dims=_QC_DIMS,
+        label_min_tokens=_QC_MIN_TOKENS,
+    )
+
+
+@query("quality_classifier_weights", _qc_weights_oracle())
+def q_quality_classifier_weights(spark, sf_dir):
+    """Train the hashed-feature logistic-regression quality
+    classifier (the learned half of corpus filtering — fasttext-shape
+    linear model over poly-hashed token frequencies, weak length-
+    prior labels at fixture scale) and return the final weight
+    vector. The DuckDB oracle RETRAINS the identical model with
+    unrolled materialized CTE steps; per-step gradient means round at
+    GRAD_ROUND digits on both engines so the value-hash match means
+    the whole distributed training loop — features, fixed-order dot
+    products, gradient aggregation, updates — is replayed exactly.
+    Scale shape: one persisted dense-feature scan + one D-column
+    aggregation (map-side partials, a D-double collect) per step;
+    weights travel INTO each step's plan as a literal array, never a
+    join."""
+    feats = _qc_feats(spark, sf_dir)
+    w = train_quality_classifier(
+        feats, dims=_QC_DIMS, steps=_QC_STEPS, lr=_QC_LR
+    )
+    return spark.createDataFrame(
+        [(i, round(v, 6)) for i, v in enumerate(w)],
+        "dim long, weight double",
+    )
+
+
+@query("quality_classifier_scores", _qc_scores_oracle())
+def q_quality_classifier_scores(spark, sf_dir):
+    """Score every document with the freshly-trained classifier —
+    the production pass this model exists for (one map-side
+    projection per doc at any corpus size). Per-doc sigmoid scores
+    round at 6 digits; the oracle retrains and rescores in SQL."""
+    feats = _qc_feats(spark, sf_dir)
+    w = train_quality_classifier(
+        feats, dims=_QC_DIMS, steps=_QC_STEPS, lr=_QC_LR
+    )
+    return quality_classifier_scores(feats, w)
+
+
+@query("quality_classifier_report", _qc_report_oracle())
+def q_quality_classifier_report(spark, sf_dir):
+    """One-row confusion/accuracy summary of the trained classifier
+    over its training corpus — the sanity report a pipeline logs next
+    to the weights artifact."""
+    feats = _qc_feats(spark, sf_dir)
+    w = train_quality_classifier(
+        feats, dims=_QC_DIMS, steps=_QC_STEPS, lr=_QC_LR
+    )
+    return classifier_report(feats, w)

@@ -507,3 +507,74 @@ def test_xlsx_refusals_are_loud():
     ]
     with pytest.raises(NotImplementedError, match="cell type"):
         extract_xlsx_text(encode_zip(members))
+
+
+def test_pptx_build_extract_and_rels_order():
+    """PPTX slides must come back in sldIdLst->rels order (not member
+    order): reversing the rels targets while keeping member names
+    reorders the recovered text, proving the reader resolves the
+    relationship chain."""
+    import io
+    import zipfile
+
+    from funding_monitoring_spark.operators.containers import encode_zip
+    from funding_monitoring_spark.suites.container_suite import (
+        build_pptx,
+        extract_pptx_text,
+    )
+
+    text = "alpha\nbeta\ngamma"
+    payload = build_pptx(text)
+    n_members, slides = extract_pptx_text(payload)
+    assert n_members == 4 + 3
+    assert "\n".join(slides) == text
+
+    # swap rId1<->rId3 targets in the rels part: same members, same
+    # sldIdLst — recovered order must follow the rels
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    rels = parts["ppt/_rels/presentation.xml.rels"]
+    swapped = (
+        rels.replace(b"slides/slide1.xml", b"slides/slideX.xml")
+        .replace(b"slides/slide3.xml", b"slides/slide1.xml")
+        .replace(b"slides/slideX.xml", b"slides/slide3.xml")
+    )
+    members = [
+        (n, swapped if n == "ppt/_rels/presentation.xml.rels" else d,
+         False)
+        for n, d in parts.items()
+    ]
+    _, slides2 = extract_pptx_text(encode_zip(members))
+    assert slides2 == ["gamma", "beta", "alpha"]
+
+
+def test_pptx_refusals_are_loud():
+    from funding_monitoring_spark.operators.containers import encode_zip
+    from funding_monitoring_spark.suites.container_suite import (
+        _OLE2_MAGIC,
+        build_pptx,
+        extract_pptx_text,
+    )
+
+    with pytest.raises(NotImplementedError, match="OLE2"):
+        extract_pptx_text(_OLE2_MAGIC + b"\x00" * 64)
+    with pytest.raises(ValueError, match="presentation.xml"):
+        extract_pptx_text(encode_zip([("other.txt", b"x", False)]))
+
+    # dangling slide relationship: drop rId2 from the rels
+    import io
+    import zipfile
+
+    payload = build_pptx("a\nb")
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    rels = parts["ppt/_rels/presentation.xml.rels"].decode()
+    at = rels.index('<Relationship Id="rId2"')
+    end = rels.index("/>", at) + 2
+    members = [
+        (n, (rels[:at] + rels[end:]).encode()
+         if n == "ppt/_rels/presentation.xml.rels" else d, False)
+        for n, d in parts.items()
+    ]
+    with pytest.raises(ValueError, match="rId2"):
+        extract_pptx_text(encode_zip(members))
