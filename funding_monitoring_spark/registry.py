@@ -260,7 +260,8 @@ def query(name: str, sql: str | None):
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r13.json and
 #: queues for the r14 window): substring_dedup_spans_folded,
 #: xlsx_text_extract, pptx_text_extract, quality_classifier_weights,
-#: quality_classifier_scores, quality_classifier_report.
+#: quality_classifier_scores, quality_classifier_report,
+#: quality_classifier_pr_curve.
 #:
 #: Round-12 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r12.json and

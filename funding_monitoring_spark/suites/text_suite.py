@@ -832,6 +832,31 @@ def _qc_feats(spark, sf_dir):
     )
 
 
+#: trained weights, once per (session, fixture) — the ANN-index
+#: precedent (similarity_suite._index_key): a DELIBERATE cross-query
+#: cache (33 floats on the driver, no Spark state) kept OUT of the
+#: scoped-persist registry; keyed by applicationId so a SparkSession
+#: restart in the same process retrains (r12 staleness lesson)
+_QC_WEIGHTS: dict[tuple[str, str], list[float]] = {}
+
+
+def _qc_trained_weights(spark, sf_dir) -> list[float]:
+    import os
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+    )
+    if key not in _QC_WEIGHTS:
+        _QC_WEIGHTS[key] = train_quality_classifier(
+            _qc_feats(spark, sf_dir),
+            dims=_QC_DIMS,
+            steps=_QC_STEPS,
+            lr=_QC_LR,
+        )
+    return _QC_WEIGHTS[key]
+
+
 @query("quality_classifier_weights", _qc_weights_oracle())
 def q_quality_classifier_weights(spark, sf_dir):
     """Train the hashed-feature logistic-regression quality
@@ -847,10 +872,7 @@ def q_quality_classifier_weights(spark, sf_dir):
     aggregation (map-side partials, a D-double collect) per step;
     weights travel INTO each step's plan as a literal array, never a
     join."""
-    feats = _qc_feats(spark, sf_dir)
-    w = train_quality_classifier(
-        feats, dims=_QC_DIMS, steps=_QC_STEPS, lr=_QC_LR
-    )
+    w = _qc_trained_weights(spark, sf_dir)
     return spark.createDataFrame(
         [(i, round(v, 6)) for i, v in enumerate(w)],
         "dim long, weight double",
@@ -863,11 +885,9 @@ def q_quality_classifier_scores(spark, sf_dir):
     the production pass this model exists for (one map-side
     projection per doc at any corpus size). Per-doc sigmoid scores
     round at 6 digits; the oracle retrains and rescores in SQL."""
-    feats = _qc_feats(spark, sf_dir)
-    w = train_quality_classifier(
-        feats, dims=_QC_DIMS, steps=_QC_STEPS, lr=_QC_LR
+    return quality_classifier_scores(
+        _qc_feats(spark, sf_dir), _qc_trained_weights(spark, sf_dir)
     )
-    return quality_classifier_scores(feats, w)
 
 
 @query("quality_classifier_report", _qc_report_oracle())
@@ -875,8 +895,111 @@ def q_quality_classifier_report(spark, sf_dir):
     """One-row confusion/accuracy summary of the trained classifier
     over its training corpus — the sanity report a pipeline logs next
     to the weights artifact."""
-    feats = _qc_feats(spark, sf_dir)
-    w = train_quality_classifier(
-        feats, dims=_QC_DIMS, steps=_QC_STEPS, lr=_QC_LR
+    return classifier_report(
+        _qc_feats(spark, sf_dir), _qc_trained_weights(spark, sf_dir)
     )
-    return classifier_report(feats, w)
+
+
+def _qc_pr_oracle() -> str:
+    return (
+        _qc_oracle_prefix()
+        + f"""
+    , zfin AS (
+        SELECT f.doc_id,
+               list_reduce(
+                   list_prepend(0.0, list(f.x * w.w ORDER BY f.dim)),
+                   (acc, v) -> acc + v
+               ) AS z
+        FROM feat f JOIN w{_QC_STEPS} w USING (dim)
+        GROUP BY f.doc_id
+    ),
+    scored AS (
+        SELECT CAST(b.y AS BIGINT) AS label,
+               1.0 / (1.0 + exp(-COALESCE(z.z, 0.0))) AS score
+        FROM base b LEFT JOIN zfin z USING (doc_id)
+    ),
+    sweep AS (
+        SELECT ROUND(t / 10.0, 1) AS threshold, s.label,
+               CASE WHEN s.score >= t / 10.0 THEN 1 ELSE 0 END AS pred
+        FROM range(1, 10) r(t), scored s
+    ),
+    agg AS (
+        SELECT threshold,
+               CAST(SUM(CASE WHEN pred = 1 AND label = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN pred = 1 AND label = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN pred = 0 AND label = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM sweep GROUP BY threshold
+    )
+    SELECT threshold, tp, fp, fn,
+           ROUND(tp / NULLIF(CAST(tp + fp AS DOUBLE), 0.0), 6)
+               AS precision_,
+           ROUND(tp / NULLIF(CAST(tp + fn AS DOUBLE), 0.0), 6)
+               AS recall_
+    FROM agg
+    """
+    )
+
+
+@query("quality_classifier_pr_curve", _qc_pr_oracle())
+def q_quality_classifier_pr_curve(spark, sf_dir):
+    """Threshold sweep of the trained classifier — the
+    precision/recall curve a pipeline publishes so downstream corpus
+    builders pick their own quality cutoff (filtering at 0.9 keeps
+    less, cleaner; 0.3 keeps more, noisier). Nine thresholds
+    cross-joined against the scored corpus (a 9-row literal frame —
+    broadcast by construction), confusion counts per threshold.
+    NULL precision at a threshold nobody clears (matching SQL
+    NULLIF) rather than a fake 0."""
+    feats = _qc_feats(spark, sf_dir)
+    w = _qc_trained_weights(spark, sf_dir)
+    z = F.aggregate(
+        F.zip_with(F.col("x"), F.lit(w), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = feats.select(
+        F.col("y").cast("long").alias("label"),
+        (1.0 / (1.0 + F.exp(-z))).alias("score"),
+    )
+    thresholds = spark.range(1, 10).select(
+        F.round(F.col("id") / 10.0, 1).alias("threshold")
+    )
+    sweep = scored.crossJoin(F.broadcast(thresholds)).select(
+        "threshold",
+        "label",
+        (F.col("score") >= F.col("threshold"))
+        .cast("long")
+        .alias("pred"),
+    )
+    agg = sweep.groupBy("threshold").agg(
+        F.sum(
+            ((F.col("pred") == 1) & (F.col("label") == 1)).cast("long")
+        ).alias("tp"),
+        F.sum(
+            ((F.col("pred") == 1) & (F.col("label") == 0)).cast("long")
+        ).alias("fp"),
+        F.sum(
+            ((F.col("pred") == 0) & (F.col("label") == 1)).cast("long")
+        ).alias("fn"),
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp")
+            / F.nullif((F.col("tp") + F.col("fp")).cast("double"),
+                       F.lit(0.0)),
+            6,
+        ).alias("precision_"),
+        F.round(
+            F.col("tp")
+            / F.nullif((F.col("tp") + F.col("fn")).cast("double"),
+                       F.lit(0.0)),
+            6,
+        ).alias("recall_"),
+    )

@@ -79,6 +79,11 @@ CARTESIAN_ALLOWED = {
 UNPLANNED = {
     "snapshot_metadata_count": "manifest-footer counts + 3-row "
     "createDataFrame; no distributed plan",
+    "quality_classifier_weights": "the RESULT is a 34-row "
+    "createDataFrame of the trained vector; the distributed work "
+    "(per-step gradient aggregations over the persisted feature "
+    "frame) runs inside the training loop and its per-step plan is "
+    "the one quality_classifier_scores exhibits",
 }
 
 
