@@ -64,9 +64,14 @@ def run_bench(sf_dir: str, names: list[str]) -> dict[str, float]:
             f"bench at {sf_dir} printed no contract line "
             "({'metric', 'queries'}):\n" + out.stdout[-2000:]
         )
-    if summary.get("n_errors"):
-        raise SystemExit(f"bench errors at {sf_dir}: {summary}")
-    return summary["queries"]
+    # errors come back as NAMED rows, not a crash: a query that
+    # REFUSES BY DESIGN at one scale (image_dhash_near_dup's
+    # max_band_bucket guard fires on the duplicate-dense sf1
+    # fixture) must appear in the artifact as a refusal, and a
+    # genuine breakage must not lose the rest of the sweep
+    # (pre-r13 this raised and the whole sweep died on the named
+    # guard refusal).
+    return summary["queries"], summary.get("errors", {})
 
 
 def count_rows(sf_dir: str, names: list[str]) -> dict[str, int]:
@@ -109,8 +114,8 @@ def main() -> int:
 
     names = list(dict.fromkeys(args.names + args.pairs))
     args.names = names
-    t01 = run_bench(args.sf01, names)
-    t1 = run_bench(args.sf1, names)
+    t01, e01 = run_bench(args.sf01, names)
+    t1, e1 = run_bench(args.sf1, names)
     rows01 = count_rows(args.sf01, args.pairs) if args.pairs else {}
     rows1 = count_rows(args.sf1, args.pairs) if args.pairs else {}
 
@@ -119,7 +124,23 @@ def main() -> int:
         if os.path.exists(ARTIFACT)
         else {"queries": {}, "findings": []}
     )
+    n_refusals = 0
     for n in args.names:
+        if n in e01 or n in e1:
+            # one- or two-sided refusal/error: a named row, never a
+            # silent drop (and never a fake timing)
+            n_refusals += 1
+            row = {}
+            if n in t01:
+                row["sf01_sec"] = round(t01[n], 3)
+            if n in t1:
+                row["sf1_sec"] = round(t1[n], 3)
+            if n in e01:
+                row["sf01_error"] = e01[n][:300]
+            if n in e1:
+                row["sf1_error"] = e1[n][:300]
+            art["queries"][n] = row
+            continue
         art["queries"][n] = {
             "sf1_sec": round(t1[n], 3),
             "sf01_sec": round(t01[n], 3),
@@ -151,11 +172,22 @@ def main() -> int:
                 }
             )
     art["metric"] = "sf1_spot_sweep_wall_sec"
-    art["value"] = round(sum(q["sf1_sec"] for q in art["queries"].values()), 3)
+    art["value"] = round(
+        sum(
+            q["sf1_sec"]
+            for q in art["queries"].values()
+            if "sf1_sec" in q
+        ),
+        3,
+    )
     art["unit"] = "sec"
     art["sf"] = 1.0
     art["n_queries"] = len(art["queries"])
-    art["n_errors"] = 0
+    art["n_errors"] = sum(
+        1
+        for q in art["queries"].values()
+        if "sf01_error" in q or "sf1_error" in q
+    )
     art.setdefault(
         "fixture",
         "testdata_sf1/ = events/documents/embeddings replicated 10x "
