@@ -60,28 +60,12 @@ def qgram_set(s: Column, q: int) -> Column:
     )
 
 
-def edit_distance_join(
-    df: DataFrame,
-    id_col: str,
-    group_col: str,
-    str_col: str,
-    d: int,
-    q: int = 3,
-    max_bucket: int | None = 10_000,
+def _fuzzy_base(
+    df: DataFrame, id_col: str, group_col: str, str_col: str, q: int
 ) -> DataFrame:
-    """All within-group pairs (id_a < id_b) whose ``str_col`` values
-    are within Levenshtein distance ``d``. Exact output; blocking per
-    the module docstring. Returns (group, id_a, id_b, dist).
-
-    ``max_bucket`` bounds candidate volume (quadratic in the largest
-    blocking bucket): a hot (group, prefix-gram) bucket degrades to
-    length-blocked joins — still exact, since |len_a - len_b| <= d is
-    necessary — and only a bucket that is STILL hot after length
-    blocking raises. The short-string fallback is length-blocked and
-    guarded the same way (a group dominated by sub-d*q-gram strings
-    would otherwise go quadratic silently)."""
-    p = d * q + 1
-    base = (
+    """Normalized (_id, _g, _s, _grams, _len) frame both fuzzy joins
+    start from (NULL strings carry no fuzzy identity and drop here)."""
+    return (
         df.select(
             F.col(id_col).alias("_id"),
             F.col(group_col).alias("_g"),
@@ -91,6 +75,24 @@ def edit_distance_join(
         .withColumn("_grams", qgram_set(F.col("_s"), q))
         .withColumn("_len", F.length("_s"))
     )
+
+
+def _prefix_candidates(
+    base: DataFrame,
+    p: int,
+    d: int,
+    max_bucket: int | None,
+    caller: str,
+) -> DataFrame:
+    """Candidate (_g, _ida, _idb) pairs from the frequency-ordered
+    q-gram prefix index of size ``p`` — the blocking machinery shared
+    by edit_distance_join (p = d*q + 1) and damerau_join
+    (p = d*(q+1) + 1): a self-join on (group, prefix-gram) with
+    length-class degradation for hot buckets and a length-blocked
+    all-pairs fallback for short strings, both guarded by
+    ``max_bucket``. Exactness argument per the module docstring; the
+    returned pair set is a SUPERSET of the true answer that the
+    caller's verify step filters exactly."""
     # length class: valid pairs (|len diff| <= d) land in the same or
     # an ADJACENT class, so an equi-join on the class plus a 3-way
     # offset explode on one side is exact — the secondary blocking key
@@ -152,7 +154,7 @@ def edit_distance_join(
         if still_hot:
             r = still_hot[0]
             raise ValueError(
-                f"edit_distance_join blocking bucket (group={r._g!r}, "
+                f"{caller} blocking bucket (group={r._g!r}, "
                 f"gram={r._gram!r}, length class {r._blk}) holds "
                 f"{r._n} rows > max_bucket={max_bucket} even after "
                 "length-class re-blocking: candidates are genuinely "
@@ -226,7 +228,7 @@ def edit_distance_join(
         if short_hot:
             r = short_hot[0]
             raise ValueError(
-                f"edit_distance_join short-string fallback bucket "
+                f"{caller} short-string fallback bucket "
                 f"(group={r._g!r}, length class {r._blk}) holds "
                 f"{r._n} rows > max_bucket={max_bucket}: the "
                 "all-pairs fallback is quadratic in that bucket — "
@@ -253,6 +255,34 @@ def edit_distance_join(
         F.col("sb._id").alias("_idb"),
     )
     cands = cand_long.union(cand_short).distinct()
+    return cands
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    str_col: str,
+    d: int,
+    q: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """All within-group pairs (id_a < id_b) whose ``str_col`` values
+    are within Levenshtein distance ``d``. Exact output; blocking per
+    the module docstring. Returns (group, id_a, id_b, dist).
+
+    ``max_bucket`` bounds candidate volume (quadratic in the largest
+    blocking bucket): a hot (group, prefix-gram) bucket degrades to
+    length-blocked joins — still exact, since |len_a - len_b| <= d is
+    necessary — and only a bucket that is STILL hot after length
+    blocking raises. The short-string fallback is length-blocked and
+    guarded the same way (a group dominated by sub-d*q-gram strings
+    would otherwise go quadratic silently)."""
+    p = d * q + 1
+    base = _fuzzy_base(df, id_col, group_col, str_col, q)
+    cands = _prefix_candidates(
+        base, p, d, max_bucket, caller="edit_distance_join"
+    )
 
     strings = base.select("_id", "_s", F.length("_s").alias("_len"))
     verified = (
@@ -284,6 +314,152 @@ def edit_distance_join(
         F.col("_ida").alias(f"{id_col}_a"),
         F.col("_idb").alias(f"{id_col}_b"),
         F.col("_dist").cast("bigint").alias("dist"),
+    )
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """True (unrestricted) Damerau-Levenshtein distance — the
+    Lowrance-Wagner (1975) recurrence where insert, delete,
+    substitute, and adjacent-transpose each cost 1 and transposed
+    characters may drift apart through later edits. This is NOT the
+    restricted optimal-string-alignment variant:
+    damerau_levenshtein('CA', 'ABC') = 2 (transpose then insert)
+    where OSA gives 3. DuckDB's ``damerau_levenshtein`` implements
+    the same unrestricted recurrence (probed: 'CA'/'ABC' -> 2,
+    'ac'/'cba' -> 2), so the differential oracle compares like with
+    like. O(|a|*|b|) time and space per pair — callers bound the
+    string length (the registered query runs on 40-char title
+    prefixes) and the blocking bounds the pair count."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxd = la + lb
+    # H has a sentinel border row/col of maxd at index 0; the DP
+    # proper lives at H[1..la+1][1..lb+1]
+    last_row: dict[str, int] = {}
+    H = [[maxd] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        H[i + 1][1] = i
+    for j in range(lb + 1):
+        H[1][j + 1] = j
+    for i in range(1, la + 1):
+        last_col = 0
+        for j in range(1, lb + 1):
+            k = last_row.get(b[j - 1], 0)
+            l = last_col
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                last_col = j
+            else:
+                cost = 1
+            H[i + 1][j + 1] = min(
+                H[i][j] + cost,  # substitute / match
+                H[i + 1][j] + 1,  # insert
+                H[i][j + 1] + 1,  # delete
+                # transpose a[k-1]<->a[i-1] across the gap: delete the
+                # (i-k-1) chars between them, transpose, insert the
+                # (j-l-1) chars between the matched b positions
+                H[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        last_row[a[i - 1]] = i
+    return H[la + 1][lb + 1]
+
+
+def damerau_join(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    str_col: str,
+    d: int,
+    q: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """All within-group pairs (id_a < id_b) whose ``str_col`` values
+    are within TRUE Damerau-Levenshtein distance ``d`` — the
+    entity-resolution metric where a swapped character pair ("teh" /
+    "the", transposed word prefixes) counts as ONE edit instead of
+    two. Exact output; returns (group, id_a, id_b, dist).
+
+    Blocking reuses the prefix-filter machinery with a WIDER gram
+    budget: a substitution or indel destroys at most q distinct
+    q-grams, but a transposition rewrites a 2-character window and
+    can destroy up to q+1, so the prefix size is d*(q+1) + 1
+    (still a constant number of rows per string). The length bound
+    |len_a - len_b| <= d remains necessary (a transposition is
+    length-preserving). Verification runs the exact Lowrance-Wagner
+    DP in an Arrow-batched iterator over the candidate pairs —
+    Spark's built-in levenshtein cannot count a transposition as one
+    edit, and a JVM-side HOF encoding of the 2D+history DP would
+    leave codegen anyway; the Python step is O(|a|*|b|) per
+    CANDIDATE, never per cross-join row. Shuffle shapes are identical
+    to edit_distance_join: gram keys for candidates, id keys for the
+    verify join — nothing quadratic in N unless the data is."""
+    import pandas as pd  # noqa: PLC0415 — Arrow-batch verify only
+
+    from funding_monitoring_spark.operators.multimodal import (
+        register_module_by_value,
+    )
+
+    register_module_by_value(__name__)
+    p = d * (q + 1) + 1
+    base = _fuzzy_base(df, id_col, group_col, str_col, q)
+    cands = _prefix_candidates(
+        base, p, d, max_bucket, caller="damerau_join"
+    )
+
+    strings = base.select("_id", "_s", F.length("_s").alias("_len"))
+    pairs = (
+        cands.join(
+            strings.select(
+                F.col("_id").alias("_ida"),
+                F.col("_s").alias("_sa"),
+                F.col("_len").alias("_la"),
+            ),
+            "_ida",
+        )
+        .join(
+            strings.select(
+                F.col("_id").alias("_idb"),
+                F.col("_s").alias("_sb"),
+                F.col("_len").alias("_lb"),
+            ),
+            "_idb",
+        )
+        .filter(F.abs(F.col("_la") - F.col("_lb")) <= d)
+        .select("_g", "_ida", "_idb", "_sa", "_sb")
+    )
+
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    out_schema = T.StructType(
+        [
+            pairs.schema["_g"],
+            pairs.schema["_ida"],
+            pairs.schema["_idb"],
+            T.StructField("_dist", T.LongType()),
+        ]
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dists = [
+                damerau_levenshtein(sa, sb)
+                for sa, sb in zip(pdf["_sa"], pdf["_sb"])
+            ]
+            out = pdf[["_g", "_ida", "_idb"]].copy()
+            out["_dist"] = pd.Series(dists, index=pdf.index)
+            yield out[out["_dist"] <= d]
+
+    verified = pairs.mapInPandas(verify, schema=out_schema)
+    return verified.select(
+        F.col("_g").alias(group_col),
+        F.col("_ida").alias(f"{id_col}_a"),
+        F.col("_idb").alias(f"{id_col}_b"),
+        F.col("_dist").alias("dist"),
     )
 
 

@@ -518,6 +518,59 @@ def q_fuzzy_title_clusters(spark, sf_dir):
     ).select("doc_id", "cluster_id", "is_canonical")
 
 
+_DAMERAU_D = 2
+
+DAMERAU_TITLE_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               substring(text, 1, {_FUZZY_TITLE_LEN}) AS title
+        FROM documents
+    )
+    SELECT a.lang,
+           a.doc_id AS doc_id_a,
+           b.doc_id AS doc_id_b,
+           CAST(damerau_levenshtein(a.title, b.title) AS BIGINT)
+               AS dist
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE abs(length(a.title) - length(b.title)) <= {_DAMERAU_D}
+      AND damerau_levenshtein(a.title, b.title) <= {_DAMERAU_D}
+"""
+
+
+@query("damerau_title_pairs", DAMERAU_TITLE_ORACLE)
+def q_damerau_title_pairs(spark, sf_dir):
+    """Within-language document pairs whose 40-char title prefixes
+    are within TRUE Damerau-Levenshtein distance 2
+    (operators/fuzzyjoin.damerau_join) — the record-linkage metric
+    where a swapped character pair ("teh"/"the") is ONE edit, so the
+    most common human typo class doesn't cost double. Candidates come
+    from the same prefix-filter blocking as fuzzy_title_pairs with
+    the transposition-aware d*(q+1)+1 gram budget; the exact
+    Lowrance-Wagner DP verifies in one Arrow-batched pass over
+    CANDIDATES only, so the result is identical to the O(N²) cross
+    join the oracle runs with DuckDB's independent
+    damerau_levenshtein (both sides unrestricted DL — probed on the
+    'CA'/'ABC' discriminator, and pinned to each other in
+    tests/test_fuzzyjoin.py). Same ASCII-corpus caveat as
+    fuzzy_title_pairs."""
+    from funding_monitoring_spark.operators.fuzzyjoin import (
+        damerau_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.col("text"), 1, _FUZZY_TITLE_LEN).alias(
+            "title"
+        ),
+    )
+    return damerau_join(
+        titles, "doc_id", "lang", "title", _DAMERAU_D, q=3
+    ).select("lang", "doc_id_a", "doc_id_b", "dist")
+
+
 INCR_MINHASH_SPLIT_MOD = 4  #: new batch = doc_id % 4 == 0
 
 

@@ -284,3 +284,170 @@ def test_edit_distance_clusters_matches_edge_form(spark):
         (1, 1, True), (2, 1, False), (3, 1, False), (4, 1, False),
         (5, 5, True), (6, 6, True), (7, 7, True),
     }
+
+
+# -- Damerau-Levenshtein (true / unrestricted) ----------------------------
+
+
+def _dl_brute(a: str, b: str, memo=None) -> int:
+    """Reference unrestricted DL via exhaustive recursion with memo —
+    deliberately a DIFFERENT formulation (delete/insert/substitute
+    on suffixes plus a first-character swap branch) than the
+    Lowrance-Wagner matrix under test."""
+    if memo is None:
+        memo = {}
+    key = (a, b)
+    if key in memo:
+        return memo[key]
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    best = min(
+        _dl_brute(a[1:], b, memo) + 1,
+        _dl_brute(a, b[1:], memo) + 1,
+        _dl_brute(a[1:], b[1:], memo) + (a[0] != b[0]),
+    )
+    # unrestricted transposition: a[0] pairs with some later b[j]
+    # and b[0] with some later a[i]; everything between is
+    # deleted/inserted around one unit-cost swap
+    for i in range(1, len(a)):
+        for j in range(1, len(b)):
+            if a[i] == b[0] and a[0] == b[j]:
+                cost = (
+                    (i - 1)
+                    + 1
+                    + (j - 1)
+                    + _dl_brute(a[i + 1 :], b[j + 1 :], memo)
+                )
+                best = min(best, cost)
+    memo[key] = best
+    return best
+
+
+def test_damerau_levenshtein_known_cases():
+    from funding_monitoring_spark.operators.fuzzyjoin import (
+        damerau_levenshtein,
+    )
+
+    assert damerau_levenshtein("CA", "ABC") == 2  # NOT the OSA 3
+    assert damerau_levenshtein("ab", "ba") == 1
+    assert damerau_levenshtein("teh", "the") == 1
+    assert damerau_levenshtein("", "abc") == 3
+    assert damerau_levenshtein("abc", "") == 3
+    assert damerau_levenshtein("abc", "abc") == 0
+    assert damerau_levenshtein("ac", "cba") == 2
+
+
+def test_damerau_levenshtein_matches_duckdb():
+    """Pin the Lowrance-Wagner matrix to DuckDB's independent
+    unrestricted implementation on random small-alphabet strings
+    (tiny alphabets force transposition-rich optimal paths)."""
+    import duckdb
+
+    from funding_monitoring_spark.operators.fuzzyjoin import (
+        damerau_levenshtein,
+    )
+
+    rng = random.Random(41)
+    con = duckdb.connect()
+    for _ in range(300):
+        a = "".join(
+            rng.choice("abc") for _ in range(rng.randint(0, 8))
+        )
+        b = "".join(
+            rng.choice("abc") for _ in range(rng.randint(0, 8))
+        )
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert damerau_levenshtein(a, b) == want, (a, b)
+
+
+def test_damerau_levenshtein_matches_recursive_brute():
+    """And to the exhaustive recursive formulation — two independent
+    checks on the same matrix."""
+    from funding_monitoring_spark.operators.fuzzyjoin import (
+        damerau_levenshtein,
+    )
+
+    rng = random.Random(43)
+    for _ in range(120):
+        a = "".join(
+            rng.choice("ab") for _ in range(rng.randint(0, 6))
+        )
+        b = "".join(
+            rng.choice("ab") for _ in range(rng.randint(0, 6))
+        )
+        assert damerau_levenshtein(a, b) == _dl_brute(a, b), (a, b)
+
+
+def _dl_pairs_brute(rows, d):
+    from funding_monitoring_spark.operators.fuzzyjoin import (
+        damerau_levenshtein,
+    )
+
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, ga, sa), (ib, gb, sb) = rows[i], rows[j]
+            if ga != gb:
+                continue
+            lo, hi = (ia, ib) if ia < ib else (ib, ia)
+            dist = damerau_levenshtein(sa, sb)
+            if dist <= d:
+                out.add((ga, lo, hi, dist))
+    return out
+
+
+def test_damerau_join_equals_brute_force(spark):
+    """damerau_join must be EXACTLY the cross-join answer on a corpus
+    of mutated clones where the mutations are transposition-heavy —
+    pairs at DL d but Levenshtein d+1 MUST appear (the metric's whole
+    point) and the widened d*(q+1)+1 prefix budget must not lose
+    them."""
+    from funding_monitoring_spark.operators.fuzzyjoin import (
+        damerau_join,
+    )
+
+    rng = random.Random(47)
+    alpha = "abcdefghij"
+    rows = []
+    rid = 0
+    for c in range(12):
+        seed = "".join(rng.choice(alpha) for _ in range(rng.randint(8, 20)))
+        rows.append((rid, "g", seed))
+        rid += 1
+        for _ in range(rng.randint(1, 3)):
+            s = list(seed)
+            for _ in range(rng.randint(1, 2)):
+                op = rng.choice("tsid")
+                if op == "t" and len(s) >= 2:
+                    k = rng.randrange(len(s) - 1)
+                    s[k], s[k + 1] = s[k + 1], s[k]
+                elif op == "s" and s:
+                    k = rng.randrange(len(s))
+                    s[k] = rng.choice(alpha)
+                elif op == "i":
+                    k = rng.randrange(len(s) + 1)
+                    s.insert(k, rng.choice(alpha))
+                elif op == "d" and s:
+                    del s[rng.randrange(len(s))]
+            rows.append((rid, "g", "".join(s)))
+            rid += 1
+    d = 2
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+    got = {
+        (r.g, r.id_a, r.id_b, r.dist)
+        for r in damerau_join(
+            df.repartition(5), "id", "g", "s", d, q=3
+        ).collect()
+    }
+    want = _dl_pairs_brute(rows, d)
+    assert got == want
+    # the fixture must exercise the metric: at least one pair whose
+    # DL is within d but whose Levenshtein is not
+    assert any(
+        _lev(rows[lo][2], rows[hi][2]) > dist
+        for (_, lo, hi, dist) in want
+    ), "fixture produced no transposition-advantaged pair"
