@@ -261,7 +261,8 @@ def query(name: str, sql: str | None):
 #: queues for the r14 window): substring_dedup_spans_folded,
 #: xlsx_text_extract, pptx_text_extract, quality_classifier_weights,
 #: quality_classifier_scores, quality_classifier_report,
-#: quality_classifier_pr_curve, damerau_title_pairs.
+#: quality_classifier_pr_curve, damerau_title_pairs,
+#: unicode_normalize_scan.
 #:
 #: Round-12 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r12.json and

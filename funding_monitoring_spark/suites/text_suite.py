@@ -1003,3 +1003,108 @@ def q_quality_classifier_pr_curve(spark, sf_dir):
             6,
         ).alias("recall_"),
     )
+
+
+# -- Unicode normalization scan (operators/unicodenorm.py) -----------------
+
+#: deterministic "messy web text" synthesis, applied in the SAME order
+#: on both engines: the fi ligature (NFKC-expands back), a decomposed
+#: e + COMBINING ACUTE (NFC-composes to é), and a q + COMBINING ACUTE
+#: (no precomposed form exists — survives BOTH normalizations).
+_UN_LIG = "ﬁ"  # ﬁ
+_UN_COMB = "́"  # combining acute
+
+_UN_DECOMP_SQL = (
+    "replace(replace(replace(text, 'fi', chr(64257)), "
+    "'e', 'e' || chr(769)), 'q', 'q' || chr(769))"
+)
+
+#: NFKC closed form: the ligature expands back to 'fi', e+769
+#: composes to é (chr 233), q+769 stays decomposed — so NFKC(decomp)
+#: is one replace chain over the ORIGINAL ASCII text (fixture corpora
+#: contain no precomposed é or ligatures to collide with).
+_UN_NFKC_SQL = (
+    "replace(replace(text, 'e', chr(233)), 'q', 'q' || chr(769))"
+)
+
+
+def _un_fp_sql(expr: str) -> str:
+    return f"""list_reduce(
+        list_prepend(CAST({X.POLY_INIT} AS BIGINT),
+            list_transform(string_split({expr}, ''),
+                           ch -> CAST(ascii(ch) AS BIGINT))),
+        (acc, x) -> (acc * {X.POLY_MULT} + x) % {X.POLY_MOD}
+    )"""
+
+
+@query(
+    "unicode_normalize_scan",
+    f"""
+    WITH decomp AS (
+        SELECT doc_id, {_UN_DECOMP_SQL} AS raw FROM documents
+    ),
+    norm AS (
+        SELECT doc_id, raw, nfc_normalize(raw) AS nfc,
+               {_UN_NFKC_SQL} AS nfkc
+        FROM decomp
+        JOIN documents USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS INT) AS n_raw,
+           CAST(length(nfc) AS INT) AS n_nfc,
+           CAST(length(nfkc) AS INT) AS n_nfkc,
+           {_un_fp_sql('nfc')} AS fp_nfc,
+           {_un_fp_sql('nfkc')} AS fp_nfkc
+    FROM norm
+    """,
+)
+def q_unicode_normalize_scan(spark, sf_dir):
+    """Canonical-equivalence cleanup over a deterministically
+    "mojibake'd" corpus: every document gets the fi ligature, a
+    decomposed e + COMBINING ACUTE, and a q + COMBINING ACUTE spliced
+    in JVM-side, then operators/unicodenorm.with_unicode_normalized
+    recovers NFC and NFKC forms in one Arrow-batched pass each. The
+    three markers pin the three behavior classes: NFC composes the
+    e-sequence but keeps the ligature AND the q-sequence (canonical
+    vs compatibility vs no-precomposed-form), NFKC composes the
+    e-sequence and expands the ligature but still keeps the
+    q-sequence. Codepoint counts and rolling-polynomial fingerprints
+    of both normal forms are value-checked against DuckDB's
+    independent nfc_normalize (NFC side) and a closed-form replace
+    chain (NFKC side — DuckDB has no NFKC). Scale shape: narrow
+    per-row projection, zero shuffles; cross-validated against
+    Python's unicodedata in tests/test_unicodenorm.py."""
+    from funding_monitoring_spark.operators.textstats import (
+        poly_fingerprint,
+    )
+    from funding_monitoring_spark.operators.unicodenorm import (
+        with_unicode_normalized,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    decomp = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit("fi"), F.lit(_UN_LIG)),
+                F.lit("e"),
+                F.lit("e" + _UN_COMB),
+            ),
+            F.lit("q"),
+            F.lit("q" + _UN_COMB),
+        ).alias("raw"),
+    )
+    normed = with_unicode_normalized(
+        with_unicode_normalized(decomp, "raw", "nfc", form="NFC"),
+        "raw",
+        "nfkc",
+        form="NFKC",
+    )
+    return normed.select(
+        "doc_id",
+        F.length("raw").cast("int").alias("n_raw"),
+        F.length("nfc").cast("int").alias("n_nfc"),
+        F.length("nfkc").cast("int").alias("n_nfkc"),
+        poly_fingerprint("nfc").alias("fp_nfc"),
+        poly_fingerprint("nfkc").alias("fp_nfkc"),
+    )
