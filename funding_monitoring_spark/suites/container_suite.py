@@ -1047,3 +1047,104 @@ def q_pptx_text_extract(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return _features(_doc_media(docs, build), extract, _PPTX_SCHEMA)
+
+
+# -- EML (RFC 5322 mail: folded headers, RFC 2047 subject, MIME ------------
+# multipart with quoted-printable body + base64 attachment)
+
+
+def _fp_sql_of(expr: str) -> str:
+    """The rolling-poly fingerprint SQL twin over an arbitrary string
+    expression (the module-level _FP_SQL is the text-column special
+    case)."""
+    return f"""list_reduce(
+               list_prepend(CAST({POLY_INIT} AS BIGINT),
+                   list_transform(string_split({expr}, ''),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * {POLY_MULT} + x) % {POLY_MOD}
+           )"""
+
+
+_EML_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_parts", T.IntegerType()),
+        T.StructField("subject_fp", T.LongType()),
+        T.StructField("n_body_chars", T.IntegerType()),
+        T.StructField("body_fp", T.LongType()),
+        T.StructField("att_len", T.IntegerType()),
+        T.StructField("att_fp", T.LongType()),
+    ]
+)
+
+_EML_ATT_LEN = 64
+
+
+@query(
+    "eml_mime_text_extract",
+    f"""
+    SELECT doc_id AS media_id,
+           2 AS n_parts,
+           {_fp_sql_of(
+               "'doc ' || CAST(doc_id AS VARCHAR) || ' ' || source"
+           )} AS subject_fp,
+           CAST(length(text) AS INT) AS n_body_chars,
+           {_FP_SQL} AS body_fp,
+           CAST(least(length(text), {_EML_ATT_LEN}) AS INT)
+               AS att_len,
+           {_fp_sql_of(f"substring(text, 1, {_EML_ATT_LEN})")}
+               AS att_fp
+    FROM documents
+    """,
+)
+def q_eml_mime_text_extract(spark, sf_dir):
+    """Mail-archive text recovery (operators/mailcodec.py): each
+    document becomes a REAL two-part MIME message — folded RFC 5322
+    headers, an RFC 2047 B-encoded Subject carrying (doc_id, source),
+    the text as a quoted-printable text/plain part (soft breaks at
+    76, hard CRLF line breaks), and the first 64 text bytes as a
+    base64 attachment — then a second Arrow-batched pass parses the
+    wire bytes back: header unfolding, encoded-word decode, boundary
+    walk with exact-CRLF framing, QP and strict base64 decode. The
+    recovered subject, body, and attachment all fingerprint against
+    closed-form SQL twins over the original columns, so every layer
+    (folding, 2047, 2045, 2046) breaks the hash if it lies. Parser
+    and builder are cross-validated against the stdlib email package
+    in tests/test_mailcodec.py. One mapInPandas pair per message —
+    embarrassingly parallel, no shuffle at any scale."""
+    _register_by_value()
+
+    from funding_monitoring_spark.operators.mailcodec import (
+        build_eml,
+        parse_eml,
+    )
+
+    def build(mid, text, lang, source):
+        return build_eml(
+            f"m{mid}",
+            f"doc {mid} {source}",
+            text,
+            text.encode("utf-8")[:_EML_ATT_LEN],
+        )
+
+    def extract(mid, payload):
+        msg = parse_eml(payload)
+        body, att = msg["parts"]
+        if body["type"] != "text/plain" or att["data"] is None:
+            raise ValueError(
+                f"message {mid}: unexpected part layout"
+            )
+        return {
+            "media_id": mid,
+            "n_parts": len(msg["parts"]),
+            "subject_fp": _poly_fp(
+                msg["subject"].encode("latin-1")
+            ),
+            "n_body_chars": len(body["text"]),
+            "body_fp": _poly_fp(body["text"].encode("latin-1")),
+            "att_len": len(att["data"]),
+            "att_fp": _poly_fp(att["data"]),
+        }
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _features(_doc_media(docs, build), extract, _EML_SCHEMA)
