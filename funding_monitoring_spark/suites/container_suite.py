@@ -1148,3 +1148,66 @@ def q_eml_mime_text_extract(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return _features(_doc_media(docs, build), extract, _EML_SCHEMA)
+
+
+# -- RTF (brace-grouped control-word stream, operators/rtfcodec.py) --------
+
+_RTF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("n_lines", T.IntegerType()),
+        T.StructField("doc_fingerprint", T.LongType()),
+    ]
+)
+
+
+@query(
+    "rtf_text_extract",
+    f"""
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(1 + length(text)
+                - length(replace(text, chr(10), '')) AS INT)
+               AS n_lines,
+           {_FP_SQL} AS doc_fingerprint
+    FROM documents
+    """,
+)
+def q_rtf_text_extract(spark, sf_dir):
+    """Legacy-document text recovery (operators/rtfcodec.py): each
+    document becomes a REAL RTF file — font-table destination, a
+    starred generator group the reader must skip, every 'o' as a
+    \\'hh hex escape, every 'm' as a \\uN unicode escape with \\uc1
+    fallback, bold groups around line heads, \\par line breaks —
+    then a second Arrow-batched pass runs the tokenizer-level
+    extractor (group/destination scoping, delimiter rules, escape
+    decode, unknown-control-word conformance). Recovered text
+    fingerprints against the original column, so every tokenizer
+    rule breaks the hash if it lies. Wire layout pinned by exact
+    expected bytes + spec-derived foreign fragments in
+    tests/test_rtfcodec.py. One mapInPandas pair per payload — no
+    shuffle at any scale."""
+    _register_by_value()
+
+    from funding_monitoring_spark.operators.rtfcodec import (
+        encode_rtf,
+        extract_rtf_text,
+    )
+
+    def build(mid, text, lang, source):
+        return encode_rtf(text)
+
+    def extract(mid, payload):
+        recovered = extract_rtf_text(payload)
+        return {
+            "media_id": mid,
+            "n_chars": len(recovered),
+            "n_lines": recovered.count("\n") + 1,
+            "doc_fingerprint": _poly_fp(
+                recovered.encode("latin-1")
+            ),
+        }
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _features(_doc_media(docs, build), extract, _RTF_SCHEMA)
