@@ -295,3 +295,66 @@ def pagerank_fixed(
         if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def kcore_decomposition(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph in which every node
+    has degree >= k — with each survivor's within-core degree:
+    (node, core_deg). The third iterative-graph surface next to
+    connected_components and pagerank_fixed, and the standard
+    community/spam-structure filter over co-interaction graphs.
+
+    Algorithm: synchronous peeling. Start from the symmetrized,
+    self-loop-free, deduplicated edge set; each round delete EVERY
+    node whose current degree is < k (simultaneously), cascade until
+    a round deletes nothing. Synchronous rounds reach the same unique
+    fixpoint as one-at-a-time peeling (the k-core is the unique
+    maximal such subgraph), and a FIXED unrolled round count makes
+    the SQL oracle exact: extra rounds past convergence delete
+    nothing on either engine (see suites/graph_suite.py).
+
+    Scale shape per round: one degree aggregate on the node key and
+    two left-anti joins of the edge list against the doomed-node set
+    — only (node, node) pairs ever shuffle; lineage truncated per
+    round with localCheckpoint; convergence is one scalar count per
+    round, no driver-side data. Raises if the cascade has not
+    converged within ``max_rounds`` (diameter-long chains can cascade
+    one layer per round — bound it deliberately for such graphs)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = sym
+    for _ in range(max_rounds):
+        deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        doomed = deg.filter(F.col("deg") < k).select("u")
+        if doomed.isEmpty():
+            return deg.select(
+                F.col("u").alias("node"),
+                F.col("deg").cast("bigint").alias("core_deg"),
+            )
+        alive = (
+            alive.join(doomed, "u", "left_anti")
+            .join(
+                doomed.select(F.col("u").alias("v")), "v", "left_anti"
+            )
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    raise ValueError(
+        f"k-core peeling did not converge within {max_rounds} rounds "
+        "— a diameter-long cascade; raise max_rounds deliberately"
+    )

@@ -262,7 +262,8 @@ def query(name: str, sql: str | None):
 #: xlsx_text_extract, pptx_text_extract, quality_classifier_weights,
 #: quality_classifier_scores, quality_classifier_report,
 #: quality_classifier_pr_curve, damerau_title_pairs,
-#: unicode_normalize_scan, eml_mime_text_extract, rtf_text_extract.
+#: unicode_normalize_scan, eml_mime_text_extract, rtf_text_extract,
+#: kcore_trading_graph.
 #:
 #: Round-12 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r12.json and

@@ -93,3 +93,95 @@ def q_pagerank_trading_graph(spark, sf_dir):
         edges, iterations=ITERATIONS, damping=DAMPING
     )
     return ranks.select("node", F.round("rank", ROUND).alias("rank"))
+
+
+# -- k-core decomposition (operators/components.kcore_decomposition) -------
+
+KCORE_K = 3
+KCORE_MIN_WEIGHT = 3  #: edge = pair with >= 3 joint lineitems
+#: oracle unroll depth: the sf0.01 cascade converges in 3 rounds
+#: (probed); extra rounds delete nothing on either engine, so a
+#: fixed generous unroll stays exact
+KCORE_ORACLE_ROUNDS = 8
+
+_KCORE_PAIRS_SQL = f"""
+    SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+           's' || CAST(l_suppkey AS VARCHAR) AS s
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= {KCORE_MIN_WEIGHT}
+"""
+
+
+def _kcore_round_sql(i: int) -> str:
+    """One synchronous peel round: keep an edge iff BOTH endpoints
+    currently have degree >= k (twin of the loop body in
+    operators/components.kcore_decomposition). MATERIALIZED: each
+    alive{{i}} is referenced three times — default inlining would
+    re-expand the chain exponentially in depth (the r10 BPE-oracle
+    lesson)."""
+    return f"""
+    alive{i} AS MATERIALIZED (
+        SELECT u, v FROM alive{i - 1}
+        WHERE u IN (SELECT u FROM alive{i - 1}
+                    GROUP BY u HAVING COUNT(*) >= {KCORE_K})
+          AND v IN (SELECT u FROM alive{i - 1}
+                    GROUP BY u HAVING COUNT(*) >= {KCORE_K})
+    )"""
+
+
+def _kcore_oracle() -> str:
+    rounds = ",".join(
+        _kcore_round_sql(i) for i in range(1, KCORE_ORACLE_ROUNDS + 1)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED ({_KCORE_PAIRS_SQL}),
+    alive0 AS MATERIALIZED (
+        SELECT c AS u, s AS v FROM pairs
+        UNION ALL
+        SELECT s AS u, c AS v FROM pairs
+    ),
+    {rounds}
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM alive{KCORE_ORACLE_ROUNDS}
+    GROUP BY u
+    """
+
+
+@query("kcore_trading_graph", _kcore_oracle())
+def q_kcore_trading_graph(spark, sf_dir):
+    """The 3-core of the weight-thresholded trading graph (customers
+    and suppliers linked by >= 3 joint lineitems): the standard
+    dense-community / spam-structure filter — peripheral actors peel
+    away in cascades (the sf0.01 fixture takes 3 synchronous rounds;
+    weight filtering is what creates the cascade, the raw graph is
+    uniformly dense). Spark iterates to the fixpoint (bounded by
+    max_rounds); the oracle unrolls a fixed generous round count —
+    identical by the no-op-past-convergence argument in the operator
+    docstring. Only (node, node) pairs shuffle; degree aggregates and
+    anti-joins per round."""
+    from funding_monitoring_spark.operators.components import (
+        kcore_decomposition,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .groupBy(
+            F.concat(
+                F.lit("c"), F.col("o_custkey").cast("string")
+            ).alias("c"),
+            F.concat(
+                F.lit("s"), F.col("l_suppkey").cast("string")
+            ).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= KCORE_MIN_WEIGHT)
+    )
+    return kcore_decomposition(pairs, KCORE_K, src="c", dst="s")

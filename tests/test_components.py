@@ -156,3 +156,93 @@ def test_star_cc_empty_and_nonconvergence_guard(spark):
         connected_components_star(
             _pairs(spark, [(i, i + 1) for i in range(40)]), max_iter=1
         )
+
+
+# -- k-core decomposition --------------------------------------------------
+
+
+def _kcore_brute(edges, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    a = {u: set(vs) for u, vs in adj.items()}
+    while True:
+        doomed = [u for u, vs in a.items() if len(vs) < k]
+        if not doomed:
+            break
+        for u in doomed:
+            for v in a[u]:
+                a[v].discard(u)
+            del a[u]
+    return {u: len(vs) for u, vs in a.items()}
+
+
+def test_kcore_matches_brute_force_random(spark):
+    import random
+
+    from funding_monitoring_spark.operators.components import (
+        kcore_decomposition,
+    )
+
+    rng = random.Random(71)
+    for trial in range(4):
+        n = 40
+        edges = set()
+        # a planted dense clique + sparse periphery hanging off it
+        clique = list(range(8))
+        for i in clique:
+            for j in clique:
+                if i < j and rng.random() < 0.9:
+                    edges.add((i, j))
+        for u in range(8, n):
+            for _ in range(rng.randint(1, 3)):
+                edges.add((u, rng.randrange(u)))
+        k = rng.choice([2, 3, 4])
+        df = spark.createDataFrame(
+            [(u, v) for u, v in edges], "src long, dst long"
+        )
+        got = {
+            r.node: r.core_deg
+            for r in kcore_decomposition(df, k).collect()
+        }
+        assert got == _kcore_brute(edges, k), (trial, k)
+
+
+def test_kcore_duplicate_and_selfloop_edges_ignored(spark):
+    from funding_monitoring_spark.operators.components import (
+        kcore_decomposition,
+    )
+
+    # triangle with duplicated edges (both directions) + self-loop:
+    # multiplicity must not inflate degree
+    rows = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r.node: r.core_deg
+        for r in kcore_decomposition(df, 2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert kcore_decomposition(df, 3).count() == 0
+
+
+def test_kcore_cascade_bound_raises(spark):
+    import pytest
+
+    from funding_monitoring_spark.operators.components import (
+        kcore_decomposition,
+    )
+
+    # a 12-node path peels one layer per end per round with k=2 —
+    # needs 6 rounds; a tight bound must refuse loudly
+    path = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    with pytest.raises(ValueError, match="did not converge"):
+        kcore_decomposition(df, 2, max_rounds=3)
+    # and with room it converges to the empty core
+    assert kcore_decomposition(df, 2, max_rounds=12).count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        kcore_decomposition(df, 0)
