@@ -182,3 +182,145 @@ def ngram_contamination(
             "contamination_rate"
         ),
     )
+
+
+def containment_join(
+    train: DataFrame,
+    test: DataFrame,
+    t_num: int,
+    t_den: int,
+    train_id: str = "train_id",
+    test_id: str = "test_id",
+    text_col: str = "text",
+    max_pairs_per_gram: int = 10_000_000,
+) -> DataFrame:
+    """All (train, test) document pairs where the train document
+    contains at least ``t_num/t_den`` of the test document's shingle
+    set: |G_train ∩ G_test| / |G_test| >= t — the pairwise
+    decontamination primitive (ngram_contamination above answers "how
+    contaminated is this train doc overall"; this answers WHICH
+    eval document leaked into it, the evidence an ablation needs).
+
+    EXACT output via asymmetric prefix filtering (the containment
+    variant of the SSJoin/PPJoin family, Chaudhuri et al. 2006 / Xiao
+    et al. 2008): with overlap threshold o = ceil(t·|G_B|), any
+    qualifying pair must share a gram within B's first
+    |G_B| - o + 1 grams under ANY fixed global order (pigeonhole);
+    ordering by ascending train-side document frequency just makes
+    those prefixes rare-gram-biased. Candidates therefore come from
+    an equi-join of the test-side PREFIX against the full train-side
+    inverted index — the shuffle key is an int64 gram, never a pair —
+    and the verify step computes the exact intersection from the two
+    (bounded, per-document) gram arrays. The threshold is evaluated
+    in INTEGER arithmetic (n_shared·t_den >= t_num·n_test) on both
+    engines: an IEEE ceil(0.6·5) = ceil(3.0000000000000004) = 4
+    boundary flip is exactly the kind of cross-engine hazard the
+    repo's round-4 lessons document.
+
+    ``max_pairs_per_gram`` guards the candidate product of one gram's
+    train posting list × its test prefix postings — the quadratic
+    failure mode when a stop-shingle floods both sides — and fails
+    loudly with the offending gram (raise the bound deliberately, or
+    pre-filter stop shingles).
+
+    Returns (train_id, test_id, n_shared, n_test_grams, containment
+    rounded to 6)."""
+    from funding_monitoring_spark.operators.cachescope import (
+        scoped_persist,
+    )
+
+    if not (0 < t_num <= t_den):
+        raise ValueError(
+            f"threshold {t_num}/{t_den} must be in (0, 1]"
+        )
+    tr_arr = train.select(
+        F.col(train_id).alias("_tid"),
+        shingle_fingerprints(text_col).alias("_tg"),
+    )
+    te_arr = test.select(
+        F.col(test_id).alias("_eid"),
+        shingle_fingerprints(text_col).alias("_eg"),
+    ).transform(scoped_persist)
+
+    tr_grams = tr_arr.select(
+        "_tid", F.explode("_tg").alias("_gram")
+    ).transform(scoped_persist)
+    te_grams = te_arr.select(
+        "_eid",
+        F.size("_eg").alias("_n"),
+        F.explode("_eg").alias("_gram"),
+    )
+
+    # o = ceil(t_num * n / t_den) in integers; prefix = n - o + 1
+    o = (
+        (F.col("_n") * t_num + (t_den - 1))
+        / t_den
+    ).cast("long")
+    freq = tr_grams.groupBy("_gram").agg(
+        F.count(F.lit(1)).alias("_gf")
+    )
+    w = Window.partitionBy("_eid").orderBy(
+        F.col("_gf").asc_nulls_first(), F.col("_gram")
+    )
+    prefix = (
+        te_grams.join(freq, "_gram", "left")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_n") - o + 1)
+        .select("_eid", "_gram")
+        .transform(scoped_persist)
+    )
+
+    hot = (
+        tr_grams.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_tp"))
+        .join(
+            prefix.groupBy("_gram").agg(
+                F.count(F.lit(1)).alias("_pp")
+            ),
+            "_gram",
+        )
+        .filter(
+            F.col("_tp") * F.col("_pp") > max_pairs_per_gram
+        )
+        .limit(1)
+        .collect()
+    )
+    if hot:
+        r = hot[0]
+        raise ValueError(
+            f"containment_join gram {r._gram} joins {r._tp} train "
+            f"postings x {r._pp} test prefix postings > "
+            f"max_pairs_per_gram={max_pairs_per_gram}: a stop-shingle "
+            "floods both sides — pre-filter it or raise the bound "
+            "deliberately"
+        )
+
+    cands = (
+        prefix.join(tr_grams, "_gram")
+        .select("_tid", "_eid")
+        .distinct()
+    )
+    verified = (
+        cands.join(tr_arr, "_tid")
+        .join(te_arr, "_eid")
+        .select(
+            "_tid",
+            "_eid",
+            F.size(F.array_intersect("_tg", "_eg")).alias(
+                "_shared"
+            ),
+            F.size("_eg").alias("_n"),
+        )
+        .filter(
+            F.col("_shared") * t_den >= F.col("_n") * t_num
+        )
+    )
+    return verified.select(
+        F.col("_tid").alias(train_id),
+        F.col("_eid").alias(test_id),
+        F.col("_shared").cast("bigint").alias("n_shared"),
+        F.col("_n").cast("bigint").alias("n_test_grams"),
+        F.round(
+            F.col("_shared") / F.col("_n").cast("double"), 6
+        ).alias("containment"),
+    )

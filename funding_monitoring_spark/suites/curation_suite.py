@@ -1394,3 +1394,81 @@ def q_dataset_overlap_kmv(spark, sf_dir):
             ),
         ).alias("rel_err_inter"),
     )
+
+
+# -- pairwise decontamination: exact containment join ----------------------
+
+#: planted-leak eval set: a 20-token excerpt (tokens 11..30) of every
+#: sieved document — each excerpt is fully contained in its source
+#: (ground-truth containment 1.0) plus any near-duplicates of it
+CONTAIN_EXCERPT_START = 11
+CONTAIN_EXCERPT_LEN = 20
+#: containment threshold 3/5, evaluated in INTEGER arithmetic on both
+#: engines (IEEE ceil(0.6*5) = 4 is the boundary flip to avoid)
+CONTAIN_T_NUM = 3
+CONTAIN_T_DEN = 5
+
+_CONTAIN_EXCERPT_SQL = (
+    f"array_to_string(list_slice(regexp_extract_all(text, '\\S+'), "
+    f"{CONTAIN_EXCERPT_START}, "
+    f"{CONTAIN_EXCERPT_START + CONTAIN_EXCERPT_LEN - 1}), ' ')"
+)
+
+
+@query(
+    "contamination_containment_pairs",
+    f"""
+    WITH ev AS MATERIALIZED (
+        SELECT doc_id AS test_id, {_CONTAIN_EXCERPT_SQL} AS text
+        FROM documents WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    eg AS (SELECT test_id, unnest({_FPS}) AS gram FROM ev),
+    tg AS (SELECT doc_id AS train_id, unnest({_FPS}) AS gram
+           FROM documents),
+    en AS (SELECT test_id, COUNT(*) AS n_test_grams
+           FROM eg GROUP BY 1),
+    inter AS (
+        SELECT train_id, test_id, COUNT(*) AS n_shared
+        FROM tg JOIN eg USING (gram) GROUP BY 1, 2
+    )
+    SELECT train_id, test_id, n_shared, n_test_grams,
+           ROUND(n_shared / CAST(n_test_grams AS DOUBLE), 6)
+               AS containment
+    FROM inter JOIN en USING (test_id)
+    WHERE n_shared * {CONTAIN_T_DEN} >= {CONTAIN_T_NUM} * n_test_grams
+    """,
+)
+def q_contamination_containment_pairs(spark, sf_dir):
+    """WHICH eval document leaked into which training document:
+    operators/corpus.containment_join finds every (train, test) pair
+    whose shingle containment |G_train ∩ G_test| / |G_test| >= 3/5,
+    over a planted-leak eval set (a 20-token excerpt of every sieved
+    doc, so each excerpt's source is ground truth at containment
+    1.0). Candidates come from the test-side PREFIX against the
+    train-side inverted index (asymmetric prefix filtering — exact by
+    pigeonhole under any fixed gram order), so the result is
+    IDENTICAL to the oracle's brute-force pair join; the shuffle key
+    is an int64 gram, never a pair, and the quadratic stop-shingle
+    failure mode fails loudly via max_pairs_per_gram. The threshold
+    compares in integer arithmetic on both engines."""
+    from funding_monitoring_spark.operators.corpus import (
+        containment_join,
+    )
+    from funding_monitoring_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("test_id"),
+        F.array_join(
+            F.slice(
+                tokens("text"),
+                CONTAIN_EXCERPT_START,
+                CONTAIN_EXCERPT_LEN,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    tr = docs.select(F.col("doc_id").alias("train_id"), "text")
+    return containment_join(
+        tr, ev, CONTAIN_T_NUM, CONTAIN_T_DEN
+    )

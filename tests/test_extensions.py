@@ -1541,3 +1541,124 @@ def test_gram_fold_equals_string_keys_hypothesis(spark):
             assert plain == folded, fn.__name__
 
     check()
+
+
+# -- containment_join (pairwise decontamination) ---------------------------
+
+
+def _containment_brute(train_rows, test_rows, t_num, t_den, n=3):
+    # n mirrors operators/dedup.SHINGLE_N
+    def grams(t):
+        toks = t.split()
+        if not toks:
+            return set()
+        if len(toks) < n:
+            return {tuple(toks)}
+        return {
+            tuple(toks[i : i + n])
+            for i in range(len(toks) - n + 1)
+        }
+
+    out = set()
+    for tid, ttxt in train_rows:
+        gt = grams(ttxt)
+        for eid, etxt in test_rows:
+            ge = grams(etxt)
+            if not ge:
+                continue
+            shared = len(gt & ge)
+            if shared * t_den >= t_num * len(ge):
+                out.add((tid, eid, shared, len(ge)))
+    return out
+
+
+def test_containment_join_equals_brute_force(spark):
+    """Prefix-filtered candidates + exact verify must equal the
+    brute-force pair join on a corpus with planted full containments,
+    partial overlaps straddling the threshold, and misses."""
+    import random
+
+    from funding_monitoring_spark.operators.corpus import (
+        containment_join,
+    )
+
+    rng = random.Random(73)
+    words = "aa bb cc dd ee ff gg hh ii jj kk ll".split()
+    train_rows = []
+    for i in range(30):
+        toks = [rng.choice(words) for _ in range(rng.randint(8, 40))]
+        train_rows.append((i, " ".join(toks)))
+    test_rows = []
+    for j in range(12):
+        src_id, src_txt = train_rows[rng.randrange(len(train_rows))]
+        toks = src_txt.split()
+        if j % 3 == 0:  # full containment
+            lo = rng.randint(0, max(0, len(toks) - 10))
+            excerpt = toks[lo : lo + 10]
+        elif j % 3 == 1:  # partial: half excerpt, half noise
+            excerpt = toks[:6] + [
+                rng.choice(words) for _ in range(6)
+            ]
+        else:  # pure noise
+            excerpt = [rng.choice(words) for _ in range(10)]
+        test_rows.append((100 + j, " ".join(excerpt)))
+    tr = spark.createDataFrame(
+        train_rows, "train_id long, text string"
+    )
+    te = spark.createDataFrame(
+        test_rows, "test_id long, text string"
+    )
+    got = {
+        (r.train_id, r.test_id, r.n_shared, r.n_test_grams)
+        for r in containment_join(tr, te, 3, 5).collect()
+    }
+    assert got == _containment_brute(train_rows, test_rows, 3, 5)
+    assert got  # planted containments must actually fire
+
+
+def test_containment_join_integer_threshold_boundary(spark):
+    """n_test = 5 grams with exactly 3 shared: 3/5 >= 3/5 must be
+    INCLUDED — the IEEE ceil(0.6*5)=4 flip would silently drop it."""
+    from funding_monitoring_spark.operators.corpus import (
+        containment_join,
+    )
+
+    # 7 tokens -> 5 3-shingles; a 5-token shared prefix = exactly 3
+    test_toks = "t1 t2 t3 t4 t5 t6 t7".split()
+    train_toks = test_toks[:5] + ["x1", "x2", "x3", "x4"]
+    tr = spark.createDataFrame(
+        [(1, " ".join(train_toks))], "train_id long, text string"
+    )
+    te = spark.createDataFrame(
+        [(2, " ".join(test_toks))], "test_id long, text string"
+    )
+    rows = containment_join(tr, te, 3, 5).collect()
+    assert len(rows) == 1
+    assert rows[0].n_shared == 3 and rows[0].n_test_grams == 5
+    # one fewer shared gram -> excluded
+    tr2 = spark.createDataFrame(
+        [(1, " ".join(test_toks[:4] + ["x1", "x2", "x3", "x4"]))],
+        "train_id long, text string",
+    )
+    assert containment_join(tr2, te, 3, 5).count() == 0
+
+
+def test_containment_join_hot_gram_guard(spark):
+    import pytest
+
+    from funding_monitoring_spark.operators.corpus import (
+        containment_join,
+    )
+
+    same = "s1 s2 s3 s4 s5"  # one shingle, shared by everyone
+    tr = spark.createDataFrame(
+        [(i, same) for i in range(40)], "train_id long, text string"
+    )
+    te = spark.createDataFrame(
+        [(100 + j, same) for j in range(40)],
+        "test_id long, text string",
+    )
+    with pytest.raises(ValueError, match="max_pairs_per_gram"):
+        containment_join(tr, te, 3, 5, max_pairs_per_gram=100)
+    with pytest.raises(ValueError, match="threshold"):
+        containment_join(tr, te, 6, 5)
