@@ -263,7 +263,8 @@ def query(name: str, sql: str | None):
 #: quality_classifier_scores, quality_classifier_report,
 #: quality_classifier_pr_curve, damerau_title_pairs,
 #: unicode_normalize_scan, eml_mime_text_extract, rtf_text_extract,
-#: kcore_trading_graph, contamination_containment_pairs.
+#: kcore_trading_graph, contamination_containment_pairs,
+#: arrow_ipc_file_source.
 #:
 #: Round-12 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r12.json and
