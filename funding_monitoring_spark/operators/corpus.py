@@ -324,3 +324,83 @@ def containment_join(
             F.col("_shared") / F.col("_n").cast("double"), 6
         ).alias("containment"),
     )
+
+
+#: Robertson/Sparck-Jones BM25 constants (the standard defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 ranked retrieval: the top-``k`` documents for a bag of
+    query terms — the search primitive that turns term_posting_lists'
+    inverted index into something a curation pipeline actually uses
+    (retrieval-based dedup, eval-leak lookup, boilerplate hunting by
+    example). ``query_terms`` is a 1-column ('term') DataFrame,
+    broadcast — the corpus side never shuffles text: one (doc, term)
+    tf aggregation, a broadcast semi-restriction to query terms, a
+    per-doc sum and one bounded top-k window.
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the non-negative BM25+
+    flavor); per-term scores round at 9 digits BEFORE the per-doc sum
+    so cross-engine float summation orders re-synchronize (the
+    quality-classifier precedent), and the final score rounds at 6.
+    Ties rank deterministically by (score desc, doc_id asc).
+
+    Returns (rank, doc_id, n_hit_terms, score)."""
+    from funding_monitoring_spark.operators.textstats import tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    hits = (
+        tf.join(F.broadcast(query_terms.select("term")), "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    norm = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    term_score = F.round(
+        idf * F.col("tf") * (k1 + 1.0) / norm, 9
+    )
+    scored = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit_terms"),
+        F.round(F.sum(term_score), 6).alias("score"),
+    )
+    # global top-k via TakeOrderedAndProject (per-partition heaps
+    # merged on the driver — no full sort, SURVEY §7 #6); the rank
+    # window then runs over only the k surviving rows
+    top = scored.orderBy(
+        F.col("score").desc(), F.col(id_col)
+    ).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", id_col, "n_hit_terms", "score"
+    )

@@ -1472,3 +1472,109 @@ def q_contamination_containment_pairs(spark, sf_dir):
     return containment_join(
         tr, ev, CONTAIN_T_NUM, CONTAIN_T_DEN
     )
+
+
+# -- BM25 ranked retrieval (operators/corpus.bm25_topk) --------------------
+
+#: deterministic query bag: the terms ranked 10..14 by (df DESC, term)
+#: — mid-frequency terms, so the ranking has real discrimination
+#: (the top handful of stopword-ish terms match every document)
+BM25_QUERY_RANKS = (10, 14)
+BM25_TOPK = 20
+
+_BM25_QUERY_TERMS_SQL = f"""
+    SELECT term FROM (
+        SELECT term,
+               ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r
+        FROM (
+            SELECT term, COUNT(*) AS df FROM (
+                SELECT DISTINCT doc_id, unnest({_TOKS}) AS term
+                FROM documents
+            ) GROUP BY 1
+        )
+    ) WHERE r BETWEEN {BM25_QUERY_RANKS[0]} AND {BM25_QUERY_RANKS[1]}
+"""
+
+
+@query(
+    "bm25_topk_retrieval",
+    f"""
+    WITH q AS MATERIALIZED ({_BM25_QUERY_TERMS_SQL}),
+    toks AS MATERIALIZED (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    hits AS (
+        SELECT tf.doc_id,
+               ROUND(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * ({C.BM25_K1} + 1.0)
+                   / (tf + {C.BM25_K1}
+                      * (1.0 - {C.BM25_B}
+                         + {C.BM25_B} * dl / avgdl)),
+                   9) AS term_score
+        FROM tf
+        JOIN q USING (term)
+        JOIN dfr USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+               ROUND(SUM(term_score), 6) AS score
+        FROM hits GROUP BY 1
+    )
+    SELECT CAST(ROW_NUMBER() OVER
+                (ORDER BY score DESC, doc_id) AS INT) AS rank,
+           doc_id, n_hit_terms, score
+    FROM scored
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+)
+def q_bm25_topk_retrieval(spark, sf_dir):
+    """BM25 top-20 for a deterministic mid-frequency query bag (terms
+    ranked 10..14 by document frequency): the retrieval primitive on
+    top of the inverted-index machinery — retrieval-based dedup and
+    eval-leak lookup are ranked-search problems. Query terms and all
+    corpus statistics broadcast; the corpus side is one (doc, term)
+    aggregation and a bounded TakeOrderedAndProject top-k (no full
+    sort). Per-term scores round at 9 digits before the per-doc sum
+    so cross-engine summation orders re-synchronize; idf is the
+    non-negative ln(1 + ...) flavor; ties rank by doc_id."""
+    from funding_monitoring_spark.operators.corpus import bm25_topk
+    from funding_monitoring_spark.operators.textstats import tokens
+    from funding_monitoring_spark.operators.topk import (
+        top_k_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dfr = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens("text"))).alias(
+                "term"
+            ),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    qterms = (
+        top_k_per_group(
+            dfr,
+            [],
+            [F.col("df").desc(), F.col("term")],
+            BM25_QUERY_RANKS[1],
+        )
+        .filter(F.col("rank") >= BM25_QUERY_RANKS[0])
+        .select("term")
+    )
+    return bm25_topk(docs, qterms, BM25_TOPK).withColumn(
+        "rank", F.col("rank").cast("int")
+    )

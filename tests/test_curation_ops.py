@@ -637,3 +637,78 @@ def test_incremental_substring_dedup_never_pairs_history(spark):
     assert got[1]["n_dup_spans"] == 1
     assert got[2]["dup_tokens"] == 0
     assert got[3]["dup_tokens"] == 0
+
+
+# -- bm25_topk -------------------------------------------------------------
+
+
+def _bm25_brute(rows, qterms, k1=1.2, b=0.75):
+    import math
+    from collections import Counter
+
+    docs = {i: t.split() for i, t in rows}
+    n = len(docs)
+    dfreq = Counter()
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] += 1
+    avgdl = sum(len(t) for t in docs.values()) / n
+    out = {}
+    for i, toks in docs.items():
+        tf = Counter(toks)
+        score = 0.0
+        hit = 0
+        for q in qterms:
+            if tf[q] == 0:
+                continue
+            hit += 1
+            idf = math.log(
+                (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1.0
+            )
+            s = (
+                idf
+                * tf[q]
+                * (k1 + 1.0)
+                / (tf[q] + k1 * (1 - b + b * len(toks) / avgdl))
+            )
+            score += round(s, 9)
+        if hit:
+            out[i] = (hit, round(score, 6))
+    return out
+
+
+def test_bm25_topk_matches_reference(spark):
+    import random
+
+    from funding_monitoring_spark.operators.corpus import bm25_topk
+
+    rng = random.Random(79)
+    vocab = "apple banana cherry date elder fig grape haw".split()
+    rows = [
+        (
+            i,
+            " ".join(
+                rng.choice(vocab)
+                for _ in range(rng.randint(3, 25))
+            ),
+        )
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qterms = spark.createDataFrame(
+        [("apple",), ("fig",)], "term string"
+    )
+    got = bm25_topk(docs, qterms, k=10).collect()
+    want = _bm25_brute(rows, ["apple", "fig"])
+    # ranks ordered by (score desc, doc_id asc) over the brute scores
+    expect = sorted(
+        want.items(), key=lambda kv: (-kv[1][1], kv[0])
+    )[:10]
+    assert [
+        (r.rank, r.doc_id, r.n_hit_terms, r.score) for r in got
+    ] == [
+        (rk + 1, i, h, s)
+        for rk, (i, (h, s)) in enumerate(expect)
+    ]
+    # non-matching docs never appear
+    assert all(r.n_hit_terms >= 1 for r in got)
