@@ -264,7 +264,7 @@ def query(name: str, sql: str | None):
 #: quality_classifier_pr_curve, damerau_title_pairs,
 #: unicode_normalize_scan, eml_mime_text_extract, rtf_text_extract,
 #: kcore_trading_graph, contamination_containment_pairs,
-#: arrow_ipc_file_source, bm25_topk_retrieval.
+#: arrow_ipc_file_source, bm25_topk_retrieval, unigram_lm_train.
 #:
 #: Round-12 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r12.json and

@@ -2485,3 +2485,195 @@ def q_cusum_change_points(spark, sf_dir):
         .cast("int")
         .alias("alarm"),
     )
+
+
+# -- unigram-LM tokenizer training (operators/unigram.py) ------------------
+
+_UG_INF = 10**15
+_UG_SCALE = 1_000_000
+_UG_MAXP = 4
+_UG_MULTI = 150
+
+
+def _ug_cost_sql(num: str, den: str) -> str:
+    """floor(-ln(num/den) * SCALE + 0.5) — the integer-cost twin of
+    operators/unigram.cost_of (explicit floor(x+0.5): Python round()
+    is banker's, DuckDB ROUND is half-up; floor+0.5 is both engines'
+    common ground)."""
+    return (
+        f"CAST(floor(-ln(({num}) / ({den})) * {_UG_SCALE} + 0.5) "
+        "AS BIGINT)"
+    )
+
+
+def _ug_fwd_cte(name: str, edges: str) -> str:
+    """Forward Viterbi DP as a RECURSIVE CTE over SCALAR columns: one
+    row per (word, j) carrying a sliding window of the last MAX_PIECE
+    best costs (p3, p2, p1, cur) — best[j-l] is a column, never a
+    list, and piece costs come from the precomputed ``edges`` table
+    via a plain INNER join + GROUP BY in a subquery of the recursive
+    term. This deliberately avoids two DuckDB 1.0.0 hazards observed
+    live while building this oracle: (1) large lambda-built list
+    columns misalign against their row under parallel vectorized
+    evaluation ('customer' segmented with 'stream''s cost vector;
+    correct under SET threads=1), and (2) correlated scalar
+    subqueries inside a recursive term silently return NULL when the
+    target CTE's plan is non-trivial. Plain joins on scalars execute
+    correctly at any thread count."""
+    inf = f"CAST({_UG_INF} AS BIGINT)"
+    return f"""{name}(word, j, p3, p2, p1, cur) AS (
+        SELECT word, 0, {inf}, {inf}, {inf}, CAST(0 AS BIGINT)
+        FROM words
+        UNION ALL
+        SELECT word, j + 1, p2, p1, cur, newbest FROM (
+            SELECT f.word AS word, f.j AS j, f.p3 AS p3, f.p2 AS p2,
+                   f.p1 AS p1, f.cur AS cur,
+                   MIN(e.cost + CASE e.l
+                       WHEN 1 THEN f.cur WHEN 2 THEN f.p1
+                       WHEN 3 THEN f.p2 ELSE f.p3 END) AS newbest
+            FROM {name} f
+            JOIN {edges} e ON e.word = f.word AND e.j = f.j + 1
+            WHERE f.j < length(f.word)
+            GROUP BY 1, 2, 3, 4, 5, 6
+        )
+    )"""
+
+
+def _ug_seg_cte(name: str, edges: str, bests: str) -> str:
+    """Backward path reconstruction as a second RECURSIVE CTE: from
+    (word, len) walk to 0, at each position keeping the SMALLEST
+    piece length whose edge lies on an optimal path (MIN(l) in the
+    recursive term's grouped subquery) — the same tie rule as
+    operators/unigram.viterbi_segment; the emitted piece rows are
+    the segmentation multiset. Same joins-only discipline as the
+    forward pass (see _ug_fwd_cte)."""
+    return f"""{name}(word, pos, piece) AS (
+        SELECT word, length(word), CAST(NULL AS VARCHAR) FROM words
+        UNION ALL
+        SELECT word, pos - minl,
+               substring(word, pos - minl + 1, minl) FROM (
+            SELECT s.word AS word, s.pos AS pos, MIN(e.l) AS minl
+            FROM {name} s
+            JOIN {edges} e ON e.word = s.word AND e.j = s.pos
+            JOIN {bests} bp
+              ON bp.word = s.word AND bp.j = s.pos - e.l
+            JOIN {bests} bc ON bc.word = s.word AND bc.j = s.pos
+            WHERE s.pos > 0 AND e.cost + bp.best = bc.best
+            GROUP BY 1, 2
+        )
+    )"""
+
+
+def _ug_edges_cte(name: str, cost_tbl: str) -> str:
+    """(word, j, l, cost) for every in-range (position, piece length)
+    pair — the vocab lookup done ONCE, relationally, outside any
+    recursion; out-of-vocab pieces carry the INF sentinel. The
+    positions table is bounded at 256 (a 'word' is a whitespace
+    token; anything longer is not natural-language vocabulary and
+    the fixture maximum is ~15)."""
+    return f"""{name} AS MATERIALIZED (
+        SELECT w.word, p.j, t.l,
+               coalesce(c.cost, CAST({_UG_INF} AS BIGINT)) AS cost
+        FROM words w
+        JOIN positions p ON p.j <= length(w.word)
+        JOIN lens t ON t.l <= p.j
+        LEFT JOIN {cost_tbl} c
+          ON c.piece = substring(w.word, p.j - t.l + 1, t.l)
+    )"""
+
+
+def _ug_counts_cte(name: str, seg: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+        SELECT piece, SUM(wcount) AS n_used
+        FROM {seg} JOIN words USING (word)
+        WHERE piece IS NOT NULL GROUP BY 1
+    )"""
+
+
+def _ug_oracle() -> str:
+    return f"""
+    WITH RECURSIVE words AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
+            SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
+            FROM documents
+        ) GROUP BY 1
+    ),
+    positions AS (SELECT CAST(range AS INT) AS j FROM range(1, 257)),
+    lens AS (SELECT * FROM (VALUES (1), (2), (3), (4)) v(l)),
+    cand AS MATERIALIZED (
+        SELECT piece, SUM(wcount) AS weight FROM (
+            SELECT wcount,
+                   unnest(flatten([[substring(word, i, l)
+                       for l in range(1, least({_UG_MAXP},
+                                      length(word) - i + 1) + 1)]
+                       for i in range(1, length(word) + 1)])) AS piece
+            FROM words
+        ) GROUP BY 1
+    ),
+    vocab0 AS MATERIALIZED (
+        SELECT piece, weight FROM cand WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, weight FROM (
+            SELECT piece, weight, ROW_NUMBER() OVER
+                (ORDER BY weight DESC, piece) AS rn
+            FROM cand WHERE length(piece) > 1
+        ) WHERE rn <= {_UG_MULTI}
+    ),
+    cost0 AS MATERIALIZED (
+        SELECT piece,
+               {_ug_cost_sql('weight',
+                             '(SELECT SUM(weight) FROM vocab0)')}
+                   AS cost
+        FROM vocab0
+    ),
+    {_ug_edges_cte('edges1', 'cost0')},
+    {_ug_fwd_cte('fwd1', 'edges1')},
+    bests1 AS MATERIALIZED (SELECT word, j, cur AS best FROM fwd1),
+    {_ug_seg_cte('seg1', 'edges1', 'bests1')},
+    {_ug_counts_cte('counts1', 'seg1')},
+    cost1 AS MATERIALIZED (
+        SELECT c.piece,
+               {_ug_cost_sql(
+                   'COALESCE(n.n_used, 0) + 1',
+                   '(SELECT SUM(n_used) FROM counts1) '
+                   '+ (SELECT COUNT(*) FROM cost0)')}
+                   AS cost
+        FROM cost0 c LEFT JOIN counts1 n ON n.piece = c.piece
+    ),
+    {_ug_edges_cte('edges2', 'cost1')},
+    {_ug_fwd_cte('fwd2', 'edges2')},
+    bests2 AS MATERIALIZED (SELECT word, j, cur AS best FROM fwd2),
+    {_ug_seg_cte('seg2', 'edges2', 'bests2')},
+    {_ug_counts_cte('counts2', 'seg2')}
+    SELECT c.piece, c.cost,
+           CAST(COALESCE(n.n_used, 0) AS BIGINT) AS n_used
+    FROM cost1 c LEFT JOIN counts2 n ON n.piece = c.piece
+    """
+
+
+@query("unigram_lm_train", _ug_oracle())
+def q_unigram_lm_train(spark, sf_dir):
+    """SentencePiece-style unigram-LM tokenizer training — the second
+    tokenizer trainer next to batched BPE: candidate pieces are all
+    1..4-char substrings of the corpus' distinct words (weighted by
+    occurrence x word count), the vocabulary is all single chars plus
+    the top-150 multi-char pieces (a bounded broadcastable artifact),
+    and a fixed 2-E-step EM fits integer piece costs
+    round(-ln(p)*1e6): init costs from candidate weights -> Viterbi
+    E-step over DISTINCT words -> Laplace M-step -> final E-step.
+    Integer costs make the DP exact cross-engine, and the DuckDB
+    oracle REPLAYS the whole loop — both Viterbi passes run as
+    list_reduce DPs with the same shortest-piece tie rule — so the
+    value-hash match verifies the entire distributed training loop
+    (the quality-classifier precedent). Scale: E-steps map over the
+    distinct-word state (the batched-BPE design), never the corpus;
+    the cost table is a bounded driver artifact like BPE's per-round
+    argmax row."""
+    from funding_monitoring_spark.operators.unigram import (
+        unigram_lm_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_train(
+        docs, vocab_multi=_UG_MULTI, max_piece=_UG_MAXP
+    )
