@@ -388,14 +388,30 @@ def damerau_join(
     can destroy up to q+1, so the prefix size is d*(q+1) + 1
     (still a constant number of rows per string). The length bound
     |len_a - len_b| <= d remains necessary (a transposition is
-    length-preserving). Verification runs the exact Lowrance-Wagner
-    DP in an Arrow-batched iterator over the candidate pairs —
-    Spark's built-in levenshtein cannot count a transposition as one
-    edit, and a JVM-side HOF encoding of the 2D+history DP would
-    leave codegen anyway; the Python step is O(|a|*|b|) per
-    CANDIDATE, never per cross-join row. Shuffle shapes are identical
-    to edit_distance_join: gram keys for candidates, id keys for the
-    verify join — nothing quadratic in N unless the data is."""
+    length-preserving).
+
+    Verification is a three-stage funnel, cheapest first — the
+    Python DP must only ever see pairs that are already almost
+    certainly matches:
+    1. JVM banded ``levenshtein(a, b, 2*d)``: a transposition is at
+       most two Levenshtein edits, so DL <= d implies Lev <= 2d —
+       a sound prefilter that runs in codegen and abandons early.
+       Measured at sf0.1 it cuts 1.4M gram-blocked candidates to
+       the ~80 true-neighborhood pairs (the first cut of this
+       operator ran the DP on all 1.4M and burned ~40 CPU-minutes
+       in Python workers — the census could not see it because
+       mapInPandas cost is invisible to a plan).
+    2. DISTINCT (a, b) string pairs: duplicate-heavy corpora send
+       every copy-pair through the same DP; computing once per
+       distinct value pair and joining back makes the Python cost
+       proportional to distinct-neighbor mass, not pair mass.
+    3. The exact Lowrance-Wagner DP, Arrow-batched, O(|a|*|b|) per
+       DISTINCT SURVIVOR — Spark's built-in levenshtein cannot
+       count a transposition as one edit, and a JVM HOF encoding of
+       the 2D+history DP would leave codegen anyway.
+    Shuffle shapes stay those of edit_distance_join: gram keys for
+    candidates, id keys then value-pair keys for the verify joins —
+    nothing quadratic in N unless the data is."""
     import pandas as pd  # noqa: PLC0415 — Arrow-batch verify only
 
     from funding_monitoring_spark.operators.multimodal import (
@@ -428,34 +444,32 @@ def damerau_join(
             "_idb",
         )
         .filter(F.abs(F.col("_la") - F.col("_lb")) <= d)
+        # funnel stage 1: sound JVM prefilter (DL <= d => Lev <= 2d)
+        .filter(F.levenshtein(F.col("_sa"), F.col("_sb"), 2 * d) >= 0)
         .select("_g", "_ida", "_idb", "_sa", "_sb")
     )
 
-    import pyspark.sql.types as T  # noqa: PLC0415
-
-    out_schema = T.StructType(
-        [
-            pairs.schema["_g"],
-            pairs.schema["_ida"],
-            pairs.schema["_idb"],
-            T.StructField("_dist", T.LongType()),
-        ]
-    )
+    # funnel stage 2: one DP per DISTINCT string pair
+    distinct_pairs = pairs.select("_sa", "_sb").distinct()
 
     def verify(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            dists = [
-                damerau_levenshtein(sa, sb)
-                for sa, sb in zip(pdf["_sa"], pdf["_sb"])
-            ]
-            out = pdf[["_g", "_ida", "_idb"]].copy()
-            out["_dist"] = pd.Series(dists, index=pdf.index)
+            out = pdf.copy()
+            out["_dist"] = pd.Series(
+                [
+                    damerau_levenshtein(sa, sb)
+                    for sa, sb in zip(pdf["_sa"], pdf["_sb"])
+                ],
+                index=pdf.index,
+            )
             yield out[out["_dist"] <= d]
 
-    verified = pairs.mapInPandas(verify, schema=out_schema)
-    return verified.select(
+    dl = distinct_pairs.mapInPandas(
+        verify, schema="_sa string, _sb string, _dist long"
+    )
+    return pairs.join(dl, ["_sa", "_sb"]).select(
         F.col("_g").alias(group_col),
         F.col("_ida").alias(f"{id_col}_a"),
         F.col("_idb").alias(f"{id_col}_b"),
