@@ -61,23 +61,40 @@ def connected_components(
             .localCheckpoint()
         )
         for _ in range(max_iter):
+            # Convergence probe WITHOUT a per-round join (guide §2.4 —
+            # remove shuffles outright): the labels frame contributes
+            # its current label twice, once as a min() candidate and
+            # once tagged as `old`; neighbors carry old = NULL. After
+            # the groupBy, old is each node's previous label (every id
+            # has exactly one labels row), so "any label changed" is a
+            # map-only filter over the checkpointed result — the old
+            # probe joined new vs old labels (one extra shuffle of
+            # both frames per round).
             neighbor_labels = edges.join(
                 labels.withColumnRenamed("id", "u"), "u"
-            ).select(F.col("v").alias("id"), "label")
+            ).select(
+                F.col("v").alias("id"),
+                "label",
+                F.lit(None).cast(labels.schema["label"].dataType).alias(
+                    "old"
+                ),
+            )
             new_labels = (
-                labels.union(neighbor_labels)
+                labels.select("id", "label", F.col("label").alias("old"))
+                .union(neighbor_labels)
                 .groupBy("id")
-                .agg(F.min("label").alias("label"))
+                .agg(
+                    F.min("label").alias("label"),
+                    F.max("old").alias("old"),
+                )
                 .localCheckpoint()
             )
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
+                new_labels.filter(F.col("label") != F.col("old"))
                 .limit(1)
                 .count()
             )
-            labels = new_labels
+            labels = new_labels.select("id", "label")
             if changed == 0:
                 break
         else:
@@ -165,13 +182,22 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    n_e = e.count()
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint()
+        # set-equality with ONE subtract instead of two (guide §2.4):
+        # both frames are .distinct() outputs, so |e2| = |e| together
+        # with e2 ⊆ e (empty subtract) implies e2 = e; the counts are
+        # map-only jobs over the checkpointed frames, and when the
+        # counts already differ the subtract shuffle is skipped
+        # entirely.
+        n_e2 = e2.count()
         changed = (
-            e2.subtract(e).limit(1).count()
-            + e.subtract(e2).limit(1).count()
+            1
+            if n_e2 != n_e
+            else e2.subtract(e).limit(1).count()
         )
-        e = e2
+        e, n_e = e2, n_e2
         if changed == 0:
             break
     else:
@@ -226,6 +252,7 @@ def pagerank_fixed(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 5,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (node, rank)
     — the second iterative-algorithm surface next to
@@ -263,25 +290,40 @@ def pagerank_fixed(
         .localCheckpoint()
     )
     n = nodes.count()
-    # deg's key is renamed: with e checkpointed, every derivation of e
-    # shares attribute ids, and joining e back against a same-id "src"
-    # would be ambiguous
+    # Degrees are joined into the edge list ONCE, up front (guide
+    # §2.4: two operations keyed the same way share one exchange —
+    # and a per-iteration ranks⋈deg join disappears entirely). The
+    # checkpointed (src, dst, deg) frame costs one extra long per
+    # edge and saves one full join per iteration; the old shape paid
+    # ranks⋈deg + edges⋈share per round.
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).select(
         F.col("src").alias("deg_node"), "deg"
+    )
+    e_deg = (
+        e.join(deg, F.col("src") == F.col("deg_node"))
+        .select("src", "dst", "deg")
+        .localCheckpoint()
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for it in range(iterations):
-        share = ranks.join(
-            deg, ranks["node"] == deg["deg_node"]
-        ).select(
-            F.col("deg_node").alias("share_node"),
-            (F.col("rank") / F.col("deg")).alias("share"),
+        share = ranks.select(
+            F.col("node").alias("share_node"),
+            F.col("rank").alias("share_rank"),
         )
+        if broadcast_ranks:
+            # ranks is node-sized; when the caller's node universe is
+            # bounded (dimension-scale graphs), broadcasting it makes
+            # the per-iteration edges⋈ranks join shuffle-free (guide
+            # §3.1) — the edge list is never exchanged after its
+            # up-front checkpoint, only (dst, partial-mass) rows move.
+            share = F.broadcast(share)
         contribs = (
-            e.join(share, F.col("src") == F.col("share_node"))
+            e_deg.join(share, F.col("src") == F.col("share_node"))
             .groupBy("dst")
-            .agg(F.sum("share").alias("mass"))
+            .agg(
+                F.sum(F.col("share_rank") / F.col("deg")).alias("mass")
+            )
         )
         ranks = nodes.join(
             contribs, nodes["node"] == contribs["dst"], "left"

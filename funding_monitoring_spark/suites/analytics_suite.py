@@ -624,6 +624,9 @@ def q_triangle_count(spark, sf_dir):
     two-join path+closure plan (the standard distributed formulation;
     production swaps id-order for degree-order to shrink the skewed
     high-degree join side)."""
+    from funding_monitoring_spark.operators.cachescope import (
+        scoped_persist,
+    )
     from funding_monitoring_spark.operators.sampling import key_hash
 
     events = load_table(spark, sf_dir, "events")
@@ -635,30 +638,41 @@ def q_triangle_count(spark, sf_dir):
     w = Window.partitionBy("h", "event_type").orderBy(
         key_hash(F.col("user_id"), _TRI_SEED).asc(), F.col("user_id").asc()
     )
-    # the capped projection feeds both sides of the pair join, and the
-    # edge table feeds all three triangle-join roles plus the edge
-    # count — checkpoint each once or the raw table scans 8× (measured)
+    # The capped per-bucket user lists are BOUNDED (<= _TRI_CAP rows),
+    # so the quadratic co-occurrence projection is generated as array
+    # algebra in one groupBy instead of a capped⋈capped self-join
+    # (guide §2.4 — the groupBy reuses the window's (h, event_type)
+    # partitioning, so pair generation adds ZERO exchanges where the
+    # join shape paid two join-side shuffles plus a checkpoint).
+    # The pair orientation (src < dst by user id) and the trailing
+    # distinct are unchanged.
     capped = (
         bucket_users.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TRI_CAP)
-        .drop("rn")
-        .localCheckpoint(eager=True)
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+    users = F.col("users")
+    pair_structs = F.flatten(
+        F.transform(
+            users,
+            lambda a, i: F.transform(
+                F.slice(users, i + 2, _TRI_CAP),
+                lambda b: F.struct(
+                    F.least(a, b).alias("src"),
+                    F.greatest(a, b).alias("dst"),
+                ),
+            ),
         )
-        .select(
-            F.col("a.user_id").alias("src"),
-            F.col("b.user_id").alias("dst"),
-        )
+    )
+    # edges persist (NOT localCheckpoint): the frame is slim and the
+    # preserved size statistics let the two triangle-join probes and
+    # the closure join plan as BroadcastHashJoins instead of
+    # SortMergeJoins (the r11 persist-vs-checkpoint plan lesson)
+    edges = scoped_persist(
+        capped.groupBy("h", "event_type")
+        .agg(F.collect_list("user_id").alias("users"))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.src", "p.dst")
         .distinct()
-        .localCheckpoint(eager=True)
     )
     ab = edges.alias("ab")
     bc = edges.alias("bc")

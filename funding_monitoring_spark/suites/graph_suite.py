@@ -89,8 +89,12 @@ def q_pagerank_trading_graph(spark, sf_dir):
     edges = pairs.selectExpr("c AS src", "s AS dst").union(
         pairs.selectExpr("s AS src", "c AS dst")
     )
+    # broadcast_ranks: the node universe is customers ∪ suppliers —
+    # dimension-bounded at any corpus scale, so the per-iteration
+    # rank vector broadcasts and the edge list never re-shuffles
     ranks = pagerank_fixed(
-        edges, iterations=ITERATIONS, damping=DAMPING
+        edges, iterations=ITERATIONS, damping=DAMPING,
+        broadcast_ranks=True,
     )
     return ranks.select("node", F.round("rank", ROUND).alias("rank"))
 

@@ -444,11 +444,21 @@ def q_hashed_ngram_quality_score(spark, sf_dir):
         F.length(t) >= _HNS_N,
         (F.length(t) - (_HNS_N - 1)).cast("long"),
     ).otherwise(F.lit(1).cast("long"))
-    return docs.select(
+    # Two projections, not one: `score` is a higher-order-function
+    # fold, which Catalyst's subexpression elimination skips — one
+    # select referencing it twice evaluates the whole ~400-gram fold
+    # TWICE per row (verified in the plan: 4 aggregate() nodes vs 2).
+    # Materializing it as a column first keeps one evaluation;
+    # CollapseProject refrains because the expression is non-cheap
+    # and referenced twice downstream.
+    scored = docs.select(
+        "doc_id", n_grams.alias("n_grams"), score.alias("score")
+    )
+    return scored.select(
         "doc_id",
-        n_grams.alias("n_grams"),
-        score.alias("score"),
-        (score >= 0).cast("int").alias("kept"),
+        "n_grams",
+        "score",
+        (F.col("score") >= 0).cast("int").alias("kept"),
     )
 
 
