@@ -37,6 +37,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from funding_monitoring_spark.operators.cachescope import scoped_persist
 from funding_monitoring_spark.operators.upsert import dedupe_batch, upsert
 from funding_monitoring_spark.pipeline.funding_stats import (
     funding_stats_from_rates,
@@ -106,28 +107,48 @@ def run_main_dag(
     summaries.append(("create_tables", len(FIXTURE_TABLE_NAMES), None))
 
     # -- tasks 2-4: the 3-wide extract fan-out -------------------------
+    # The scheduler graph declares these three extracts PARALLEL
+    # (`>> [update_active_futures, update_active_spot_pairs,
+    # append_new_lending_data] >>`), and they are data-independent, so
+    # run them as concurrent driver jobs (guide §2.6: actions are only
+    # sequential because driver code calls them sequentially; the next
+    # job's tasks back-fill executors freed by the current job's tail).
+    # Each task writes its own store and summarizes it; the summary
+    # rows are appended in the fixed declared order, so the result
+    # frame is identical to the sequential run.
     futures_path = os.path.join(base_dir, "kucoin_active_futures")
-    atomic_overwrite(q_futures_snapshot(spark, sf_dir), futures_path)
-    n, chk = _summarize(spark.read.parquet(futures_path), "tick_size")
-    summaries.append(("update_active_futures", n, chk))
-
     spot_path = os.path.join(base_dir, "kucoin_active_spot_pairs")
-    atomic_overwrite(q_spot_pairs_snapshot(spark, sf_dir), spot_path)
-    n, chk = _summarize(
-        spark.read.parquet(spot_path), "spot_unit_volume24h"
-    )
-    summaries.append(("update_active_spot_pairs", n, chk))
-
     lending_path = os.path.join(base_dir, "kucoin_lending_rates")
-    # the reference APPENDS each tick (lending_data_etl.py:76-91); the
-    # first run of a fresh store is plain append-create
-    q_lending_pipeline(spark, sf_dir).write.mode("append").parquet(
-        lending_path
-    )
-    n, chk = _summarize(
-        spark.read.parquet(lending_path), "annualized_interest_rate"
-    )
-    summaries.append(("append_new_lending_data", n, chk))
+
+    def _futures_task():
+        atomic_overwrite(q_futures_snapshot(spark, sf_dir), futures_path)
+        return _summarize(spark.read.parquet(futures_path), "tick_size")
+
+    def _spot_task():
+        atomic_overwrite(q_spot_pairs_snapshot(spark, sf_dir), spot_path)
+        return _summarize(
+            spark.read.parquet(spot_path), "spot_unit_volume24h"
+        )
+
+    def _lending_task():
+        # the reference APPENDS each tick (lending_data_etl.py:76-91);
+        # the first run of a fresh store is plain append-create
+        q_lending_pipeline(spark, sf_dir).write.mode("append").parquet(
+            lending_path
+        )
+        return _summarize(
+            spark.read.parquet(lending_path), "annualized_interest_rate"
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_f = pool.submit(_futures_task)
+        fut_s = pool.submit(_spot_task)
+        fut_l = pool.submit(_lending_task)
+        summaries.append(("update_active_futures", *fut_f.result()))
+        summaries.append(("update_active_spot_pairs", *fut_s.result()))
+        summaries.append(("append_new_lending_data", *fut_l.result()))
 
     # -- task 5: update_funding_data (PK upsert, K1/K2) ----------------
     # Reference ingestion is paged with an inclusive boundary cursor
@@ -137,8 +158,16 @@ def run_main_dag(
     # funding_time) with event_id as the revision order. The result is
     # exactly the deduped full scan: no boundary row lost or doubled.
     events = load_table(spark, sf_dir, "events")
-    rates = funding_rates_for_symbols(
-        events, spark.read.parquet(futures_path)
+    # The slim (symbol, funding_time, funding_rate, event_id) frame
+    # feeds THREE downstream consumers — the split-point aggregate and
+    # both page filters — each of which would otherwise replay the
+    # events scan + semi-join (guide §2.4/§5: three full passes over
+    # the source for one logical input). Persist once; the scope
+    # registry releases it after the summary materializes.
+    rates = scoped_persist(
+        funding_rates_for_symbols(
+            events, spark.read.parquet(futures_path)
+        )
     )
     split = rates.agg(
         (F.max("funding_time") - F.expr("INTERVAL 15 DAYS")).alias("s")
