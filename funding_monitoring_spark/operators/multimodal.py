@@ -90,6 +90,50 @@ def register_module_by_value(module_name: str = __name__) -> None:
         pass
 
 
+def fused_map(frame: DataFrame, run, schema) -> DataFrame:
+    """mapInPandas with PIPELINE FUSION across consecutive media
+    stages (optimization guide §4: eliminate JVM↔Python boundary
+    crossings).
+
+    Consecutive mapInPandas nodes each pay a full Arrow
+    serialize → Python worker → Arrow deserialize round trip of the
+    ENTIRE media payload column — a synthesize→resize→decode chain
+    ships every image across the boundary three times. But every
+    media operator's ``run`` is a pure
+    ``Iterator[pd.DataFrame] → Iterator[pd.DataFrame]`` generator, so
+    a chain composes losslessly in Python: this wrapper tags each
+    output frame with its (base frame, run list); when the NEXT media
+    operator receives a tagged frame it re-derives from the base with
+    the composed generator — ONE mapInPandas node, one boundary
+    crossing, identical per-row computation (the intermediate frame
+    is lazy and simply never executed). Any non-media transformation
+    in between (select/filter/join/parquet round trip) drops the tag
+    and the chain restarts there, so fusion is always safe.
+
+    Row-level results are bit-identical to the unfused chain: each
+    ``run`` already consumes exactly the dict/bytes shapes its
+    upstream yields (Arrow hands struct columns to pandas as dicts
+    and binary as bytes — the same objects the synth stages yield)."""
+    chain = getattr(frame, "_media_fusion_chain", None)
+    if chain is None:
+        base, runs = frame, (run,)
+    else:
+        base, prev = chain
+        runs = prev + (run,)
+    if len(runs) == 1:
+        composed = run
+    else:
+        def composed(batches, _runs=runs):
+            it = batches
+            for r in _runs:
+                it = r(it)
+            return it
+
+    out = base.mapInPandas(composed, schema=schema)
+    out._media_fusion_chain = (base, runs)
+    return out
+
+
 def _pil_image_module():
     """The optional imaging dependency, or None. JPEG support rides
     on Pillow when it is installed; everything else in this module is
@@ -639,7 +683,7 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return fused_map(media, run, FEATURE_SCHEMA)
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -684,7 +728,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media, run, MEDIA_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -721,7 +765,7 @@ def sample_frames(
                 {"media_id": ids, "frame_idx": idxs, "frame": frames}
             )
 
-    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+    return fused_map(media, run, FRAME_SCHEMA)
 
 
 BMP_FEATURE_SCHEMA = T.StructType(
@@ -788,7 +832,7 @@ def resize_images(
                 }
             )
 
-    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media, run, MEDIA_SCHEMA)
 
 
 def _bmp_pixels(media_id: int, w: int, h: int):
@@ -992,7 +1036,7 @@ def synthesize_tiff_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 def _spread_ids(media_ids: DataFrame) -> DataFrame:
@@ -1045,7 +1089,7 @@ def _synthesize_media(
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 def synthesize_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1091,7 +1135,7 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, schema=BMP_FEATURE_SCHEMA)
+    return fused_map(media, run, BMP_FEATURE_SCHEMA)
 
 
 #: back-compat name from when only the BMP decoder existed
@@ -1147,7 +1191,7 @@ def synthesize_image_scale_twins(
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 # -- EXIF in JPEG APP1 (TIFF IFD machinery from operators/tiffcodec.py) ----
@@ -1291,7 +1335,7 @@ def synthesize_pdf_media(docs: DataFrame) -> DataFrame:
     ids = _spread_ids(
         docs.select(F.col("doc_id").alias("media_id"), "text")
     )
-    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(ids, run, MEDIA_SCHEMA)
 
 
 def decode_pdf_features(media: DataFrame) -> DataFrame:
@@ -1332,7 +1376,7 @@ def decode_pdf_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, schema=PDF_FEATURE_SCHEMA)
+    return fused_map(media, run, PDF_FEATURE_SCHEMA)
 
 
 # -- real audio codec: uncompressed PCM WAV (RIFF) -------------------------
@@ -1585,7 +1629,7 @@ def synthesize_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 def decode_wav_features(media: DataFrame) -> DataFrame:
@@ -1614,7 +1658,7 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+    return fused_map(media, run, WAV_FEATURE_SCHEMA)
 
 
 # -- AIFF / AIFF-C (big-endian PCM; Apple/SGI audio interchange) ------------
@@ -1777,7 +1821,7 @@ def synthesize_aiff_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 def decode_aiff_features(media: DataFrame) -> DataFrame:
@@ -1805,7 +1849,7 @@ def decode_aiff_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+    return fused_map(media, run, WAV_FEATURE_SCHEMA)
 
 
 # -- compressed audio: FLAC via the pure codec (no dependency) -------------
@@ -1851,7 +1895,7 @@ def synthesize_flac_media(
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 def decode_flac_features(media: DataFrame) -> DataFrame:
@@ -1880,7 +1924,7 @@ def decode_flac_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+    return fused_map(media, run, WAV_FEATURE_SCHEMA)
 
 
 # -- MP3 structural metadata (header walk, no PCM decode) ------------------
@@ -1938,7 +1982,7 @@ def synthesize_mp3meta_media(
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 def mp3_metadata_features(media: DataFrame) -> DataFrame:
@@ -1961,7 +2005,8 @@ def mp3_metadata_features(media: DataFrame) -> DataFrame:
                 rows.append(m)
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(
+    return fused_map(
+        media,
         run,
         schema=(
             "n_frames int, bitrate_kbps int, sample_rate int, "
@@ -2156,7 +2201,8 @@ def image_dhash_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(
+    return fused_map(
+        media,
         run,
         schema="media_id long, width int, height int, dhash string",
     )
@@ -2222,7 +2268,7 @@ def synthesize_gif_media(
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 def synthesize_adpcm_media(
@@ -2266,7 +2312,7 @@ def synthesize_adpcm_media(
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 def _adpcm_samples(media_id: int, n: int):
@@ -2323,7 +2369,8 @@ def decode_adpcm_features_tolerant(
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(
+    return fused_map(
+        media,
         run,
         schema=(
             "media_id long, n_samples int, channels int, "
@@ -2369,7 +2416,7 @@ def synthesize_g711_media(
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 def decode_g711_features_tolerant(
@@ -2407,7 +2454,8 @@ def decode_g711_features_tolerant(
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(
+    return fused_map(
+        media,
         run,
         schema=(
             "media_id long, n_samples int, channels int, "
@@ -2450,7 +2498,7 @@ def synthesize_mp3_media_libsndfile(
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 # -- pure-codec MP3 path (operators/mp3codec.py; no dependencies) ----------
@@ -2519,7 +2567,7 @@ def synthesize_mp3_pure_media(
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 def decode_mp3_features_tolerant(media: DataFrame) -> DataFrame:
@@ -2572,7 +2620,8 @@ def decode_mp3_features_tolerant(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(
+    return fused_map(
+        media,
         run,
         schema=(
             "media_id long, channels int, sample_rate int, "
@@ -2624,7 +2673,8 @@ def decode_audio_features_tolerant(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(
+    return fused_map(
+        media,
         run,
         schema=(
             "media_id long, channels int, sample_rate int, "
@@ -2867,7 +2917,7 @@ def synthesize_avi_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 AVI_FRAME_SCHEMA = T.StructType(
@@ -2912,7 +2962,7 @@ def decode_avi_frames(media: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, schema=AVI_FRAME_SCHEMA)
+    return fused_map(media, run, AVI_FRAME_SCHEMA)
 
 
 def synthesize_mjpg_avi_media(
@@ -2957,7 +3007,7 @@ def synthesize_mjpg_avi_media(
             )
 
     media_ids = _spread_ids(ids.select(F.col(id_col).alias("media_id")))
-    return media_ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(media_ids, run, MEDIA_SCHEMA)
 
 
 def decode_avi_frames_tolerant(
@@ -3003,7 +3053,8 @@ def decode_avi_frames_tolerant(
                     )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(
+    return fused_map(
+        media,
         run,
         schema=(
             "media_id long, frame_idx int, fps int, "
@@ -3138,7 +3189,8 @@ def decode_image_features_tolerant(
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(
+    return fused_map(
+        media,
         run,
         schema=(
             "media_id long, width int, height int, "
@@ -3201,7 +3253,7 @@ def synthesize_charset_media(docs: DataFrame) -> DataFrame:
     ids = _spread_ids(
         docs.select(F.col("doc_id").alias("media_id"), "text")
     )
-    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(ids, run, MEDIA_SCHEMA)
 
 
 def detect_charset_features(media: DataFrame) -> DataFrame:
@@ -3254,4 +3306,4 @@ def detect_charset_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, schema=CHARSET_FEATURE_SCHEMA)
+    return fused_map(media, run, CHARSET_FEATURE_SCHEMA)

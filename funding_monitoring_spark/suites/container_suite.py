@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from funding_monitoring_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     _spread_ids,
+    fused_map,
     register_module_by_value,
 )
 from funding_monitoring_spark.operators.textstats import (
@@ -90,7 +91,7 @@ def _doc_media(docs: DataFrame, build) -> DataFrame:
             F.col("doc_id").alias("media_id"), "text", "lang", "source"
         )
     )
-    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return fused_map(ids, run, MEDIA_SCHEMA)
 
 
 def _features(media: DataFrame, extract, schema) -> DataFrame:
@@ -105,7 +106,7 @@ def _features(media: DataFrame, extract, schema) -> DataFrame:
             ]
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, schema=schema)
+    return fused_map(media, run, schema)
 
 
 def _meta_line(mid: int, lang: str, source: str) -> str:

@@ -8,6 +8,7 @@ from __future__ import annotations
 from funding_monitoring_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
+    fused_map,
     resize_media,
     sample_frames,
 )
@@ -973,8 +974,8 @@ def q_jpeg_exif_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     ids = _spread_ids(docs.select(F.col("doc_id").alias("media_id")))
-    media = ids.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    return media.mapInPandas(scan, schema=EXIF_FEATURE_SCHEMA)
+    media = fused_map(ids, synth, MEDIA_SCHEMA)
+    return fused_map(media, scan, EXIF_FEATURE_SCHEMA)
 
 
 @query(
@@ -1510,8 +1511,8 @@ def q_mp3_id3_scan(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     ids = _spread_ids(docs.select(F.col("doc_id").alias("media_id")))
-    media = ids.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    return media.mapInPandas(scan, schema=schema)
+    media = fused_map(ids, synth, MEDIA_SCHEMA)
+    return fused_map(media, scan, schema)
 
 
 # Full-profile MP3 (scalefactors, bigvalues tables, reservoir) rides
