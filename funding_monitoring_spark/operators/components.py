@@ -47,9 +47,26 @@ def connected_components(
     component. Raises if max_iter rounds don't converge (a dup graph
     with diameter > max_iter means the banding is catastrophically
     under-selective — fail loudly, don't emit wrong clusters)."""
+    # Symmetrize in ONE pass over `pairs` (guide §2.4): Catalyst has
+    # no subplan reuse across a self-union, so the old
+    # pairs.union(pairs.swapped) evaluated the ENTIRE upstream pair
+    # pipeline twice — for the dedup-cluster queries that pipeline is
+    # the full LSH band-and-verify pass. A map-side explode of the
+    # two orientations emits the same rows from a single scan.
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("u"), F.col(dst).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("u"), F.col(src).alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .persist()
     )
@@ -109,13 +126,26 @@ def connected_components(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def _sym_dup(e: DataFrame) -> DataFrame:
+    """Both orientations of every edge from ONE map-side pass (no
+    self-union — Catalyst would evaluate `e` twice — and NO distinct:
+    every consumer here is a min-aggregate or feeds a later distinct,
+    both duplicate-insensitive, so the dedup shuffle is pure waste)."""
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., Algorithm 2): every node
     connects its strictly-larger neighbors to the minimum of its
     closed neighborhood."""
-    sym = e.union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    sym = _sym_dup(e)
     m = sym.groupBy("u").agg(F.min("v").alias("__mn")).select(
         "u", F.least("__mn", "u").alias("__m")
     )
@@ -131,18 +161,29 @@ def _small_star(e: DataFrame) -> DataFrame:
     """One small-star round (Kiveris et al., Algorithm 3): edges are
     oriented large→small, then every node connects its (smaller)
     neighbors and itself to the neighborhood minimum."""
-    o = (
-        e.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    # No .distinct() on the orientation pass (min-aggregate and the
+    # final distinct are duplicate-insensitive — see _sym_dup), and
+    # the old `union(m)` — which recomputed the whole m aggregate a
+    # second time — is folded into a two-orientation explode of the
+    # join row: (v → m) plus (u → m); every u of `o` appears in ≥ 1
+    # join row, so the emitted set is identical after the distinct.
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
     m = o.groupBy("u").agg(F.min("v").alias("__m"))
     return (
         o.join(m, "u")
-        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
-        .union(m.select("u", F.col("__m").alias("v")))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("v").alias("u"), F.col("__m").alias("v")
+                    ),
+                    F.struct(F.col("u"), F.col("__m").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -177,8 +218,7 @@ def connected_components_star(
         .localCheckpoint()
     )
     nodes = (
-        e.select(F.col("u").alias("id"))
-        .union(e.select(F.col("v").alias("id")))
+        e.select(F.explode(F.array("u", "v")).alias("id"))
         .distinct()
         .localCheckpoint()
     )
@@ -284,8 +324,7 @@ def pagerank_fixed(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .localCheckpoint()
     )
@@ -370,11 +409,23 @@ def kcore_decomposition(
     one layer per round — bound it deliberately for such graphs)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # one-pass symmetrization (guide §2.4): the old self-union
+    # evaluated the caller's edge pipeline twice (for the trading
+    # graph that is the joint-lineitem HAVING aggregate)
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("u"), F.col(dst).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("u"), F.col(src).alias("v")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.u", "e.v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()

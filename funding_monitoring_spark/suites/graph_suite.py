@@ -86,9 +86,21 @@ def q_pagerank_trading_graph(spark, sf_dir):
         )
         .distinct()
     )
-    edges = pairs.selectExpr("c AS src", "s AS dst").union(
-        pairs.selectExpr("s AS src", "c AS dst")
-    )
+    # one-pass symmetrization: a self-union would evaluate the
+    # orders⋈lineitem + distinct pair pipeline twice (no subplan
+    # reuse in Catalyst); the explode emits both directions map-side
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("c").alias("src"), F.col("s").alias("dst")
+                ),
+                F.struct(
+                    F.col("s").alias("src"), F.col("c").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # broadcast_ranks: the node universe is customers ∪ suppliers —
     # dimension-bounded at any corpus scale, so the per-iteration
     # rank vector broadcasts and the edge list never re-shuffles
