@@ -87,6 +87,56 @@ def word_trigrams(col: Column | str) -> Column:
     return let(tokens(col), body)
 
 
+def word_bigram_structs(col: Column | str) -> Column:
+    """`word_bigrams` emitting (w1, w2) STRUCTS instead of
+    space-joined strings — for consumers that immediately need the
+    component words (the LM scorers re-split the string ×k per row;
+    tokens contain no whitespace, so the concat→split round trip is
+    lossless and skipping it changes nothing). Multiset, not
+    distinct."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return F.when(n >= 2, pairs).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+
+    return let(tokens(col), body)
+
+
+def word_trigram_structs(col: Column | str) -> Column:
+    """`word_trigrams` as (w1, w2, w3) structs — see
+    word_bigram_structs."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        tris = F.zip_with(
+            F.zip_with(
+                F.slice(toks, 1, n - 2),
+                F.slice(toks, 2, n - 2),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+            F.slice(toks, 3, n - 2),
+            lambda ab, c: F.struct(
+                ab["w1"].alias("w1"),
+                ab["w2"].alias("w2"),
+                c.alias("w3"),
+            ),
+        )
+        return F.when(n >= 3, tris).otherwise(
+            F.array().cast(
+                "array<struct<w1:string,w2:string,w3:string>>"
+            )
+        )
+
+    return let(tokens(col), body)
+
+
 def distinct_token_ratio(col: Column | str) -> Column:
     """Vocabulary diversity: |distinct tokens| / |tokens|; 1.0 for an
     empty document (vacuously diverse — nothing repeats)."""
@@ -373,12 +423,12 @@ def collocation_pmi(
     t_total = uni.agg(
         F.count(F.lit(1)).cast("double").alias("t")
     )
+    # struct-emitting bigrams: the string form re-split every bigram
+    # row twice; tokens contain no whitespace, so this is
+    # value-identical (guide §1)
     big = docs.select(
-        F.explode(word_bigrams(text_col)).alias("bigram")
-    ).select(
-        F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
-        F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
-    )
+        F.explode(word_bigram_structs(text_col)).alias("bg")
+    ).select("bg.w1", "bg.w2")
     bcnt = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("n_pair")
     )

@@ -1964,18 +1964,18 @@ def q_bigram_logprob_score(spark, sf_dir):
     corpus scans twice total (count pass + scoring pass), both joins
     broadcast-sized (vocabulary², bounded)."""
     from funding_monitoring_spark.operators.textstats import (
-        word_bigrams,
+        word_bigram_structs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # struct-emitting bigrams — same rationale as the trigram scorer:
+    # the string form re-split every bigram row twice
     bigs = docs.select(
         "doc_id",
-        F.explode(word_bigrams(F.lower(F.col("text")))).alias("bg"),
-    ).select(
-        "doc_id",
-        F.split(F.col("bg"), " ").getItem(0).alias("w1"),
-        F.split(F.col("bg"), " ").getItem(1).alias("w2"),
-    )
+        F.explode(
+            word_bigram_structs(F.lower(F.col("text")))
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
     bc = (
         bigs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("nb"))
@@ -2068,19 +2068,20 @@ def q_kn_trigram_logprob_score(spark, sf_dir):
     identical arithmetic expression tree on both engines keeps raw
     doubles bit-comparable before the 6-digit round."""
     from funding_monitoring_spark.operators.textstats import (
-        word_trigrams,
+        word_trigram_structs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # struct-emitting trigrams: the string form re-ran F.split THREE
+    # times per trigram row (no subexpression elimination across the
+    # projection); tokens contain no whitespace, so emitting the
+    # component words directly is value-identical (guide §1)
     tris = docs.select(
         "doc_id",
-        F.explode(word_trigrams(F.lower(F.col("text")))).alias("tg"),
-    ).select(
-        "doc_id",
-        F.split(F.col("tg"), " ").getItem(0).alias("w1"),
-        F.split(F.col("tg"), " ").getItem(1).alias("w2"),
-        F.split(F.col("tg"), " ").getItem(2).alias("w3"),
-    )
+        F.explode(
+            word_trigram_structs(F.lower(F.col("text")))
+        ).alias("tg"),
+    ).select("doc_id", "tg.w1", "tg.w2", "tg.w3")
     tc = (
         tris.groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).cast("double").alias("c3"))

@@ -7,6 +7,7 @@ DuckDB SQL (hash-verified, not rows-counted)."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from funding_monitoring_spark.operators import corpus as C
 from funding_monitoring_spark.operators import textstats as X
@@ -305,22 +306,26 @@ def q_ngram_novelty(spark, sf_dir):
     g = docs.select(
         "doc_id", F.explode(shingle_fingerprints("text")).alias("gram")
     )
-    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        (F.col("first_doc") == F.col("doc_id")).cast("long")
-    ).alias("n_novel")
-    return (
-        g.join(firsts, on="gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            novel,
-            F.round(
-                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
-                / F.count("*"),
-                6,
-            ).alias("novelty"),
-        )
+    # first_doc as a window-min over the gram partition instead of a
+    # groupBy + join back onto g (guide §2.4): Catalyst has no
+    # subplan reuse, so the join shape evaluated the whole shingle
+    # explode TWICE and shuffled it twice on the gram key; the window
+    # computes the identical per-gram minimum in the single gram
+    # shuffle the plan already needed.
+    w = Window.partitionBy("gram")
+    tagged = g.select(
+        "doc_id", F.min("doc_id").over(w).alias("first_doc")
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(
+            (F.col("first_doc") == F.col("doc_id")).cast("long")
+        ).alias("n_novel"),
+        F.round(
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            / F.count("*"),
+            6,
+        ).alias("novelty"),
     )
 
 
