@@ -363,8 +363,14 @@ def cosine_topk_ivf(
         emb_col,
         "cent",
     )
-    c = _prep(corpus, id_col, emb_col, "c")
-    q = _prep(queries, id_col, emb_col, "q")
+    # the prepped frames are each consumed twice by the search (cell
+    # assignment + candidate fetch); without a persist every consumer
+    # re-scans the source and re-computes the norm fold (guide §2.4 /
+    # §5 — Catalyst has no subplan reuse). MEMORY_AND_DISK persist
+    # during an index build/search pass is the standard trade at any
+    # scale; released by the cachescope registry at query end.
+    c = _prep(corpus, id_col, emb_col, "c").transform(scoped_persist)
+    q = _prep(queries, id_col, emb_col, "q").transform(scoped_persist)
     return _ivf_search(q, c, cents, k, nprobe)
 
 
@@ -500,8 +506,12 @@ def cosine_topk_ivf_kmeans(
         emb_col,
         "cent",
     )
-    c = _prep(corpus, id_col, emb_col, "c")
-    q = _prep(queries, id_col, emb_col, "q")
+    # the corpus frame feeds every Lloyd iteration TWICE (assignment
+    # crossJoin + member fetch) plus both search branches — persist it
+    # once (guide §2.4/§5; MEMORY_AND_DISK, scope-released at query
+    # end) instead of re-scanning the source per consumer
+    c = _prep(corpus, id_col, emb_col, "c").transform(scoped_persist)
+    q = _prep(queries, id_col, emb_col, "q").transform(scoped_persist)
     # the refined centroid table is the (tiny) index; persist it so the
     # Lloyd chain — which scans the corpus once per iteration — is not
     # re-evaluated by each of the two search branches that consume it
