@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from funding_monitoring_spark.operators.cachescope import scoped_persist
+
 
 def qgram_set(s: Column, q: int) -> Column:
     """Distinct q-grams of a string (positional-free); a string
@@ -447,6 +449,12 @@ def damerau_join(
         # funnel stage 1: sound JVM prefilter (DL <= d => Lev <= 2d)
         .filter(F.levenshtein(F.col("_sa"), F.col("_sb"), 2 * d) >= 0)
         .select("_g", "_ida", "_idb", "_sa", "_sb")
+        # consumed twice (distinct DP input + the final join-back):
+        # without a persist the gram join AND the banded-levenshtein
+        # pass over ~1.4M candidates run twice (guide §2.4 — no
+        # subplan reuse). The surviving frame is the post-funnel
+        # near-miss set — tiny relative to the candidate mass.
+        .transform(scoped_persist)
     )
 
     # funnel stage 2: one DP per DISTINCT string pair
