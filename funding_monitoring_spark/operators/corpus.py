@@ -358,15 +358,26 @@ def bm25_topk(
     Returns (rank, doc_id, n_hit_terms, score)."""
     from funding_monitoring_spark.operators.textstats import tokens
 
+    from funding_monitoring_spark.operators.cachescope import (
+        scoped_persist,
+    )
+
     toks = docs.select(
         F.col(id_col),
         F.explode(tokens(text_col)).alias("term"),
     )
-    tf = toks.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    # ONE corpus tokenize pass (guide §2.4): tf is persisted and every
+    # other statistic derives from it — df is the per-term row count,
+    # and dl = Σ_term tf (the token count per document, identical to
+    # counting the raw token stream). The old shape re-tokenized the
+    # corpus for each of tf/df/dl/stats (no subplan reuse), 4 passes.
+    tf = scoped_persist(
+        toks.groupBy(id_col, "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
