@@ -64,17 +64,39 @@ def repetition_metrics(
         F.round(distinct_token_ratio(text_col), 6).alias("distinct_ratio"),
         word_bigrams(text_col).alias("__bigrams"),
     )
-    top = (
-        base.select(id_col, F.explode("__bigrams").alias("bigram"))
+    # ONE corpus pass, no join-back (guide §2.4): the old shape
+    # re-evaluated `base` on both sides of a left join (no subplan
+    # reuse — the doc scan and both tokenize HOFs ran twice).
+    # explode_outer keeps bigram-less documents (<2 tokens) as a NULL
+    # bigram row, the per-doc scalars ride the two aggregations via
+    # first(), and count/max over the BIGRAM column ignore the NULL
+    # row — so top_n/total_bigrams are NULL for those docs exactly as
+    # the left join produced.
+    joined = (
+        base.select(
+            id_col,
+            "n_tokens",
+            "distinct_ratio",
+            F.explode_outer("__bigrams").alias("bigram"),
+        )
         .groupBy(id_col, "bigram")
-        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("bigram").alias("c"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("distinct_ratio").alias("distinct_ratio"),
+        )
         .groupBy(id_col)
         .agg(
-            F.max("c").alias("top_n"),
-            F.sum("c").alias("total_bigrams"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("distinct_ratio").alias("distinct_ratio"),
+            F.max(
+                F.when(F.col("bigram").isNotNull(), F.col("c"))
+            ).alias("top_n"),
+            F.sum(
+                F.when(F.col("bigram").isNotNull(), F.col("c"))
+            ).alias("total_bigrams"),
         )
     )
-    joined = base.drop("__bigrams").join(top, on=id_col, how="left")
     top_frac = F.round(
         F.coalesce(F.col("top_n") / F.col("total_bigrams"), F.lit(0.0)), 6
     )
