@@ -180,23 +180,33 @@ def ngram_contamination(
     Returns one row per contaminated train doc: the number of shared
     grams, the doc's total gram count, and the contamination rate.
     """
-    grams = docs.select(
+    # Each side shingles only ITS documents, once (guide §2.4): the
+    # old shape shingled the WHOLE corpus into one frame and filtered
+    # it three ways — with no subplan reuse the full shingle explode
+    # evaluated three times. The eval dictionary now derives from the
+    # (small) eval partition alone, and the train pass aggregates
+    # total and shared counts in ONE groupBy over a broadcast left
+    # join (map-side), so the train corpus is shingled exactly once.
+    eval_grams = (
+        docs.filter(eval_pred)
+        .select(F.explode(shingle_fingerprints(text_col)).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = docs.filter(~eval_pred).select(
         F.col(id_col),
-        eval_pred.alias("__is_eval"),
         F.explode(shingle_fingerprints(text_col)).alias("gram"),
     )
-    eval_grams = (
-        grams.filter(F.col("__is_eval")).select("gram").distinct()
-    )
-    train = grams.filter(~F.col("__is_eval"))
     # shingle_fingerprints is distinct per doc, so count(*) == n grams
-    per_doc = train.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    hits = (
-        train.join(F.broadcast(eval_grams), on="gram")
+    per_doc = (
+        train.join(F.broadcast(eval_grams), on="gram", how="left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_shared_grams"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("__hit").alias("n_shared_grams"),
+        )
     )
-    return hits.join(per_doc, on=id_col).select(
+    return per_doc.filter(F.col("n_shared_grams") > 0).select(
         id_col,
         "n_shared_grams",
         "n_grams",
