@@ -138,10 +138,15 @@ def tfidf_top_terms(
         id_col, F.explode(F.regexp_extract_all(text_col, F.lit(r"(\S+)"), 1)).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df as a window-count over the term partition instead of a
+    # groupBy + join back onto tf (guide §2.4): the join shape
+    # evaluated the tokenize + tf aggregate on both sides (no subplan
+    # reuse); the window counts the identical per-term row count
+    # inside one term-keyed exchange.
+    df = F.count("*").over(Window.partitionBy("term"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(df, on="term")
+        tf.withColumn("df", df)
         .join(F.broadcast(n_docs))
         .select(
             id_col,
