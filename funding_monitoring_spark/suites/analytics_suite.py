@@ -879,10 +879,16 @@ def q_source_divergence_kl(spark, sf_dir):
             )
         ).alias("t"),
     )
-    sc = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("ns"))
-    stot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("sn"))
-    cc = toks.groupBy("t").agg(F.count(F.lit(1)).alias("nc"))
-    ctot = toks.agg(F.count(F.lit(1)).alias("cn"))
+    # ONE tokenize pass (guide §2.4): sc is persisted and the three
+    # coarser counts derive from it by re-aggregation (Σns per source
+    # / per token / overall ≡ counting the raw token stream) — the
+    # old shape re-tokenized the corpus for each of the four counts.
+    sc = scoped_persist(
+        toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("ns"))
+    )
+    stot = sc.groupBy("source").agg(F.sum("ns").alias("sn"))
+    cc = sc.groupBy("t").agg(F.sum("ns").alias("nc"))
+    ctot = sc.agg(F.sum("ns").alias("cn"))
     ps = F.col("ns").cast("double") / F.col("sn")
     pc = F.col("nc").cast("double") / F.col("cn")
     return (
