@@ -197,11 +197,25 @@ def q_expectation_audit(spark, sf_dir):
     lineitem = load_table(spark, sf_dir, "lineitem")
     customer = load_table(spark, sf_dir, "customer")
 
-    o = orders.agg(
+    # the FK orphan check shares the orders scan (guide §2.4): the
+    # old shape ran a second broadcast anti-join pass over orders; a
+    # broadcast LEFT join against the (unique-keyed) dimension is
+    # row-preserving, so the orphan count is one more conditional
+    # aggregate in the same pass
+    o = orders.join(
+        F.broadcast(
+            customer.select(F.col("c_custkey").alias("__ck"))
+        ),
+        orders["o_custkey"] == F.col("__ck"),
+        "left",
+    ).agg(
         (F.count("*") - F.countDistinct("o_orderkey")).alias("pk_dup"),
         F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
         F.sum((F.col("o_totalprice") <= 0).cast("long")).alias(
             "nonpos_price"
+        ),
+        F.sum(F.col("__ck").isNull().cast("long")).alias(
+            "orphan_orders"
         ),
     )
     li = lineitem.agg(
@@ -215,14 +229,6 @@ def q_expectation_audit(spark, sf_dir):
             - F.countDistinct("l_orderkey", "l_linenumber")
         ).alias("line_pk_dup"),
     )
-    fk = (
-        orders.join(
-            F.broadcast(customer.select("c_custkey")),
-            orders["o_custkey"] == F.col("c_custkey"),
-            "left_anti",
-        ).agg(F.count("*").alias("orphan_orders"))
-    )
-
     def report(frame, pairs):
         exprs = ", ".join(
             f"'{name}', CAST({col} AS BIGINT)" for name, col in pairs
@@ -232,25 +238,26 @@ def q_expectation_audit(spark, sf_dir):
             f"stack({n}, {exprs}) AS (check_name, n_violations)"
         )
 
-    out = (
+    # all four orders checks stack out of the ONE aggregate row (a
+    # second report(o, ...) branch would re-evaluate the scan); the
+    # report is row-order-insensitive (the driver sorts), so the fk
+    # row moving into the orders block changes nothing
+    out = report(
+        o,
+        [
+            ("orders_pk_unique", "pk_dup"),
+            ("orders_custkey_not_null", "null_cust"),
+            ("orders_totalprice_positive", "nonpos_price"),
+            ("orders_custkey_fk", "orphan_orders"),
+        ],
+    ).unionByName(
         report(
-            o,
+            li,
             [
-                ("orders_pk_unique", "pk_dup"),
-                ("orders_custkey_not_null", "null_cust"),
-                ("orders_totalprice_positive", "nonpos_price"),
+                ("lineitem_quantity_in_range", "qty_range"),
+                ("lineitem_pk_unique", "line_pk_dup"),
             ],
         )
-        .unionByName(
-            report(
-                li,
-                [
-                    ("lineitem_quantity_in_range", "qty_range"),
-                    ("lineitem_pk_unique", "line_pk_dup"),
-                ],
-            )
-        )
-        .unionByName(report(fk, [("orders_custkey_fk", "orphan_orders")]))
     )
     return out.withColumn(
         "passed", (F.col("n_violations") == 0).cast("int")
