@@ -89,47 +89,38 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     as violations — declare the column nullable via a custom
     predicate instead if NULLs are sanctioned."""
     spark = df.sparkSession
-    parts: list[DataFrame] = []
-    pred_rules = [
-        (i, r) for i, r in enumerate(rules) if r["kind"] == "pred"
-    ]
-    if pred_rules:
-        aggs = [
-            F.sum(r["pred"].cast("long")).alias(f"__v{i}")
-            for i, r in pred_rules
-        ]
-        fused = df.agg(*aggs)
-        structs = F.array(
-            *[
-                F.struct(
-                    F.lit(i).cast("long").alias("__ord"),
-                    F.lit(r["rule"]).alias("rule"),
-                    F.coalesce(F.col(f"__v{i}"), F.lit(0))
-                    .cast("long")
-                    .alias("n_violations"),
-                )
-                for i, r in pred_rules
-            ]
+    if not rules:
+        return spark.createDataFrame(
+            [], "rule string, n_violations long, passed int"
         )
-        parts.append(fused.select(F.inline(structs)))
+    # EVERY rule kind now folds into ONE scan of df (guide §2.4 —
+    # the old shape paid one extra full pass per unique() and per
+    # foreign_key()):
+    # - fk: a left join against the dim's DISTINCT key projection is
+    #   row-preserving, so "no match" becomes a NULL marker column
+    #   and the orphan count one more conditional sum (NULL fact keys
+    #   never match, exactly like the anti join);
+    # - unique: violations = count(*) − countDistinct(struct(cols)).
+    #   The struct wrapper is the null-safe form — a struct is never
+    #   NULL even when its fields are, so all-NULL / partial-NULL key
+    #   tuples count as distinct groups exactly as the old
+    #   groupBy(*cols) did.
+    joined = df
+    aggs: list[Column] = []
     for i, r in enumerate(rules):
-        if r["kind"] == "unique":
-            dups = (
-                df.groupBy(*r["cols"])
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .agg(
-                    F.coalesce(
-                        F.sum(F.col("__n") - F.lit(1)), F.lit(0)
-                    ).alias("n_violations")
-                )
-                .select(
-                    F.lit(i).cast("long").alias("__ord"),
-                    F.lit(r["rule"]).alias("rule"),
-                    "n_violations",
-                )
+        if r["kind"] == "pred":
+            aggs.append(
+                F.sum(r["pred"].cast("long")).alias(f"__v{i}")
             )
-            parts.append(dups)
+        elif r["kind"] == "unique":
+            aggs.append(
+                (
+                    F.count(F.lit(1))
+                    - F.countDistinct(F.struct(*r["cols"]))
+                ).alias(f"__v{i}")
+            )
         elif r["kind"] == "fk":
+            marker = f"__fk{i}"
             dim_keys = (
                 r["dim"]
                 .select(
@@ -139,29 +130,28 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
                     ]
                 )
                 .dropDuplicates()
+                .withColumn(marker, F.lit(1))
             )
-            orphans = (
-                df.select(*r["cols"])
-                .join(dim_keys, on=r["cols"], how="left_anti")
-                .agg(F.count(F.lit(1)).alias("n_violations"))
-                .select(
-                    F.lit(i).cast("long").alias("__ord"),
-                    F.lit(r["rule"]).alias("rule"),
-                    "n_violations",
+            joined = joined.join(dim_keys, on=r["cols"], how="left")
+            aggs.append(
+                F.sum(F.col(marker).isNull().cast("long")).alias(
+                    f"__v{i}"
                 )
             )
-            parts.append(orphans)
-    if not parts:
-        return spark.createDataFrame(
-            [], "rule string, n_violations long, passed int"
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return (
-        out.orderBy("__ord")
-        .drop("__ord")
-        .withColumn(
-            "passed", (F.col("n_violations") == 0).cast("int")
-        )
+    fused = joined.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(r["rule"]).alias("rule"),
+                F.coalesce(F.col(f"__v{i}"), F.lit(0))
+                .cast("long")
+                .alias("n_violations"),
+            )
+            for i, r in enumerate(rules)
+        ]
+    )
+    # inline() preserves the declared rule order within the single
+    # output row — no ordinal sort needed
+    return fused.select(F.inline(structs)).withColumn(
+        "passed", (F.col("n_violations") == 0).cast("int")
     )
