@@ -1566,37 +1566,29 @@ def q_table_profile(spark, sf_dir):
     swap for approx_count_distinct; the report shape is unchanged."""
     events = load_table(spark, sf_dir, "events")
 
-    # ONE scan for all profiled columns (guide §2.4): the old
-    # union-of-aggregates shape scanned events once per column. All
-    # per-column aggregates share a single agg (Spark plans the
-    # multi-distinct via one Expand), then inline() unfolds the long
-    # form in the same declared order. min/max stay in the column's
-    # OWN order and stringify AFTER (a pre-cast would make numeric
-    # min/max lexicographic) — identical values per column.
-    cols = ["event_id", "user_id", "event_type"]
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for c in cols:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"__null_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
-            F.min(c).cast("string").alias(f"__min_{c}"),
-            F.max(c).cast("string").alias(f"__max_{c}"),
-        ]
-    fused = events.agg(*aggs)
-    structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("col"),
-                F.col("n").alias("n"),
-                F.col(f"__null_{c}").alias("n_null"),
-                F.col(f"__nd_{c}").alias("n_distinct"),
-                F.col(f"__min_{c}").alias("min_repr"),
-                F.col(f"__max_{c}").alias("max_repr"),
-            )
-            for c in cols
-        ]
+    # Deliberately one aggregate pass PER column, not one fused agg:
+    # parquet column pruning means each union branch scans only its
+    # own column (total bytes ≈ one 3-column scan), while the fused
+    # multi-countDistinct plans an Expand that pushes 4x the row mass
+    # through partial aggregation — measured 2.3x slower at sf0.1
+    # (r13 A/B, OPTIMIZATION_r13.md batch 11).
+    def profile(col):
+        # min/max in the column's OWN order, stringified AFTER (a
+        # pre-cast would make numeric min/max lexicographic)
+        return events.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_repr"),
+            F.max(col).cast("string").alias("max_repr"),
+        )
+
+    return (
+        profile("event_id")
+        .unionAll(profile("user_id"))
+        .unionAll(profile("event_type"))
     )
-    return fused.select(F.inline(structs))
 
 
 KS_ORACLE = """
