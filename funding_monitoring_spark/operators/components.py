@@ -305,44 +305,44 @@ def pagerank_fixed(
     undirected graph); dangling-mass redistribution is intentionally
     out of scope so the oracle stays a pure 2-join unroll.
 
-    Scale shape per iteration: ranks⋈degrees on the node key (both
-    pre-partitioned by node after the first round), one edges⋈ranks
-    equi-join on src, one sum-aggregate on dst — only (node, double)
-    pairs shuffle, never the edge payload. Edges and nodes are
+    Scale shape per iteration: one edges⋈ranks equi-join on src
+    (degree rides the pre-built edge frame), one sum-aggregate on dst
+    — only (node, double) pairs shuffle, never the edge payload. The
+    degree-carrying edge frame and the node universe are
     localCheckpoint'ed once up front; rank lineage is truncated every
     `checkpoint_every` rounds (each mid-loop checkpoint costs a full
     materialization job, so a short fixed-iteration run stays a single
     Catalyst plan). The node count is a scalar one-job aggregate, not
     a data collect.
     """
-    # edges and nodes are reused every iteration: truncate their
-    # (possibly deep) upstream lineage ONCE. Mid-loop rank
+    # The (src, dst, deg) frame is reused every iteration: truncate
+    # its (possibly deep) upstream lineage ONCE. Mid-loop rank
     # checkpoints, by contrast, each cost a full materialization job,
     # so they happen only every `checkpoint_every` rounds — a short
     # fixed-iteration run is a single Catalyst plan / single job.
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
+    #
+    # Degree is a window count over the src partition (guide §2.4:
+    # two operations keyed the same way share one exchange): the old
+    # shape checkpointed the bare edge list, then paid a groupBy +
+    # join-back and a SECOND checkpoint to attach deg — two full
+    # edge-frame materializations and an extra exchange for the same
+    # (src, dst, deg) rows. Per-src row mass through the window
+    # equals the old join shuffle's, so no new skew bound.
+    from pyspark.sql.window import Window
+
+    e_deg = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+        .localCheckpoint()
+    )
     nodes = (
-        e.select(F.explode(F.array("src", "dst")).alias("node"))
+        e_deg.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .localCheckpoint()
     )
     n = nodes.count()
-    # Degrees are joined into the edge list ONCE, up front (guide
-    # §2.4: two operations keyed the same way share one exchange —
-    # and a per-iteration ranks⋈deg join disappears entirely). The
-    # checkpointed (src, dst, deg) frame costs one extra long per
-    # edge and saves one full join per iteration; the old shape paid
-    # ranks⋈deg + edges⋈share per round.
-    deg = e.groupBy("src").agg(F.count("*").alias("deg")).select(
-        F.col("src").alias("deg_node"), "deg"
-    )
-    e_deg = (
-        e.join(deg, F.col("src") == F.col("deg_node"))
-        .select("src", "dst", "deg")
-        .localCheckpoint()
-    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for it in range(iterations):

@@ -80,23 +80,35 @@ def q_unpivot(spark, sf_dir):
     """,
 )
 def q_cube(spark, sf_dir):
-    """CUBE over two dimensions + grouping_id: all 2^2 aggregation
-    granularities in one pass (Expand multiplies rows pre-shuffle by
-    the granularity count; partial agg still collapses map-side)."""
+    """CUBE over two dimensions + grouping_id, with the fact table
+    pre-aggregated at the FINEST granularity first: the Expand node
+    multiplies its input by the grouping-set count, so feeding it the
+    raw fact pushes |fact|·2^d rows through partial aggregation while
+    feeding it the (l_returnflag, l_linestatus) aggregate pushes
+    |groups|·2^d. Decimal sums and counts are associative (sum of
+    per-group sums ≡ sum over rows, exactly — no FP order
+    sensitivity), and CUBE over the pre-aggregate emits the identical
+    cells and grouping ids: a raw NULL value still forms its own
+    finest-granularity group and GROUPING() still separates it from
+    the subtotal NULLs."""
     li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        # exact decimal sum -> double (at the end): the global CUBE
+        # cell sums the whole fact table, where 6-decimal double
+        # rounding is past the significand at large SF
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("rev_part"),
+        F.count(F.lit(1)).alias("n_part"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        base.cube("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
-            # exact decimal sum -> double: the global CUBE cell sums the
-            # whole fact table, where 6-decimal double rounding is
-            # past the significand at large SF
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,6)"
-                )
-            ).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_part").cast("double").alias("revenue"),
+            F.sum("n_part").alias("n_items"),
         )
         .select(
             "l_returnflag", "l_linestatus", "gid", "revenue", "n_items"
@@ -280,14 +292,35 @@ _GROUPING_SETS_SQL = """
 @query("grouping_sets_revenue", _GROUPING_SETS_SQL)
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (the general form CUBE/ROLLUP desugar
-    to): three chosen granularities in one pass, same dialect-neutral
-    SQL text through Spark SQL and DuckDB — completing the
+    to): three chosen granularities in one pass — completing the
     grouping-sets surface next to rollup_totals and cube_revenue.
-    Same Expand + partial-agg plan shape as CUBE."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "lineitem"
-    )
-    return spark.sql(_GROUPING_SETS_SQL)
+    Like cube_revenue, the fact table is pre-aggregated at the finest
+    granularity first so the Expand node multiplies |groups| rows by
+    the set count instead of |fact| rows; decimal sums and counts
+    re-aggregate exactly, and GROUPING SETS over the pre-aggregate
+    yields identical cells and grouping flags (the finest set
+    (l_returnflag, l_linestatus) is one of the requested sets, so
+    every coarser set is a pure re-aggregation of it)."""
+    load_table(spark, sf_dir, "lineitem").groupBy(
+        "l_returnflag", "l_linestatus"
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("rev_part"),
+        F.count(F.lit(1)).alias("n_part"),
+    ).createOrReplaceTempView("lineitem_rf_ls_agg")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+                    AS BIGINT) AS gid,
+               CAST(SUM(rev_part) AS DOUBLE) AS revenue,
+               SUM(n_part) AS n_items
+        FROM lineitem_rf_ls_agg
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """)
 
 
 @query(

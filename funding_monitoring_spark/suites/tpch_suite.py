@@ -1147,31 +1147,36 @@ def q_tpch_q21(spark, sf_dir):
     """Q21 shape (suppliers who kept orders waiting): the
     double-correlated EXISTS / NOT EXISTS — per supplier, orders where
     it is the SOLE 'failed' participant among multiple suppliers —
-    realized as a left-semi (another supplier exists in the order) then
-    left-anti (no OTHER supplier failed) on distinct (order, supplier)
-    pairs, so only slim key pairs shuffle. Adaptation: 'failed' is
-    l_returnflag = 'R' (fixture lineitem has no commit/receipt
-    dates)."""
+    realized as per-order aggregation over distinct (order, supplier,
+    failed) tuples instead of a semi+anti join pair: a (order,
+    supplier) pair qualifies iff its order has ≥2 distinct suppliers
+    (the EXISTS) and exactly 1 distinct failed supplier (the NOT
+    EXISTS — any second failed supplier disqualifies every failed
+    row, and the single survivor IS the failed one). One lineitem
+    scan and two slim-key exchanges replace three scans, two distinct
+    shuffles and the semi/anti pair — the oracle keeps the original
+    correlated-subquery form, so the hash match is the equivalence
+    proof. Adaptation: 'failed' is l_returnflag = 'R' (fixture
+    lineitem has no commit/receipt dates)."""
     li = load_table(spark, sf_dir, "lineitem")
-    rl = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    pairs = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").alias("failed"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("failed").alias("failed"))
     )
-    al = li.select("l_orderkey", "l_suppkey").distinct()
-    a, b = rl.alias("a"), al.alias("b")
-    multi = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        "left_semi",
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_sup"),
+        F.sum(F.col("failed").cast("int")).alias("n_failed"),
+        F.max(F.when(F.col("failed"), F.col("l_suppkey"))).alias(
+            "l_suppkey"
+        ),
     )
-    c = rl.alias("c")
-    sole = multi.alias("m").join(
-        c,
-        (F.col("m.l_orderkey") == F.col("c.l_orderkey"))
-        & (F.col("m.l_suppkey") != F.col("c.l_suppkey")),
-        "left_anti",
+    sole = per_order.filter(
+        (F.col("n_sup") >= 2) & (F.col("n_failed") == 1)
     )
     s = load_table(spark, sf_dir, "supplier")
     return (

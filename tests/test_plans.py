@@ -215,14 +215,15 @@ def test_q9_all_dims_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_q21_correlated_exists_as_semi_anti_joins(spark, sf_dir):
-    """Q21: the double correlation must plan as hash semi/anti joins on
-    the order key with the supplier inequality as a residual — never a
-    nested-loop over the pair frames."""
+def test_q21_correlated_exists_as_single_scan_aggregate(spark, sf_dir):
+    """Q21: the double-correlated EXISTS/NOT EXISTS is realized as
+    per-order aggregation (r13 reshape) — exactly ONE lineitem scan,
+    no semi/anti join pair re-deriving the distinct-pair frame, and
+    never a nested-loop over the pair frames."""
     plan = plan_str(ALL["tpch_q21_waiting_suppliers"](spark, sf_dir))
-    assert "LeftSemi" in plan, plan
-    assert "LeftAnti" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
     assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
 
 
 def test_scalar_threshold_joins_are_single_row_broadcasts(spark, sf_dir):
