@@ -125,6 +125,57 @@ def probe_bucket_keys(emb_double: Column) -> Column:
     return F.array(*keys)
 
 
+def _bucket_int_cols() -> list[str]:
+    return [f"__b{t}" for t in range(N_TABLES)]
+
+
+def with_bucket_ints(df: DataFrame, emb_col: Column) -> DataFrame:
+    """Materialize each table's integer bucket id as its own column in
+    a SEPARATE projection. Catalyst's subexpression elimination skips
+    higher-order-function folds, so an expression that references
+    `hyperplane_bucket(...)` k times evaluates its N_PLANES seq_dot
+    folds k times per row (`probe_bucket_keys` referenced each
+    table's bucket N_PLANES+1 times — 5× the hyperplane work, 6× once
+    the exact-key array recomputed it again). CollapseProject keeps
+    the split: it never collapses a projection when doing so would
+    duplicate a non-cheap expression, so downstream key builders see
+    plain attribute references."""
+    return df.select(
+        "*",
+        *[
+            hyperplane_bucket(emb_col, t).alias(c)
+            for t, c in enumerate(_bucket_int_cols())
+        ],
+    )
+
+
+def bucket_keys_from_ints() -> Column:
+    """`bucket_keys` over the materialized `with_bucket_ints` columns
+    — identical key strings, each bucket fold evaluated once."""
+    return F.array(
+        *[
+            F.concat_ws(":", F.lit(str(t)), F.col(c))
+            for t, c in enumerate(_bucket_int_cols())
+        ]
+    )
+
+
+def probe_keys_from_ints() -> Column:
+    """`probe_bucket_keys` over the materialized columns: the 1-bit
+    flips are integer XORs of the (already computed) bucket id."""
+    keys = []
+    for t, c in enumerate(_bucket_int_cols()):
+        b = F.col(c)
+        keys.append(F.concat_ws(":", F.lit(str(t)), b))
+        keys.extend(
+            F.concat_ws(
+                ":", F.lit(str(t)), b.bitwiseXOR(F.lit(1 << j))
+            )
+            for j in range(N_PLANES)
+        )
+    return F.array(*keys)
+
+
 def _prep(df: DataFrame, id_col: str, emb_col: str, prefix: str) -> DataFrame:
     emb = to_double_array(emb_col)
     return df.select(
@@ -186,11 +237,15 @@ def cosine_topk_lsh(
     exact keys only, so the index stays N_TABLES entries/vector; only
     the (small) probing side fans out. Queries may return fewer than
     k rows — that's the approximation."""
-    q = _prep(queries, id_col, emb_col, "q").withColumn(
-        "bucket", F.explode(probe_bucket_keys(F.col("q_emb")))
+    q = (
+        with_bucket_ints(_prep(queries, id_col, emb_col, "q"), F.col("q_emb"))
+        .withColumn("bucket", F.explode(probe_keys_from_ints()))
+        .drop(*_bucket_int_cols())
     )
-    c = _prep(corpus, id_col, emb_col, "c").withColumn(
-        "bucket", F.explode(bucket_keys(F.col("c_emb")))
+    c = (
+        with_bucket_ints(_prep(corpus, id_col, emb_col, "c"), F.col("c_emb"))
+        .withColumn("bucket", F.explode(bucket_keys_from_ints()))
+        .drop(*_bucket_int_cols())
     )
     pairs = c.join(F.broadcast(q), on="bucket", how="inner").dropDuplicates(
         ["q_id", "c_id"]
@@ -545,12 +600,23 @@ def embedding_near_dup(
     # (id, emb, norm, buckets) computed once and persisted — the
     # hyperplane projection is the expensive part and the frame is
     # scanned three times (band self-join ×2, verify join ×2 via the
-    # un-exploded view).
-    vecs = _prep(df, id_col, emb_col, "q").withColumn(
-        "buckets", bucket_keys(F.col("q_emb"))
-    ).withColumn(
-        "probes", probe_bucket_keys(F.col("q_emb"))
-    ).transform(scoped_persist)
+    # un-exploded view). The integer bucket ids are materialized in
+    # their own projection first (with_bucket_ints): building the
+    # exact-key AND multi-probe arrays straight from the embedding
+    # re-evaluated each table's hyperplane fold 6× per row.
+    vecs = (
+        with_bucket_ints(
+            _prep(df, id_col, emb_col, "q"), F.col("q_emb")
+        )
+        .select(
+            "q_id",
+            "q_emb",
+            "q_norm",
+            bucket_keys_from_ints().alias("buckets"),
+            probe_keys_from_ints().alias("probes"),
+        )
+        .transform(scoped_persist)
+    )
 
     probe_side = vecs.select(
         F.col("q_id").alias("id_a"), F.explode("probes").alias("bucket")
