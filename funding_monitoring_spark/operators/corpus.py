@@ -270,10 +270,13 @@ def containment_join(
         raise ValueError(
             f"threshold {t_num}/{t_den} must be in (0, 1]"
         )
+    # persisted: consumed by the gram-explode (inverted index) AND the
+    # verify join — without the cache the train-side shingle fold (the
+    # expensive tokenize+hash pass) runs twice (guide §2.4/§5)
     tr_arr = train.select(
         F.col(train_id).alias("_tid"),
         shingle_fingerprints(text_col).alias("_tg"),
-    )
+    ).transform(scoped_persist)
     te_arr = test.select(
         F.col(test_id).alias("_eid"),
         shingle_fingerprints(text_col).alias("_eg"),

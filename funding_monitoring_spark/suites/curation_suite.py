@@ -1291,11 +1291,25 @@ def q_dataset_overlap_kmv(spark, sf_dir):
     deployment drops the exact columns and the full-fingerprint
     shuffle with them. Estimates are single IEEE divisions over exact
     integers — recomputed bit-for-bit by the DuckDB twin."""
+    from funding_monitoring_spark.operators.cachescope import (
+        scoped_persist,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     tagged = train_test_split(docs, "doc_id", _KMV_FRAC, _KMV_SEED)
-    fps = tagged.select(
-        "split",
-        F.explode(shingle_fingerprints(F.col("text"))).alias("f"),
+    # the fingerprint ARRAYS are persisted pre-explode: the gram
+    # stream feeds both the KMV sketch build and the exact-count
+    # aggregate, and without the cache the tokenize+hash shingle fold
+    # (the expensive pass) would run twice (guide §2.4/§5); each
+    # consumer re-explodes map-side from the cached arrays, which at
+    # any scale is cheaper than caching the exploded stream itself
+    arrs_persisted = scoped_persist(
+        tagged.select(
+            "split", shingle_fingerprints(F.col("text")).alias("_fa")
+        )
+    )
+    fps = arrs_persisted.select(
+        "split", F.explode("_fa").alias("f")
     )
     sketches = kmv_min_k(
         fps, F.col("f"), F.col("split"), k=_KMV_K
