@@ -513,6 +513,24 @@ def main() -> None:
         "are therefore cold-per-query and not comparable to r11's "
         "warm-cache 167.1 s baseline."
     )
+    notes["optimization_r13_batches_12_14"] = (
+        "Second r13 optimization session (paired/in-session A/B "
+        "evidence in OPTIMIZATION_r13.md): cube_revenue and "
+        "grouping_sets_revenue pre-aggregate at the finest "
+        "granularity before the Expand node (2.07->0.79 s, "
+        "1.45->0.75 s best-of-3 paired); tpch_q21 folds the "
+        "semi+anti pair realization into one per-order aggregate "
+        "(lineitem scans 3->1, wall flat at sf0.1); pagerank_fixed "
+        "attaches degree via a window inside one edge checkpoint "
+        "(~10% in-session A/B); the LSH bucket keys materialize each "
+        "table's hyperplane fold once instead of 6x per row "
+        "(5-query family 17.4->10.7 s paired best-of-3); "
+        "containment_join persists the train-side gram arrays "
+        "(3.7->2.1 s in-session) and dataset_overlap_kmv persists "
+        "the fingerprint arrays pre-explode (3.4->2.7 s). All "
+        "oracle-green at sf0.01 AND sf0.1; sf1 sweep rows refreshed "
+        "(every changed query <=1.76x at 10x data)."
+    )
     notes["perf_changes_r11"] = {
         "stream_* windowed rollups": (
             "six pipelines (tumbling/hopping, ohlc, heavy hitters, "
