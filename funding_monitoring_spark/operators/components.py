@@ -364,6 +364,14 @@ def pagerank_fixed(
                 F.sum(F.col("share_rank") / F.col("deg")).alias("mass")
             )
         )
+        if broadcast_ranks:
+            # contribs is at most node-sized (one row per dst), so the
+            # same bounded-universe justification broadcasts it into
+            # the left join — without the hint the lazy plan has no
+            # statistics and Catalyst falls back to a SortMergeJoin
+            # that shuffles BOTH node-sized frames per iteration
+            # (census: 3 SMJs on the 3-iteration trading graph).
+            contribs = F.broadcast(contribs)
         ranks = nodes.join(
             contribs, nodes["node"] == contribs["dst"], "left"
         ).select(
