@@ -4,9 +4,16 @@ local[$SPARK_GRAFT_CPUS]. Stdout layout (truncation-proof — the
 compact summary is both the FIRST and the LAST line, so a capture
 that keeps only the head or the tail of stdout still parses):
 
-    {"metric": "suite_wall_sec", "value": N, "unit": "sec", ...}
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec", "queries": {...}, ...}
     {... full detail: "queries": {"q1": sec, ...}, "notes": ...}
-    {"metric": "suite_wall_sec", "value": N, "unit": "sec", ...}
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec", "queries": {...}, ...}
+
+The summary line carries a bounded ``queries`` dict (slowest queries
+first, as many as fit the line-length budget) so a tail-truncating
+capture still gets per-query timings for round-over-round and scaling
+comparisons; ``n_queries_reported``/``n_queries`` says how many were
+cut. The FULL per-query map (every timed query, plus overflow and
+notes) stays on the middle detail line.
 
 ``value`` is the headline-set wall; the default run then also times
 every non-headline registered query so each round's artifact tracks
@@ -318,7 +325,16 @@ def main() -> None:
     errors: dict[str, str] = {}
     wall_runs: list[float] = []
     run_timings: list[dict[str, float]] = []
-    for run in range(repeat):
+    # Contention hygiene (VERDICT r13 item 7, additions-only): when a
+    # single-pass run's calibration probe — at start OR re-probed after
+    # pass 1 — crosses the 25% contended threshold, run ONE extra pass
+    # and report best-of-2, so a contended box yields two walls instead
+    # of one worthless number. Explicit --repeat N is left untouched.
+    passes_planned = repeat
+    auto_repeat = False
+    calib_mid: dict[str, float] | None = None
+    run = 0
+    while run < passes_planned:
         this_run: dict[str, float] = {}
         t_suite = time.perf_counter()
         for name in names:
@@ -357,6 +373,14 @@ def main() -> None:
                 }
         wall_runs.append(round(time.perf_counter() - t_suite, 3))
         run_timings.append(this_run)
+        run += 1
+        if run == passes_planned and repeat == 1 and not auto_repeat:
+            calib_mid = _calibrate()
+            if max(
+                calib["calib_spread_pct"], calib_mid["calib_spread_pct"]
+            ) > 25.0:
+                auto_repeat = True
+                passes_planned += 1
     # per-query best-of-N: the least contention-polluted sample.
     # A query that errored in one pass but succeeded in another is a
     # timing, not an error — drop its stale error record so the
@@ -397,14 +421,29 @@ def main() -> None:
         "loadavg_end": round(os.getloadavg()[0], 2),
         **calib,
     }
+    if calib_mid is not None:
+        # the post-pass-1 re-probe (auto best-of-2 trigger), stamped
+        # with its own keys so calib_* keeps its start-of-run meaning
+        contention.update(
+            {k.replace("calib_", "calib2_"): v for k, v in calib_mid.items()}
+        )
+    if auto_repeat:
+        contention["auto_repeat"] = True
     # contended stamp (VERDICT r12 item 6): a calibration spread
     # above 25% means another workload was stealing cycles DURING
     # this run — the wall numbers are measurements of the box, not
     # the code, and README/COVERAGE must not quote them. 25% sits
     # well above the clean-box band (2-12% observed r10-r13) and
     # well below every contaminated run we have adjudicated (42%,
-    # 46.8%).
-    contention["contended"] = calib.get("calib_spread_pct", 0.0) > 25.0
+    # 46.8%). Any probe (start or mid-run) over threshold marks the
+    # artifact; an auto-repeated run carries both walls regardless.
+    contention["contended"] = (
+        max(
+            calib.get("calib_spread_pct", 0.0),
+            (calib_mid or {}).get("calib_spread_pct", 0.0),
+        )
+        > 25.0
+    )
     summary = {
         "metric": "suite_wall_sec",
         "value": wall,
@@ -414,7 +453,7 @@ def main() -> None:
         "n_errors": len(errors),
         **contention,
     }
-    if repeat > 1:
+    if len(wall_runs) > 1:
         summary["wall_runs"] = wall_runs
         summary["wall_spread_pct"] = round(
             100.0 * (max(wall_runs) - min(wall_runs)) / min(wall_runs), 1
@@ -422,7 +461,31 @@ def main() -> None:
     if overflow:
         summary["all_registry_wall_sec"] = round(wall + overflow_wall, 3)
         summary["n_overflow"] = len(overflow_timings)
-    print(json.dumps(summary), flush=True)
+    # Per-query timings IN the parseable one-liner (VERDICT r13 item 1:
+    # two rounds of PERF had per_query == {} because the driver parses
+    # only a bounded stdout tail and the per-query map lived on the
+    # giant middle detail line). The summary line carries as many
+    # per-query entries as fit a hard line-length budget — slowest
+    # first, across headline AND overflow, best-of-N — so per-query
+    # round-over-round and 32-vs-8-core scaling comparisons work from
+    # the tail alone. n_queries_reported records the cut (guide: no
+    # silent caps); the complete map stays on the detail line below.
+    _LINE_BUDGET = 1900  # driver keeps a 2000-char stdout tail
+    all_timings = dict(timings)
+    all_timings.update(overflow_timings)
+    base_len = len(json.dumps(summary, separators=(",", ":")))
+    reported: dict[str, float] = {}
+    used = base_len + len(',"queries":{}') + len(',"n_queries_reported":288')
+    for qname, qsec in sorted(all_timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        cost = len(json.dumps({qname: round(qsec, 2)}, separators=(",", ":")))
+        if used + cost > _LINE_BUDGET:
+            break
+        reported[qname] = round(qsec, 2)
+        used += cost
+    summary["queries"] = reported
+    summary["n_queries_reported"] = len(reported)
+    summary_line = json.dumps(summary, separators=(",", ":"))
+    print(summary_line, flush=True)
 
     out = {
         "metric": "suite_wall_sec",
@@ -432,7 +495,7 @@ def main() -> None:
         "sf": sf_val,
         "contention_probe": contention,
     }
-    if repeat > 1:
+    if len(wall_runs) > 1:
         out["wall_runs"] = wall_runs
         out["wall_spread_pct"] = summary["wall_spread_pct"]
         out["query_runs"] = run_timings
@@ -680,7 +743,7 @@ def main() -> None:
     )
     out["notes"] = notes
     print(json.dumps(out), flush=True)
-    print(json.dumps(summary), flush=True)
+    print(summary_line, flush=True)
     spark.stop()
 
 

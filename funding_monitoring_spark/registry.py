@@ -249,12 +249,17 @@ def query(name: str, sql: str | None):
 #:       the full registry. Registration is FROZEN for r13 as of this
 #:       list: any round-13 registration ships with a green local row
 #:       (CORRECTNESS_LOCAL_r13.json) and queues for r14.
-#:   r14 plan (precommitted): run `python tools/window_plan.py`
-#:       after CORRECTNESS_r13.json lands — the rule gives (a) any
-#:       round-13 post-freeze registrations first, (b) the last-r8
-#:       remainder, (c) remaining slots to the oldest r9 rows in
+#:   r14 window (this list — executes the precommitted r14 plan,
+#:       generated by `python tools/window_plan.py` at max_round=13):
+#:       (a) the 16 round-13 post-freeze registrations, never
+#:       external; (b) the 22 remaining last-r8 rows; (c) the 12
+#:       oldest last-r9 rows, all in registration order. No round-14
+#:       registrations (optimization round — registration frozen).
+#:   r15 plan (precommitted): run `python tools/window_plan.py`
+#:       after CORRECTNESS_r14.json lands — the rule gives the
+#:       remaining last-r9 rows first, then the oldest r10 rows in
 #:       registration order. Bump the max_round pin in
-#:       tests/test_registry_window.py to 13 when rotating.
+#:       tests/test_registry_window.py to 14 when rotating.
 #:
 #: Round-13 post-freeze registrations (window already full → each
 #: ships with a driver-format row in CORRECTNESS_LOCAL_r13.json and
@@ -298,62 +303,62 @@ def query(name: str, sql: str | None):
 #: multi_touch_attribution, simhash_distance_histogram,
 #: dedup_savings_report, hourly_activity_heatmap, value_histogram.
 _PRIORITY: list[str] = [
-    # r13 window — generated by `python tools/window_plan.py`
-    # (max_round=12); see the rotation docstring above and
+    # r14 window — generated by `python tools/window_plan.py`
+    # (max_round=13); see the rotation docstring above and
     # tests/test_registry_window.py which pins this list to the rule.
-    # Cohorts: the 4 round-12 post-freeze registrations first
-    # (never-external), then the 18 remaining last-r7 rows, then
-    # the 28 oldest last-r8 rows.
-    "substring_dedup_spans",
-    "substring_dedup_cleaned_docs",
-    "incremental_substring_dedup",
-    "charset_detection_scan",
-    "incremental_rollup_maintenance",
-    "grouped_split_leakage_report",
-    "kfold_split_stats",
-    "weighted_sample_priority",
-    "embedding_quantize_int8",
-    "semantic_dedup_clusters",
-    "ann_cosine_topk_pq",
-    "ann_pq_recall_report",
-    "ann_cosine_topk_ivf_pq",
-    "ann_ivf_pq_recall_report",
-    "stream_append_compaction",
-    "stream_snapshot_commits",
-    "stream_sketch_rollup",
-    "stream_contract_ledger",
-    "stream_max_drawdown",
-    "stream_count_min_rollup",
-    "stream_late_event_audit",
-    "collocation_pmi",
-    "pivot_status_by_priority",
-    "unpivot_part_attrs",
-    "cube_revenue",
-    "set_intersect_nations",
-    "set_except_nations",
-    "approx_quantiles_events",
-    "embedding_covariance",
-    "grouping_sets_revenue",
-    "bloom_prefilter_join",
-    "incremental_minhash_dedup",
-    "keep_list_projection",
-    "drop_column",
-    "filter_suffix",
-    "salted_join_agg",
-    "upsert_merge",
-    "scalar_datetime_suite",
-    "scalar_string_suite",
-    "scalar_cast_annualize",
-    "json_extract",
-    "nested_json_explode",
-    "full_outer_reconciliation",
-    "jsonl_quarantine",
-    "expectation_audit",
-    "snapshot_metadata_count",
-    "merge_on_read_snapshot",
-    "snapshot_version_cdc",
-    "snapshot_bloom_pruned_read",
-    "futures_snapshot",
+    # Cohorts: the 16 round-13 post-freeze registrations first
+    # (never-external), then the 22 remaining last-r8 rows, then
+    # the 12 oldest last-r9 rows.
+    "damerau_title_pairs",
+    "unigram_lm_train",
+    "arrow_ipc_file_source",
+    "xlsx_text_extract",
+    "pptx_text_extract",
+    "eml_mime_text_extract",
+    "rtf_text_extract",
+    "substring_dedup_spans_folded",
+    "contamination_containment_pairs",
+    "bm25_topk_retrieval",
+    "kcore_trading_graph",
+    "quality_classifier_weights",
+    "quality_classifier_scores",
+    "quality_classifier_report",
+    "quality_classifier_pr_curve",
+    "unicode_normalize_scan",
+    "spot_pairs_snapshot",
+    "lending_pipeline",
+    "multimodal_gif_roundtrip",
+    "multimodal_resize_real",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_mjpg_framesample",
+    "multimodal_adpcm_roundtrip",
+    "image_dhash_index",
+    "funding_stats",
+    "sql_funding_stats",
+    "ann_index_incremental",
+    "stream_upsert_rates",
+    "stream_tumbling_rollup",
+    "stream_lending_append",
+    "stream_ewma_stateful",
+    "stream_funding_pipeline",
+    "stream_stream_join_attribution",
+    "stream_session_windows",
+    "trailing_time_features",
+    "stream_merge_on_read",
+    "hashed_ngram_quality_score",
+    "tpch_q8_market_share",
+    "funding_rate_anomaly",
+    "snapshot_diff_ticks",
+    "heavy_hitter_users",
+    "filter_equality",
+    "filter_time_range",
+    "group_min",
+    "value_percentiles",
+    "rollup_totals",
+    "distinct_values",
+    "existence_probe",
+    "broadcast_join_dim",
+    "semi_join_universe",
 ]
 # ^ exactly 50 entries. After this round every query in the registry
 # has had at least one green external row (the 4 round-12 post-freeze
