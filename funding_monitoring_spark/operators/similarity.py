@@ -832,33 +832,123 @@ def pq_encode(
 def _argmin_codes(subs: DataFrame, cents: DataFrame) -> DataFrame:
     """(c_id, m, code): nearest codebook entry per (vector, subspace)
     by squared L2 (distance rounded, then id — reproducible argmin).
-    One broadcast join against the codebook, codegen folds, and a
-    min_by aggregation for the argmin: the (vector x codebook)
-    explosion collapses MAP-SIDE (partial aggregation keeps one
-    candidate per (c_id, m) per partition), so the shuffle moves one
-    row per vector-subspace — a window row_number here would shuffle
-    the entire |vectors| x |codebook| explosion first (measured ~3 s
-    per PQ query at sf0.1). min_by on the (dist, j) struct is exactly
-    the (dist asc, j asc) argmin: j is unique within a group, so no
-    tie can reach the struct's second field undecided."""
-    d = F.round(_sq_l2(F.col("sub"), F.col("csub")), SCORE_ROUND)
+
+    The argmin explosion is the PQ build's hot spot: the former shape
+    (broadcast join against the codebook + an interpreted _sq_l2 HOF
+    fold per pair) evaluated |subs| * |codebook/m| zip_with/aggregate
+    lambdas — ~150M pairs = ~1.2B interpreted lambda steps at sf0.1,
+    several seconds of pure Python-free but interpreter-bound JVM work
+    (HOFs never enter codegen). Guide §4.2: hand the batch to
+    vectorized native code. One mapInPandas computes the raw squared
+    L2 for every candidate in NumPy and emits, per (c_id, m), ONLY the
+    candidates within 2e-6 of the raw minimum; the JVM then applies
+    the exact same F.round + min_by((dist, j)) as before to pick the
+    winner.
+
+    Equivalence argument (the winner is decided by the SAME rounded
+    argmin as the old plan):
+    - the raw distance is bit-identical: NumPy and the JVM fold both
+      compute IEEE-double (x-y)*(x-y) terms summed in the SAME
+      left-to-right order (the NumPy sum is an explicit sequential
+      8-term add chain, not a pairwise reduction) — verified
+      empirically over every (vector, subspace) of the sf0.1 fixture
+      (0 mismatches; see OPTIMIZATION_r14.md);
+    - rounding to 1e-6 is monotone, so any j whose ROUNDED distance
+      ties the rounded minimum satisfies d_j <= d_min + 1e-6; the
+      survivor filter keeps everything within 2e-6, a strict superset;
+    - rounding and the (dist asc, j asc) tie-break run in the JVM on
+      those survivors via the unchanged expressions, so no rounding
+      semantics are re-implemented anywhere.
+
+    The codebook is collected to the driver once — it is hard-bounded
+    by construction (PQ_CENT_CAP / PQ_CENT_MOD entries per subspace x
+    PQ_M subspaces, ~3k rows) — the same rows the old plan broadcast.
+    min_by on the (dist, j) struct is exactly the (dist asc, j asc)
+    argmin: j is unique within a group, so no tie can reach the
+    struct's second field undecided."""
+    import numpy as np
+
+    # bounded driver-side collect (see docstring); sorted by j so the
+    # per-m candidate matrices are deterministic
+    cent_rows = cents.select("m", "j", "csub").collect()
+    codebook: dict[int, tuple] = {}
+    by_m: dict[int, list] = {}
+    for r in cent_rows:
+        by_m.setdefault(r["m"], []).append((r["j"], r["csub"]))
+    for m_val, entries in by_m.items():
+        entries.sort(key=lambda e: e[0])
+        j_arr = np.array([e[0] for e in entries], dtype=np.int64)
+        c_mat = np.array([e[1] for e in entries], dtype=np.float64)
+        codebook[m_val] = (j_arr, c_mat)
+
+    id_t = subs.schema["c_id"].dataType.simpleString()
+    m_t = subs.schema["m"].dataType.simpleString()
+    j_t = cents.schema["j"].dataType.simpleString()
+    out_schema = f"c_id {id_t}, m {m_t}, j {j_t}, d double"
+    _np_int = {"int": "int32", "bigint": "int64", "smallint": "int16"}
+    m_dtype = _np_int.get(m_t, "int64")
+    j_dtype = _np_int.get(j_t, "int64")
+
+    def survivors(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs = []
+            for m_val, grp in pdf.groupby("m", sort=False):
+                cb = codebook.get(m_val)
+                if cb is None:  # degenerate empty codebook: inner-join
+                    continue  # semantics — no candidates, no rows
+                j_arr, c_mat = cb
+                sub_mat = _np.stack(grp["sub"].to_numpy())
+                ids = grp["c_id"].to_numpy()
+                # bound the (rows x J x SUBDIM) temporary: ~25 MB per
+                # slice at 1024 rows x 373 cents x 8 dims
+                for lo in range(0, sub_mat.shape[0], 1024):
+                    s = sub_mat[lo : lo + 1024]
+                    diff = s[:, None, :] - c_mat[None, :, :]
+                    sq = diff * diff
+                    # EXPLICIT sequential fold — the JVM aggregate()'s
+                    # exact summation order (bit-identical doubles)
+                    d = sq[:, :, 0]
+                    for k in range(1, sq.shape[2]):
+                        d = d + sq[:, :, k]
+                    dmin = d.min(axis=1)
+                    keep = d <= dmin[:, None] + 2e-6
+                    rows, cols = _np.nonzero(keep)
+                    outs.append(
+                        _pd.DataFrame(
+                            {
+                                "c_id": ids[lo : lo + 1024][rows],
+                                "m": _np.full(
+                                    len(rows), m_val, dtype=m_dtype
+                                ),
+                                "j": j_arr[cols].astype(
+                                    j_dtype, copy=False
+                                ),
+                                "d": d[rows, cols],
+                            }
+                        )
+                    )
+            if outs:
+                yield _pd.concat(outs, ignore_index=True)
+
     # spread the subs frame across the full parallelism FIRST: it is
     # small in bytes (AQE happily coalesces it to one partition) but
-    # the broadcast join below explodes it |codebook|-fold in CPU —
-    # the classic cheap-to-store / expensive-to-process shape. The
-    # sf1 sweep measured the un-spread version running the entire
-    # 60M-row explosion in a single task (189 s -> ~6 s at 32 cores).
+    # the per-row work below is |codebook|-fold — the classic
+    # cheap-to-store / expensive-to-process shape. The sf1 sweep
+    # measured the un-spread JVM version running the entire 60M-row
+    # explosion in a single task (189 s -> ~6 s at 32 cores).
     sc = subs.sparkSession.sparkContext
     subs = subs.repartition(sc.defaultParallelism)
-    return (
-        subs.join(F.broadcast(cents), "m")
-        .withColumn("dist", d)
-        .groupBy("c_id", "m")
-        .agg(
-            F.min_by(
-                F.col("j"), F.struct(F.col("dist"), F.col("j"))
-            ).alias("code")
-        )
+    cand = subs.mapInPandas(survivors, out_schema)
+    dist = F.round(F.col("d"), SCORE_ROUND)
+    return cand.groupBy("c_id", "m").agg(
+        F.min_by(
+            F.col("j"), F.struct(dist.alias("dist"), F.col("j"))
+        ).alias("code")
     )
 
 

@@ -403,18 +403,23 @@ def test_hll_rollup_sketches_combine_map_side(spark, sf_dir):
 def test_pq_encode_broadcasts_codebook_no_embedding_shuffle(
     spark, sf_dir
 ):
-    """PQ encode: the codebook join must broadcast (it is O(1)-sized
-    by construction) and the corpus embeddings must never hash-shuffle
-    — the only exchange the encode is allowed is the per-(vector,
-    subspace) window for the argmin, which partitions on (c_id, m),
-    never on the embedding payload."""
+    """PQ encode (r14 shape): the candidate distances come from ONE
+    vectorized mapInPandas survivor pass against the driver-collected
+    (O(1)-bounded) codebook — no join at all in the encode — and the
+    corpus embeddings never hash-shuffle: the only exchanges are the
+    round-robin parallelism spread and the per-(vector, subspace)
+    argmin aggregation, which partition on (c_id, m), never on the
+    embedding payload."""
     from funding_monitoring_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = S.pq_codebook(emb)
     plan = plan_str(S.pq_encode(emb, cents))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "Join" not in plan, plan  # the codebook join is gone
+    # the JVM keeps the rounded (dist, j) argmin tie-break
+    assert "min_by" in plan, plan
 
 
 def test_pq_topk_scan_side_joins_all_broadcast(spark, sf_dir):
