@@ -66,7 +66,20 @@ def _fuzzy_base(
     df: DataFrame, id_col: str, group_col: str, str_col: str, q: int
 ) -> DataFrame:
     """Normalized (_id, _g, _s, _grams, _len) frame both fuzzy joins
-    start from (NULL strings carry no fuzzy identity and drop here)."""
+    start from (NULL strings carry no fuzzy identity and drop here).
+
+    An UNDER-partitioned input (the fixture arrives as ONE parquet
+    file) is spread to the cluster's default parallelism first — the
+    bpe.word_state discipline. Without it every derived stage runs
+    single-task: the q-gram explode (evaluated twice: frequency agg +
+    prefix join), the frequency-ordered prefix window (AQE coalesces
+    its 50k-row shuffle to ONE partition by bytes, so the checkpoint
+    lands 1-partition and every downstream self-join inherits the
+    skew) — measured 3.5 s single-task for the sf0.1 prefix build
+    alone. A real multi-file corpus is left untouched."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     return (
         df.select(
             F.col(id_col).alias("_id"),

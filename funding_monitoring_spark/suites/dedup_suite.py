@@ -444,8 +444,12 @@ def q_fuzzy_title_pairs(spark, sf_dir):
             "title"
         ),
     )
+    # q=5 blocking (r14): gram size is an INTERNAL blocking knob —
+    # the output is exact for any q (prefix principle), and 5-grams
+    # discriminate where this corpus's 3-grams do not: candidate
+    # pairs 1.67M -> 310k at sf0.1, output verified identical.
     return edit_distance_join(
-        titles, "doc_id", "lang", "title", _FUZZY_D, q=3
+        titles, "doc_id", "lang", "title", _FUZZY_D, q=5
     ).select("lang", "doc_id_a", "doc_id_b", "dist")
 
 
@@ -513,8 +517,10 @@ def q_fuzzy_title_clusters(spark, sf_dir):
     # so the iterative CC never touches O(corpus) star edges.
     # Connectivity — hence the clustering and this oracle — is
     # identical.
+    # q=5 blocking: see q_fuzzy_title_pairs (same exactness argument;
+    # clusters verified identical at sf0.1)
     return edit_distance_clusters(
-        titles, "doc_id", "lang", "title", _FUZZY_D, q=3
+        titles, "doc_id", "lang", "title", _FUZZY_D, q=5
     ).select("doc_id", "cluster_id", "is_canonical")
 
 
@@ -566,8 +572,11 @@ def q_damerau_title_pairs(spark, sf_dir):
             "title"
         ),
     )
+    # q=5 blocking: see q_fuzzy_title_pairs (transpositions touch at
+    # most q+1 grams, so the p = d*(q+1)+1 prefix bound holds for any
+    # q; output verified identical, warm wall 4.5 -> 3.0 s at sf0.1)
     return damerau_join(
-        titles, "doc_id", "lang", "title", _DAMERAU_D, q=3
+        titles, "doc_id", "lang", "title", _DAMERAU_D, q=5
     ).select("lang", "doc_id_a", "doc_id_b", "dist")
 
 
