@@ -254,7 +254,7 @@ def merge_pairs_fold(symbols: Column, merges: Column) -> Column:
 def batch_candidates(
     state: DataFrame,
     cap: int,
-    vocab: DataFrame | None = None,
+    vocab: DataFrame | frozenset | set | list | tuple | None = None,
     weight_col: str | None = None,
 ) -> DataFrame:
     """Select the largest batch of ranked pairs whose one-pass merge
@@ -289,12 +289,15 @@ def batch_candidates(
     running collect_list for the disjointness scan, and a broadcast
     semi-flag against the distinct-symbol vocab.
 
-    ``vocab``: the CURRENT distinct-symbol set as a 1-column
-    ('merged') DataFrame. When None it is derived from `state` (an
-    extra corpus scan); bpe_train_batched maintains it incrementally
-    instead — initial distinct characters once, plus each round's
-    merged strings — so the per-round cost stays at two corpus
-    passes (count + rewrite).
+    ``vocab``: the CURRENT distinct-symbol set — either a 1-column
+    ('merged') DataFrame (broadcast-joined) or a plain Python
+    set/frozenset/list of symbol strings (alphabet + merges bounded
+    at any corpus size), which becomes a literal IN-list predicate —
+    no join, no exchange, no per-round DataFrame construction.
+    When None it is derived from `state` (an extra corpus scan);
+    bpe_train_batched maintains the set incrementally instead —
+    initial distinct characters once, plus each round's merged
+    strings — so the per-round cost stays at one corpus pass.
 
     ``weight_col``: when the state is the distinct-word frequency
     table (word_freq_state), pair occurrences are weighted by that
@@ -321,7 +324,24 @@ def batch_candidates(
         vocab = state.select(
             F.explode("symbols").alias("merged")
         ).distinct()
-    vocab = vocab.withColumn("in_vocab", F.lit(True))
+    if isinstance(vocab, (set, frozenset, list, tuple)):
+        # literal IN-list membership: bounded (alphabet + merges), so
+        # the predicate never grows with the corpus; sorted for a
+        # deterministic expression
+        vocab_lit = sorted(vocab)
+        in_vocab = (
+            F.col("merged").isin(vocab_lit)
+            if vocab_lit
+            else F.lit(False)
+        )
+        flagged_join = lambda cand: cand.withColumn(  # noqa: E731
+            "in_vocab", F.when(in_vocab, F.lit(True))
+        )
+    else:
+        vocab = vocab.withColumn("in_vocab", F.lit(True))
+        flagged_join = lambda cand: cand.join(  # noqa: E731
+            F.broadcast(vocab), "merged", "left"
+        )
     w = Window.orderBy(F.desc("n"), F.asc("pair_a"), F.asc("pair_b"))
     toks = F.array(
         F.col("pair_a"),
@@ -344,8 +364,9 @@ def batch_candidates(
         F.lit(False),
     )
     flagged = (
-        cand.withColumn("merged", F.concat("pair_a", "pair_b"))
-        .join(F.broadcast(vocab), "merged", "left")
+        flagged_join(
+            cand.withColumn("merged", F.concat("pair_a", "pair_b"))
+        )
         .withColumn("rank", F.row_number().over(w))
         .withColumn(
             "blocked",
@@ -395,11 +416,12 @@ def bpe_train_batched(
     that capped usable K in the unbatched loop amortizes by the
     average batch size.
 
-    The merge structs never leave the cluster (broadcast 1-row array
-    join, exactly like bpe_train's argmax); the only driver value is
-    each round's batch SIZE — an O(1) control-flow scalar needed to
-    number the next round's steps, the same role as a paging cursor
-    (sources/paged.py).
+    Driver values (r14): each round collects its SELECTED BATCH —
+    <= max_batch (rank, pair, merged, n) rows, i.e. exactly the rows
+    the caller materializes as the result anyway — plus, once, the
+    initial vocabulary, which is the corpus's distinct CHARACTERS
+    (alphabet-bounded at any corpus size; merges add <= n_merges
+    strings). Nothing corpus-sized ever reaches the driver.
 
     r10 cost model fixes (same merge table, same oracle):
     - DISTINCT-WORD state (word_freq_state): every per-round pass
@@ -407,75 +429,72 @@ def bpe_train_batched(
       counts instead of |word instances| rows — the standard Sennrich
       representation; the ratio grows with corpus size (Heaps' law),
       so the win compounds at 100 TB.
-    - LAZY state/vocab checkpoints (eager=False): a lazy
-      localCheckpoint materializes inside its first action, so round
-      i's fold rewrite executes INSIDE round i+1's pair-count scan
-      instead of as its own corpus pass — one corpus-scale job per
-      round plus two tiny checkpointed-frame jobs.
-    sf0.1 K=20: 9.2 -> ~3 s warm."""
+    - LAZY state checkpoints (eager=False): a lazy localCheckpoint
+      materializes inside its first action, so round i's fold rewrite
+      executes INSIDE round i+1's pair-count collect instead of as
+      its own corpus pass — ONE corpus-scale job per round.
+    r14 job-count fix (VERDICT item 4; same merge table, same
+    oracle): the round's selection is COLLECTED (<= cap+1 rows)
+    instead of eager-checkpointed-then-counted, the vocabulary set
+    lives on the driver as a plain set rebuilt into a LocalRelation
+    per round (no lazy vocab checkpoint jobs, no broadcast
+    materialization job), and the selected merges re-enter the state
+    fold as LITERAL structs (no crossJoin against a 1-row aggregate
+    subplan). Jobs per round: 3 -> 1; the 11-round sf0.1 loop's
+    fixed overhead halves (in-session A/B in OPTIMIZATION_r14.md).
+    sf0.1 K=20: 9.2 (r9) -> ~3 s (r10) -> ~2.3 s warm (r14)."""
+    spark = docs.sparkSession
     state = word_freq_state(
         docs, text_col=text_col, max_chars=max_chars
     ).localCheckpoint(eager=False)
-    # incremental vocab: distinct characters once, then each round's
-    # merged strings — batch_candidates' collision check never
-    # re-scans the corpus (tiny frame, Heaps'-law bounded)
-    vocab = (
-        state.select(F.explode("symbols").alias("merged"))
+    # incremental vocab: distinct characters once (alphabet-bounded),
+    # then each round's merged strings — batch_candidates' collision
+    # check never re-scans the corpus
+    vocab_set = {
+        r["merged"]
+        for r in state.select(F.explode("symbols").alias("merged"))
         .distinct()
-        .localCheckpoint(eager=False)
-    )
-    merges: list[DataFrame] = []
+        .collect()
+    }
+    merge_rows: list[tuple] = []
     done = 0
     while done < n_merges:
         cap = min(max_batch, n_merges - done)
-        # the eager batch checkpoint is the round's ONE corpus job:
-        # it folds the previous round's merges (lazy state
-        # checkpoint), counts pairs, and selects the batch
-        batch = batch_candidates(
-            state, cap, vocab, weight_col="wn"
-        ).localCheckpoint(eager=True)
-        n_sel = batch.count()
-        if n_sel == 0:
+        # the round's ONE corpus job: folds the previous round's
+        # merges (lazy state checkpoint), counts pairs, selects the
+        # batch, and returns the <= cap+1 selected rows; the vocab
+        # membership check is a literal IN-list (alphabet-bounded)
+        batch = sorted(
+            batch_candidates(
+                state, cap, frozenset(vocab_set), weight_col="wn"
+            ).collect(),
+            key=lambda r: r["rank"],
+        )
+        if not batch:
             break  # corpus exhausted (no adjacent pairs remain)
-        vocab = vocab.unionByName(
-            batch.select("merged")
-        ).localCheckpoint(eager=False)
-        merges.append(
-            batch.select(
-                (F.lit(done) + F.col("rank")).alias("step"),
-                "pair_a",
-                "pair_b",
-                "merged",
-                "n",
-            )
+        vocab_set.update(r["merged"] for r in batch)
+        merge_rows.extend(
+            (done + r["rank"], r["pair_a"], r["pair_b"], r["merged"],
+             r["n"])
+            for r in batch
         )
-        mb = batch.agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct("rank", "pair_a", "pair_b")
+        ms = F.array(
+            *[
+                F.struct(
+                    F.lit(r["rank"]).alias("rank"),
+                    F.lit(r["pair_a"]).alias("pair_a"),
+                    F.lit(r["pair_b"]).alias("pair_b"),
                 )
-            ).alias("ms")
+                for r in batch  # already rank-ordered
+            ]
         )
-        state = (
-            state.crossJoin(F.broadcast(mb))
-            .select(
-                "wn",
-                merge_pairs_fold(
-                    F.col("symbols"), F.col("ms")
-                ).alias("symbols"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        done += n_sel
-    if not merges:
-        # no adjacent pairs anywhere (every word is one symbol):
-        # same empty-result contract as bpe_train's empty argmax
-        return docs.sparkSession.createDataFrame(
-            [],
-            "step long, pair_a string, pair_b string, "
-            "merged string, n long",
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+        state = state.select(
+            "wn",
+            merge_pairs_fold(F.col("symbols"), ms).alias("symbols"),
+        ).localCheckpoint(eager=False)
+        done += len(batch)
+    return spark.createDataFrame(
+        merge_rows,
+        "step long, pair_a string, pair_b string, "
+        "merged string, n long",
+    )
