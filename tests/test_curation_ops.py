@@ -712,3 +712,28 @@ def test_bm25_topk_matches_reference(spark):
     ]
     # non-matching docs never appear
     assert all(r.n_hit_terms >= 1 for r in got)
+
+
+def test_collocation_pmi_persist_gate_is_value_identical(
+    spark, monkeypatch
+):
+    """The size-gated 2-pass shape (persisted count tables + integer
+    sum totals) must reproduce the 5-pass shape's report exactly:
+    force the gate ON over the small fixture and compare."""
+    from funding_monitoring_spark.operators import textstats as X
+    from funding_monitoring_spark.operators.cachescope import (
+        release_scoped_caches,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["alpha beta", "beta gamma", "alpha beta"][i % 3] for _ in range(4)))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    base = sorted(map(tuple, X.collocation_pmi(docs, min_count=2).collect()))
+    monkeypatch.setattr(X, "PMI_PERSIST_MIN_BYTES", 0)
+    gated = sorted(map(tuple, X.collocation_pmi(docs, min_count=2).collect()))
+    release_scoped_caches()
+    assert gated == base
