@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 DEFAULT_MAX_ITER = 20
 
@@ -349,8 +350,6 @@ def pagerank_fixed(
     # edge-frame materializations and an extra exchange for the same
     # (src, dst, deg) rows. Per-src row mass through the window
     # equals the old join shuffle's, so no new skew bound.
-    from pyspark.sql.window import Window
-
     e_deg = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .withColumn(

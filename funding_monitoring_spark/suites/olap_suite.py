@@ -301,7 +301,7 @@ def q_grouping_sets(spark, sf_dir):
     yields identical cells and grouping flags (the finest set
     (l_returnflag, l_linestatus) is one of the requested sets, so
     every coarser set is a pure re-aggregation of it)."""
-    load_table(spark, sf_dir, "lineitem").groupBy(
+    pre = load_table(spark, sf_dir, "lineitem").groupBy(
         "l_returnflag", "l_linestatus"
     ).agg(
         F.sum(
@@ -310,17 +310,27 @@ def q_grouping_sets(spark, sf_dir):
             )
         ).alias("rev_part"),
         F.count(F.lit(1)).alias("n_part"),
-    ).createOrReplaceTempView("lineitem_rf_ls_agg")
-    return spark.sql("""
-        SELECT l_returnflag, l_linestatus,
-               CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
-                    AS BIGINT) AS gid,
-               CAST(SUM(rev_part) AS DOUBLE) AS revenue,
-               SUM(n_part) AS n_items
-        FROM lineitem_rf_ls_agg
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                (l_returnflag), ())
-    """)
+    )
+    # DataFrame groupingSets (ADVICE r13: the temp-view form leaked a
+    # session-global catalog entry across the registry)
+    gid = (
+        2 * F.grouping("l_returnflag") + F.grouping("l_linestatus")
+    ).cast("bigint")
+    return (
+        pre.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.sum("rev_part").cast("double").alias("revenue"),
+            F.sum("n_part").alias("n_items"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "revenue", "n_items"
+        )
+    )
 
 
 @query(
