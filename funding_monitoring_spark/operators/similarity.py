@@ -361,25 +361,106 @@ def _cell_assignments(
     for the corpus; nprobe > 1 for queries). Deterministic: raw cosine
     desc, centroid id asc.
 
-    keep=1 (the CORPUS-side path — the big input) aggregates with
-    min_by so the (vector x centroid) explosion collapses map-side;
-    the same (-cscore, cent_id) struct ordering reproduces the
-    window's (cscore desc, cent_id asc) winner exactly, including the
-    -0.0/<+0.0 edge (negation flips the IEEE sort order
-    consistently). keep>1 (query probes, a small frame) keeps the
-    row_number window — a top-N has no partial-aggregation form."""
+    keep=1 (the CORPUS-side path — the big input) runs the argmax in
+    ONE vectorized NumPy pass (guide §4.2 — the former
+    crossJoin-against-broadcast shape evaluated an interpreted 64-dim
+    seq_dot fold per (vector, centroid) pair, linear in corpus x
+    centroids; bit-identical A/B in OPTIMIZATION_r14.md, sf1
+    assignment 1.0 -> 0.6 s and growing with scale). Exactness: the
+    raw cosine is computed with the fold's exact sequential term
+    order and IEEE division, so every score is bit-identical to the
+    JVM expression; the winner is picked by Spark's own comparison
+    semantics (SQLOrderingUtil: equal by ``==``, NaN greatest) via a
+    NaN-canonicalized IEEE total-order key with first-index (= lowest
+    cent_id — the matrix is cent_id-sorted) tie-break. A -0.0 score
+    is unreachable: the dot fold accumulates from +0.0 and IEEE
+    addition never yields -0.0 from a +0.0 accumulator, so the one
+    place total-order and ``==`` semantics differ cannot occur.
+    The centroid frame is collected once — it is bounded by
+    construction (IVF_CENT_CAP / IVF_CENTROID_MOD rows), the same
+    rows the old plan broadcast. keep>1 (query probes, a small
+    frame) keeps the row_number window — a top-N has no
+    partial-aggregation form."""
+    if keep == 1:
+        import numpy as np
+
+        cent_rows = centroids.select(
+            "cent_id", "cent_emb", "cent_norm"
+        ).collect()
+        cent_rows.sort(key=lambda r: r["cent_id"])
+        jid = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+        c_mat = np.array(
+            [r["cent_emb"] for r in cent_rows], dtype=np.float64
+        )
+        c_norm = np.array(
+            [r["cent_norm"] for r in cent_rows], dtype=np.float64
+        )
+        id_t = vecs.schema["v_id"].dataType.simpleString()
+        cid_t = centroids.schema["cent_id"].dataType.simpleString()
+        cid_dtype = {"int": "int32", "bigint": "int64"}.get(
+            cid_t, "int64"
+        )
+        out_schema = f"v_id {id_t}, cent_id {cid_t}"
+
+        def assign(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                if pdf.empty or len(jid) == 0:
+                    continue
+                v_mat = _np.stack(pdf["v_emb"].to_numpy())
+                v_norm = pdf["v_norm"].to_numpy().astype(_np.float64)
+                ids = pdf["v_id"].to_numpy()
+                outs = []
+                # chunk the (rows x cents x dim) temporary (~25 MB at
+                # 256 rows x 200 cents x 64 dims)
+                for lo in range(0, v_mat.shape[0], 256):
+                    v = v_mat[lo : lo + 256]
+                    n = v_norm[lo : lo + 256]
+                    prod = v[:, None, :] * c_mat[None, :, :]
+                    # EXPLICIT sequential fold — seq_dot's summation
+                    # order (bit-identical doubles)
+                    s = prod[:, :, 0]
+                    for k in range(1, prod.shape[2]):
+                        s = s + prod[:, :, k]
+                    sc = s / (n[:, None] * c_norm[None, :])
+                    # IEEE total-order key over the NEGATED score:
+                    # ascending key == (cscore desc, NaN last), the
+                    # min_by struct order; NaN canonicalized positive
+                    # so a sign-flipped NaN cannot sort first
+                    neg = _np.where(_np.isnan(sc), _np.nan, -sc)
+                    u = neg.view(_np.uint64)
+                    mask = _np.where(
+                        u >> _np.uint64(63) == 1,
+                        _np.uint64(0xFFFFFFFFFFFFFFFF),
+                        _np.uint64(0x8000000000000000),
+                    )
+                    jw = (u ^ mask).argmin(axis=1)
+                    outs.append(
+                        _pd.DataFrame(
+                            {
+                                "v_id": ids[lo : lo + 256],
+                                "cent_id": jid[jw].astype(
+                                    cid_dtype, copy=False
+                                ),
+                            }
+                        )
+                    )
+                if outs:
+                    yield _pd.concat(outs, ignore_index=True)
+
+        sc_ctx = vecs.sparkSession.sparkContext
+        return (
+            vecs.select("v_id", "v_emb", "v_norm")
+            .repartition(sc_ctx.defaultParallelism)
+            .mapInPandas(assign, out_schema)
+        )
     scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
         "cscore",
         seq_dot(F.col("v_emb"), F.col("cent_emb"))
         / (F.col("v_norm") * F.col("cent_norm")),
     )
-    if keep == 1:
-        return scored.groupBy("v_id").agg(
-            F.min_by(
-                F.col("cent_id"),
-                F.struct(-F.col("cscore"), F.col("cent_id")),
-            ).alias("cent_id")
-        )
     w = Window.partitionBy("v_id").orderBy(
         F.desc("cscore"), F.asc("cent_id")
     )
